@@ -1,0 +1,146 @@
+"""Table catalog: explicit schemas + schema-enforced parquet loaders.
+
+The reference pins dtypes at every boundary because inference breaks
+(etl.py:48-51, 97, 151-159, 193-196; SURVEY.md §1.3). We do the same with
+StructType per table and never rely on inference; Parquet is the only at-rest
+format so types survive end-to-end.
+
+Tables are the driver-generated TPC-H-ish star schema plus the extension
+tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_online_retail_spark.session import ensure_session_confs
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]),
+    "nation": T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]),
+    "customer": T.StructType([
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]),
+    "supplier": T.StructType([
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]),
+    "part": T.StructType([
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_name", T.StringType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_type", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]),
+    "orders": T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]),
+    "lineitem": T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
+    ]),
+    # events.ts is INT64 TIMESTAMP(NANOS) in the parquet footer; with
+    # spark.sql.legacy.parquet.nanosAsLong it scans as LongType and
+    # load_events() converts to timestamp_ntz (no session-tz dependence).
+    "events": T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]),
+    "documents": T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]),
+    "embeddings": T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]),
+}
+
+TABLE_NAMES = tuple(SCHEMAS)
+
+# Dimension-sized tables: always broadcast-join these against facts.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Schema-enforced parquet scan for one catalog table."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    ensure_session_confs(spark)
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+
+
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """events scan with the nanosecond-timestamp conversion.
+
+    timestampadd on a TIMESTAMP_NTZ literal keeps the arithmetic free of any
+    session-timezone dependence (epoch nanos -> wall-clock micros).
+    """
+    ensure_session_confs(spark)
+    raw = spark.read.schema(SCHEMAS["events"]).parquet(table_path(sf_dir, "events"))
+    # Integer division: ts/1000 would promote to double and lose precision
+    # above 2^53 (epoch nanos are ~1.7e18), shifting some stamps by 1us.
+    ts = F.expr(
+        "timestampadd(MICROSECOND, ts DIV 1000, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias("ts")
+    return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every catalog table as a temp view for spark.sql queries."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

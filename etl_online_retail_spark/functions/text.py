@@ -1,0 +1,188 @@
+"""Text-analysis column expressions (training-data pipeline extensions).
+
+The reference has no text surface beyond length/digit filters (etl.py:67-81);
+these are the operators a large-scale training-data pipeline needs: language
+ID, quality scoring, token counting, shingling, and document fingerprinting.
+All are built-in-function compositions (JVM-side, codegen-friendly) with
+exact DuckDB SQL twins for the oracle gate - no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions.hashing import PRIME, poly_hash
+
+# Tiny deterministic stopword lists per language for the n-gram/stopword
+# lang-id heuristic. Word choice matters less than determinism: the score is
+# "fraction of whitespace tokens found in the language's list".
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "des", "une", "que", "dans"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "una", "por"],
+}
+
+_WS = r"\s+"
+
+
+def normalize(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics (keeps spaces), collapse whitespace.
+
+    Twin SQL: trim(regexp_replace(regexp_replace(lower(t),
+        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
+def normalize_sql(expr: str) -> str:
+    return (f"trim(regexp_replace(regexp_replace(lower({expr}), "
+            f"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of already-trimmed text -> array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty text.
+
+    Twin SQL: CASE WHEN trim(t)='' THEN 0
+              ELSE len(regexp_split_to_array(trim(t), '\\s+')) END
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c))).cast("int")
+
+
+def token_count_sql(expr: str) -> str:
+    return (f"CAST(CASE WHEN trim({expr}) = '' THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({expr}), '\\s+')) END AS INTEGER)")
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams (shingles) of the string -> array<string>.
+
+    transform(sequence(1, greatest(len-n+1, 1)), i -> substring(s, i, n)),
+    filtered to full-length grams, deduplicated. Identical construction in
+    DuckDB via generate_series + list_transform (see char_ngrams_sql).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: F.substring(c, i, n),
+    )
+    return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
+
+
+def char_ngrams_sql(expr: str, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_filter(list_transform("
+        f"generate_series(1, greatest(length({expr}) - {n - 1}, 1)), "
+        f"i -> substring({expr}, i, {n})), g -> length(g) = {n}))"
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-grams of normalized text -> array<string>.
+
+    Word-level shingles are far more discriminative than char shingles on
+    short texts (char-3 jaccard saturates ~0.5 on small vocabularies). The
+    empty-array guard for texts with < n tokens is explicit so the Spark
+    and SQL twins agree (concat semantics over out-of-bounds differ).
+    """
+    toks = tokens(normalize(col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) < n, empty).otherwise(F.array_distinct(grams))
+
+
+def word_ngrams_sql(expr: str, n: int = 2) -> str:
+    norm = normalize_sql(expr)
+    ws = f"regexp_split_to_array({norm}, '\\s+')"
+    parts = " || ' ' || ".join(f"({ws})[i + {j}]" for j in range(n))
+    return (f"(CASE WHEN len({ws}) < {n} THEN []::VARCHAR[] "
+            f"ELSE list_distinct(list_transform("
+            f"generate_series(1, len({ws}) - {n - 1}), i -> {parts})) END)")
+
+
+def word_shingle_hashes(col: Column | str, n: int = 2) -> Column:
+    """Distinct word n-gram shingles as portable BIGINT hashes."""
+    return F.array_distinct(
+        F.transform(word_ngrams(col, n), lambda g: _gram_hash(g))
+    )
+
+
+def word_shingle_hashes_sql(expr: str, n: int = 2) -> str:
+    gram_hash = ("list_reduce(list_prepend(0::BIGINT, "
+                 "list_transform(string_split(g, ''), c -> ascii(c)::BIGINT)), "
+                 f"(a, b) -> (a * 31 + b) % {PRIME})")
+    return (f"list_distinct(list_transform({word_ngrams_sql(expr, n)}, "
+            f"g -> {gram_hash}))")
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram shingles as portable BIGINT hashes -> array<bigint>."""
+    return F.array_distinct(
+        F.transform(char_ngrams(col, n), lambda g: _gram_hash(g))
+    )
+
+
+def _gram_hash(g: Column) -> Column:
+    codes = F.transform(F.split(g, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(codes, F.lit(0).cast("bigint"),
+                       lambda acc, x: (acc * 31 + x) % PRIME)
+
+
+def shingle_hashes_sql(expr: str, n: int = 3) -> str:
+    gram_hash = ("list_reduce(list_prepend(0::BIGINT, "
+                 "list_transform(string_split(g, ''), c -> ascii(c)::BIGINT)), "
+                 f"(a, b) -> (a * 31 + b) % {PRIME})")
+    return (f"list_distinct(list_transform({char_ngrams_sql(expr, n)}, "
+            f"g -> {gram_hash}))")
+
+
+def stopword_ratio(col: Column | str, lang: str) -> Column:
+    """Fraction of whitespace tokens that are in lang's stopword list."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(normalize(c))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    return (hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+
+
+def stopword_ratio_sql(expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    norm = normalize_sql(expr)
+    toks = f"regexp_split_to_array({norm}, '\\s+')"
+    return (f"(len(list_filter({toks}, t -> t IN ({words})))::DOUBLE / "
+            f"greatest(len({toks}), 1)::DOUBLE)")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Rolling-hash document fingerprint over normalized text -> BIGINT.
+
+    Normalization first so trivial formatting changes don't alter the
+    fingerprint - the standard content-defined fingerprint for exact dedup.
+    """
+    return poly_hash(normalize(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+    return ((F.length(c) - stripped).cast("double")
+            / F.greatest(F.length(c), F.lit(1)).cast("double"))
+
+
+def punct_ratio_sql(expr: str) -> str:
+    return (f"((length({expr}) - length(regexp_replace({expr}, "
+            f"'[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / "
+            f"greatest(length({expr}), 1)::DOUBLE)")

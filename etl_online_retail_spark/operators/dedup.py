@@ -1,0 +1,204 @@
+"""Deduplication operators: SCD1 keep-last + the large-scale dedup family.
+
+The reference's only dedup is pandas drop_duplicates(keep='last') where
+"last" means later file position (etl.py:100-118) - positional order does
+not exist in Spark, so keep_last() demands an explicit order (SURVEY.md §7).
+
+The rest is the training-data dedup family the reference lacks: exact
+(hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash - all as pure
+DataFrame plans over portable hashes (functions/hashing.py) so a DuckDB
+oracle can verify them value-for-value. Embedding-cosine near-dup lives in
+operators/similarity.py next to its LSH machinery.
+
+Scale shapes (the part that matters at 100 TB):
+  * exact dedup: one hash-aggregate, map-side partial combine, no skew.
+  * Jaccard: explode shingles -> self-join on shingle. The shingle join is
+    the classic skew trap - a stop-shingle appearing in every document
+    creates a quadratic bucket. max_shingle_df caps document frequency
+    (standard practice; off by default to keep oracle parity at test SF).
+  * MinHash+LSH: signature is per-row (no shuffle); the only shuffle is the
+    band-bucket self-join, whose buckets are capped by band width, then a
+    cheap verify join on the candidate pairs only. This is the 100 TB path.
+  * SimHash: per-row 64->32-bit signature, candidates via 8-bit block
+    banding (hamming<=k pairs share >=1 of 4 blocks when k<=3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions.hashing import bit, minhash_signature
+from etl_online_retail_spark.functions.text import (
+    fingerprint,
+    normalize,
+    shingle_hashes,
+    word_shingle_hashes,
+)
+
+SIMHASH_BITS = 32
+
+
+def keep_last(df: DataFrame, keys: Sequence[str], order: Sequence[Column]) -> DataFrame:
+    """A6: drop_duplicates(subset=keys, keep='last') with EXPLICIT order.
+
+    order must be the descending "recency" order (e.g. event time DESC then
+    a unique id DESC as tiebreaker); row 1 per key wins. Reproduces
+    etl.py:104,114 without depending on file row order.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .drop("_rn"))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups via content fingerprint: one row per distinct
+    normalized text with the canonical (min) id and the copy count.
+
+    Single hash aggregation; at 100 TB this is a shuffle on a uniform
+    64-bit-ish key - no skew, map-side combine shrinks it to ~unique texts.
+    """
+    return (docs
+            .select(F.col(id_col), fingerprint(text_col).alias("fp"),
+                    F.md5(normalize(text_col)).alias("content_md5"))
+            .groupBy("fp", "content_md5")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int,
+              mode: str = "word") -> DataFrame:
+    """(id, [shingle hashes]) per doc, plus shingle counts.
+
+    mode='word' (default): word n-grams - discriminative on short texts.
+    mode='char': character n-grams - the classic choice for long prose.
+    """
+    if mode == "word":
+        sh = word_shingle_hashes(text_col, n)
+    else:
+        sh = F.array_distinct(shingle_hashes(normalize(text_col), n))
+    return (docs
+            .select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+            .withColumn("_size", F.size("_sh")))
+
+
+def jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 2, threshold: float = 0.5, mode: str = "word",
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    explode -> self-join on shingle -> count intersections -> jaccard =
+    inter / (|A| + |B| - inter). Output doubles are exact integer ratios,
+    so they compare bit-for-bit against any oracle.
+    """
+    sh = _shingled(docs, text_col, id_col, n, mode)
+    pairs = sh.select("_id", F.explode("_sh").alias("_h"), "_size")
+    if max_shingle_df is not None:
+        df_counts = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        pairs = (pairs.join(F.broadcast(df_counts.filter(F.col("_df") <= max_shingle_df)),
+                            "_h", "left_semi"))
+    a = pairs.select(F.col("_id").alias("id_a"), F.col("_h"), F.col("_size").alias("size_a"))
+    b = pairs.select(F.col("_id").alias("id_b"), F.col("_h"), F.col("_size").alias("size_b"))
+    inter = (a.join(b, "_h")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b", "size_a", "size_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"))
+    return (inter.select("id_a", "id_b", jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 2, k: int = 16,
+                            bands: int = 4, threshold: float = 0.5,
+                            mode: str = "word", seed: int = 42) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+
+    shingle->minhash (per-row, k affine mins) -> band signatures -> bucket
+    self-join (the ONLY shuffle proportional to candidate count) -> exact
+    Jaccard verify on candidates only. Columns: id_a, id_b, jaccard.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    rows = k // bands
+    sh = _shingled(docs, text_col, id_col, n, mode).filter(F.col("_size") > 0)
+    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
+    band_cols = [
+        F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")
+                           for j in range(rows)]).alias(f"_band{i}")
+        for i in range(bands)
+    ]
+    banded = sig.select("_id", "_sh", "_size", *band_cols)
+    # candidate pairs: share at least one band bucket
+    cands = None
+    for i in range(bands):
+        a = banded.select(F.col("_id").alias("id_a"), F.col(f"_band{i}").alias("_bv"))
+        b = banded.select(F.col("_id").alias("id_b"), F.col(f"_band{i}").alias("_bv"))
+        c = a.join(b, "_bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    # exact-verify candidates
+    left = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"),
+                         F.col("_size").alias("size_a"))
+    right = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"),
+                          F.col("_size").alias("size_b"))
+    verified = (cands.join(left, "id_a").join(right, "id_b")
+                .withColumn("n_common",
+                            F.size(F.array_intersect("_sh_a", "_sh_b")))
+                .withColumn("jaccard",
+                            F.col("n_common").cast("double")
+                            / (F.col("size_a") + F.col("size_b")
+                               - F.col("n_common")).cast("double"))
+                .filter(F.col("jaccard") >= threshold))
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n: int = 2, mode: str = "word") -> DataFrame:
+    """Per-document SimHash signature (SIMHASH_BITS bits) over shingle hashes.
+
+    bit_b(doc) = sign of sum over shingles of (2*bit_b(h) - 1); the signature
+    packs the sign bits. Pure array expressions per row - no shuffle at all.
+    """
+    sh = _shingled(docs, text_col, id_col, n, mode)
+    acc = F.lit(0).cast("bigint")
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(
+            F.col("_sh"), F.lit(0).cast("bigint"),
+            lambda s, h, b=b: s + (bit(h, b) * 2 - 1),
+        )
+        acc = acc + F.when(vote > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
+    return sh.select(F.col("_id").alias(id_col), acc.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 2,
+                            mode: str = "word", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance <= max_hamming.
+
+    Candidates via 4x8-bit block banding (pigeonhole: distance <= 3 implies
+    an identical block), verified with exact popcount. Output: id_a, id_b,
+    hamming (all integers - oracle-exact).
+    """
+    sigs = simhash(docs, text_col, id_col, n, mode)
+    blocks = SIMHASH_BITS // 8
+    cands = None
+    for i in range(blocks):
+        blk = F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255))
+        a = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+                        blk.alias("_blk"))
+        b = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+                        blk.alias("_blk"))
+        c = (a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sim_a", "sim_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    xor = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    hamming = sum(F.shiftright(xor, b).bitwiseAND(F.lit(1))
+                  for b in range(SIMHASH_BITS)).alias("hamming")
+    return (cands.select("id_a", "id_b", hamming)
+                 .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a real training-data pipeline needs:
+
+  * brute_force_topk: exact cosine top-k, the correctness baseline.
+    Query set x corpus cross join -> per-query TakeOrderedAndProject.
+    O(|Q| * N) - fine when |Q| is small or N fits a broadcast; the plan
+    broadcasts the QUERY side so the corpus never shuffles.
+  * lsh_topk / lsh_near_duplicates: random-hyperplane LSH. Each vector gets
+    a bucket id from the sign pattern of dot products with n_planes
+    deterministic +/-1 hyperplanes; only same-bucket pairs are compared.
+    At 100 TB the bucket join is the only shuffle and each bucket is
+    ~N / 2^n_planes rows. Recall is tunable via n_planes (fewer planes =
+    bigger buckets = higher recall); multi-probe = union over plane seeds.
+
+Hyperplane components are +/-1 derived from the portable affine hash of
+(plane, dimension), so the identical bucketing is expressible in the DuckDB
+oracle - determinism does double duty as testability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions.hashing import PRIME, hash_family
+from etl_online_retail_spark.functions.vectors import as_double, cosine
+
+
+def _plane_sign(plane: int, dim: int, a: int, b: int) -> int:
+    """Deterministic +/-1 hyperplane component from the affine hash family."""
+    h = (a * (plane * 4096 + dim) + b) % PRIME
+    return 1 if h % 2 == 1 else -1
+
+
+def hyperplanes(n_planes: int, n_dims: int, seed: int = 42) -> list[list[int]]:
+    """n_planes deterministic +/-1 vectors of length n_dims."""
+    (a, b) = hash_family(1, seed)[0]
+    return [[_plane_sign(p, d, a, b) for d in range(n_dims)]
+            for p in range(n_planes)]
+
+
+def bucket_expr(vec: Column, planes: list[list[int]]) -> Column:
+    """LSH bucket id: bit p = 1 iff dot(vec, plane_p) > 0. Signed sums of
+    +/-1-weighted components, evaluated as array folds per row."""
+    acc = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        signed = F.zip_with(
+            vec,
+            F.array(*[F.lit(float(s)) for s in plane]),
+            lambda x, s: x * s,
+        )
+        dot_p = F.aggregate(signed, F.lit(0.0), lambda acc2, x: acc2 + x)
+        acc = acc + F.when(dot_p > 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0))
+    return acc
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbour_id, cos_sim, rank).
+
+    Ties break on neighbour id so results are total-ordered. The query side
+    is broadcast; per-query top-k is a ranking window partitioned by
+    query_id (high cardinality -> scales with |Q|).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       as_double(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbour_id"),
+                      as_double(vec_col).alias("_cv"))
+    scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbour_id"))
+               .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbour_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbour_id",
+                          F.round("cos_sim", 6).alias("cos_sim"), "rank"))
+
+
+def with_lsh_bucket(vectors: DataFrame, n_planes: int = 8, n_dims: int = 64,
+                    seed: int = 42, vec_col: str = "embedding",
+                    alias: str = "bucket") -> DataFrame:
+    return vectors.withColumn(alias, bucket_expr(as_double(vec_col),
+                                                 hyperplanes(n_planes, n_dims, seed)))
+
+
+def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
+                        n_planes: int = 8, n_dims: int = 64, seed: int = 42,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets.
+
+    Output: id_a, id_b, cos_sim (rounded to 6dp). Only same-bucket pairs
+    are scored - the shuffle is bucket-sized, not corpus-squared.
+    """
+    v = with_lsh_bucket(vectors, n_planes, n_dims, seed, vec_col)
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket")
+    return (a.join(b, "bucket")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos_sim", cosine(as_double("_va"), as_double("_vb")))
+             .filter(F.col("cos_sim") >= threshold)
+             .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))

@@ -1,0 +1,52 @@
+"""Surrogate keys + unknown-member seeding (SURVEY.md §7 "hard parts").
+
+The reference relies on Postgres SERIAL (init_db.sql:8,16) and even reads
+dims back from the warehouse so facts can observe DB-assigned keys
+(etl.py:198-205). Spark has no sequence; we assign keys deterministically
+in-plan instead, which also removes the reference's write-then-read-back
+round trip entirely (SURVEY.md §3.1).
+
+Two strategies:
+  * dense_keys: row_number over natural-key order. Exactly reproduces
+    SERIAL-style 1..N ids (seed row = 1). Single-partition window - fine
+    for dimension tables (the only place the reference needs SERIAL),
+    unacceptable for facts.
+  * scalable_keys: zipWithIndex-free distributed variant built from
+    monotonically_increasing_id ordering is deliberately NOT used because
+    ids must be stable across runs; at fact scale use the natural key
+    itself or a hash - facts in the reference carry no surrogate of
+    their own (init_db.sql:35-42 has no PK).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_keys(dim: DataFrame, order: Sequence[str], key_name: str,
+               offset: int = 1) -> DataFrame:
+    """SERIAL-equivalent: key_name = offset + row_number() over natural order.
+
+    offset=1 leaves id 1 free for the seeded unknown member
+    (init_db.sql:12-13, 20-21).
+    """
+    w = Window.orderBy(*[F.col(c) for c in order])
+    return dim.withColumn(key_name, (F.row_number().over(w) + offset).cast("int"))
+
+
+def with_unknown_member(dim: DataFrame, key_name: str,
+                        natural_key: str, unknown_value: str = "00000") -> DataFrame:
+    """Prepend the unknown-member seed row at id 1.
+
+    All non-key attributes are NULL, matching
+    INSERT INTO dim VALUES (DEFAULT, '00000', NULL) (init_db.sql:12-13).
+    """
+    spark = dim.sparkSession
+    seed = spark.createDataFrame([(1, unknown_value)], f"{key_name} int, {natural_key} string")
+    for field in dim.schema.fields:
+        if field.name not in (key_name, natural_key):
+            seed = seed.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return seed.select(dim.columns).unionByName(dim)

@@ -1,0 +1,90 @@
+"""SparkSession factory.
+
+The reference runs pandas task-by-task under Airflow (etl.py:24-33) with no
+execution engine of its own; here one SparkSession owns the whole pipeline
+and Catalyst replaces both pandas and the Postgres BI executor (SURVEY.md §3).
+
+Config choices are scale-first (SURVEY.md §4): AQE on (runtime re-plan,
+skew-join splitting, shuffle coalescing), broadcast threshold generous enough
+that dimension tables never shuffle, shuffle partitions sized for the local
+harness but overridable for a real cluster via env.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs that queries in this package rely on. They are
+# applied both at build time (get_spark) and defensively on sessions we did
+# not create (ensure_session_confs) - e.g. the verify driver's session.
+_RUNTIME_CONFS = {
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects by default; read nanos as long and convert explicitly
+    # (see catalog.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: shuffle-partition coalescing, skew-join splitting,
+    # dynamic broadcast conversion. Free wins at 100 TB scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dim tables (customer/part/nation/region/supplier and the date spine)
+    # must broadcast, never shuffle, in star joins (SURVEY.md §2.4 J1-J3).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Partition-pruning for the smart-date-key pattern (SURVEY.md §4 F5).
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    # Arrow for any pandas_udf / toPandas boundary (vectors, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    """CPU budget: $SPARK_GRAFT_CPUS in the harness, else all local cores."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "etl-online-retail-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    shuffle_partitions defaults to the CPU budget: at the test scale
+    (60k-600k rows) more partitions than cores only adds task-launch
+    overhead; on a real cluster callers pass an explicit value sized so
+    post-shuffle partitions are ~128MB (AQE coalescing then trims).
+    """
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply this package's runtime-settable confs to an existing session.
+
+    The correctness driver hands us its own SparkSession; all confs in
+    _RUNTIME_CONFS are runtime-settable SQL confs, so this is safe on any
+    live session.
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be non-settable on exotic builds; queries that do
+            # not depend on it still work.
+            pass
+    return spark

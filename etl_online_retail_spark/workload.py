@@ -1,0 +1,507 @@
+"""The query workload: every SURVEY.md §2 operator as a named query with a
+DuckDB-oracle ANSI-SQL twin (the driver's correctness gate), plus the
+training-data extensions (dedup family, similarity search, text analysis,
+sessionization).
+
+Conventions that make Spark-vs-DuckDB hash comparison exact:
+  * Money/value SUMs cast to DECIMAL before aggregating (exact, hence
+    order-independent) and the final metric casts to DOUBLE (functions/money).
+  * year()/month()/... results cast to INT on both sides (DuckDB emits
+    BIGINT).
+  * Every aggregate/computed column aliased identically on both sides.
+  * LIMIT queries carry a total ORDER BY (metric + key tiebreaker).
+  * Float similarity scores come from sequential folds with matching
+    order on both engines, rounded to 6dp.
+
+Each builder takes (spark, sf_dir) and returns a lazy DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.catalog import load_table
+from etl_online_retail_spark.functions import money
+from etl_online_retail_spark.functions.datetime_fns import (
+    calendar_attrs,
+    date_key,
+    month_start,
+)
+from etl_online_retail_spark.functions.text import (
+    normalize,
+    punct_ratio,
+    punct_ratio_sql,
+    stopword_ratio,
+    stopword_ratio_sql,
+    token_count,
+    token_count_sql,
+)
+from etl_online_retail_spark.operators import aggregates as agg
+from etl_online_retail_spark.operators import dedup, joins, sessionize, similarity
+from etl_online_retail_spark.operators.surrogate import dense_keys, with_unknown_member
+from etl_online_retail_spark.operators.windows import ranked, running_total, with_lag
+
+
+@dataclass(frozen=True)
+class Query:
+    """One workload entry: Spark builder + DuckDB oracle (None = rows-only)."""
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ref: str  # SURVEY.md §2 operator ids this query covers
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, survey_ref: str):
+    def deco(fn):
+        _REGISTRY[name] = Query(fn, oracle, survey_ref)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.build for name, q in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (kept adjacent to their Column twins in functions/)
+
+REV = money.REVENUE_SQL  # exact decimal net revenue of a lineitem row
+QTY = "CAST(l_quantity AS DECIMAL(18,2))"
+PRICE = "CAST(o_totalprice AS DECIMAL(18,2))"
+YMD_KEY = ("CAST(year({c}) * 10000 + month({c}) * 100 + day({c}) AS INTEGER)")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 A2 / §2.9 slice 2 — global aggregate ("Total Revenue")
+
+@register(
+    "total_revenue",
+    f"SELECT CAST(SUM({REV}) AS DOUBLE) AS total_revenue, "
+    f"COUNT(*) AS n_rows FROM lineitem",
+    "A2,P6",
+)
+def q_total_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        money.sum_money(money.net_revenue(), "total_revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# §2.5 A2 — global MIN/MAX bounds incl. the smart date key
+
+@register(
+    "date_bounds",
+    "SELECT CAST(MIN(o_orderdate) AS DATE) AS min_date, "
+    "CAST(MAX(o_orderdate) AS DATE) AS max_date, "
+    f"MIN({YMD_KEY.format(c='o_orderdate')}) AS min_date_key, "
+    f"MAX({YMD_KEY.format(c='o_orderdate')}) AS max_date_key FROM orders",
+    "A2,P5",
+)
+def q_date_bounds(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+        F.min(date_key("o_orderdate")).alias("min_date_key"),
+        F.max(date_key("o_orderdate")).alias("max_date_key"),
+    )
+
+
+# §2.5 A1 — grouped SUM by calendar hierarchy
+
+@register(
+    "revenue_by_ymd",
+    "SELECT CAST(year(l_shipdate) AS INTEGER) AS year, "
+    "CAST(month(l_shipdate) AS INTEGER) AS month, "
+    "CAST(day(l_shipdate) AS INTEGER) AS day, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS revenue "
+    "FROM lineitem GROUP BY 1, 2, 3",
+    "A1,T2,P6",
+)
+def q_revenue_by_ymd(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(
+                F.year("l_shipdate").cast("int").alias("year"),
+                F.month("l_shipdate").cast("int").alias("month"),
+                F.dayofmonth("l_shipdate").cast("int").alias("day"))
+              .agg(money.sum_money(money.net_revenue(), "revenue")))
+
+
+# §2.5 A5 — GROUP BY ROLLUP
+
+@register(
+    "revenue_rollup",
+    "SELECT CAST(year(l_shipdate) AS INTEGER) AS year, "
+    "CAST(month(l_shipdate) AS INTEGER) AS month, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_rows "
+    "FROM lineitem GROUP BY ROLLUP(1, 2)",
+    "A5",
+)
+def q_revenue_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(
+                F.year("l_shipdate").cast("int").alias("year"),
+                F.month("l_shipdate").cast("int").alias("month"),
+                money.net_revenue().alias("_rev"))
+              .rollup("year", "month")
+              .agg(F.sum("_rev").cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_rows")))
+
+
+# §2.4 J3 + §2.5 A1 — 4-way star join, revenue by nation and month
+
+@register(
+    "star_revenue_by_nation_month",
+    "SELECT n_name AS nation, "
+    "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS revenue "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY 1, 2",
+    "J3,A1,T1",
+)
+def q_star_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    star = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (star.groupBy(
+                F.col("n_name").alias("nation"),
+                month_start("o_orderdate").alias("month_start"))
+                .agg(money.sum_money(money.net_revenue(), "revenue")))
+
+
+# §2.7 O1-O3 / §2.9 slice 5 — top-10 products by revenue
+
+@register(
+    "top_products_by_revenue",
+    f"SELECT p_name, CAST(SUM({REV}) AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "GROUP BY p_name ORDER BY revenue DESC, p_name LIMIT 10",
+    "O1,O2,O3,J3",
+)
+def q_top_products(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return agg.top_k(
+        joins.broadcast_lookup(li, p, on=[li.l_partkey == p.p_partkey], how="inner"),
+        keys=["p_name"],
+        aggs=[money.sum_money(money.net_revenue(), "revenue")],
+        order=[F.desc("revenue"), F.asc("p_name")],
+        k=10,
+    )
+
+
+# §2.5 A3 / §2.9 slice 6 — COUNT DISTINCT by group, top-10
+
+@register(
+    "customers_by_nation",
+    "SELECT n_name AS nation, COUNT(DISTINCT c_custkey) AS n_customers "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_customers DESC, nation LIMIT 10",
+    "A3,J3,O3",
+)
+def q_customers_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return agg.top_k(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey),
+        keys=[F.col("n_name").alias("nation")],
+        aggs=[agg.count_distinct("c_custkey", "n_customers")],
+        order=[F.desc("n_customers"), F.asc("nation")],
+        k=10,
+    )
+
+
+# §2.3 F6 + §2.5 A3 / §2.9 slice 7 — IS NULL after outer join, COUNT DISTINCT
+
+@register(
+    "orders_missing_big_parts",
+    "SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem "
+    "LEFT JOIN part ON l_partkey = p_partkey AND p_size > 25 "
+    "WHERE p_name IS NULL",
+    "F6,A3,J1",
+)
+def q_orders_missing_big_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(p),
+        (li.l_partkey == p.p_partkey) & (p.p_size > 25),
+        "left",
+    )
+    return (joined.filter(F.col("p_name").isNull())
+                  .agg(agg.count_distinct("l_orderkey", "n_orders")))
+
+
+# §2.3 F1/F2 — positivity + fixed-width digit-key filters
+
+@register(
+    "clean_filter_stats",
+    "SELECT COUNT(*) AS n_rows, "
+    f"CAST(SUM({QTY}) AS DOUBLE) AS total_qty "
+    "FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0 "
+    "AND l_returnflag <> 'R' "
+    "AND length(CAST(l_orderkey AS VARCHAR)) BETWEEN 1 AND 6 "
+    "AND regexp_matches(CAST(l_orderkey AS VARCHAR), '^[0-9]+$')",
+    "F1,F2,F3",
+)
+def q_clean_filter_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey").cast("string")
+    kept = li.filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+        & (F.col("l_returnflag") != "R")
+        & F.length(key).between(1, 6) & key.rlike("^[0-9]+$")
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(money.exact("l_quantity")).cast("double").alias("total_qty"),
+    )
+
+
+# §2.5 A6 — keep-last dedup with explicit order (SCD type 1)
+
+@register(
+    "latest_order_per_customer",
+    "SELECT o_custkey, o_orderkey AS last_orderkey, "
+    "CAST(o_orderdate AS DATE) AS last_orderdate FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
+    "WHERE rn = 1",
+    "A6",
+)
+def q_latest_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    last = dedup.keep_last(o, ["o_custkey"],
+                           [F.desc("o_orderdate"), F.desc("o_orderkey")])
+    return last.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").cast("date").alias("last_orderdate"),
+    )
+
+
+# §1.1 + §7 — SERIAL surrogate keys + unknown-member seed (dim build)
+
+@register(
+    "customer_dim_build",
+    "SELECT 1 AS customer_dim_id, '00000' AS customer_id, "
+    "CAST(NULL AS VARCHAR) AS c_name "
+    "UNION ALL "
+    "SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) + 1 AS INTEGER), "
+    "lpad(CAST(c_custkey AS VARCHAR), 5, '0'), c_name FROM customer",
+    "S7,A6,§7-SERIAL",
+)
+def q_customer_dim_build(spark, sf_dir):
+    c = (_t(spark, sf_dir, "customer")
+         .select(F.lpad(F.col("c_custkey").cast("string"), 5, "0").alias("customer_id"),
+                 "c_name", "c_custkey"))
+    dim = (dense_keys(c, order=["c_custkey"], key_name="customer_dim_id", offset=1)
+           .drop("c_custkey")
+           .select("customer_dim_id", "customer_id", "c_name"))
+    return with_unknown_member(dim, "customer_dim_id", "customer_id")
+
+
+# §2.1 S8 + §2.8 T2 — date spine generator with calendar attributes
+
+@register(
+    "date_spine",
+    "SELECT "
+    f"{YMD_KEY.format(c='d')} AS date_dim_id, "
+    "CAST(d AS DATE) AS cal_date, "
+    "CAST(year(d) AS INTEGER) AS year, CAST(month(d) AS INTEGER) AS month, "
+    "CAST(day(d) AS INTEGER) AS day, "
+    "CAST(isodow(d) AS INTEGER) AS day_of_week, "
+    "CAST(weekofyear(d) AS INTEGER) AS week "
+    "FROM (SELECT CAST(generate_series AS DATE) AS d FROM "
+    "generate_series(DATE '2008-01-01', DATE '2012-01-01', INTERVAL 1 DAY))",
+    "S8,T2",
+)
+def q_date_spine(spark, sf_dir):
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '2008-01-01', DATE '2012-01-01', "
+        "interval 1 day)) AS d"
+    )
+    attrs = calendar_attrs("d")
+    return spine.select(
+        attrs["date_dim_id"].alias("date_dim_id"),
+        attrs["date"].alias("cal_date"),
+        attrs["year"].alias("year"),
+        attrs["month"].alias("month"),
+        attrs["day"].alias("day"),
+        attrs["day_of_week"].alias("day_of_week"),
+        attrs["week"].alias("week"),
+    )
+
+
+# §2.8 T1 / §2.9 slice 3 — month-grain revenue series
+
+@register(
+    "monthly_revenue",
+    "SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS revenue, "
+    "COUNT(DISTINCT l_orderkey) AS n_orders "
+    "FROM lineitem GROUP BY 1",
+    "T1,A1,A3",
+)
+def q_monthly_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(month_start("l_shipdate").alias("month_start"))
+              .agg(money.sum_money(money.net_revenue(), "revenue"),
+                   agg.count_distinct("l_orderkey", "n_orders")))
+
+
+# §2.3 F5 + §2.2 P5 — smart-date-key range filter (no dim join)
+
+@register(
+    "smart_key_range",
+    f"SELECT COUNT(*) AS n_orders, CAST(SUM({PRICE}) AS DOUBLE) AS total_price "
+    "FROM orders "
+    f"WHERE {YMD_KEY.format(c='o_orderdate')} >= 19960101 "
+    f"AND {YMD_KEY.format(c='o_orderdate')} < 19970101",
+    "F5,P5",
+)
+def q_smart_key_range(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    key = date_key("o_orderdate")
+    return (o.filter((key >= 19960101) & (key < 19970101))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(money.exact("o_totalprice")).cast("double")
+                   .alias("total_price")))
+
+
+# §2.3 F7 — HAVING (post-aggregation filter)
+
+@register(
+    "priority_having",
+    "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+    f"CAST(SUM({PRICE}) AS DOUBLE) AS total_price "
+    "FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 100",
+    "F7,A1,A4",
+)
+def q_priority_having(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return agg.having(
+        o, keys=["o_orderpriority"],
+        aggs=[F.count(F.lit(1)).alias("n_orders"),
+              F.sum(money.exact("o_totalprice")).cast("double").alias("total_price")],
+        predicate=F.col("n_orders") > 100,
+    )
+
+
+# §2.6 — frame window (running total) + lag
+
+@register(
+    "running_customer_spend",
+    "SELECT o_custkey, o_orderkey, "
+    f"CAST(SUM({PRICE}) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "AS running_spend, "
+    "CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey) AS DATE) AS prev_orderdate "
+    "FROM orders",
+    "§2.6-window",
+)
+def q_running_spend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    order = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    out = running_total(o, ["o_custkey"], order,
+                        money.exact("o_totalprice"), "running_spend")
+    out = out.withColumn("running_spend", F.col("running_spend").cast("double"))
+    out = with_lag(out, ["o_custkey"], order, "o_orderdate", "prev_orderdate")
+    return out.select("o_custkey", "o_orderkey", "running_spend",
+                      F.col("prev_orderdate").cast("date").alias("prev_orderdate"))
+
+
+# semi/anti joins (§2.4 "absent in reference, free in Spark")
+
+@register(
+    "customers_without_orders",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "J-anti",
+)
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "urgent_customers",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderpriority = '1-URGENT')",
+    "J-semi",
+)
+def q_urgent_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return joins.semi_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization + time buckets (batch twins of streaming/)
+
+@register(
+    "session_stats",
+    "WITH flagged AS ("
+    "  SELECT user_id, ts, event_id, value, "
+    "    CASE WHEN lag(ts) OVER w IS NULL "
+    "      OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 "
+    "    THEN 1 ELSE 0 END AS is_new "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "numbered AS ("
+    "  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
+    "  FROM flagged) "
+    "SELECT user_id, session_seq, MIN(ts) AS session_start, "
+    "MAX(ts) AS session_end, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+    "FROM numbered GROUP BY user_id, session_seq",
+    "§M6-sessionize",
+)
+def q_session_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sessionize.session_stats(ev, gap_minutes=30)
+
+
+@register(
+    "events_hourly",
+    "SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type, "
+    "COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
+    "FROM events GROUP BY 1, 2",
+    "T1-streaming-twin",
+)
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").start.alias("hour_start"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value")))
