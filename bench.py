@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Methodology (BASELINE.md "our benchmark target"): the reference numbers are
+steady-state Postgres latencies on a warm warehouse; Spark local mode pays
+~0.1-1 s fixed planning/launch overhead per action, so each query gets one
+warm-up run and the reported figure is the best of the timed runs
+(steady-state sec/query of the cached plan, input files OS-cached).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the reference-shaped BI core + the scale extensions that are
+# bench-safe at sf0.1 (exact all-pairs Jaccard is excluded by design - the
+# LSH variants are its scale path).
+HEADLINE = [
+    "total_revenue",
+    "revenue_by_ymd",
+    "revenue_rollup",
+    "star_revenue_by_nation_month",
+    "top_products_by_revenue",
+    "customers_by_nation",
+    "orders_missing_big_parts",
+    "monthly_revenue",
+    "smart_key_range",
+    "latest_order_per_customer",
+    "customer_dim_build",
+    "running_customer_spend",
+    "session_stats",
+    "events_hourly",
+    "exact_dup_groups",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "knn_bruteforce",
+    "embedding_near_dups",
+    "media_features",
+]
+
+TIMED_RUNS = 2
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from etl_online_retail_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        build = qs.get(name)
+        if build is None:
+            continue
+        try:
+            build(spark, sf_dir).collect()  # warm-up: plan + file/JIT warmup
+            best = float("inf")
+            for _ in range(TIMED_RUNS):
+                t0 = time.perf_counter()
+                build(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as e:  # a failing query must not hide the others
+            print(f"bench error {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = [v for v in timings.values() if v >= 0]
+    print(json.dumps({
+        "metric": "steady_state_sec_per_query_total",
+        "value": round(sum(ok), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,8 +81,13 @@ def minhash_signature(hashes: Column, k: int, seed: int = 42) -> Column:
     minhash_j = min over set of (a_j*h + b_j) % PRIME. Evaluated per row as
     k array_min(transform(...)) expressions - no shuffle, no UDF.
     """
+    def _affine_fn(a: int, b: int):
+        # closure factory: default-arg captures (lambda h, a=a, b=b) would
+        # change the arity pyspark's higher-order functions introspect
+        return lambda h: affine(h, a, b)
+
     sig = [
-        F.array_min(F.transform(hashes, lambda h, a=a, b=b: affine(h, a, b)))
+        F.array_min(F.transform(hashes, _affine_fn(a, b)))
         for (a, b) in hash_family(k, seed)
     ]
     return F.array(*sig)

@@ -165,12 +165,15 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     packs the sign bits. Pure array expressions per row - no shuffle at all.
     """
     sh = _shingled(docs, text_col, id_col, n, mode)
+
+    def _vote_fn(b: int):
+        # closure factory; a default-arg lambda would break pyspark's
+        # higher-order-function arity introspection
+        return lambda s, h: s + (bit(h, b) * 2 - 1)
+
     acc = F.lit(0).cast("bigint")
     for b in range(SIMHASH_BITS):
-        vote = F.aggregate(
-            F.col("_sh"), F.lit(0).cast("bigint"),
-            lambda s, h, b=b: s + (bit(h, b) * 2 - 1),
-        )
+        vote = F.aggregate(F.col("_sh"), F.lit(0).cast("bigint"), _vote_fn(b))
         acc = acc + F.when(vote > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
     return sh.select(F.col("_id").alias(id_col), acc.alias("simhash"))
 

@@ -1,0 +1,341 @@
+"""Extension workload: the large-scale training-data operators.
+
+Dedup family (exact / Jaccard / MinHash+LSH / SimHash), similarity search
+(brute-force + LSH-bucketed cosine), text analysis (lang-id, quality,
+tokens, fingerprints), multimodal binary plumbing. Registered into the same
+registry as workload.py; every oracle is generated from the SAME Python
+constants (hash families, hyperplanes, stopword lists) as the Spark side,
+so the two can never drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions.hashing import (
+    minhash_signature_sql,
+    poly_hash_sql,
+)
+from etl_online_retail_spark.functions.text import (
+    STOPWORDS,
+    normalize,
+    normalize_sql,
+    punct_ratio,
+    punct_ratio_sql,
+    stopword_ratio,
+    stopword_ratio_sql,
+    token_count,
+    token_count_sql,
+    word_shingle_hashes_sql,
+)
+from etl_online_retail_spark.functions.vectors import cosine_sql
+from etl_online_retail_spark.multimodal.binary import binary_features, to_media_table
+from etl_online_retail_spark.operators import dedup, similarity
+from etl_online_retail_spark.workload import _t, register
+
+# shared construction parameters (Spark defaults == these)
+SHINGLE_N = 2           # word 2-grams
+MINHASH_K = 16
+MINHASH_BANDS = 4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+KNN_K = 5
+KNN_QUERY_MOD = 50      # query set = vec_id % 50 == 0
+COS_THRESHOLD = 0.4
+LSH_PLANES = 4
+EMB_DIMS = 64
+
+_SH = word_shingle_hashes_sql("text", SHINGLE_N)
+_NORM = normalize_sql("text")
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+
+@register(
+    "exact_dup_groups",
+    f"SELECT {poly_hash_sql(_NORM)} AS fp, md5({_NORM}) AS content_md5, "
+    "MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies "
+    "FROM documents GROUP BY 1, 2",
+    "M6-dedup-exact",
+)
+def q_exact_dup_groups(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+# dedup: exact n-gram Jaccard
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents),
+e AS (SELECT _id, unnest(_sh) AS _h, len(_sh) AS _size FROM sh)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a._id AS id_a, b._id AS id_b,
+         COUNT(*)::DOUBLE
+           / (a._size + b._size - COUNT(*))::DOUBLE AS jaccard
+  FROM e a JOIN e b ON a._h = b._h AND a._id < b._id
+  GROUP BY a._id, b._id, a._size, b._size)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("jaccard_near_dups", _JACCARD_ORACLE, "M6-dedup-jaccard")
+def q_jaccard_near_dups(spark, sf_dir):
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"),
+                               n=SHINGLE_N, threshold=JACCARD_THRESHOLD)
+
+
+# dedup: MinHash + LSH banding, exact-verified
+
+def _minhash_oracle() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    band_cols = ", ".join(
+        " || '_' || ".join(f"_sig[{i * rows + j + 1}]::VARCHAR" for j in range(rows))
+        + f" AS _band{i}"
+        for i in range(MINHASH_BANDS)
+    )
+    cand_union = " UNION ".join(
+        f"SELECT a._id AS id_a, b._id AS id_b FROM banded a "
+        f"JOIN banded b ON a._band{i} = b._band{i} AND a._id < b._id"
+        for i in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents),
+sized AS (SELECT _id, _sh, len(_sh) AS _size FROM sh WHERE len(_sh) > 0),
+sig AS (SELECT _id, _sh, _size,
+        {minhash_signature_sql('_sh', MINHASH_K)} AS _sig FROM sized),
+banded AS (SELECT _id, _sh, _size, {band_cols} FROM sig),
+cands AS ({cand_union})
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a._sh, b._sh))::DOUBLE
+           / (a._size + b._size - len(list_intersect(a._sh, b._sh)))::DOUBLE
+           AS jaccard
+  FROM (SELECT DISTINCT id_a, id_b FROM cands) c
+  JOIN banded a ON a._id = c.id_a
+  JOIN banded b ON b._id = c.id_b)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("minhash_near_dups", _minhash_oracle(), "M6-dedup-minhash-lsh")
+def q_minhash_near_dups(spark, sf_dir):
+    return dedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        n=SHINGLE_N, k=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD)
+
+
+# dedup: SimHash signatures + hamming-banded near-dup pairs
+
+def _simhash_expr_sql() -> str:
+    bits = []
+    for b in range(dedup.SIMHASH_BITS):
+        vote = (f"coalesce(list_sum(list_transform(_sh, "
+                f"h -> 2 * ((h >> {b}) & 1) - 1)), 0)")
+        bits.append(f"CASE WHEN {vote} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END")
+    return " + ".join(bits)
+
+
+_SIMHASH_SIG_ORACLE = f"""
+WITH sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents)
+SELECT _id AS doc_id, {_simhash_expr_sql()} AS simhash FROM sh
+"""
+
+
+@register("simhash_signatures", _SIMHASH_SIG_ORACLE, "M6-dedup-simhash")
+def q_simhash_signatures(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"), n=SHINGLE_N)
+
+
+def _simhash_pairs_oracle() -> str:
+    blocks = dedup.SIMHASH_BITS // 8
+    cand_union = " UNION ".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sim_a, "
+        f"b.simhash AS sim_b FROM sigs a JOIN sigs b "
+        f"ON ((a.simhash >> {i * 8}) & 255) = ((b.simhash >> {i * 8}) & 255) "
+        f"AND a.doc_id < b.doc_id"
+        for i in range(blocks)
+    )
+    return f"""
+WITH sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents),
+sigs AS (SELECT _id AS doc_id, {_simhash_expr_sql()} AS simhash FROM sh),
+cands AS ({cand_union})
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM (SELECT DISTINCT id_a, id_b, sim_a, sim_b FROM cands)
+WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("simhash_near_dups", _simhash_pairs_oracle(), "M6-dedup-simhash")
+def q_simhash_near_dups(spark, sf_dir):
+    pairs = dedup.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), n=SHINGLE_N,
+        max_hamming=SIMHASH_MAX_HAMMING)
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+_LANGS = list(STOPWORDS)  # ordered: en, de, fr, es (tie-break order)
+
+
+def _langid_pred_sql() -> str:
+    ratios = {lang: stopword_ratio_sql("text", lang) for lang in _LANGS}
+    clauses = []
+    for i, lang in enumerate(_LANGS[:-1]):
+        conds = " AND ".join(
+            f"({ratios[lang]}) >= ({ratios[other]})" for other in _LANGS[i + 1:]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{_LANGS[-1]}' END"
+
+
+@register(
+    "lang_id",
+    "SELECT doc_id, "
+    + ", ".join(f"({stopword_ratio_sql('text', lang)}) AS r_{lang}"
+                for lang in _LANGS)
+    + f", {_langid_pred_sql()} AS pred_lang FROM documents",
+    "M6-text-langid",
+)
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ratios = {lang: stopword_ratio("text", lang) for lang in _LANGS}
+    pred = None
+    for i, lang in enumerate(_LANGS[:-1]):
+        cond = None
+        for other in _LANGS[i + 1:]:
+            c = ratios[lang] >= ratios[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise(_LANGS[-1])
+    return docs.select(
+        "doc_id",
+        *[ratios[lang].alias(f"r_{lang}") for lang in _LANGS],
+        pred.alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_quality",
+    f"SELECT doc_id, {token_count_sql('text')} AS n_tokens, "
+    f"({punct_ratio_sql('text')}) AS punct_ratio, "
+    f"({stopword_ratio_sql('text', 'en')}) AS stopword_ratio, "
+    f"(0.5 * ({stopword_ratio_sql('text', 'en')}) "
+    f" + 0.3 * least({token_count_sql('text')} / 100.0, 1.0) "
+    f" + 0.2 * (1.0 - ({punct_ratio_sql('text')}))) AS quality "
+    "FROM documents",
+    "M6-text-quality",
+)
+def q_doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    nt = token_count("text")
+    pr = punct_ratio("text")
+    sr = stopword_ratio("text", "en")
+    quality = (F.lit(0.5) * sr
+               + F.lit(0.3) * F.least(nt / F.lit(100.0), F.lit(1.0))
+               + F.lit(0.2) * (F.lit(1.0) - pr))
+    return docs.select("doc_id", nt.alias("n_tokens"), pr.alias("punct_ratio"),
+                       sr.alias("stopword_ratio"), quality.alias("quality"))
+
+
+@register(
+    "token_stats_by_source",
+    f"SELECT source, COUNT(*) AS n_docs, SUM({token_count_sql('text')}) AS "
+    "total_tokens, "
+    f"CAST(SUM({token_count_sql('text')}) AS DOUBLE) / COUNT(*) AS avg_tokens "
+    "FROM documents GROUP BY source",
+    "M6-text-tokens",
+)
+def q_token_stats_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count("text")).alias("total_tokens"),
+                 (F.sum(token_count("text")).cast("double")
+                  / F.count(F.lit(1))).alias("avg_tokens")))
+
+
+@register(
+    "doc_fingerprints",
+    f"SELECT doc_id, {poly_hash_sql(_NORM)} AS fp, "
+    f"{token_count_sql('text')} AS n_tokens FROM documents",
+    "M6-text-fingerprint",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    from etl_online_retail_spark.functions.text import fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"),
+                       token_count("text").alias("n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % {KNN_QUERY_MOD} = 0),
+s AS (SELECT q.query_id, e.vec_id AS neighbour_id,
+             {cosine_sql('q.qv', 'e.embedding')} AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbour_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, neighbour_id) AS rn
+      FROM s)
+SELECT query_id, neighbour_id, ROUND(c, 6) AS cos_sim,
+       CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {KNN_K}
+"""
+
+
+@register("knn_bruteforce", _KNN_ORACLE, "M6-similarity-bruteforce")
+def q_knn_bruteforce(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return similarity.brute_force_topk(emb, queries_df, k=KNN_K)
+
+
+def _lsh_bucket_sql(vec_expr: str) -> str:
+    planes = similarity.hyperplanes(LSH_PLANES, EMB_DIMS)
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{float(s)}" for s in plane) + "]::DOUBLE[]"
+        dot = (f"list_reduce(list_prepend(0.0::DOUBLE, "
+               f"list_transform(list_zip({vec_expr}, {arr}), "
+               f"p -> p[1]::DOUBLE * p[2])), (acc, x) -> acc + x)")
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END")
+    return " + ".join(terms)
+
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+           FROM embeddings)
+SELECT id_a, id_b, ROUND(c, 6) AS cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cosine_sql('a.embedding', 'b.embedding')} AS c
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE c >= {COS_THRESHOLD}
+"""
+
+
+@register("embedding_near_dups", _EMB_NEARDUP_ORACLE, "M6-similarity-lsh-neardup")
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_duplicates(
+        emb, threshold=COS_THRESHOLD, n_planes=LSH_PLANES, n_dims=EMB_DIMS)
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary plumbing (mapInPandas over Arrow batches)
+
+@register(
+    "media_features",
+    "SELECT doc_id AS media_id, "
+    "CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, "
+    "left(hex(encode(text)), 16) AS header_hex FROM documents",
+    "M6-multimodal",
+)
+def q_media_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return binary_features(to_media_table(docs), header_bytes=8)
