@@ -67,15 +67,13 @@ def token_count_sql(expr: str) -> str:
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams (shingles) of the string -> array<string>.
 
-    transform(sequence(1, greatest(len-n+1, 1)), i -> substring(s, i, n)),
-    filtered to full-length grams, deduplicated. Identical construction in
-    DuckDB via generate_series + list_transform (see char_ngrams_sql).
+    Built from the char array with zip_with (see _ngrams_of_array for why
+    substring(s, i, n) inside a transform lambda would be quadratic).
+    Matches the DuckDB twin (generate_series + substring) value-for-value.
     """
     c = F.col(col) if isinstance(col, str) else col
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
-        lambda i: F.substring(c, i, n),
-    )
+    chars = F.split(c, "")
+    grams = _ngrams_of_array(chars, n, sep="")
     return F.array_distinct(F.filter(grams, lambda g: F.length(g) == n))
 
 
@@ -87,6 +85,23 @@ def char_ngrams_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def _ngrams_of_array(arr: Column, n: int, sep: str = " ") -> Column:
+    """n-grams of an array column via zip_with over shifted slices.
+
+    Performance-critical shape: a lambda that references an OUTER
+    expression (e.g. element_at(split(normalize(s)), i)) makes Catalyst
+    re-evaluate that expression per array element - O(len^2) per row and
+    ~30x slower in practice. zip_with only touches its bound lambda
+    variables, so the source array is evaluated once however it was built.
+    """
+    m = F.greatest(F.size(arr) - (n - 1), F.lit(0))
+    out = F.slice(arr, 1, m)
+    for j in range(1, n):
+        shifted = F.slice(arr, j + 1, m)
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(sep), b))
+    return out
+
+
 def word_ngrams(col: Column | str, n: int = 2) -> Column:
     """Distinct word n-grams of normalized text -> array<string>.
 
@@ -96,12 +111,9 @@ def word_ngrams(col: Column | str, n: int = 2) -> Column:
     and SQL twins agree (concat semantics over out-of-bounds differ).
     """
     toks = tokens(normalize(col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
     empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) < n, empty).otherwise(F.array_distinct(grams))
+    return F.when(F.size(toks) < n, empty).otherwise(
+        F.array_distinct(_ngrams_of_array(toks, n)))
 
 
 def word_ngrams_sql(expr: str, n: int = 2) -> str:

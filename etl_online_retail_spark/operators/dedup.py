@@ -95,8 +95,10 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     inter / (|A| + |B| - inter). Output doubles are exact integer ratios,
     so they compare bit-for-bit against any oracle.
     """
+    # cache: the exploded relation feeds BOTH sides of the self-join; without
+    # it Spark recomputes the whole shingle pipeline per side.
     sh = _shingled(docs, text_col, id_col, n, mode)
-    pairs = sh.select("_id", F.explode("_sh").alias("_h"), "_size")
+    pairs = sh.select("_id", F.explode("_sh").alias("_h"), "_size").cache()
     if max_shingle_df is not None:
         df_counts = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
         pairs = (pairs.join(F.broadcast(df_counts.filter(F.col("_df") <= max_shingle_df)),
@@ -132,7 +134,10 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
                            for j in range(rows)]).alias(f"_band{i}")
         for i in range(bands)
     ]
-    banded = sig.select("_id", "_sh", "_size", *band_cols)
+    # cache: banded feeds 2 sides x bands candidate joins + 2 verify joins;
+    # uncached, every consumer would recompute shingling + k minhash folds.
+    # (At 100 TB this becomes persist(DISK) or a staged Parquet write.)
+    banded = sig.select("_id", "_sh", "_size", *band_cols).cache()
     # candidate pairs: share at least one band bucket
     cands = None
     for i in range(bands):
@@ -187,7 +192,9 @@ def simhash_near_duplicates(docs: DataFrame, text_col: str = "text",
     an identical block), verified with exact popcount. Output: id_a, id_b,
     hamming (all integers - oracle-exact).
     """
-    sigs = simhash(docs, text_col, id_col, n, mode)
+    # cache: sigs feeds 2 sides x 4 block joins; the 32-bit vote expression
+    # is expensive enough that recomputation dominates without it.
+    sigs = simhash(docs, text_col, id_col, n, mode).cache()
     blocks = SIMHASH_BITS // 8
     cands = None
     for i in range(blocks):

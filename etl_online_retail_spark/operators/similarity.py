@@ -94,7 +94,9 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
     Output: id_a, id_b, cos_sim (rounded to 6dp). Only same-bucket pairs
     are scored - the shuffle is bucket-sized, not corpus-squared.
     """
-    v = with_lsh_bucket(vectors, n_planes, n_dims, seed, vec_col)
+    # cache: bucket assignment (n_planes 64-dim folds per row) feeds both
+    # sides of the bucket self-join.
+    v = with_lsh_bucket(vectors, n_planes, n_dims, seed, vec_col).cache()
     a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket")
     b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket")
     return (a.join(b, "bucket")

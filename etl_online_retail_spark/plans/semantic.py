@@ -1,0 +1,91 @@
+"""Semantic (chart) layer: Superset query-object -> DataFrame (SURVEY §3.2).
+
+The reference's five dashboard charts are JSON chart params
+(superset.db#slices[2-7]) that Superset compiles to SQL over a virtual
+dataset: metrics (SUM / COUNT DISTINCT / COUNT), groupbys, a time grain
+(DATE_TRUNC), adhoc filters, ORDER BY metric DESC, row_limit. ChartSpec is
+that query object; chart_query compiles it onto any source DataFrame.
+
+Catalyst sees one declarative plan per chart, so the virtual-dataset
+subquery + chart aggregation fuse: filters push into the scan and the
+grain/groupby becomes a single hash aggregate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions.datetime_fns import month_start
+
+GRAINS = {
+    "P1D": lambda c: F.col(c).cast("date"),
+    "P1M": lambda c: month_start(c),
+    "P1Y": lambda c: F.date_trunc("year", F.col(c)).cast("date"),
+}
+
+AGGREGATES = {
+    "SUM": lambda c: F.sum(c),
+    "AVG": lambda c: F.avg(c),
+    "MIN": lambda c: F.min(c),
+    "MAX": lambda c: F.max(c),
+    "COUNT": lambda c: F.count(c),
+    "COUNT_DISTINCT": lambda c: F.countDistinct(c),
+}
+
+
+@dataclass(frozen=True)
+class Metric:
+    agg: str           # key into AGGREGATES
+    column: str | Column
+    label: str
+
+
+@dataclass(frozen=True)
+class ChartSpec:
+    """One chart = one Superset query object (slices[*].params)."""
+    metrics: tuple[Metric, ...]
+    groupby: tuple[str, ...] = ()
+    time_column: str | None = None      # granularity_sqla
+    time_grain: str | None = None       # time_grain_sqla, e.g. "P1M"
+    filters: tuple[Column, ...] = ()    # adhoc_filters
+    order_desc: bool = True
+    row_limit: int | None = None        # Superset always enforces one
+    series_limit: int | None = None     # top-N series via ranking window
+
+
+def chart_query(source: DataFrame, spec: ChartSpec) -> DataFrame:
+    """Compile a ChartSpec over the (virtual-dataset) source DataFrame."""
+    df = source
+    for flt in spec.filters:
+        df = df.filter(flt)
+
+    keys: list[Column] = [F.col(g) for g in spec.groupby]
+    if spec.time_column is not None:
+        grain = spec.time_grain or "P1D"
+        keys.append(GRAINS[grain](spec.time_column).alias("__timestamp"))
+
+    aggs = [AGGREGATES[m.agg](m.column).alias(m.label) for m in spec.metrics]
+    out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    if spec.series_limit and spec.groupby:
+        # Superset "series limit": keep top-N groups by the first metric.
+        from pyspark.sql import Window
+
+        first = spec.metrics[0].label
+        totals = (out.groupBy(*[F.col(g) for g in spec.groupby])
+                     .agg(F.sum(first).alias("__series_total")))
+        w = Window.orderBy(F.desc("__series_total"), *[F.asc(g) for g in spec.groupby])
+        top = (totals.withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") <= spec.series_limit)
+                     .select(*spec.groupby))
+        out = out.join(F.broadcast(top), list(spec.groupby), "left_semi")
+
+    if spec.metrics and spec.row_limit is not None:
+        first = spec.metrics[0].label
+        order = [F.desc(first) if spec.order_desc else F.asc(first)]
+        order += [F.asc(g) for g in spec.groupby]
+        out = out.orderBy(*order).limit(spec.row_limit)
+    return out

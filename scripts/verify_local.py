@@ -1,49 +1,16 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every queries() entry on Spark and its oracle_sql() twin on DuckDB at
-the given scale factor, then compares row count, sorted schema column names,
-and an order-insensitive value hash (rows stringified, column-name-sorted,
-multiset-hashed). Reports per-query PASS/FAIL with a diff sample on
-mismatch.
+the given scale factor and prints per-query PASS/FAIL (row count, schema,
+order-insensitive value hash) with a diff sample on mismatch.
 
 Usage: python scripts/verify_local.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import hashlib
 import sys
 import time
-
-import duckdb
-
-
-def norm_cell(v):
-    import datetime
-    import math
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def table_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()
 
 
 def main():
@@ -52,13 +19,11 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
+    from etl_online_retail_spark.oracle import compare, duckdb_connection
     from etl_online_retail_spark.session import get_spark
 
     spark = get_spark("verify-local")
-    con = duckdb.connect()
-    for name in ("region nation customer supplier part orders lineitem "
-                 "events documents embeddings").split():
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    con = duckdb_connection(sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -86,24 +51,16 @@ def main():
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
             continue
-        ok_count = len(srows) == len(drows)
-        ok_schema = sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
-        ok_hash = table_hash(scols, srows) == table_hash(dcols, drows)
-        status = "PASS" if (ok_count and ok_schema and ok_hash) else "FAIL"
-        print(f"{status} {name}: rows={len(srows)}/{len(drows)} "
-              f"schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
-              f"hash={'ok' if ok_hash else 'MISMATCH'} ({time.time()-t0:.1f}s)")
-        if status == "FAIL":
+        r = compare(name, scols, srows, dcols, drows)
+        status = "PASS" if r.ok else "FAIL"
+        print(f"{status} {name}: rows={r.spark_rows}/{r.duck_rows} "
+              f"schema={'ok' if r.schema_ok else f'{sorted(scols)} vs {sorted(dcols)}'} "
+              f"hash={'ok' if r.hash_ok else 'MISMATCH'} ({time.time()-t0:.1f}s)")
+        if not r.ok:
             failures.append(name)
-            if ok_count and ok_schema and not ok_hash:
-                so = sorted(range(len(scols)), key=lambda i: scols[i])
-                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                sset = sorted("|".join(norm_cell(r[i]) for i in so) for r in srows)
-                dset = sorted("|".join(norm_cell(r[i]) for i in do) for r in drows)
-                sonly = [x for x in sset if x not in set(dset)][:3]
-                donly = [x for x in dset if x not in set(sset)][:3]
-                print(f"    spark-only: {sonly}")
-                print(f"    duck-only:  {donly}")
+            if r.spark_only or r.duck_only:
+                print(f"    spark-only: {r.spark_only}")
+                print(f"    duck-only:  {r.duck_only}")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")

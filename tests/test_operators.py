@@ -1,0 +1,73 @@
+"""Unit tests for core operators (SURVEY.md §5.3 edge-case fixtures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.operators.cleaning import digit_key, positive
+from etl_online_retail_spark.operators.dedup import exact_duplicates, keep_last
+from etl_online_retail_spark.operators.joins import anti_join, semi_join
+from etl_online_retail_spark.operators.surrogate import dense_keys, with_unknown_member
+
+
+def test_digit_key_drops_cancelled_and_alphanumeric(spark):
+    # etl.py:73-81: 6-digit invoices only; C-prefix cancellations and
+    # alphanumeric stock codes are dropped.
+    df = spark.createDataFrame(
+        [("536365",), ("C537251",), ("53636",), ("5363656",), ("85123A",),
+         (None,)],
+        "invoice_id string",
+    )
+    kept = [r.invoice_id for r in df.filter(digit_key("invoice_id", 6)).collect()]
+    assert kept == ["536365"]
+
+
+def test_positive_filter(spark):
+    df = spark.createDataFrame([(1,), (0,), (-3,), (12,)], "quantity int")
+    kept = sorted(r.quantity for r in df.filter(positive("quantity")).collect())
+    assert kept == [1, 12]
+
+
+def test_keep_last_uses_explicit_order(spark):
+    # SCD1: same customer twice with changed country -> later order wins
+    # (etl.py:104 keep='last'; order here is explicit, not positional).
+    df = spark.createDataFrame(
+        [("c1", "UK", 1), ("c1", "France", 2), ("c2", "Spain", 1)],
+        "customer_id string, country string, src_order long",
+    )
+    out = {r.customer_id: r.country
+           for r in keep_last(df, ["customer_id"], [F.desc("src_order")]).collect()}
+    assert out == {"c1": "France", "c2": "Spain"}
+
+
+def test_dense_keys_are_serial_like(spark):
+    dim = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
+    out = {r.k: r.dim_id for r in
+           dense_keys(dim, order=["k"], key_name="dim_id", offset=1).collect()}
+    assert out == {"a": 2, "b": 3, "c": 4}  # id 1 reserved for unknown member
+
+
+def test_unknown_member_seeded_at_one(spark):
+    dim = spark.createDataFrame(
+        [(2, "11111", "UK")], "dim_id int, customer_id string, country string")
+    out = with_unknown_member(dim, "dim_id", "customer_id").orderBy("dim_id").collect()
+    assert (out[0].dim_id, out[0].customer_id, out[0].country) == (1, "00000", None)
+    assert out[1].dim_id == 2
+
+
+def test_semi_and_anti_join_partition(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    right = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    semi = sorted(r.k for r in semi_join(left, right, "k").collect())
+    anti = sorted(r.k for r in anti_join(left, right, "k").collect())
+    assert semi == [2, 3] and anti == [1]
+    assert sorted(semi + anti) == [1, 2, 3]
+
+
+def test_exact_duplicates_groups_normalized_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r.canonical_id: r.n_copies for r in exact_duplicates(docs).collect()}
+    assert out == {1: 2, 3: 1}  # normalization folds case/punct/whitespace
