@@ -20,6 +20,20 @@ from etl_online_retail_spark.catalog import SCHEMAS, table_path
 from etl_online_retail_spark.session import ensure_session_confs
 
 
+def _as_stream_dir(path: str) -> str:
+    """Spark's file stream source watches DIRECTORIES. The testdata table
+    is a single parquet file, so stage a scratch dir containing a symlink
+    to it (real deployments land files into a directory anyway)."""
+    import os
+    import tempfile
+
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="events-stream-")
+    os.symlink(path, os.path.join(d, os.path.basename(path)))
+    return d
+
+
 def read_event_stream(spark: SparkSession, sf_dir: str,
                       max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream of the events table (same ns->us conversion as
@@ -28,11 +42,11 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     raw = (spark.readStream
            .schema(SCHEMAS["events"])
            .option("maxFilesPerTrigger", max_files_per_trigger)
-           .parquet(table_path(sf_dir, "events")))
-    ts = F.expr(
-        "timestampadd(MICROSECOND, ts DIV 1000, "
-        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-    ).alias("ts")
+           .parquet(_as_stream_dir(table_path(sf_dir, "events"))))
+    # Watermarks demand TIMESTAMP (not NTZ): timestamp_micros gives the
+    # LTZ instant; with the session pinned to UTC (ensure_session_confs)
+    # its wall-clock rendering equals the batch loader's NTZ values.
+    ts = F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts")
     return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
 
 

@@ -1,0 +1,248 @@
+"""BI-surface workload: the reference's virtual dataset, chart queries
+through the semantic layer, multi-dim grouping variants, and the complete
+star-schema fact build (SURVEY.md §2.9, §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions import money
+from etl_online_retail_spark.functions.datetime_fns import date_key, month_start
+from etl_online_retail_spark.operators.windows import top_n_per_group
+from etl_online_retail_spark.workload import REV, YMD_KEY, _t, register
+
+# ---------------------------------------------------------------------------
+# §2.9 / §3.2 — the virtual dataset: star projection + date-window filter
+# (superset.db#tables[2].sql re-expressed on the TPC-H-ish tables)
+
+_VDS_ORACLE = f"""
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       o_orderkey AS invoice_id,
+       c_custkey AS cust_id,
+       n_name AS cust_country,
+       l_partkey AS stock_code,
+       p_name AS prod_name,
+       CAST({REV} AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+@register("virtual_dataset_window", _VDS_ORACLE, "§2.9-vds,P3,P7,F4,J3")
+def q_virtual_dataset(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    star = (li.join(o.filter((F.col("o_orderdate") >= "1996-01-01")
+                             & (F.col("o_orderdate") < "1997-01-01")),
+                    li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(p), li.l_partkey == p.p_partkey))
+    return star.select(
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderkey").alias("invoice_id"),
+        F.col("c_custkey").alias("cust_id"),
+        F.col("n_name").alias("cust_country"),
+        F.col("l_partkey").alias("stock_code"),
+        F.col("p_name").alias("prod_name"),
+        money.net_revenue().cast("double").alias("revenue"),
+    )
+
+
+# §2.5 A5 variants — CUBE and GROUPING SETS (free in Spark, documented absent
+# in the reference; ROLLUP is in workload.py)
+
+@register(
+    "revenue_cube",
+    "SELECT l_returnflag, l_linestatus, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_rows "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+    "A5-cube",
+)
+def q_revenue_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_returnflag", "l_linestatus",
+                      money.net_revenue().alias("_rev"))
+              .cube("l_returnflag", "l_linestatus")
+              .agg(F.sum("_rev").cast("double").alias("revenue"),
+                   F.count(F.lit(1)).alias("n_rows")))
+
+
+@register(
+    "revenue_grouping_sets",
+    "SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS year, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS revenue "
+    "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (year), ())",
+    "A5-grouping-sets",
+)
+def q_revenue_grouping_sets(spark, sf_dir):
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  F.year("l_shipdate").cast("int").alias("year"),
+                  money.net_revenue().alias("_rev")))
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, year, "
+        "CAST(SUM(_rev) AS DOUBLE) AS revenue FROM _gs_lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (year), ())")
+
+
+# §2.6 — Superset "series limit": top-N rows per group via ranking window
+
+@register(
+    "top3_orders_per_priority",
+    "SELECT o_orderpriority, o_orderkey, "
+    "CAST(o_totalprice AS DECIMAL(18,2)) AS total_price FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+    "    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+    "WHERE rn <= 3",
+    "§2.6-topn-per-group",
+)
+def q_top3_per_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top = top_n_per_group(o, ["o_orderpriority"],
+                          [F.desc("o_totalprice"), F.asc("o_orderkey")], 3)
+    return top.select("o_orderpriority", "o_orderkey",
+                      money.exact("o_totalprice").alias("total_price"))
+
+
+# set operations (documented absent in the reference, §2.10; native in Spark)
+
+@register(
+    "segment_set_ops",
+    "SELECT c_custkey, 'both' AS tag FROM ("
+    "  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "  INTERSECT "
+    "  SELECT c_custkey FROM customer WHERE c_acctbal > 0) "
+    "UNION ALL "
+    "SELECT c_custkey, 'only_building' AS tag FROM ("
+    "  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+    "  EXCEPT "
+    "  SELECT c_custkey FROM customer WHERE c_acctbal > 0)",
+    "set-ops",
+)
+def q_segment_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    positive = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    both = building.intersect(positive).select(
+        "c_custkey", F.lit("both").alias("tag"))
+    only_b = building.exceptAll(positive).distinct().select(
+        "c_custkey", F.lit("only_building").alias("tag"))
+    return both.unionByName(only_b)
+
+
+# §2.4 J1/J2 + M4 — the complete fact build: clean -> dim lookups -> fact.
+# The full output (one row per lineitem) is hash-compared, proving the
+# surrogate-key pipeline end-to-end.
+
+_FACT_ORACLE = f"""
+WITH dim_c AS (
+  SELECT 1 AS customer_dim_id, '00000' AS customer_id
+  UNION ALL
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) + 1 AS INTEGER),
+         lpad(CAST(c_custkey AS VARCHAR), 5, '0') FROM customer),
+dim_p AS (
+  SELECT 1 AS product_dim_id, '00000' AS part_id
+  UNION ALL
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) + 1 AS INTEGER),
+         lpad(CAST(p_partkey AS VARCHAR), 5, '0') FROM part)
+SELECT l_orderkey AS invoice_id, l_linenumber,
+       {YMD_KEY.format(c='o_orderdate')} AS invoice_date_dim_id,
+       dim_p.product_dim_id, dim_c.customer_dim_id,
+       CAST(l_extendedprice AS DECIMAL(18,2)) AS unit_price,
+       CAST(l_quantity AS INTEGER) AS quantity
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN dim_c ON lpad(CAST(o_custkey AS VARCHAR), 5, '0') = dim_c.customer_id
+JOIN dim_p ON lpad(CAST(l_partkey AS VARCHAR), 5, '0') = dim_p.part_id
+"""
+
+
+@register("fact_table_build", _FACT_ORACLE, "J1,J2,M4,§7-SERIAL")
+def q_fact_table_build(spark, sf_dir):
+    from etl_online_retail_spark.operators.joins import broadcast_lookup
+    from etl_online_retail_spark.operators.surrogate import (
+        dense_keys,
+        with_unknown_member,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+
+    cust = (_t(spark, sf_dir, "customer")
+            .select(F.lpad(F.col("c_custkey").cast("string"), 5, "0")
+                     .alias("customer_id"), "c_custkey"))
+    dim_c = with_unknown_member(
+        dense_keys(cust, ["c_custkey"], "customer_dim_id", offset=1)
+        .select("customer_dim_id", "customer_id"),
+        "customer_dim_id", "customer_id")
+
+    prod = (_t(spark, sf_dir, "part")
+            .select(F.lpad(F.col("p_partkey").cast("string"), 5, "0")
+                     .alias("part_id"), "p_partkey"))
+    dim_p = with_unknown_member(
+        dense_keys(prod, ["p_partkey"], "product_dim_id", offset=1)
+        .select("product_dim_id", "part_id"),
+        "product_dim_id", "part_id")
+
+    staged = (li.join(o, li.l_orderkey == o.o_orderkey)
+                .withColumn("customer_id",
+                            F.lpad(F.col("o_custkey").cast("string"), 5, "0"))
+                .withColumn("part_id",
+                            F.lpad(F.col("l_partkey").cast("string"), 5, "0")))
+    staged = broadcast_lookup(staged, dim_c, on="customer_id", how="inner")
+    staged = broadcast_lookup(staged, dim_p, on="part_id", how="inner")
+    return staged.select(
+        F.col("l_orderkey").alias("invoice_id"), "l_linenumber",
+        date_key("o_orderdate").alias("invoice_date_dim_id"),
+        "product_dim_id", "customer_dim_id",
+        money.exact("l_extendedprice").alias("unit_price"),
+        F.col("l_quantity").cast("int").alias("quantity"),
+    )
+
+
+# scale variant of A3: HyperLogLog++ sketch (approximate - no value oracle;
+# the driver records a rows-only check and tests assert the error bound)
+
+@register("approx_customers_by_nation", None, "A3-approx-scale")
+def q_approx_customers_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .groupBy(F.col("n_name").alias("nation"))
+             .agg(F.approx_count_distinct("c_custkey", 0.02)
+                   .alias("approx_customers")))
+
+
+# monthly revenue through the semantic (chart) layer - proves the Superset
+# query-object path compiles to the same result as the direct SQL
+
+@register(
+    "chart_monthly_revenue",
+    "SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS __timestamp, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS revenue FROM lineitem GROUP BY 1",
+    "§3.2-semantic-layer,T1",
+)
+def q_chart_monthly_revenue(spark, sf_dir):
+    from etl_online_retail_spark.plans.semantic import (
+        ChartSpec,
+        Metric,
+        chart_query,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    spec = ChartSpec(
+        metrics=(Metric("SUM", money.net_revenue(), "revenue"),),
+        time_column="l_shipdate", time_grain="P1M",
+    )
+    out = chart_query(li, spec)
+    return out.select("__timestamp", F.col("revenue").cast("double"))

@@ -45,10 +45,13 @@ def test_stream_session_windows_cover_all_events(spark, batch_events):
     sessions = spark.table("stream_sessions")
     total_events = sessions.agg(F.sum("n_events")).collect()[0][0]
     assert total_events == batch_events.count()
-    # session windows never overlap per user
-    overlaps = (sessions.alias("a").join(
-        sessions.alias("b"),
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("a.session_start") < F.col("b.session_start"))
-        & (F.col("b.session_start") < F.col("a.session_end"))).count())
-    assert overlaps == 0
+    # session windows never overlap per user (checked in Python: Spark
+    # cannot self-join a memory-sink view - its watermark column metadata
+    # breaks attribute resolution)
+    by_user: dict[int, list[tuple]] = {}
+    for r in sessions.collect():
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for windows in by_user.values():
+        windows.sort()
+        for (s1, e1), (s2, _) in zip(windows, windows[1:]):
+            assert s2 >= e1, f"overlapping sessions: {(s1, e1)} vs {s2}"
