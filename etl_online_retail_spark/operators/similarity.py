@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.functions.hashing import PRIME, hash_family
-from etl_online_retail_spark.functions.vectors import as_double, cosine
+from etl_online_retail_spark.functions.vectors import as_double, dot, norm
 
 
 def _plane_sign(plane: int, dim: int, a: int, b: int) -> int:
@@ -65,12 +65,20 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     from pyspark.sql import Window
 
+    # Norms are evaluated once per row here, not inside the pairwise
+    # expression: per pair only the dot product remains (1 array fold
+    # instead of 3 - the folds are interpreted, so this is ~3x).
     q = queries.select(F.col(id_col).alias("query_id"),
-                       as_double(vec_col).alias("_qv"))
+                       as_double(vec_col).alias("_qv"))\
+               .withColumn("_qn", norm(F.col("_qv")))
     c = corpus.select(F.col(id_col).alias("neighbour_id"),
-                      as_double(vec_col).alias("_cv"))
+                      as_double(vec_col).alias("_cv"))\
+              .withColumn("_cn", norm(F.col("_cv")))
+    denom = F.col("_qn") * F.col("_cn")
     scored = (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbour_id"))
-               .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv"))))
+               .withColumn("cos_sim",
+                           F.when(denom == 0.0, F.lit(0.0))
+                            .otherwise(dot(F.col("_qv"), F.col("_cv")) / denom)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbour_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
@@ -95,12 +103,21 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
     are scored - the shuffle is bucket-sized, not corpus-squared.
     """
     # cache: bucket assignment (n_planes 64-dim folds per row) feeds both
-    # sides of the bucket self-join.
-    v = with_lsh_bucket(vectors, n_planes, n_dims, seed, vec_col).cache()
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "bucket")
+    # sides of the bucket self-join; norms are precomputed per vector so
+    # each candidate pair costs a single dot-product fold.
+    v = (with_lsh_bucket(vectors, n_planes, n_dims, seed, vec_col)
+         .withColumn("_v", as_double(vec_col))
+         .withColumn("_n", norm(F.col("_v")))
+         .cache())
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                 F.col("_n").alias("_na"), "bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                 F.col("_n").alias("_nb"), "bucket")
+    denom = F.col("_na") * F.col("_nb")
     return (a.join(b, "bucket")
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos_sim", cosine(as_double("_va"), as_double("_vb")))
+             .withColumn("cos_sim",
+                         F.when(denom == 0.0, F.lit(0.0))
+                          .otherwise(dot(F.col("_va"), F.col("_vb")) / denom))
              .filter(F.col("cos_sim") >= threshold)
              .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
