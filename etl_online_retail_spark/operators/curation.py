@@ -1,0 +1,61 @@
+"""Corpus curation: the composed training-data pipeline.
+
+quality scoring -> exact dedup (canonical per fingerprint) -> MinHash+LSH
+near-dup removal -> curated corpus. This is the end-to-end shape a
+large-scale pretraining data pipeline runs; each stage is an operator this
+package already oracle-checks individually, composed into one lazy plan.
+
+Near-dup drop rule: a document is removed when any verified pair (a, b)
+with a < b names it as b - deterministic, one pass, no iterative
+connected-components (at 100 TB, CC over near-dup edges is a follow-up
+GraphFrames/iterative job; the dominant-id rule removes every duplicate of
+a surviving canonical and is the standard first-order policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions.text import (
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from etl_online_retail_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+)
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, n_tokens, quality (the oracle-checked doc_quality formula)."""
+    nt = token_count(text_col)
+    pr = punct_ratio(text_col)
+    sr = stopword_ratio(text_col, "en")
+    quality = (F.lit(0.5) * sr
+               + F.lit(0.3) * F.least(nt / F.lit(100.0), F.lit(1.0))
+               + F.lit(0.2) * (F.lit(1.0) - pr))
+    return docs.select("doc_id", nt.alias("n_tokens"), quality.alias("quality"))
+
+
+def curate_corpus(docs: DataFrame, min_quality: float = 0.35,
+                  n: int = 2, k: int = 16, bands: int = 4,
+                  threshold: float = 0.5) -> DataFrame:
+    """Curated corpus: doc_id, n_tokens, quality for every surviving doc.
+
+    Keeps docs that (1) meet the quality floor, (2) are the canonical
+    (minimum) id of their exact-content group, (3) are not the dominated
+    side of any verified near-dup pair.
+    """
+    scored = quality_scores(docs)
+    canonical = (exact_duplicates(docs)
+                 .select(F.col("canonical_id").alias("doc_id")))
+    dominated = (minhash_near_duplicates(docs, n=n, k=k, bands=bands,
+                                         threshold=threshold)
+                 .select(F.col("id_b").alias("doc_id"))
+                 .distinct())
+    return (scored
+            .filter(F.col("quality") >= min_quality)
+            .join(canonical, "doc_id", "left_semi")
+            .join(dominated, "doc_id", "left_anti"))

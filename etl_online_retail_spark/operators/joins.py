@@ -42,6 +42,28 @@ def star_join(fact: DataFrame, dims: Iterable[tuple[DataFrame, str | list[str]]]
     return out
 
 
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                salt_buckets: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-buster equi-join: split each hot key into salt_buckets.
+
+    The skewed (left) side gets a deterministic salt from a hash of its
+    whole row; the right side is exploded into salt_buckets replicas. The
+    shuffle key becomes (key, salt), so one hot key spreads over
+    salt_buckets reducers at the cost of replicating the right side.
+    Prefer AQE skew-join (on by default in session.py) when it applies;
+    salting is for the cases AQE cannot split (e.g. aggregations keyed on
+    the hot key downstream, or deliberate bucketing of a known-hot key).
+    """
+    l_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                    F.lit(salt_buckets)).alias("_salt")
+    salted_left = left.select("*", l_salt)
+    salted_right = right.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+             .alias("_salt"))
+    return (salted_left.join(salted_right, on=[on, "_salt"], how=how)
+                       .drop("_salt"))
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
     """EXISTS(...) - rows of left with a match in right (left_semi)."""
     return left.join(right, on=on, how="left_semi")

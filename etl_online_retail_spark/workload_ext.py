@@ -86,7 +86,9 @@ def q_jaccard_near_dups(spark, sf_dir):
 
 # dedup: MinHash + LSH banding, exact-verified
 
-def _minhash_oracle() -> str:
+def _minhash_cte_block() -> str:
+    """The shared CTE chain: shingles -> signatures -> bands -> verified
+    near-dup pairs. Reused by the minhash query and the curation pipeline."""
     rows = MINHASH_K // MINHASH_BANDS
     band_cols = ", ".join(
         " || '_' || ".join(f"_sig[{i * rows + j + 1}]::VARCHAR" for j in range(rows))
@@ -98,23 +100,26 @@ def _minhash_oracle() -> str:
         f"JOIN banded b ON a._band{i} = b._band{i} AND a._id < b._id"
         for i in range(MINHASH_BANDS)
     )
-    return f"""
-WITH sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents),
+    return f"""sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents),
 sized AS (SELECT _id, _sh, len(_sh) AS _size FROM sh WHERE len(_sh) > 0),
 sig AS (SELECT _id, _sh, _size,
         {minhash_signature_sql('_sh', MINHASH_K)} AS _sig FROM sized),
 banded AS (SELECT _id, _sh, _size, {band_cols} FROM sig),
-cands AS ({cand_union})
-SELECT id_a, id_b, jaccard FROM (
-  SELECT c.id_a, c.id_b,
-         len(list_intersect(a._sh, b._sh))::DOUBLE
-           / (a._size + b._size - len(list_intersect(a._sh, b._sh)))::DOUBLE
-           AS jaccard
-  FROM (SELECT DISTINCT id_a, id_b FROM cands) c
-  JOIN banded a ON a._id = c.id_a
-  JOIN banded b ON b._id = c.id_b)
-WHERE jaccard >= {JACCARD_THRESHOLD}
-"""
+cands AS ({cand_union}),
+neardup_pairs AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a._sh, b._sh))::DOUBLE
+             / (a._size + b._size - len(list_intersect(a._sh, b._sh)))::DOUBLE
+             AS jaccard
+    FROM (SELECT DISTINCT id_a, id_b FROM cands) c
+    JOIN banded a ON a._id = c.id_a
+    JOIN banded b ON b._id = c.id_b)
+  WHERE jaccard >= {JACCARD_THRESHOLD})"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_cte_block()} SELECT id_a, id_b, jaccard FROM neardup_pairs"
 
 
 @register("minhash_near_dups", _minhash_oracle(), "M6-dedup-minhash-lsh")
@@ -296,6 +301,17 @@ def q_knn_bruteforce(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries_df, k=KNN_K)
 
 
+# IVF approximate variant: iterative KMeans index -> probe-limited search.
+# No SQL oracle (iterative algorithm; driver records rows-only);
+# tests/test_similarity_extras.py asserts recall against brute force.
+@register("knn_ivf", None, "M6-similarity-ivf")
+def q_knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return similarity.ivf_topk(emb, queries_df, k=KNN_K,
+                               n_clusters=16, n_probe=4)
+
+
 def _lsh_bucket_sql(vec_expr: str) -> str:
     planes = similarity.hyperplanes(LSH_PLANES, EMB_DIMS)
     terms = []
@@ -324,6 +340,36 @@ def q_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_near_duplicates(
         emb, threshold=COS_THRESHOLD, n_planes=LSH_PLANES, n_dims=EMB_DIMS)
+
+
+# ---------------------------------------------------------------------------
+# the composed curation pipeline: quality floor + exact dedup + near-dup drop
+
+MIN_QUALITY = 0.35
+
+_QUALITY_EXPR = (f"(0.5 * ({stopword_ratio_sql('text', 'en')}) "
+                 f"+ 0.3 * least({token_count_sql('text')} / 100.0, 1.0) "
+                 f"+ 0.2 * (1.0 - ({punct_ratio_sql('text')})))")
+
+_CURATION_ORACLE = f"""
+WITH {_minhash_cte_block()},
+scored AS (SELECT doc_id, {token_count_sql('text')} AS n_tokens,
+                  {_QUALITY_EXPR} AS quality FROM documents),
+canonical AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM}))
+SELECT s.doc_id, s.n_tokens, s.quality FROM scored s
+WHERE s.quality >= {MIN_QUALITY}
+  AND EXISTS (SELECT 1 FROM canonical c WHERE c.doc_id = s.doc_id)
+  AND NOT EXISTS (SELECT 1 FROM neardup_pairs p WHERE p.id_b = s.doc_id)
+"""
+
+
+@register("corpus_curation", _CURATION_ORACLE, "M6-curation-pipeline")
+def q_corpus_curation(spark, sf_dir):
+    from etl_online_retail_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"),
+                         min_quality=MIN_QUALITY, n=SHINGLE_N, k=MINHASH_K,
+                         bands=MINHASH_BANDS, threshold=JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

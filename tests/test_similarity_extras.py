@@ -1,0 +1,42 @@
+"""IVF ANN recall vs brute force; salted-join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.catalog import load_table
+from etl_online_retail_spark.operators.joins import salted_join
+from etl_online_retail_spark.operators.similarity import brute_force_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    emb = load_table(spark, "embeddings", SF).cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.neighbour_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbour_id)
+              for r in ivf_topk(emb, queries, k=5, n_clusters=8,
+                                n_probe=4).collect()}
+    # probing half the clusters must recover a solid fraction of true
+    # neighbours; exactness is not the contract - recall is
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+    # every query returns exactly k ranked rows
+    counts = {r.query_id for r in queries.select(
+        F.col("vec_id").alias("query_id")).collect()}
+    assert len(approx) == 5 * len(counts)
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", SF).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    plain = li.join(o, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")).collect()[0]
+    salted = salted_join(li, o, "l_orderkey", salt_buckets=4).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")).collect()[0]
+    assert (plain.n, plain.q) == (salted.n, salted.q)
