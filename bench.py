@@ -45,6 +45,9 @@ HEADLINE = [
     "knn_bruteforce",
     "embedding_near_dups",
     "media_features",
+    "corpus_curation",
+    "virtual_dataset_window",
+    "fact_table_build",
 ]
 
 TIMED_RUNS = 2
@@ -67,11 +70,17 @@ def main() -> None:
         if build is None:
             continue
         try:
-            build(spark, sf_dir).collect()  # warm-up: plan + file/JIT warmup
+            def run() -> None:
+                # noop sink: full execution without driver-side row
+                # serialization (which would dominate for the queries that
+                # return the whole fact table)
+                build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+            run()  # warm-up: plan + file/JIT warmup
             best = float("inf")
             for _ in range(TIMED_RUNS):
                 t0 = time.perf_counter()
-                build(spark, sf_dir).collect()
+                run()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
         except Exception as e:  # a failing query must not hide the others

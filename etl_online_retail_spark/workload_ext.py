@@ -343,6 +343,41 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# grouped-map Pandas UDF (applyInPandas): per-customer order statistics.
+# Medians are order statistics - exact selection arithmetic, so the Arrow
+# path is oracle-checkable bit-for-bit (unlike mean/stddev float folds).
+
+@register(
+    "customer_order_medians",
+    "SELECT o_custkey, COUNT(*) AS n_orders, "
+    "MEDIAN(o_totalprice) AS median_price, "
+    "MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price "
+    "FROM orders GROUP BY o_custkey",
+    "M6-applyInPandas",
+)
+def q_customer_order_medians(spark, sf_dir):
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf["o_totalprice"]
+        return pd.DataFrame({
+            "o_custkey": [pdf["o_custkey"].iloc[0]],
+            "n_orders": [len(pdf)],
+            "median_price": [float(p.median())],
+            "min_price": [float(p.min())],
+            "max_price": [float(p.max())],
+        })
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        stats,
+        schema=("o_custkey bigint, n_orders bigint, median_price double, "
+                "min_price double, max_price double"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # the composed curation pipeline: quality floor + exact dedup + near-dup drop
 
 MIN_QUALITY = 0.35
