@@ -177,6 +177,25 @@ def stopword_ratio_sql(expr: str, lang: str) -> str:
             f"greatest(len({toks}), 1)::DOUBLE)")
 
 
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-style pre-tokenizer count: runs of letters, runs of digits, and
+    runs of other non-space symbols each count as one pre-token (the
+    GPT-2-family pre-tokenization shape, simplified to ASCII classes).
+
+    Twin SQL: len(regexp_extract_all(t, '<re>')).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), F.lit(0))).cast("int")
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return (f"CAST(len(regexp_extract_all({expr}, "
+            f"'{BPE_PRETOKEN_RE}')) AS INTEGER)")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Rolling-hash document fingerprint over normalized text -> BIGINT.
 

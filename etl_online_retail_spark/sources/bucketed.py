@@ -1,0 +1,39 @@
+"""Bucketed staging tables: the zero-shuffle fact-fact join path.
+
+At 100 TB the lineitem ⋈ orders join is the workload's dominant shuffle
+(PERFORMANCE.md "what to watch"). The fix is paid once at ingest: write
+both tables bucketed by the join key with the same bucket count
+(DataFrameWriter.bucketBy + saveAsTable). Spark then plans the join as a
+sort-merge join over co-located buckets with NO Exchange on either side -
+verified by tests/test_bucketed.py inspecting the physical plan.
+
+Bucket-count sizing: buckets ~= total_size / target_partition_size
+(~128-256 MB); both sides MUST use the same count or Spark re-shuffles the
+mismatched side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int, sort_col: str | None = None) -> None:
+    """Persist as a bucketed managed table (overwrites)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = df.write.bucketBy(n_buckets, bucket_col)
+    writer = writer.sortBy(sort_col or bucket_col)
+    writer.mode("overwrite").saveAsTable(table)
+
+
+def cobucket_fact_tables(spark: SparkSession, lineitem: DataFrame,
+                         orders: DataFrame, n_buckets: int = 8,
+                         prefix: str = "bucketed") -> tuple[DataFrame, DataFrame]:
+    """Write lineitem/orders bucketed by orderkey; return the table scans.
+
+    Joining the two returned DataFrames on the orderkey is shuffle-free.
+    """
+    write_bucketed(lineitem, f"{prefix}_lineitem", "l_orderkey", n_buckets)
+    write_bucketed(orders, f"{prefix}_orders", "o_orderkey", n_buckets)
+    return (spark.table(f"{prefix}_lineitem"), spark.table(f"{prefix}_orders"))

@@ -491,6 +491,53 @@ def q_session_stats(spark, sf_dir):
 
 
 @register(
+    "events_sliding",
+    # sliding 1h windows every 30 min == union of two offset tumbling
+    # bucketings (slide divides size exactly twice)
+    "SELECT window_start, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM ("
+    "  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value "
+    "  FROM events "
+    "  UNION ALL "
+    "  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') "
+    "    AS window_start, value FROM events) "
+    "GROUP BY window_start",
+    "T1-sliding-window",
+)
+def q_events_sliding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").start
+                        .alias("window_start"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value")))
+
+
+@register(
+    "revenue_pivot_by_flag",
+    # pivot == conditional aggregation; column names must match Spark's
+    # pivot output exactly
+    f"SELECT CAST(year(l_shipdate) AS INTEGER) AS year, "
+    f"CAST(SUM(CASE WHEN l_returnflag = 'A' THEN {money.REVENUE_SQL} END) "
+    f"AS DOUBLE) AS A, "
+    f"CAST(SUM(CASE WHEN l_returnflag = 'N' THEN {money.REVENUE_SQL} END) "
+    f"AS DOUBLE) AS N, "
+    f"CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {money.REVENUE_SQL} END) "
+    f"AS DOUBLE) AS R "
+    "FROM lineitem GROUP BY 1",
+    "pivot",
+)
+def q_revenue_pivot_by_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(F.year("l_shipdate").cast("int").alias("year"),
+                      "l_returnflag",
+                      money.net_revenue().alias("_rev"))
+              .groupBy("year")
+              .pivot("l_returnflag", ["A", "N", "R"])
+              .agg(F.sum("_rev").cast("double")))
+
+
+@register(
     "events_hourly",
     "SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type, "
     "COUNT(*) AS n_events, "

@@ -18,6 +18,8 @@ from etl_online_retail_spark.functions.hashing import (
 )
 from etl_online_retail_spark.functions.text import (
     STOPWORDS,
+    bpe_ish_token_count,
+    bpe_ish_token_count_sql,
     normalize,
     normalize_sql,
     punct_ratio,
@@ -260,6 +262,19 @@ def q_token_stats_by_source(spark, sf_dir):
                  F.sum(token_count("text")).alias("total_tokens"),
                  (F.sum(token_count("text")).cast("double")
                   / F.count(F.lit(1))).alias("avg_tokens")))
+
+
+@register(
+    "bpe_token_counts",
+    f"SELECT doc_id, {bpe_ish_token_count_sql('text')} AS n_pretokens, "
+    f"{token_count_sql('text')} AS n_ws_tokens FROM documents",
+    "M6-text-bpe-tokens",
+)
+def q_bpe_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       bpe_ish_token_count("text").alias("n_pretokens"),
+                       token_count("text").alias("n_ws_tokens"))
 
 
 @register(
