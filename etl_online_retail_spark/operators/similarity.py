@@ -111,7 +111,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Output: query_id, neighbour_id, cos_sim (6dp), rank.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
     with_vec = corpus.withColumn("_mlv", array_to_vector(as_double(vec_col)))

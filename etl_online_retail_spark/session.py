@@ -64,7 +64,13 @@ def get_spark(app_name: str = "etl-online-retail-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Local harness: the testdata tables are single small parquet files,
+        # so a 128 MB split size would scan them single-threaded; 4 MB keeps
+        # all cores busy (bounded below by row-group size). On a real
+        # cluster override to 128-256 MB via env.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               str(4 * 1024 * 1024)))
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)

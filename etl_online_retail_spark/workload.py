@@ -31,19 +31,10 @@ from etl_online_retail_spark.functions.datetime_fns import (
     date_key,
     month_start,
 )
-from etl_online_retail_spark.functions.text import (
-    normalize,
-    punct_ratio,
-    punct_ratio_sql,
-    stopword_ratio,
-    stopword_ratio_sql,
-    token_count,
-    token_count_sql,
-)
 from etl_online_retail_spark.operators import aggregates as agg
-from etl_online_retail_spark.operators import dedup, joins, sessionize, similarity
+from etl_online_retail_spark.operators import dedup, joins, sessionize
 from etl_online_retail_spark.operators.surrogate import dense_keys, with_unknown_member
-from etl_online_retail_spark.operators.windows import ranked, running_total, with_lag
+from etl_online_retail_spark.operators.windows import running_total, with_lag
 
 
 @dataclass(frozen=True)

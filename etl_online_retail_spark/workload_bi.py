@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.functions import money
-from etl_online_retail_spark.functions.datetime_fns import date_key, month_start
+from etl_online_retail_spark.functions.datetime_fns import date_key
 from etl_online_retail_spark.operators.windows import top_n_per_group
 from etl_online_retail_spark.workload import REV, YMD_KEY, _t, register
 

@@ -20,7 +20,6 @@ from etl_online_retail_spark.functions.text import (
     STOPWORDS,
     bpe_ish_token_count,
     bpe_ish_token_count_sql,
-    normalize,
     normalize_sql,
     punct_ratio,
     punct_ratio_sql,

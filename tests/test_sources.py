@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import tempfile
 
-import pytest
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.catalog import SCHEMAS, load_table
