@@ -162,6 +162,47 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) where
+    cluster_id = min doc id reachable through pair edges.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbours; converges in
+    O(component diameter) rounds (near-dup components are shallow - a dup
+    cluster's diameter is rarely more than a few hops). Each round is one
+    shuffle on the node id; the frontier DataFrame is cached and the loop
+    stops as soon as a round changes nothing. At much larger graphs this
+    becomes the standard large-star/small-star formulation - same join
+    shape, fewer rounds.
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"))))
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))).cache()
+    edges = edges.cache()
+    for _ in range(max_iterations):
+        neighbour_min = (edges.join(labels, edges.dst == labels.node)
+                         .groupBy("src")
+                         .agg(F.min("label").alias("nmin")))
+        updated = (labels.join(neighbour_min, labels.node == neighbour_min.src,
+                               "left")
+                   .select(F.col("node"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("nmin"), F.col("label")))
+                            .alias("label"))).cache()
+        changed = (updated.join(labels.withColumnRenamed("label", "old"),
+                                "node")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n: int = 2, mode: str = "word") -> DataFrame:
     """Per-document SimHash signature (SIMHASH_BITS bits) over shingle hashes.

@@ -24,13 +24,20 @@ def _as_stream_dir(path: str) -> str:
     """Spark's file stream source watches DIRECTORIES. The testdata table
     is a single parquet file, so stage a scratch dir containing a symlink
     to it (real deployments land files into a directory anyway)."""
+    import hashlib
     import os
     import tempfile
 
     if os.path.isdir(path):
         return path
-    d = tempfile.mkdtemp(prefix="events-stream-")
-    os.symlink(path, os.path.join(d, os.path.basename(path)))
+    # deterministic per source path: streaming checkpoints record the source
+    # directory, so re-creating the stream must yield the SAME directory
+    tag = hashlib.sha256(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"events-stream-{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
     return d
 
 

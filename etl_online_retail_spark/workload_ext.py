@@ -180,6 +180,33 @@ def q_simhash_near_dups(spark, sf_dir):
     return pairs.withColumn("hamming", F.col("hamming").cast("int"))
 
 
+# dedup: duplicate clusters = connected components over near-dup pairs.
+# Oracle: recursive CTE computing min reachable id per node - exact
+# transitive closure, fine at oracle scale; the Spark side is the
+# iterative label-propagation operator.
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_minhash_cte_block()},
+edges AS (SELECT id_a AS src, id_b AS dst FROM neardup_pairs
+          UNION SELECT id_b, id_a FROM neardup_pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node AS root, node AS reached FROM nodes
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.reached)
+SELECT root AS doc_id, MIN(reached) AS cluster_id FROM reach GROUP BY root
+"""
+
+
+@register("duplicate_clusters", _CLUSTERS_ORACLE, "M6-dedup-clusters")
+def q_duplicate_clusters(spark, sf_dir):
+    pairs = dedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        n=SHINGLE_N, k=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD)
+    return dedup.duplicate_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
