@@ -529,6 +529,24 @@ def q_revenue_pivot_by_flag(spark, sf_dir):
 
 
 @register(
+    "events_props_json",
+    # JSON path extraction over the events.props payload column
+    "SELECT event_type, "
+    "SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_total, "
+    "COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 "
+    "THEN 1 END) AS k_over_50 "
+    "FROM events GROUP BY event_type",
+    "JSON-extract",
+)
+def q_events_props_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.groupBy("event_type")
+              .agg(F.sum(k).alias("k_total"),
+                   F.count(F.when(k > 50, F.lit(1))).alias("k_over_50")))
+
+
+@register(
     "events_hourly",
     "SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type, "
     "COUNT(*) AS n_events, "
