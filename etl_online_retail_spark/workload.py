@@ -529,6 +529,67 @@ def q_revenue_pivot_by_flag(spark, sf_dir):
 
 
 @register(
+    "session_windows_native",
+    # Spark's native session_window in BATCH mode; oracle derives the same
+    # windows from the gap-flag construction: start = MIN(ts), end =
+    # MAX(ts) + gap (session_window pads the close by the gap)
+    "WITH flagged AS ("
+    "  SELECT user_id, ts, event_id, "
+    "    CASE WHEN lag(ts) OVER w IS NULL "
+    "      OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 "
+    "    THEN 1 ELSE 0 END AS is_new "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "numbered AS ("
+    "  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
+    "  FROM flagged) "
+    "SELECT user_id, MIN(ts) AS session_start, "
+    "MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events "
+    "FROM numbered GROUP BY user_id, session_seq",
+    "§M6-session-window-batch",
+)
+def q_session_windows_native(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select("user_id",
+                      F.col("session_window.start").alias("session_start"),
+                      F.col("session_window.end").alias("session_end"),
+                      "n_events"))
+
+
+@register(
+    "normalized_embeddings",
+    "SELECT vec_id, "
+    "ROUND(sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), "
+    "(acc, x) -> acc + x)), 6) AS l2_norm, "
+    "list_transform(embedding, x -> ROUND(x::DOUBLE / "
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)), "
+    "(acc, y) -> acc + y)), 6)) AS unit_vec "
+    "FROM embeddings",
+    "M6-vector-normalize",
+)
+def q_normalized_embeddings(spark, sf_dir):
+    from etl_online_retail_spark.functions.vectors import as_double, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    n = norm(v)
+    # zip_with against a repeated-norm array: a transform lambda referencing
+    # the outer norm fold would re-evaluate it per element (the O(n^2) HOF
+    # pitfall, PERFORMANCE.md rule 7)
+    unit = F.zip_with(v, F.array_repeat(n, 64),
+                      lambda x, nn: F.round(x / nn, 6))
+    return emb.select(
+        "vec_id",
+        F.round(n, 6).alias("l2_norm"),
+        unit.alias("unit_vec"),
+    )
+
+
+@register(
     "events_props_json",
     # JSON path extraction over the events.props payload column
     "SELECT event_type, "
