@@ -1,0 +1,81 @@
+"""Scale smoke: run the heavy operators on N-times-duplicated inputs to
+check the plans degrade linearly, not quadratically (PERFORMANCE.md).
+
+Key duplication keeps join cardinalities honest: each copy gets a distinct
+key offset, so a 10x run is 10x the rows AND 10x the keys - the same shape
+a bigger SF would have. Usage: python scripts/scale_smoke.py [factor]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F
+
+from etl_online_retail_spark.catalog import load_table
+from etl_online_retail_spark.functions import money
+from etl_online_retail_spark.operators.dedup import minhash_near_duplicates
+from etl_online_retail_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(df: DataFrame, factor: int, key_cols: dict[str, int]) -> DataFrame:
+    """factor copies with per-copy key offsets (key space scales too)."""
+    copies = df.crossJoin(
+        F.broadcast(df.sparkSession.range(factor).withColumnRenamed("id", "_copy")))
+    out = copies
+    for col, span in key_cols.items():
+        out = out.withColumn(col, F.col(col) + F.col("_copy") * span)
+    return out.drop("_copy")
+
+
+def timed(label: str, action) -> None:
+    t0 = time.perf_counter()
+    action()
+    print(f"{label}: {time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-smoke")
+    li = replicate(load_table(spark, "lineitem", SF_DIR), factor,
+                   {"l_orderkey": 10_000_000, "l_partkey": 10_000_000})
+    o = replicate(load_table(spark, "orders", SF_DIR), factor,
+                  {"o_orderkey": 10_000_000, "o_custkey": 10_000_000})
+    c = replicate(load_table(spark, "customer", SF_DIR), factor,
+                  {"c_custkey": 10_000_000})
+    n = load_table(spark, "nation", SF_DIR)
+    docs = replicate(load_table(spark, "documents", SF_DIR), factor,
+                     {"doc_id": 10_000_000})
+
+    print(f"factor={factor}: lineitem={li.count():,} docs={docs.count():,}",
+          flush=True)
+
+    def star():
+        (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy("n_name")
+           .agg(money.sum_money(money.net_revenue(), "revenue"))
+           .write.format("noop").mode("overwrite").save())
+
+    def agg():
+        (li.groupBy(F.year("l_shipdate"), F.month("l_shipdate"))
+           .agg(money.sum_money(money.net_revenue(), "revenue"))
+           .write.format("noop").mode("overwrite").save())
+
+    def minhash():
+        (minhash_near_duplicates(docs)
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"star join @ {factor}x", star)
+    timed(f"grouped agg @ {factor}x", agg)
+    timed(f"minhash near-dups @ {factor}x", minhash)
+
+
+if __name__ == "__main__":
+    main()
