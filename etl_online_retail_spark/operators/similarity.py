@@ -86,6 +86,56 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.round("cos_sim", 6).alias("cos_sim"), "rank"))
 
 
+def brute_force_topk_vectorized(corpus: DataFrame, queries: DataFrame,
+                                k: int = 5, id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """Scale-path twin of brute_force_topk: numpy-batched scoring.
+
+    The whole (small) query matrix ships to every executor; a mapInPandas
+    over corpus Arrow batches computes a (batch x |Q|) similarity matrix
+    with one BLAS call per batch - ~10-100x the per-pair throughput of the
+    interpreted fold. Scores differ from the fold path only in float
+    summation order (ulp-level), so this variant is tolerance-tested
+    against the exact-fold baseline rather than oracle-hashed
+    (ROADMAP.md item 3). Output schema matches brute_force_topk.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_unit = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True),
+                                1e-30)
+
+    out_schema = ("query_id bigint, neighbour_id bigint, cos_sim double")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                                    1e-30)
+            sims = unit @ q_unit.T  # (batch, |Q|)
+            n_b, n_q = sims.shape
+            yield pd.DataFrame({
+                "query_id": np.repeat(q_ids, n_b),
+                "neighbour_id": np.tile(ids, n_q),
+                "cos_sim": np.round(sims.T.ravel(), 6),
+            })
+
+    scored = (corpus.select(id_col, vec_col)
+              .mapInPandas(score, out_schema)
+              .filter(F.col("query_id") != F.col("neighbour_id")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbour_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def with_lsh_bucket(vectors: DataFrame, n_planes: int = 8, n_dims: int = 64,
                     seed: int = 42, vec_col: str = "embedding",
                     alias: str = "bucket") -> DataFrame:

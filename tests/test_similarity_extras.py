@@ -29,6 +29,25 @@ def test_ivf_recall_against_bruteforce(spark):
     assert len(approx) == 5 * len(counts)
 
 
+def test_vectorized_topk_matches_fold_topk(spark):
+    from etl_online_retail_spark.operators.similarity import (
+        brute_force_topk_vectorized,
+    )
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    fold = {(r.query_id, r.rank): (r.neighbour_id, r.cos_sim)
+            for r in brute_force_topk(emb, queries, k=5).collect()}
+    vec = {(r.query_id, r.rank): (r.neighbour_id, r.cos_sim)
+           for r in brute_force_topk_vectorized(emb, queries, k=5).collect()}
+    assert set(fold) == set(vec)
+    for key, (nid, sim) in fold.items():
+        vnid, vsim = vec[key]
+        # same neighbour at each rank; scores equal to 1e-6 (summation
+        # order differs between BLAS and the sequential fold)
+        assert vnid == nid and abs(vsim - sim) <= 1e-6, (key, fold[key], vec[key])
+
+
 def test_salted_join_matches_plain_join(spark):
     li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
     o = load_table(spark, "orders", SF).select(
