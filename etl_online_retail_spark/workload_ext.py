@@ -304,6 +304,27 @@ def q_bpe_token_counts(spark, sf_dir):
 
 
 @register(
+    "corpus_vocabulary",
+    # explode-then-aggregate: the corpus word-frequency table (top 50)
+    f"WITH toks AS (SELECT unnest(regexp_split_to_array({_NORM}, '\\s+')) "
+    "AS word FROM documents) "
+    "SELECT word, COUNT(*) AS freq FROM toks WHERE word <> '' "
+    "GROUP BY word ORDER BY freq DESC, word LIMIT 50",
+    "M6-text-vocab",
+)
+def q_corpus_vocabulary(spark, sf_dir):
+    from etl_online_retail_spark.functions.text import normalize, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.explode(tokens(normalize("text"))).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("word")
+                .agg(F.count(F.lit(1)).alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("word"))
+                .limit(50))
+
+
+@register(
     "doc_fingerprints",
     f"SELECT doc_id, {poly_hash_sql(_NORM)} AS fp, "
     f"{token_count_sql('text')} AS n_tokens FROM documents",
