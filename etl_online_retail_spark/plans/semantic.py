@@ -29,6 +29,10 @@ GRAINS = {
 AGGREGATES = {
     "SUM": lambda c: F.sum(c),
     "AVG": lambda c: F.avg(c),
+    # order-independent average: exact decimal SUM / COUNT (float AVG
+    # differs in last ulps under re-partitioning; this one never does)
+    "AVG_EXACT": lambda c: (F.sum(c.cast("decimal(18,4)")).cast("double")
+                            / F.count(c)),
     "MIN": lambda c: F.min(c),
     "MAX": lambda c: F.max(c),
     "COUNT": lambda c: F.count(c),

@@ -21,6 +21,16 @@ def enrich_with_static(events: DataFrame, dim: DataFrame,
     return events.join(F.broadcast(dim), on=on, how="left")
 
 
+def dedup_within_watermark(events: DataFrame, key: str = "event_id",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop repeats of key arriving within the
+    watermark horizon (at-least-once source -> effectively-once stream).
+    State = one entry per key seen inside the horizon, then evicted."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark([key]))
+
+
 def purchases_after_signup(events: DataFrame, within_minutes: int = 60,
                            watermark: str = "2 hours") -> DataFrame:
     """Stream-stream join: purchases within N minutes of the same user's

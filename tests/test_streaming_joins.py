@@ -31,6 +31,17 @@ def test_stream_static_enrichment(spark):
         load_events(spark, SF).filter(F.col("user_id") >= 100).count()
 
 
+def test_dedup_within_watermark(spark):
+    from etl_online_retail_spark.streaming.joins import dedup_within_watermark
+
+    stream = read_event_stream(spark, SF)
+    # the source has unique event_ids; a duplicated stream (self-union)
+    # must collapse back to the original count
+    doubled = stream.union(stream)
+    _drain(dedup_within_watermark(doubled), "deduped")
+    assert spark.table("deduped").count() == load_events(spark, SF).count()
+
+
 def test_stream_stream_funnel_join_matches_batch(spark):
     stream = read_event_stream(spark, SF)
     _drain(purchases_after_signup(stream), "funnel")
