@@ -39,6 +39,35 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", nt.alias("n_tokens"), quality.alias("quality"))
 
 
+SPLIT_A = 48271          # affine split hash (MINSTD multiplier)
+SPLIT_B = 11213
+
+
+def with_split(docs: DataFrame, id_col: str = "doc_id",
+               train_pct: int = 90, val_pct: int = 5) -> DataFrame:
+    """Deterministic train/val/test assignment from an affine hash of the
+    id - stable across runs, engines, partitionings (no rand()), and
+    reproducible downstream forever. bucket = ((id*a + b) % PRIME) % 100.
+    """
+    from etl_online_retail_spark.functions.hashing import PRIME
+
+    bucket = ((F.col(id_col) * SPLIT_A + SPLIT_B) % PRIME) % 100
+    split = (F.when(bucket < train_pct, "train")
+             .when(bucket < train_pct + val_pct, "val")
+             .otherwise("test"))
+    return docs.withColumn("split", split)
+
+
+def split_sql(id_expr: str, train_pct: int = 90, val_pct: int = 5) -> str:
+    """DuckDB twin of with_split's split expression."""
+    from etl_online_retail_spark.functions.hashing import PRIME
+
+    bucket = f"((({id_expr}) * {SPLIT_A}::BIGINT + {SPLIT_B}) % {PRIME}) % 100"
+    return (f"(CASE WHEN {bucket} < {train_pct} THEN 'train' "
+            f"WHEN {bucket} < {train_pct + val_pct} THEN 'val' "
+            f"ELSE 'test' END)")
+
+
 def curate_corpus(docs: DataFrame, min_quality: float = 0.35,
                   n: int = 2, k: int = 16, bands: int = 4,
                   threshold: float = 0.5) -> DataFrame:

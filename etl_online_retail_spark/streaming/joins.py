@@ -32,10 +32,16 @@ def dedup_within_watermark(events: DataFrame, key: str = "event_id",
 
 
 def purchases_after_signup(events: DataFrame, within_minutes: int = 60,
-                           watermark: str = "2 hours") -> DataFrame:
+                           watermark: str = "2 hours",
+                           how: str = "inner") -> DataFrame:
     """Stream-stream join: purchases within N minutes of the same user's
     signup. Both sides carry watermarks + a bounded time-range predicate,
     so buffered state expires (state ~ events inside the watermark horizon).
+
+    how='left_outer' emits unmatched purchases with NULL signup columns -
+    but only once the watermark has passed their join window (purchases
+    newer than max_event_time - watermark - range stay pending at stream
+    end; that is correct streaming semantics, not data loss).
     """
     signups = (events.filter(F.col("event_type") == "signup")
                .select(F.col("user_id").alias("s_user"),
@@ -52,6 +58,6 @@ def purchases_after_signup(events: DataFrame, within_minutes: int = 60,
         & (purchases.purchase_ts
            <= signups.signup_ts + F.expr(f"INTERVAL {within_minutes} MINUTES"))
     )
-    return (purchases.join(signups, cond)
+    return (purchases.join(signups, cond, how)
             .select(F.col("p_user").alias("user_id"),
                     "signup_ts", "purchase_ts", "purchase_value"))

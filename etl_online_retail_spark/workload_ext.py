@@ -469,6 +469,21 @@ def q_corpus_curation(spark, sf_dir):
                          bands=MINHASH_BANDS, threshold=JACCARD_THRESHOLD)
 
 
+# deterministic train/val/test split (hash-based, engine-portable)
+
+from etl_online_retail_spark.operators.curation import split_sql, with_split  # noqa: E402
+
+
+@register(
+    "train_val_test_split",
+    f"SELECT doc_id, {split_sql('doc_id')} AS split FROM documents",
+    "M6-split",
+)
+def q_train_val_test_split(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return with_split(docs)
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary plumbing (mapInPandas over Arrow batches)
 

@@ -31,6 +31,31 @@ def test_stream_static_enrichment(spark):
         load_events(spark, SF).filter(F.col("user_id") >= 100).count()
 
 
+def test_left_outer_stream_stream_join(spark):
+    stream = read_event_stream(spark, SF)
+    _drain(purchases_after_signup(stream, watermark="1 minute",
+                                  how="left_outer"), "funnel_outer")
+    out = spark.table("funnel_outer")
+    matched = out.filter(F.col("signup_ts").isNotNull()).count()
+    nulls = out.filter(F.col("signup_ts").isNull()).count()
+    # the matched part equals the inner join; unmatched rows exist and are
+    # a subset of the batch-unmatched purchases (late ones stay pending -
+    # correct watermark semantics)
+    _drain(purchases_after_signup(stream, watermark="1 minute"), "funnel_inner")
+    assert matched == spark.table("funnel_inner").count()
+    ev = load_events(spark, SF)
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    batch_unmatched = p.join(
+        s, (s.s_user == p.p_user)
+        & (p.purchase_ts > s.signup_ts)
+        & (p.purchase_ts <= F.expr("signup_ts + INTERVAL 60 MINUTES")),
+        "left_anti").count()
+    assert 0 < nulls <= batch_unmatched
+
+
 def test_dedup_within_watermark(spark):
     from etl_online_retail_spark.streaming.joins import dedup_within_watermark
 
