@@ -68,6 +68,20 @@ def split_sql(id_expr: str, train_pct: int = 90, val_pct: int = 5) -> str:
             f"ELSE 'test' END)")
 
 
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-stratum Bernoulli sampling (df.sampleBy): down-weight
+    over-represented classes/languages/sources in one pass. Deterministic
+    for a fixed seed and input, but engine-specific RNG - covered by tests
+    (determinism + per-stratum rates), not by the SQL oracle.
+
+    For exact, engine-portable sampling use with_split-style hash
+    bucketing instead; sampleBy is the idiomatic Spark path when
+    statistical (not reproducible-across-engines) sampling is wanted.
+    """
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
 def curate_corpus(docs: DataFrame, min_quality: float = 0.35,
                   n: int = 2, k: int = 16, bands: int = 4,
                   threshold: float = 0.5) -> DataFrame:

@@ -1,0 +1,42 @@
+"""Curation operators: split determinism and stratified sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.catalog import load_table
+from etl_online_retail_spark.operators.curation import (
+    stratified_sample,
+    with_split,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_is_deterministic_and_partitioned(spark):
+    docs = load_table(spark, "documents", SF).select("doc_id")
+    a = {r.doc_id: r.split for r in with_split(docs).collect()}
+    b = {r.doc_id: r.split
+         for r in with_split(docs.repartition(7)).collect()}
+    assert a == b  # hash split: stable under any layout
+    counts = {r.split: r.n for r in
+              (with_split(docs).groupBy("split")
+               .agg(F.count(F.lit(1)).alias("n")).collect())}
+    total = sum(counts.values())
+    assert 0.8 <= counts["train"] / total <= 0.97
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = load_table(spark, "documents", SF)
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    s1 = stratified_sample(docs, "lang", fractions)
+    s2 = stratified_sample(docs, "lang", fractions)
+    assert sorted(r.doc_id for r in s1.collect()) == \
+        sorted(r.doc_id for r in s2.collect())  # same seed -> same sample
+    n_en_before = docs.filter(F.col("lang") == "en").count()
+    n_en_after = s1.filter(F.col("lang") == "en").count()
+    assert 0.25 * n_en_before <= n_en_after <= 0.75 * n_en_before
+    # unsampled strata intact
+    assert s1.filter(F.col("lang") == "de").count() == \
+        docs.filter(F.col("lang") == "de").count()
