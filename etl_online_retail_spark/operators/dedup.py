@@ -211,17 +211,23 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     packs the sign bits. Pure array expressions per row - no shuffle at all.
     """
     sh = _shingled(docs, text_col, id_col, n, mode)
-
-    def _vote_fn(b: int):
-        # closure factory; a default-arg lambda would break pyspark's
-        # higher-order-function arity introspection
-        return lambda s, h: s + (bit(h, b) * 2 - 1)
-
+    # Explode + hash-aggregate instead of 32 per-row array folds: the bit
+    # votes become codegen'd conditional SUMs with map-side partial
+    # aggregation (interpreted HOF folds cost ~3x more here). Docs whose
+    # shingle set is empty vanish under explode, so join them back with
+    # all-zero votes (sign(0) bit = 0 -> simhash 0, matching the fold
+    # semantics and the oracle's coalesce(list_sum([]), 0)).
+    votes = [F.sum(bit(F.col("_h"), b) * 2 - 1).alias(f"_v{b}")
+             for b in range(SIMHASH_BITS)]
+    per_doc = (sh.select("_id", F.explode("_sh").alias("_h"))
+                 .groupBy("_id").agg(*votes))
     acc = F.lit(0).cast("bigint")
     for b in range(SIMHASH_BITS):
-        vote = F.aggregate(F.col("_sh"), F.lit(0).cast("bigint"), _vote_fn(b))
-        acc = acc + F.when(vote > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
-    return sh.select(F.col("_id").alias(id_col), acc.alias("simhash"))
+        acc = acc + F.when(F.coalesce(F.col(f"_v{b}"), F.lit(0)) > 0,
+                           F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0))
+    return (sh.select("_id")
+              .join(per_doc, "_id", "left")
+              .select(F.col("_id").alias(id_col), acc.alias("simhash")))
 
 
 def simhash_near_duplicates(docs: DataFrame, text_col: str = "text",
