@@ -1,0 +1,35 @@
+"""Workload-registry hygiene: the driver contract's invariants hold for
+every registered query (no Spark session needed - pure metadata)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from etl_online_retail_spark.workload import _REGISTRY
+
+EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf"}
+
+
+def test_every_query_has_survey_reference():
+    for name, q in _REGISTRY.items():
+        assert q.survey_ref.strip(), f"{name} lacks a SURVEY.md reference"
+
+
+def test_oracle_coverage_is_complete_except_documented():
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    assert oracles <= qs
+    assert qs - oracles == EXPECTED_ROWS_ONLY, (
+        "rows-only set drifted; document any new non-SQL-expressible op "
+        f"here: {sorted(qs - oracles)}")
+
+
+def test_oracles_are_single_select_statements():
+    for name, sql in entrymod.oracle_sql().items():
+        s = sql.strip().rstrip(";")
+        assert s.upper().startswith(("SELECT", "WITH")), name
+        assert ";" not in s, f"{name}: multiple statements"
+
+
+def test_names_are_stable_identifiers():
+    for name in entrymod.queries():
+        assert name.replace("_", "").isalnum() and name == name.lower(), name
