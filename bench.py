@@ -42,7 +42,7 @@ HEADLINE = [
     "exact_dup_groups",
     "minhash_near_dups",
     "simhash_near_dups",
-    "knn_bruteforce",
+    "knn_vectorized",
     "embedding_near_dups",
     "media_features",
     "corpus_curation",

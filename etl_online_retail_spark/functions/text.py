@@ -102,15 +102,20 @@ def _ngrams_of_array(arr: Column, n: int, sep: str = " ") -> Column:
     return out
 
 
-def word_ngrams(col: Column | str, n: int = 2) -> Column:
+def word_ngrams(col: Column | str, n: int = 2, *,
+                normalized: bool = False) -> Column:
     """Distinct word n-grams of normalized text -> array<string>.
 
     Word-level shingles are far more discriminative than char shingles on
     short texts (char-3 jaccard saturates ~0.5 on small vocabularies). The
     empty-array guard for texts with < n tokens is explicit so the Spark
     and SQL twins agree (concat semantics over out-of-bounds differ).
+
+    normalized=True: col already holds normalize() output — lets a caller
+    that materialized the normalization once (e.g. the curation pipeline's
+    cached base relation) skip the three regex passes per consumer.
     """
-    toks = tokens(normalize(col))
+    toks = tokens(col if normalized else normalize(col))
     empty = F.array().cast("array<string>")
     return F.when(F.size(toks) < n, empty).otherwise(
         F.array_distinct(_ngrams_of_array(toks, n)))
@@ -125,10 +130,12 @@ def word_ngrams_sql(expr: str, n: int = 2) -> str:
             f"generate_series(1, len({ws}) - {n - 1}), i -> {parts})) END)")
 
 
-def word_shingle_hashes(col: Column | str, n: int = 2) -> Column:
+def word_shingle_hashes(col: Column | str, n: int = 2, *,
+                        normalized: bool = False) -> Column:
     """Distinct word n-gram shingles as portable BIGINT hashes."""
     return F.array_distinct(
-        F.transform(word_ngrams(col, n), lambda g: _gram_hash(g))
+        F.transform(word_ngrams(col, n, normalized=normalized),
+                    lambda g: _gram_hash(g))
     )
 
 
@@ -161,10 +168,11 @@ def shingle_hashes_sql(expr: str, n: int = 3) -> str:
             f"g -> {gram_hash}))")
 
 
-def stopword_ratio(col: Column | str, lang: str) -> Column:
+def stopword_ratio(col: Column | str, lang: str, *,
+                   normalized: bool = False) -> Column:
     """Fraction of whitespace tokens that are in lang's stopword list."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(normalize(c))
+    toks = tokens(c if normalized else normalize(c))
     hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
     return (hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"))
 
@@ -196,13 +204,14 @@ def bpe_ish_token_count_sql(expr: str) -> str:
             f"'{BPE_PRETOKEN_RE}')) AS INTEGER)")
 
 
-def fingerprint(col: Column | str) -> Column:
+def fingerprint(col: Column | str, *, normalized: bool = False) -> Column:
     """Rolling-hash document fingerprint over normalized text -> BIGINT.
 
     Normalization first so trivial formatting changes don't alter the
     fingerprint - the standard content-defined fingerprint for exact dedup.
     """
-    return poly_hash(normalize(col))
+    c = F.col(col) if isinstance(col, str) else col
+    return poly_hash(c if normalized else normalize(c))
 
 
 def punct_ratio(col: Column | str) -> Column:

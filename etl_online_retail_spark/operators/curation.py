@@ -18,21 +18,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.functions.text import (
+    normalize,
     punct_ratio,
     stopword_ratio,
     token_count,
 )
 from etl_online_retail_spark.operators.dedup import (
+    _shingled,
     exact_duplicates,
     minhash_near_duplicates,
 )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, n_tokens, quality (the oracle-checked doc_quality formula)."""
+def quality_scores(docs: DataFrame, text_col: str = "text",
+                   norm_col: str | None = None) -> DataFrame:
+    """doc_id, n_tokens, quality (the oracle-checked doc_quality formula).
+
+    norm_col: already-normalized twin of text_col; only the stopword ratio
+    reads it (token/punct ratios are defined over the RAW text).
+    """
     nt = token_count(text_col)
     pr = punct_ratio(text_col)
-    sr = stopword_ratio(text_col, "en")
+    if norm_col is not None:
+        sr = stopword_ratio(norm_col, "en", normalized=True)
+    else:
+        sr = stopword_ratio(text_col, "en")
     quality = (F.lit(0.5) * sr
                + F.lit(0.3) * F.least(nt / F.lit(100.0), F.lit(1.0))
                + F.lit(0.2) * (F.lit(1.0) - pr))
@@ -91,11 +101,21 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.35,
     (minimum) id of their exact-content group, (3) are not the dominated
     side of any verified near-dup pair.
     """
-    scored = quality_scores(docs)
-    canonical = (exact_duplicates(docs)
+    # One cached base relation carries the normalized text; every stage
+    # (quality stopwords, exact-dedup fingerprint, near-dup shingles) reads
+    # it instead of re-running the 3-regex normalization per stage. The
+    # shingle relation is likewise computed ONCE and cached: it feeds the
+    # minhash signature pipeline's two self-join sides AND the verify joins
+    # (at 100 TB both caches become persist(DISK) or a staged parquet).
+    base = (docs.select("doc_id", "text",
+                        normalize("text").alias("_norm")).cache())
+    shingled = _shingled(base, "text", "doc_id", n, norm_col="_norm").cache()
+    scored = quality_scores(base, norm_col="_norm")
+    canonical = (exact_duplicates(base, norm_col="_norm")
                  .select(F.col("canonical_id").alias("doc_id")))
-    dominated = (minhash_near_duplicates(docs, n=n, k=k, bands=bands,
-                                         threshold=threshold)
+    dominated = (minhash_near_duplicates(base, n=n, k=k, bands=bands,
+                                         threshold=threshold,
+                                         shingled=shingled)
                  .select(F.col("id_b").alias("doc_id"))
                  .distinct())
     return (scored

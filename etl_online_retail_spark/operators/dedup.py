@@ -55,46 +55,88 @@ def keep_last(df: DataFrame, keys: Sequence[str], order: Sequence[Column]) -> Da
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     norm_col: str | None = None) -> DataFrame:
     """Exact dedup groups via content fingerprint: one row per distinct
     normalized text with the canonical (min) id and the copy count.
 
     Single hash aggregation; at 100 TB this is a shuffle on a uniform
     64-bit-ish key - no skew, map-side combine shrinks it to ~unique texts.
+
+    norm_col: name of an already-normalized text column (e.g. the curation
+    pipeline's cached base relation) - skips re-running the regex passes.
     """
+    if norm_col is not None:
+        fp = fingerprint(norm_col, normalized=True)
+        md5 = F.md5(F.col(norm_col))
+    else:
+        fp = fingerprint(text_col)
+        md5 = F.md5(normalize(text_col))
     return (docs
-            .select(F.col(id_col), fingerprint(text_col).alias("fp"),
-                    F.md5(normalize(text_col)).alias("content_md5"))
+            .select(F.col(id_col), fp.alias("fp"), md5.alias("content_md5"))
             .groupBy("fp", "content_md5")
             .agg(F.min(id_col).alias("canonical_id"),
                  F.count(F.lit(1)).alias("n_copies")))
 
 
 def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int,
-              mode: str = "word") -> DataFrame:
+              mode: str = "word", norm_col: str | None = None) -> DataFrame:
     """(id, [shingle hashes]) per doc, plus shingle counts.
 
     mode='word' (default): word n-grams - discriminative on short texts.
     mode='char': character n-grams - the classic choice for long prose.
+    norm_col: reuse an already-normalized text column instead of
+    re-normalizing text_col.
     """
     if mode == "word":
-        sh = word_shingle_hashes(text_col, n)
+        if norm_col is not None:
+            sh = word_shingle_hashes(norm_col, n, normalized=True)
+        else:
+            sh = word_shingle_hashes(text_col, n)
     else:
-        sh = F.array_distinct(shingle_hashes(normalize(text_col), n))
+        src = F.col(norm_col) if norm_col is not None else normalize(text_col)
+        sh = F.array_distinct(shingle_hashes(src, n))
     return (docs
             .select(F.col(id_col).alias("_id"), sh.alias("_sh"))
             .withColumn("_size", F.size("_sh")))
 
 
+# Above this many documents, jaccard_pairs auto-enables the shingle
+# document-frequency cap: a stop-shingle appearing in d documents creates a
+# d^2 join bucket, so the uncapped exact join is only safe at oracle-test
+# scale. The cap value scales with corpus size (1% of docs, floor 500).
+JACCARD_AUTO_CAP_DOCS = 20_000
+
+
+def auto_shingle_cap(n_docs: int,
+                     auto_cap_docs: int = JACCARD_AUTO_CAP_DOCS) -> int | None:
+    """The auto skew-cap decision: None (off) at oracle scale, else a cap
+    that scales with the corpus (1% of documents, floor 500)."""
+    return None if n_docs <= auto_cap_docs else max(500, n_docs // 100)
+
+
 def jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 2, threshold: float = 0.5, mode: str = "word",
-                  max_shingle_df: int | None = None) -> DataFrame:
+                  max_shingle_df: int | None | str = "auto",
+                  auto_cap_docs: int = JACCARD_AUTO_CAP_DOCS) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
 
     explode -> self-join on shingle -> count intersections -> jaccard =
     inter / (|A| + |B| - inter). Output doubles are exact integer ratios,
     so they compare bit-for-bit against any oracle.
+
+    max_shingle_df governs the skew cap on the shingle self-join:
+      * "auto" (default): OFF below auto_cap_docs documents (bit-exact
+        oracle parity at test scale), ON above it with
+        cap = max(500, n_docs // 100) - one count() of the input decides.
+        At 100 TB the cap is what keeps the join sub-quadratic; dropping
+        shingles shared by >1% of the corpus only UNDER-counts
+        intersections of pairs that share ubiquitous shingles, which are
+        exactly the pairs exact Jaccard scores lowest anyway.
+      * int: explicit cap.  * None: force-uncapped (oracle/debug only).
     """
+    if max_shingle_df == "auto":
+        max_shingle_df = auto_shingle_cap(docs.count(), auto_cap_docs)
     # cache: the exploded relation feeds BOTH sides of the self-join; without
     # it Spark recomputes the whole shingle pipeline per side.
     sh = _shingled(docs, text_col, id_col, n, mode)
@@ -118,16 +160,23 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 2, k: int = 16,
                             bands: int = 4, threshold: float = 0.5,
-                            mode: str = "word", seed: int = 42) -> DataFrame:
+                            mode: str = "word", seed: int = 42,
+                            shingled: DataFrame | None = None) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
 
     shingle->minhash (per-row, k affine mins) -> band signatures -> bucket
     self-join (the ONLY shuffle proportional to candidate count) -> exact
     Jaccard verify on candidates only. Columns: id_a, id_b, jaccard.
+
+    shingled: a precomputed (_id, _sh, _size) relation (operators sharing
+    the shingle pipeline, e.g. curation, pass their cached copy here so the
+    regex+hash work runs once per corpus instead of once per stage).
     """
     assert k % bands == 0, "k must divide into equal bands"
     rows = k // bands
-    sh = _shingled(docs, text_col, id_col, n, mode).filter(F.col("_size") > 0)
+    sh = (shingled if shingled is not None
+          else _shingled(docs, text_col, id_col, n, mode))
+    sh = sh.filter(F.col("_size") > 0)
     sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
     band_cols = [
         F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")

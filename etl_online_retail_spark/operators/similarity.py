@@ -208,31 +208,76 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.round("cos_sim", 6).alias("cos_sim"), "rank"))
 
 
+# auto plane sizing: choose n_planes so the EXPECTED bucket holds
+# ~TARGET_BUCKET_ROWS vectors (within-bucket work is quadratic in bucket
+# size, so the pair count is ~N * target/2 — linear in N once n_planes
+# grows with log2(N)). A FIXED plane count is the scale-killer: at 100 TB,
+# 8 planes = 256 buckets means (N/256)^2 pairs.
+LSH_TARGET_BUCKET_ROWS = 1024
+LSH_MIN_PLANES = 4
+LSH_MAX_PLANES = 24
+
+
+def auto_n_planes(n_vectors: int,
+                  target_bucket_rows: int = LSH_TARGET_BUCKET_ROWS) -> int:
+    """n_planes = clamp(ceil(log2(N / target)), MIN, MAX)."""
+    import math
+
+    if n_vectors <= target_bucket_rows:
+        return LSH_MIN_PLANES
+    raw = math.ceil(math.log2(n_vectors / target_bucket_rows))
+    return max(LSH_MIN_PLANES, min(LSH_MAX_PLANES, raw))
+
+
 def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
-                        n_planes: int = 8, n_dims: int = 64, seed: int = 42,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        n_planes: int | None = None, n_dims: int = 64,
+                        seed: int = 42, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        probes: int = 1) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets.
 
     Output: id_a, id_b, cos_sim (rounded to 6dp). Only same-bucket pairs
     are scored - the shuffle is bucket-sized, not corpus-squared.
+
+    n_planes=None sizes the plane count to the corpus (auto_n_planes: one
+    count(), then ~log2(N) planes) so buckets stay ~constant-sized as N
+    grows; a pinned value is for oracle parity at test scale. probes > 1
+    is multi-probe: candidates are unioned across `probes` independent
+    plane families (seed, seed+1, ...) to recover the recall that more
+    planes cost — each probe is another linear bucket join, never
+    quadratic.
     """
-    # cache: bucket assignment (n_planes 64-dim folds per row) feeds both
-    # sides of the bucket self-join; norms are precomputed per vector so
-    # each candidate pair costs a single dot-product fold.
-    v = (with_lsh_bucket(vectors, n_planes, n_dims, seed, vec_col)
-         .withColumn("_v", as_double(vec_col))
+    if n_planes is None:
+        n_planes = auto_n_planes(vectors.count())
+    # cache: bucket assignment (n_planes 64-dim folds per row per probe)
+    # feeds both sides of each bucket self-join AND the verify joins; norms
+    # are precomputed per vector so each candidate pair costs a single
+    # dot-product fold.
+    planes = [hyperplanes(n_planes, n_dims, seed + p) for p in range(probes)]
+    v = (vectors
+         .select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
          .withColumn("_n", norm(F.col("_v")))
+         .select("_id", "_v", "_n",
+                 *[bucket_expr(F.col("_v"), planes[p]).alias(f"_bkt{p}")
+                   for p in range(probes)])
          .cache())
-    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
-                 F.col("_n").alias("_na"), "bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
-                 F.col("_n").alias("_nb"), "bucket")
+    cands = None
+    for p in range(probes):
+        a = v.select(F.col("_id").alias("id_a"), F.col(f"_bkt{p}").alias("_bv"))
+        b = v.select(F.col("_id").alias("id_b"), F.col(f"_bkt{p}").alias("_bv"))
+        c = (a.join(b, "_bv").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    if probes > 1:
+        cands = cands.distinct()
+    left = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"))
+    right = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                     F.col("_n").alias("_nb"))
     denom = F.col("_na") * F.col("_nb")
-    return (a.join(b, "bucket")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos_sim",
-                         F.when(denom == 0.0, F.lit(0.0))
-                          .otherwise(dot(F.col("_va"), F.col("_vb")) / denom))
-             .filter(F.col("cos_sim") >= threshold)
-             .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
+    return (cands.join(left, "id_a").join(right, "id_b")
+            .withColumn("cos_sim",
+                        F.when(denom == 0.0, F.lit(0.0))
+                         .otherwise(dot(F.col("_va"), F.col("_vb")) / denom))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))

@@ -2,29 +2,48 @@
 (etl.py:149,171,249 if_exists='append') as an exactly-once stream.
 
 The reference re-appends on every manual DAG run with no replay
-protection; here the file-source checkpoint makes ingestion idempotent -
-a restarted job skips files it has already committed, so the warehouse
-never double-counts. foreachBatch is the escape hatch for sinks without
-native streaming support (JDBC warehouses, MERGE upserts); for plain
-parquet the partitioned append below is the whole story.
+protection; here the file-source checkpoint skips files already committed,
+AND the batch write itself is idempotent: foreachBatch guarantees only
+at-least-once delivery (a batch that partially writes before a crash is
+REPLAYED after restart), so a plain parquet append would double-count the
+replayed batch. Each batch therefore lands in its own `_batch_id=N`
+partition via dynamic partition overwrite - a replay rewrites exactly its
+own partitions instead of appending next to the partial first attempt.
+Checkpointed skip + idempotent replay = effectively exactly-once.
+foreachBatch remains the escape hatch for sinks without native streaming
+support (JDBC warehouses, MERGE upserts) - those need their own
+idempotence key, and _batch_id is it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def idempotent_batch_write(batch_df: DataFrame, batch_id: int,
+                           out_dir: str,
+                           partition_by: str = "event_type") -> None:
+    """Write one micro-batch into its own `_batch_id` partition; a replay
+    of the same batch_id overwrites exactly those partitions (dynamic
+    partition overwrite), never appends beside a partial first attempt."""
+    (batch_df.withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id", partition_by)
+     .parquet(out_dir))
 
 
 def incremental_append(stream_df: DataFrame, out_dir: str,
                        checkpoint_dir: str,
                        partition_by: str = "event_type") -> StreamingQuery:
     """Drain all available input into a partitioned parquet warehouse,
-    exactly once per source file (checkpointed)."""
+    effectively exactly once (checkpointed source + idempotent batch
+    replay). Readers see an extra `_batch_id` partition column."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.write.mode("append")
-         .partitionBy(partition_by)
-         .parquet(out_dir))
+        idempotent_batch_write(batch_df, batch_id, out_dir, partition_by)
 
     return (stream_df.writeStream
             .foreachBatch(write_batch)

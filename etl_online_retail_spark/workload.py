@@ -470,7 +470,8 @@ def q_urgent_customers(spark, sf_dir):
     "  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
     "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
     "  FROM flagged) "
-    "SELECT user_id, session_seq, MIN(ts) AS session_start, "
+    "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+    "MIN(ts) AS session_start, "
     "MAX(ts) AS session_end, COUNT(*) AS n_events, "
     "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value "
     "FROM numbered GROUP BY user_id, session_seq",
@@ -532,11 +533,14 @@ def q_revenue_pivot_by_flag(spark, sf_dir):
     "session_windows_native",
     # Spark's native session_window in BATCH mode; oracle derives the same
     # windows from the gap-flag construction: start = MIN(ts), end =
-    # MAX(ts) + gap (session_window pads the close by the gap)
+    # MAX(ts) + gap (session_window pads the close by the gap). The window
+    # is half-open [start, prev + gap), so a gap of EXACTLY 30 min starts a
+    # new session: the flag predicate must be >=, not > (unlike the
+    # sessionize operator, whose > semantics match on both sides).
     "WITH flagged AS ("
     "  SELECT user_id, ts, event_id, "
     "    CASE WHEN lag(ts) OVER w IS NULL "
-    "      OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 "
+    "      OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000 "
     "    THEN 1 ELSE 0 END AS is_new "
     "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
     "numbered AS ("
@@ -560,15 +564,21 @@ def q_session_windows_native(spark, sf_dir):
 
 @register(
     "normalized_embeddings",
-    "SELECT vec_id, "
-    "ROUND(sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
-    "list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), "
-    "(acc, x) -> acc + x)), 6) AS l2_norm, "
-    "list_transform(embedding, x -> ROUND(x::DOUBLE / "
-    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
-    "list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)), "
-    "(acc, y) -> acc + y)), 6)) AS unit_vec "
-    "FROM embeddings",
+    # output is exploded to scalar rows (vec_id, pos, component): the driver
+    # canonicalizes result tables via pandas row hashing, and array-typed
+    # output columns are unhashable there (ndarray TypeError in r01)
+    "WITH base AS ("
+    "  SELECT vec_id, embedding, "
+    "    sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+    "      list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), "
+    "      (acc, x) -> acc + x)) AS nrm "
+    "  FROM embeddings), "
+    "exploded AS ("
+    "  SELECT vec_id, nrm, generate_subscripts(embedding, 1) AS sub, "
+    "    unnest(embedding) AS x FROM base) "
+    "SELECT vec_id, ROUND(nrm, 6) AS l2_norm, "
+    "CAST(sub - 1 AS INTEGER) AS pos, "
+    "ROUND(x::DOUBLE / nrm, 6) AS component FROM exploded",
     "M6-vector-normalize",
 )
 def q_normalized_embeddings(spark, sf_dir):
@@ -576,16 +586,17 @@ def q_normalized_embeddings(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     v = as_double("embedding")
-    n = norm(v)
-    # zip_with against a repeated-norm array: a transform lambda referencing
-    # the outer norm fold would re-evaluate it per element (the O(n^2) HOF
-    # pitfall, PERFORMANCE.md rule 7)
-    unit = F.zip_with(v, F.array_repeat(n, 64),
-                      lambda x, nn: F.round(x / nn, 6))
-    return emb.select(
+    # materialize the norm fold as a concrete column BEFORE posexplode so the
+    # per-component divide reads a scalar column instead of re-evaluating the
+    # fold per element (the O(n^2) HOF pitfall, PERFORMANCE.md rule 7);
+    # dimension-agnostic, unlike the old array_repeat(n, 64) form
+    base = emb.select("vec_id", norm(v).alias("_nrm"),
+                      F.posexplode(v).alias("pos", "x"))
+    return base.select(
         "vec_id",
-        F.round(n, 6).alias("l2_norm"),
-        unit.alias("unit_vec"),
+        F.round("_nrm", 6).alias("l2_norm"),
+        "pos",
+        F.round(F.col("x") / F.col("_nrm"), 6).alias("component"),
     )
 
 
@@ -593,7 +604,8 @@ def q_normalized_embeddings(spark, sf_dir):
     "events_props_json",
     # JSON path extraction over the events.props payload column
     "SELECT event_type, "
-    "SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_total, "
+    "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) "
+    "AS k_total, "
     "COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 "
     "THEN 1 END) AS k_over_50 "
     "FROM events GROUP BY event_type",

@@ -100,7 +100,7 @@ def q_revenue_grouping_sets(spark, sf_dir):
 @register(
     "top3_orders_per_priority",
     "SELECT o_orderpriority, o_orderkey, "
-    "CAST(o_totalprice AS DECIMAL(18,2)) AS total_price FROM ("
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price FROM ("
     "  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
     "    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
     "WHERE rn <= 3",
@@ -111,7 +111,8 @@ def q_top3_per_priority(spark, sf_dir):
     top = top_n_per_group(o, ["o_orderpriority"],
                           [F.desc("o_totalprice"), F.asc("o_orderkey")], 3)
     return top.select("o_orderpriority", "o_orderkey",
-                      money.exact("o_totalprice").alias("total_price"))
+                      money.exact("o_totalprice").cast("double")
+                           .alias("total_price"))
 
 
 # set operations (documented absent in the reference, §2.10; native in Spark)
@@ -158,7 +159,7 @@ dim_p AS (
 SELECT l_orderkey AS invoice_id, l_linenumber,
        {YMD_KEY.format(c='o_orderdate')} AS invoice_date_dim_id,
        dim_p.product_dim_id, dim_c.customer_dim_id,
-       CAST(l_extendedprice AS DECIMAL(18,2)) AS unit_price,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS unit_price,
        CAST(l_quantity AS INTEGER) AS quantity
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -205,7 +206,7 @@ def q_fact_table_build(spark, sf_dir):
         F.col("l_orderkey").alias("invoice_id"), "l_linenumber",
         date_key("o_orderdate").alias("invoice_date_dim_id"),
         "product_dim_id", "customer_dim_id",
-        money.exact("l_extendedprice").alias("unit_price"),
+        money.exact("l_extendedprice").cast("double").alias("unit_price"),
         F.col("l_quantity").cast("int").alias("quantity"),
     )
 

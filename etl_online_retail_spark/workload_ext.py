@@ -275,8 +275,8 @@ def q_doc_quality(spark, sf_dir):
 
 @register(
     "token_stats_by_source",
-    f"SELECT source, COUNT(*) AS n_docs, SUM({token_count_sql('text')}) AS "
-    "total_tokens, "
+    f"SELECT source, COUNT(*) AS n_docs, "
+    f"CAST(SUM({token_count_sql('text')}) AS BIGINT) AS total_tokens, "
     f"CAST(SUM({token_count_sql('text')}) AS DOUBLE) / COUNT(*) AS avg_tokens "
     "FROM documents GROUP BY source",
     "M6-text-tokens",
@@ -372,6 +372,20 @@ def q_knn_ivf(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
     return similarity.ivf_topk(emb, queries_df, k=KNN_K,
                                n_clusters=16, n_probe=4)
+
+
+# The DEFAULT scale path for brute-force similarity: BLAS-batched scoring
+# over Arrow batches (mapInPandas), ~10-100x the interpreted fold's
+# throughput. Float summation order differs from the sequential fold at ulp
+# level, so there is no value oracle (rows-only); rank agreement with the
+# oracle-exact knn_bruteforce is pytest-asserted (tests/
+# test_similarity_extras.py). bench.py times THIS entry - a correct-but-
+# interpreted hot loop is not a 100 TB answer (ROADMAP r1 #3, closed).
+@register("knn_vectorized", None, "M6-similarity-bruteforce-scale")
+def q_knn_vectorized(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return similarity.brute_force_topk_vectorized(emb, queries_df, k=KNN_K)
 
 
 def _lsh_bucket_sql(vec_expr: str) -> str:

@@ -4,6 +4,12 @@ Runs every queries() entry on Spark and its oracle_sql() twin on DuckDB at
 the given scale factor and prints per-query PASS/FAIL (row count, schema,
 order-insensitive value hash) with a diff sample on mismatch.
 
+Both sides are canonicalized through PANDAS (spark `toPandas()`, duckdb
+`.df()`) — the same conversions the driver's gate applies — so
+HUGEINT/DECIMAL→float64 and DATE→Timestamp parity hazards fail here
+instead of only in the driver's CORRECTNESS file (round-1 lesson: the
+fetchall path silently re-integered HUGEINTs and masked 4 red rows).
+
 Usage: python scripts/verify_local.py [sf_dir] [query ...]
 """
 
@@ -19,7 +25,7 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from etl_online_retail_spark.oracle import compare, duckdb_connection
+    from etl_online_retail_spark.oracle import compare_frames, duckdb_connection
     from etl_online_retail_spark.session import get_spark
 
     spark = get_spark("verify-local")
@@ -34,25 +40,23 @@ def main():
         t0 = time.time()
         try:
             sdf = build(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows in {time.time()-t0:.1f}s")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            dpdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
             continue
-        r = compare(name, scols, srows, dcols, drows)
+        r = compare_frames(name, spdf, dpdf)
         status = "PASS" if r.ok else "FAIL"
+        scols, dcols = list(spdf.columns), list(dpdf.columns)
         print(f"{status} {name}: rows={r.spark_rows}/{r.duck_rows} "
               f"schema={'ok' if r.schema_ok else f'{sorted(scols)} vs {sorted(dcols)}'} "
               f"hash={'ok' if r.hash_ok else 'MISMATCH'} ({time.time()-t0:.1f}s)")

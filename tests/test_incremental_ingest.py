@@ -27,3 +27,19 @@ def test_incremental_append_is_exactly_once(spark):
         types = {r.event_type for r in
                  spark.read.parquet(out).select("event_type").distinct().collect()}
         assert len(types) >= 2
+
+
+def test_batch_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once: a replayed batch_id must overwrite
+    its own partitions, not append a second copy."""
+    from etl_online_retail_spark.streaming.ingest import idempotent_batch_write
+
+    batch = load_events(spark, SF).limit(200)
+    n = batch.count()
+    with tempfile.TemporaryDirectory() as d:
+        out = f"{d}/warehouse"
+        idempotent_batch_write(batch, 0, out)
+        idempotent_batch_write(batch, 0, out)  # the crash-replay case
+        assert spark.read.parquet(out).count() == n
+        idempotent_batch_write(batch, 1, out)  # a NEW batch appends
+        assert spark.read.parquet(out).count() == 2 * n

@@ -6,7 +6,8 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 from etl_online_retail_spark.workload import _REGISTRY
 
-EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf"}
+EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
+                      "knn_vectorized"}
 
 
 def test_every_query_has_survey_reference():
@@ -33,3 +34,24 @@ def test_oracles_are_single_select_statements():
 def test_names_are_stable_identifiers():
     for name in entrymod.queries():
         assert name.replace("_", "").isalnum() and name == name.lower(), name
+
+
+def test_oracle_outputs_have_driver_safe_types():
+    """No oracle may emit HUGEINT / DECIMAL / LIST output columns.
+
+    The driver canonicalizes results via pandas: DuckDB HUGEINT and DECIMAL
+    become float64 (mismatching Spark's BIGINT/Decimal rendering) and LIST
+    becomes an unhashable ndarray — each is a guaranteed red CORRECTNESS
+    row even when values agree (round-1 lesson: 5 rows lost to this).
+    """
+    from etl_online_retail_spark.oracle import duckdb_connection
+
+    con = duckdb_connection("/root/testdata/sf0.001")
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if "HUGEINT" in t or "DECIMAL" in t or t.endswith("[]") or "LIST" in t or "STRUCT" in t:
+                bad.append((name, col, t))
+    assert not bad, f"driver-unsafe oracle output types: {bad}"

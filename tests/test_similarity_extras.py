@@ -48,6 +48,67 @@ def test_vectorized_topk_matches_fold_topk(spark):
         assert vnid == nid and abs(vsim - sim) <= 1e-6, (key, fold[key], vec[key])
 
 
+def test_auto_n_planes_scales_with_corpus():
+    from etl_online_retail_spark.operators.similarity import (
+        LSH_MAX_PLANES,
+        LSH_MIN_PLANES,
+        auto_n_planes,
+    )
+
+    assert auto_n_planes(100) == LSH_MIN_PLANES          # tiny corpus
+    assert auto_n_planes(1 << 20) == 10                  # 1M/1024 buckets
+    assert auto_n_planes(10**12) == LSH_MAX_PLANES       # clamped
+    # monotone: more vectors never means fewer planes
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9, 10**11):
+        cur = auto_n_planes(n)
+        assert cur >= prev
+        prev = cur
+
+
+def test_lsh_multiprobe_is_superset_of_single_probe(spark):
+    from etl_online_retail_spark.operators.similarity import lsh_near_duplicates
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    single = {(r.id_a, r.id_b) for r in
+              lsh_near_duplicates(emb, threshold=0.3, n_planes=6,
+                                  probes=1).collect()}
+    multi = {(r.id_a, r.id_b) for r in
+             lsh_near_duplicates(emb, threshold=0.3, n_planes=6,
+                                 probes=3).collect()}
+    # probe 0 IS the single-probe family; extra probes only add candidates
+    assert single <= multi
+    # auto plane sizing runs end-to-end (small corpus -> MIN planes)
+    auto = lsh_near_duplicates(emb, threshold=0.3, n_planes=None, probes=1)
+    assert auto.count() >= 0
+
+
+def test_jaccard_skew_cap(spark):
+    from etl_online_retail_spark.operators.dedup import (
+        auto_shingle_cap,
+        jaccard_pairs,
+    )
+
+    # decision logic: off at oracle scale, scales with corpus above it
+    assert auto_shingle_cap(500) is None
+    assert auto_shingle_cap(20_000) is None
+    assert auto_shingle_cap(20_001) == 500
+    assert auto_shingle_cap(1_000_000) == 10_000
+    docs = load_table(spark, "documents", SF).cache()
+    uncapped = {(r.id_a, r.id_b) for r in
+                jaccard_pairs(docs, threshold=0.3,
+                              max_shingle_df=None).collect()}
+    # default "auto" stays uncapped (bit-exact) at test scale
+    auto = {(r.id_a, r.id_b) for r in
+            jaccard_pairs(docs, threshold=0.3).collect()}
+    assert auto == uncapped
+    # an explicit cap only drops shingles -> jaccard under-counts -> subset
+    capped = {(r.id_a, r.id_b) for r in
+              jaccard_pairs(docs, threshold=0.3,
+                            max_shingle_df=3).collect()}
+    assert capped <= uncapped
+
+
 def test_salted_join_matches_plain_join(spark):
     li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
     o = load_table(spark, "orders", SF).select(

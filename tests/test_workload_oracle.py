@@ -44,12 +44,12 @@ def harness(spark):
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(spark, harness, name):
     entrymod, con = harness
-    from etl_online_retail_spark.oracle import compare
+    from etl_online_retail_spark.oracle import compare_frames
 
+    # pandas canonicalization on both sides = the driver's comparison path
     sdf = entrymod.queries()[name](spark, SF)
-    srows = [tuple(r) for r in sdf.collect()]
-    rel = con.sql(entrymod.oracle_sql()[name])
-    r = compare(name, sdf.columns, srows, rel.columns, rel.fetchall())
+    dpdf = con.sql(entrymod.oracle_sql()[name]).df()
+    r = compare_frames(name, sdf.toPandas(), dpdf)
     assert r.ok, (f"{name}: rows {r.spark_rows}/{r.duck_rows} "
                   f"schema_ok={r.schema_ok} hash_ok={r.hash_ok} "
                   f"spark_only={r.spark_only} duck_only={r.duck_only}")
