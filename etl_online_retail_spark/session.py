@@ -71,6 +71,11 @@ def get_spark(app_name: str = "etl-online-retail-spark",
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
                                str(4 * 1024 * 1024)))
+        # managed tables (the bucketed staged warehouse) live under /tmp,
+        # never inside the repo checkout
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR",
+                               "/tmp/spark-graft-warehouse"))
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)

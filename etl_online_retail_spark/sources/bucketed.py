@@ -20,8 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
                    n_buckets: int, sort_col: str | None = None) -> None:
     """Persist as a bucketed managed table (overwrites)."""
+    import shutil
+
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the in-memory catalog forgets tables between sessions but the files
+    # remain; clear the location or saveAsTable fails LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if warehouse:
+        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
     writer = df.write.bucketBy(n_buckets, bucket_col)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.mode("overwrite").saveAsTable(table)

@@ -173,13 +173,21 @@ def q_star_revenue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    star = (li.join(o, li.l_orderkey == o.o_orderkey)
+    # Pre-aggregate revenue per orderkey BELOW the join: every grouping
+    # attribute (nation, order month) is functionally determined by the
+    # orderkey, so the exact decimal sum splits into sum-of-sums. Catalyst
+    # does not push aggregates through joins; hand-expressing it shrinks
+    # the join probe ~4x (lineitems per order), and on the bucketed staged
+    # layout the orderkey groupBy needs no shuffle at all.
+    per_order = (li.groupBy("l_orderkey")
+                   .agg(F.sum(money.net_revenue()).alias("_rev")))
+    star = (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     return (star.groupBy(
                 F.col("n_name").alias("nation"),
                 month_start("o_orderdate").alias("month_start"))
-                .agg(money.sum_money(money.net_revenue(), "revenue")))
+                .agg(money.sum_money(F.col("_rev"), "revenue")))
 
 
 # §2.7 O1-O3 / §2.9 slice 5 — top-10 products by revenue

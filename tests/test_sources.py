@@ -65,3 +65,67 @@ def test_init_warehouse_ddl_and_seeds(spark):
                 seed[0].country) == (1, "00000", None)
     finally:
         spark.sql("DROP DATABASE IF EXISTS retail CASCADE")
+
+
+# S1 Excel boundary (etl.py:46-52): exercised WITHOUT openpyxl via the
+# stdlib zip/XML reader. The fixture is a hand-built minimal xlsx - shared
+# strings for text cells, plain <v> numbers, an Excel day-serial date - the
+# cell types the retail export uses.
+
+def _write_fixture_xlsx(path: str) -> None:
+    import zipfile
+
+    header = ["Invoice", "StockCode", "Description", "Quantity",
+              "InvoiceDate", "Price", "Customer ID", "Country"]
+    # rows exercise: alphanumeric StockCode (int parser would mangle),
+    # leading-zero-able Invoice kept string, null Customer ID
+    strings = header + ["536365", "85123A", "WHITE HANGING HEART", "UK",
+                        "536366", "22423", "REGENCY CAKESTAND"]
+    si = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    shared = (f'<?xml version="1.0"?><sst count="{len(strings)}" '
+              f'uniqueCount="{len(strings)}">{si}</sst>')
+
+    def s(ref, i):  # shared-string cell
+        return f'<c r="{ref}" t="s"><v>{i}</v></c>'
+
+    def n(ref, v):  # numeric cell
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    hdr = "".join(s(f"{chr(65 + i)}1", i) for i in range(8))
+    # 2010-12-01 08:26 as an Excel day serial (1900 system)
+    serial = 40513 + (8 * 60 + 26) / 1440.0
+    row2 = (s("A2", 8) + s("B2", 9) + s("C2", 10) + n("D2", 6)
+            + n("E2", serial) + n("F2", 2.55) + n("G2", 17850) + s("H2", 11))
+    row3 = (s("A3", 12) + s("B3", 13) + s("C3", 14) + n("D3", 12)
+            + n("E3", serial + 1) + n("F3", 12.75) + s("H3", 11))  # no cust
+    sheet = ('<?xml version="1.0"?><worksheet><sheetData>'
+             f'<row r="1">{hdr}</row><row r="2">{row2}</row>'
+             f'<row r="3">{row3}</row></sheetData></worksheet>')
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml",
+                   '<?xml version="1.0"?><Types '
+                   'xmlns="http://schemas.openxmlformats.org/package/2006/'
+                   'content-types"/>')
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_excel_ingestion_without_openpyxl(spark):
+    from etl_online_retail_spark.sources.excel import RAW_SCHEMA, ingest_excel
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/retail.xlsx"
+        _write_fixture_xlsx(path)
+        df = ingest_excel(spark, path)
+        assert df.schema == RAW_SCHEMA
+        rows = {r.Invoice: r for r in df.collect()}
+        assert set(rows) == {"536365", "536366"}
+        r1, r2 = rows["536365"], rows["536366"]
+        assert r1.StockCode == "85123A"          # not mangled to int
+        assert (r1.Quantity, r1.Price) == (6, 2.55)
+        assert r1["Customer ID"] == 17850
+        assert r2["Customer ID"] is None         # nullable Int32 survives
+        assert (r1.InvoiceDate.year, r1.InvoiceDate.month,
+                r1.InvoiceDate.day, r1.InvoiceDate.hour,
+                r1.InvoiceDate.minute) == (2010, 12, 1, 8, 26)
+        assert r1.Country == "UK"
