@@ -76,6 +76,38 @@ def main() -> None:
     timed(f"grouped agg @ {factor}x", agg)
     timed(f"minhash near-dups @ {factor}x", minhash)
 
+    # Jaccard skew cap: replicated docs multiply every shingle's document
+    # frequency by `factor`, exactly the stop-shingle blow-up the cap
+    # exists for. Above 20k docs the auto cap engages (operators/dedup.py)
+    # and the self-join stays linear-ish; the uncapped form would be
+    # ~factor^2 on the replicated shingles.
+    def jaccard_capped():
+        from etl_online_retail_spark.operators.dedup import jaccard_pairs
+
+        (jaccard_pairs(docs)  # max_shingle_df="auto"
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"jaccard (auto cap) @ {factor}x", jaccard_capped)
+
+    # Embedding-LSH plane scaling: candidate pairs = sum over buckets of
+    # C(n,2). Computed from the bucket histogram (O(N)), so the quadratic
+    # candidate set is never materialized. auto_n_planes grows the plane
+    # count with N, holding bucket sizes ~constant.
+    emb = replicate(load_table(spark, "embeddings", SF_DIR), factor,
+                    {"vec_id": 10_000_000})
+    from etl_online_retail_spark.operators.similarity import (
+        auto_n_planes,
+        with_lsh_bucket,
+    )
+
+    n_vec = emb.count()
+    for label, planes in (("pinned-4", 4), ("auto", auto_n_planes(n_vec))):
+        sizes = with_lsh_bucket(emb, planes, 64).groupBy("bucket").count()
+        cands = sizes.agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                          .alias("pairs")).collect()[0].pairs
+        print(f"lsh candidates @ {factor}x [{label}: {planes} planes, "
+              f"{n_vec:,} vectors]: {int(cands):,} pairs", flush=True)
+
 
 if __name__ == "__main__":
     main()
