@@ -46,6 +46,8 @@ HEADLINE = [
     "embedding_near_dups",
     "media_features",
     "corpus_curation",
+    "decontamination_overlap",
+    "repetition_scores",
     "virtual_dataset_window",
     "fact_table_build",
 ]

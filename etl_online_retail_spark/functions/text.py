@@ -168,6 +168,50 @@ def shingle_hashes_sql(expr: str, n: int = 3) -> str:
             f"g -> {gram_hash}))")
 
 
+def word_ngrams_all(col: Column | str, n: int = 2, *,
+                    normalized: bool = False) -> Column:
+    """ALL word n-grams (with repeats) of normalized text -> array<string>.
+
+    The non-distinct twin of word_ngrams: repetition analysis needs the
+    multiset (a doc that repeats one phrase has many copies of one gram).
+    """
+    toks = tokens(col if normalized else normalize(col))
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) < n, empty).otherwise(_ngrams_of_array(toks, n))
+
+
+def word_ngrams_all_sql(expr: str, n: int = 2) -> str:
+    norm = normalize_sql(expr)
+    ws = f"regexp_split_to_array({norm}, '\\s+')"
+    parts = " || ' ' || ".join(f"({ws})[i + {j}]" for j in range(n))
+    return (f"(CASE WHEN len({ws}) < {n} THEN []::VARCHAR[] "
+            f"ELSE list_transform("
+            f"generate_series(1, len({ws}) - {n - 1}), i -> {parts}) END)")
+
+
+def redaction_count(col: Column | str, pattern: str) -> Column:
+    """Number of denylist/PII pattern matches in the text -> INT."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).cast("int")
+
+
+def redaction_count_sql(expr: str, pattern: str) -> str:
+    return (f"CAST(len(regexp_extract_all({expr}, '{pattern}')) AS INTEGER)")
+
+
+def redacted(col: Column | str, pattern: str,
+             replacement: str = "[REDACTED]") -> Column:
+    """Text with every pattern match replaced (Spark regexp_replace is
+    global by default; the SQL twin needs the 'g' flag)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, pattern, replacement)
+
+
+def redacted_sql(expr: str, pattern: str,
+                 replacement: str = "[REDACTED]") -> str:
+    return f"regexp_replace({expr}, '{pattern}', '{replacement}', 'g')"
+
+
 def stopword_ratio(col: Column | str, lang: str, *,
                    normalized: bool = False) -> Column:
     """Fraction of whitespace tokens that are in lang's stopword list."""

@@ -92,6 +92,33 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def decontamination_overlap(corpus: DataFrame, eval_docs: DataFrame,
+                            n: int = 3, min_shared: int = 3,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-decontamination check: per corpus doc, how many distinct
+    word n-gram shingles it shares with ANY eval-set document.
+
+    The standard pretraining hygiene op (eval-set n-gram overlap). Shape at
+    100 TB: the eval set is small -> its distinct shingle set broadcasts;
+    the corpus explodes shingles and semi-joins, so the only large relation
+    streams map-side with a per-doc count aggregation. Output: doc_id,
+    n_shared, contaminated (n_shared >= min_shared); docs with zero
+    overlap are absent.
+    """
+    from etl_online_retail_spark.functions.text import word_shingle_hashes
+
+    ev = (eval_docs
+          .select(F.explode(word_shingle_hashes(text_col, n)).alias("_h"))
+          .distinct())
+    co = corpus.select(F.col(id_col),
+                       F.explode(word_shingle_hashes(text_col, n)).alias("_h"))
+    return (co.join(F.broadcast(ev), "_h")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .withColumn("contaminated", F.col("n_shared") >= min_shared))
+
+
 def curate_corpus(docs: DataFrame, min_quality: float = 0.35,
                   n: int = 2, k: int = 16, bands: int = 4,
                   threshold: float = 0.5) -> DataFrame:

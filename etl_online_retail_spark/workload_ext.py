@@ -337,6 +337,126 @@ def q_doc_fingerprints(spark, sf_dir):
                        token_count("text").alias("n_tokens"))
 
 
+# text: repetition scoring (boilerplate/looping detection) — the multiset
+# of word 2-grams vs its distinct set; rep_ratio = duplicated fraction
+
+from etl_online_retail_spark.functions.text import (  # noqa: E402
+    redacted_sql,
+    redaction_count,
+    redaction_count_sql,
+    word_ngrams_all,
+    word_ngrams_all_sql,
+)
+
+_GRAMS_ALL = word_ngrams_all_sql("text", 2)
+
+
+@register(
+    "repetition_scores",
+    f"WITH g AS (SELECT doc_id, {_GRAMS_ALL} AS grams FROM documents) "
+    "SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams, "
+    "CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct, "
+    "CASE WHEN len(grams) = 0 THEN 0.0 "
+    "ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE "
+    "  / len(grams)::DOUBLE END AS rep_ratio "
+    "FROM g",
+    "M6-text-repetition",
+)
+def q_repetition_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    grams = word_ngrams_all("text", 2)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = (F.when(total == 0, F.lit(0.0))
+             .otherwise((total - distinct).cast("double")
+                        / total.cast("double")))
+    return (docs.select("doc_id", grams.alias("_g"))
+                .select("doc_id",
+                        F.size("_g").alias("n_grams"),
+                        F.size(F.array_distinct("_g")).alias("n_distinct"))
+                .withColumn("rep_ratio",
+                            F.when(F.col("n_grams") == 0, F.lit(0.0))
+                             .otherwise((F.col("n_grams") - F.col("n_distinct"))
+                                        .cast("double")
+                                        / F.col("n_grams").cast("double"))))
+
+
+# text: denylist redaction (the PII-scrub shape: deterministic regex
+# scrubbing + an audit count; the synthetic corpus has no emails/phones,
+# so the denylist targets tokens that DO occur)
+
+PII_PATTERN = r"\b(customer|user|spark)\b"
+
+
+@register(
+    "pii_redaction",
+    f"SELECT doc_id, {redaction_count_sql('text', PII_PATTERN)} AS n_redactions, "
+    f"md5({redacted_sql('text', PII_PATTERN)}) AS redacted_md5 FROM documents",
+    "M6-text-redaction",
+)
+def q_pii_redaction(spark, sf_dir):
+    from etl_online_retail_spark.functions.text import redacted
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        redaction_count("text", PII_PATTERN).alias("n_redactions"),
+        F.md5(redacted("text", PII_PATTERN)).alias("redacted_md5"))
+
+
+# text: exact interpolated length percentiles per source (corpus length
+# profiling; Spark percentile() and DuckDB quantile_cont share the
+# (1-g)*lo + g*hi interpolation — rounded to 6dp for cross-engine safety)
+
+@register(
+    "length_percentiles_by_source",
+    "SELECT source, COUNT(*) AS n_docs, "
+    "ROUND(quantile_cont(n_chars, 0.5), 6) AS p50, "
+    "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90, "
+    "ROUND(quantile_cont(n_chars, 0.99), 6) AS p99 "
+    "FROM documents GROUP BY source",
+    "M6-text-percentiles",
+)
+def q_length_percentiles_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99")))
+
+
+# curation: benchmark decontamination (eval-set n-gram overlap) — the
+# pretraining hygiene op. Eval set = doc_id % DECON_EVAL_MOD == 0.
+
+DECON_EVAL_MOD = 50
+DECON_N = 3
+DECON_MIN_SHARED = 3
+
+
+@register(
+    "decontamination_overlap",
+    f"""WITH ev AS (
+  SELECT DISTINCT unnest({word_shingle_hashes_sql('text', DECON_N)}) AS _h
+  FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0),
+co AS (
+  SELECT doc_id, unnest({word_shingle_hashes_sql('text', DECON_N)}) AS _h
+  FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+SELECT doc_id, COUNT(*) AS n_shared,
+       COUNT(*) >= {DECON_MIN_SHARED} AS contaminated
+FROM co JOIN ev USING (_h) GROUP BY doc_id""",
+    "M6-decontamination",
+)
+def q_decontamination_overlap(spark, sf_dir):
+    from etl_online_retail_spark.operators.curation import decontamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return decontamination_overlap(corpus, ev, n=DECON_N,
+                                   min_shared=DECON_MIN_SHARED)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
