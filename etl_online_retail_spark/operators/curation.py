@@ -95,7 +95,9 @@ def stratified_sample(df: DataFrame, strata_col: str,
 def decontamination_overlap(corpus: DataFrame, eval_docs: DataFrame,
                             n: int = 3, min_shared: int = 3,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            corpus_shingles: DataFrame | None = None,
+                            eval_shingles: DataFrame | None = None) -> DataFrame:
     """Benchmark-decontamination check: per corpus doc, how many distinct
     word n-gram shingles it shares with ANY eval-set document.
 
@@ -105,14 +107,23 @@ def decontamination_overlap(corpus: DataFrame, eval_docs: DataFrame,
     streams map-side with a per-doc count aggregation. Output: doc_id,
     n_shared, contaminated (n_shared >= min_shared); docs with zero
     overlap are absent.
+
+    corpus_shingles / eval_shingles: optional precomputed exploded
+    (id_col, _h) relations. When corpus and eval set are carved from the
+    same table, the caller shingles it ONCE (cached) and passes both
+    filtered views, instead of running the normalize+ngram+hash pass per
+    side (see workload_ext.q_decontamination_overlap).
     """
     from etl_online_retail_spark.functions.text import word_shingle_hashes
 
-    ev = (eval_docs
-          .select(F.explode(word_shingle_hashes(text_col, n)).alias("_h"))
-          .distinct())
-    co = corpus.select(F.col(id_col),
-                       F.explode(word_shingle_hashes(text_col, n)).alias("_h"))
+    if eval_shingles is None:
+        eval_shingles = eval_docs.select(
+            F.explode(word_shingle_hashes(text_col, n)).alias("_h"))
+    ev = eval_shingles.select("_h").distinct()
+    co = (corpus_shingles if corpus_shingles is not None
+          else corpus.select(
+              F.col(id_col),
+              F.explode(word_shingle_hashes(text_col, n)).alias("_h")))
     return (co.join(F.broadcast(ev), "_h")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_shared"))

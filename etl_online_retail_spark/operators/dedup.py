@@ -218,19 +218,23 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     Iterative min-label propagation: each round every node adopts the
     smallest label among itself and its neighbours; converges in
     O(component diameter) rounds (near-dup components are shallow - a dup
-    cluster's diameter is rarely more than a few hops). Each round is one
-    shuffle on the node id; the frontier DataFrame is cached and the loop
-    stops as soon as a round changes nothing. At much larger graphs this
-    becomes the standard large-star/small-star formulation - same join
-    shape, fewer rounds.
+    cluster's diameter is rarely more than a few hops). Iterative plans are
+    where lazy lineage bites: round N's plan would otherwise contain rounds
+    1..N-1 AND the pair-generation lineage (an LSH pipeline), so every
+    frontier is cut with an EAGER localCheckpoint - each round then
+    optimizes a two-join plan over materialized inputs, and the convergence
+    test carries the old label along (one `limit 1` action, no extra join).
+    At much larger graphs this becomes the standard large-star/small-star
+    formulation - same join shape, fewer rounds.
     """
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst"))))
+    # one materialization of the (expensive) pair lineage, reused every round
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
-              .withColumn("label", F.col("node"))).cache()
-    edges = edges.cache()
+              .withColumn("label", F.col("node"))).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbour_min = (edges.join(labels, edges.dst == labels.node)
                          .groupBy("src")
@@ -240,12 +244,12 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                    .select(F.col("node"),
                            F.least(F.col("label"),
                                    F.coalesce(F.col("nmin"), F.col("label")))
-                            .alias("label"))).cache()
-        changed = (updated.join(labels.withColumnRenamed("label", "old"),
-                                "node")
-                   .filter(F.col("label") != F.col("old")).count())
-        labels.unpersist()
-        labels = updated
+                            .alias("label"),
+                           F.col("label").alias("_old"))
+                   .localCheckpoint(eager=True))
+        changed = (updated.filter(F.col("label") != F.col("_old"))
+                   .limit(1).count())
+        labels = updated.drop("_old")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"),

@@ -10,9 +10,9 @@ workload could make, while every dim here is MBs.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Iterable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -62,6 +62,84 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
              .alias("_salt"))
     return (salted_left.join(salted_right, on=[on, "_salt"], how=how)
                        .drop("_salt"))
+
+
+def as_of_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
+               left_ts: str, right_ts: str, payload: Sequence[str],
+               direction: str = "backward") -> DataFrame:
+    """As-of join: each left row picks the nearest right row at-or-before
+    (backward) / at-or-after (forward) its timestamp, per key. Left rows
+    with no match keep NULL payload (LEFT ASOF semantics).
+
+    Spark has no native ASOF JOIN; the naive forms are a per-row subquery
+    (driver loop) or a range join (quadratic per key). The scalable shape is
+    union + window: tag both sides, union into one relation, and run ONE
+    window pass per key ordered by (ts, tag) where right rows sort before
+    left rows at equal timestamps (inclusive match); `last(payload,
+    ignorenulls=true)` then carries the most recent right payload onto every
+    left row. Cost = one shuffle of |left|+|right| rows on the key - the
+    same price as a plain equi-join, no candidate blowup, skew handled by
+    AQE like any other shuffle.
+
+    The payload travels as ONE struct so all its fields come from the SAME
+    matched row. right must be unique per (key, ts) - dedup it first
+    (e.g. max_by) or the engine picks an arbitrary row among ties, which no
+    oracle can reproduce.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    pay = F.struct(*[F.col(c) for c in payload])
+    r = right.select(F.col(right_on).alias("_k"), F.col(right_ts).alias("_t"),
+                     F.lit(0).alias("_tag"), pay.alias("_p"))
+    ptype = r.schema["_p"].dataType
+    l = left.select(F.col(left_on).alias("_k"), F.col(left_ts).alias("_t"),
+                    F.lit(1).alias("_tag"),
+                    F.lit(None).cast(ptype).alias("_p"),
+                    F.struct(*[F.col(c) for c in left.columns]).alias("_row"))
+    r = r.withColumn("_row", F.lit(None).cast(l.schema["_row"].dataType))
+    unioned = l.unionByName(r)
+    order = ([F.col("_t").asc(), F.col("_tag").asc()] if direction == "backward"
+             else [F.col("_t").desc(), F.col("_tag").asc()])
+    w = (Window.partitionBy("_k").orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = unioned.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    return (matched.filter(F.col("_tag") == 1)
+            .select(*[F.col("_row")[c].alias(c) for c in left.columns],
+                    *[F.col("_m")[c].alias(c) for c in payload]))
+
+
+def range_self_join_within(df: DataFrame, key: str, ts_col: str, id_col: str,
+                           window_us: int) -> DataFrame:
+    """Bounded-interval self-join: ordered pairs of rows with the same key
+    whose timestamps are within window_us microseconds ((ts, id) of the
+    first strictly below the second's). Output: key, id_a, id_b, gap_us.
+
+    The scale shape for range joins: bucket timestamps into window-sized
+    bins; a qualifying pair's bins differ by at most 1, so candidates are
+    limited to (key, bin) x (key, same-or-next bin) instead of the per-key
+    cross product a raw theta-join plans. The left side duplicates into 2
+    bins (its own and the next); the equi-join on (key, bin) shuffles like
+    any other join, then the exact range predicate prunes candidates. Each
+    qualifying pair matches exactly once (the right row has ONE bin), so no
+    distinct is needed.
+    """
+    us = F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', "
+                f"{ts_col})")
+    base = df.select(F.col(key).alias("_k"), F.col(id_col).alias("_id"),
+                     us.alias("_us"))
+    bin_ = F.floor(F.col("_us") / F.lit(window_us))
+    a = (base.select("_k", F.col("_id").alias("id_a"), F.col("_us").alias("_us_a"),
+                     F.explode(F.array(bin_, bin_ + 1)).alias("_bin")))
+    b = base.select("_k", F.col("_id").alias("id_b"), F.col("_us").alias("_us_b"),
+                    bin_.alias("_bin"))
+    gap = F.col("_us_b") - F.col("_us_a")
+    first_lt = ((F.col("_us_a") < F.col("_us_b"))
+                | ((F.col("_us_a") == F.col("_us_b"))
+                   & (F.col("id_a") < F.col("id_b"))))
+    return (a.join(b, ["_k", "_bin"])
+            .filter(first_lt & (gap >= 0) & (gap <= window_us))
+            .select(F.col("_k").alias(key), "id_a", "id_b",
+                    gap.alias("gap_us")))
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:

@@ -187,7 +187,7 @@ def q_simhash_near_dups(spark, sf_dir):
 
 _CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_minhash_cte_block()},
-edges AS (SELECT id_a AS src, id_b AS dst FROM neardup_pairs
+edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM neardup_pairs
           UNION SELECT id_b, id_a FROM neardup_pairs),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 reach AS (
@@ -448,13 +448,24 @@ FROM co JOIN ev USING (_h) GROUP BY doc_id""",
     "M6-decontamination",
 )
 def q_decontamination_overlap(spark, sf_dir):
+    from etl_online_retail_spark.functions.text import word_shingle_hashes
     from etl_online_retail_spark.operators.curation import decontamination_overlap
 
     docs = _t(spark, sf_dir, "documents")
-    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
-    corpus = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-    return decontamination_overlap(corpus, ev, n=DECON_N,
-                                   min_shared=DECON_MIN_SHARED)
+    # one shingle pass over the whole table (the regex+ngram+hash work is
+    # the dominant cost); cache it and carve the eval/corpus sides out of
+    # the cached relation instead of shingling each side separately
+    shingled = (docs.select(
+        "doc_id",
+        F.explode(word_shingle_hashes("text", DECON_N)).alias("_h"),
+        (F.col("doc_id") % DECON_EVAL_MOD == 0).alias("_is_eval"))
+        .cache())
+    ev_sh = shingled.filter(F.col("_is_eval")).select("_h")
+    co_sh = shingled.filter(~F.col("_is_eval")).select("doc_id", "_h")
+    return decontamination_overlap(None, None, n=DECON_N,
+                                   min_shared=DECON_MIN_SHARED,
+                                   corpus_shingles=co_sh,
+                                   eval_shingles=ev_sh)
 
 
 # ---------------------------------------------------------------------------
@@ -631,3 +642,60 @@ def q_train_val_test_split(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return binary_features(to_media_table(docs), header_bytes=8)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins: as-of + bounded range — operators Spark lacks natively
+# (operators/joins.py as_of_join / range_self_join_within). DuckDB has a
+# native ASOF JOIN, which makes a rare engine-native oracle for the
+# union+window implementation.
+
+@register(
+    "events_asof_orders",
+    # right side deduped to one row per (custkey, orderdate): ASOF ties on
+    # the timestamp are engine-arbitrary, so no oracle could reproduce them
+    "WITH latest AS ("
+    "  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey, "
+    "         arg_max(o_totalprice, o_orderkey) AS asof_totalprice "
+    "  FROM orders GROUP BY o_custkey, o_orderdate) "
+    "SELECT e.event_id, e.user_id, e.ts, l.o_orderdate AS asof_orderdate, "
+    "       l.asof_orderkey, l.asof_totalprice "
+    "FROM events e ASOF LEFT JOIN latest l "
+    "  ON e.user_id = l.o_custkey AND e.ts >= l.o_orderdate",
+    "M6-asof-join",
+)
+def q_events_asof_orders(spark, sf_dir):
+    from etl_online_retail_spark.operators.joins import as_of_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    latest = (orders.groupBy("o_custkey", "o_orderdate")
+              .agg(F.max("o_orderkey").alias("asof_orderkey"),
+                   F.max_by("o_totalprice", "o_orderkey")
+                    .alias("asof_totalprice")))
+    joined = as_of_join(
+        ev, latest, "user_id", "o_custkey", "ts", "o_orderdate",
+        payload=["o_orderdate", "asof_orderkey", "asof_totalprice"])
+    return joined.select("event_id", "user_id", "ts",
+                         F.col("o_orderdate").alias("asof_orderdate"),
+                         "asof_orderkey", "asof_totalprice")
+
+
+PAIR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "events_pairs_within",
+    "SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b, "
+    "date_diff('microsecond', a.ts, b.ts) AS gap_us "
+    "FROM events a JOIN events b ON a.user_id = b.user_id "
+    "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR "
+    "AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))",
+    "M6-range-join",
+)
+def q_events_pairs_within(spark, sf_dir):
+    from etl_online_retail_spark.operators.joins import range_self_join_within
+
+    ev = _t(spark, sf_dir, "events")
+    return range_self_join_within(ev, "user_id", "ts", "event_id",
+                                  PAIR_WINDOW_US)
