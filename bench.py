@@ -48,6 +48,8 @@ HEADLINE = [
     "corpus_curation",
     "decontamination_overlap",
     "repetition_scores",
+    "events_asof_orders",
+    "events_pairs_within",
     "virtual_dataset_window",
     "fact_table_build",
 ]

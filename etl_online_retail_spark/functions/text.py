@@ -139,6 +139,34 @@ def word_shingle_hashes(col: Column | str, n: int = 2, *,
     )
 
 
+def word_ngrams_of_tokens(toks: Column, n: int = 2) -> Column:
+    """word_ngrams over an already-MATERIALIZED token array column.
+
+    The token expression (normalize -> 2 regex passes -> split) is
+    referenced ~5x inside the n-gram expression (size guard + n slices);
+    inlined, codegen does not reliably fold those copies, so the regex
+    pipeline can run several times per row. Corpus-scale callers should
+    project `tokens(normalize(text))` into its own column first and build
+    n-grams from that column reference (measured ~2x on the shingle
+    pipelines at sf0.1).
+    """
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) < n, empty).otherwise(
+        F.array_distinct(_ngrams_of_array(toks, n)))
+
+
+def word_shingle_hashes_of_tokens(toks: Column, n: int = 2) -> Column:
+    """word_shingle_hashes over a materialized token array column."""
+    return F.array_distinct(
+        F.transform(word_ngrams_of_tokens(toks, n), lambda g: _gram_hash(g)))
+
+
+def word_ngrams_all_of_tokens(toks: Column, n: int = 2) -> Column:
+    """word_ngrams_all (multiset) over a materialized token array column."""
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) < n, empty).otherwise(_ngrams_of_array(toks, n))
+
+
 def word_shingle_hashes_sql(expr: str, n: int = 2) -> str:
     gram_hash = ("list_reduce(list_prepend(0::BIGINT, "
                  "list_transform(string_split(g, ''), c -> ascii(c)::BIGINT)), "

@@ -114,16 +114,27 @@ def decontamination_overlap(corpus: DataFrame, eval_docs: DataFrame,
     filtered views, instead of running the normalize+ngram+hash pass per
     side (see workload_ext.q_decontamination_overlap).
     """
-    from etl_online_retail_spark.functions.text import word_shingle_hashes
+    from etl_online_retail_spark.functions.text import (
+        normalize,
+        tokens,
+        word_shingle_hashes_of_tokens,
+    )
 
     if eval_shingles is None:
-        eval_shingles = eval_docs.select(
-            F.explode(word_shingle_hashes(text_col, n)).alias("_h"))
+        toked = eval_docs.select(tokens(normalize(text_col)).alias("_t"))
+        eval_shingles = toked.select(
+            F.explode(word_shingle_hashes_of_tokens(F.col("_t"), n))
+             .alias("_h"))
     ev = eval_shingles.select("_h").distinct()
-    co = (corpus_shingles if corpus_shingles is not None
-          else corpus.select(
-              F.col(id_col),
-              F.explode(word_shingle_hashes(text_col, n)).alias("_h")))
+    if corpus_shingles is not None:
+        co = corpus_shingles
+    else:
+        toked = corpus.select(F.col(id_col),
+                              tokens(normalize(text_col)).alias("_t"))
+        co = toked.select(
+            F.col(id_col),
+            F.explode(word_shingle_hashes_of_tokens(F.col("_t"), n))
+             .alias("_h"))
     return (co.join(F.broadcast(ev), "_h")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_shared"))

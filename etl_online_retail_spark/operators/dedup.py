@@ -35,7 +35,8 @@ from etl_online_retail_spark.functions.text import (
     fingerprint,
     normalize,
     shingle_hashes,
-    word_shingle_hashes,
+    tokens,
+    word_shingle_hashes_of_tokens,
 )
 
 SIMHASH_BITS = 32
@@ -87,17 +88,26 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int,
     mode='char': character n-grams - the classic choice for long prose.
     norm_col: reuse an already-normalized text column instead of
     re-normalizing text_col.
+
+    The token array / normalized string is projected into its OWN column
+    before the n-gram expression so the regex pipeline runs once per row
+    (see word_ngrams_of_tokens).
     """
     if mode == "word":
-        if norm_col is not None:
-            sh = word_shingle_hashes(norm_col, n, normalized=True)
-        else:
-            sh = word_shingle_hashes(text_col, n)
-    else:
-        src = F.col(norm_col) if norm_col is not None else normalize(text_col)
-        sh = F.array_distinct(shingle_hashes(src, n))
-    return (docs
-            .select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+        src = (F.col(norm_col) if norm_col is not None
+               else normalize(text_col))
+        toked = docs.select(F.col(id_col).alias("_id"),
+                            tokens(src).alias("_toks"))
+        return (toked
+                .select("_id",
+                        word_shingle_hashes_of_tokens(F.col("_toks"), n)
+                        .alias("_sh"))
+                .withColumn("_size", F.size("_sh")))
+    src = F.col(norm_col) if norm_col is not None else normalize(text_col)
+    normed = docs.select(F.col(id_col).alias("_id"), src.alias("_norm"))
+    sh = F.array_distinct(shingle_hashes(F.col("_norm"), n))
+    return (normed
+            .select("_id", sh.alias("_sh"))
             .withColumn("_size", F.size("_sh")))
 
 

@@ -344,7 +344,6 @@ from etl_online_retail_spark.functions.text import (  # noqa: E402
     redacted_sql,
     redaction_count,
     redaction_count_sql,
-    word_ngrams_all,
     word_ngrams_all_sql,
 )
 
@@ -363,14 +362,17 @@ _GRAMS_ALL = word_ngrams_all_sql("text", 2)
     "M6-text-repetition",
 )
 def q_repetition_scores(spark, sf_dir):
+    from etl_online_retail_spark.functions.text import (
+        normalize,
+        tokens,
+        word_ngrams_all_of_tokens,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    grams = word_ngrams_all("text", 2)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    ratio = (F.when(total == 0, F.lit(0.0))
-             .otherwise((total - distinct).cast("double")
-                        / total.cast("double")))
-    return (docs.select("doc_id", grams.alias("_g"))
+    # tokens in their own projection: the regex pipeline runs once per row
+    toked = docs.select("doc_id", tokens(normalize("text")).alias("_t"))
+    grams = word_ngrams_all_of_tokens(F.col("_t"), 2)
+    return (toked.select("doc_id", grams.alias("_g"))
                 .select("doc_id",
                         F.size("_g").alias("n_grams"),
                         F.size(F.array_distinct("_g")).alias("n_distinct"))
@@ -448,16 +450,22 @@ FROM co JOIN ev USING (_h) GROUP BY doc_id""",
     "M6-decontamination",
 )
 def q_decontamination_overlap(spark, sf_dir):
-    from etl_online_retail_spark.functions.text import word_shingle_hashes
+    from etl_online_retail_spark.functions.text import (
+        normalize,
+        tokens,
+        word_shingle_hashes_of_tokens,
+    )
     from etl_online_retail_spark.operators.curation import decontamination_overlap
 
     docs = _t(spark, sf_dir, "documents")
     # one shingle pass over the whole table (the regex+ngram+hash work is
     # the dominant cost); cache it and carve the eval/corpus sides out of
     # the cached relation instead of shingling each side separately
-    shingled = (docs.select(
+    toked = docs.select("doc_id", tokens(normalize("text")).alias("_t"))
+    shingled = (toked.select(
         "doc_id",
-        F.explode(word_shingle_hashes("text", DECON_N)).alias("_h"),
+        F.explode(word_shingle_hashes_of_tokens(F.col("_t"), DECON_N))
+         .alias("_h"),
         (F.col("doc_id") % DECON_EVAL_MOD == 0).alias("_is_eval"))
         .cache())
     ev_sh = shingled.filter(F.col("_is_eval")).select("_h")
