@@ -67,12 +67,13 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
     norm_col: name of an already-normalized text column (e.g. the curation
     pipeline's cached base relation) - skips re-running the regex passes.
     """
-    if norm_col is not None:
-        fp = fingerprint(norm_col, normalized=True)
-        md5 = F.md5(F.col(norm_col))
-    else:
-        fp = fingerprint(text_col)
-        md5 = F.md5(normalize(text_col))
+    if norm_col is None:
+        # project the normalization once; fingerprint AND md5 read it
+        docs = docs.select(F.col(id_col),
+                           normalize(text_col).alias("_norm"))
+        norm_col = "_norm"
+    fp = fingerprint(norm_col, normalized=True)
+    md5 = F.md5(F.col(norm_col))
     return (docs
             .select(F.col(id_col), fp.alias("fp"), md5.alias("content_md5"))
             .groupBy("fp", "content_md5")
