@@ -1,0 +1,80 @@
+"""Slowly-changing-dimension builds from change logs.
+
+The reference's warehouse rebuilds its dimensions from scratch on every run
+(etl.py:150-170 drops + reloads dims), which loses attribute history. The
+standard warehouse answer is SCD Type 2: keep one row per (key, attribute
+version) with an effective-time interval. This module derives that shape
+from an append-only change log — the natural Spark-side formulation, since
+a log is what actually lands at 100 TB (CDC streams, event tables).
+
+Scale notes: everything here is two window passes over the same
+(key) partitioning — one shuffle, reused across both windows (Catalyst
+plans a single Exchange). No joins, no driver-side state; skew is bounded
+by the busiest key's history length, not corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changelog(
+    log: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an append-only change log into SCD Type-2 version rows.
+
+    A row opens a new version iff any tracked attribute differs from the
+    previous observation of the same key (null-safe comparison), ordered by
+    (ts, tiebreak). Output: key, attrs, `version` (1-based per key),
+    `effective_from`, `effective_to` (NULL for the open version) and
+    `is_current`.
+
+    The tiebreaker makes the ordering total, so results are deterministic
+    and oracle-comparable even when one key changes twice in the same
+    instant.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w_obs = Window.partitionBy(key_col).orderBy(*order)
+
+    # null-safe "any attribute changed" — first observation always opens
+    changed: Column = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w_obs))
+    opens = (log
+             .withColumn("_first", F.lag(ts_col).over(w_obs).isNull())
+             .withColumn("_changed", changed)
+             .filter(F.col("_first") | F.col("_changed")))
+
+    # second pass over the SAME partitioning: version numbers + intervals
+    w_ver = Window.partitionBy(key_col).orderBy(*order)
+    return (opens
+            .withColumn("version", F.row_number().over(w_ver).cast("int"))
+            .withColumn("effective_from", F.col(ts_col))
+            .withColumn("effective_to", F.lead(ts_col).over(w_ver))
+            .withColumn("is_current", F.col("effective_to").isNull())
+            .drop("_first", "_changed"))
+
+
+def scd2_lookup(scd2: DataFrame, facts: DataFrame, key_col: str,
+                ts_col: str) -> DataFrame:
+    """Point-in-time join: attach the dimension version effective at each
+    fact's timestamp (effective_from <= ts < effective_to, open-ended for
+    the current version).
+
+    Expressed as an equi-join on the key plus interval predicates, so Spark
+    plans a hash join on the key with the range as a post-filter — the
+    shuffle is key-partitioned (never a cartesian). For a dimension small
+    enough to broadcast, wrap `scd2` in F.broadcast() at the call site.
+    """
+    cond = ((facts[key_col] == scd2[key_col])
+            & (facts[ts_col] >= scd2["effective_from"])
+            & (scd2["effective_to"].isNull()
+               | (facts[ts_col] < scd2["effective_to"])))
+    return facts.join(scd2, cond, "left").drop(scd2[key_col])

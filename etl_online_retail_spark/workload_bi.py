@@ -211,6 +211,78 @@ def q_fact_table_build(spark, sf_dir):
     )
 
 
+# SCD Type 2 — the history-keeping dimension build the reference's
+# drop-and-reload dims (etl.py:150-170) cannot express. The events table is
+# the change log; event_type plays the tracked attribute ("segment").
+
+_SCD2_VER = """
+WITH obs AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+opens AS (
+  SELECT user_id, ts, event_id, event_type FROM obs
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type),
+ver AS (
+  SELECT user_id, event_type AS segment, ts AS effective_from,
+         CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version,
+         lead(ts) OVER w2 AS effective_to
+  FROM opens WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+"""
+
+_SCD2_ORACLE = _SCD2_VER + """
+SELECT user_id, version, segment, effective_from, effective_to,
+       effective_to IS NULL AS is_current
+FROM ver
+"""
+
+
+@register("user_segment_scd2", _SCD2_ORACLE, "M4-scd2-build")
+def q_user_segment_scd2(spark, sf_dir):
+    from etl_online_retail_spark.operators.scd import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_changelog(ev, key_col="user_id",
+                              attr_cols=["event_type"], ts_col="ts",
+                              tiebreak_col="event_id")
+    return dim.select("user_id", "version",
+                      F.col("event_type").alias("segment"),
+                      "effective_from", "effective_to", "is_current")
+
+
+_SCD2_PIT_ORACLE = _SCD2_VER + """
+SELECT e.event_id, e.user_id, v.version AS segment_version,
+       v.segment AS segment_at_ts
+FROM events e
+LEFT JOIN ver v
+  ON e.user_id = v.user_id
+ AND e.ts >= v.effective_from
+ AND (v.effective_to IS NULL OR e.ts < v.effective_to)
+"""
+
+
+@register("events_pit_segment", _SCD2_PIT_ORACLE, "M4-scd2-point-in-time")
+def q_events_pit_segment(spark, sf_dir):
+    from etl_online_retail_spark.operators.scd import (
+        scd2_from_changelog,
+        scd2_lookup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (scd2_from_changelog(ev, key_col="user_id",
+                               attr_cols=["event_type"], ts_col="ts",
+                               tiebreak_col="event_id")
+           .select("user_id", "version",
+                   F.col("event_type").alias("segment"),
+                   "effective_from", "effective_to"))
+    facts = ev.select("event_id", "user_id", "ts")
+    out = scd2_lookup(dim, facts, key_col="user_id", ts_col="ts")
+    return out.select("event_id", "user_id",
+                      F.col("version").alias("segment_version"),
+                      F.col("segment").alias("segment_at_ts"))
+
+
 # scale variant of A3: HyperLogLog++ sketch (approximate - no value oracle;
 # the driver records a rows-only check and tests assert the error bound)
 
