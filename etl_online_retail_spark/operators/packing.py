@@ -1,0 +1,61 @@
+"""Sequence packing: lay documents out into fixed-size training sequences.
+
+The standard pretraining data layout ("concat and chunk"): tokens of all
+documents are concatenated in a deterministic order and cut every `budget`
+tokens; a document may straddle a cut. This module computes each document's
+placement — global token offset and the range of sequence ids it lands in —
+without materializing tokens: one windowed running sum per group.
+
+Scale notes: the window partitions by the grouping column (source shard),
+so the plan is a single hash-partitioned Exchange + sort per group — no
+global single-partition window, no joins. At 100 TB you pack per shard
+(source, date, ...) exactly like this; sequence ids are then (group, seq)
+pairs, which is what downstream loaders consume anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(docs: DataFrame, budget: int, tokens_col: Column | str,
+                   id_col: str = "doc_id",
+                   group_col: str = "source") -> DataFrame:
+    """Assign each document its packed placement under a token budget.
+
+    Documents are ordered by `id_col` within each `group_col` partition
+    (total, deterministic order). Output adds:
+      n_tokens      token count of the doc
+      start_offset  first token's offset in the group's concatenated stream
+      first_seq     sequence id holding the doc's first token
+      last_seq      sequence id holding the doc's last token (== first_seq
+                    for empty docs, which occupy no tokens)
+
+    Integer division throughout (`div`), so offsets stay exact BIGINTs at
+    any corpus size — no double rounding past 2^53 tokens.
+    """
+    tok = (F.col(tokens_col) if isinstance(tokens_col, str)
+           else tokens_col).cast("bigint")
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (docs
+           .withColumn("n_tokens", tok)
+           .withColumn("_cum_end", F.sum("n_tokens").over(w).cast("bigint"))
+           .withColumn("start_offset", F.col("_cum_end") - F.col("n_tokens")))
+    first = F.expr(f"start_offset div {int(budget)}")
+    last = F.when(F.col("n_tokens") == 0, first) \
+            .otherwise(F.expr(f"(_cum_end - 1) div {int(budget)}"))
+    return (out
+            .withColumn("first_seq", first)
+            .withColumn("last_seq", last)
+            .drop("_cum_end"))
+
+
+def packing_summary(packed: DataFrame,
+                    group_col: str = "source") -> DataFrame:
+    """Per-group packing stats: docs, tokens, sequences spanned."""
+    return (packed.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 (F.max("last_seq") + 1).cast("bigint").alias("n_sequences")))

@@ -476,6 +476,73 @@ def q_decontamination_overlap(spark, sf_dir):
                                    eval_shingles=ev_sh)
 
 
+# sequence packing: the "concat and chunk" pretraining layout — each doc's
+# token offset and sequence-id range under a fixed token budget, packed per
+# source shard (windowed running sum; integer div throughout).
+
+PACK_BUDGET = 512
+
+
+@register(
+    "sequence_packing",
+    f"""WITH toks AS (
+  SELECT source, doc_id, CAST({token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+  FROM toks)
+SELECT source, doc_id, n_tokens,
+  cum_end - n_tokens AS start_offset,
+  (cum_end - n_tokens) // {PACK_BUDGET} AS first_seq,
+  CASE WHEN n_tokens = 0 THEN (cum_end - n_tokens) // {PACK_BUDGET}
+       ELSE (cum_end - 1) // {PACK_BUDGET} END AS last_seq
+FROM cum""",
+    "M6-sequence-packing",
+)
+def q_sequence_packing(spark, sf_dir):
+    from etl_online_retail_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs.select("source", "doc_id", token_count("text").alias("_tok")),
+        budget=PACK_BUDGET, tokens_col="_tok")
+    return packed.select("source", "doc_id", "n_tokens", "start_offset",
+                         "first_seq", "last_seq")
+
+
+@register(
+    "packing_summary",
+    f"""WITH toks AS (
+  SELECT source, doc_id, CAST({token_count_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT source, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+  FROM toks)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(MAX(CASE WHEN n_tokens = 0 THEN (cum_end - n_tokens) // {PACK_BUDGET}
+           ELSE (cum_end - 1) // {PACK_BUDGET} END) + 1 AS BIGINT)
+    AS n_sequences
+FROM cum GROUP BY source""",
+    "M6-sequence-packing-summary",
+)
+def q_packing_summary(spark, sf_dir):
+    from etl_online_retail_spark.operators.packing import (
+        pack_sequences,
+        packing_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs.select("source", "doc_id", token_count("text").alias("_tok")),
+        budget=PACK_BUDGET, tokens_col="_tok")
+    return packing_summary(packed)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
