@@ -1,0 +1,76 @@
+"""Full-text relevance scoring: corpus statistics + BM25.
+
+Classic sparse retrieval over the documents table: whitespace terms from
+normalized text, document frequencies over the corpus, Okapi BM25 for a
+fixed query-term set. Everything is built-in expressions (explode + two
+hash aggregations + small broadcast joins) — no UDFs.
+
+Scale notes: `toks` is the only corpus-sized relation; both aggregations
+over it are partial-agg-friendly (map-side combine on doc_id/term). The
+per-term statistics (df) and the corpus scalars (N, avgdl) are tiny and
+broadcast. The per-doc score join keys on doc_id — one shuffle, or zero if
+the corpus is already bucketed by doc_id.
+
+Cross-engine exactness: each per-term BM25 contribution is rounded to 9dp
+and summed as DECIMAL(18,9) (order-independent), then the total rounds to
+6dp — the workload's float-aggregation convention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions.text import normalize, tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def corpus_terms(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, term) pairs: whitespace terms of normalized text, one row per
+    occurrence. Empty documents contribute no rows (mirrors the SQL twin's
+    WHERE trim(norm) <> '')."""
+    norm = normalize(text_col)
+    return (docs
+            .filter(F.trim(norm) != "")
+            .select(F.col(id_col), F.explode(tokens(norm)).alias("term")))
+
+
+def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
+                k1: float = BM25_K1, b: float = BM25_B,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """BM25 score of every matching document for the query-term set.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1.0)        (Lucene's formula)
+    tf-part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Output: (id_col, bm25) for documents containing >= 1 query term.
+    """
+    toks = corpus_terms(docs, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+
+    hits = toks.filter(F.col("term").isin(list(query_terms)))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = hits.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("df"))
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1.0)) \
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    contrib = (tf
+               .join(F.broadcast(df), "term")
+               .join(dl, id_col)
+               .crossJoin(F.broadcast(stats))
+               .select(F.col(id_col),
+                       F.round(idf * tf_part, 9).cast("decimal(18,9)")
+                        .alias("_c")))
+    return (contrib.groupBy(id_col)
+            .agg(F.round(F.sum("_c").cast("double"), 6).alias("bm25")))

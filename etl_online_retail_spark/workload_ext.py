@@ -543,6 +543,58 @@ def q_packing_summary(spark, sf_dir):
     return packing_summary(packed)
 
 
+# full-text relevance: BM25 over the corpus for a fixed query-term set.
+# Float discipline: every arithmetic step is DOUBLE on both engines
+# (constants interpolated from the same Python doubles via repr), per-term
+# contributions rounded to 9dp and summed as DECIMAL (order-independent).
+
+BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K1P1 = repr(_BM25_K1 + 1.0)
+_BM25_1MB = repr(1.0 - _BM25_B)
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim({_NORM}), '\\s+')) AS term
+  FROM documents WHERE trim({_NORM}) <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl
+          FROM dl),
+hits AS (SELECT doc_id, term FROM toks
+         WHERE term IN ({_BM25_TERMS_SQL})),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+    CAST(ROUND(
+      ln((stats.n_docs - df.df + 0.5::DOUBLE)
+         / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+      * ((tf.tf::DOUBLE * {_BM25_K1P1}::DOUBLE)
+         / (tf.tf::DOUBLE + {repr(_BM25_K1)}::DOUBLE
+            * ({_BM25_1MB}::DOUBLE
+               + ({repr(_BM25_B)}::DOUBLE * dl.dl::DOUBLE) / stats.avgdl))),
+      9) AS DECIMAL(18,9)) AS c
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats)
+SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 50
+"""
+
+
+@register("bm25_topk", _BM25_ORACLE, "M6-relevance-bm25")
+def q_bm25_topk(spark, sf_dir):
+    from etl_online_retail_spark.operators.relevance import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
