@@ -74,3 +74,34 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
                         .alias("_c")))
     return (contrib.groupBy(id_col)
             .agg(F.round(F.sum("_c").cast("double"), 6).alias("bm25")))
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document mean token log-probability under the corpus unigram MLE
+    — the classic cheap LM quality score (a perplexity proxy): documents of
+    rare/garbled tokens score low, stereotyped documents score high.
+
+    Output: (id_col, n_tokens, avg_logprob). Per-(doc,term) contributions
+    tf*ln(cnt/T) are rounded to 9dp and summed as DECIMAL so the mean is
+    order-independent; the unigram table is corpus-wide but vocabulary-sized
+    (broadcast), so scoring is one corpus-sized aggregation + one broadcast
+    join.
+    """
+    toks = corpus_terms(docs, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t_total"))
+    contrib = (tf
+               .join(F.broadcast(cnt), "term")
+               .crossJoin(F.broadcast(tot))
+               .select(F.col(id_col), F.col("tf"),
+                       F.round(F.col("tf")
+                               * F.log(F.col("cnt").cast("double")
+                                       / F.col("t_total").cast("double")), 9)
+                        .cast("decimal(18,9)").alias("_c")))
+    return (contrib.groupBy(id_col)
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.round(F.sum("_c").cast("double")
+                         / F.sum("tf").cast("double"), 6)
+                  .alias("avg_logprob")))

@@ -595,6 +595,35 @@ def q_bm25_topk(spark, sf_dir):
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(50)
 
 
+# unigram LM quality score: mean token log-prob under the corpus unigram
+# MLE (cheap perplexity proxy). Same float discipline as BM25.
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim({_NORM}), '\\s+')) AS term
+  FROM documents WHERE trim({_NORM}) <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT COUNT(*) AS t_total FROM toks),
+contrib AS (
+  SELECT tf.doc_id, tf.tf,
+    CAST(ROUND(tf.tf * ln(cnt.cnt::DOUBLE / tot.t_total::DOUBLE), 9)
+         AS DECIMAL(18,9)) AS c
+  FROM tf JOIN cnt USING (term) CROSS JOIN tot)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+  ROUND(CAST(SUM(c) AS DOUBLE) / SUM(tf)::DOUBLE, 6) AS avg_logprob
+FROM contrib GROUP BY doc_id
+"""
+
+
+@register("doc_lm_logprob", _LM_ORACLE, "M6-lm-quality-score")
+def q_doc_lm_logprob(spark, sf_dir):
+    from etl_online_retail_spark.operators.relevance import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
