@@ -624,6 +624,24 @@ def q_doc_lm_logprob(spark, sf_dir):
     return unigram_logprob(docs)
 
 
+# embedding int8 quantization audit: per-vector scale + reconstruction
+# error metrics (the storage/serving path for embeddings at scale).
+
+
+def _quant_oracle() -> str:
+    from etl_online_retail_spark.operators.quantize import quantize_sql
+
+    return quantize_sql()
+
+
+@register("embedding_quantization", _quant_oracle(), "M6-embedding-quantize")
+def q_embedding_quantization(spark, sf_dir):
+    from etl_online_retail_spark.operators.quantize import quantization_audit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantization_audit(emb)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
