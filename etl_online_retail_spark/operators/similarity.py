@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.functions.hashing import PRIME, hash_family
-from etl_online_retail_spark.functions.vectors import as_double, dot, norm
+from etl_online_retail_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    norm,
+)
 
 
 def _plane_sign(plane: int, dim: int, a: int, b: int) -> int:
@@ -206,6 +211,63 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbour_id",
                           F.round("cos_sim", 6).alias("cos_sim"), "rank"))
+
+
+def semantic_dedup(vectors: DataFrame, n_clusters: int = 16,
+                   threshold: float = 0.9, seed: int = 42,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic (embedding-space) deduplication via cluster representatives.
+
+    SemDeDup-style: KMeans-partition the corpus, elect one representative
+    per cluster (nearest the centroid, id tiebreak), drop every other
+    member whose cosine to the representative clears `threshold`. Compared
+    to pairwise near-dup (lsh_near_duplicates) this is O(N·k) — no
+    within-bucket quadratic term at all — at the cost of only comparing
+    against one representative per cluster.
+
+    Output (one row per vector): id_col, cluster_id, cos_to_rep (6dp, 1.0
+    for the representative itself), is_kept. Deterministic under a fixed
+    seed; iterative fit -> rows-only driver check + pytest invariants.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    with_vec = vectors.withColumn("_mlv", array_to_vector(as_double(vec_col)))
+    model = (KMeans(k=n_clusters, seed=seed, featuresCol="_mlv",
+                    predictionCol="_cl")
+             .fit(with_vec))
+    centers = [(i, [float(x) for x in c]) for i, c in
+               enumerate(model.clusterCenters())]
+    centroids = vectors.sparkSession.createDataFrame(
+        centers, "_cl int, _center array<double>")
+
+    assigned = (model.transform(with_vec)
+                .select(F.col(id_col).alias("_id"),
+                        as_double(vec_col).alias("_v"), "_cl")
+                .join(F.broadcast(centroids), "_cl")
+                .withColumn("_dist",
+                            F.aggregate(F.zip_with("_v", "_center",
+                                                   lambda a, b: (a - b) * (a - b)),
+                                        F.lit(0.0), lambda acc, x: acc + x))
+                .drop("_center")
+                .cache())
+
+    w = Window.partitionBy("_cl").orderBy(F.asc("_dist"), F.asc("_id"))
+    reps = (assigned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_cl", F.col("_id").alias("_rep_id"),
+                    F.col("_v").alias("_rep_v")))
+
+    joined = assigned.join(F.broadcast(reps), "_cl")
+    cos = F.round(cosine(F.col("_v"), F.col("_rep_v")), 6)
+    is_rep = F.col("_id") == F.col("_rep_id")
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.col("_cl").cast("int").alias("cluster_id"),
+        F.when(is_rep, F.lit(1.0)).otherwise(cos).alias("cos_to_rep"),
+        (is_rep | (cos < threshold)).alias("is_kept"))
 
 
 # auto plane sizing: choose n_planes so the EXPECTED bucket holds

@@ -723,6 +723,21 @@ def q_embedding_near_dups(spark, sf_dir):
         emb, threshold=COS_THRESHOLD, n_planes=LSH_PLANES, n_dims=EMB_DIMS)
 
 
+# SemDeDup-style semantic dedup: KMeans cluster representatives, drop
+# members near their representative. O(N*k) — no pairwise term at all.
+# Iterative fit -> rows-only driver check (like knn_ivf); pytest asserts
+# the keep/drop invariants and determinism (tests/test_similarity_extras).
+SEMDEDUP_CLUSTERS = 16
+SEMDEDUP_THRESHOLD = 0.5
+
+
+@register("semantic_dedup", None, "M6-dedup-semantic")
+def q_semantic_dedup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, n_clusters=SEMDEDUP_CLUSTERS, threshold=SEMDEDUP_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # grouped-map Pandas UDF (applyInPandas): per-customer order statistics.
 # Medians are order statistics - exact selection arithmetic, so the Arrow

@@ -7,7 +7,7 @@ import __spark_entry__ as entrymod
 from etl_online_retail_spark.workload import _REGISTRY
 
 EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
-                      "knn_vectorized"}
+                      "knn_vectorized", "semantic_dedup"}
 
 
 def test_every_query_has_survey_reference():

@@ -120,3 +120,31 @@ def test_salted_join_matches_plain_join(spark):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")).collect()[0]
     assert (plain.n, plain.q) == (salted.n, salted.q)
+
+
+def test_semantic_dedup_invariants(spark):
+    from etl_online_retail_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    n = emb.count()
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.5, seed=42)
+    rows = out.collect()
+    # one verdict per vector
+    assert len(rows) == n
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cl, members in by_cluster.items():
+        reps = [r for r in members if r.cos_to_rep == 1.0 and r.is_kept]
+        assert len(reps) >= 1  # the representative row survives per cluster
+        for r in members:
+            if r.cos_to_rep == 1.0:
+                assert r.is_kept  # representative always survives
+            elif r.cos_to_rep >= 0.5:
+                assert not r.is_kept  # near the rep -> dropped
+            else:
+                assert r.is_kept  # far from the rep -> kept
+    # deterministic under the fixed seed
+    again = semantic_dedup(emb, n_clusters=8, threshold=0.5, seed=42).collect()
+    assert {(r.vec_id, r.cluster_id, r.is_kept) for r in again} == \
+           {(r.vec_id, r.cluster_id, r.is_kept) for r in rows}
