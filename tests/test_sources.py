@@ -129,3 +129,56 @@ def test_excel_ingestion_without_openpyxl(spark):
                 r1.InvoiceDate.day, r1.InvoiceDate.hour,
                 r1.InvoiceDate.minute) == (2010, 12, 1, 8, 26)
         assert r1.Country == "UK"
+
+
+def test_jsonl_roundtrip_documents(spark):
+    from etl_online_retail_spark.sources.formats import read_jsonl, write_jsonl
+
+    docs = load_table(spark, "documents", SF)
+    with tempfile.TemporaryDirectory() as d:
+        write_jsonl(docs, f"{d}/docs")
+        back = read_jsonl(spark, f"{d}/docs", docs.schema)
+        assert back.count() == docs.count()
+        a = docs.agg(F.sum("doc_id"), F.sum(F.length("text"))).collect()[0]
+        b = back.agg(F.sum("doc_id"), F.sum(F.length("text"))).collect()[0]
+        assert tuple(a) == tuple(b)
+
+
+def test_jsonl_permissive_nulls_malformed_strict_raises(spark):
+    import os
+
+    from etl_online_retail_spark.sources.formats import (
+        read_jsonl,
+        read_jsonl_strict,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "part-0.jsonl")
+        with open(p, "w") as f:
+            f.write('{"doc_id": 1, "text": "ok"}\n')
+            f.write('{"doc_id": "NOT_A_NUMBER", "text": "bad"}\n')
+        schema = "doc_id long, text string"
+        rows = read_jsonl(spark, d, schema).collect()
+        assert len(rows) == 2  # permissive: row kept, bad field nulled
+        assert sorted([r.doc_id for r in rows], key=str) == [1, None]
+        try:
+            read_jsonl_strict(spark, d, schema).collect()
+            raised = False
+        except Exception:
+            raised = True
+        assert raised, "FAILFAST must abort on the malformed line"
+
+
+def test_orc_roundtrip_preserves_types_and_pushdown(spark):
+    from etl_online_retail_spark.sources.formats import read_orc, write_orc
+
+    orders = load_table(spark, "orders", SF)
+    with tempfile.TemporaryDirectory() as d:
+        write_orc(orders, f"{d}/orders")
+        back = read_orc(spark, f"{d}/orders", orders.schema)
+        assert back.schema == orders.schema
+        assert back.count() == orders.count()
+        # predicate pushdown reaches the ORC scan
+        plan = (back.filter(F.col("o_orderkey") == 7)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PushedFilters: [" in plan and "o_orderkey" in plan
