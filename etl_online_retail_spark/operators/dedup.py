@@ -267,6 +267,79 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                          F.col("label").alias("cluster_id"))
 
 
+def duplicate_clusters_star(pairs: DataFrame,
+                            max_iterations: int = 12) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds.
+
+    Same contract as duplicate_clusters — (doc_id, cluster_id = component
+    min) — but O(log^2 n) rounds instead of O(diameter): the scale path for
+    adversarial graphs (long chains) where min-label propagation needs a
+    round per hop. Near-dup graphs are shallow, so propagation stays the
+    default; this variant exists for the pathological shapes.
+
+    large-star: every node's strictly-larger neighbours re-attach to the
+    minimum of its closed neighbourhood. small-star: smaller-or-equal
+    neighbours (on edges oriented big->small) do the same. Both are one
+    groupBy + one join per round over the current edge set; each round's
+    frontier is cut with an eager localCheckpoint exactly like the
+    propagation loop (lazy lineage would otherwise stack all rounds).
+    Rounds are driver-coordinated but the per-round work is fully
+    distributed (the same trade Spark ML's KMeans makes).
+    """
+    nodes = (pairs.select(F.col("id_a").alias("node"))
+             .unionByName(pairs.select(F.col("id_b").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    def _checksum(e: DataFrame) -> tuple:
+        # bit_xor never overflows (ANSI-safe), and is multiset-insensitive
+        # only to duplicate rows — which distinct() already removed
+        row = e.agg(F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(src, dst))").alias("h")).collect()[0]
+        return (row.n, row.h)
+
+    prev = None
+    for _ in range(max_iterations):
+        # large-star over the bidirected edge set
+        bi = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = (bi.groupBy("src")
+                .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+        edges = (bi.join(mins, "src")
+                 .filter(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .filter(F.col("src") != F.col("dst"))
+                 .distinct())
+        # small-star over big->small oriented edges
+        oriented = edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"))
+        mins = (oriented.groupBy("src")
+                .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
+        joined = oriented.join(mins, "src")
+        edges = (joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .unionByName(joined.select("src", F.col("m").alias("dst")))
+                 .filter(F.col("src") != F.col("dst"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged edge set is a star forest: node -> component min; roots
+    # (and isolated nodes) label themselves
+    labels = edges.groupBy("src").agg(F.min("dst").alias("_root"))
+    return (nodes.join(labels, nodes.node == labels.src, "left")
+            .select(F.col("node").alias("doc_id"),
+                    F.coalesce(F.col("_root"), F.col("node"))
+                     .alias("cluster_id")))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             n: int = 2, mode: str = "word") -> DataFrame:
     """Per-document SimHash signature (SIMHASH_BITS bits) over shingle hashes.

@@ -207,6 +207,18 @@ def q_duplicate_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs)
 
 
+# Same contract, star-contraction algorithm (O(log^2 n) rounds — the
+# adversarial-graph scale path, ROADMAP r1 #6): shares the oracle, so the
+# driver proves both algorithms produce identical components.
+@register("duplicate_clusters_star", _CLUSTERS_ORACLE, "M6-dedup-clusters-star")
+def q_duplicate_clusters_star(spark, sf_dir):
+    pairs = dedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        n=SHINGLE_N, k=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD)
+    return dedup.duplicate_clusters_star(pairs)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
