@@ -52,6 +52,13 @@ HEADLINE = [
     "events_pairs_within",
     "virtual_dataset_window",
     "fact_table_build",
+    "user_segment_scd2",
+    "events_pit_segment",
+    "sequence_packing",
+    "bm25_topk",
+    "doc_lm_logprob",
+    "embedding_quantization",
+    "semantic_dedup",
 ]
 
 TIMED_RUNS = 2

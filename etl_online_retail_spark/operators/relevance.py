@@ -51,7 +51,10 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
 
     Output: (id_col, bm25) for documents containing >= 1 query term.
     """
-    toks = corpus_terms(docs, id_col, text_col)
+    # toks feeds dl, the corpus scalars AND the hit set — cached so the
+    # tokenize (normalize regexes + split + explode) runs once, not once
+    # per consuming subtree
+    toks = corpus_terms(docs, id_col, text_col).cache()
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -88,7 +91,8 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     (broadcast), so scoring is one corpus-sized aggregation + one broadcast
     join.
     """
-    toks = corpus_terms(docs, id_col, text_col)
+    # cached: feeds tf, the unigram table and the total (3 subtrees)
+    toks = corpus_terms(docs, id_col, text_col).cache()
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     tot = toks.agg(F.count(F.lit(1)).alias("t_total"))
