@@ -89,6 +89,38 @@ def main() -> None:
 
     timed(f"jaccard (auto cap) @ {factor}x", jaccard_capped)
 
+    # round-2 operators: all single-window or explode+agg shapes that must
+    # stay linear-ish. SCD2 windows partition by user (key space scales
+    # with the copies); packing windows partition by source; BM25/LM are
+    # explode + two hash aggs; quantization is pure per-row.
+    ev = replicate(load_table(spark, "events", SF_DIR), factor,
+                   {"user_id": 10_000_000, "event_id": 10_000_000})
+
+    def scd2():
+        from etl_online_retail_spark.operators.scd import scd2_from_changelog
+
+        (scd2_from_changelog(ev, "user_id", ["event_type"], "ts", "event_id")
+         .write.format("noop").mode("overwrite").save())
+
+    def packing():
+        from etl_online_retail_spark.functions.text import token_count
+        from etl_online_retail_spark.operators.packing import pack_sequences
+
+        (pack_sequences(docs.select("source", "doc_id",
+                                    token_count("text").alias("_tok")),
+                        budget=512, tokens_col="_tok")
+         .write.format("noop").mode("overwrite").save())
+
+    def bm25():
+        from etl_online_retail_spark.operators.relevance import bm25_scores
+
+        (bm25_scores(docs, ("hash", "join", "vector"))
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"scd2 changelog collapse @ {factor}x", scd2)
+    timed(f"sequence packing @ {factor}x", packing)
+    timed(f"bm25 scoring @ {factor}x", bm25)
+
     # Embedding-LSH plane scaling: candidate pairs = sum over buckets of
     # C(n,2). Computed from the bucket histogram (O(N)), so the quadratic
     # candidate set is never materialized. auto_n_planes grows the plane
