@@ -213,6 +213,87 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                           F.round("cos_sim", 6).alias("cos_sim"), "rank"))
 
 
+def write_ivf_index(corpus: DataFrame, path: str, n_clusters: int = 16,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index as a partitioned table: the 100 TB layout.
+
+    `ivf_topk` holds the centroid assignment in memory; at warehouse scale
+    the inverted lists are written ONCE, partitioned by centroid id, so a
+    probe becomes a partition-pruned scan — Spark reads only the n_probe
+    directories a query set touches and never opens the rest of the corpus.
+    Layout: {path}/vectors/_centroid=K/*.parquet + {path}/centroids/.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = corpus.withColumn("_mlv", array_to_vector(as_double(vec_col)))
+    model = (KMeans(k=n_clusters, seed=seed, featuresCol="_mlv",
+                    predictionCol="_centroid")
+             .fit(with_vec))
+    (model.transform(with_vec)
+     .select(id_col, vec_col, "_centroid")
+     .write.mode("overwrite").partitionBy("_centroid")
+     .parquet(f"{path}/vectors"))
+    centers = [(i, [float(x) for x in c]) for i, c in
+               enumerate(model.clusterCenters())]
+    (corpus.sparkSession.createDataFrame(
+        centers, "_centroid int, _center array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
+                     n_probe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Probe a written IVF index (see write_ivf_index) for cosine top-k.
+
+    The query set is serving-sized (same assumption as the vectorized
+    brute force): its probe centroids are chosen driver-side against the
+    tiny centroid table, and the corpus scan carries a
+    `_centroid IN (union of probes)` filter — partition pruning means only
+    the probed inverted lists are read at all. Scoring joins each pruned
+    list with ONLY the queries probing it (broadcast), so work is
+    sum(|list| x |queries probing it|), never corpus-sized.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    centers = spark.read.parquet(f"{path}/centroids").collect()
+    c_ids = np.array([r._centroid for r in centers])
+    c_mat = np.array([r._center for r in centers], dtype=np.float64)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        d = ((c_mat - qv) ** 2).sum(axis=1)
+        order = np.lexsort((c_ids, d))[:n_probe]  # distance, id tiebreak
+        probe_pairs += [(int(r[0]), [float(x) for x in qv], int(c_ids[i]))
+                        for i in order]
+    probes = spark.createDataFrame(
+        probe_pairs, f"query_id bigint, _qv array<double>, _centroid int")
+    probed_parts = sorted({c for _, _, c in probe_pairs})
+
+    lists = (spark.read.parquet(f"{path}/vectors")
+             .filter(F.col("_centroid").isin(probed_parts))
+             .select(F.col(id_col).alias("neighbour_id"),
+                     as_double(vec_col).alias("_cv"), "_centroid")
+             .withColumn("_cn", norm(F.col("_cv"))))
+    q = probes.withColumn("_qn", norm(F.col("_qv")))
+    denom = F.col("_qn") * F.col("_cn")
+    scored = (lists.join(F.broadcast(q), "_centroid")
+              .filter(F.col("query_id") != F.col("neighbour_id"))
+              .withColumn("cos_sim",
+                          F.when(denom == 0.0, F.lit(0.0))
+                           .otherwise(dot(F.col("_qv"), F.col("_cv")) / denom)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbour_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbour_id",
+                          F.round("cos_sim", 6).alias("cos_sim"), "rank"))
+
+
 def semantic_dedup(vectors: DataFrame, n_clusters: int = 16,
                    threshold: float = 0.9, seed: int = 42,
                    id_col: str = "vec_id",

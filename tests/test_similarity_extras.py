@@ -148,3 +148,35 @@ def test_semantic_dedup_invariants(spark):
     again = semantic_dedup(emb, n_clusters=8, threshold=0.5, seed=42).collect()
     assert {(r.vec_id, r.cluster_id, r.is_kept) for r in again} == \
            {(r.vec_id, r.cluster_id, r.is_kept) for r in rows}
+
+
+def test_ivf_written_index_prunes_partitions(spark, tmp_path):
+    from etl_online_retail_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_clusters=8, seed=42)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ivf_topk_indexed(spark, path, queries, k=5, n_probe=4)
+
+    # the probe scan must carry the centroid partition filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_centroid" in plan.split(
+        "PartitionFilters")[1][:200], plan[:2000]
+
+    # probing half the lists recovers a solid fraction of true neighbours
+    exact = {(r.query_id, r.neighbour_id)
+             for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbour_id) for r in out.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"indexed IVF recall too low: {recall:.2f}"
+    # every query returns exactly k rows
+    assert len(approx) == 5 * queries.count()
+    # the written index probe agrees with the in-memory IVF at equal params
+    mem = {(r.query_id, r.neighbour_id)
+           for r in ivf_topk(emb, queries, k=5, n_clusters=8,
+                             n_probe=4).collect()}
+    assert approx == mem
