@@ -35,6 +35,74 @@ def idempotent_batch_write(batch_df: DataFrame, batch_id: int,
      .parquet(out_dir))
 
 
+def upsert_batch_write(batch_df: DataFrame, batch_id: int, table_dir: str,
+                       key_cols: list[str], order_col: str,
+                       n_shards: int = 16) -> None:
+    """MERGE-style keyed upsert of one micro-batch into a parquet table.
+
+    Parquet has no MERGE INTO, so the upsert is read-merge-overwrite over
+    HASH SHARDS of the key space: the table is laid out as
+    `_shard=hash(key) % n_shards` partitions, the batch only touches the
+    shards its keys map to, and dynamic partition overwrite rewrites
+    exactly those shards. Within a shard, old and new rows union and
+    keep-last by (key, order_col) — a replayed batch re-merges to the
+    identical shard contents, so the write is idempotent without a
+    _batch_id column in the table.
+
+    Cost model: each batch rewrites ~(touched shards / n_shards) of the
+    table. Size n_shards so a shard ~= a comfortable rewrite unit
+    (128-512 MB at warehouse scale); a true MERGE sink (Delta/Iceberg or
+    JDBC MERGE) replaces this wholesale when available — the interface
+    (key_cols + order_col) is exactly what those take.
+    """
+    import os
+
+    from etl_online_retail_spark.operators.dedup import keep_last
+
+    spark = batch_df.sparkSession
+    # pmod, not abs(hash) % n: hash() can return INT_MIN and ANSI abs()
+    # overflows on it
+    shard = F.pmod(F.hash(*key_cols), F.lit(n_shards))
+    incoming = batch_df.withColumn("_shard", shard)
+    touched = [r._shard for r in incoming.select("_shard").distinct().collect()]
+    if not touched:
+        return
+    if os.path.isdir(table_dir):
+        existing = (spark.read.parquet(table_dir)
+                    .filter(F.col("_shard").isin(touched)))
+        merged_in = existing.unionByName(incoming)
+    else:
+        merged_in = incoming
+    merged = keep_last(merged_in, key_cols, [F.desc(order_col)])
+    # the merge READS the table it overwrites: cut the lineage (materialize
+    # to executor storage) before the write, or Spark rejects the
+    # read-and-overwrite cycle
+    merged = merged.localCheckpoint(eager=True)
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_shard")
+     .parquet(table_dir))
+
+
+def incremental_upsert(stream_df: DataFrame, table_dir: str,
+                       checkpoint_dir: str, key_cols: list[str],
+                       order_col: str,
+                       n_shards: int = 16) -> StreamingQuery:
+    """Streaming keyed upsert: latest row per key wins (SCD1 semantics on
+    a live table). Checkpointed source + idempotent shard re-merge =
+    effectively exactly-once."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_batch_write(batch_df, batch_id, table_dir, key_cols,
+                           order_col, n_shards)
+
+    return (stream_df.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def incremental_append(stream_df: DataFrame, out_dir: str,
                        checkpoint_dir: str,
                        partition_by: str = "event_type") -> StreamingQuery:

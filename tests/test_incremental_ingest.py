@@ -43,3 +43,54 @@ def test_batch_replay_is_idempotent(spark):
         assert spark.read.parquet(out).count() == n
         idempotent_batch_write(batch, 1, out)  # a NEW batch appends
         assert spark.read.parquet(out).count() == 2 * n
+
+
+def test_upsert_batch_latest_row_wins_and_replay_idempotent(spark):
+    from etl_online_retail_spark.streaming.ingest import upsert_batch_write
+
+    def table(rows):
+        return spark.createDataFrame(rows, "k long, v string, seq long")
+
+    with tempfile.TemporaryDirectory() as d:
+        t = f"{d}/tbl"
+        b0 = table([(1, "a", 1), (2, "b", 1), (3, "c", 1)])
+        upsert_batch_write(b0, 0, t, ["k"], "seq", n_shards=4)
+        got = {r.k: r.v for r in spark.read.parquet(t).collect()}
+        assert got == {1: "a", 2: "b", 3: "c"}
+
+        # batch 1 updates key 1, inserts key 4
+        b1 = table([(1, "a2", 2), (4, "d", 2)])
+        upsert_batch_write(b1, 1, t, ["k"], "seq", n_shards=4)
+        got = {r.k: r.v for r in spark.read.parquet(t).collect()}
+        assert got == {1: "a2", 2: "b", 3: "c", 4: "d"}
+
+        # crash-replay of batch 1: identical table afterwards
+        upsert_batch_write(b1, 1, t, ["k"], "seq", n_shards=4)
+        again = {r.k: r.v for r in spark.read.parquet(t).collect()}
+        assert again == got
+        assert spark.read.parquet(t).count() == 4
+
+        # out-of-order replay of an OLD version must not regress the row
+        upsert_batch_write(b0, 0, t, ["k"], "seq", n_shards=4)
+        assert {r.k: r.v for r in spark.read.parquet(t).collect()}[1] == "a2"
+
+
+def test_incremental_upsert_stream_end_to_end(spark):
+    from etl_online_retail_spark.streaming.events import read_event_stream
+    from etl_online_retail_spark.streaming.ingest import incremental_upsert
+
+    # latest event per user: the SCD1 live-table use case
+    with tempfile.TemporaryDirectory() as d:
+        t, ckpt = f"{d}/tbl", f"{d}/ckpt"
+        q = incremental_upsert(read_event_stream(spark, SF), t, ckpt,
+                               key_cols=["user_id"], order_col="ts")
+        q.awaitTermination()
+        ev = load_events(spark, SF)
+        n_users = ev.select("user_id").distinct().count()
+        tbl = spark.read.parquet(t)
+        assert tbl.count() == n_users
+        # restart with the same checkpoint: no new input, table unchanged
+        q2 = incremental_upsert(read_event_stream(spark, SF), t, ckpt,
+                                key_cols=["user_id"], order_col="ts")
+        q2.awaitTermination()
+        assert spark.read.parquet(t).count() == n_users
