@@ -390,6 +390,38 @@ def q_smart_key_range(spark, sf_dir):
                    .alias("total_price")))
 
 
+# §2.6 extension — ntile quantile bucketing: customer spend deciles.
+# The decile assignment is a global total sort (exact-decimal spend,
+# custkey tiebreak -> deterministic buckets on both engines); at scale this
+# is the one window that genuinely wants approx percentiles instead
+# (length_percentiles_by_source is that path).
+
+@register(
+    "customer_spend_deciles",
+    "WITH spend AS ("
+    "  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s "
+    "  FROM orders GROUP BY o_custkey), "
+    "d AS ("
+    "  SELECT s, NTILE(10) OVER (ORDER BY s DESC, o_custkey) AS decile "
+    "  FROM spend) "
+    "SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_customers, "
+    "CAST(SUM(s) AS DOUBLE) AS decile_spend "
+    "FROM d GROUP BY decile",
+    "W-ntile-quantile-bucketing",
+)
+def q_customer_spend_deciles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(money.exact("o_totalprice")).alias("_s")))
+    w = Window.orderBy(F.desc("_s"), F.asc("o_custkey"))
+    return (spend.withColumn("decile", F.ntile(10).over(w))
+            .groupBy(F.col("decile").cast("int").alias("decile"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("_s").cast("double").alias("decile_spend")))
+
+
 # §2.3 F7 — HAVING (post-aggregation filter)
 
 @register(
