@@ -44,3 +44,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# --- streaming SCD2: the changelog collapse (operators/scd.py) as a live
+# CDC-apply. State per key = (cursor ts+id, current segment, version); each
+# micro-batch is sorted per key and replayed through the state machine,
+# emitting one row per NEW version. Contract: per-key monotone cursor —
+# rows at-or-behind the cursor (replays, late arrivals) are dropped, the
+# standard CDC-apply semantics; a reorder buffer (watermark-delayed apply)
+# would slot in front of this operator for out-of-order sources.
+
+SCD2_OUTPUT_SCHEMA = ("user_id bigint, version int, segment string, "
+                      "effective_from timestamp")
+SCD2_STATE_SCHEMA = "last_us bigint, last_eid bigint, seg string, ver int"
+
+
+def _scd2_apply(key: tuple, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_us, last_eid, seg, ver = state.get
+    else:
+        last_us, last_eid, seg, ver = -1, -1, None, 0
+    out_user, out_ver, out_seg, out_from = [], [], [], []
+    for pdf in pdfs:
+        for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+            ts_us = r.ts.value // 1000
+            if (ts_us, r.event_id) <= (last_us, last_eid):
+                continue  # replay or late arrival behind the cursor
+            if seg is None or r.event_type != seg:
+                ver += 1
+                seg = r.event_type
+                out_user.append(key[0])
+                out_ver.append(ver)
+                out_seg.append(seg)
+                out_from.append(r.ts)
+            last_us, last_eid = ts_us, r.event_id
+    state.update((last_us, last_eid, seg, ver))
+    yield pd.DataFrame({"user_id": out_user, "version": out_ver,
+                        "segment": out_seg, "effective_from": out_from})
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Live SCD2 version emission: one output row per (user, new version),
+    matching the batch scd2_from_changelog's opens (the open version has
+    no effective_to yet by definition — close it downstream with the next
+    version's effective_from, exactly like the batch lead())."""
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _scd2_apply,
+                outputStructType=SCD2_OUTPUT_SCHEMA,
+                stateStructType=SCD2_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

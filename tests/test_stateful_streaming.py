@@ -38,3 +38,30 @@ def test_running_totals_reach_batch_values(spark):
     for user, (n, v) in want.items():
         assert final[user][0] == n
         assert abs(final[user][1] - v) < 0.05  # float sum vs rounded state
+
+
+def test_scd2_stream_matches_batch_collapse(spark):
+    from etl_online_retail_spark.operators.scd import scd2_from_changelog
+    from etl_online_retail_spark.streaming.stateful import scd2_stream
+
+    stream = read_event_stream(spark, SF)
+    q = (scd2_stream(stream)
+         .writeStream.format("memory").queryName("scd2_live")
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    live = {(r.user_id, r.version, r.segment)
+            for r in spark.sql("SELECT * FROM scd2_live").collect()}
+
+    batch = scd2_from_changelog(load_events(spark, SF), "user_id",
+                                ["event_type"], "ts", "event_id")
+    want = {(r.user_id, r.version, r.event_type) for r in batch.collect()}
+    assert live == want
+
+    # effective_from timestamps agree too (compare as epoch micros to be
+    # representation-agnostic)
+    live_ts = {(r.user_id, r.version): r.effective_from
+               for r in spark.sql("SELECT * FROM scd2_live").collect()}
+    for r in batch.collect():
+        assert live_ts[(r.user_id, r.version)] == r.effective_from
