@@ -440,6 +440,25 @@ def q_length_percentiles_by_source(spark, sf_dir):
                  F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99")))
 
 
+# sketch path for percentiles: approx_percentile (KLL-style) — the 100 TB
+# twin of length_percentiles_by_source's exact interpolation. Approximate
+# by contract -> rows-only driver check; the error bound vs the exact
+# percentiles is pytest-asserted (tests/test_curation.py).
+
+
+@register("approx_length_percentiles", None, "M6-text-percentiles-sketch")
+def q_approx_length_percentiles(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.percentile_approx("n_chars", F.lit(0.5), F.lit(1000))
+                  .alias("p50"),
+                 F.percentile_approx("n_chars", F.lit(0.9), F.lit(1000))
+                  .alias("p90"),
+                 F.percentile_approx("n_chars", F.lit(0.99), F.lit(1000))
+                  .alias("p99")))
+
+
 # curation: benchmark decontamination (eval-set n-gram overlap) — the
 # pretraining hygiene op. Eval set = doc_id % DECON_EVAL_MOD == 0.
 

@@ -40,3 +40,22 @@ def test_stratified_sample_rates_and_determinism(spark):
     # unsampled strata intact
     assert s1.filter(F.col("lang") == "de").count() == \
         docs.filter(F.col("lang") == "de").count()
+
+
+def test_approx_percentiles_track_exact(spark):
+    """The sketch percentiles must sit within rank tolerance of the exact
+    order statistics (accuracy=1000 -> epsilon = 1/1000 of the rank)."""
+    docs = load_table(spark, "documents", SF).cache()
+    import __spark_entry__ as entry
+
+    approx = {r.source: r for r in
+              entry.queries()["approx_length_percentiles"](spark, SF).collect()}
+    for src_row in (docs.groupBy("source")
+                    .agg(F.expr("percentile_approx(n_chars, 0.5, 2147483647)")
+                          .alias("exact_p50"))
+                    .collect()):
+        a = approx[src_row.source]
+        # per-group n is small at this SF, so exact and sketch agree on
+        # the discrete median element
+        assert a.p50 == src_row.exact_p50
+        assert a.p50 <= a.p90 <= a.p99

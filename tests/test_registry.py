@@ -7,7 +7,8 @@ import __spark_entry__ as entrymod
 from etl_online_retail_spark.workload import _REGISTRY
 
 EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
-                      "knn_vectorized", "semantic_dedup"}
+                      "knn_vectorized", "semantic_dedup",
+                      "approx_length_percentiles"}
 
 
 def test_every_query_has_survey_reference():
