@@ -59,6 +59,8 @@ HEADLINE = [
     "doc_lm_logprob",
     "embedding_quantization",
     "semantic_dedup",
+    "customer_spend_deciles",
+    "approx_length_percentiles",
 ]
 
 TIMED_RUNS = 2

@@ -1,0 +1,181 @@
+"""Distributed BPE vocabulary training (Sennrich-style merge learning).
+
+The workload's bpe_ish_token_count APPLIES a fixed pre-tokenization; this
+module LEARNS the merge table itself from the corpus — the actual
+tokenizer-training step of an LLM data pipeline.
+
+Classic formulation: train on the word-frequency dictionary, not the raw
+corpus. The corpus-sized work is ONE aggregation (word counts); every
+merge round then runs over the vocabulary-sized table — adjacent-pair
+counting is an explode + hash aggregation, the argmax pair is a driver
+decision (same driver-coordinated-loop trade as Spark ML's KMeans), and
+the merge application is an Arrow-batched pandas UDF over the word table.
+State per round is bounded by |vocab|, never |corpus|.
+
+Determinism: the winning pair breaks ties lexicographically, so the merge
+sequence is reproducible across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_online_retail_spark.functions.text import normalize, tokens
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the normalized corpus — the BPE training input."""
+    norm = normalize(text_col)
+    return (docs
+            .filter(F.trim(norm) != "")
+            .select(F.explode(tokens(norm)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _adjacent_pairs(syms_col):
+    """Adjacent symbol pairs of an array: zip(arr[:-1], arr[1:])."""
+    n = F.size(syms_col)
+    return F.zip_with(
+        F.slice(syms_col, 1, n - 1),
+        F.slice(syms_col, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit("\x00"), b))
+
+
+BPE_DRIVER_VOCAB_THRESHOLD = 65536
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 50,
+              text_col: str = "text",
+              driver_threshold: int = BPE_DRIVER_VOCAB_THRESHOLD,
+              ) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus; returns the ordered
+    merge list [(left, right), ...].
+
+    The corpus-sized aggregation (word frequencies) always runs
+    distributed. The merge loop then picks its venue by vocab size — the
+    same trade as a broadcast join threshold: a vocabulary under
+    `driver_threshold` rows collects once and loops in memory (a 20-round
+    distributed loop on a tiny vocab is pure scheduler overhead), a larger
+    one runs distributed rounds: pair count = explode + hash aggregation,
+    argmax on the driver (count desc, pair asc — deterministic), merge
+    application via an Arrow-batched pandas UDF, lineage cut per round
+    with eager localCheckpoints. Both venues execute the identical
+    algorithm and tiebreak, so the merge sequence is venue-independent
+    (asserted in tests/test_bpe.py).
+    """
+    wf = word_frequencies(docs, text_col)
+    n_vocab = wf.count()
+    if n_vocab <= driver_threshold:
+        freqs = {r.word: r.freq for r in wf.collect()}
+        return _train_in_memory(freqs, n_merges)
+
+    words = (wf
+             .select(F.split(F.col("word"), "").alias("syms"), "freq")
+             .localCheckpoint(eager=True))
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (words
+               .select(F.explode(_adjacent_pairs(F.col("syms"))).alias("pair"),
+                       "freq")
+               .groupBy("pair")
+               .agg(F.sum("freq").alias("n"))
+               .orderBy(F.desc("n"), F.asc("pair"))
+               .limit(1)
+               .collect())
+        if not top:
+            break
+        left, right = top[0].pair.split("\x00")
+        merges.append((left, right))
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _apply(col: pd.Series) -> pd.Series:
+            def merge_word(syms: list) -> list:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                return out
+            return col.map(merge_word)
+
+        words = (words.select(_apply(F.col("syms")).alias("syms"), "freq")
+                 .localCheckpoint(eager=True))
+    return merges
+
+
+def _train_in_memory(word_freqs: dict[str, int],
+                     n_merges: int) -> list[tuple[str, str]]:
+    """The same merge loop on a collected vocabulary (small-side venue)."""
+    vocab: dict[tuple, int] = {}
+    for w, f in word_freqs.items():
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + f
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        # identical tiebreak to the distributed argmax: count desc, then
+        # the NUL-joined pair string ascending
+        best = min(pairs.items(),
+                   key=lambda kv: (-kv[1], kv[0][0] + "\x00" + kv[0][1]))[0]
+        merges.append(best)
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new_vocab[k] = new_vocab.get(k, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]],
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge list: (id, n_tokens_bpe) per document.
+
+    One Arrow-batched pass; the merge list ships in the closure (it is
+    vocabulary-sized — broadcast-small by construction).
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf(T.IntegerType())
+    def _count(col: pd.Series) -> pd.Series:
+        def encode(word: str) -> int:
+            syms = list(word)
+            while len(syms) > 1:
+                best, best_rank = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = i, r
+                if best is None:
+                    break
+                syms[best:best + 2] = [syms[best] + syms[best + 1]]
+            return len(syms)
+        return col.map(lambda txt: sum(encode(w) for w in txt.split()))
+
+    norm = normalize(text_col)
+    return docs.select(F.col(id_col),
+                       _count(F.trim(norm)).alias("n_tokens_bpe"))

@@ -440,6 +440,25 @@ def q_length_percentiles_by_source(spark, sf_dir):
                  F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99")))
 
 
+# BPE vocabulary training: learn the merge table itself (iterative,
+# driver-coordinated rounds over the vocab-sized word table -> no SQL
+# oracle; merge-sequence equality vs an in-memory reference BPE is
+# pytest-asserted in tests/test_bpe.py).
+
+BPE_MERGES = 20
+
+
+@register("bpe_vocab_merges", None, "M6-bpe-train")
+def q_bpe_vocab_merges(spark, sf_dir):
+    from etl_online_retail_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, left, right) for i, (left, right) in enumerate(merges)],
+        "rank int, left string, right string")
+
+
 # sketch path for percentiles: approx_percentile (KLL-style) — the 100 TB
 # twin of length_percentiles_by_source's exact interpolation. Approximate
 # by contract -> rows-only driver check; the error bound vs the exact

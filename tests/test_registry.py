@@ -8,7 +8,7 @@ from etl_online_retail_spark.workload import _REGISTRY
 
 EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
                       "knn_vectorized", "semantic_dedup",
-                      "approx_length_percentiles"}
+                      "approx_length_percentiles", "bpe_vocab_merges"}
 
 
 def test_every_query_has_survey_reference():
