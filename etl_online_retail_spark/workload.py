@@ -545,6 +545,56 @@ def q_events_sliding(spark, sf_dir):
                     .cast("double").alias("total_value")))
 
 
+# funnel analysis: staged conversion view -> click-after-view ->
+# purchase-after-click. Three conditional aggregations over the SAME
+# user_id partitioning (Catalyst reuses the shuffle); strictly-after
+# ordering makes each stage's min deterministic.
+
+@register(
+    "funnel_conversion",
+    "WITH v AS ("
+    "  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts"
+    "  FROM events GROUP BY user_id), "
+    "c AS ("
+    "  SELECT e.user_id, v.v_ts, "
+    "    MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.v_ts "
+    "        THEN e.ts END) AS c_ts "
+    "  FROM events e JOIN v ON e.user_id = v.user_id "
+    "  GROUP BY e.user_id, v.v_ts), "
+    "p AS ("
+    "  SELECT e.user_id, c.v_ts, c.c_ts, "
+    "    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c_ts "
+    "        THEN e.ts END) AS p_ts "
+    "  FROM events e JOIN c ON e.user_id = c.user_id "
+    "  GROUP BY e.user_id, c.v_ts, c.c_ts) "
+    "SELECT COUNT(*) AS n_users, "
+    "COUNT(v_ts) AS n_viewed, "
+    "COUNT(c_ts) AS n_clicked_after_view, "
+    "COUNT(p_ts) AS n_purchased_after_click "
+    "FROM p",
+    "M6-funnel-analysis",
+)
+def q_funnel_conversion(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = (ev.groupBy("user_id")
+         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+              .alias("v_ts")))
+    c = (ev.join(v, "user_id")
+         .groupBy("user_id", "v_ts")
+         .agg(F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("v_ts")), F.col("ts")))
+              .alias("c_ts")))
+    p = (ev.join(c, "user_id")
+         .groupBy("user_id", "v_ts", "c_ts")
+         .agg(F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") > F.col("c_ts")), F.col("ts")))
+              .alias("p_ts")))
+    return p.agg(F.count(F.lit(1)).alias("n_users"),
+                 F.count("v_ts").alias("n_viewed"),
+                 F.count("c_ts").alias("n_clicked_after_view"),
+                 F.count("p_ts").alias("n_purchased_after_click"))
+
+
 @register(
     "revenue_pivot_by_flag",
     # pivot == conditional aggregation; column names must match Spark's
