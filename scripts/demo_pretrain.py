@@ -1,0 +1,81 @@
+"""End-to-end pretraining-data export: the LLM-pipeline user story.
+
+documents.parquet -> curate (quality floor + exact dedup + MinHash
+near-dup) -> train/val/test split -> pack the train split into
+fixed-budget sequences -> write sharded JSONL, one directory per split —
+the layout a training loader consumes. Every stage is an operator from
+this repo; nothing here is bespoke. Run: python scripts/demo_pretrain.py
+[sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.catalog import load_table
+from etl_online_retail_spark.functions.text import token_count
+from etl_online_retail_spark.operators.curation import curate_corpus, with_split
+from etl_online_retail_spark.operators.packing import (
+    pack_sequences,
+    packing_summary,
+)
+from etl_online_retail_spark.session import get_spark
+from etl_online_retail_spark.sources.formats import write_jsonl
+
+PACK_BUDGET = 512
+
+
+def run_export(spark, sf_dir: str, out_dir: str) -> dict:
+    docs = load_table(spark, "documents", sf_dir)
+    n_raw = docs.count()
+
+    curated = curate_corpus(docs).select("doc_id", "quality")
+    corpus = (docs.join(curated, "doc_id")
+              .select("doc_id", "source", "text", "quality"))
+    n_curated = corpus.count()
+
+    split = with_split(corpus)  # deterministic hash split
+    train = split.filter(F.col("split") == "train")
+    packed = pack_sequences(
+        train.select("source", "doc_id", "text",
+                     token_count("text").alias("_tok")),
+        budget=PACK_BUDGET, tokens_col="_tok")
+
+    stats = {r.source: r for r in packing_summary(packed).collect()}
+    for name in ("train", "val", "test"):
+        part = split.filter(F.col("split") == name)
+        if name == "train":
+            part = packed.select("doc_id", "source", "text", "n_tokens",
+                                 "start_offset", "first_seq", "last_seq")
+        write_jsonl(part, f"{out_dir}/{name}")
+
+    n_train = spark.read.json(f"{out_dir}/train").count()
+    n_val = spark.read.json(f"{out_dir}/val").count()
+    n_test = spark.read.json(f"{out_dir}/test").count()
+    return {
+        "raw_docs": n_raw,
+        "curated_docs": n_curated,
+        "train": n_train, "val": n_val, "test": n_test,
+        "train_sequences": sum(s.n_sequences for s in stats.values()),
+        "train_tokens": sum(s.total_tokens for s in stats.values()),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = (sys.argv[2] if len(sys.argv) > 2
+               else tempfile.mkdtemp(prefix="pretrain_export_"))
+    spark = get_spark("demo-pretrain")
+    report = run_export(spark, sf_dir, out_dir)
+    print(f"exported to {out_dir}")
+    for k, v in report.items():
+        print(f"  {k}: {v:,}")
+
+
+if __name__ == "__main__":
+    main()
