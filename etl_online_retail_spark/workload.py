@@ -545,6 +545,44 @@ def q_events_sliding(spark, sf_dir):
                     .cast("double").alias("total_value")))
 
 
+# rolling time-range window: per-user trailing-7-day event value. A RANGE
+# frame over epoch-microseconds (not ROWS — gaps in activity must shrink
+# the window), decimal-exact sum -> order-independent oracle hash.
+
+@register(
+    "rolling_7d_user_value",
+    "SELECT user_id, event_id, ts, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER ("
+    "  PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "  AS value_7d, "
+    "CAST(COUNT(*) OVER ("
+    "  PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "  AS n_events_7d "
+    "FROM events",
+    "W-range-frame-rolling",
+)
+def q_rolling_7d_user_value(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    # RANGE frames need a numeric ordering key: epoch microseconds (the
+    # repo's microsecond-gap convention; seconds would merge sub-second
+    # neighbours differently than the oracle)
+    week_us = 7 * 24 * 3600 * 1_000_000
+    # ts is TIMESTAMP_NTZ (nanos source); unix_micros wants TIMESTAMP —
+    # the cast interprets in the session TZ (UTC), matching DuckDB's
+    # naive-as-UTC epoch_us
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-week_us, 0))
+    return (ev.select("user_id", "event_id", "ts",
+                      F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+                       .cast("double").alias("value_7d"),
+                      F.count(F.lit(1)).over(w).alias("n_events_7d")))
+
+
 # funnel analysis: staged conversion view -> click-after-view ->
 # purchase-after-click. Three conditional aggregations over the SAME
 # user_id partitioning (Catalyst reuses the shuffle); strictly-after
