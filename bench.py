@@ -61,6 +61,8 @@ HEADLINE = [
     "semantic_dedup",
     "customer_spend_deciles",
     "approx_length_percentiles",
+    "funnel_conversion",
+    "rolling_7d_user_value",
 ]
 
 TIMED_RUNS = 2

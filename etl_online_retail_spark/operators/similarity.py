@@ -372,6 +372,29 @@ def auto_n_planes(n_vectors: int,
     return max(LSH_MIN_PLANES, min(LSH_MAX_PLANES, raw))
 
 
+def auto_probes(threshold: float, n_planes: int,
+                recall_target: float = 0.9, max_probes: int = 8) -> int:
+    """Probe count hitting a recall target at the similarity threshold.
+
+    For random hyperplane LSH, two vectors with cosine >= t collide in one
+    plane with probability 1 - acos(t)/pi, hence share an n_plane bucket
+    with p = (1 - acos(t)/pi)^n_planes. With m independent plane families
+    (multi-probe), P(candidate) = 1 - (1-p)^m >= target gives
+    m = ceil(ln(1-target) / ln(1-p)). Clamped to [1, max_probes] — past
+    that, add planes back or switch to banded signatures.
+    """
+    import math
+
+    p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_bucket = p_plane ** n_planes
+    if p_bucket >= recall_target or p_bucket >= 1.0:
+        return 1
+    if p_bucket <= 0.0:
+        return max_probes
+    m = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_bucket))
+    return max(1, min(max_probes, m))
+
+
 def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
                         n_planes: int | None = None, n_dims: int = 64,
                         seed: int = 42, id_col: str = "vec_id",

@@ -180,3 +180,26 @@ def test_ivf_written_index_prunes_partitions(spark, tmp_path):
            for r in ivf_topk(emb, queries, k=5, n_clusters=8,
                              n_probe=4).collect()}
     assert approx == mem
+
+
+def test_auto_probes_hits_recall_target():
+    import math
+
+    from etl_online_retail_spark.operators.similarity import auto_probes
+
+    # near-identical threshold + few planes -> single probe suffices
+    # (p_plane = 1 - acos(0.99)/pi ≈ 0.955, squared ≈ 0.91 >= 0.9)
+    assert auto_probes(0.99, 2) == 1
+    # lower threshold + many planes -> more probes, monotone in planes
+    prev = 0
+    for planes in (4, 8, 12, 16):
+        m = auto_probes(0.5, planes, recall_target=0.9)
+        assert m >= prev
+        prev = m
+    # the returned m actually achieves the target (un-clamped cases)
+    for t, planes in ((0.7, 6), (0.8, 8), (0.6, 4)):
+        m = auto_probes(t, planes, recall_target=0.9, max_probes=64)
+        p = (1 - math.acos(t) / math.pi) ** planes
+        assert 1 - (1 - p) ** m >= 0.9
+        if m > 1:  # minimality: one fewer probe would miss the target
+            assert 1 - (1 - p) ** (m - 1) < 0.9
