@@ -50,3 +50,30 @@ def with_unknown_member(dim: DataFrame, key_name: str,
         if field.name not in (key_name, natural_key):
             seed = seed.withColumn(field.name, F.lit(None).cast(field.dataType))
     return seed.select(dim.columns).unionByName(dim)
+
+
+def hashed_keys(dim: DataFrame, natural_cols: Sequence[str],
+                key_name: str, seed: int = 0) -> DataFrame:
+    """Scale-path surrogate keys: 64-bit hash of the natural key.
+
+    dense_keys is the SERIAL-faithful default but is a global window — fine
+    for real dimensions (dim-sized by design, PERFORMANCE.md rule 4), wrong
+    for a monster dimension that outgrows one partition. Hashed keys are
+    embarrassingly parallel and stable across runs/partitionings; the trade
+    is sparse (non-dense) ids and a collision risk of ~n^2 / 2^64
+    (birthday bound: ~1e-8 at 10M rows). Pair with assert_injective before
+    first use of a new dimension.
+    """
+    return dim.withColumn(
+        key_name, F.xxhash64(*[F.col(c) for c in natural_cols], F.lit(seed)))
+
+
+def assert_injective(dim: DataFrame, natural_cols: Sequence[str],
+                     key_name: str) -> None:
+    """Fail loudly if the hashed key collides on distinct natural keys."""
+    n_nat = dim.select(*natural_cols).distinct().count()
+    n_key = dim.select(key_name).distinct().count()
+    if n_key != n_nat:
+        raise ValueError(
+            f"hashed key {key_name} collides: {n_nat} natural keys -> "
+            f"{n_key} hash values; re-seed hashed_keys or widen the key")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.functions.hashing import (
+    PRIME,
+    hash_family,
     minhash_signature_sql,
     poly_hash_sql,
 )
@@ -438,6 +440,42 @@ def q_length_percentiles_by_source(spark, sf_dir):
                  F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
                  F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
                  F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99")))
+
+
+# quality-weighted sampling: keep a doc with probability = its quality
+# score, using a deterministic affine-hash uniform (same constants inlined
+# on both engines) — reproducible downsampling, no RNG state.
+
+_QW_A, _QW_B = hash_family(1, seed=7)[0]
+_QUALITY_SQL = (f"(0.5 * ({stopword_ratio_sql('text', 'en')}) "
+                f" + 0.3 * least({token_count_sql('text')} / 100.0, 1.0) "
+                f" + 0.2 * (1.0 - ({punct_ratio_sql('text')})))")
+
+
+@register(
+    "quality_weighted_sample",
+    f"""WITH scored AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS quality,
+         (({_QW_A} * doc_id + {_QW_B}) % {PRIME}) / {PRIME} AS u
+  FROM documents)
+SELECT doc_id, source, ROUND(quality, 6) AS quality
+FROM scored WHERE u < quality""",
+    "M6-quality-weighted-sampling",
+)
+def q_quality_weighted_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    nt = token_count("text")
+    pr = punct_ratio("text")
+    sr = stopword_ratio("text", "en")
+    quality = (F.lit(0.5) * sr
+               + F.lit(0.3) * F.least(nt / F.lit(100.0), F.lit(1.0))
+               + F.lit(0.2) * (F.lit(1.0) - pr))
+    u = ((F.lit(_QW_A) * F.col("doc_id") + F.lit(_QW_B)) % F.lit(PRIME)) \
+        / F.lit(PRIME)
+    return (docs.select("doc_id", "source", quality.alias("_q"),
+                        u.alias("_u"))
+            .filter(F.col("_u") < F.col("_q"))
+            .select("doc_id", "source", F.round("_q", 6).alias("quality")))
 
 
 # BPE vocabulary training: learn the merge table itself (iterative,

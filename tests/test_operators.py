@@ -71,3 +71,35 @@ def test_exact_duplicates_groups_normalized_text(spark):
     )
     out = {r.canonical_id: r.n_copies for r in exact_duplicates(docs).collect()}
     assert out == {1: 2, 3: 1}  # normalization folds case/punct/whitespace
+
+
+def test_hashed_keys_stable_and_injective(spark):
+    from etl_online_retail_spark.operators.surrogate import (
+        assert_injective,
+        hashed_keys,
+    )
+
+    dim = spark.createDataFrame(
+        [(f"c{i}", i % 3) for i in range(500)], "cust string, seg int")
+    keyed = hashed_keys(dim, ["cust"], "k")
+    assert_injective(keyed, ["cust"], "k")
+    # stable across partitioning layouts (unlike row_number keys)
+    again = {r.cust: r.k
+             for r in hashed_keys(dim.repartition(7), ["cust"], "k").collect()}
+    first = {r.cust: r.k for r in keyed.collect()}
+    assert first == again
+    # a different seed produces a different (still injective) key space
+    other = {r.cust: r.k
+             for r in hashed_keys(dim, ["cust"], "k", seed=1).collect()}
+    assert other != first
+
+
+def test_assert_injective_detects_collisions(spark):
+    from etl_online_retail_spark.operators.surrogate import assert_injective
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [("a", 1), ("b", 1)], "cust string, k long")  # forced collision
+    with _pytest.raises(ValueError, match="collides"):
+        assert_injective(bad, ["cust"], "k")
