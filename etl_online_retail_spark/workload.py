@@ -545,6 +545,39 @@ def q_events_sliding(spark, sf_dir):
                     .cast("double").alias("total_value")))
 
 
+# fuzzy record linkage: near-identical part names within a brand block.
+# Blocked Levenshtein self-join — the classic dedupe/linkage primitive:
+# the quadratic term is per-block (brand), never corpus-wide; both engines
+# implement textbook edit distance, so the score is oracle-exact.
+
+@register(
+    "fuzzy_part_matches",
+    "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, "
+    "a.p_name AS name_a, b.p_name AS name_b, "
+    "CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist "
+    "FROM part a JOIN part b "
+    "  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
+    "WHERE a.p_name <> b.p_name "
+    "  AND levenshtein(a.p_name, b.p_name) <= 2",
+    "M6-fuzzy-linkage",
+)
+def q_fuzzy_part_matches(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.select(F.col("p_partkey").alias("key_a"),
+                 F.col("p_name").alias("name_a"),
+                 F.col("p_brand").alias("_blk"))
+    b = p.select(F.col("p_partkey").alias("key_b"),
+                 F.col("p_name").alias("name_b"),
+                 F.col("p_brand").alias("_blk"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (a.join(b, "_blk")
+            .filter((F.col("key_a") < F.col("key_b"))
+                    & (F.col("name_a") != F.col("name_b"))
+                    & (dist <= 2))
+            .select("key_a", "key_b", "name_a", "name_b",
+                    dist.cast("int").alias("edit_dist")))
+
+
 # rolling time-range window: per-user trailing-7-day event value. A RANGE
 # frame over epoch-microseconds (not ROWS — gaps in activity must shrink
 # the window), decimal-exact sum -> order-independent oracle hash.
