@@ -79,6 +79,63 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
             .agg(F.round(F.sum("_c").cast("double"), 6).alias("bm25")))
 
 
+def bigram_logprob(docs: DataFrame, k_smooth: float = 0.5,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram log-probability with add-k smoothing —
+    one step up the LM-quality ladder from unigram_logprob: stereotyped
+    word ORDER now scores high, shuffled bags of common words do not.
+
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V),  V = unigram vocab size.
+    Each document's first token is a context anchor only (no start
+    symbol), so a doc scores over (n_tokens - 1) transitions; single-token
+    and empty docs emit avg_logprob NULL. Same float discipline as BM25:
+    per-(doc,bigram) contributions tf*ln(p) rounded to 9dp, summed as
+    DECIMAL, mean rounded to 6dp.
+    """
+    norm = normalize(text_col)
+    toked = (docs
+             .filter(F.trim(norm) != "")
+             .select(F.col(id_col), tokens(norm).alias("_t")))
+    n = F.size(F.col("_t"))
+    bi = (toked
+          .filter(n >= 2)
+          .select(F.col(id_col),
+                  # space-joined: normalized tokens are [a-z0-9]+ so the
+                  # separator is unambiguous (and SQL-literal-friendly,
+                  # unlike NUL)
+                  F.explode(F.zip_with(
+                      F.slice(F.col("_t"), 1, n - 1),
+                      F.slice(F.col("_t"), 2, n - 1),
+                      lambda a, b: F.concat(a, F.lit(" "), b)))
+                   .alias("bigram")))
+    uni = (toked.select(F.explode(F.col("_t")).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    # corpus bigram counts and per-doc bigram tfs come from the same
+    # exploded relation — cache it (3 consuming subtrees, BM25 lesson)
+    bi = bi.cache()
+    big = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    tf = bi.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
+
+    w1 = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    logp = F.log((F.col("c2") + k_smooth)
+                 / (F.col("c1") + k_smooth * F.col("v")))
+    contrib = (tf
+               .join(F.broadcast(big), "bigram")
+               .withColumn("_w1", w1)
+               .join(F.broadcast(uni.withColumnRenamed("w", "_w1")), "_w1")
+               .crossJoin(F.broadcast(vocab))
+               .select(F.col(id_col), F.col("tf"),
+                       F.round(F.col("tf") * logp, 9)
+                        .cast("decimal(18,9)").alias("_c")))
+    return (contrib.groupBy(id_col)
+            .agg(F.sum("tf").alias("n_transitions"),
+                 F.round(F.sum("_c").cast("double")
+                         / F.sum("tf").cast("double"), 6)
+                  .alias("avg_logprob")))
+
+
 def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Per-document mean token log-probability under the corpus unigram MLE

@@ -712,6 +712,49 @@ def q_doc_lm_logprob(spark, sf_dir):
     return unigram_logprob(docs)
 
 
+# bigram LM with add-k smoothing: word ORDER now matters, not just word
+# choice. Same decimal contribution discipline; all engine arithmetic
+# forced to DOUBLE on both sides.
+
+_BIGRAM_K = 0.5
+
+_BIGRAM_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim({_NORM}), '\\s+') AS t
+  FROM documents WHERE trim({_NORM}) <> ''),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toked WHERE len(t) >= 2),
+uni AS (
+  SELECT unnest(t) AS w FROM toked),
+c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+vocab AS (SELECT COUNT(*) AS v FROM c1),
+c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bi GROUP BY bigram),
+tf AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM bi GROUP BY doc_id, bigram),
+contrib AS (
+  SELECT tf.doc_id, tf.tf,
+    CAST(ROUND(tf.tf * ln((c2.c2::DOUBLE + {_BIGRAM_K!r})
+         / (c1.c1::DOUBLE + {_BIGRAM_K!r} * vocab.v::DOUBLE)), 9)
+         AS DECIMAL(18,9)) AS c
+  FROM tf
+  JOIN c2 USING (bigram)
+  JOIN c1 ON c1.w = split_part(tf.bigram, ' ', 1)
+  CROSS JOIN vocab)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
+  ROUND(CAST(SUM(c) AS DOUBLE) / SUM(tf)::DOUBLE, 6) AS avg_logprob
+FROM contrib GROUP BY doc_id
+"""
+
+
+@register("doc_bigram_logprob", _BIGRAM_ORACLE, "M6-lm-bigram-score")
+def q_doc_bigram_logprob(spark, sf_dir):
+    from etl_online_retail_spark.operators.relevance import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, k_smooth=_BIGRAM_K)
+
+
 # embedding int8 quantization audit: per-vector scale + reconstruction
 # error metrics (the storage/serving path for embeddings at scale).
 
