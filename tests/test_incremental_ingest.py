@@ -94,3 +94,36 @@ def test_incremental_upsert_stream_end_to_end(spark):
                                 key_cols=["user_id"], order_col="ts")
         q2.awaitTermination()
         assert spark.read.parquet(t).count() == n_users
+
+
+def test_incremental_agg_matches_batch_and_survives_replay(spark):
+    from etl_online_retail_spark.streaming.ingest import (
+        incremental_agg,
+        partial_agg_batch_write,
+        read_incremental_agg,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        t, ckpt = f"{d}/agg", f"{d}/ckpt"
+        q = incremental_agg(read_event_stream(spark, SF), t, ckpt,
+                            key_cols=["event_type"], value_col="value")
+        q.awaitTermination()
+        got = {r.event_type: (r.n_rows, round(r.total, 2))
+               for r in read_incremental_agg(spark, t, ["event_type"]).collect()}
+        from pyspark.sql import functions as F
+        want = {r.event_type: (r.n, round(r.v, 2))
+                for r in (load_events(spark, SF).groupBy("event_type")
+                          .agg(F.count(F.lit(1)).alias("n"),
+                               F.sum(F.col("value").cast("decimal(18,2)"))
+                                .cast("double").alias("v")).collect())}
+        assert got == want
+        # crash-replay of batch 0 with identical input: totals unchanged
+        partial_agg_batch_write(load_events(spark, SF), 0, t,
+                                ["event_type"], "value")
+        q2 = incremental_agg(read_event_stream(spark, SF), t, ckpt,
+                             key_cols=["event_type"], value_col="value")
+        q2.awaitTermination()
+        again = {r.event_type: (r.n_rows, round(r.total, 2))
+                 for r in read_incremental_agg(spark, t,
+                                               ["event_type"]).collect()}
+        assert again == got
