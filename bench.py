@@ -63,6 +63,9 @@ HEADLINE = [
     "approx_length_percentiles",
     "funnel_conversion",
     "rolling_7d_user_value",
+    "doc_bigram_logprob",
+    "quality_weighted_sample",
+    "fuzzy_part_matches",
 ]
 
 TIMED_RUNS = 2

@@ -166,3 +166,20 @@ def read_incremental_agg(spark, table_dir: str,
             .groupBy(*key_cols)
             .agg(F.sum("_n").alias("n_rows"),
                  F.sum("_sum").cast("double").alias("total")))
+
+
+def compact_incremental_agg(spark, table_dir: str,
+                            key_cols: list[str]) -> None:
+    """Fold all per-batch partials into a single `_batch_id=-1` partition.
+
+    Run periodically so the read-side merge input stays O(keys), not
+    O(batches x keys). Safe to interleave with an active writer ONLY
+    between streaming runs (the fold rewrites the whole table); at
+    warehouse scale this is the nightly compaction job.
+    """
+    merged = (spark.read.parquet(table_dir)
+              .groupBy(*key_cols)
+              .agg(F.sum("_n").alias("_n"), F.sum("_sum").alias("_sum"))
+              .withColumn("_batch_id", F.lit(-1))
+              .localCheckpoint(eager=True))  # reads the dir it overwrites
+    merged.write.mode("overwrite").partitionBy("_batch_id").parquet(table_dir)

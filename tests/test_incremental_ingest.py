@@ -127,3 +127,29 @@ def test_incremental_agg_matches_batch_and_survives_replay(spark):
                  for r in read_incremental_agg(spark, t,
                                                ["event_type"]).collect()}
         assert again == got
+
+
+def test_compaction_preserves_totals(spark):
+    from etl_online_retail_spark.streaming.ingest import (
+        compact_incremental_agg,
+        incremental_agg,
+        read_incremental_agg,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        t, ckpt = f"{d}/agg", f"{d}/ckpt"
+        q = incremental_agg(read_event_stream(spark, SF), t, ckpt,
+                            key_cols=["event_type"], value_col="value")
+        q.awaitTermination()
+        before = {r.event_type: (r.n_rows, round(r.total, 2))
+                  for r in read_incremental_agg(spark, t,
+                                                ["event_type"]).collect()}
+        compact_incremental_agg(spark, t, ["event_type"])
+        after = {r.event_type: (r.n_rows, round(r.total, 2))
+                 for r in read_incremental_agg(spark, t,
+                                               ["event_type"]).collect()}
+        assert after == before
+        # all partials folded into the single compacted partition
+        batches = {r._batch_id for r in
+                   spark.read.parquet(t).select("_batch_id").distinct().collect()}
+        assert batches == {-1}
