@@ -552,12 +552,16 @@ def q_events_sliding(spark, sf_dir):
 
 @register(
     "fuzzy_part_matches",
+    # the length-difference predicate is a Levenshtein lower bound:
+    # |len(a)-len(b)| > 2 implies dist > 2, so it is semantically free and
+    # prunes most pairs before the O(len^2) distance evaluation
     "SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, "
     "a.p_name AS name_a, b.p_name AS name_b, "
     "CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist "
     "FROM part a JOIN part b "
     "  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey "
     "WHERE a.p_name <> b.p_name "
+    "  AND abs(len(a.p_name) - len(b.p_name)) <= 2 "
     "  AND levenshtein(a.p_name, b.p_name) <= 2",
     "M6-fuzzy-linkage",
 )
@@ -569,11 +573,16 @@ def q_fuzzy_part_matches(spark, sf_dir):
     b = p.select(F.col("p_partkey").alias("key_b"),
                  F.col("p_name").alias("name_b"),
                  F.col("p_brand").alias("_blk"))
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # bounded levenshtein (threshold arg): abandons a row's DP early once
+    # the distance provably exceeds 2 and returns -1 — the filter keeps
+    # rows in [0, 2]. The length bound mirrors the oracle's free prune.
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 2)
+    len_bound = F.abs(F.length("name_a") - F.length("name_b")) <= 2
     return (a.join(b, "_blk")
             .filter((F.col("key_a") < F.col("key_b"))
                     & (F.col("name_a") != F.col("name_b"))
-                    & (dist <= 2))
+                    & len_bound
+                    & (dist >= 0))
             .select("key_a", "key_b", "name_a", "name_b",
                     dist.cast("int").alias("edit_dist")))
 
