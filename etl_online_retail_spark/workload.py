@@ -545,6 +545,105 @@ def q_events_sliding(spark, sf_dir):
                     .cast("double").alias("total_value")))
 
 
+# event-type transition matrix (first-order Markov counts): lag over the
+# per-user timeline, then one hash aggregation — sequence analytics that
+# reuses the sessionize partitioning.
+
+@register(
+    "event_transitions",
+    "WITH seq AS ("
+    "  SELECT event_type, lag(event_type) OVER "
+    "    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+    "  FROM events) "
+    "SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions "
+    "FROM seq WHERE prev_type IS NOT NULL "
+    "GROUP BY prev_type, next_type",
+    "M6-markov-transitions",
+)
+def q_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (ev.select(F.lag("event_type").over(w).alias("prev_type"),
+                      F.col("event_type").alias("next_type"))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+# ship-delay stats: date arithmetic is integer-exact, so the mean is a
+# single controlled float division at the end.
+
+@register(
+    "ship_delay_by_priority",
+    "SELECT o_orderpriority, COUNT(*) AS n_lineitems, "
+    "CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) "
+    "  AS total_delay_days, "
+    "CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) "
+    "  / COUNT(*) AS avg_delay_days, "
+    "CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS INTEGER) "
+    "  AS max_delay_days "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority",
+    "T3-date-arithmetic,A1",
+)
+def q_ship_delay_by_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                           "o_orderpriority")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lineitems"),
+                 F.sum(delay).cast("bigint").alias("total_delay_days"),
+                 (F.sum(delay).cast("double") / F.count(F.lit(1)))
+                  .alias("avg_delay_days"),
+                 F.max(delay).cast("int").alias("max_delay_days")))
+
+
+# warehouse integrity audit as a query: every violation class the cleaning
+# stage guards (positivity, key shape, referential integrity) counted in
+# one pass — the data-quality dashboard row. All-zero on clean inputs.
+
+@register(
+    "integrity_audit",
+    "SELECT "
+    "(SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS bad_quantity, "
+    "(SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0) AS bad_price, "
+    "(SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_orderkey, "
+    "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS "
+    "  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) "
+    "  AS orphan_lineitems, "
+    "(SELECT COUNT(*) FROM orders o WHERE o_custkey IS NOT NULL AND NOT EXISTS "
+    "  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) "
+    "  AS orphan_orders",
+    "M5-integrity-audit",
+)
+def q_integrity_audit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # all five checks stay lazy: single-row aggregates cross-joined into
+    # one audit row (each side is 1 row — the joins are trivially cheap)
+    orphan_li = (joins.anti_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")),
+        o.select("o_orderkey"), "o_orderkey")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems")))
+    orphan_o = (joins.anti_join(
+        o.filter(F.col("o_custkey").isNotNull())
+         .select(F.col("o_custkey").alias("c_custkey")),
+        c.select("c_custkey"), "c_custkey")
+        .agg(F.count(F.lit(1)).alias("orphan_orders")))
+    audit = li.agg(
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_quantity"),
+        F.count(F.when(F.col("l_extendedprice") < 0, 1)).alias("bad_price"),
+        F.count(F.when(F.col("l_orderkey").isNull(), 1)).alias("null_orderkey"))
+    return (audit.crossJoin(orphan_li).crossJoin(orphan_o)
+            .select("bad_quantity", "bad_price", "null_orderkey",
+                    "orphan_lineitems", "orphan_orders"))
+
+
 # fuzzy record linkage: near-identical part names within a brand block.
 # Blocked Levenshtein self-join — the classic dedupe/linkage primitive:
 # the quadratic term is per-block (brand), never corpus-wide; both engines
