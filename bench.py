@@ -66,6 +66,9 @@ HEADLINE = [
     "doc_bigram_logprob",
     "quality_weighted_sample",
     "fuzzy_part_matches",
+    "event_transitions",
+    "ship_delay_by_priority",
+    "integrity_audit",
 ]
 
 TIMED_RUNS = 2

@@ -121,6 +121,38 @@ def main() -> None:
     timed(f"sequence packing @ {factor}x", packing)
     timed(f"bm25 scoring @ {factor}x", bm25)
 
+    def bigram():
+        from etl_online_retail_spark.operators.relevance import bigram_logprob
+
+        (bigram_logprob(docs)
+         .write.format("noop").mode("overwrite").save())
+
+    # fuzzy's factor is capped: per-block quadratic growth is the measured,
+    # documented property (10x ran 325 s once; ~factor^2 of the 3.5 s base).
+    # Real corpora bound block size or add a second blocking key.
+    fuzzy_factor = min(factor, 3)
+
+    def fuzzy():
+        from pyspark.sql import functions as F2
+
+        p = replicate(load_table(spark, "part", SF_DIR), fuzzy_factor,
+                      {"p_partkey": 10_000_000})
+        a = p.select(F2.col("p_partkey").alias("ka"),
+                     F2.col("p_name").alias("na"),
+                     F2.col("p_brand").alias("blk"))
+        b = p.select(F2.col("p_partkey").alias("kb"),
+                     F2.col("p_name").alias("nb"),
+                     F2.col("p_brand").alias("blk"))
+        d = F2.levenshtein(F2.col("na"), F2.col("nb"), 2)
+        (a.join(b, "blk")
+         .filter((F2.col("ka") < F2.col("kb"))
+                 & (F2.abs(F2.length("na") - F2.length("nb")) <= 2)
+                 & (d >= 0))
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"bigram LM @ {factor}x", bigram)
+    timed(f"blocked fuzzy (per-block quadratic) @ {fuzzy_factor}x", fuzzy)
+
     # Embedding-LSH plane scaling: candidate pairs = sum over buckets of
     # C(n,2). Computed from the bucket histogram (O(N)), so the quadratic
     # candidate set is never materialized. auto_n_planes grows the plane
