@@ -94,9 +94,11 @@ def bigram_logprob(docs: DataFrame, k_smooth: float = 0.5,
     DECIMAL, mean rounded to 6dp.
     """
     norm = normalize(text_col)
+    # cached: the tokenize feeds the bigram explode AND the unigram counts
     toked = (docs
              .filter(F.trim(norm) != "")
-             .select(F.col(id_col), tokens(norm).alias("_t")))
+             .select(F.col(id_col), tokens(norm).alias("_t"))
+             .cache())
     n = F.size(F.col("_t"))
     bi = (toked
           .filter(n >= 2)
