@@ -545,6 +545,34 @@ def q_events_sliding(spark, sf_dir):
                     .cast("double").alias("total_value")))
 
 
+# FULL OUTER join (§2.10 family — absent in the reference, native here):
+# customer-vs-events presence reconciliation across unrelated key spaces.
+
+@register(
+    "customer_event_fulljoin",
+    "WITH c AS (SELECT c_custkey AS id FROM customer), "
+    "e AS (SELECT DISTINCT user_id AS id FROM events) "
+    "SELECT "
+    "COUNT(CASE WHEN c.id IS NOT NULL AND e.id IS NOT NULL THEN 1 END) "
+    "  AS in_both, "
+    "COUNT(CASE WHEN e.id IS NULL THEN 1 END) AS customer_only, "
+    "COUNT(CASE WHEN c.id IS NULL THEN 1 END) AS events_only "
+    "FROM c FULL OUTER JOIN e ON c.id = e.id",
+    "J-full-outer",
+)
+def q_customer_event_fulljoin(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    e = (_t(spark, sf_dir, "events")
+         .select(F.col("user_id").alias("id")).distinct())
+    joined = c.withColumn("_c", F.lit(1)).join(
+        e.withColumn("_e", F.lit(1)), "id", "full_outer")
+    return joined.agg(
+        F.count(F.when(F.col("_c").isNotNull()
+                       & F.col("_e").isNotNull(), 1)).alias("in_both"),
+        F.count(F.when(F.col("_e").isNull(), 1)).alias("customer_only"),
+        F.count(F.when(F.col("_c").isNull(), 1)).alias("events_only"))
+
+
 # event-type transition matrix (first-order Markov counts): lag over the
 # per-user timeline, then one hash aggregation — sequence analytics that
 # reuses the sessionize partitioning.

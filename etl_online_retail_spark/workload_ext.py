@@ -478,6 +478,52 @@ def q_quality_weighted_sample(spark, sf_dir):
             .select("doc_id", "source", F.round("_q", 6).alias("quality")))
 
 
+# RAG-style chunking: overlapping token windows per document (window W,
+# stride S): (doc_id, chunk_id, start_tok, chunk_len). Pure per-row
+# sequence arithmetic — no shuffle at all; the loader slices tokens by
+# [start_tok, start_tok + chunk_len).
+
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+@register(
+    "doc_chunks",
+    f"""WITH t AS (
+  SELECT doc_id, {token_count_sql('text')} AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+    CASE WHEN n <= {CHUNK_W} THEN 1
+         ELSE CAST(ceil((n - {CHUNK_W}) / {CHUNK_S}::DOUBLE) AS INTEGER) + 1
+    END AS n_chunks
+  FROM t WHERE n > 0)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_id,
+  CAST((i - 1) * {CHUNK_S} AS INTEGER) AS start_tok,
+  CAST(least({CHUNK_W}, n - (i - 1) * {CHUNK_S}) AS INTEGER) AS chunk_len
+FROM (SELECT doc_id, n, unnest(range(1, n_chunks + 1)) AS i FROM c)""",
+    "M6-rag-chunking",
+)
+def q_doc_chunks(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = token_count("text")
+    base = (docs.select("doc_id", n.alias("_n"))
+            .filter(F.col("_n") > 0))
+    n_chunks = (F.when(F.col("_n") <= CHUNK_W, F.lit(1))
+                .otherwise(F.ceil((F.col("_n") - CHUNK_W)
+                                  / F.lit(float(CHUNK_S))).cast("int") + 1))
+    return (base.withColumn("_nc", n_chunks)
+            .select("doc_id", "_n",
+                    F.explode(F.sequence(F.lit(1), F.col("_nc")))
+                     .alias("_i"))
+            .select("doc_id",
+                    (F.col("_i") - 1).cast("int").alias("chunk_id"),
+                    ((F.col("_i") - 1) * CHUNK_S).cast("int")
+                     .alias("start_tok"),
+                    F.least(F.lit(CHUNK_W),
+                            F.col("_n") - (F.col("_i") - 1) * CHUNK_S)
+                     .cast("int").alias("chunk_len")))
+
+
 # BPE vocabulary training: learn the merge table itself (iterative,
 # driver-coordinated rounds over the vocab-sized word table -> no SQL
 # oracle; merge-sequence equality vs an in-memory reference BPE is
