@@ -69,6 +69,8 @@ HEADLINE = [
     "event_transitions",
     "ship_delay_by_priority",
     "integrity_audit",
+    "doc_chunks",
+    "customer_event_fulljoin",
 ]
 
 TIMED_RUNS = 2

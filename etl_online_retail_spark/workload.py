@@ -785,24 +785,31 @@ def q_rolling_7d_user_value(spark, sf_dir):
     "M6-funnel-analysis",
 )
 def q_funnel_conversion(spark, sf_dir):
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
-    v = (ev.groupBy("user_id")
-         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
-              .alias("v_ts")))
-    c = (ev.join(v, "user_id")
-         .groupBy("user_id", "v_ts")
-         .agg(F.min(F.when((F.col("event_type") == "click")
-                           & (F.col("ts") > F.col("v_ts")), F.col("ts")))
-              .alias("c_ts")))
-    p = (ev.join(c, "user_id")
-         .groupBy("user_id", "v_ts", "c_ts")
-         .agg(F.min(F.when((F.col("event_type") == "purchase")
-                           & (F.col("ts") > F.col("c_ts")), F.col("ts")))
-              .alias("p_ts")))
-    return p.agg(F.count(F.lit(1)).alias("n_users"),
-                 F.count("v_ts").alias("n_viewed"),
-                 F.count("c_ts").alias("n_clicked_after_view"),
-                 F.count("p_ts").alias("n_purchased_after_click"))
+    # join-free formulation: three chained per-user window minima share ONE
+    # (user_id) Exchange (each stage's predicate reads the previous
+    # stage's materialized column), then a per-user reduce + global counts
+    w = Window.partitionBy("user_id")
+    staged = (ev
+              .withColumn("v_ts", F.min(F.when(F.col("event_type") == "view",
+                                               F.col("ts"))).over(w))
+              .withColumn("c_ts", F.min(F.when(
+                  (F.col("event_type") == "click")
+                  & (F.col("ts") > F.col("v_ts")), F.col("ts"))).over(w))
+              .withColumn("p_ts", F.min(F.when(
+                  (F.col("event_type") == "purchase")
+                  & (F.col("ts") > F.col("c_ts")), F.col("ts"))).over(w)))
+    per_user = (staged.groupBy("user_id")
+                .agg(F.min("v_ts").alias("v_ts"),
+                     F.min("c_ts").alias("c_ts"),
+                     F.min("p_ts").alias("p_ts")))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v_ts").alias("n_viewed"),
+        F.count("c_ts").alias("n_clicked_after_view"),
+        F.count("p_ts").alias("n_purchased_after_click"))
 
 
 @register(
