@@ -545,7 +545,38 @@ def q_events_sliding(spark, sf_dir):
                     .cast("double").alias("total_value")))
 
 
-# FULL OUTER join (§2.10 family — absent in the reference, native here):
+# correlated-subquery shape: orders priced above their customer's own
+# average. Expressed as one window pass; the comparison multiplies
+# through (p > sum/n <=> p*n > sum) so it stays DECIMAL-exact on both
+# engines — no float division to drift.
+
+@register(
+    "orders_above_customer_avg",
+    "WITH w AS ("
+    "  SELECT o_custkey, "
+    "    CAST(o_totalprice AS DECIMAL(18,2)) AS p, "
+    "    SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+    "      OVER (PARTITION BY o_custkey) AS s, "
+    "    COUNT(*) OVER (PARTITION BY o_custkey) AS n "
+    "  FROM orders) "
+    "SELECT o_custkey, COUNT(*) AS n_orders, "
+    "COUNT(CASE WHEN p * n > s THEN 1 END) AS n_above_avg "
+    "FROM w GROUP BY o_custkey",
+    "§2.10-correlated-subquery",
+)
+def q_orders_above_customer_avg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    p = money.exact("o_totalprice")
+    staged = (o.select("o_custkey", p.alias("_p"))
+              .withColumn("_s", F.sum("_p").over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(w)))
+    return (staged.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.count(F.when(F.col("_p") * F.col("_n") > F.col("_s"), 1))
+                  .alias("n_above_avg")))
 # customer-vs-events presence reconciliation across unrelated key spaces.
 
 @register(
