@@ -545,6 +545,46 @@ def q_events_sliding(spark, sf_dir):
                     .cast("double").alias("total_value")))
 
 
+# percent-of-total: each nation's share of global revenue. Shares come
+# from ONE float division over decimal-exact sums (numerator and
+# denominator bit-identical on both engines), rounded to 6dp.
+
+@register(
+    "revenue_share_by_nation",
+    f"""WITH per_nation AS (
+  SELECT n_name AS nation, SUM({money.REVENUE_SQL}) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT nation, CAST(rev AS DOUBLE) AS revenue,
+  ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+    AS revenue_share
+FROM per_nation""",
+    "W-percent-of-total",
+)
+def q_revenue_share_by_nation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                  .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                  .groupBy(F.col("n_name").alias("nation"))
+                  .agg(F.sum(money.net_revenue()).alias("_rev")))
+    # the global-total window runs over the AGGREGATED relation (25
+    # nation rows), not the fact — single-partition is free there
+    total = F.sum("_rev").over(Window.partitionBy())
+    return per_nation.select(
+        "nation", F.col("_rev").cast("double").alias("revenue"),
+        F.round(F.col("_rev").cast("double") / total.cast("double"), 6)
+         .alias("revenue_share"))
+
+
 # correlated-subquery shape: orders priced above their customer's own
 # average. Expressed as one window pass; the comparison multiplies
 # through (p > sum/n <=> p*n > sum) so it stays DECIMAL-exact on both
