@@ -71,6 +71,8 @@ HEADLINE = [
     "integrity_audit",
     "doc_chunks",
     "customer_event_fulljoin",
+    "orders_above_customer_avg",
+    "revenue_share_by_nation",
 ]
 
 TIMED_RUNS = 2
