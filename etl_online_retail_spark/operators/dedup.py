@@ -25,6 +25,7 @@ Scale shapes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -263,6 +264,14 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = updated.drop("_old")
         if changed == 0:
             break
+    else:
+        # Unconverged labels are NOT component minima — surface it loudly
+        # rather than returning silently-wrong clusters on deep graphs.
+        warnings.warn(
+            f"duplicate_clusters: min-label propagation did not converge in "
+            f"{max_iterations} rounds; labels may not be component minima. "
+            f"Raise max_iterations or use duplicate_clusters_star.",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
@@ -330,6 +339,14 @@ def duplicate_clusters_star(pairs: DataFrame,
         if cur == prev:
             break
         prev = cur
+    else:
+        # An unconverged edge set is not a star forest, so min(dst) per src
+        # could emit non-minimal cluster ids — never let that pass silently.
+        warnings.warn(
+            f"duplicate_clusters_star: edge-set checksum did not stabilize "
+            f"in {max_iterations} rounds; cluster ids may be non-minimal. "
+            f"Raise max_iterations.",
+            RuntimeWarning, stacklevel=2)
 
     # converged edge set is a star forest: node -> component min; roots
     # (and isolated nodes) label themselves

@@ -72,7 +72,7 @@ def _read_xlsx_minimal(xlsx_path: str, sheet: int = 0):
                 v = c.find("{*}v")
                 if ctype == "inlineStr":
                     is_el = c.find("{*}is")
-                    val = ("".join(t.text or "" for t in is_el.iter("{*}t"))
+                    val = ("".join(t.text or "" for t in is_el.findall(".//{*}t"))
                            if is_el is not None else None)
                 elif v is None or v.text is None:
                     val = None

@@ -73,7 +73,14 @@ def upsert_batch_write(batch_df: DataFrame, batch_id: int, table_dir: str,
         merged_in = existing.unionByName(incoming)
     else:
         merged_in = incoming
-    merged = keep_last(merged_in, key_cols, [F.desc(order_col)])
+    # Tiebreak beyond order_col with a hash of the full row: when an
+    # existing and a replayed row tie on (key, order_col), row_number alone
+    # is nondeterministic and replay could produce different shard contents.
+    # Fully identical rows hash equal (either wins, same output); rows that
+    # differ anywhere hash apart, so the winner is stable across replays.
+    tiebreak = F.desc(F.xxhash64(*[c for c in merged_in.columns
+                                   if c != "_shard"]))
+    merged = keep_last(merged_in, key_cols, [F.desc(order_col), tiebreak])
     # the merge READS the table it overwrites: cut the lineage (materialize
     # to executor storage) before the write, or Spark rejects the
     # read-and-overwrite cycle

@@ -83,8 +83,12 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 
 @register("jaccard_near_dups", _JACCARD_ORACLE, "M6-dedup-jaccard")
 def q_jaccard_near_dups(spark, sf_dir):
+    # max_shingle_df pinned None: this query is hash-compared against the
+    # UNCAPPED DuckDB oracle above, so the auto skew-cap must never engage
+    # here regardless of corpus size. Scale callers opt into "auto".
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"),
-                               n=SHINGLE_N, threshold=JACCARD_THRESHOLD)
+                               n=SHINGLE_N, threshold=JACCARD_THRESHOLD,
+                               max_shingle_df=None)
 
 
 # dedup: MinHash + LSH banding, exact-verified
