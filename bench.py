@@ -65,7 +65,7 @@ HEADLINE = [
     "rolling_7d_user_value",
     "doc_bigram_logprob",
     "quality_weighted_sample",
-    "fuzzy_part_matches",
+    "fuzzy_part_matches_contracted",
     "event_transitions",
     "ship_delay_by_priority",
     "integrity_audit",

@@ -24,6 +24,181 @@ from pyspark.sql import functions as F
 from etl_online_retail_spark.functions.text import char_ngrams
 
 
+def contracted_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
+                           block_col: str, max_dist: int = 2,
+                           strategy: str = "naive") -> DataFrame:
+    """Distinct-name contraction for fuzzy linkage (same output contract).
+
+    Any per-row blocking scheme wastes work when names repeat: with U
+    distinct (block, name) values among N rows, every pairwise algorithm
+    re-scores the same name pair (N/U)^2 times. Contract first — the pair
+    search runs on the U-row distinct relation (via the chosen strategy:
+    "naive" in-block, "qgram" prefix filter, or "segment" PassJoin), and
+    the matched NAME pairs then expand back through two equi-joins on
+    (block, name) to key-level pairs. The expansion is output-bound, so
+    total cost is candidates(U) + |result| instead of candidates(N) —
+    contraction turns row-count scale into name-cardinality scale, which
+    is the term that actually grows at 100 TB. The name-pair relation is
+    dim-sized, so both expansion joins broadcast it.
+
+    Output rows are (key_a < key_b) with names attached to their own key,
+    exactly like blocked_fuzzy_pairs; identical-name pairs are excluded
+    by contract there, so ordering name pairs lexicographically loses
+    nothing.
+    """
+    strat = {"naive": blocked_fuzzy_pairs,
+             "qgram": qgram_fuzzy_pairs,
+             "segment": segment_fuzzy_pairs}[strategy]
+    names = (df.select(F.col(block_col).alias("_cblk"),
+                       F.col(name_col).alias("_cnm"))
+             .distinct()
+             # composite key: carries the block through the strategy call
+             # (their outputs drop the block column); within a block the
+             # struct ordering degenerates to name ordering
+             .select(F.struct(F.col("_cblk"), F.col("_cnm")).alias("_ck"),
+                     "_cnm", "_cblk"))
+    np = strat(names, "_ck", "_cnm", "_cblk", max_dist)
+    name_pairs = np.select(F.col("key_a").getField("_cblk").alias("_mblk"),
+                           F.col("name_a").alias("_mna"),
+                           F.col("name_b").alias("_mnb"),
+                           "edit_dist")
+    ka = df.select(F.col(key_col).alias("_ka"),
+                   F.col(name_col).alias("_mna"),
+                   F.col(block_col).alias("_mblk"))
+    kb = df.select(F.col(key_col).alias("_kb"),
+                   F.col(name_col).alias("_mnb"),
+                   F.col(block_col).alias("_mblk"))
+    exp = (ka.join(F.broadcast(name_pairs), ["_mblk", "_mna"])
+             .join(kb, ["_mblk", "_mnb"]))
+    swap = F.col("_ka") > F.col("_kb")
+    return exp.select(
+        F.when(swap, F.col("_kb")).otherwise(F.col("_ka")).alias("key_a"),
+        F.when(swap, F.col("_ka")).otherwise(F.col("_kb")).alias("key_b"),
+        F.when(swap, F.col("_mnb")).otherwise(F.col("_mna")).alias("name_a"),
+        F.when(swap, F.col("_mna")).otherwise(F.col("_mnb")).alias("name_b"),
+        "edit_dist")
+
+
+def segment_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
+                        block_col: str, max_dist: int = 2) -> DataFrame:
+    """Exact segment-blocked edit-distance self-join (PassJoin-style).
+
+    Same output contract as blocked_fuzzy_pairs. Partition every name into
+    d+1 contiguous segments (even split, long segments last). Pigeonhole:
+    d edit operations touch at most d segments, so for any pair within
+    distance d at least one segment of the SHORTER string survives
+    untouched and appears verbatim in the longer one, start-shifted by at
+    most d (net insertions/deletions before it are bounded by d). The
+    candidate join is therefore an equi-join on (block, indexed-length,
+    segment-index, segment-text) between a segment INDEX (d+1 rows per
+    name — broadcastable) and probe substrings (one per feasible
+    (length, segment, shift), ~(d+1)^2*(2d+1) per name), followed by
+    distance verification. This beats the q-gram prefix filter when the
+    gram vocabulary saturates (e.g. catalog names drawn from a small word
+    list): a ~len/(d+1)-char segment stays selective where 2-grams
+    collide corpus-wide.
+
+    Probing only index lengths <= own length covers every pair: the
+    pigeonhole argument applies to the shorter side's segments, and
+    equal-length pairs probe each other (dedup'd). Names shorter than
+    d+1 chars can't be segmented; they take the naive in-block path.
+    """
+    d = max_dist
+    nseg = d + 1
+    base = (df.select(F.col(key_col).alias("_k"),
+                      F.col(name_col).alias("_n"),
+                      F.col(block_col).alias("_blk"))
+            .withColumn("_len", F.length("_n")))
+    long_side = base.filter(F.col("_len") >= nseg).cache()
+    short_side = base.filter(F.col("_len") < nseg)
+
+    # even partition of a length-l name: first (nseg - l%nseg) segments get
+    # l div nseg chars, the rest one more; start/len are closed forms
+    def seg_start(l: str, i: str) -> str:
+        return (f"{i} * ({l} div {nseg}) "
+                f"+ greatest(0, {i} - ({nseg} - {l} % {nseg}))")
+
+    def seg_len(l: str, i: str) -> str:
+        return f"({l} div {nseg}) + if({i} >= {nseg} - {l} % {nseg}, 1, 0)"
+
+    index = long_side.select(
+        F.col("_k").alias("key_s"), F.col("_n").alias("name_s"),
+        F.col("_blk").alias("_iblk"), F.col("_len").alias("_il"),
+        F.expr(
+            f"inline(transform(sequence(0, {d}), i -> named_struct("
+            f"'_ii', i, "
+            f"'_iseg', substring(_n, 1 + {seg_start('_len', 'i')}, "
+            f"                   {seg_len('_len', 'i')}))))"))
+    # probe: for every indexed length l in [len-d, len] and segment i, the
+    # substrings at starts within +-d of that segment's home position
+    probe = (long_side.select(
+        F.col("_k").alias("key_r"), F.col("_n").alias("name_r"), "_blk",
+        F.expr(
+            f"explode(array_distinct(flatten(flatten("
+            f"transform(sequence(greatest({nseg}, _len - {d}), _len), l -> "
+            f"  transform(sequence(0, {d}), i -> "
+            f"    filter(transform("
+            f"      sequence({seg_start('l', 'i')} - {d}, "
+            f"               {seg_start('l', 'i')} + {d}), q -> "
+            f"      if(q >= 0 and q + {seg_len('l', 'i')} <= _len, "
+            f"         named_struct('_l', l, '_i', i, "
+            f"                      '_seg', substring(_n, q + 1, "
+            f"                                        {seg_len('l', 'i')})), "
+            f"         null)), x -> x is not null)))))))").alias("_pk"))
+        .select("key_r", "name_r", "_blk",
+                F.col("_pk._l").alias("_pl"), F.col("_pk._i").alias("_pi"),
+                F.col("_pk._seg").alias("_pseg")))
+    cands = (probe.join(
+                 F.broadcast(index),
+                 (F.col("_blk") == F.col("_iblk"))
+                 & (F.col("_pl") == F.col("_il"))
+                 & (F.col("_pi") == F.col("_ii"))
+                 & (F.col("_pseg") == F.col("_iseg")))
+             .filter(F.col("key_r") != F.col("key_s"))
+             .select(F.when(F.col("key_r") < F.col("key_s"),
+                            F.struct(F.col("key_r").alias("key_a"),
+                                     F.col("name_r").alias("name_a"),
+                                     F.col("key_s").alias("key_b"),
+                                     F.col("name_s").alias("name_b")))
+                      .otherwise(
+                            F.struct(F.col("key_s").alias("key_a"),
+                                     F.col("name_s").alias("name_a"),
+                                     F.col("key_r").alias("key_b"),
+                                     F.col("name_r").alias("name_b")))
+                      .alias("_p"))
+             .select("_p.*")
+             .distinct())
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
+    verified = (cands
+                .filter((F.col("name_a") != F.col("name_b"))
+                        & (F.abs(F.length("name_a") - F.length("name_b"))
+                           <= max_dist)
+                        & (dist >= 0))
+                .select("key_a", "key_b", "name_a", "name_b",
+                        dist.cast("int").alias("edit_dist")))
+
+    # unsegmentable names: naive join of short x everything within block
+    sa = short_side.select(F.col("_k").alias("key_a"),
+                           F.col("_n").alias("name_a"), "_blk")
+    all_b = base.select(F.col("_k").alias("key_b"),
+                        F.col("_n").alias("name_b"), "_blk")
+    lb = short_side.select(F.col("_k").alias("key_b"),
+                           F.col("_n").alias("name_b"), "_blk")
+    la = long_side.select(F.col("_k").alias("key_a"),
+                          F.col("_n").alias("name_a"), "_blk")
+    dist2 = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
+    fallback = (sa.join(all_b, "_blk").filter(F.col("key_a") < F.col("key_b"))
+                .unionByName(la.join(lb, "_blk")
+                             .filter(F.col("key_a") < F.col("key_b")))
+                .filter((F.col("name_a") != F.col("name_b"))
+                        & (F.abs(F.length("name_a") - F.length("name_b"))
+                           <= max_dist)
+                        & (dist2 >= 0))
+                .select("key_a", "key_b", "name_a", "name_b",
+                        dist2.cast("int").alias("edit_dist")))
+    return verified.unionByName(fallback)
+
+
 def blocked_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
                         block_col: str, max_dist: int = 2) -> DataFrame:
     """All in-block pairs within edit distance: (key_a, key_b, name_a,

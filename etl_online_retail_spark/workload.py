@@ -788,6 +788,23 @@ def q_fuzzy_part_matches_qgram(spark, sf_dir):
                              max_dist=2, q=2)
 
 
+# The BENCHED default for fuzzy linkage: distinct-name contraction
+# (operators/linkage.py: candidate search over distinct (block, name)
+# values, output-bound key expansion). Candidate cost scales with name
+# CARDINALITY, not row count — on this data 64 distinct names stand in
+# for 20k part rows (12x measured vs the naive blocked join at sf0.1).
+# Same oracle again, so the driver proves all three algorithms agree.
+
+@register("fuzzy_part_matches_contracted", _FUZZY_ORACLE,
+          "M6-fuzzy-linkage-contracted")
+def q_fuzzy_part_matches_contracted(spark, sf_dir):
+    from etl_online_retail_spark.operators.linkage import contracted_fuzzy_pairs
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return contracted_fuzzy_pairs(p, "p_partkey", "p_name", "p_brand",
+                                  max_dist=2)
+
+
 # rolling time-range window: per-user trailing-7-day event value. A RANGE
 # frame over epoch-microseconds (not ROWS — gaps in activity must shrink
 # the window), decimal-exact sum -> order-independent oracle hash.

@@ -150,8 +150,24 @@ def main() -> None:
                  & (d >= 0))
          .write.format("noop").mode("overwrite").save())
 
+    def fuzzy_contracted():
+        from etl_online_retail_spark.operators.linkage import (
+            contracted_fuzzy_pairs,
+        )
+
+        # full factor, no cap: replication multiplies ROWS but not distinct
+        # names, so the candidate stage is constant-cost and the total
+        # scales with the (output-bound) expansion — the sub-quadratic
+        # envelope the naive blocked join lacks
+        p = replicate(load_table(spark, "part", SF_DIR), factor,
+                      {"p_partkey": 10_000_000})
+        (contracted_fuzzy_pairs(p, "p_partkey", "p_name", "p_brand")
+         .write.format("noop").mode("overwrite").save())
+
     timed(f"bigram LM @ {factor}x", bigram)
     timed(f"blocked fuzzy (per-block quadratic) @ {fuzzy_factor}x", fuzzy)
+    timed(f"contracted fuzzy (cardinality-bound) @ {factor}x",
+          fuzzy_contracted)
 
     # Embedding-LSH plane scaling: candidate pairs = sum over buckets of
     # C(n,2). Computed from the bucket histogram (O(N)), so the quadratic
