@@ -132,6 +132,10 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
         # serves spark.table(...) for them), so the in-memory relation
         # keeps the bucket partitioning AND the agg-only queries scan RAM
         catalog.load_table(spark, name, dst).cache().count()
+    # summary tables last (they read the cached/bucketed base layout):
+    # the star dashboard query rewrites onto the month-grain rollup
+    from etl_online_retail_spark.operators import matview
+    matview.materialize(spark, dst)
     return dst, time.perf_counter() - t0
 
 
