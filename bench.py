@@ -75,7 +75,14 @@ HEADLINE = [
     "revenue_share_by_nation",
 ]
 
-TIMED_RUNS = 2
+# Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a
+# cached plan for several executions (measured: 0.71 -> 0.15 s over 6 runs
+# on a global agg), so a fixed best-of-2 reports warm-up artifacts as
+# query-time regressions. Run until the best stops improving by >TOL for
+# PLATEAU consecutive runs, capped at MAX_RUNS.
+MAX_RUNS = 6
+PLATEAU = 2
+TOL = 0.05
 
 
 def stage_tables(spark, src_dir: str) -> tuple[str, float]:
@@ -171,10 +178,18 @@ def main() -> None:
 
             run()  # warm-up: plan + file/JIT warmup
             best = float("inf")
-            for _ in range(TIMED_RUNS):
+            stable = 0
+            for _ in range(MAX_RUNS):
                 t0 = time.perf_counter()
                 run()
-                best = min(best, time.perf_counter() - t0)
+                t = time.perf_counter() - t0
+                if t < best * (1 - TOL):
+                    stable = 0
+                else:
+                    stable += 1
+                best = min(best, t)
+                if stable >= PLATEAU:
+                    break
             timings[name] = round(best, 4)
         except Exception as e:  # a failing query must not hide the others
             print(f"bench error {name}: {type(e).__name__}: {e}",

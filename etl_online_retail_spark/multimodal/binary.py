@@ -8,11 +8,13 @@ spark.sql.execution.arrow.maxRecordsPerBatch to keep
 (records x avg_payload) within executor memory; the plumbing here is
 payload-size-agnostic.
 
-The codec step is STUBBED (no PIL/ffmpeg in this container): decode_*_stub
-raises NotImplementedError if called for real, and binary_features extracts
-deterministic byte-level features (length, header hex) so the full Spark
-path - binary column -> Arrow batch -> pandas -> result schema - executes
-and is oracle-checkable end-to-end.
+PNG decodes FOR REAL via the stdlib codec in multimodal/png.py (zlib
+inflate + scanline unfilter); other codecs (JPEG, audio, video) still
+need libraries this container does not ship and stay stubbed behind the
+same signatures. binary_features additionally extracts deterministic
+byte-level features (length, header hex) so the full Spark path - binary
+column -> Arrow batch -> pandas -> result schema - is oracle-checkable
+even where no real codec exists.
 """
 
 from __future__ import annotations
@@ -78,16 +80,95 @@ def binary_features(media: DataFrame, header_bytes: int = 8) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(extract, FEATURE_SCHEMA)
 
 
-def decode_image_stub(content: bytes) -> dict:
-    """Placeholder for the real image decode (PIL.Image.open etc.).
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+])
 
-    The container ships no imaging libraries; a deployment would replace
-    this body and keep every signature/schema above unchanged.
+
+def decode_image(content: bytes) -> dict:
+    """Decode one image payload to dimension/channel/intensity features.
+
+    PNG decodes for real via the stdlib codec (multimodal/png.py — zlib
+    inflate + per-scanline unfilter); other formats still need an imaging
+    library this container does not ship and raise NotImplementedError
+    with the same signature a PIL-backed body would keep.
     """
+    from etl_online_retail_spark.multimodal import png as _png
+
+    if bytes(content[:8]) == _png.PNG_SIGNATURE:
+        img = _png.decode_png(bytes(content))
+        return {
+            "width": img.width,
+            "height": img.height,
+            "channels": img.channels,
+            "bit_depth": img.bit_depth,
+            "mean_pixel": img.mean_pixel(),
+        }
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; binary_features demonstrates the full Spark plumbing"
+        "only PNG decodes in this environment (stdlib codec); JPEG/WebP/"
+        "etc. require an imaging library not present in this container"
     )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode via mapInPandas.
+
+    Same batch shape and schema contract as binary_features, but the
+    per-payload function actually decodes (PNG today). Rows whose payload
+    is not a decodable format surface as an error — callers filter by
+    mime/signature first, mirroring how a production pipeline routes
+    payloads to per-format decoder pools.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(b) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.Series([f["width"] for f in feats], dtype="int32"),
+                "height": pd.Series([f["height"] for f in feats], dtype="int32"),
+                "channels": pd.Series([f["channels"] for f in feats], dtype="int32"),
+                "bit_depth": pd.Series([f["bit_depth"] for f in feats], dtype="int32"),
+                "mean_pixel": pd.Series([f["mean_pixel"] for f in feats], dtype="float64"),
+            })
+
+    return media.select("media_id", "content").mapInPandas(
+        extract, IMAGE_FEATURE_SCHEMA)
+
+
+def synthetic_png_media(docs: DataFrame, id_col: str = "doc_id",
+                        max_w: int = 16, max_h: int = 8) -> DataFrame:
+    """Render one deterministic solid-gray PNG per row (real encoder).
+
+    Dimensions and intensity are closed-form in the id — width =
+    1 + id % max_w, height = 1 + id % max_h, every RGB sample = id % 256 —
+    so a SQL oracle can verify the decoded features exactly while the
+    Spark side genuinely encodes and decodes PNG bytes. Encoding runs in
+    the same Arrow-batched boundary as decoding.
+    """
+    from etl_online_retail_spark.multimodal import png as _png
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
+                payloads.append(_png.encode_png(
+                    bytes([v]) * (w * h * 3), w, h, color_type=2))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
 
 
 def frame_sample_stub(content: bytes, every_n: int = 30) -> list[bytes]:

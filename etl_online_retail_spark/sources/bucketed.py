@@ -29,7 +29,16 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
     if warehouse:
         shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
-    writer = df.write.bucketBy(n_buckets, bucket_col)
+    # Pre-shuffle onto the bucket key so each write task holds exactly one
+    # bucket: without this, every input partition writes one file PER
+    # bucket it touches (tasks x buckets small files, fragmented row
+    # groups - measured 2x slower scans on the staged bench layout). With
+    # it, files == buckets, each one full-size row groups. Same rule a
+    # production ingest applies at 100 TB, where the file explosion is
+    # tasks x buckets x partitions.
+    from pyspark.sql import functions as F
+    pre = df.repartition(n_buckets, F.col(bucket_col))
+    writer = pre.write.bucketBy(n_buckets, bucket_col)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.mode("overwrite").saveAsTable(table)
 

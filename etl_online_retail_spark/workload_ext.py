@@ -32,7 +32,12 @@ from etl_online_retail_spark.functions.text import (
     word_shingle_hashes_sql,
 )
 from etl_online_retail_spark.functions.vectors import cosine_sql
-from etl_online_retail_spark.multimodal.binary import binary_features, to_media_table
+from etl_online_retail_spark.multimodal.binary import (
+    binary_features,
+    image_features,
+    synthetic_png_media,
+    to_media_table,
+)
 from etl_online_retail_spark.operators import dedup, similarity
 from etl_online_retail_spark.workload import _t, register
 
@@ -1012,6 +1017,27 @@ def q_train_val_test_split(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return binary_features(to_media_table(docs), header_bytes=8)
+
+
+# real PNG codec round-trip: Spark encodes one solid-gray PNG per doc and
+# decodes it back (stdlib codec, multimodal/png.py) inside Arrow batches;
+# the generator's parameters are closed-form in doc_id, so the oracle
+# verifies the decoded width/height/channels/intensity exactly without
+# itself decoding anything.
+@register(
+    "png_image_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST(8 AS INTEGER) AS bit_depth, "
+    "CAST(doc_id % 256 AS DOUBLE) AS mean_pixel "
+    "FROM documents",
+    "M6-multimodal-codec",
+)
+def q_png_image_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(synthetic_png_media(docs))
 
 
 # ---------------------------------------------------------------------------

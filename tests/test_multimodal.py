@@ -9,9 +9,12 @@ from pyspark.sql import functions as F
 from etl_online_retail_spark.catalog import load_table
 from etl_online_retail_spark.multimodal.binary import (
     FEATURE_SCHEMA,
+    IMAGE_FEATURE_SCHEMA,
     binary_features,
-    decode_image_stub,
+    decode_image,
     frame_sample_stub,
+    image_features,
+    synthetic_png_media,
     to_media_table,
 )
 
@@ -40,7 +43,20 @@ def test_binary_features_via_arrow(spark):
 
 
 def test_codec_stubs_raise_clearly():
-    with pytest.raises(NotImplementedError, match="imaging"):
-        decode_image_stub(b"\x89PNG")
+    # non-PNG formats still need a library this container lacks
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         frame_sample_stub(b"\x00\x00\x00 ftypmp4")
+
+
+def test_image_features_real_png_decode(spark):
+    docs = load_table(spark, "documents", SF).limit(25)
+    media = synthetic_png_media(docs)
+    feats = image_features(media)
+    assert feats.schema == IMAGE_FEATURE_SCHEMA
+    for r in feats.collect():
+        assert r.width == 1 + r.media_id % 16
+        assert r.height == 1 + r.media_id % 8
+        assert r.channels == 3 and r.bit_depth == 8
+        assert r.mean_pixel == float(r.media_id % 256)
