@@ -74,12 +74,13 @@ SCHEMAS: dict[str, T.StructType] = {
         T.StructField("l_linestatus", T.StringType()),
         T.StructField("l_shipdate", T.TimestampNTZType()),
     ]),
-    # events.ts is INT64 TIMESTAMP(NANOS) in the parquet footer; with
-    # spark.sql.legacy.parquet.nanosAsLong it scans as LongType and
-    # load_events() converts to timestamp_ntz (no session-tz dependence).
+    # events.ts: TIMESTAMP(MICROS, isAdjustedToUTC=false) scans directly as
+    # timestamp_ntz. Files from the legacy generator carry INT64
+    # TIMESTAMP(NANOS) instead — load_events sniffs the footer and converts
+    # (see _EVENTS_NANOS_SCHEMA); either flavor yields this logical schema.
     "events": T.StructType([
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -135,14 +136,47 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
-def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """events scan with the nanosecond-timestamp conversion.
+# Physical schema of the legacy events flavor: INT64 TIMESTAMP(NANOS),
+# which Spark's reader only admits as LongType (nanosAsLong conf).
+_EVENTS_NANOS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
 
-    timestampadd on a TIMESTAMP_NTZ literal keeps the arithmetic free of any
-    session-timezone dependence (epoch nanos -> wall-clock micros).
+_EVENTS_FLAVOR_CACHE: dict[str, bool] = {}
+
+
+def events_stores_nanos(spark: SparkSession, path: str) -> bool:
+    """Footer sniff (driver-side, one footer — standard catalog discovery).
+
+    Under the nanosAsLong conf, INT64 TIMESTAMP(NANOS) infers as bigint
+    while TIMESTAMP(MICROS) infers as a timestamp type, so the inferred
+    dtype of `ts` identifies the stored flavor.
+    """
+    cached = _EVENTS_FLAVOR_CACHE.get(path)
+    if cached is None:
+        inferred = spark.read.parquet(path).schema["ts"].dataType
+        cached = isinstance(inferred, T.LongType)
+        _EVENTS_FLAVOR_CACHE[path] = cached
+    return cached
+
+
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """events scan normalized to ts: TIMESTAMP_NTZ (no session-tz dependence).
+
+    The current generator stores TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    which scans as timestamp_ntz directly; legacy nanosecond files get the
+    explicit ns->us conversion on a TIMESTAMP_NTZ epoch literal.
     """
     ensure_session_confs(spark)
-    raw = spark.read.schema(SCHEMAS["events"]).parquet(table_path(sf_dir, "events"))
+    path = table_path(sf_dir, "events")
+    if not events_stores_nanos(spark, path):
+        return spark.read.schema(SCHEMAS["events"]).parquet(path)
+    raw = spark.read.schema(_EVENTS_NANOS_SCHEMA).parquet(path)
     # Integer division: ts/1000 would promote to double and lose precision
     # above 2^53 (epoch nanos are ~1.7e18), shifting some stamps by 1us.
     ts = F.expr(

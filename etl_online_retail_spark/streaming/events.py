@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_online_retail_spark.catalog import SCHEMAS, table_path
+from etl_online_retail_spark.catalog import (
+    _EVENTS_NANOS_SCHEMA,
+    SCHEMAS,
+    events_stores_nanos,
+    table_path,
+)
 from etl_online_retail_spark.session import ensure_session_confs
 
 
@@ -43,17 +48,21 @@ def _as_stream_dir(path: str) -> str:
 
 def read_event_stream(spark: SparkSession, sf_dir: str,
                       max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream of the events table (same ns->us conversion as
+    """File-source stream of the events table (same flavor handling as
     the batch catalog loader)."""
     ensure_session_confs(spark)
+    path = table_path(sf_dir, "events")
+    nanos = events_stores_nanos(spark, path)  # batch footer sniff, driver-side
     raw = (spark.readStream
-           .schema(SCHEMAS["events"])
+           .schema(_EVENTS_NANOS_SCHEMA if nanos else SCHEMAS["events"])
            .option("maxFilesPerTrigger", max_files_per_trigger)
-           .parquet(_as_stream_dir(table_path(sf_dir, "events"))))
-    # Watermarks demand TIMESTAMP (not NTZ): timestamp_micros gives the
-    # LTZ instant; with the session pinned to UTC (ensure_session_confs)
-    # its wall-clock rendering equals the batch loader's NTZ values.
-    ts = F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts")
+           .parquet(_as_stream_dir(path)))
+    # Watermarks demand TIMESTAMP (not NTZ): with the session pinned to UTC
+    # (ensure_session_confs) the LTZ instant's wall-clock rendering equals
+    # the batch loader's NTZ values — timestamp_micros for legacy nano
+    # longs, a plain NTZ->LTZ cast for the micros flavor.
+    ts = (F.timestamp_micros(F.expr("ts DIV 1000")) if nanos
+          else F.col("ts").cast("timestamp")).alias("ts")
     return raw.select("event_id", ts, "user_id", "event_type", "value", "props")
 
 

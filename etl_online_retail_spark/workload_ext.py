@@ -56,6 +56,15 @@ EMB_DIMS = 64
 _SH = word_shingle_hashes_sql("text", SHINGLE_N)
 _NORM = normalize_sql("text")
 
+# Canonical shingled-documents relation shared by every shingle oracle
+# (jaccard, minhash, 2x simhash, 2x clusters, curation). The portable
+# per-character hash fold costs 10-60 s per evaluation at sf0.01 in DuckDB;
+# inlined, the 7 oracles each pay it. The LOCAL gate materializes this
+# exact body once as a temp table (materialize_oracle_tables) and
+# substitutes it textually (localize_oracle) — equivalence is by
+# construction, the driver still receives the fully portable inline form.
+SH_BODY = f"SELECT doc_id AS _id, {_SH} AS _sh FROM documents"
+
 
 # ---------------------------------------------------------------------------
 # dedup: exact
@@ -74,7 +83,7 @@ def q_exact_dup_groups(spark, sf_dir):
 # dedup: exact n-gram Jaccard
 
 _JACCARD_ORACLE = f"""
-WITH sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents),
+WITH sh AS ({SH_BODY}),
 e AS (SELECT _id, unnest(_sh) AS _h, len(_sh) AS _size FROM sh)
 SELECT id_a, id_b, jaccard FROM (
   SELECT a._id AS id_a, b._id AS id_b,
@@ -112,7 +121,7 @@ def _minhash_cte_block() -> str:
         f"JOIN banded b ON a._band{i} = b._band{i} AND a._id < b._id"
         for i in range(MINHASH_BANDS)
     )
-    return f"""sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents),
+    return f"""sh AS ({SH_BODY}),
 sized AS (SELECT _id, _sh, len(_sh) AS _size FROM sh WHERE len(_sh) > 0),
 sig AS (SELECT _id, _sh, _size,
         {minhash_signature_sql('_sh', MINHASH_K)} AS _sig FROM sized),
@@ -154,7 +163,7 @@ def _simhash_expr_sql() -> str:
 
 
 _SIMHASH_SIG_ORACLE = f"""
-WITH sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents)
+WITH sh AS ({SH_BODY})
 SELECT _id AS doc_id, {_simhash_expr_sql()} AS simhash FROM sh
 """
 
@@ -174,7 +183,7 @@ def _simhash_pairs_oracle() -> str:
         for i in range(blocks)
     )
     return f"""
-WITH sh AS (SELECT doc_id AS _id, {_SH} AS _sh FROM documents),
+WITH sh AS ({SH_BODY}),
 sigs AS (SELECT _id AS doc_id, {_simhash_expr_sql()} AS simhash FROM sh),
 cands AS ({cand_union})
 SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
@@ -578,15 +587,21 @@ DECON_EVAL_MOD = 50
 DECON_N = 3
 DECON_MIN_SHARED = 3
 
+# 3-gram twin of SH_BODY (decontamination uses longer shingles); same
+# localize_oracle substitution applies.
+SH3_BODY = (f"SELECT doc_id, {word_shingle_hashes_sql('text', DECON_N)} "
+            "AS _sh FROM documents")
+
 
 @register(
     "decontamination_overlap",
-    f"""WITH ev AS (
-  SELECT DISTINCT unnest({word_shingle_hashes_sql('text', DECON_N)}) AS _h
-  FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0),
+    f"""WITH sh3 AS ({SH3_BODY}),
+ev AS (
+  SELECT DISTINCT unnest(_sh) AS _h
+  FROM sh3 WHERE doc_id % {DECON_EVAL_MOD} = 0),
 co AS (
-  SELECT doc_id, unnest({word_shingle_hashes_sql('text', DECON_N)}) AS _h
-  FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+  SELECT doc_id, unnest(_sh) AS _h
+  FROM sh3 WHERE doc_id % {DECON_EVAL_MOD} <> 0)
 SELECT doc_id, COUNT(*) AS n_shared,
        COUNT(*) >= {DECON_MIN_SHARED} AS contaminated
 FROM co JOIN ev USING (_h) GROUP BY doc_id""",
@@ -1095,3 +1110,36 @@ def q_events_pairs_within(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return range_self_join_within(ev, "user_id", "ts", "event_id",
                                   PAIR_WINDOW_US)
+
+
+# ---------------------------------------------------------------------------
+# local-gate oracle acceleration: materialize the shared shingle relations
+# once per DuckDB connection instead of re-folding the per-character hash
+# inside each of the 7 shingle oracles (ROADMAP 2). The driver's gate runs
+# the portable inline strings unchanged; only the local verifier opts in.
+
+ORACLE_MATERIALIZATIONS: dict[str, str] = {
+    "_mat_sh2": SH_BODY,
+    "_mat_sh3": SH3_BODY,
+}
+
+_LOCALIZE_REWRITES: tuple[tuple[str, str], ...] = (
+    (SH_BODY, "SELECT _id, _sh FROM _mat_sh2"),
+    (SH3_BODY, "SELECT doc_id, _sh FROM _mat_sh3"),
+)
+
+
+def localize_oracle(sql: str) -> str:
+    """Rewrite a portable oracle to read the pre-materialized shingle temp
+    tables. Pure textual substitution of the exact canonical bodies the
+    temp tables were CREATE'd from, so equivalence holds by construction."""
+    for body, table_select in _LOCALIZE_REWRITES:
+        sql = sql.replace(body, table_select)
+    return sql
+
+
+def materialize_oracle_tables(con) -> None:
+    """Create the shared temp tables on a DuckDB connection (one shingle
+    evaluation each, shared by every localized oracle)."""
+    for name, body in ORACLE_MATERIALIZATIONS.items():
+        con.execute(f"CREATE OR REPLACE TEMP TABLE {name} AS {body}")

@@ -25,6 +25,7 @@ def main():
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
+    from etl_online_retail_spark import workload_ext
     from etl_online_retail_spark.oracle import compare_frames, duckdb_connection
     from etl_online_retail_spark.session import get_spark
 
@@ -33,6 +34,17 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Localize shingle oracles onto shared temp tables (one per-character
+    # hash-fold evaluation instead of seven; ROADMAP 2). The driver runs
+    # the portable strings — this accelerates only the local gate.
+    selected = [n for n in qs if not only or n in only]
+    localized = {n: workload_ext.localize_oracle(oracles[n])
+                 for n in selected if n in oracles}
+    if any(localized[n] != oracles[n] for n in localized):
+        t0 = time.time()
+        workload_ext.materialize_oracle_tables(con)
+        print(f"materialized shared shingle tables in {time.time()-t0:.1f}s")
+    oracles = {**oracles, **localized}
     failures = []
     for name, build in qs.items():
         if only and name not in only:
