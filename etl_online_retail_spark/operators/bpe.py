@@ -47,10 +47,67 @@ def _adjacent_pairs(syms_col):
 
 BPE_DRIVER_VOCAB_THRESHOLD = 65536
 
+# Per distributed round, fetch this many top pairs and batch the provably
+# independent prefix into one application pass (ROADMAP 13): each round is
+# a full explode+agg+UDF sweep, so merging k pairs per sweep cuts the
+# dominant cost ~k-fold for large-vocab corpora.
+BPE_BATCH_K = 16
+
+
+def _select_merge_batch(ranked: list[tuple[str, int]],
+                        complete: bool) -> list[tuple[str, str]]:
+    """Pick the longest ranked prefix that provably reproduces the
+    sequential merge sequence when applied in one pass.
+
+    `ranked` is [(pair "l\\x00r", count)] ordered (count desc, pair asc);
+    `complete` says whether it is the FULL ranking or a top-k fetch.
+
+    Two conditions make the batch exact (not an approximation):
+
+    1. Pairwise symbol-disjoint, accepted as a PREFIX (stop at the first
+       overlap, never skip): merging one pair then only changes counts of
+       pairs that overlap it, which all rank below the stop point.
+    2. Every accepted count strictly exceeds the stop bound (the count at
+       the stop point, or the fetch boundary when the ranking is cut):
+       new pairs created by a merge inherit counts bounded by the
+       overlapping pairs they replace, so strict dominance rules out both
+       count upsets and equal-count lexicographic upsets.
+
+    Under 1+2, the sequential argmax after applying p1..p_{i-1} is exactly
+    p_i, so the batched sequence equals the one-at-a-time sequence. Falls
+    back to the plain argmax [p1] when truncation would empty the batch.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    stop_count: int | None = None
+    for pair, n in ranked:
+        left, right = pair.split("\x00")
+        if left in used or right in used:
+            stop_count = n
+            break
+        accepted.append((left, right, n))
+        used.add(left)
+        used.add(right)
+    else:
+        if not complete and accepted:
+            # ranking was cut at the fetch boundary: unseen candidates may
+            # tie the tail, so the safe bound is the last fetched count
+            stop_count = accepted[-1][2]
+    if stop_count is not None:
+        batch = [(l, r) for l, r, n in accepted if n > stop_count]
+    else:
+        batch = [(l, r) for l, r, _ in accepted]
+    if not batch and ranked:
+        left, right = ranked[0][0].split("\x00")
+        batch = [(left, right)]
+    return batch
+
 
 def bpe_train(docs: DataFrame, n_merges: int = 50,
               text_col: str = "text",
               driver_threshold: int = BPE_DRIVER_VOCAB_THRESHOLD,
+              batch_k: int = BPE_BATCH_K,
+              stats: dict | None = None,
               ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from the corpus; returns the ordered
     merge list [(left, right), ...].
@@ -61,16 +118,20 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
     `driver_threshold` rows collects once and loops in memory (a 20-round
     distributed loop on a tiny vocab is pure scheduler overhead), a larger
     one runs distributed rounds: pair count = explode + hash aggregation,
-    argmax on the driver (count desc, pair asc — deterministic), merge
-    application via an Arrow-batched pandas UDF, lineage cut per round
-    with eager localCheckpoints. Both venues execute the identical
-    algorithm and tiebreak, so the merge sequence is venue-independent
-    (asserted in tests/test_bpe.py).
+    batch selection on the driver (count desc, pair asc — deterministic;
+    see _select_merge_batch for the exactness argument), merge application
+    via an Arrow-batched pandas UDF, lineage cut per round with eager
+    localCheckpoints. Both venues execute the identical algorithm and
+    tiebreak, so the merge sequence is venue-independent (asserted in
+    tests/test_bpe.py). Pass `stats` to receive {"rounds": N} — the 10x
+    smoke asserts batching actually cuts sweep count.
     """
     wf = word_frequencies(docs, text_col)
     n_vocab = wf.count()
     if n_vocab <= driver_threshold:
         freqs = {r.word: r.freq for r in wf.collect()}
+        if stats is not None:
+            stats["rounds"] = 0
         return _train_in_memory(freqs, n_merges)
 
     words = (wf
@@ -78,37 +139,48 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
              .localCheckpoint(eager=True))
 
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        fetch = min(batch_k, n_merges - len(merges)) + 1
         top = (words
                .select(F.explode(_adjacent_pairs(F.col("syms"))).alias("pair"),
                        "freq")
                .groupBy("pair")
                .agg(F.sum("freq").alias("n"))
                .orderBy(F.desc("n"), F.asc("pair"))
-               .limit(1)
+               .limit(fetch)
                .collect())
+        rounds += 1
         if not top:
             break
-        left, right = top[0].pair.split("\x00")
-        merges.append((left, right))
+        batch = _select_merge_batch([(r.pair, r.n) for r in top],
+                                    complete=len(top) < fetch)
+        batch = batch[:n_merges - len(merges)]
+        merges.extend(batch)
+
+        batch_pairs = tuple(batch)  # new binding per round for the closure
 
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def _apply(col: pd.Series) -> pd.Series:
             def merge_word(syms: list) -> list:
-                out, i = [], 0
-                while i < len(syms):
-                    if (i + 1 < len(syms) and syms[i] == left
-                            and syms[i + 1] == right):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                return out
+                for left, right in batch_pairs:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == left
+                                and syms[i + 1] == right):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                return syms
             return col.map(merge_word)
 
         words = (words.select(_apply(F.col("syms")).alias("syms"), "freq")
                  .localCheckpoint(eager=True))
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -76,3 +76,73 @@ def test_bpe_segment_compresses_with_more_merges(spark):
     assert none[1] == 5 * 3
     # 'newest' fully merges within 10 rounds on this corpus -> few tokens
     assert full[3] <= 8
+
+
+def test_batched_rounds_match_sequential_on_chained_merges(spark):
+    """On a corpus whose merges are strictly chained (each builds on the
+    last), batching must degrade to one merge per round and still match."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    wf = {r.word: r.freq for r in word_frequencies(docs).collect()}
+    want = _reference_bpe(wf, 8)
+    stats: dict = {}
+    assert bpe_train(docs, n_merges=8, driver_threshold=0,
+                     stats=stats) == want
+
+
+# disjoint-alphabet words with strictly distinct frequencies: the top
+# pairs (a,b):5 (c,d):4 (e,f):3 are symbol-independent, so one batched
+# sweep may apply all three
+INDEPENDENT_CORPUS = [
+    (1, "ab ab ab ab ab"),
+    (2, "cd cd cd cd"),
+    (3, "ef ef ef"),
+]
+
+
+def test_batched_rounds_match_sequential_and_cut_sweeps(spark):
+    """Batched distributed rounds yield the identical merge sequence with
+    fewer explode+agg sweeps (ROADMAP 13)."""
+    docs = spark.createDataFrame(INDEPENDENT_CORPUS, "doc_id long, text string")
+    wf = {r.word: r.freq for r in word_frequencies(docs).collect()}
+    want = _reference_bpe(wf, 8)
+    assert len(want) == 3
+    batched_stats: dict = {}
+    got = bpe_train(docs, n_merges=8, driver_threshold=0,
+                    stats=batched_stats)
+    assert got == want
+    sequential_stats: dict = {}
+    got_seq = bpe_train(docs, n_merges=8, driver_threshold=0, batch_k=1,
+                        stats=sequential_stats)
+    assert got_seq == want
+    assert batched_stats["rounds"] < sequential_stats["rounds"]
+
+
+def test_select_merge_batch_guards_exactness():
+    from etl_online_retail_spark.operators.bpe import _select_merge_batch
+
+    def p(l, r):
+        return f"{l}\x00{r}"
+
+    # disjoint strict-count prefix: all accepted
+    assert _select_merge_batch(
+        [(p("a", "b"), 10), (p("c", "d"), 9), (p("e", "f"), 8)],
+        complete=True) == [("a", "b"), ("c", "d"), ("e", "f")]
+    # stop at first overlap; strict dominance over the stop bound holds
+    assert _select_merge_batch(
+        [(p("a", "b"), 10), (p("c", "d"), 9), (p("b", "e"), 8)],
+        complete=True) == [("a", "b"), ("c", "d")]
+    # tie with the stop bound truncates (equal-count lex upsets possible)
+    assert _select_merge_batch(
+        [(p("a", "b"), 10), (p("c", "d"), 8), (p("b", "e"), 8)],
+        complete=True) == [("a", "b")]
+    # overlap at rank 2 with equal count: argmax fallback
+    assert _select_merge_batch(
+        [(p("a", "b"), 10), (p("b", "c"), 10)],
+        complete=True) == [("a", "b")]
+    # incomplete fetch: boundary ties are unsafe, last count is the bound
+    assert _select_merge_batch(
+        [(p("a", "b"), 10), (p("c", "d"), 9)],
+        complete=False) == [("a", "b")]
+    assert _select_merge_batch(
+        [(p("a", "b"), 10), (p("c", "d"), 9), (p("e", "f"), 8)],
+        complete=False) == [("a", "b"), ("c", "d")]
