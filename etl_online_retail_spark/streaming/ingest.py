@@ -152,12 +152,24 @@ def partial_agg_batch_write(batch_df: DataFrame, batch_id: int,
 
 def incremental_agg(stream_df: DataFrame, table_dir: str,
                     checkpoint_dir: str, key_cols: list[str],
-                    value_col: str) -> StreamingQuery:
-    """Maintain per-key (count, sum) incrementally over a stream."""
+                    value_col: str,
+                    max_partials: int | None = 8) -> StreamingQuery:
+    """Maintain per-key (count, sum) incrementally over a stream.
+
+    With `max_partials` set (ROADMAP 15), the writer auto-compacts: once
+    the effective partial count crosses the threshold, the batch folds
+    everything so far into one coverage-encoded compact partition
+    (autocompact_incremental_agg — crash-safe, see its docstring), keeping
+    the read-side merge input O(keys + threshold), not O(batches x keys).
+    """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         partial_agg_batch_write(batch_df, batch_id, table_dir, key_cols,
                                 value_col)
+        if max_partials is not None:
+            spark = batch_df.sparkSession
+            if len(_effective_partials(table_dir)) > max_partials:
+                autocompact_incremental_agg(spark, table_dir, key_cols)
 
     return (stream_df.writeStream
             .foreachBatch(write_batch)
@@ -166,10 +178,90 @@ def incremental_agg(stream_df: DataFrame, table_dir: str,
             .start())
 
 
+def _list_partials(table_dir: str) -> list[int]:
+    """Partition ids present on disk (local-FS listing; at warehouse scale
+    this is a catalog/manifest lookup)."""
+    import os
+
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        if name.startswith("_batch_id="):
+            out.append(int(name.split("=", 1)[1]))
+    return out
+
+
+def _effective_partials(table_dir: str) -> list[int]:
+    """The consistent read set under crash-interrupted compaction.
+
+    Partition meanings: b >= 0 is micro-batch b's partial; b <= -2 is a
+    compact covering every effective partial with id <= (-b - 2) at its
+    creation (coverage nests, so compacts are totally ordered); b == -1 is
+    the legacy offline full compact. Readers take ONLY the widest compact,
+    plus originals beyond its coverage; -1 counts only when no
+    coverage-encoded compact exists (any such compact folded -1 into
+    itself). Every excluded partition's content is, by construction,
+    already inside the widest compact — so a crash between the compact
+    write and its cleanup can never double-count or lose rows.
+    """
+    parts = _list_partials(table_dir)
+    compacts = [b for b in parts if b <= -2]
+    if not compacts:
+        return parts
+    widest = min(compacts)  # most-negative id = largest coverage
+    covered = -widest - 2
+    return [widest] + [b for b in parts if 0 <= b and b > covered]
+
+
+def autocompact_incremental_agg(spark, table_dir: str,
+                                key_cols: list[str]) -> None:
+    """Fold the effective partials into one compact partition, crash-safe
+    at every step (safe to call from inside foreachBatch):
+
+    1. Merge the current effective set (widest compact + live originals)
+       and write it as a NEW compact with coverage = the highest original
+       folded. A crash before this commits leaves the table untouched.
+    2. Only then delete the now-covered partitions. A crash mid-cleanup
+       leaves garbage that readers already ignore (_effective_partials)
+       and the next compaction removes.
+
+    A replayed micro-batch whose partial was already folded rewrites its
+    original partition; readers ignore it (covered), and its content is
+    identical to what the compact holds (partials are deterministic per
+    batch), so replay stays exactly-once.
+    """
+    import os
+    import shutil
+
+    effective = _effective_partials(table_dir)
+    originals = [b for b in effective if b >= 0]
+    if not originals:
+        return
+    new_id = -max(originals) - 2
+    merged = (spark.read.parquet(table_dir)
+              .filter(F.col("_batch_id").isin(effective))
+              .groupBy(*key_cols)
+              .agg(F.sum("_n").alias("_n"), F.sum("_sum").alias("_sum"))
+              .withColumn("_batch_id", F.lit(new_id))
+              .localCheckpoint(eager=True))  # reads the dir it overwrites
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(table_dir))
+    for b in _list_partials(table_dir):
+        if b != new_id and (b < 0 or b <= -new_id - 2):
+            shutil.rmtree(os.path.join(table_dir, f"_batch_id={b}"),
+                          ignore_errors=True)
+
+
 def read_incremental_agg(spark, table_dir: str,
                          key_cols: list[str]) -> DataFrame:
-    """Final merge over the per-batch partials: (keys, n_rows, total)."""
+    """Final merge over the effective per-batch partials:
+    (keys, n_rows, total). Partition-prunes to the consistent read set so
+    in-flight compaction garbage never double-counts."""
     return (spark.read.parquet(table_dir)
+            .filter(F.col("_batch_id").isin(_effective_partials(table_dir)))
             .groupBy(*key_cols)
             .agg(F.sum("_n").alias("n_rows"),
                  F.sum("_sum").cast("double").alias("total")))

@@ -98,3 +98,81 @@ def scd2_stream(events: DataFrame) -> DataFrame:
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+# --- streaming SCD2 with a reorder buffer (ROADMAP 14): admits bounded
+# out-of-order CDC. Incoming rows park in per-key state; only rows at or
+# behind the event-time watermark (no earlier row can still arrive, by the
+# watermark contract) are replayed through the SCD machine, in (ts, id)
+# order. Keys with parked rows register an EventTimeTimeout at their
+# earliest parked timestamp, so the flush fires even when no new data
+# arrives for the key. State = cursor + O(delay-window) parked rows per
+# key — bounded by the disorder horizon, not the stream length.
+
+SCD2_REORDER_STATE_SCHEMA = (
+    "last_us bigint, last_eid bigint, seg string, ver int, "
+    "buf_us array<bigint>, buf_eid array<bigint>, buf_seg array<string>")
+
+
+def _scd2_reorder_apply(key: tuple, pdfs: Iterator[pd.DataFrame],
+                        state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_us, last_eid, seg, ver, buf_us, buf_eid, buf_seg = state.get
+        buf = list(zip(buf_us, buf_eid, buf_seg))
+    else:
+        last_us, last_eid, seg, ver = -1, -1, None, 0
+        buf = []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                buf.append((r.ts.value // 1000, r.event_id, r.event_type))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort()
+    ready = [b for b in buf if b[0] <= wm_us]
+    buf = [b for b in buf if b[0] > wm_us]
+
+    out_user, out_ver, out_seg, out_from = [], [], [], []
+    for ts_us, eid, etype in ready:
+        if (ts_us, eid) <= (last_us, last_eid):
+            continue  # replay behind the cursor (exactly-once under retry)
+        if seg is None or etype != seg:
+            ver += 1
+            seg = etype
+            out_user.append(key[0])
+            out_ver.append(ver)
+            out_seg.append(seg)
+            out_from.append(pd.Timestamp(ts_us * 1000))
+        last_us, last_eid = ts_us, eid
+
+    state.update((last_us, last_eid, seg, ver,
+                  [b[0] for b in buf], [b[1] for b in buf],
+                  [b[2] for b in buf]))
+    if buf:
+        # fire once the watermark passes the earliest parked row (+1 ms:
+        # the timeout timestamp must lie strictly beyond the watermark)
+        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    yield pd.DataFrame({"user_id": out_user, "version": out_ver,
+                        "segment": out_seg, "effective_from": out_from})
+
+
+def scd2_stream_reordered(events: DataFrame,
+                          delay: str = "30 minutes") -> DataFrame:
+    """SCD2 CDC-apply tolerating out-of-order arrival within `delay`.
+
+    Same output contract as scd2_stream, but rows may arrive in any order
+    as long as their disorder stays inside the watermark delay: emission
+    waits for the watermark, so version numbering matches the batch
+    scd2_from_changelog on the same (eventually-complete) log. Rows later
+    than the watermark are dropped by Spark's stateful-operator late-row
+    filter — the same contract as every watermarked aggregation.
+    """
+    return (events
+            .withWatermark("ts", delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _scd2_reorder_apply,
+                outputStructType=SCD2_OUTPUT_SCHEMA,
+                stateStructType=SCD2_REORDER_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ))

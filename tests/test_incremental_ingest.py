@@ -153,3 +153,105 @@ def test_compaction_preserves_totals(spark):
         batches = {r._batch_id for r in
                    spark.read.parquet(t).select("_batch_id").distinct().collect()}
         assert batches == {-1}
+
+
+def test_autocompaction_bounds_partials_under_many_microbatches(
+        spark, tmp_path):
+    """ROADMAP 15: with max_partials set, the foreachBatch writer folds
+    partials inline so the on-disk partition count stays bounded however
+    many micro-batches run, and totals stay exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import SCHEMAS
+    from etl_online_retail_spark.streaming.ingest import (
+        _list_partials,
+        incremental_agg,
+        read_incremental_agg,
+    )
+
+    ev = load_events(spark, SF).cache()
+    sdir = str(tmp_path / "stream")
+    os.makedirs(sdir)
+    for b in range(8):
+        shard = ev.filter(
+            F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(8)) == b)
+        scratch = str(tmp_path / f"_s{b}")
+        shard.coalesce(1).write.parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        os.rename(os.path.join(scratch, part),
+                  os.path.join(sdir, f"s{b}.parquet"))
+
+    stream = (spark.readStream.schema(SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1).parquet(sdir)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    t, ckpt = str(tmp_path / "agg"), str(tmp_path / "ckpt")
+    q = incremental_agg(stream, t, ckpt, key_cols=["event_type"],
+                        value_col="value", max_partials=3)
+    q.awaitTermination()
+
+    # 8 micro-batches ran, but compaction keeps the table at
+    # <= threshold live partials + 1 compact
+    assert len(_list_partials(t)) <= 4
+    got = {r.event_type: (r.n_rows, round(r.total, 2))
+           for r in read_incremental_agg(spark, t, ["event_type"]).collect()}
+    want = {r.event_type: (r.n, round(r.v, 2))
+            for r in (ev.groupBy("event_type")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum(F.col("value").cast("decimal(18,2)"))
+                            .cast("double").alias("v")).collect())}
+    assert got == want
+
+
+def test_autocompaction_crash_windows_never_double_count(
+        spark, tmp_path, monkeypatch):
+    """Every crash window of the compact protocol reads exactly once:
+    compact written but cleanup skipped (simulated crash), a covered
+    batch replayed on top, then a later real compaction sweeping up."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        _effective_partials,
+        _list_partials,
+        autocompact_incremental_agg,
+        partial_agg_batch_write,
+        read_incremental_agg,
+    )
+
+    ev = load_events(spark, SF).cache()
+    t = str(tmp_path / "agg")
+    for b in range(4):
+        partial_agg_batch_write(ev.filter(F.col("event_id") % 4 == b), b, t,
+                                ["event_type"], "value")
+    want = {r.event_type: (r.n_rows, round(r.total, 2))
+            for r in read_incremental_agg(spark, t, ["event_type"]).collect()}
+
+    # crash between compact write and cleanup: covered originals linger
+    monkeypatch.setattr("shutil.rmtree", lambda *a, **k: None)
+    autocompact_incremental_agg(spark, t, ["event_type"])
+    monkeypatch.undo()
+    assert set(_list_partials(t)) == {-5, 0, 1, 2, 3}  # garbage present
+    assert _effective_partials(t) == [-5]              # readers ignore it
+    got = {r.event_type: (r.n_rows, round(r.total, 2))
+           for r in read_incremental_agg(spark, t, ["event_type"]).collect()}
+    assert got == want
+
+    # at-least-once replay of an already-folded batch: still exact
+    partial_agg_batch_write(ev.filter(F.col("event_id") % 4 == 2), 2, t,
+                            ["event_type"], "value")
+    got = {r.event_type: (r.n_rows, round(r.total, 2))
+           for r in read_incremental_agg(spark, t, ["event_type"]).collect()}
+    assert got == want
+
+    # a later batch + real compaction sweeps all garbage
+    partial_agg_batch_write(ev.filter(F.col("event_id") % 4 == 0), 4, t,
+                            ["event_type"], "value")
+    want2 = {r.event_type: (r.n_rows, round(r.total, 2))
+             for r in read_incremental_agg(spark, t,
+                                           ["event_type"]).collect()}
+    autocompact_incremental_agg(spark, t, ["event_type"])
+    assert _list_partials(t) == [-6]
+    got = {r.event_type: (r.n_rows, round(r.total, 2))
+           for r in read_incremental_agg(spark, t, ["event_type"]).collect()}
+    assert got == want2

@@ -65,3 +65,70 @@ def test_scd2_stream_matches_batch_collapse(spark):
                for r in spark.sql("SELECT * FROM scd2_live").collect()}
     for r in batch.collect():
         assert live_ts[(r.user_id, r.version)] == r.effective_from
+
+
+def test_scd2_reordered_stream_matches_batch_under_shuffled_arrival(
+        spark, tmp_path):
+    """ROADMAP 14: bounded out-of-order CDC arrival (content-hash shards,
+    one file per micro-batch — arrival order unrelated to event time)
+    still reproduces the batch SCD2 collapse exactly."""
+    import datetime
+    import os
+
+    from etl_online_retail_spark.catalog import SCHEMAS
+    from etl_online_retail_spark.operators.scd import scd2_from_changelog
+    from etl_online_retail_spark.streaming.stateful import scd2_stream_reordered
+
+    ev = load_events(spark, SF).cache()
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    # the reorder delay must cover the full shuffle disorder (= data span)
+    assert (mx - mn) < datetime.timedelta(days=300)
+
+    sdir = str(tmp_path / "shuffled")
+    os.makedirs(sdir)
+
+    def land(df, name, mtime):
+        scratch = str(tmp_path / f"_scratch_{name}")
+        df.coalesce(1).write.parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        dst = os.path.join(sdir, f"{name}.parquet")
+        os.rename(os.path.join(scratch, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = 1_000_000_000
+    for b in range(4):
+        shard = ev.filter(F.crc32(F.col("event_id").cast("string")) % 4 == b)
+        land(shard, f"shard{b}", t0 + b)
+    # two far-future sentinel rows for a dummy key, one per trigger: the
+    # first advances the watermark past every real row, the second runs a
+    # batch under that watermark so every key's EventTimeTimeout fires
+    for i, days in enumerate((370, 740)):
+        sentinel = spark.createDataFrame(
+            [(10_000_000 + i, mx + datetime.timedelta(days=days), -1,
+              "sentinel", 0.0, "{}")],
+            schema=SCHEMAS["events"])
+        land(sentinel, f"sentinel{i}", t0 + 100 + i)
+
+    stream = (spark.readStream.schema(SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1).parquet(sdir)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    q = (scd2_stream_reordered(stream, delay="365 days")
+         .writeStream.format("memory").queryName("scd2_reordered")
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    live = {(r.user_id, r.version, r.segment)
+            for r in spark.sql("SELECT * FROM scd2_reordered "
+                               "WHERE user_id >= 0").collect()}
+    batch = scd2_from_changelog(ev, "user_id", ["event_type"], "ts",
+                                "event_id")
+    want = {(r.user_id, r.version, r.event_type) for r in batch.collect()}
+    assert live == want
+
+    live_ts = {(r.user_id, r.version): r.effective_from
+               for r in spark.sql("SELECT * FROM scd2_reordered "
+                                  "WHERE user_id >= 0").collect()}
+    for r in batch.collect():
+        assert live_ts[(r.user_id, r.version)] == r.effective_from
