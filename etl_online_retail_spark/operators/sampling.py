@@ -1,0 +1,85 @@
+"""Deterministic corpus sampling (training-data curation building blocks).
+
+Random sampling is useless for a reproducible data pipeline: reruns must
+select the SAME rows, across engines and cluster layouts. Every sampler
+here derives its keep/drop decision from a portable affine hash of the
+row id (functions/hashing — identical arithmetic on Spark and DuckDB), so
+samples are reproducible, join-stable (the same id always lands the same
+way), and oracle-verifiable. This is how production pretraining pipelines
+do it (hash-mod sharding), not rand().
+
+Scale notes: stratified_sample is a pure filter (no shuffle — predicate
+pushdown applies); uniform_sample_topk is a global top-k (one reduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions.hashing import (
+    PRIME,
+    affine,
+    affine_sql,
+    hash_family,
+)
+
+# one fixed affine map for id -> bucket; resolution = bucket granularity
+SAMPLE_SEED = 7
+SAMPLE_RESOLUTION = 10_000
+_A, _B = hash_family(1, SAMPLE_SEED)[0]
+
+
+def _bucket(id_col: Column) -> Column:
+    """Deterministic bucket in [0, SAMPLE_RESOLUTION) from a BIGINT id."""
+    return F.pmod(affine(id_col.cast("bigint"), _A, _B),
+                  F.lit(SAMPLE_RESOLUTION))
+
+
+def bucket_sql(expr: str) -> str:
+    """DuckDB twin of _bucket (inlined family constants)."""
+    return (f"(({affine_sql(f'({expr})::BIGINT', _A, _B)}) % "
+            f"{SAMPLE_RESOLUTION} + {SAMPLE_RESOLUTION}) % "
+            f"{SAMPLE_RESOLUTION}")
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows.
+
+    A row survives iff bucket(id) < round(fraction * RESOLUTION) for its
+    stratum — so the realized fraction is exact to 1/RESOLUTION in
+    expectation, the SAME rows survive on every run/engine, and enlarging
+    a stratum's fraction strictly grows its sample (nested samples — the
+    property curriculum/ablation reruns need).
+    """
+    cut = F.lit(int(round(default_fraction * SAMPLE_RESOLUTION)))
+    for stratum, frac in sorted(fractions.items()):
+        cut = F.when(F.col(stratum_col) == stratum,
+                     int(round(frac * SAMPLE_RESOLUTION))).otherwise(cut)
+    return df.filter(_bucket(F.col(id_col)) < cut)
+
+
+def stratified_sample_cut_sql(stratum_expr: str,
+                              fractions: dict[str, float],
+                              default_fraction: float = 0.0) -> str:
+    """DuckDB twin of the per-stratum cutoff expression."""
+    whens = " ".join(
+        f"WHEN {stratum_expr} = '{s}' "
+        f"THEN {int(round(f * SAMPLE_RESOLUTION))}"
+        for s, f in sorted(fractions.items()))
+    return (f"CASE {whens} "
+            f"ELSE {int(round(default_fraction * SAMPLE_RESOLUTION))} END")
+
+
+def uniform_sample_topk(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Uniform sample WITHOUT replacement of exactly k rows (reservoir-
+    sampling semantics, deterministically): the k smallest affine-hash
+    values over the id space. One global top-k reduce — no shuffle of the
+    full table, no rand(), reproducible across engines and reruns."""
+    return (df
+            .withColumn("_bucket", _bucket(F.col(id_col)))
+            .orderBy(F.asc("_bucket"), F.asc(id_col))
+            .limit(k)
+            .drop("_bucket"))

@@ -1,0 +1,88 @@
+"""Count-min sketch: sublinear-memory frequency estimation over a corpus.
+
+The exact heavy-hitters query (groupBy term) shuffles the full vocabulary;
+at 100 TB the vocabulary of noisy text (URLs, ids, typos) is itself huge.
+The count-min sketch bounds the state at depth x width counters whatever
+the vocabulary size: each occurrence increments one bucket per hash row,
+and a term's estimate is the MIN over its buckets — always >= the true
+count, over by at most ~2N/width with high probability.
+
+Everything is deterministic portable arithmetic (functions/hashing: the
+polynomial string hash composed with inlined affine maps), so unlike most
+sketch implementations this one is oracle-verifiable bit-for-bit: the
+DuckDB twin rebuilds the identical sketch in SQL.
+
+Scale notes: building the sketch is ONE explode + hash aggregation over
+(row, bucket) — depth x width groups, map-side combinable; the probe side
+broadcasts the sketch (KB-sized) against whatever terms need estimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.functions.hashing import (
+    affine,
+    affine_sql,
+    hash_family,
+    poly_hash,
+    poly_hash_sql,
+)
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+CMS_SEED = 99
+
+
+def cms_sketch(terms: DataFrame, term_col: str = "term",
+               width: int = CMS_WIDTH, depth: int = CMS_DEPTH,
+               seed: int = CMS_SEED) -> DataFrame:
+    """Build the sketch from a term-occurrence relation: one row per
+    (hash row j, bucket) with its counter. depth*width rows total."""
+    # materialize the char-fold hash once per occurrence; the depth affine
+    # maps then reference the column (not the fold expression) so the
+    # expensive part runs once, not depth times
+    hashed = terms.select(poly_hash(F.col(term_col)).alias("_h0"))
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (affine(F.col("_h0"), a, b) % width).alias("bucket"))
+        for j, (a, b) in enumerate(hash_family(depth, seed))
+    ])
+    return (hashed
+            .select(F.explode(rows).alias("_s"))
+            .select(F.col("_s.j").alias("j"), F.col("_s.bucket").alias("bucket"))
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(probe: DataFrame, sketch: DataFrame,
+                 term_col: str = "term",
+                 width: int = CMS_WIDTH, depth: int = CMS_DEPTH,
+                 seed: int = CMS_SEED) -> DataFrame:
+    """Attach `n_est` (the count-min estimate) to every probe row: compute
+    the probe term's depth buckets, look each up in the broadcast sketch,
+    take the min. Missing buckets count 0 (term never hashed there)."""
+    h0 = poly_hash(F.col(term_col))
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 (affine(h0, a, b) % width).alias("bucket"))
+        for j, (a, b) in enumerate(hash_family(depth, seed))
+    ])
+    probed = (probe
+              .withColumn("_s", F.explode(rows))
+              .select(*probe.columns, F.col("_s.j").alias("j"),
+                      F.col("_s.bucket").alias("bucket")))
+    joined = (probed
+              .join(F.broadcast(sketch), ["j", "bucket"], "left")
+              .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
+    return (joined.groupBy(*probe.columns)
+            .agg(F.min("cnt").alias("n_est")))
+
+
+def cms_bucket_sql(term_expr: str, j: int,
+                   width: int = CMS_WIDTH, depth: int = CMS_DEPTH,
+                   seed: int = CMS_SEED) -> str:
+    """DuckDB twin of hash row j's bucket for a term expression."""
+    a, b = hash_family(depth, seed)[j]
+    return f"({affine_sql(poly_hash_sql(term_expr), a, b)}) % {width}"
