@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_online_retail_spark import workload  # noqa: E402
 from etl_online_retail_spark import workload_bi  # noqa: E402,F401  (registers BI surface)
 from etl_online_retail_spark import workload_ext  # noqa: E402,F401  (registers extensions)
+from etl_online_retail_spark import workload_sampling  # noqa: E402,F401  (registers sampling/sketches)
 from etl_online_retail_spark.session import ensure_session_confs  # noqa: E402
 
 

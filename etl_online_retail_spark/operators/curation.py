@@ -61,7 +61,10 @@ def with_split(docs: DataFrame, id_col: str = "doc_id",
     """
     from etl_online_retail_spark.functions.hashing import PRIME
 
-    bucket = ((F.col(id_col) * SPLIT_A + SPLIT_B) % PRIME) % 100
+    # pmod into [0, PRIME) first: id * SPLIT_A overflows int64 for raw ids
+    # >= ~1.9e14 (reachable at 100 TB); value-preserving for smaller ids
+    h = F.pmod(F.col(id_col).cast("bigint"), F.lit(PRIME))
+    bucket = ((h * SPLIT_A + SPLIT_B) % PRIME) % 100
     split = (F.when(bucket < train_pct, "train")
              .when(bucket < train_pct + val_pct, "val")
              .otherwise("test"))
@@ -72,22 +75,25 @@ def split_sql(id_expr: str, train_pct: int = 90, val_pct: int = 5) -> str:
     """DuckDB twin of with_split's split expression."""
     from etl_online_retail_spark.functions.hashing import PRIME
 
-    bucket = f"((({id_expr}) * {SPLIT_A}::BIGINT + {SPLIT_B}) % {PRIME}) % 100"
+    h = f"((({id_expr})::BIGINT % {PRIME} + {PRIME}) % {PRIME})"
+    bucket = f"(({h} * {SPLIT_A}::BIGINT + {SPLIT_B}) % {PRIME}) % 100"
     return (f"(CASE WHEN {bucket} < {train_pct} THEN 'train' "
             f"WHEN {bucket} < {train_pct + val_pct} THEN 'val' "
             f"ELSE 'test' END)")
 
 
-def stratified_sample(df: DataFrame, strata_col: str,
-                      fractions: dict, seed: int = 42) -> DataFrame:
+def bernoulli_stratified_sample(df: DataFrame, strata_col: str,
+                                fractions: dict, seed: int = 42) -> DataFrame:
     """Per-stratum Bernoulli sampling (df.sampleBy): down-weight
     over-represented classes/languages/sources in one pass. Deterministic
     for a fixed seed and input, but engine-specific RNG - covered by tests
     (determinism + per-stratum rates), not by the SQL oracle.
 
-    For exact, engine-portable sampling use with_split-style hash
-    bucketing instead; sampleBy is the idiomatic Spark path when
-    statistical (not reproducible-across-engines) sampling is wanted.
+    For exact, engine-portable, oracle-verifiable sampling use
+    operators/sampling.stratified_sample (hash-bucket cutoffs) instead;
+    sampleBy is the idiomatic Spark path when statistical (not
+    reproducible-across-engines) sampling is wanted. Renamed from
+    stratified_sample to make the RNG-vs-deterministic split explicit.
     """
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 

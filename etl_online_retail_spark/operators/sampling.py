@@ -31,14 +31,22 @@ _A, _B = hash_family(1, SAMPLE_SEED)[0]
 
 
 def _bucket(id_col: Column) -> Column:
-    """Deterministic bucket in [0, SAMPLE_RESOLUTION) from a BIGINT id."""
-    return F.pmod(affine(id_col.cast("bigint"), _A, _B),
-                  F.lit(SAMPLE_RESOLUTION))
+    """Deterministic bucket in [0, SAMPLE_RESOLUTION) from a BIGINT id.
+
+    The id is reduced into [0, PRIME) BEFORE the affine map: hashing.py's
+    no-overflow guarantee (a*h + b < 2^63) only holds for h < PRIME, and
+    raw ids at 100 TB exceed that (any id >= ~9.2e9 would overflow int64 —
+    DuckDB raises, Spark ANSI raises). pmod-first is value-preserving for
+    id < PRIME (modular arithmetic), so small-SF samples are unchanged.
+    """
+    h = F.pmod(id_col.cast("bigint"), F.lit(PRIME))
+    return F.pmod(affine(h, _A, _B), F.lit(SAMPLE_RESOLUTION))
 
 
 def bucket_sql(expr: str) -> str:
     """DuckDB twin of _bucket (inlined family constants)."""
-    return (f"(({affine_sql(f'({expr})::BIGINT', _A, _B)}) % "
+    h = f"((({expr})::BIGINT % {PRIME} + {PRIME}) % {PRIME})"
+    return (f"(({affine_sql(h, _A, _B)}) % "
             f"{SAMPLE_RESOLUTION} + {SAMPLE_RESOLUTION}) % "
             f"{SAMPLE_RESOLUTION}")
 

@@ -39,21 +39,26 @@ def cms_sketch(terms: DataFrame, term_col: str = "term",
                width: int = CMS_WIDTH, depth: int = CMS_DEPTH,
                seed: int = CMS_SEED) -> DataFrame:
     """Build the sketch from a term-occurrence relation: one row per
-    (hash row j, bucket) with its counter. depth*width rows total."""
-    # materialize the char-fold hash once per occurrence; the depth affine
-    # maps then reference the column (not the fold expression) so the
-    # expensive part runs once, not depth times
-    hashed = terms.select(poly_hash(F.col(term_col)).alias("_h0"))
+    (hash row j, bucket) with its counter. depth*width rows total.
+
+    Occurrences are pre-aggregated per distinct term BEFORE hashing, so the
+    expensive char-fold hash runs once per VOCAB entry, not once per
+    occurrence — at 100 TB the occurrence count dwarfs the vocabulary and
+    the pre-aggregation is a map-side-combinable count."""
+    counted = (terms.groupBy(term_col)
+               .agg(F.count(F.lit(1)).alias("_w")))
+    hashed = counted.select(poly_hash(F.col(term_col)).alias("_h0"), "_w")
     rows = F.array(*[
         F.struct(F.lit(j).alias("j"),
                  (affine(F.col("_h0"), a, b) % width).alias("bucket"))
         for j, (a, b) in enumerate(hash_family(depth, seed))
     ])
     return (hashed
-            .select(F.explode(rows).alias("_s"))
-            .select(F.col("_s.j").alias("j"), F.col("_s.bucket").alias("bucket"))
+            .select(F.explode(rows).alias("_s"), "_w")
+            .select(F.col("_s.j").alias("j"), F.col("_s.bucket").alias("bucket"),
+                    "_w")
             .groupBy("j", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt")))
+            .agg(F.sum("_w").alias("cnt")))
 
 
 def cms_estimate(probe: DataFrame, sketch: DataFrame,
@@ -62,22 +67,29 @@ def cms_estimate(probe: DataFrame, sketch: DataFrame,
                  seed: int = CMS_SEED) -> DataFrame:
     """Attach `n_est` (the count-min estimate) to every probe row: compute
     the probe term's depth buckets, look each up in the broadcast sketch,
-    take the min. Missing buckets count 0 (term never hashed there)."""
+    take the min. Missing buckets count 0 (term never hashed there).
+
+    Probe rows are tagged with a unique row id before the explode and the
+    regroup keys on that id, so duplicate probe rows each keep their own
+    output row and non-groupable probe column types (map, ...) are fine."""
     h0 = poly_hash(F.col(term_col))
     rows = F.array(*[
         F.struct(F.lit(j).alias("j"),
                  (affine(h0, a, b) % width).alias("bucket"))
         for j, (a, b) in enumerate(hash_family(depth, seed))
     ])
-    probed = (probe
+    tagged = probe.withColumn("_rid", F.monotonically_increasing_id())
+    probed = (tagged
               .withColumn("_s", F.explode(rows))
-              .select(*probe.columns, F.col("_s.j").alias("j"),
+              .select("_rid", *probe.columns, F.col("_s.j").alias("j"),
                       F.col("_s.bucket").alias("bucket")))
     joined = (probed
               .join(F.broadcast(sketch), ["j", "bucket"], "left")
               .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))))
-    return (joined.groupBy(*probe.columns)
-            .agg(F.min("cnt").alias("n_est")))
+    return (joined.groupBy("_rid")
+            .agg(*[F.first(c).alias(c) for c in probe.columns],
+                 F.min("cnt").alias("n_est"))
+            .select(*probe.columns, "n_est"))
 
 
 def cms_bucket_sql(term_expr: str, j: int,

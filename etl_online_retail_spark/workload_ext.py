@@ -474,7 +474,8 @@ _QUALITY_SQL = (f"(0.5 * ({stopword_ratio_sql('text', 'en')}) "
     "quality_weighted_sample",
     f"""WITH scored AS (
   SELECT doc_id, source, {_QUALITY_SQL} AS quality,
-         (({_QW_A} * doc_id + {_QW_B}) % {PRIME}) / {PRIME} AS u
+         (({_QW_A} * ((doc_id::BIGINT % {PRIME} + {PRIME}) % {PRIME})
+           + {_QW_B}) % {PRIME}) / {PRIME} AS u
   FROM documents)
 SELECT doc_id, source, ROUND(quality, 6) AS quality
 FROM scored WHERE u < quality""",
@@ -488,8 +489,10 @@ def q_quality_weighted_sample(spark, sf_dir):
     quality = (F.lit(0.5) * sr
                + F.lit(0.3) * F.least(nt / F.lit(100.0), F.lit(1.0))
                + F.lit(0.2) * (F.lit(1.0) - pr))
-    u = ((F.lit(_QW_A) * F.col("doc_id") + F.lit(_QW_B)) % F.lit(PRIME)) \
-        / F.lit(PRIME)
+    # pmod doc_id into [0, PRIME) first so a*id can't overflow int64 at
+    # 100 TB id ranges; value-preserving for id < PRIME (see sampling.py)
+    h = F.pmod(F.col("doc_id").cast("bigint"), F.lit(PRIME))
+    u = ((F.lit(_QW_A) * h + F.lit(_QW_B)) % F.lit(PRIME)) / F.lit(PRIME)
     return (docs.select("doc_id", "source", quality.alias("_q"),
                         u.alias("_u"))
             .filter(F.col("_u") < F.col("_q"))

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from etl_online_retail_spark.catalog import load_table
 from etl_online_retail_spark.operators.curation import (
-    stratified_sample,
+    bernoulli_stratified_sample,
     with_split,
 )
 
@@ -30,8 +30,8 @@ def test_split_is_deterministic_and_partitioned(spark):
 def test_stratified_sample_rates_and_determinism(spark):
     docs = load_table(spark, "documents", SF)
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
-    s1 = stratified_sample(docs, "lang", fractions)
-    s2 = stratified_sample(docs, "lang", fractions)
+    s1 = bernoulli_stratified_sample(docs, "lang", fractions)
+    s2 = bernoulli_stratified_sample(docs, "lang", fractions)
     assert sorted(r.doc_id for r in s1.collect()) == \
         sorted(r.doc_id for r in s2.collect())  # same seed -> same sample
     n_en_before = docs.filter(F.col("lang") == "en").count()

@@ -1,0 +1,100 @@
+"""Deterministic sampling + count-min sketch operators.
+
+Covers the properties the oracle hash-compare can't express directly:
+nested samples under growing fractions, exact-k uniform sampling, the CMS
+overestimate bound vs exact counts, duplicate-probe-row preservation, and
+the int64 no-overflow guarantee for ids far beyond the hash prime
+(cross-checked against the DuckDB twin at exactly those magnitudes).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.catalog import load_table
+from etl_online_retail_spark.functions.text import normalize, tokens
+from etl_online_retail_spark.operators import sampling, sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_stratified_sample_is_nested_and_deterministic(spark):
+    docs = load_table(spark, "documents", SF)
+    small = sampling.stratified_sample(docs, "lang", "doc_id",
+                                       {"en": 0.3}, 0.1)
+    big = sampling.stratified_sample(docs, "lang", "doc_id",
+                                     {"en": 0.6}, 0.2)
+    s, b = set(_ids(small)), set(_ids(big))
+    assert s <= b  # enlarging every fraction strictly grows the sample
+    assert _ids(small) == _ids(sampling.stratified_sample(
+        docs.repartition(7), "lang", "doc_id", {"en": 0.3}, 0.1))
+    # realized per-stratum fraction tracks the requested one (RESOLUTION
+    # granularity; small-N tolerance)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    n_en_kept = small.filter(F.col("lang") == "en").count()
+    assert 0.05 * n_en <= n_en_kept <= 0.55 * n_en
+
+
+def test_uniform_sample_topk_exact_k_and_nested(spark):
+    docs = load_table(spark, "documents", SF)
+    n = docs.count()
+    k = min(20, n)
+    s1 = sampling.uniform_sample_topk(docs, "doc_id", k)
+    assert s1.count() == k
+    assert s1.columns == docs.columns  # helper column dropped
+    # deterministic and nested: top-k is a prefix of top-2k
+    s2 = sampling.uniform_sample_topk(docs.repartition(5), "doc_id", 2 * k)
+    assert set(_ids(s1)) <= set(_ids(s2))
+    assert _ids(s1) == _ids(sampling.uniform_sample_topk(docs, "doc_id", k))
+
+
+def test_bucket_no_overflow_matches_duckdb_at_large_ids(spark):
+    """hashing's no-overflow window only holds for h < PRIME; ids >= ~9.2e9
+    must be pmod-reduced first on BOTH engines (ADVICE r3). Exercise ids at
+    and beyond the old overflow point and hash-compare engines."""
+    ids = [0, 1, 999_999_999, 9_200_000_000, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {r.doc_id: r.b for r in
+           df.select("doc_id",
+                     sampling._bucket(F.col("doc_id")).alias("b")).collect()}
+    con = duckdb.connect()
+    want = dict(con.execute(
+        f"SELECT doc_id, {sampling.bucket_sql('doc_id')} FROM "
+        f"(SELECT unnest({ids}::BIGINT[]) AS doc_id)").fetchall())
+    assert got == want
+
+
+def test_cms_overestimate_bound(spark):
+    docs = load_table(spark, "documents", SF)
+    terms = (docs.select(F.explode(tokens(normalize("text"))).alias("term"))
+             .filter(F.col("term") != "").cache())
+    n_total = terms.count()
+    sketch = sketches.cms_sketch(terms)
+    probe = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    rows = sketches.cms_estimate(probe, sketch).collect()
+    assert len(rows) == probe.count()
+    for r in rows:
+        assert r.n_est >= r.n_exact  # CMS never underestimates
+        # standard bound: overestimate <= 2N/width w.h.p. (deterministic
+        # here: fixed data + fixed hash family)
+        assert r.n_est - r.n_exact <= 2 * n_total / sketches.CMS_WIDTH
+    terms.unpersist()
+
+
+def test_cms_estimate_keeps_duplicate_probe_rows(spark):
+    """The regroup keys on a synthetic row id, so duplicate probe rows each
+    keep their own output row (ADVICE r3)."""
+    corpus = spark.createDataFrame(
+        [("alpha",)] * 5 + [("beta",)] * 3, "term string")
+    sketch = sketches.cms_sketch(corpus)
+    probe = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",)], "term string")
+    out = sketches.cms_estimate(probe, sketch).collect()
+    assert len(out) == 3
+    assert sorted((r.term, r.n_est) for r in out) == \
+        [("alpha", 5), ("alpha", 5), ("beta", 3)]
