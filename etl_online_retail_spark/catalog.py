@@ -147,7 +147,9 @@ _EVENTS_NANOS_SCHEMA = T.StructType([
     T.StructField("props", T.StringType()),
 ])
 
-_EVENTS_FLAVOR_CACHE: dict[str, bool] = {}
+# keyed on (path, mtime): a regenerated events file with the other flavor
+# at the same path must re-sniff, not serve the stale answer
+_EVENTS_FLAVOR_CACHE: dict[tuple[str, float], bool] = {}
 
 
 def events_stores_nanos(spark: SparkSession, path: str) -> bool:
@@ -155,13 +157,21 @@ def events_stores_nanos(spark: SparkSession, path: str) -> bool:
 
     Under the nanosAsLong conf, INT64 TIMESTAMP(NANOS) infers as bigint
     while TIMESTAMP(MICROS) infers as a timestamp type, so the inferred
-    dtype of `ts` identifies the stored flavor.
+    dtype of `ts` identifies the stored flavor. The conf is ensured HERE
+    (not only in load_events) so a direct call on a fresh session can't hit
+    'Illegal Parquet type' before the sniff answers.
     """
-    cached = _EVENTS_FLAVOR_CACHE.get(path)
+    ensure_session_confs(spark)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (path, mtime)
+    cached = _EVENTS_FLAVOR_CACHE.get(key)
     if cached is None:
         inferred = spark.read.parquet(path).schema["ts"].dataType
         cached = isinstance(inferred, T.LongType)
-        _EVENTS_FLAVOR_CACHE[path] = cached
+        _EVENTS_FLAVOR_CACHE[key] = cached
     return cached
 
 

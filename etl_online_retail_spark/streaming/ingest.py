@@ -127,6 +127,15 @@ def incremental_append(stream_df: DataFrame, out_dir: str,
             .start())
 
 
+# Every `_batch_id` partition (original partial OR compact) writes `_sum`
+# as this ONE decimal type. Without the pin, Spark widens sums per pass
+# (18,2 -> 28,2 -> 38,2), so compact partitions would carry a different
+# parquet physical type than originals — and in the crash window where two
+# compacts coexist, the stale narrower one can drive schema inference and
+# make the wider live compact unreadable until cleanup.
+_PARTIAL_SUM_TYPE = "decimal(28,2)"
+
+
 def partial_agg_batch_write(batch_df: DataFrame, batch_id: int,
                             table_dir: str, key_cols: list[str],
                             value_col: str) -> None:
@@ -142,7 +151,8 @@ def partial_agg_batch_write(batch_df: DataFrame, batch_id: int,
     """
     part = (batch_df.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("_n"),
-                 F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_sum")))
+                 F.sum(F.col(value_col).cast("decimal(18,2)"))
+                 .cast(_PARTIAL_SUM_TYPE).alias("_sum")))
     (part.withColumn("_batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -242,7 +252,8 @@ def autocompact_incremental_agg(spark, table_dir: str,
     merged = (spark.read.parquet(table_dir)
               .filter(F.col("_batch_id").isin(effective))
               .groupBy(*key_cols)
-              .agg(F.sum("_n").alias("_n"), F.sum("_sum").alias("_sum"))
+              .agg(F.sum("_n").alias("_n"),
+                   F.sum("_sum").cast(_PARTIAL_SUM_TYPE).alias("_sum"))
               .withColumn("_batch_id", F.lit(new_id))
               .localCheckpoint(eager=True))  # reads the dir it overwrites
     (merged.write.mode("overwrite")
@@ -278,7 +289,8 @@ def compact_incremental_agg(spark, table_dir: str,
     """
     merged = (spark.read.parquet(table_dir)
               .groupBy(*key_cols)
-              .agg(F.sum("_n").alias("_n"), F.sum("_sum").alias("_sum"))
+              .agg(F.sum("_n").alias("_n"),
+                   F.sum("_sum").cast(_PARTIAL_SUM_TYPE).alias("_sum"))
               .withColumn("_batch_id", F.lit(-1))
               .localCheckpoint(eager=True))  # reads the dir it overwrites
     merged.write.mode("overwrite").partitionBy("_batch_id").parquet(table_dir)

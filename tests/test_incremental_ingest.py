@@ -255,3 +255,55 @@ def test_autocompaction_crash_windows_never_double_count(
     got = {r.event_type: (r.n_rows, round(r.total, 2))
            for r in read_incremental_agg(spark, t, ["event_type"]).collect()}
     assert got == want2
+
+
+def test_all_partitions_share_one_parquet_schema(spark, tmp_path,
+                                                 monkeypatch):
+    """Originals and compacts must write `_sum` as ONE pinned decimal type:
+    re-summing widens per pass (18,2 -> 28,2 -> 38,2), and in the crash
+    window where a stale narrower compact coexists with the live wider one,
+    the stale dir (sorting first) would drive schema inference and make the
+    live compact unreadable (ADVICE r3)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        autocompact_incremental_agg,
+        partial_agg_batch_write,
+        read_incremental_agg,
+    )
+
+    ev = load_events(spark, SF).cache()
+    t = str(tmp_path / "agg")
+    for b in range(3):
+        partial_agg_batch_write(ev.filter(F.col("event_id") % 4 == b), b, t,
+                                ["event_type"], "value")
+    # two generations of compact coexisting (cleanup suppressed = crash)
+    monkeypatch.setattr("shutil.rmtree", lambda *a, **k: None)
+    autocompact_incremental_agg(spark, t, ["event_type"])
+    partial_agg_batch_write(ev.filter(F.col("event_id") % 4 == 3), 3, t,
+                            ["event_type"], "value")
+    autocompact_incremental_agg(spark, t, ["event_type"])
+    monkeypatch.undo()
+
+    # physical column types must match exactly (COUNT partials mark _n
+    # required while compacts mark it optional — that's fine; a TYPE
+    # difference is what breaks cross-partition reads)
+    schemas = set()
+    for part_dir in sorted(glob.glob(os.path.join(t, "_batch_id=*"))):
+        for f in glob.glob(os.path.join(part_dir, "*.parquet")):
+            s = pq.read_schema(f)
+            schemas.add(tuple((n, str(s.field(n).type)) for n in s.names))
+    assert len(schemas) == 1, schemas
+    # and the table still reads correctly through the mixed-generation dir
+    got = {r.event_type: (r.n_rows, round(r.total, 2))
+           for r in read_incremental_agg(spark, t, ["event_type"]).collect()}
+    want = {r.event_type: (r.n, round(r.v, 2))
+            for r in (ev.groupBy("event_type")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum(F.col("value").cast("decimal(18,2)"))
+                            .cast("double").alias("v")).collect())}
+    assert got == want
