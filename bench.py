@@ -73,6 +73,9 @@ HEADLINE = [
     "customer_event_fulljoin",
     "orders_above_customer_avg",
     "revenue_share_by_nation",
+    "stratified_docs_sample",
+    "uniform_docs_sample",
+    "cms_heavy_hitters",
 ]
 
 # Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a
@@ -159,6 +162,7 @@ def main() -> None:
     sf_dir, staging_sec = stage_tables(spark, sf_dir)
 
     timings: dict[str, float] = {}
+    bands: dict[str, list[float]] = {}
     for name in HEADLINE:
         build = qs.get(name)
         if build is None:
@@ -179,10 +183,12 @@ def main() -> None:
             run()  # warm-up: plan + file/JIT warmup
             best = float("inf")
             stable = 0
+            runs: list[float] = []
             for _ in range(MAX_RUNS):
                 t0 = time.perf_counter()
                 run()
                 t = time.perf_counter() - t0
+                runs.append(t)
                 if t < best * (1 - TOL):
                     stable = 0
                 else:
@@ -191,6 +197,10 @@ def main() -> None:
                 if stable >= PLATEAU:
                     break
             timings[name] = round(best, 4)
+            # variance band across the timed (post-warm-up) runs: makes
+            # "within noise" claims data instead of assertion — a genuine
+            # regression moves best OUTSIDE the previous round's band
+            bands[name] = [round(min(runs), 4), round(max(runs), 4)]
         except Exception as e:  # a failing query must not hide the others
             print(f"bench error {name}: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -202,6 +212,7 @@ def main() -> None:
         "value": round(sum(ok), 4),
         "unit": "sec",
         "queries": timings,
+        "bands": bands,
         "sf": sf,
         "staging_sec": round(staging_sec, 2),
         "layout": ("engine-staged warehouse: multi-file parquet + co-bucketed "

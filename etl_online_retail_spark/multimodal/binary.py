@@ -9,9 +9,10 @@ spark.sql.execution.arrow.maxRecordsPerBatch to keep
 payload-size-agnostic.
 
 PNG decodes FOR REAL via the stdlib codec in multimodal/png.py (zlib
-inflate + scanline unfilter); other codecs (JPEG, audio, video) still
-need libraries this container does not ship and stay stubbed behind the
-same signatures. binary_features additionally extracts deterministic
+inflate + scanline unfilter) and baseline JPEG via multimodal/jpeg.py
+(Huffman + IDCT); other codecs (WebP, audio, video) still need libraries
+this container does not ship and stay stubbed behind the same
+signatures. binary_features additionally extracts deterministic
 byte-level features (length, header hex) so the full Spark path - binary
 column -> Arrow batch -> pandas -> result schema - is oracle-checkable
 even where no real codec exists.
@@ -93,26 +94,35 @@ IMAGE_FEATURE_SCHEMA = T.StructType([
 def decode_image(content: bytes) -> dict:
     """Decode one image payload to dimension/channel/intensity features.
 
-    PNG decodes for real via the stdlib codec (multimodal/png.py — zlib
-    inflate + per-scanline unfilter); other formats still need an imaging
-    library this container does not ship and raise NotImplementedError
-    with the same signature a PIL-backed body would keep.
+    PNG and baseline JPEG decode for real via the stdlib codecs
+    (multimodal/png.py — zlib inflate + scanline unfilter;
+    multimodal/jpeg.py — Huffman + IDCT); other formats still need an
+    imaging library this container does not ship and raise
+    NotImplementedError with the same signature a PIL-backed body would
+    keep. Routing is by magic bytes, the same dispatch a production
+    decoder pool uses.
     """
+    from etl_online_retail_spark.multimodal import jpeg as _jpeg
     from etl_online_retail_spark.multimodal import png as _png
 
-    if bytes(content[:8]) == _png.PNG_SIGNATURE:
-        img = _png.decode_png(bytes(content))
-        return {
-            "width": img.width,
-            "height": img.height,
-            "channels": img.channels,
-            "bit_depth": img.bit_depth,
-            "mean_pixel": img.mean_pixel(),
-        }
-    raise NotImplementedError(
-        "only PNG decodes in this environment (stdlib codec); JPEG/WebP/"
-        "etc. require an imaging library not present in this container"
-    )
+    content = bytes(content)
+    if content[:8] == _png.PNG_SIGNATURE:
+        img = _png.decode_png(content)
+    elif content[:2] == _jpeg.JPEG_SOI:
+        img = _jpeg.decode_jpeg(content)
+    else:
+        raise NotImplementedError(
+            "only PNG and baseline JPEG decode in this environment (stdlib "
+            "codecs); WebP/audio/video require libraries not present in "
+            "this container"
+        )
+    return {
+        "width": img.width,
+        "height": img.height,
+        "channels": img.channels,
+        "bit_depth": img.bit_depth,
+        "mean_pixel": img.mean_pixel(),
+    }
 
 
 def image_features(media: DataFrame) -> DataFrame:
@@ -161,6 +171,38 @@ def synthetic_png_media(docs: DataFrame, id_col: str = "doc_id",
                 w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
                 payloads.append(_png.encode_png(
                     bytes([v]) * (w * h * 3), w, h, color_type=2))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
+def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
+                         max_w: int = 16, max_h: int = 8) -> DataFrame:
+    """Render one deterministic solid-gray baseline JPEG per row (real
+    encoder). Twin of synthetic_png_media with one deliberate change: the
+    intensity is EVEN (2 * (id % 128)) so the decode is bit-exact — the
+    only nonzero coefficient is the luma DC 8*(v-128), whose quantization
+    by 16 hits no rounding knife-edge when (v-128) is even, and the chroma
+    planes are exactly 128 (multimodal/jpeg.py determinism notes). That
+    keeps the decoded features closed-form in the id for the SQL oracle
+    while the Spark side genuinely encodes and decodes JPEG bytes.
+    """
+    from etl_online_retail_spark.multimodal import jpeg as _jpeg
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                w, h = 1 + int(i) % max_w, 1 + int(i) % max_h
+                v = 2 * (int(i) % 128)
+                payloads.append(_jpeg.encode_jpeg(
+                    bytes([v]) * (w * h * 3), w, h, channels=3))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([

@@ -1,0 +1,630 @@
+"""Minimal pure-stdlib baseline JPEG codec (Huffman + 8x8 DCT).
+
+Second real format for the media path (after multimodal/png.py), again
+with zero dependencies: struct + math are enough for baseline sequential
+8-bit JPEG (ITU-T T.81). The decoder handles grayscale and YCbCr with any
+sampling factors <= 2 (4:4:4, 4:2:2, 4:2:0), restart markers, and the
+standard marker stream (SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI); the
+encoder emits spec-valid baseline JPEG with the Annex K quantization and
+Huffman tables (grayscale or YCbCr, optional 2x2 luma sampling = 4:2:0)
+so tests and queries can fabricate fixtures deterministically.
+
+Format reference: the public JPEG specification (ITU-T T.81 / ISO 10918):
+marker layout, zig-zag order, Annex K.1/K.2 quantization tables, Annex
+K.3 typical Huffman tables, F.1/F.2 entropy coding procedures.
+
+Determinism notes (the oracle relies on these):
+  * Quantization rounds half away from zero (matches SQL ROUND), not
+    banker's rounding.
+  * RGB->YCbCr output is rounded to integers before the DCT, so constant
+    inputs produce bit-exact constant planes.
+  * For a solid-gray image with EVEN intensity v, the decoded image is
+    exactly v everywhere: the only nonzero coefficient is the luma DC
+    8*(v-128), quantized by 16 to (v-128)/2 with no rounding knife-edge,
+    and the chroma planes are exactly 128 (see synthetic_jpeg_media).
+
+Scale note: like png.py, this only ever runs inside Arrow-batched
+mapInPandas (multimodal/binary.py) on one payload at a time; fixtures are
+tiny. A production deployment swaps in libjpeg-turbo behind the same
+signatures.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+JPEG_SOI = b"\xff\xd8"
+
+# zig-zag index i (coefficient emission order) -> natural raster index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 / K.2 quantization tables, natural raster order
+STD_LUMA_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+STD_CHROMA_Q = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+_COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)]
+_ALPHA = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _round_half_away(x: float) -> int:
+    """ROUND()-compatible rounding (half away from zero, not banker's)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _idct2(coef: list[float]) -> list[float]:
+    """8x8 inverse DCT (T.81 A.3.3), coef/output in natural raster order."""
+    tmp = [0.0] * 64
+    for v in range(8):
+        base = v * 8
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                s += _ALPHA[u] * coef[base + u] * _COS[x][u]
+            tmp[base + x] = s
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                s += _ALPHA[v] * tmp[v * 8 + x] * _COS[y][v]
+            out[y * 8 + x] = s * 0.25
+    return out
+
+
+def _fdct2(block: list[float]) -> list[float]:
+    """8x8 forward DCT, input/output in natural raster order."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        base = y * 8
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += block[base + x] * _COS[x][u]
+            tmp[base + u] = s
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[y * 8 + u] * _COS[y][v]
+            out[v * 8 + u] = s * 0.25 * _ALPHA[u] * _ALPHA[v]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Huffman coding (T.81 Annex C table construction, F.1.2/F.2.2 procedures)
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(code length, code) -> symbol, canonical T.81 code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("ran off the end of the entropy-coded segment")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (B.1.1.5)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (B.1.1.5)."""
+        while self.n:
+            self.write(1, 1)
+
+
+def _decode_symbol(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t low-order bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    """Bit category of a signed coefficient (F.1.2.1.2)."""
+    return abs(v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+@dataclass(frozen=True)
+class JpegImage:
+    width: int
+    height: int
+    bit_depth: int
+    channels: int  # 1 = grayscale, 3 = RGB (converted from YCbCr)
+    pixels: bytes  # row-major, channels interleaved
+
+    def mean_pixel(self) -> float:
+        """Mean over every sample (all channels pooled)."""
+        if not self.pixels:
+            return 0.0
+        return sum(self.pixels) / len(self.pixels)
+
+
+@dataclass
+class _Component:
+    cid: int
+    h: int
+    v: int
+    tq: int       # quant table id
+    td: int = 0   # DC huffman table id (from SOS)
+    ta: int = 0   # AC huffman table id (from SOS)
+
+
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuff the scan into restart-delimited segments; return (segments,
+    position of the terminating marker)."""
+    segments: list[bytearray] = [bytearray()]
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b != 0xFF:
+            segments[-1].append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < len(data) else 0xD9
+        if m == 0x00:            # stuffed 0xFF data byte
+            segments[-1].append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytearray())
+            i += 2
+        else:                    # EOI or next marker: scan over
+            break
+    return [bytes(s) for s in segments], i
+
+
+def decode_jpeg(data: bytes) -> JpegImage:
+    """Decode a baseline sequential 8-bit JPEG (SOF0)."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG: missing SOI marker")
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    comps: list[_Component] = []
+    width = height = None
+    restart_interval = 0
+    pos = 2
+    segments: list[bytes] | None = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                zz = body[i + 1:i + 65]
+                nat = [0] * 64
+                for k in range(64):
+                    nat[ZIGZAG[k]] = zz[k]
+                qtables[tq] = nat
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                table = _huff_decode_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) "
+                f"JPEGs are supported by this stdlib codec")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            order = {c.cid: c for c in comps}
+            scan_comps = []
+            for s in range(ns):
+                cid, tdta = body[1 + 2 * s], body[2 + 2 * s]
+                comp = order[cid]
+                comp.td, comp.ta = tdta >> 4, tdta & 0x0F
+                scan_comps.append(comp)
+            comps = scan_comps
+            segments, pos = _split_entropy(data, pos)
+            break
+        # APPn / COM / others: skipped via seglen
+    if width is None or segments is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = {c.cid: bytearray(mcus_x * c.h * 8 * mcus_y * c.v * 8)
+              for c in comps}
+    plane_w = {c.cid: mcus_x * c.h * 8 for c in comps}
+
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter))
+    pred = {c.cid: 0 for c in comps}
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            br = _BitReader(next(seg_iter))
+            pred = {c.cid: 0 for c in comps}
+        mx, my = mcu % mcus_x, mcu // mcus_x
+        for c in comps:
+            q = qtables[c.tq]
+            for by in range(c.v):
+                for bx in range(c.h):
+                    coef = [0.0] * 64
+                    t = _decode_symbol(br, dc_tables[c.td])
+                    diff = _extend(br.read_bits(t), t)
+                    pred[c.cid] += diff
+                    coef[0] = pred[c.cid] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_symbol(br, ac_tables[c.ta])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: run of 16 zeros
+                                k += 16
+                                continue
+                            break        # EOB
+                        k += r
+                        nat = ZIGZAG[k]
+                        coef[nat] = _extend(br.read_bits(s), s) * q[nat]
+                        k += 1
+                    px = _idct2(coef)
+                    x0 = (mx * c.h + bx) * 8
+                    y0 = (my * c.v + by) * 8
+                    pw = plane_w[c.cid]
+                    plane = planes[c.cid]
+                    for y in range(8):
+                        row = (y0 + y) * pw + x0
+                        for x in range(8):
+                            v = _round_half_away(px[y * 8 + x] + 128.0)
+                            plane[row + x] = 0 if v < 0 else (
+                                255 if v > 255 else v)
+
+    if len(comps) == 1:
+        c = comps[0]
+        pw = plane_w[c.cid]
+        plane = planes[c.cid]
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width:(y + 1) * width] = plane[y * pw:y * pw + width]
+        return JpegImage(width, height, 8, 1, bytes(out))
+    if len(comps) != 3:
+        raise ValueError(f"{len(comps)}-component JPEGs unsupported")
+
+    yc, cbc, crc = comps
+    out = bytearray(width * height * 3)
+    for yy in range(height):
+        for xx in range(width):
+            samples = []
+            for c in (yc, cbc, crc):
+                sx = xx * c.h // hmax
+                sy = yy * c.v // vmax
+                samples.append(planes[c.cid][sy * plane_w[c.cid] + sx])
+            lum, cb, cr = samples
+            r = lum + 1.402 * (cr - 128)
+            g = lum - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            b = lum + 1.772 * (cb - 128)
+            o = (yy * width + xx) * 3
+            for i, val in enumerate((r, g, b)):
+                vi = _round_half_away(val)
+                out[o + i] = 0 if vi < 0 else (255 if vi > 255 else vi)
+    return JpegImage(width, height, 8, 3, bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+def _encode_block(bw: _BitWriter, coef: list[int], pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """Huffman-encode one quantized block (natural order); returns new DC
+    predictor."""
+    dc = coef[0]
+    diff = dc - pred
+    t = _category(diff)
+    code, length = dc_tab[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = coef[ZIGZAG[k]]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _quantize(block: list[float], q: list[int]) -> list[int]:
+    return [_round_half_away(block[i] / q[i]) for i in range(64)]
+
+
+def _block_at(plane: list[int], pw: int, ph: int,
+              x0: int, y0: int) -> list[float]:
+    """Level-shifted 8x8 block with edge replication padding."""
+    out = [0.0] * 64
+    for y in range(8):
+        sy = min(y0 + y, ph - 1)
+        for x in range(8):
+            sx = min(x0 + x, pw - 1)
+            out[y * 8 + x] = plane[sy * pw + sx] - 128.0
+    return out
+
+
+def encode_jpeg(pixels: bytes, width: int, height: int,
+                channels: int = 3, subsample: bool = False) -> bytes:
+    """Encode 8-bit samples as baseline JPEG with the Annex K tables.
+
+    channels=1: grayscale; channels=3: RGB input, encoded as YCbCr —
+    4:4:4, or 4:2:0 (2x2 luma sampling + averaged chroma) when
+    `subsample` is set. `pixels` is row-major interleaved.
+    """
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError(f"pixel buffer is {len(pixels)} bytes, expected "
+                         f"{width * height * channels}")
+
+    if channels == 1:
+        planes = [list(pixels)]
+        dims = [(width, height)]
+        samp = [(1, 1)]
+    else:
+        luma = [0] * (width * height)
+        cb_full = [0] * (width * height)
+        cr_full = [0] * (width * height)
+        for i in range(width * height):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            luma[i] = _round_half_away(0.299 * r + 0.587 * g + 0.114 * b)
+            cb_full[i] = _round_half_away(
+                128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+            cr_full[i] = _round_half_away(
+                128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        if subsample:
+            cw, ch_ = -(-width // 2), -(-height // 2)
+
+            def _avg(src: list[int]) -> list[int]:
+                out = [0] * (cw * ch_)
+                for y in range(ch_):
+                    for x in range(cw):
+                        acc = n = 0
+                        for dy in (0, 1):
+                            for dx in (0, 1):
+                                sy, sx = 2 * y + dy, 2 * x + dx
+                                if sy < height and sx < width:
+                                    acc += src[sy * width + sx]
+                                    n += 1
+                        out[y * cw + x] = _round_half_away(acc / n)
+                return out
+
+            planes = [luma, _avg(cb_full), _avg(cr_full)]
+            dims = [(width, height), (cw, ch_), (cw, ch_)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [luma, cb_full, cr_full]
+            dims = [(width, height)] * 3
+            samp = [(1, 1)] * 3
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    qtabs = [STD_LUMA_Q] + ([STD_CHROMA_Q] if channels == 3 else [])
+    dc_enc = [_huff_encode_table(*_DC_LUMA)]
+    ac_enc = [_huff_encode_table(*_AC_LUMA)]
+    if channels == 3:
+        dc_enc.append(_huff_encode_table(*_DC_CHROMA))
+        ac_enc.append(_huff_encode_table(*_AC_CHROMA))
+
+    bw = _BitWriter()
+    pred = [0] * channels
+    for mcu in range(mcus_x * mcus_y):
+        mx, my = mcu % mcus_x, mcu // mcus_x
+        for ci in range(channels):
+            h, v = samp[ci]
+            pw, ph = dims[ci]
+            tq = 0 if ci == 0 else 1
+            for by in range(v):
+                for bx in range(h):
+                    block = _block_at(planes[ci], pw, ph,
+                                      (mx * h + bx) * 8, (my * v + by) * 8)
+                    coef = _quantize(_fdct2(block), qtabs[tq])
+                    pred[ci] = _encode_block(bw, coef, pred[ci],
+                                             dc_enc[tq], ac_enc[tq])
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(JPEG_SOI)
+    for tq, q in enumerate(qtabs):
+        zz = bytes(q[ZIGZAG[k]] for k in range(64))
+        out += seg(0xDB, bytes([tq]) + zz)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    huff_specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+    if channels == 3:
+        huff_specs += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+    for tc, th, (bits, vals) in huff_specs:
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    sos = bytes([channels])
+    for ci in range(channels):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1058,6 +1058,28 @@ def q_png_image_stats(spark, sf_dir):
     return image_features(synthetic_png_media(docs))
 
 
+# real baseline-JPEG codec round-trip (stdlib Huffman+DCT codec,
+# multimodal/jpeg.py): same shape as png_image_stats. Intensity is even
+# (2 * (id % 128)) so the lossy codec is bit-exact on these fixtures and
+# the oracle stays closed-form (see synthetic_jpeg_media docstring).
+@register(
+    "jpeg_image_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST(8 AS INTEGER) AS bit_depth, "
+    "CAST(2 * (doc_id % 128) AS DOUBLE) AS mean_pixel "
+    "FROM documents",
+    "M6-multimodal-codec",
+)
+def q_jpeg_image_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import synthetic_jpeg_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(synthetic_jpeg_media(docs))
+
+
 # ---------------------------------------------------------------------------
 # temporal joins: as-of + bounded range — operators Spark lacks natively
 # (operators/joins.py as_of_join / range_self_join_within). DuckDB has a

@@ -188,6 +188,86 @@ def main() -> None:
         print(f"lsh candidates @ {factor}x [{label}: {planes} planes, "
               f"{n_vec:,} vectors]: {int(cands):,} pairs", flush=True)
 
+    # round-3 streaming operators: the reorder-buffer SCD2 (state is
+    # watermark-bounded per user; cost must scale with rows, not explode
+    # with state) and the incremental-agg writer under MANY micro-batches
+    # with auto-compaction (read-side merge input stays O(keys), bounded
+    # by max_partials, however many batches have landed).
+    import shutil
+    import tempfile
+
+    def scd2_stream_reorder():
+        import datetime
+        import os
+
+        from etl_online_retail_spark.catalog import SCHEMAS
+        from etl_online_retail_spark.streaming.stateful import (
+            scd2_stream_reordered,
+        )
+
+        work = tempfile.mkdtemp(prefix="scale_scd2_")
+        try:
+            sdir = os.path.join(work, "shards")
+            os.makedirs(sdir)
+            mx = ev.agg(F.max("ts")).collect()[0][0]
+            # 8 content-hash shards (arrival order != event time), each
+            # factor-times bigger — scale = bigger micro-batches
+            for b in range(8):
+                (ev.filter(F.crc32(F.col("event_id").cast("string")) % 8 == b)
+                 .write.parquet(os.path.join(sdir, f"s{b}")))
+            sentinels = [
+                (10_000_000 * factor + i,
+                 mx + datetime.timedelta(days=days), -1, "sentinel", 0.0,
+                 "{}")
+                for i, days in enumerate((370, 740))]
+            for i, row in enumerate(sentinels):
+                (spark.createDataFrame([row], schema=SCHEMAS["events"])
+                 .write.parquet(os.path.join(sdir, f"z_sentinel{i}")))
+            stream = (spark.readStream.schema(SCHEMAS["events"])
+                      .option("maxFilesPerTrigger", 4)
+                      .parquet(os.path.join(sdir, "*"))
+                      .withColumn("ts", F.col("ts").cast("timestamp")))
+            (scd2_stream_reordered(stream, delay="365 days")
+             .writeStream.format("noop")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start().awaitTermination())
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    def incremental_agg_compaction():
+        from etl_online_retail_spark.streaming.ingest import (
+            _list_partials,
+            autocompact_incremental_agg,
+            partial_agg_batch_write,
+            read_incremental_agg,
+        )
+
+        work = tempfile.mkdtemp(prefix="scale_inc_agg_")
+        try:
+            t = os.path.join(work, "agg")
+            n_batches, max_partials = 24, 8
+            for b in range(n_batches):
+                partial_agg_batch_write(
+                    ev.filter(F.col("event_id") % n_batches == b), b, t,
+                    ["event_type"], "value")
+                if len([p for p in _list_partials(t) if p >= 0]) \
+                        >= max_partials:
+                    autocompact_incremental_agg(spark, t, ["event_type"])
+            live = len(_list_partials(t))
+            read_incremental_agg(spark, t, ["event_type"]).collect()
+            print(f"  partials on disk after {n_batches} micro-batches: "
+                  f"{live} (bound ~{max_partials})", flush=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    import os
+
+    timed(f"scd2 reorder-buffer stream @ {factor}x", scd2_stream_reorder)
+    timed(f"incremental agg + autocompact (24 micro-batches) @ {factor}x",
+          incremental_agg_compaction)
+
 
 if __name__ == "__main__":
     main()

@@ -1,5 +1,5 @@
-"""Multimodal binary plumbing: Arrow batch path is real, codecs are
-clearly-stubbed (SURVEY extension spec: plumbing real, decode stubbed)."""
+"""Multimodal binary plumbing: Arrow batch path is real, PNG + baseline
+JPEG decode for real (stdlib codecs), remaining codecs clearly-stubbed."""
 
 from __future__ import annotations
 
@@ -14,6 +14,7 @@ from etl_online_retail_spark.multimodal.binary import (
     decode_image,
     frame_sample_stub,
     image_features,
+    synthetic_jpeg_media,
     synthetic_png_media,
     to_media_table,
 )
@@ -43,9 +44,9 @@ def test_binary_features_via_arrow(spark):
 
 
 def test_codec_stubs_raise_clearly():
-    # non-PNG formats still need a library this container lacks
-    with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+    # formats beyond PNG/JPEG still need a library this container lacks
+    with pytest.raises(NotImplementedError, match="libraries"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         frame_sample_stub(b"\x00\x00\x00 ftypmp4")
 
@@ -60,3 +61,65 @@ def test_image_features_real_png_decode(spark):
         assert r.height == 1 + r.media_id % 8
         assert r.channels == 3 and r.bit_depth == 8
         assert r.mean_pixel == float(r.media_id % 256)
+
+
+def test_image_features_real_jpeg_decode(spark):
+    docs = load_table(spark, "documents", SF).limit(25)
+    feats = image_features(synthetic_jpeg_media(docs))
+    assert feats.schema == IMAGE_FEATURE_SCHEMA
+    for r in feats.collect():
+        assert r.width == 1 + r.media_id % 16
+        assert r.height == 1 + r.media_id % 8
+        assert r.channels == 3 and r.bit_depth == 8
+        # even solid gray decodes bit-exactly (jpeg.py determinism notes)
+        assert r.mean_pixel == float(2 * (r.media_id % 128))
+
+
+def test_jpeg_roundtrip_gradient_and_subsampling():
+    """Lossy-but-bounded: a smooth gradient must survive encode->decode
+    within a small per-pixel tolerance in both 4:4:4 and 4:2:0."""
+    from etl_online_retail_spark.multimodal import jpeg
+
+    w, h = 24, 16
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            g = (x * 255) // (w - 1)
+            px += bytes([g, g, g])
+    for subsample in (False, True):
+        img = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(bytes(px), w, h, 3, subsample=subsample))
+        assert (img.width, img.height, img.channels) == (w, h, 3)
+        diffs = [abs(img.pixels[i] - px[i]) for i in range(len(px))]
+        assert max(diffs) <= 10, (subsample, max(diffs))
+
+
+def test_jpeg_grayscale_and_odd_dimensions():
+    from etl_online_retail_spark.multimodal import jpeg
+
+    img = jpeg.decode_jpeg(jpeg.encode_jpeg(bytes([100]) * 110, 11, 10, 1))
+    assert (img.width, img.height, img.channels) == (11, 10, 1)
+    assert img.mean_pixel() == 100.0
+    # non-multiple-of-8 color image with content in the padded edge blocks
+    import random
+
+    random.seed(7)
+    w, h = 13, 7
+    px = bytes(random.randrange(256) for _ in range(w * h * 3))
+    img = jpeg.decode_jpeg(jpeg.encode_jpeg(px, w, h, 3))
+    assert (img.width, img.height, img.channels) == (w, h, 3)
+
+
+def test_jpeg_rejects_progressive_and_truncated():
+    from etl_online_retail_spark.multimodal import jpeg
+
+    data = bytearray(jpeg.encode_jpeg(bytes([10]) * 192, 8, 8, 3))
+    # rewrite the SOF0 marker (FFC0) to SOF2 (progressive)
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xe0\x00\x04aa")  # truncated
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"not a jpeg")

@@ -53,3 +53,32 @@ def test_query_matches_oracle(spark, harness, name):
     assert r.ok, (f"{name}: rows {r.spark_rows}/{r.duck_rows} "
                   f"schema_ok={r.schema_ok} hash_ok={r.hash_ok} "
                   f"spark_only={r.spark_only} duck_only={r.duck_only}")
+
+
+def test_hll_sketch_within_configured_error(spark):
+    """approx_customers_by_nation is rows-only for the driver (sketches
+    have no value oracle); bound it here instead: every nation's HLL++
+    estimate must sit within a few rsd of the exact distinct count.
+    rsd=0.02 is the one-sigma target; 3 sigma = 6% is a deterministic
+    pass for this fixed dataset + implementation."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.01"
+    qs = entrymod.queries()
+    approx = {r.nation: r.approx_customers
+              for r in qs["approx_customers_by_nation"](spark, sf).collect()}
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import load_table
+    c = load_table(spark, "customer", sf)
+    n = load_table(spark, "nation", sf).select("n_nationkey", "n_name")
+    exact = {r.n_name: r.n
+             for r in (c.join(F.broadcast(n),
+                              c.c_nationkey == n.n_nationkey)
+                       .groupBy("n_name")
+                       .agg(F.count_distinct("c_custkey").alias("n"))
+                       .collect())}
+    assert set(approx) == set(exact)
+    for nation, est in approx.items():
+        rel = abs(est - exact[nation]) / exact[nation]
+        assert rel <= 0.06, (nation, est, exact[nation], rel)
