@@ -11,6 +11,17 @@ instead of only in the driver's CORRECTNESS file (round-1 lesson: the
 fetchall path silently re-integered HUGEINTs and masked 4 red rows).
 
 Usage: python scripts/verify_local.py [sf_dir] [query ...]
+       python scripts/verify_local.py [sf_dir] --changed-since <git-ref>
+
+--changed-since maps the files touched since <git-ref> (committed, staged,
+unstaged, and untracked) to the registered queries they can affect and
+gates only those — the fast pre-commit loop as the registry grows. The
+map is derived, not maintained: each query's defining module is known
+from the registry, and a static import scan of the package gives the
+transitive file->module closure, so a touched operator file selects every
+query whose workload module (transitively) imports it. Conservative by
+construction: shared infrastructure (catalog/session/oracle/entry) selects
+everything; tests/docs/scripts select nothing.
 """
 
 from __future__ import annotations
@@ -18,10 +29,110 @@ from __future__ import annotations
 import sys
 import time
 
+PKG = "etl_online_retail_spark"
+REPO = "/root/repo"
+
+
+def _import_graph() -> dict[str, set[str]]:
+    """modname -> package modules it imports (top-level AND inside defs)."""
+    import ast
+    import os
+
+    graph: dict[str, set[str]] = {}
+    for root, _, files in os.walk(os.path.join(REPO, PKG)):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            mod = os.path.relpath(path, REPO)[:-3].replace(os.sep, ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            imps: set[str] = set()
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    imps.update(a.name for a in node.names
+                                if a.name.startswith(PKG))
+                elif isinstance(node, ast.ImportFrom):
+                    if node.module and node.module.startswith(PKG):
+                        imps.add(node.module)
+                        # `from pkg.operators import dedup`: the imported
+                        # names may themselves be submodules
+                        imps.update(f"{node.module}.{a.name}"
+                                    for a in node.names)
+            graph[mod] = imps
+    return graph
+
+
+def _closure(mod: str, graph: dict[str, set[str]]) -> set[str]:
+    """Transitive imports of `mod`, WITHOUT expanding through sibling
+    workload modules: every workload module imports workload.py for
+    register()/_t(), so naive transitivity would make any operator file
+    select the whole registry. A sibling workload module is still ADDED
+    (a change to workload.py's shared fragments affects its importers) —
+    its own imports just don't leak into this module's closure."""
+    seen: set[str] = set()
+    stack = [mod]
+    while stack:
+        m = stack.pop()
+        if m in seen or m not in graph:
+            continue
+        seen.add(m)
+        if m != mod and m.rsplit(".", 1)[-1].startswith("workload"):
+            continue
+        stack.extend(graph[m])
+    return seen
+
+
+def _changed_files(ref: str) -> list[str]:
+    import subprocess
+
+    def git(*args: str) -> list[str]:
+        out = subprocess.run(["git", *args], cwd=REPO, check=True,
+                             capture_output=True, text=True).stdout
+        return [line for line in out.splitlines() if line]
+
+    return sorted(set(git("diff", "--name-only", ref)
+                      + git("ls-files", "--others", "--exclude-standard")))
+
+
+def queries_for_changes(ref: str, qs: dict) -> set[str] | None:
+    """Query names affected by changes since `ref`; None = run everything
+    (shared infrastructure touched)."""
+    changed_mods: set[str] = set()
+    for path in _changed_files(ref):
+        if path.startswith(f"{PKG}/") and path.endswith(".py"):
+            mod = path[:-3].replace("/", ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            changed_mods.add(mod)
+        elif path == "__spark_entry__.py":
+            return None
+        # tests/, scripts/, docs, bench.py: no effect on query semantics
+    if not changed_mods:
+        return set()
+    graph = _import_graph()
+    # shared infrastructure modules feed every query via catalog/session
+    infra = {f"{PKG}.catalog", f"{PKG}.session", f"{PKG}.oracle", PKG}
+    if changed_mods & infra:
+        return None
+    selected = set()
+    for name, build in qs.items():
+        if changed_mods & _closure(build.__module__, graph):
+            selected.add(name)
+    return selected
+
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    since = None
+    if "--changed-since" in args:
+        i = args.index("--changed-since")
+        since = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -29,10 +140,25 @@ def main():
     from etl_online_retail_spark.oracle import compare_frames, duckdb_connection
     from etl_online_retail_spark.session import get_spark
 
+    qs = entrymod.queries()
+    if since is not None:
+        affected = queries_for_changes(since, qs)
+        if affected is None:
+            print(f"changed-since {since}: shared infrastructure touched "
+                  f"-> full registry")
+        else:
+            extra = len(only - affected)
+            only |= affected
+            note = f" + {extra} explicit" if extra else ""
+            print(f"changed-since {since}: {len(affected)} affected "
+                  f"queries{note}")
+            if not only:
+                print("no registered queries affected\nall green")
+                return
+
     spark = get_spark("verify-local")
     con = duckdb_connection(sf_dir)
 
-    qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     # Localize shingle oracles onto shared temp tables (one per-character
     # hash-fold evaluation instead of seven; ROADMAP 2). The driver runs
