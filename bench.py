@@ -75,7 +75,10 @@ HEADLINE = [
     "revenue_share_by_nation",
     "stratified_docs_sample",
     "uniform_docs_sample",
+    "stratified_topk_docs",
     "cms_heavy_hitters",
+    "bloom_pruned_orders",
+    "jpeg_image_stats",
 ]
 
 # Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a

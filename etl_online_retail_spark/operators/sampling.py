@@ -85,9 +85,34 @@ def uniform_sample_topk(df: DataFrame, id_col: str, k: int) -> DataFrame:
     """Uniform sample WITHOUT replacement of exactly k rows (reservoir-
     sampling semantics, deterministically): the k smallest affine-hash
     values over the id space. One global top-k reduce — no shuffle of the
-    full table, no rand(), reproducible across engines and reruns."""
+    full table, no rand(), reproducible across engines and reruns.
+    (Plans as TakeOrderedAndProject: per-partition heaps + driver merge.)"""
     return (df
             .withColumn("_bucket", _bucket(F.col(id_col)))
             .orderBy(F.asc("_bucket"), F.asc(id_col))
             .limit(k)
             .drop("_bucket"))
+
+
+def stratified_topk_sample(df: DataFrame, stratum_col: str, id_col: str,
+                           k: int) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum: the k smallest
+    affine-hash values WITHIN each stratum (per-group reservoir-sampling
+    semantics, deterministic). Complements stratified_sample (fractions,
+    pure filter) when the contract is a fixed COUNT per class/language/
+    source — eval-set carving, per-domain probes.
+
+    Shape: one window pass partitioned by stratum — a single shuffle on
+    the stratum key. Integer-only ordering (bucket, id), so the selected
+    set is engine-portable and oracle-exact. At 100 TB with few, huge
+    strata, pre-filter with an approximate per-stratum bucket cutoff
+    (k/|stratum| quantile) before the exact rank to avoid sorting whole
+    strata; with many modest strata this single pass is already right.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(_bucket(F.col(id_col)).asc(), F.col(id_col).asc()))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn"))

@@ -98,3 +98,69 @@ def cms_bucket_sql(term_expr: str, j: int,
     """DuckDB twin of hash row j's bucket for a term expression."""
     a, b = hash_family(depth, seed)[j]
     return f"({affine_sql(poly_hash_sql(term_expr), a, b)}) % {width}"
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: broadcast-sized membership pre-filter for join pruning.
+#
+# The 100 TB structure this encodes: a fact⋈dim join where the dim subset
+# is too big to broadcast as ROWS but its KEY SET compresses to a KB-MB bit
+# array. The fact scan is pruned by the filter (pure JVM row expression, no
+# shuffle, no join), and only survivors — true matches plus the small
+# false-positive residue — reach the exact join. Results are EXACT (the
+# residual join removes false positives); the Bloom stage only moves work
+# off the shuffle. Spark's AQE runtime row-group filtering uses the same
+# trick internally; this is the explicit, operator-level form.
+
+BLOOM_K = 4
+BLOOM_SEED = 1234
+_W32 = 2 ** 32  # filter words are 32-bit so bit tests stay exact in DOUBLE
+
+
+def _bloom_positions(key: "F.col", m_bits: int, k: int, seed: int) -> list:
+    from etl_online_retail_spark.functions.hashing import PRIME
+
+    h = F.pmod(key.cast("bigint"), F.lit(PRIME))
+    return [affine(h, a, b) % m_bits for (a, b) in hash_family(k, seed)]
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
+                k: int = BLOOM_K, seed: int = BLOOM_SEED) -> list[int]:
+    """Build the filter distributed, collect it driver-side as 32-bit
+    words (len = m_bits/32). The collect is bounded by m_bits — KB-scale,
+    same class as the vocab/query-set collects documented elsewhere; at
+    very large m a deployment switches to a broadcast variable with a
+    native BloomFilter, semantics unchanged."""
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    pos = (keys.select(F.explode(F.array(
+        *_bloom_positions(F.col(key_col), m_bits, k, seed))).alias("p"))
+        .distinct().collect())
+    words = [0] * (m_bits // 32)
+    for r in pos:
+        words[r.p // 32] |= 1 << (r.p % 32)
+    return words
+
+
+def bloom_might_contain(key, words: list[int], k: int = BLOOM_K,
+                        seed: int = BLOOM_SEED):
+    """JVM-only membership test: all k bit positions set. Bit extraction is
+    floor-div/mod on 32-bit words — exact in DOUBLE (< 2^53), no shifts
+    with column operands (unsupported), no UDF."""
+    m_bits = len(words) * 32
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for p in _bloom_positions(key, m_bits, k, seed):
+        word = F.element_at(arr, (p / F.lit(32)).cast("int") + F.lit(1))
+        bit = F.pmod(F.floor(word / F.pow(F.lit(2.0),
+                                          F.pmod(p, F.lit(32)))).cast("bigint"),
+                     F.lit(2))
+        cond = cond & (bit == F.lit(1))
+    return cond
+
+
+def bloom_sizing(n_keys: int, bits_per_key: int = 16) -> int:
+    """m_bits for a target load: 16 bits/key with k=4 gives ~2-3% FPR —
+    the pruned-scan sweet spot (residual join cost ∝ FPR)."""
+    m = max(1024, n_keys * bits_per_key)
+    return (m + 31) // 32 * 32

@@ -68,6 +68,26 @@ def q_uniform_docs_sample(spark, sf_dir):
     return sampling.uniform_sample_topk(docs, "doc_id", UNIFORM_K)
 
 
+# exact-k per stratum: per-group reservoir semantics via one window pass
+# (integer-only ordering -> engine-portable selection)
+
+STRAT_K = 20
+
+
+@register(
+    "stratified_topk_docs",
+    f"SELECT doc_id, lang, source FROM ("
+    f"  SELECT doc_id, lang, source, ROW_NUMBER() OVER ("
+    f"    PARTITION BY lang "
+    f"    ORDER BY ({sampling.bucket_sql('doc_id')}) ASC, doc_id ASC) AS rn"
+    f"  FROM documents) WHERE rn <= {STRAT_K}",
+    "M6-sampling-stratified-topk",
+)
+def q_stratified_topk_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.stratified_topk_sample(docs, "lang", "doc_id", STRAT_K)
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch heavy hitters: build the depth x width sketch over all
 # term occurrences, probe every distinct term, keep terms whose ESTIMATE
@@ -116,3 +136,37 @@ def q_cms_heavy_hitters(spark, sf_dir):
     est = sketches.cms_estimate(probe, sketch)
     return (est.filter(F.col("n_est") >= HH_MIN)
             .select("term", "n_exact", "n_est"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: the dim subset's KEY SET compresses to a KB
+# bit array that prunes the fact scan as a pure row expression; only
+# survivors (matches + ~2% false positives) reach the exact semi-join, so
+# the result is EXACT and the oracle is the plain semi-join SQL. At 100 TB
+# this is the structure that saves the fact-side shuffle when the dim
+# slice is broadcast-hostile as rows but tiny as bits.
+
+@register(
+    "bloom_pruned_orders",
+    "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price "
+    "FROM orders WHERE o_custkey IN "
+    "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE') "
+    "GROUP BY o_orderpriority",
+    "M6-sketch-bloom-join",
+)
+def q_bloom_pruned_orders(spark, sf_dir):
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+            .select("c_custkey"))
+    orders = _t(spark, sf_dir, "orders")
+    words = sketches.bloom_build(
+        cust, "c_custkey", sketches.bloom_sizing(cust.count()))
+    pruned = orders.filter(
+        sketches.bloom_might_contain(F.col("o_custkey"), words))
+    exact = pruned.join(cust, pruned.o_custkey == cust.c_custkey,
+                        "left_semi")
+    return (exact.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_price")))

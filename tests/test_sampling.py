@@ -98,3 +98,60 @@ def test_cms_estimate_keeps_duplicate_probe_rows(spark):
     assert len(out) == 3
     assert sorted((r.term, r.n_est) for r in out) == \
         [("alpha", 5), ("alpha", 5), ("beta", 3)]
+
+
+def test_stratified_topk_exact_count_and_stability(spark):
+    docs = load_table(spark, "documents", SF)
+    k = 5
+    out = sampling.stratified_topk_sample(docs, "lang", "doc_id", k)
+    per = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r.lang: r.n for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {lang: min(k, n) for lang, n in base.items()}
+    # layout-stable and nested in k
+    assert _ids(out) == _ids(sampling.stratified_topk_sample(
+        docs.repartition(7), "lang", "doc_id", k))
+    bigger = sampling.stratified_topk_sample(docs, "lang", "doc_id", 2 * k)
+    assert set(_ids(out)) <= set(_ids(bigger))
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fpr(spark):
+    from etl_online_retail_spark.operators import sketches
+
+    keys = spark.range(0, 2000, 2).withColumnRenamed("id", "k")  # evens
+    m = sketches.bloom_sizing(1000)
+    words = sketches.bloom_build(keys, "k", m)
+    assert len(words) == m // 32
+    probe = spark.range(0, 4000).withColumnRenamed("id", "k")
+    hits = (probe.filter(sketches.bloom_might_contain(F.col("k"), words))
+            .collect())
+    hit_set = {r.k for r in hits}
+    # every member passes (Bloom filters cannot have false negatives)
+    assert all(k in hit_set for k in range(0, 2000, 2))
+    # false-positive rate within a loose multiple of the design point
+    fps = [k for k in hit_set if k % 2 == 1 or k >= 2000]
+    assert len(fps) / 3000 < 0.10, len(fps)
+
+
+def test_bloom_pruned_join_is_exact(spark):
+    """The Bloom stage must be semantically transparent: pruned + exact
+    semi-join == plain semi-join."""
+    from etl_online_retail_spark.operators import sketches
+
+    cust = (load_table(spark, "customer", SF)
+            .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+            .select("c_custkey"))
+    orders = load_table(spark, "orders", SF)
+    words = sketches.bloom_build(cust, "c_custkey",
+                                 sketches.bloom_sizing(cust.count()))
+    pruned = orders.filter(
+        sketches.bloom_might_contain(F.col("o_custkey"), words))
+    via_bloom = (pruned.join(cust, pruned.o_custkey == cust.c_custkey,
+                             "left_semi").select("o_orderkey"))
+    plain = (orders.join(cust, orders.o_custkey == cust.c_custkey,
+                         "left_semi").select("o_orderkey"))
+    assert sorted(r.o_orderkey for r in via_bloom.collect()) == \
+        sorted(r.o_orderkey for r in plain.collect())
+    # and the prune actually prunes (scan survivors << full table)
+    assert pruned.count() < orders.count()
