@@ -100,6 +100,19 @@ def cms_bucket_sql(term_expr: str, j: int,
     return f"({affine_sql(poly_hash_sql(term_expr), a, b)}) % {width}"
 
 
+def cms_merge(*parts: DataFrame) -> DataFrame:
+    """Merge sketches built over disjoint shards: element-wise counter sum.
+
+    CMS is a monoid — sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly
+    (tested) — which is what makes it shardable at 100 TB: each executor/
+    micro-batch sketches its slice, the KB-sized partials merge in one
+    tiny aggregation, and no term-level relation ever crosses the wire."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: broadcast-sized membership pre-filter for join pruning.
 #

@@ -155,3 +155,20 @@ def test_bloom_pruned_join_is_exact(spark):
         sorted(r.o_orderkey for r in plain.collect())
     # and the prune actually prunes (scan survivors << full table)
     assert pruned.count() < orders.count()
+
+
+def test_cms_is_a_monoid_under_merge(spark):
+    """sketch(A ∪ B) must equal merge(sketch(A), sketch(B)) exactly — the
+    property that lets shards/micro-batches sketch independently."""
+    docs = load_table(spark, "documents", SF)
+    terms = (docs.select("doc_id",
+                         F.explode(tokens(normalize("text"))).alias("term"))
+             .filter(F.col("term") != "").cache())
+    a = terms.filter(F.col("doc_id") % 2 == 0).select("term")
+    b = terms.filter(F.col("doc_id") % 2 == 1).select("term")
+    merged = {(r.j, r.bucket): r.cnt for r in sketches.cms_merge(
+        sketches.cms_sketch(a), sketches.cms_sketch(b)).collect()}
+    whole = {(r.j, r.bucket): r.cnt
+             for r in sketches.cms_sketch(terms.select("term")).collect()}
+    assert merged == whole
+    terms.unpersist()
