@@ -294,3 +294,45 @@ def compact_incremental_agg(spark, table_dir: str,
               .withColumn("_batch_id", F.lit(-1))
               .localCheckpoint(eager=True))  # reads the dir it overwrites
     merged.write.mode("overwrite").partitionBy("_batch_id").parquet(table_dir)
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min sketch: heavy hitters over an unbounded stream with
+# bounded state. Each micro-batch sketches ITS OWN terms (depth x width
+# counters, KB-sized) into a `_batch_id` partition — the same replay-safe
+# idempotence as partial_agg_batch_write — and the read side merges
+# partials with one tiny aggregation (CMS is a monoid, operators/sketches
+# cms_merge, equality-tested). State per batch is O(depth x width)
+# whatever the vocabulary, which is the whole point at 100 TB: a naive
+# streaming groupBy(term) would keep unbounded per-term state.
+
+def cms_batch_write(batch_df: DataFrame, batch_id: int, table_dir: str,
+                    term_col: str = "term") -> None:
+    from etl_online_retail_spark.operators.sketches import cms_sketch
+
+    (cms_sketch(batch_df.select(term_col), term_col)
+     .withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(table_dir))
+
+
+def incremental_cms(stream_df: DataFrame, table_dir: str,
+                    checkpoint_dir: str,
+                    term_col: str = "term") -> StreamingQuery:
+    """Maintain a count-min sketch incrementally over a term stream."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: cms_batch_write(
+                df, bid, table_dir, term_col))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_incremental_cms(spark, table_dir: str) -> DataFrame:
+    """The merged sketch over every batch partial: (j, bucket, cnt) —
+    feed to sketches.cms_estimate for probe-side estimates."""
+    return (spark.read.parquet(table_dir)
+            .groupBy("j", "bucket")
+            .agg(F.sum("cnt").alias("cnt")))

@@ -307,3 +307,56 @@ def test_all_partitions_share_one_parquet_schema(spark, tmp_path,
                            F.sum(F.col("value").cast("decimal(18,2)"))
                             .cast("double").alias("v")).collect())}
     assert got == want
+
+
+def test_streaming_cms_matches_batch_sketch_and_replay_safe(
+        spark, tmp_path):
+    """The streamed sketch (per-micro-batch partials merged on read) must
+    equal the batch sketch over the same data, and a replayed batch must
+    not change it (partition overwrite idempotence)."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import SCHEMAS
+    from etl_online_retail_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from etl_online_retail_spark.streaming.ingest import (
+        cms_batch_write,
+        incremental_cms,
+        read_incremental_cms,
+    )
+
+    ev = load_events(spark, SF).cache()
+    src = str(tmp_path / "src")
+    for b in range(3):
+        (ev.filter(F.col("event_id") % 3 == b)
+         .write.parquet(f"{src}/shard{b}"))
+    stream = (spark.readStream.schema(SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*")
+              .select(F.col("event_type").alias("term")))
+    t = str(tmp_path / "cms")
+    q = incremental_cms(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    streamed = {(r.j, r.bucket): r.cnt
+                for r in read_incremental_cms(spark, t).collect()}
+    batch = {(r.j, r.bucket): r.cnt
+             for r in cms_sketch(
+                 ev.select(F.col("event_type").alias("term"))).collect()}
+    assert streamed == batch
+
+    # replay of an already-committed batch: overwrites its own partition
+    cms_batch_write(ev.filter(F.col("event_id") % 3 == 1)
+                    .select(F.col("event_type").alias("term")), 1, t)
+    after = {(r.j, r.bucket): r.cnt
+             for r in read_incremental_cms(spark, t).collect()}
+    assert after == batch
+
+    # probe estimates through the merged streamed sketch are usable
+    probe = ev.select(F.col("event_type").alias("term")).distinct()
+    exact = {r.event_type: r.n for r in ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in cms_estimate(probe, read_incremental_cms(spark, t)).collect():
+        assert r.n_est >= exact[r.term]
