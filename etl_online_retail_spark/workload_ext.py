@@ -1076,7 +1076,13 @@ def q_png_image_stats(spark, sf_dir):
 def q_jpeg_image_stats(spark, sf_dir):
     from etl_online_retail_spark.multimodal.binary import synthetic_jpeg_media
 
-    docs = _t(spark, sf_dir, "documents")
+    # CPU-bound Python codec work must spread across cores: the docs scan
+    # is one file at small SFs, which would serialize the whole encode+
+    # decode pipeline onto one task. Repartitioning before the Arrow stage
+    # is the same move a 100 TB media pipeline makes (decoder parallelism
+    # is sized to CPUs, not to the source file layout).
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
     return image_features(synthetic_jpeg_media(docs))
 
 
