@@ -181,6 +181,62 @@ def synthetic_png_media(docs: DataFrame, id_col: str = "doc_id",
                 .mapInPandas(render, out_schema))
 
 
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
+
+
+def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a decodable payload (PNG or baseline
+    JPEG in), re-encoded as PNG (lossless out — resizing shouldn't add a
+    second lossy generation). Pure stdlib, same per-payload shape a
+    PIL-backed body would keep."""
+    from etl_online_retail_spark.multimodal import jpeg as _jpeg
+    from etl_online_retail_spark.multimodal import png as _png
+
+    content = bytes(content)
+    if content[:8] == _png.PNG_SIGNATURE:
+        img = _png.decode_png(content)
+    elif content[:2] == _jpeg.JPEG_SOI:
+        img = _jpeg.decode_jpeg(content)
+    else:
+        raise NotImplementedError(
+            "resize supports PNG and baseline JPEG payloads here")
+    ch = img.channels
+    src = img.pixels
+    out = bytearray(out_w * out_h * ch)
+    for y in range(out_h):
+        sy = y * img.height // out_h
+        src_row = sy * img.width * ch
+        dst_row = y * out_w * ch
+        for x in range(out_w):
+            sx = x * img.width // out_w
+            s = src_row + sx * ch
+            d = dst_row + x * ch
+            out[d:d + ch] = src[s:s + ch]
+    return _png.encode_png(bytes(out), out_w, out_h,
+                           color_type=_PNG_COLOR_TYPE[ch])
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Arrow-batched resize stage: (media_id, content) -> (media_id,
+    content) at the target dimensions. The standard normalize-resolution
+    step in an image-training pipeline, in the same mapInPandas boundary
+    as decoding."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": [resize_image(b, out_w, out_h)
+                            for b in pdf["content"]],
+            })
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return media.select("media_id", "content").mapInPandas(run, out_schema)
+
+
 def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
                          max_w: int = 16, max_h: int = 8) -> DataFrame:
     """Render one deterministic solid-gray baseline JPEG per row (real

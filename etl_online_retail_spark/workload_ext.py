@@ -1086,6 +1086,36 @@ def q_jpeg_image_stats(spark, sf_dir):
     return image_features(synthetic_jpeg_media(docs))
 
 
+# resize stage (decode -> nearest-neighbor -> lossless re-encode): solid
+# colors are invariant under nearest-neighbor + PNG re-encode, so the
+# oracle pins exact output dims and the unchanged mean while Spark runs
+# the full JPEG-decode -> resize -> PNG-encode -> PNG-decode chain.
+RESIZE_W, RESIZE_H = 8, 4
+
+
+@register(
+    "image_resize_stats",
+    "SELECT doc_id AS media_id, "
+    f"CAST({RESIZE_W} AS INTEGER) AS width, "
+    f"CAST({RESIZE_H} AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST(8 AS INTEGER) AS bit_depth, "
+    "CAST(2 * (doc_id % 128) AS DOUBLE) AS mean_pixel "
+    "FROM documents",
+    "M6-multimodal-resize",
+)
+def q_image_resize_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        resize_images,
+        synthetic_jpeg_media,
+    )
+
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return image_features(
+        resize_images(synthetic_jpeg_media(docs), RESIZE_W, RESIZE_H))
+
+
 # ---------------------------------------------------------------------------
 # temporal joins: as-of + bounded range — operators Spark lacks natively
 # (operators/joins.py as_of_join / range_self_join_within). DuckDB has a

@@ -268,6 +268,47 @@ def main() -> None:
     timed(f"incremental agg + autocompact (24 micro-batches) @ {factor}x",
           incremental_agg_compaction)
 
+    # round-4 operators: deterministic sampling (pure filter / top-k /
+    # one window pass) and the Bloom-pruned join (bit-array broadcast +
+    # exact residual semi-join) — all shapes that must stay linear-ish.
+    from etl_online_retail_spark.operators import sampling, sketches
+
+    def stratified():
+        (sampling.stratified_sample(docs, "lang", "doc_id",
+                                    {"en": 0.3}, 0.1)
+         .write.format("noop").mode("overwrite").save())
+
+    def strat_topk():
+        (sampling.stratified_topk_sample(docs, "lang", "doc_id", 1000)
+         .write.format("noop").mode("overwrite").save())
+
+    def bloom_join():
+        cust = (c.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+                .select("c_custkey"))
+        words = sketches.bloom_build(
+            cust, "c_custkey", sketches.bloom_sizing(cust.count()))
+        pruned = o.filter(
+            sketches.bloom_might_contain(F.col("o_custkey"), words))
+        (pruned.join(cust, pruned.o_custkey == cust.c_custkey, "left_semi")
+         .groupBy("o_orderpriority").count()
+         .write.format("noop").mode("overwrite").save())
+
+    def cms():
+        from etl_online_retail_spark.functions.text import normalize, tokens
+
+        terms = (docs.select(
+            F.explode(tokens(normalize("text"))).alias("term"))
+            .filter(F.col("term") != ""))
+        sk = sketches.cms_sketch(terms)
+        probe = terms.select("term").distinct()
+        (sketches.cms_estimate(probe, sk)
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"stratified hash sample @ {factor}x", stratified)
+    timed(f"stratified top-k sample (window) @ {factor}x", strat_topk)
+    timed(f"bloom-pruned semi-join @ {factor}x", bloom_join)
+    timed(f"count-min build+probe @ {factor}x", cms)
+
 
 if __name__ == "__main__":
     main()

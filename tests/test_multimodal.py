@@ -123,3 +123,36 @@ def test_jpeg_rejects_progressive_and_truncated():
         jpeg.decode_jpeg(b"\xff\xd8\xff\xe0\x00\x04aa")  # truncated
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"not a jpeg")
+
+
+def test_resize_nearest_neighbor_and_formats():
+    """Resize decodes PNG or JPEG in, samples nearest-neighbor, re-encodes
+    lossless PNG out."""
+    from etl_online_retail_spark.multimodal import jpeg, png
+    from etl_online_retail_spark.multimodal.binary import resize_image
+
+    # 2x2 checkerboard gray PNG upscaled 2x: each pixel becomes a 2x2 block
+    src = png.encode_png(bytes([0, 255, 255, 0]), 2, 2, color_type=0)
+    out = png.decode_png(resize_image(src, 4, 4))
+    assert (out.width, out.height, out.channels) == (4, 4, 1)
+    assert bytes(out.pixels) == bytes(
+        [0, 0, 255, 255, 0, 0, 255, 255,
+         255, 255, 0, 0, 255, 255, 0, 0])
+    # JPEG input -> PNG output, solid color invariant under resize
+    src = jpeg.encode_jpeg(bytes([100]) * (16 * 8 * 3), 16, 8, 3)
+    out = png.decode_png(resize_image(src, 5, 3))
+    assert (out.width, out.height, out.channels) == (5, 3, 3)
+    assert out.mean_pixel() == 100.0
+    with pytest.raises(NotImplementedError):
+        resize_image(b"RIFF0000WEBP", 2, 2)
+
+
+def test_resize_images_spark_stage(spark):
+    from etl_online_retail_spark.multimodal.binary import resize_images
+
+    docs = load_table(spark, "documents", SF).limit(16)
+    resized = resize_images(synthetic_jpeg_media(docs), 6, 2)
+    feats = image_features(resized)
+    for r in feats.collect():
+        assert (r.width, r.height) == (6, 2)
+        assert r.mean_pixel == float(2 * (r.media_id % 128))
