@@ -127,7 +127,7 @@ def cms_merge(*parts: DataFrame) -> DataFrame:
 
 BLOOM_K = 4
 BLOOM_SEED = 1234
-_W32 = 2 ** 32  # filter words are 32-bit so bit tests stay exact in DOUBLE
+# filter words are 32-bit so the div/mod bit tests stay exact in DOUBLE
 
 
 def _bloom_positions(key: "F.col", m_bits: int, k: int, seed: int) -> list:
