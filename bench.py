@@ -76,6 +76,7 @@ HEADLINE = [
     "stratified_docs_sample",
     "uniform_docs_sample",
     "stratified_topk_docs",
+    "epoch_shuffle_layout",
     "cms_heavy_hitters",
     "bloom_pruned_orders",
     "jpeg_image_stats",

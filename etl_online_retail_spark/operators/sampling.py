@@ -94,6 +94,44 @@ def uniform_sample_topk(df: DataFrame, id_col: str, k: int) -> DataFrame:
             .drop("_bucket"))
 
 
+def epoch_shuffle(df: DataFrame, id_col: str, epoch: int,
+                  n_shards: int = 64) -> DataFrame:
+    """Deterministic epoch-keyed global shuffle for training export:
+    adds `shard` (which output shard the row lands in) and `pos`
+    (its position within the shard). Different epochs permute rows
+    differently (the affine family is keyed by the epoch), the same epoch
+    reproduces the identical layout on any cluster/run — the property a
+    resumable pretraining run needs from its data order.
+
+    Scale shape: NO global ordering is ever materialized — shard
+    assignment is a pure row expression and `pos` is a row_number window
+    PARTITIONED by shard (shard count is chosen by the caller to bound
+    shard size), so the whole thing is one shuffle on the shard key. A
+    writer then emits one file per shard sorted by pos.
+    """
+    a, b = hash_family(1, seed=1_000_003 + epoch)[0]
+    h = F.pmod(F.col(id_col).cast("bigint"), F.lit(PRIME))
+    key = F.pmod(affine(h, a, b), F.lit(SAMPLE_RESOLUTION))
+    from pyspark.sql import Window
+
+    shard = F.pmod(affine(h, a, b), F.lit(n_shards)).cast("int")
+    w = Window.partitionBy(shard).orderBy(key.asc(), F.col(id_col).asc())
+    return (df.withColumn("shard", shard)
+              .withColumn("pos", F.row_number().over(w)))
+
+
+def epoch_shuffle_sql(id_expr: str, epoch: int, n_shards: int = 64) -> str:
+    """DuckDB twin: (shard, pos) expressions as a SELECT-fragment pair."""
+    a, b = hash_family(1, seed=1_000_003 + epoch)[0]
+    h = f"((({id_expr})::BIGINT % {PRIME} + {PRIME}) % {PRIME})"
+    aff = affine_sql(h, a, b)
+    key = f"((({aff}) % {SAMPLE_RESOLUTION} + {SAMPLE_RESOLUTION}) % {SAMPLE_RESOLUTION})"
+    shard = f"CAST((({aff}) % {n_shards} + {n_shards}) % {n_shards} AS INTEGER)"
+    return (f"{shard} AS shard, CAST(ROW_NUMBER() OVER ("
+            f"PARTITION BY {shard} ORDER BY {key} ASC, {id_expr} ASC) "
+            f"AS INTEGER) AS pos")
+
+
 def stratified_topk_sample(df: DataFrame, stratum_col: str, id_col: str,
                            k: int) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum: the k smallest

@@ -170,3 +170,24 @@ def q_bloom_pruned_orders(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("double").alias("total_price")))
+
+
+# epoch-stable deterministic shuffle: the reproducible data-order
+# contract of a resumable pretraining run. One shuffle on the shard key,
+# per-shard rank — no global ordering ever materialized.
+
+SHUFFLE_EPOCH = 3
+SHUFFLE_SHARDS = 8
+
+
+@register(
+    "epoch_shuffle_layout",
+    f"SELECT doc_id, "
+    f"{sampling.epoch_shuffle_sql('doc_id', SHUFFLE_EPOCH, SHUFFLE_SHARDS)} "
+    f"FROM documents",
+    "M6-sampling-epoch-shuffle",
+)
+def q_epoch_shuffle_layout(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.epoch_shuffle(docs, "doc_id", SHUFFLE_EPOCH,
+                                  SHUFFLE_SHARDS)

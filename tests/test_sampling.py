@@ -172,3 +172,22 @@ def test_cms_is_a_monoid_under_merge(spark):
              for r in sketches.cms_sketch(terms.select("term")).collect()}
     assert merged == whole
     terms.unpersist()
+
+
+def test_epoch_shuffle_is_stable_per_epoch_and_varies_across_epochs(spark):
+    docs = load_table(spark, "documents", SF).select("doc_id")
+
+    def layout(epoch, df):
+        return {r.doc_id: (r.shard, r.pos) for r in
+                sampling.epoch_shuffle(df, "doc_id", epoch, 8).collect()}
+
+    e1 = layout(1, docs)
+    assert e1 == layout(1, docs.repartition(7))  # layout-independent
+    e2 = layout(2, docs)
+    assert e1 != e2  # a different epoch is a different permutation
+    # every (shard, pos) slot is unique and positions are dense per shard
+    assert len(set(e1.values())) == len(e1)
+    from collections import Counter
+    per_shard = Counter(s for s, _ in e1.values())
+    for s, n in per_shard.items():
+        assert {p for sh, p in e1.values() if sh == s} == set(range(1, n + 1))
