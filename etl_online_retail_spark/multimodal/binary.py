@@ -269,8 +269,98 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
                 .mapInPandas(render, out_schema))
 
 
+def frame_sample(content: bytes, every_n: int = 30) -> list[tuple[int, bytes]]:
+    """Sample every n-th frame of a video payload -> [(frame_idx, jpeg)].
+
+    MJPEG (back-to-back baseline JPEG frames — a real public format) is
+    sampled FOR REAL via the structure-aware splitter in multimodal/jpeg;
+    container formats (mp4/webm) still need ffmpeg/pyav and raise with
+    the signature a real demuxer body would keep."""
+    from etl_online_retail_spark.multimodal import jpeg as _jpeg
+
+    content = bytes(content)
+    if content[:2] == _jpeg.JPEG_SOI:
+        frames = _jpeg.split_mjpeg(content)
+        return [(i, frames[i]) for i in range(0, len(frames), every_n)]
+    raise NotImplementedError(
+        "video frame sampling beyond MJPEG requires ffmpeg/pyav, "
+        "not present here"
+    )
+
+
+# kept as the documented stub surface for container formats
 def frame_sample_stub(content: bytes, every_n: int = 30) -> list[bytes]:
-    """Placeholder for video frame sampling (ffmpeg/pyav)."""
+    """Placeholder for container-format (mp4/webm) frame sampling."""
     raise NotImplementedError(
         "video frame sampling requires ffmpeg/pyav, not present here"
     )
+
+
+FRAME_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+])
+
+
+def video_frame_features(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Arrow-batched frame sampling + per-frame decode: one output row per
+    SAMPLED frame. The fan-out (rows out > rows in) happens inside the
+    batch, the schema contract stays columnar — the shape a video
+    pretraining pipeline uses for frame-level filtering/captioning."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for i, frame in frame_sample(content, every_n):
+                    f = decode_image(frame)
+                    ids.append(mid)
+                    idxs.append(i)
+                    ws.append(f["width"])
+                    hs.append(f["height"])
+                    means.append(f["mean_pixel"])
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
+            })
+
+    return media.select("media_id", "content").mapInPandas(
+        extract, FRAME_FEATURE_SCHEMA)
+
+
+def synthetic_mjpeg_media(docs: DataFrame, id_col: str = "doc_id",
+                          max_frames: int = 5) -> DataFrame:
+    """One deterministic MJPEG clip per row: 1 + id % max_frames solid
+    even-gray frames, frame f's intensity = 2 * ((id + 7*f) % 128) — all
+    closed-form in (id, frame index) so frame-level decode results are
+    SQL-oracle-checkable (see synthetic_jpeg_media for why even gray is
+    bit-exact)."""
+    from etl_online_retail_spark.multimodal import jpeg as _jpeg
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 1 + i % 16, 1 + i % 8
+                clip = b"".join(
+                    _jpeg.encode_jpeg(
+                        bytes([2 * ((i + 7 * f) % 128)]) * (w * h * 3),
+                        w, h, channels=3)
+                    for f in range(1 + i % max_frames))
+                payloads.append(clip)
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))

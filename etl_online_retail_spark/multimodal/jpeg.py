@@ -468,6 +468,41 @@ def decode_jpeg(data: bytes) -> JpegImage:
     return JpegImage(width, height, 8, 3, bytes(out))
 
 
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Split an MJPEG stream (back-to-back baseline JPEG frames) into
+    per-frame byte strings by walking the marker STRUCTURE — never by
+    scanning for SOI bytes, which can legitimately appear inside marker
+    payloads (e.g. 0xFFD8 in a quantization table)."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 2] != JPEG_SOI:
+            raise ValueError(f"expected SOI at byte {pos}")
+        start = pos
+        pos += 2
+        while True:
+            if pos + 2 > n:
+                raise ValueError("truncated MJPEG frame")
+            if data[pos] != 0xFF:
+                raise ValueError(f"expected marker at byte {pos}")
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI
+                pos += 2
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            if marker == 0xDA:  # SOS: skip header then entropy data
+                pos += 2 + seglen
+                _, pos = _split_entropy(data, pos)
+            else:
+                pos += 2 + seglen
+        frames.append(data[start:pos])
+    return frames
+
+
 # ---------------------------------------------------------------------------
 # encoder
 

@@ -1116,6 +1116,40 @@ def q_image_resize_stats(spark, sf_dir):
         resize_images(synthetic_jpeg_media(docs), RESIZE_W, RESIZE_H))
 
 
+# video frame sampling over MJPEG (back-to-back JPEG frames — sampled by
+# walking the marker structure, never by byte-scanning): one row per
+# SAMPLED frame, everything closed-form in (doc_id, frame_idx).
+MJPEG_MAX_FRAMES = 5
+MJPEG_EVERY_N = 2
+
+
+@register(
+    "mjpeg_frame_stats",
+    f"""WITH f AS (
+  SELECT doc_id, 1 + doc_id % {MJPEG_MAX_FRAMES} AS nf FROM documents),
+s AS (
+  SELECT doc_id, CAST(unnest(range(0, nf, {MJPEG_EVERY_N})) AS INTEGER) AS i
+  FROM f)
+SELECT doc_id AS media_id, i AS frame_idx,
+  CAST(1 + doc_id % 16 AS INTEGER) AS width,
+  CAST(1 + doc_id % 8 AS INTEGER) AS height,
+  CAST(2 * ((doc_id + 7 * i) % 128) AS DOUBLE) AS mean_pixel
+FROM s""",
+    "M6-multimodal-frame-sample",
+)
+def q_mjpeg_frame_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        synthetic_mjpeg_media,
+        video_frame_features,
+    )
+
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return video_frame_features(
+        synthetic_mjpeg_media(docs, max_frames=MJPEG_MAX_FRAMES),
+        MJPEG_EVERY_N)
+
+
 # ---------------------------------------------------------------------------
 # temporal joins: as-of + bounded range — operators Spark lacks natively
 # (operators/joins.py as_of_join / range_self_join_within). DuckDB has a

@@ -156,3 +156,59 @@ def test_resize_images_spark_stage(spark):
     for r in feats.collect():
         assert (r.width, r.height) == (6, 2)
         assert r.mean_pixel == float(2 * (r.media_id % 128))
+
+
+def test_mjpeg_split_and_frame_sample():
+    """The splitter must walk marker structure, not byte-scan: a quant
+    table containing the bytes FF D8 (SOI) must not split a frame."""
+    from etl_online_retail_spark.multimodal import jpeg
+    from etl_online_retail_spark.multimodal.binary import frame_sample
+
+    frames = [jpeg.encode_jpeg(bytes([2 * f]) * (4 * 4 * 3), 4, 4, 3)
+              for f in range(5)]
+    clip = b"".join(frames)
+    assert jpeg.split_mjpeg(clip) == frames
+    sampled = frame_sample(clip, every_n=2)
+    assert [i for i, _ in sampled] == [0, 2, 4]
+    for i, fr in sampled:
+        assert jpeg.decode_jpeg(fr).mean_pixel() == 2 * i
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        frame_sample(b"\x00\x00\x00 ftypmp4")
+
+
+def test_mjpeg_splitter_not_fooled_by_soi_bytes_in_tables():
+    """Craft a frame whose DQT payload contains FF D8 and verify the
+    splitter still finds exactly the true frame boundaries."""
+    import struct
+
+    from etl_online_retail_spark.multimodal import jpeg
+
+    frame = bytearray(jpeg.encode_jpeg(bytes([10]) * (8 * 8 * 3), 8, 8, 3))
+    # locate the first DQT (FFDB) and plant FF D8 inside its table body
+    i = bytes(frame).find(b"\xff\xdb")
+    frame[i + 5] = 0xFF   # two adjacent quant values become FF D8
+    frame[i + 6] = 0xD8
+    clip = bytes(frame) * 3
+    parts = jpeg.split_mjpeg(clip)
+    assert len(parts) == 3
+    assert all(p == bytes(frame) for p in parts)
+
+
+def test_video_frame_features_spark_stage(spark):
+    from etl_online_retail_spark.multimodal.binary import (
+        synthetic_mjpeg_media,
+        video_frame_features,
+    )
+
+    docs = load_table(spark, "documents", SF).limit(20)
+    feats = video_frame_features(
+        synthetic_mjpeg_media(docs, max_frames=5), 2).collect()
+    by_media = {}
+    for r in feats:
+        by_media.setdefault(r.media_id, []).append(r)
+        assert r.width == 1 + r.media_id % 16
+        assert r.height == 1 + r.media_id % 8
+        assert r.mean_pixel == float(2 * ((r.media_id + 7 * r.frame_idx) % 128))
+    for mid, rows in by_media.items():
+        n_frames = 1 + mid % 5
+        assert sorted(r.frame_idx for r in rows) == list(range(0, n_frames, 2))
