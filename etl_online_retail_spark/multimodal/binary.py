@@ -288,6 +288,71 @@ def frame_sample(content: bytes, every_n: int = 30) -> list[tuple[int, bytes]]:
     )
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("mean_abs", T.DoubleType()),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio decode (WAV/PCM via multimodal/wav):
+    per-clip rate/channels/duration/amplitude features — the triage
+    columns an audio-training pipeline filters on before the expensive
+    model stages."""
+    from etl_online_retail_spark.multimodal import wav as _wav
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clips = [_wav.decode_wav(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": pd.Series(
+                    [c.sample_rate for c in clips], dtype="int32"),
+                "channels": pd.Series(
+                    [c.channels for c in clips], dtype="int32"),
+                "n_frames": pd.Series(
+                    [c.n_frames for c in clips], dtype="int32"),
+                "duration_ms": pd.Series(
+                    [c.duration_ms() for c in clips], dtype="float64"),
+                "mean_abs": pd.Series(
+                    [c.mean_abs() for c in clips], dtype="float64"),
+            })
+
+    return media.select("media_id", "content").mapInPandas(
+        extract, AUDIO_FEATURE_SCHEMA)
+
+
+def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One deterministic PCM clip per row: mono 16-bit at 8 kHz,
+    n = 800 + 80*(id % 10) constant-amplitude samples of value
+    (id % 2000) - 1000 — duration and mean amplitude are closed-form in
+    the id (n is a multiple of 8, so duration_ms = n/8 is exact in
+    DOUBLE) while Spark genuinely encodes and decodes RIFF bytes."""
+    from etl_online_retail_spark.multimodal import wav as _wav
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 800 + 80 * (i % 10)
+                v = (i % 2000) - 1000
+                payloads.append(_wav.encode_wav([v] * n, 8000))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
 # kept as the documented stub surface for container formats
 def frame_sample_stub(content: bytes, every_n: int = 30) -> list[bytes]:
     """Placeholder for container-format (mp4/webm) frame sampling."""

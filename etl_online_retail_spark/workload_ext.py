@@ -1150,6 +1150,30 @@ def q_mjpeg_frame_stats(spark, sf_dir):
         MJPEG_EVERY_N)
 
 
+# audio: real WAV/PCM decode (multimodal/wav) — duration and amplitude
+# closed-form in the id (see synthetic_wav_media for the exactness note).
+@register(
+    "wav_audio_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(8000 AS INTEGER) AS sample_rate, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "CAST(800 + 80 * (doc_id % 10) AS INTEGER) AS n_frames, "
+    "CAST((800 + 80 * (doc_id % 10)) / 8 AS DOUBLE) AS duration_ms, "
+    "CAST(ABS((doc_id % 2000) - 1000) AS DOUBLE) AS mean_abs "
+    "FROM documents",
+    "M6-multimodal-audio",
+)
+def q_wav_audio_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        audio_features,
+        synthetic_wav_media,
+    )
+
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return audio_features(synthetic_wav_media(docs))
+
+
 # ---------------------------------------------------------------------------
 # temporal joins: as-of + bounded range — operators Spark lacks natively
 # (operators/joins.py as_of_join / range_self_join_within). DuckDB has a

@@ -212,3 +212,45 @@ def test_video_frame_features_spark_stage(spark):
     for mid, rows in by_media.items():
         n_frames = 1 + mid % 5
         assert sorted(r.frame_idx for r in rows) == list(range(0, n_frames, 2))
+
+
+def test_wav_roundtrip_and_chunk_skipping():
+    from etl_online_retail_spark.multimodal import wav
+
+    # 16-bit stereo round-trip
+    samples = [0, 100, -100, 32767, -32768, 7, 8, -9]
+    clip = wav.decode_wav(wav.encode_wav(samples, 44100, channels=2))
+    assert (clip.sample_rate, clip.channels, clip.bit_depth) == (44100, 2, 16)
+    assert clip.samples == samples
+    assert clip.n_frames == 4
+    # 8-bit mono, mean_abs centered on 128
+    clip8 = wav.decode_wav(wav.encode_wav([128, 130, 126], 8000, 1, 8))
+    assert clip8.mean_abs() == (0 + 2 + 2) / 3
+    # unknown chunks (LIST) between fmt and data are skipped by size
+    import struct
+
+    raw = bytearray(wav.encode_wav([5, -5], 8000))
+    insert = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    i = bytes(raw).find(b"data")
+    raw[i:i] = insert
+    raw[4:8] = struct.pack("<I", len(raw) - 8)
+    clip = wav.decode_wav(bytes(raw))
+    assert clip.samples == [5, -5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        wav.decode_wav(b"not audio")
+
+
+def test_audio_features_spark_stage(spark):
+    from etl_online_retail_spark.multimodal.binary import (
+        audio_features,
+        synthetic_wav_media,
+    )
+
+    docs = load_table(spark, "documents", SF).limit(20)
+    for r in audio_features(synthetic_wav_media(docs)).collect():
+        n = 800 + 80 * (r.media_id % 10)
+        assert (r.sample_rate, r.channels, r.n_frames) == (8000, 1, n)
+        assert r.duration_ms == n / 8
+        assert r.mean_abs == float(abs((r.media_id % 2000) - 1000))
