@@ -1,8 +1,10 @@
 """End-to-end pretraining-data export: the LLM-pipeline user story.
 
-documents.parquet -> curate (quality floor + exact dedup + MinHash
-near-dup) -> train/val/test split -> pack the train split into
-fixed-budget sequences -> write sharded JSONL, one directory per split —
+documents.parquet -> heavy-hitter boilerplate scan (count-min sketch) ->
+curate (quality floor + exact dedup + MinHash near-dup) -> deterministic
+language downsampling (hash-bucket stratified sample) -> train/val/test
+split -> pack the train split into fixed-budget sequences -> epoch-keyed
+deterministic shuffle -> write sharded JSONL, one directory per split —
 the layout a training loader consumes. Every stage is an operator from
 this repo; nothing here is bespoke. Run: python scripts/demo_pretrain.py
 [sf_dir] [out_dir]
@@ -31,16 +33,36 @@ PACK_BUDGET = 512
 
 
 def run_export(spark, sf_dir: str, out_dir: str) -> dict:
+    from etl_online_retail_spark.functions.text import normalize, tokens
+    from etl_online_retail_spark.operators import sampling, sketches
+
     docs = load_table(spark, "documents", sf_dir)
     n_raw = docs.count()
 
+    # corpus triage: count-min heavy hitters flag boilerplate vocabulary
+    # (sublinear state however large the vocab gets)
+    terms = (docs.select(F.explode(tokens(normalize("text"))).alias("term"))
+             .filter(F.col("term") != ""))
+    sketch = sketches.cms_sketch(terms)
+    hh = (sketches.cms_estimate(terms.select("term").distinct(), sketch)
+          .orderBy(F.desc("n_est"), F.asc("term")).limit(5).collect())
+
     curated = curate_corpus(docs).select("doc_id", "quality")
     corpus = (docs.join(curated, "doc_id")
-              .select("doc_id", "source", "text", "quality"))
+              .select("doc_id", "lang", "source", "text", "quality"))
     n_curated = corpus.count()
+
+    # deterministic language rebalancing: downweight the dominant language
+    # (same rows survive on every run/engine — ablations stay comparable)
+    corpus = sampling.stratified_sample(
+        corpus, "lang", "doc_id", {"en": 0.7}, default_fraction=1.0)
+    n_sampled = corpus.count()
 
     split = with_split(corpus)  # deterministic hash split
     train = split.filter(F.col("split") == "train")
+    # epoch-keyed deterministic shuffle decides shard + order for epoch 0
+    train = (sampling.epoch_shuffle(train, "doc_id", epoch=0, n_shards=8)
+             .drop("pos"))
     packed = pack_sequences(
         train.select("source", "doc_id", "text",
                      token_count("text").alias("_tok")),
@@ -59,7 +81,9 @@ def run_export(spark, sf_dir: str, out_dir: str) -> dict:
     n_test = spark.read.json(f"{out_dir}/test").count()
     return {
         "raw_docs": n_raw,
+        "boilerplate_terms": ", ".join(r.term for r in hh),
         "curated_docs": n_curated,
+        "after_lang_rebalance": n_sampled,
         "train": n_train, "val": n_val, "test": n_test,
         "train_sequences": sum(s.n_sequences for s in stats.values()),
         "train_tokens": sum(s.total_tokens for s in stats.values()),
@@ -74,7 +98,7 @@ def main() -> None:
     report = run_export(spark, sf_dir, out_dir)
     print(f"exported to {out_dir}")
     for k, v in report.items():
-        print(f"  {k}: {v:,}")
+        print(f"  {k}: {v:,}" if isinstance(v, int) else f"  {k}: {v}")
 
 
 if __name__ == "__main__":

@@ -117,3 +117,49 @@ def test_scd2_matches_reference(spark, rows):
             eff_to = opens[v][0] if v < len(opens) else None
             want[(key, v)] = (attr, ts, eff_to)
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 255),
+       st.booleans())
+def test_jpeg_solid_color_roundtrip_bounded(w, h, v, subsample):
+    """Any solid-color image at any dimensions decodes to within 2 of the
+    source (DC-only blocks; luma DC quant 16 -> error <= 1 + rounding)."""
+    from etl_online_retail_spark.multimodal import jpeg
+
+    img = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(bytes([v]) * (w * h * 3), w, h, 3,
+                         subsample=subsample))
+    assert (img.width, img.height, img.channels) == (w, h, 3)
+    assert all(abs(p - v) <= 2 for p in img.pixels)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=2, max_size=64)
+       .filter(lambda s: len(s) % 2 == 0),
+       st.sampled_from([8000, 16000, 44100]), st.integers(1, 2))
+def test_wav_16bit_roundtrip_lossless(samples, sr, channels):
+    from etl_online_retail_spark.multimodal import wav
+
+    clip = wav.decode_wav(wav.encode_wav(samples, sr, channels))
+    assert clip.samples == samples
+    assert (clip.sample_rate, clip.channels) == (sr, channels)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 10), st.integers(1, 6),
+                          st.integers(0, 127)), min_size=1, max_size=6))
+def test_mjpeg_split_recovers_every_frame(frames):
+    from etl_online_retail_spark.multimodal import jpeg
+    from etl_online_retail_spark.multimodal.binary import frame_sample
+
+    encoded = [jpeg.encode_jpeg(bytes([2 * v]) * (w * h * 3), w, h, 3)
+               for (w, h, v) in frames]
+    parts = jpeg.split_mjpeg(b"".join(encoded))
+    assert parts == encoded
+    sampled = frame_sample(b"".join(encoded), every_n=1)
+    assert len(sampled) == len(frames)
+    for (i, fr), (w, h, v) in zip(sampled, frames):
+        img = jpeg.decode_jpeg(fr)
+        assert (img.width, img.height) == (w, h)
+        assert img.mean_pixel() == 2 * v  # even gray: bit-exact
