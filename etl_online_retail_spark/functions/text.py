@@ -167,6 +167,14 @@ def word_ngrams_all_of_tokens(toks: Column, n: int = 2) -> Column:
     return F.when(F.size(toks) < n, empty).otherwise(_ngrams_of_array(toks, n))
 
 
+def word_shingle_hashes_all_of_tokens(toks: Column, n: int = 2) -> Column:
+    """Multiset word-shingle hashes (one entry PER OCCURRENCE, positions
+    implied by order) — the passage-level view cross-document repetition
+    analysis needs, vs the distinct-set view dedup signatures use."""
+    return F.transform(word_ngrams_all_of_tokens(toks, n),
+                       lambda g: _gram_hash(g))
+
+
 def word_shingle_hashes_sql(expr: str, n: int = 2) -> str:
     gram_hash = ("list_reduce(list_prepend(0::BIGINT, "
                  "list_transform(string_split(g, ''), c -> ascii(c)::BIGINT)), "
@@ -215,6 +223,15 @@ def word_ngrams_all_sql(expr: str, n: int = 2) -> str:
     return (f"(CASE WHEN len({ws}) < {n} THEN []::VARCHAR[] "
             f"ELSE list_transform("
             f"generate_series(1, len({ws}) - {n - 1}), i -> {parts}) END)")
+
+
+def word_shingle_hashes_all_sql(expr: str, n: int = 2) -> str:
+    """DuckDB twin of word_shingle_hashes_all_of_tokens."""
+    gram_hash = ("list_reduce(list_prepend(0::BIGINT, "
+                 "list_transform(string_split(g, ''), c -> ascii(c)::BIGINT)), "
+                 f"(a, b) -> (a * 31 + b) % {PRIME})")
+    return (f"list_transform({word_ngrams_all_sql(expr, n)}, "
+            f"g -> {gram_hash})")
 
 
 def redaction_count(col: Column | str, pattern: str) -> Column:

@@ -413,3 +413,43 @@ def simhash_near_duplicates(docs: DataFrame, text_col: str = "text",
                   for b in range(SIMHASH_BITS)).alias("hamming")
     return (cands.select("id_a", "id_b", hamming)
                  .filter(F.col("hamming") <= max_hamming))
+
+
+def repeated_passage_stats(docs: DataFrame, n: int = 3, min_df: int = 3,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Cross-document repeated-passage profile: per doc, how much of it is
+    made of word n-gram passages that occur in >= min_df DISTINCT docs.
+
+    The passage-level lens of "deduplicate training data" (boilerplate
+    headers, license blocks, templated spam recur across documents while
+    each host document stays globally unique — document-level dedup
+    cannot see them). Output: (id, n_shingles, n_repeated, dup_fraction);
+    docs with no shingles are absent.
+
+    Scale shape: explode the multiset shingles, ONE hash agg for the
+    df relation (map-side combinable), one shuffle join back on the
+    shingle hash, one final per-doc agg. The df relation is
+    vocabulary-sized; a df >= min_df pre-filter before the join-back
+    (semi-join) bounds the carried relation to the repeated tail at
+    100 TB.
+    """
+    from etl_online_retail_spark.functions.text import (
+        word_shingle_hashes_all_of_tokens,
+    )
+
+    toked = docs.select(F.col(id_col), tokens(normalize(text_col)).alias("_t"))
+    e = (toked.select(
+            F.col(id_col),
+            F.explode(word_shingle_hashes_all_of_tokens(F.col("_t"), n))
+             .alias("_h")))
+    df_rel = (e.groupBy("_h")
+              .agg(F.count_distinct(id_col).alias("_df")))
+    joined = e.join(df_rel, "_h")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
+                  .alias("n_repeated"))
+            .withColumn("dup_fraction",
+                        F.round(F.col("n_repeated").cast("double")
+                                / F.col("n_shingles").cast("double"), 6)))

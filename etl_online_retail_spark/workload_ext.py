@@ -415,6 +415,41 @@ def q_repetition_scores(spark, sf_dir):
                                         / F.col("n_grams").cast("double"))))
 
 
+# cross-document repeated passages: the passage-level dedup lens —
+# boilerplate/license/template spans recur across docs that are each
+# globally unique, so document-level dedup can't see them.
+
+PASSAGE_N = 3
+PASSAGE_MIN_DF = 3
+
+
+def _passage_oracle() -> str:
+    from etl_online_retail_spark.functions.text import (
+        word_shingle_hashes_all_sql,
+    )
+
+    hashes = word_shingle_hashes_all_sql("text", PASSAGE_N)
+    return f"""
+WITH e AS (
+  SELECT doc_id, unnest({hashes}) AS h FROM documents),
+df AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY h),
+per AS (
+  SELECT e.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN df.df >= {PASSAGE_MIN_DF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_repeated
+  FROM e JOIN df USING (h) GROUP BY e.doc_id)
+SELECT doc_id, n_shingles, n_repeated,
+       ROUND(n_repeated / n_shingles::DOUBLE, 6) AS dup_fraction
+FROM per"""
+
+
+@register("repeated_passage_stats", _passage_oracle(), "M6-dedup-passages")
+def q_repeated_passage_stats(spark, sf_dir):
+    return dedup.repeated_passage_stats(
+        _t(spark, sf_dir, "documents"), n=PASSAGE_N, min_df=PASSAGE_MIN_DF)
+
+
 # text: denylist redaction (the PII-scrub shape: deterministic regex
 # scrubbing + an audit count; the synthetic corpus has no emails/phones,
 # so the denylist targets tokens that DO occur)

@@ -103,3 +103,24 @@ def test_assert_injective_detects_collisions(spark):
         [("a", 1), ("b", 1)], "cust string, k long")  # forced collision
     with _pytest.raises(ValueError, match="collides"):
         assert_injective(bad, ["cust"], "k")
+
+
+def test_repeated_passage_stats_finds_cross_doc_boilerplate(spark):
+    """A passage planted in several otherwise-unique docs must be flagged
+    in each host; fully unique docs must score zero."""
+    from etl_online_retail_spark.operators.dedup import repeated_passage_stats
+
+    boiler = "all rights reserved by the example corp"
+    rows = [(i, f"unique text number {i} alpha beta {boiler}")
+            for i in range(4)]
+    rows += [(10, "totally original content with no shared spans here"),
+             (11, "short")]  # < n tokens: no shingles at all
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           repeated_passage_stats(docs, n=3, min_df=3).collect()}
+    assert 11 not in out  # no shingles -> absent
+    assert out[10].n_repeated == 0 and out[10].dup_fraction == 0.0
+    for i in range(4):
+        # the boilerplate span contributes >= len-2 repeated shingles
+        assert out[i].n_repeated >= 5, out[i]
+        assert 0.0 < out[i].dup_fraction < 1.0
