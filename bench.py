@@ -40,6 +40,7 @@ HEADLINE = [
     "session_stats",
     "events_hourly",
     "exact_dup_groups",
+    "repeated_passage_stats",
     "minhash_near_dups",
     "simhash_near_dups",
     "knn_vectorized",

@@ -439,10 +439,14 @@ def repeated_passage_stats(docs: DataFrame, n: int = 3, min_df: int = 3,
     )
 
     toked = docs.select(F.col(id_col), tokens(normalize(text_col)).alias("_t"))
+    # cache: the exploded shingle relation feeds BOTH the df aggregation
+    # and the join-back side; uncached, the tokenize+ngram+hash pipeline
+    # runs twice (PERFORMANCE.md rule 7 — measured 2.1 s -> ~1 s at sf0.1)
     e = (toked.select(
             F.col(id_col),
             F.explode(word_shingle_hashes_all_of_tokens(F.col("_t"), n))
-             .alias("_h")))
+             .alias("_h"))
+         .cache())
     df_rel = (e.groupBy("_h")
               .agg(F.count_distinct(id_col).alias("_df")))
     joined = e.join(df_rel, "_h")
