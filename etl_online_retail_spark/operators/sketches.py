@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.functions.hashing import (
+    PRIME,
     affine,
     affine_sql,
     hash_family,
@@ -177,3 +178,165 @@ def bloom_sizing(n_keys: int, bits_per_key: int = 16) -> int:
     the pruned-scan sweet spot (residual join cost ∝ FPR)."""
     m = max(1024, n_keys * bits_per_key)
     return (m + 31) // 32 * 32
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch: bounded-state distinct counting
+# WITH set operations. HLL (Spark's approx_count_distinct) answers only
+# |A|; KMV's sketch of A is the k smallest hash values of A's elements,
+# and because min-k values of A ∪ B are computable from min-k of A and
+# min-k of B, the sketch is a monoid that additionally supports union /
+# intersection / Jaccard ESTIMATES between groups — the corpus-overlap
+# questions (how much does source X share with source Y?) that exact
+# pairwise joins can't answer at 100 TB.
+#
+# Estimators (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07):
+#   distinct(A)    ≈ (k-1) * PRIME / h_(k)      [exact = m when m < k]
+#   jaccard(A, B)  ≈ |minK(A∪B) ∩ A ∩ B| / |minK(A∪B)|
+#   union(A, B)    ≈ distinct-estimate of the merged sketch
+#   intersection   = jaccard * union
+# Relative error ~ 1/sqrt(k); k=128 → ~9%.
+#
+# Everything is the portable affine arithmetic of functions/hashing, so
+# the whole sketch — not just its contract — is oracle-verifiable
+# bit-for-bit in DuckDB, unlike native HLL implementations whose
+# register layouts are engine-private (approx_customers_by_nation is
+# rows-only for exactly that reason; this sketch family isn't).
+
+KMV_K = 128
+KMV_SEED = 31
+_KMV_A, _KMV_B = hash_family(1, KMV_SEED)[0]
+# when a group holds more distinct values than this, pre-filter to the
+# expected min-k band before the exact rank (see kmv_sketch)
+KMV_PREFILTER_MIN = 50_000
+_KMV_PREFILTER_FACTOR = 8
+
+
+def kmv_value_hash(h0) -> "F.Column":
+    """Affine-scramble an already-portable BIGINT hash in [0, PRIME)."""
+    return affine(h0, _KMV_A, _KMV_B)
+
+
+def kmv_value_hash_sql(expr: str) -> str:
+    return affine_sql(expr, _KMV_A, _KMV_B)
+
+
+def kmv_sketch(values: DataFrame, group_col: str, hash_col: str,
+               k: int = KMV_K,
+               prefilter_min: int = KMV_PREFILTER_MIN) -> DataFrame:
+    """Per-group KMV sketch from a (group, portable-hash) relation
+    (duplicates fine — the sketch is over the DISTINCT value set).
+    Returns (group_col, _h, _rn) with the k smallest scrambled hashes.
+
+    Scale shape: distinct → [count-gated pre-filter] → one window rank
+    per group. The pre-filter is what survives 100 TB: for groups with
+    cnt > prefilter_min distinct values, only hashes below
+    ~FACTOR*k/cnt * PRIME enter the sort, so the per-group rank touches
+    O(FACTOR*k) rows instead of the whole value set. Hashes are uniform,
+    so the true k-th minimum exceeds that band with probability
+    ≤ exp(-k*(FACTOR-1)²/(FACTOR+1)) (Chernoff) ≈ 1e-300 at k=128 —
+    deterministically negligible; equality with the unfiltered rank is
+    asserted in tests with the gate forced on.
+    """
+    from pyspark.sql import Window
+
+    d = (values
+         .select(F.col(group_col), kmv_value_hash(F.col(hash_col)).alias("_h"))
+         .distinct())
+    counts = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    band = F.least(
+        F.lit(PRIME).cast("bigint"),
+        F.ceil(F.lit(float(_KMV_PREFILTER_FACTOR * k) * PRIME)
+               / F.col("_cnt")).cast("bigint"))
+    thr = F.when(F.col("_cnt") > prefilter_min, band).otherwise(F.lit(PRIME))
+    gated = (d.join(F.broadcast(counts.select(group_col, thr.alias("_thr"))),
+                    group_col)
+             .filter(F.col("_h") < F.col("_thr"))
+             .drop("_thr"))
+    w = Window.partitionBy(group_col).orderBy(F.asc("_h"))
+    return (gated.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k))
+
+
+def kmv_merge(*parts: DataFrame, group_col: str, k: int = KMV_K) -> DataFrame:
+    """Merge sketches of disjoint shards: k smallest of the union — KMV
+    is a monoid (merge(sk(A), sk(B)) == sk(A ∪ B) exactly, tested), so
+    shards sketch locally and only k-row partials cross the wire."""
+    from pyspark.sql import Window
+
+    u = parts[0].select(group_col, "_h")
+    for p in parts[1:]:
+        u = u.unionByName(p.select(group_col, "_h"))
+    w = Window.partitionBy(group_col).orderBy(F.asc("_h"))
+    return (u.distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k))
+
+
+def kmv_stats(sk: DataFrame, group_col: str, k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate per group from its sketch:
+    (group_col, n_kept INT, kmv_est DOUBLE). m < k → the sketch holds the
+    whole value set and the estimate is exact; else (k-1)*PRIME/h_(k)."""
+    agg = sk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_m"), F.max("_h").alias("_hk"))
+    est = (F.when(F.col("_m") < k, F.col("_m").cast("double"))
+           .otherwise(F.lit(float((k - 1) * PRIME))
+                      / F.col("_hk").cast("double")))
+    return agg.select(F.col(group_col),
+                      F.col("_m").cast("int").alias("n_kept"),
+                      est.alias("kmv_est"))
+
+
+def kmv_est_sql(m_expr: str, hk_expr: str, k: int = KMV_K) -> str:
+    """DuckDB twin of the distinct-count estimator."""
+    return (f"CASE WHEN {m_expr} < {k} THEN CAST({m_expr} AS DOUBLE) "
+            f"ELSE CAST({float((k - 1) * PRIME)} AS DOUBLE) "
+            f"/ CAST({hk_expr} AS DOUBLE) END")
+
+
+def kmv_pair_overlap(sk: DataFrame, group_col: str,
+                     k: int = KMV_K) -> DataFrame:
+    """Pairwise set-operation estimates between every two groups, from
+    their sketches alone: (group_a, group_b, union_est, jaccard_est,
+    inter_est) for group_a < group_b.
+
+    Works entirely on k-row-per-group relations (groups × k rows total) —
+    the corpus-scale pass ended at kmv_sketch; this is sketch algebra:
+    merge each pair's sketches, estimate the union's cardinality, and
+    read Jaccard as the fraction of the merged min-k present in BOTH
+    input sketches (Beyer et al. SIGMOD'07)."""
+    from pyspark.sql import Window
+
+    a = sk.select(F.col(group_col).alias("_ga"), F.col("_h"))
+    b = sk.select(F.col(group_col).alias("_gb"), F.col("_h").alias("_hb"))
+    pairs = (a.select("_ga").distinct()
+             .crossJoin(b.select("_gb").distinct())
+             .filter(F.col("_ga") < F.col("_gb")))
+    ua = pairs.join(a, "_ga").select("_ga", "_gb", "_h")
+    ub = (pairs.join(b.select(F.col("_gb"), F.col("_hb").alias("_h")), "_gb")
+          .select("_ga", "_gb", "_h"))
+    u = ua.unionByName(ub).distinct()
+    w = Window.partitionBy("_ga", "_gb").orderBy(F.asc("_h"))
+    uk = (u.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") <= k))
+    # membership marks via left joins on (group, hash)
+    mark_a = (uk.join(a.select(F.col("_ga"), F.col("_h"),
+                               F.lit(1).alias("_ina")),
+                      ["_ga", "_h"], "left"))
+    marked = (mark_a.join(b.select(F.col("_gb"),
+                                   F.col("_hb").alias("_h"),
+                                   F.lit(1).alias("_inb")),
+                          ["_gb", "_h"], "left"))
+    stat = marked.groupBy("_ga", "_gb").agg(
+        F.count(F.lit(1)).alias("_ku"),
+        F.max("_h").alias("_hku"),
+        F.sum(F.when((F.col("_ina") == 1) & (F.col("_inb") == 1), 1)
+              .otherwise(0)).alias("_nboth"))
+    union_est = (F.when(F.col("_ku") < k, F.col("_ku").cast("double"))
+                 .otherwise(F.lit(float((k - 1) * PRIME))
+                            / F.col("_hku").cast("double")))
+    jaccard_est = F.col("_nboth").cast("double") / F.col("_ku").cast("double")
+    return (stat.select(
+        F.col("_ga").alias("group_a"), F.col("_gb").alias("group_b"),
+        union_est.alias("union_est"), jaccard_est.alias("jaccard_est"))
+        .withColumn("inter_est", F.col("jaccard_est") * F.col("union_est")))

@@ -22,7 +22,13 @@ from etl_online_retail_spark.functions.hashing import (
     hash_family,
     poly_hash_sql,
 )
-from etl_online_retail_spark.functions.text import normalize, normalize_sql, tokens
+from etl_online_retail_spark.functions.text import (
+    normalize,
+    normalize_sql,
+    tokens,
+    word_shingle_hashes,
+    word_shingle_hashes_sql,
+)
 from etl_online_retail_spark.operators import sampling, sketches
 from etl_online_retail_spark.workload import _t, register
 
@@ -178,6 +184,94 @@ def q_bloom_pruned_orders(spark, sf_dir):
 
 SHUFFLE_EPOCH = 3
 SHUFFLE_SHARDS = 8
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: bounded-state distinct counting with SET OPERATIONS
+# (union / intersection / Jaccard between sources) — the corpus-overlap
+# questions HLL can't answer. Sketch values are portable affine hashes,
+# so unlike native HLL (approx_customers_by_nation, rows-only by
+# necessity) the whole sketch is rebuilt bit-for-bit by the DuckDB twin.
+# Value space: word-bigram shingle hashes per source (the corpus's tiny
+# unigram vocabulary would saturate every source to Jaccard 1).
+
+_KMV_K = sketches.KMV_K
+
+
+def _kmv_base() -> str:
+    return (
+        f"sh AS (SELECT source, unnest({word_shingle_hashes_sql('text', 2)}) "
+        f"AS h0 FROM documents), "
+        f"d AS (SELECT DISTINCT source, {sketches.kmv_value_hash_sql('h0')} "
+        f"AS h FROM sh), "
+        f"r AS (SELECT source, h, ROW_NUMBER() OVER "
+        f"(PARTITION BY source ORDER BY h) AS rn FROM d), "
+        f"sk AS (SELECT source, h FROM r WHERE rn <= {_KMV_K})")
+
+
+@register(
+    "kmv_source_distinct",
+    f"""WITH {_kmv_base()},
+st AS (SELECT source, COUNT(*) AS m, MAX(h) AS hk FROM sk GROUP BY source),
+ex AS (SELECT source, COUNT(DISTINCT h0) AS n_exact FROM sh GROUP BY source)
+SELECT ex.source, ex.n_exact, CAST(st.m AS INTEGER) AS n_kept,
+       {sketches.kmv_est_sql('st.m', 'st.hk')} AS kmv_est
+FROM ex JOIN st ON ex.source = st.source""",
+    "M6-sketch-kmv-distinct",
+)
+def q_kmv_source_distinct(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    rel = (docs.select("source",
+                       F.explode(word_shingle_hashes("text", 2)).alias("h0"))
+           .cache())  # feeds both the sketch and the exact side
+    sk = sketches.kmv_sketch(rel, "source", "h0")
+    stats = sketches.kmv_stats(sk, "source")
+    exact = rel.groupBy("source").agg(
+        F.countDistinct("h0").alias("n_exact"))
+    return (exact.join(stats, "source")
+            .select("source", "n_exact", "n_kept", "kmv_est"))
+
+
+@register(
+    "kmv_source_overlap",
+    f"""WITH {_kmv_base()},
+gs AS (SELECT DISTINCT source FROM sk),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM gs a JOIN gs b ON a.source < b.source),
+u0 AS (SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sa
+       UNION
+       SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source = p.sb),
+ur AS (SELECT sa, sb, h, ROW_NUMBER() OVER
+       (PARTITION BY sa, sb ORDER BY h) AS rn FROM u0),
+uk AS (SELECT sa, sb, h FROM ur WHERE rn <= {_KMV_K}),
+mk AS (SELECT u.sa, u.sb, u.h,
+              CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+              CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS inb
+       FROM uk u
+       LEFT JOIN sk a ON a.source = u.sa AND a.h = u.h
+       LEFT JOIN sk b ON b.source = u.sb AND b.h = u.h),
+st AS (SELECT sa, sb, COUNT(*) AS ku, MAX(h) AS hku,
+              SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS nboth
+       FROM mk GROUP BY sa, sb)
+SELECT sa AS source_a, sb AS source_b,
+       {sketches.kmv_est_sql('ku', 'hku')} AS union_est,
+       CAST(nboth AS DOUBLE) / CAST(ku AS DOUBLE) AS jaccard_est,
+       (CAST(nboth AS DOUBLE) / CAST(ku AS DOUBLE))
+         * ({sketches.kmv_est_sql('ku', 'hku')}) AS inter_est
+FROM st""",
+    "M6-sketch-kmv-setops",
+)
+def q_kmv_source_overlap(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    rel = docs.select("source",
+                      F.explode(word_shingle_hashes("text", 2)).alias("h0"))
+    # the sketch feeds three self-joins in the pair algebra — cache it
+    # (PERFORMANCE.md rule 7); it is groups x k rows, i.e. tiny
+    sk = sketches.kmv_sketch(rel, "source", "h0").cache()
+    out = sketches.kmv_pair_overlap(sk, "source")
+    return out.select(F.col("group_a").alias("source_a"),
+                      F.col("group_b").alias("source_b"),
+                      "union_est", "jaccard_est", "inter_est")
 
 
 @register(

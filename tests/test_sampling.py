@@ -191,3 +191,83 @@ def test_epoch_shuffle_is_stable_per_epoch_and_varies_across_epochs(spark):
     per_shard = Counter(s for s, _ in e1.values())
     for s, n in per_shard.items():
         assert {p for sh, p in e1.values() if sh == s} == set(range(1, n + 1))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+
+
+def _kmv_rel(spark, n_vals: int, group: str = "g"):
+    """(group, h0) relation with n_vals distinct portable hash values."""
+    return (spark.range(n_vals)
+            .select(F.lit(group).alias("src"),
+                    F.pmod(F.col("id") * 7_919 + 13, F.lit(1_000_000_007))
+                    .alias("h0")))
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """Relative error of the distinct estimate is ~1/sqrt(k); assert the
+    3-sigma band on a value set well above k."""
+    n = 20_000
+    sk = sketches.kmv_sketch(_kmv_rel(spark, n), "src", "h0")
+    est = sketches.kmv_stats(sk, "src").collect()[0].kmv_est
+    tol = 3.0 / (sketches.KMV_K ** 0.5)
+    assert abs(est - n) / n < tol
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer distinct values than k: the sketch holds them all and the
+    estimate is exactly the distinct count."""
+    n = sketches.KMV_K - 5
+    sk = sketches.kmv_sketch(_kmv_rel(spark, n), "src", "h0")
+    row = sketches.kmv_stats(sk, "src").collect()[0]
+    assert row.n_kept == n and row.kmv_est == float(n)
+
+
+def test_kmv_is_a_monoid(spark):
+    """merge(sk(A), sk(B)) == sk(A ∪ B) exactly — the shardability
+    property that lets 100 TB shards sketch locally."""
+    rel = _kmv_rel(spark, 5_000).cache()
+    a = rel.filter(F.col("h0") % 2 == 0)
+    b = rel.filter(F.col("h0") % 2 == 1)
+    merged = sketches.kmv_merge(
+        sketches.kmv_sketch(a, "src", "h0"),
+        sketches.kmv_sketch(b, "src", "h0"), group_col="src")
+    whole = sketches.kmv_sketch(rel, "src", "h0")
+    assert ({r.src for r in merged.collect()} ==
+            {r.src for r in whole.collect()})
+    assert (sorted(r._h for r in merged.collect()) ==
+            sorted(r._h for r in whole.collect()))
+    rel.unpersist()
+
+
+def test_kmv_prefilter_equals_full_rank(spark):
+    """The count-gated band pre-filter (the 100 TB sort-avoidance path)
+    must select the identical sketch as the unfiltered rank."""
+    rel = _kmv_rel(spark, 30_000)
+    gated = sketches.kmv_sketch(rel, "src", "h0", prefilter_min=1)
+    full = sketches.kmv_sketch(rel, "src", "h0",
+                               prefilter_min=10**12)
+    assert (sorted(r._h for r in gated.collect()) ==
+            sorted(r._h for r in full.collect()))
+
+
+def test_kmv_pair_overlap_tracks_exact_jaccard(spark):
+    """Two groups built with a known 50% overlap: the sketch Jaccard and
+    intersection estimates land within the 3/sqrt(k) band."""
+    n = 6_000
+    base = _kmv_rel(spark, 2 * n, "x").select("h0")
+    rows = base.withColumn("_r", F.row_number().over(
+        __import__("pyspark").sql.Window.orderBy("h0")))
+    a = rows.filter(F.col("_r") <= int(1.5 * n)).select(
+        F.lit("a").alias("src"), "h0")
+    b = rows.filter(F.col("_r") > int(0.5 * n)).select(
+        F.lit("b").alias("src"), "h0")
+    sk = sketches.kmv_sketch(a.unionByName(b), "src", "h0").cache()
+    out = sketches.kmv_pair_overlap(sk, "src").collect()[0]
+    # |A|=|B|=1.5n, |A ∩ B|=n, |A ∪ B|=2n -> J = 0.5
+    tol = 3.0 / (sketches.KMV_K ** 0.5)
+    assert abs(out.jaccard_est - 0.5) < tol
+    assert abs(out.union_est - 2 * n) / (2 * n) < tol
+    assert abs(out.inter_est - n) / n < 2 * tol
+    sk.unpersist()
