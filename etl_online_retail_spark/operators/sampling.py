@@ -132,6 +132,77 @@ def epoch_shuffle_sql(id_expr: str, epoch: int, n_shards: int = 64) -> str:
             f"AS INTEGER) AS pos")
 
 
+def ordered_prefix_sum(df: DataFrame, part_col: str, id_col: str,
+                       value_col: str, n_shards: int = 16) -> DataFrame:
+    """Running total over the deterministic order (bucket(id), id) within
+    each part: adds `cum_before` = sum of value over STRICTLY EARLIER
+    rows. Exclusive semantics so a consumer can ask "had the budget been
+    exhausted before this row?".
+
+    This is a DISTRIBUTED SCAN, not one window per part. A naive
+    `SUM OVER (PARTITION BY part ORDER BY ...)` sorts each part in a
+    single reducer — the classic 100 TB cliff when parts are few and
+    huge. Instead the ordered domain is range-split into n_shards
+    CONTIGUOUS bucket ranges (hash-ordering makes ranges uniform without
+    sampling — the bucket is already uniform on [0, RESOLUTION)):
+
+      1. per-(part, shard) totals           — map-side-combinable agg;
+      2. exclusive running offsets over the parts x n_shards totals
+         relation (tiny — a driver-scale window);
+      3. broadcast offsets back; within-(part, shard) window cumsum
+         + offset — each sort touches 1/n_shards of a part.
+
+    Exactly equal to the single-window form (integer arithmetic, same
+    total order) — asserted in tests across shard counts.
+    """
+    from pyspark.sql import Window
+
+    bucket = _bucket(F.col(id_col))
+    shard = F.floor(bucket * n_shards / F.lit(SAMPLE_RESOLUTION)).cast("int")
+    base = df.withColumn("_b", bucket).withColumn("_sh", shard)
+    totals = base.groupBy(part_col, "_sh").agg(
+        F.sum(F.col(value_col)).alias("_tot"))
+    w_off = (Window.partitionBy(part_col).orderBy("_sh")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        part_col, "_sh",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"))
+    w_in = (Window.partitionBy(part_col, "_sh")
+            .orderBy(F.asc("_b"), F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    return (base
+            .join(F.broadcast(offsets), [part_col, "_sh"])
+            .withColumn(
+                "cum_before",
+                (F.coalesce(F.sum(F.col(value_col)).over(w_in), F.lit(0))
+                 + F.col("_off")).cast("bigint"))
+            .drop("_b", "_sh", "_off"))
+
+
+def token_budget_mix(df: DataFrame, part_col: str, id_col: str,
+                     value_col: str, budgets: dict[str, int],
+                     default_budget: int,
+                     n_shards: int = 16) -> DataFrame:
+    """Deterministic training-mix builder: fill each part's (source's,
+    domain's) TOKEN budget by walking rows in the hash order (bucket(id),
+    id) and keeping a row iff the tokens consumed strictly before it are
+    under the part's budget — so the kept set overshoots by at most one
+    document, is identical on every run/engine/layout, and GROWS
+    monotonically with the budget (nested mixes, the ablation property).
+
+    The walk is ordered_prefix_sum — a two-phase distributed scan, so
+    per-part cost is sharded rather than single-reducer. `cum_before`
+    stays in the output for auditability (and oracle verification).
+    """
+    cum = ordered_prefix_sum(df, part_col, id_col, value_col,
+                             n_shards=n_shards)
+    budget = F.lit(default_budget).cast("bigint")
+    for part, b in sorted(budgets.items()):
+        budget = F.when(F.col(part_col) == part,
+                        F.lit(b).cast("bigint")).otherwise(budget)
+    return cum.filter(F.col("cum_before") < budget)
+
+
 def stratified_topk_sample(df: DataFrame, stratum_col: str, id_col: str,
                            k: int) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum: the k smallest

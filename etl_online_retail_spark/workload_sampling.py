@@ -25,6 +25,8 @@ from etl_online_retail_spark.functions.hashing import (
 from etl_online_retail_spark.functions.text import (
     normalize,
     normalize_sql,
+    token_count,
+    token_count_sql,
     tokens,
     word_shingle_hashes,
     word_shingle_hashes_sql,
@@ -184,6 +186,50 @@ def q_bloom_pruned_orders(spark, sf_dir):
 
 SHUFFLE_EPOCH = 3
 SHUFFLE_SHARDS = 8
+
+
+# ---------------------------------------------------------------------------
+# Token-budget training-mix builder: fill per-source token quotas by
+# walking documents in deterministic hash order and keeping a document
+# iff the tokens consumed before it are under its source's budget. The
+# Spark side computes the walk as a two-phase distributed scan
+# (ordered_prefix_sum — range-sharded by the hash bucket, no
+# single-reducer sort per source); the oracle states the SAME semantics
+# as one naive window, so the scan decomposition itself is verified.
+
+TOKEN_BUDGETS = {"src0": 2000, "src1": 900}
+TOKEN_BUDGET_DEFAULT = 400
+
+
+@register(
+    "token_budget_mix",
+    f"""WITH t AS (
+  SELECT doc_id, source, CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
+         {sampling.bucket_sql('doc_id')} AS b
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY b, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM t)
+SELECT doc_id, source, n_tokens, cum_before
+FROM c
+WHERE cum_before < CASE WHEN source = 'src0' THEN {TOKEN_BUDGETS['src0']}
+                        WHEN source = 'src1' THEN {TOKEN_BUDGETS['src1']}
+                        ELSE {TOKEN_BUDGET_DEFAULT} END""",
+    "M6-sampling-token-budget",
+)
+def q_token_budget_mix(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        token_count("text").cast("bigint").alias("n_tokens"))
+    mix = sampling.token_budget_mix(
+        base, "source", "doc_id", "n_tokens",
+        TOKEN_BUDGETS, TOKEN_BUDGET_DEFAULT)
+    return mix.select("doc_id", "source", "n_tokens", "cum_before")
 
 
 # ---------------------------------------------------------------------------

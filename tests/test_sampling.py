@@ -271,3 +271,59 @@ def test_kmv_pair_overlap_tracks_exact_jaccard(spark):
     assert abs(out.union_est - 2 * n) / (2 * n) < tol
     assert abs(out.inter_est - n) / n < 2 * tol
     sk.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# distributed prefix-sum + token-budget mix
+
+
+def _scan_naive(df, part, idc, val):
+    """Single-window exclusive cumsum (the semantics oracle)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(part)
+         .orderBy(F.asc(sampling._bucket(F.col(idc))), F.asc(idc))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return df.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(val).over(w), F.lit(0)).cast("bigint"))
+
+
+def _rows(df):
+    return sorted((r.doc_id, r.cum_before) for r in
+                  df.select("doc_id", "cum_before").collect())
+
+
+def test_ordered_prefix_sum_equals_single_window(spark):
+    """The two-phase range-sharded scan must equal the naive one-window
+    cumsum exactly, for several shard counts and under repartition."""
+    docs = (load_table(spark, "documents", SF)
+            .select("doc_id", "source",
+                    F.col("n_chars").cast("bigint").alias("v")))
+    want = _rows(_scan_naive(docs, "source", "doc_id", "v"))
+    for n_shards in (1, 3, 16, 100):
+        got = _rows(sampling.ordered_prefix_sum(
+            docs.repartition(5), "source", "doc_id", "v",
+            n_shards=n_shards))
+        assert got == want, f"n_shards={n_shards}"
+
+
+def test_token_budget_mix_budget_and_nesting(spark):
+    docs = (load_table(spark, "documents", SF)
+            .select("doc_id", "source",
+                    F.col("n_chars").cast("bigint").alias("v")))
+    small = sampling.token_budget_mix(docs, "source", "doc_id", "v",
+                                      {}, 2_000)
+    big = sampling.token_budget_mix(docs, "source", "doc_id", "v",
+                                    {}, 5_000)
+    s_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    b_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    assert s_ids <= b_ids  # larger budget strictly grows the mix
+    # per-source total overshoots the budget by at most one document
+    per = (small.groupBy("source")
+           .agg(F.sum("v").alias("tot"), F.max("v").alias("mx")).collect())
+    for r in per:
+        assert r.tot - r.mx < 2_000
+    # deterministic under physical layout changes
+    again = sampling.token_budget_mix(docs.repartition(9), "source",
+                                      "doc_id", "v", {}, 2_000)
+    assert {r.doc_id for r in again.select("doc_id").collect()} == s_ids
