@@ -336,3 +336,48 @@ def read_incremental_cms(spark, table_dir: str) -> DataFrame:
     return (spark.read.parquet(table_dir)
             .groupBy("j", "bucket")
             .agg(F.sum("cnt").alias("cnt")))
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV sketch: distinct counts AND set-operation estimates
+# (union/intersection/Jaccard between groups) over an unbounded stream
+# with bounded state. Same partial-per-batch shape as the streaming CMS:
+# each micro-batch writes ITS OWN per-group k-minimum-values sketch
+# (groups x k rows) under `_batch_id`, replay-safe via dynamic partition
+# overwrite; the read side merges partials exactly (KMV is a monoid —
+# k smallest of a union are computable from per-shard k-mins). A naive
+# streaming distinct would keep unbounded per-value state.
+
+def kmv_batch_write(batch_df: DataFrame, batch_id: int, table_dir: str,
+                    group_col: str, hash_col: str) -> None:
+    from etl_online_retail_spark.operators.sketches import kmv_sketch
+
+    (kmv_sketch(batch_df.select(group_col, hash_col), group_col, hash_col)
+     .select(group_col, "_h")
+     .withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(table_dir))
+
+
+def incremental_kmv(stream_df: DataFrame, table_dir: str,
+                    checkpoint_dir: str, group_col: str,
+                    hash_col: str) -> StreamingQuery:
+    """Maintain per-group KMV sketches incrementally over a stream of
+    (group, portable-hash) rows."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: kmv_batch_write(
+                df, bid, table_dir, group_col, hash_col))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_incremental_kmv(spark, table_dir: str, group_col: str) -> DataFrame:
+    """The merged per-group sketch over every batch partial — feed to
+    sketches.kmv_stats / kmv_pair_overlap."""
+    from etl_online_retail_spark.operators.sketches import kmv_merge
+
+    return kmv_merge(spark.read.parquet(table_dir),
+                     group_col=group_col)

@@ -360,3 +360,66 @@ def test_streaming_cms_matches_batch_sketch_and_replay_safe(
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     for r in cms_estimate(probe, read_incremental_cms(spark, t)).collect():
         assert r.n_est >= exact[r.term]
+
+
+def test_streaming_kmv_matches_batch_sketch_and_replay_safe(
+        spark, tmp_path):
+    """The streamed KMV sketch (per-micro-batch k-min partials merged on
+    read) must equal the batch sketch over the same data; a replayed
+    batch must not change it; and distinct/overlap estimates flow from
+    the merged sketch."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import SCHEMAS
+    from etl_online_retail_spark.operators.sketches import (
+        kmv_sketch,
+        kmv_stats,
+    )
+    from etl_online_retail_spark.streaming.ingest import (
+        incremental_kmv,
+        kmv_batch_write,
+        read_incremental_kmv,
+    )
+
+    ev = (load_events(spark, SF)
+          .select(F.col("event_type").alias("g"),
+                  F.pmod(F.col("user_id").cast("bigint") * 7_919 + 1,
+                         F.lit(1_000_000_007)).alias("h0"))
+          .cache())
+    src = str(tmp_path / "src")
+    for b in range(3):
+        ev.filter(F.pmod(F.col("h0"), F.lit(3)) == b).write.parquet(
+            f"{src}/shard{b}")
+    stream = (spark.readStream.schema("g string, h0 bigint")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*"))
+    t = str(tmp_path / "kmv")
+    q = incremental_kmv(stream, t, str(tmp_path / "ckpt"), "g", "h0")
+    q.awaitTermination()
+
+    def as_sets(df):
+        out = {}
+        for r in df.select("g", "_h").collect():
+            out.setdefault(r.g, set()).add(r._h)
+        return out
+
+    streamed = as_sets(read_incremental_kmv(spark, t, "g"))
+    batch = as_sets(kmv_sketch(ev, "g", "h0"))
+    assert streamed == batch
+
+    # replay of an already-committed batch overwrites its own partition
+    kmv_batch_write(ev.filter(F.pmod(F.col("h0"), F.lit(3)) == 1),
+                    1, t, "g", "h0")
+    assert as_sets(read_incremental_kmv(spark, t, "g")) == batch
+
+    # the merged sketch drives per-group distinct estimates (exact when
+    # the group's value set fits in k)
+    exact = {r.g: r.n for r in
+             ev.groupBy("g").agg(F.countDistinct("h0").alias("n"))
+             .collect()}
+    for r in kmv_stats(read_incremental_kmv(spark, t, "g"), "g").collect():
+        if r.n_kept < 128:
+            assert r.kmv_est == float(exact[r.g])
+        else:
+            assert abs(r.kmv_est - exact[r.g]) / exact[r.g] < 0.3
+    ev.unpersist()
