@@ -340,3 +340,89 @@ def kmv_pair_overlap(sk: DataFrame, group_col: str,
         F.col("_ga").alias("group_a"), F.col("_gb").alias("group_b"),
         union_est.alias("union_est"), jaccard_est.alias("jaccard_est"))
         .withColumn("inter_est", F.col("jaccard_est") * F.col("union_est")))
+
+
+# ---------------------------------------------------------------------------
+# HDR log-histogram quantile sketch: mergeable approximate quantiles with
+# a BOUNDED RELATIVE ERROR, in pure integer arithmetic. Spark's
+# percentile_approx (KLL-ish) is engine-private — its registered query is
+# rows-only by necessity. This sketch is the hash-verifiable alternative:
+# a value v ≥ 1 lands in bucket (e, sub) where e is its bit length
+# (octave) and sub one of M linear sub-buckets within the octave — the
+# HdrHistogram layout. Bucket counts are a plain groupBy (map-side
+# combinable, mergeable by addition across shards/streams); a quantile
+# estimate is the upper edge of the first bucket whose cumulative count
+# reaches ceil(q*N), which OVERESTIMATES the true quantile by at most a
+# factor (1 + 1/M) — relative error ≤ 1/M whatever the value range.
+#
+# The exponent comes from the binary-string length (integer-exact on
+# both engines: Spark conv(v,10,2) / DuckDB bin(v)), never floating
+# log2, so bucket assignment is bit-identical cross-engine.
+
+HDR_SUBBUCKETS = 32  # relative error <= 1/32 ~ 3.1%
+
+
+def hdr_bucket(v, m: int = HDR_SUBBUCKETS):
+    """(bucket_id, upper_edge) expressions for a positive BIGINT column.
+
+    e   = bit_length(v)            (octave; p = 2^(e-1) <= v < 2^e)
+    sub = min(m-1, floor(v*m/p) - m)   (linear position inside the octave)
+    id  = (e-1)*m + sub
+    ub  = p * (1 + (sub+1)/m)      (exclusive upper edge, DOUBLE)
+
+    v*m must stay under 2^53 for the float-division floor to be
+    engine-portable — fine for any realistic measure in cents/chars/ms.
+    """
+    e = F.length(F.conv(v.cast("string"), 10, 2))
+    p = F.pow(F.lit(2.0), (e - F.lit(1)).cast("double"))
+    sub = F.least(F.lit(m - 1),
+                  (F.floor(v.cast("double") * m / p) - F.lit(m)).cast("int"))
+    bucket_id = ((e - F.lit(1)) * m + sub).cast("int")
+    ub = p * (F.lit(1.0) + (sub + F.lit(1)).cast("double") / F.lit(float(m)))
+    return bucket_id, ub
+
+
+def hdr_bucket_sql(v_expr: str, m: int = HDR_SUBBUCKETS) -> tuple[str, str]:
+    """DuckDB twins of (bucket_id, upper_edge)."""
+    e = f"length(bin(({v_expr})::BIGINT))"
+    p = f"power(2.0, CAST({e} - 1 AS DOUBLE))"
+    sub = (f"LEAST({m - 1}, CAST(FLOOR(CAST({v_expr} AS DOUBLE) * {m} / {p})"
+           f" - {m} AS INTEGER))")
+    bucket_id = f"CAST(({e} - 1) * {m} + {sub} AS INTEGER)"
+    ub = f"{p} * (1.0 + CAST({sub} + 1 AS DOUBLE) / CAST({m} AS DOUBLE))"
+    return bucket_id, ub
+
+
+def hdr_histogram(values: DataFrame, group_col: str, value_col: str,
+                  m: int = HDR_SUBBUCKETS) -> DataFrame:
+    """Per-group histogram: (group, bucket, ub, cnt). The sketch itself —
+    O(groups x 64*m) rows whatever N; merge shards by summing cnt."""
+    bucket_id, ub = hdr_bucket(F.col(value_col), m)
+    return (values
+            .select(F.col(group_col), bucket_id.alias("bucket"),
+                    ub.alias("ub"))
+            .groupBy(group_col, "bucket")
+            .agg(F.min("ub").alias("ub"), F.count(F.lit(1)).alias("cnt")))
+
+
+def hdr_quantiles(hist: DataFrame, group_col: str,
+                  qs: list[float]) -> DataFrame:
+    """Quantile estimates from a histogram: for each q, the upper edge of
+    the first bucket whose cumulative count reaches ceil(q*N). Works on
+    the sketch relation only (tiny); output (group, q, est)."""
+    from pyspark.sql import Window
+
+    w_cum = (Window.partitionBy(group_col).orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(group_col)
+    cum = (hist
+           .withColumn("_cum", F.sum("cnt").over(w_cum))
+           .withColumn("_n", F.sum("cnt").over(w_all)))
+    q_rel = F.array(*[F.lit(float(q)) for q in qs])
+    hit = (cum.withColumn("q", F.explode(q_rel))
+           .filter(F.col("_cum").cast("double") >=
+                   F.ceil(F.col("q") * F.col("_n").cast("double"))
+                   .cast("double")))
+    best = (hit.groupBy(group_col, "q")
+            .agg(F.min_by(F.col("ub"), F.col("bucket")).alias("est")))
+    return best.select(group_col, "q", "est")

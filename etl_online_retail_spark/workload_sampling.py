@@ -189,6 +189,51 @@ SHUFFLE_SHARDS = 8
 
 
 # ---------------------------------------------------------------------------
+# HDR log-histogram quantile sketch: mergeable approximate quantiles with
+# bounded RELATIVE error in pure integer bucket arithmetic (bit-length
+# octaves x linear sub-buckets). Unlike percentile_approx (engine-private
+# KLL, rows-only), this sketch is rebuilt bit-for-bit by the oracle —
+# a hash-verified approximate-quantile path. Value: order price in cents
+# (exact via the decimal cast convention), grouped by priority.
+
+_HDR_QS = (0.5, 0.9, 0.99)
+_HDR_V = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _hdr_oracle() -> str:
+    bucket_id, ub = sketches.hdr_bucket_sql("v")
+    q_list = ", ".join(f"CAST({q} AS DOUBLE)" for q in _HDR_QS)
+    return f"""
+WITH v AS (SELECT o_orderpriority, {_HDR_V} AS v FROM orders
+           WHERE {_HDR_V} >= 1),
+b AS (SELECT o_orderpriority, {bucket_id} AS bucket, {ub} AS ub FROM v),
+hist AS (SELECT o_orderpriority, bucket, MIN(ub) AS ub, COUNT(*) AS cnt
+         FROM b GROUP BY 1, 2),
+cum AS (SELECT o_orderpriority, bucket, ub,
+        CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority
+                            ORDER BY bucket) AS DOUBLE) AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS n
+        FROM hist),
+qq AS (SELECT unnest([{q_list}]) AS q),
+hit AS (SELECT c.o_orderpriority, q.q, c.bucket, c.ub
+        FROM cum c JOIN qq q ON c.cum >= CAST(CEIL(q.q * c.n) AS DOUBLE)),
+sel AS (SELECT o_orderpriority, q, MIN(bucket) AS b FROM hit GROUP BY 1, 2)
+SELECT s.o_orderpriority, s.q, h.ub AS est
+FROM sel s JOIN hist h
+  ON h.o_orderpriority = s.o_orderpriority AND h.bucket = s.b"""
+
+
+@register("hdr_price_quantiles", _hdr_oracle(), "M6-sketch-hdr-quantiles")
+def q_hdr_price_quantiles(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    vals = (orders.select("o_orderpriority", cents.alias("v"))
+            .filter(F.col("v") >= 1))
+    hist = sketches.hdr_histogram(vals, "o_orderpriority", "v")
+    return sketches.hdr_quantiles(hist, "o_orderpriority", list(_HDR_QS))
+
+
+# ---------------------------------------------------------------------------
 # Token-budget training-mix builder: fill per-source token quotas by
 # walking documents in deterministic hash order and keeping a document
 # iff the tokens consumed before it are under its source's budget. The

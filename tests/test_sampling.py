@@ -327,3 +327,56 @@ def test_token_budget_mix_budget_and_nesting(spark):
     again = sampling.token_budget_mix(docs.repartition(9), "source",
                                       "doc_id", "v", {}, 2_000)
     assert {r.doc_id for r in again.select("doc_id").collect()} == s_ids
+
+
+# ---------------------------------------------------------------------------
+# HDR log-histogram quantile sketch
+
+
+def test_hdr_bucket_bounds_every_value(spark):
+    """For every v: v < upper_edge(bucket(v)) <= v * (1 + 1/M) — the
+    per-value relative containment the quantile bound builds on."""
+    m = sketches.HDR_SUBBUCKETS
+    vals = (spark.range(1, 4_000)
+            .select((F.col("id") * 17 + 1).alias("v")))
+    b, ub = sketches.hdr_bucket(F.col("v"), m)
+    rows = vals.select("v", ub.alias("ub")).collect()
+    for r in rows:
+        assert r.v < r.ub <= r.v * (1 + 1.0 / m) * (1 + 1e-12)
+
+
+def test_hdr_quantile_relative_error_bound(spark):
+    """est is the upper edge of the bucket holding the ceil(q*N)-th
+    value: exact < est <= exact * (1 + 1/M)."""
+    import math
+
+    m = sketches.HDR_SUBBUCKETS
+    data = (spark.range(1, 20_000)
+            .select(F.lit("g").alias("grp"),
+                    (F.col("id") * F.col("id") % 999_983 + 1).alias("v")))
+    hist = sketches.hdr_histogram(data, "grp", "v")
+    qs = [0.5, 0.9, 0.99]
+    got = {r.q: r.est for r in
+           sketches.hdr_quantiles(hist, "grp", qs).collect()}
+    xs = sorted(r.v for r in data.collect())
+    for q in qs:
+        exact = xs[math.ceil(q * len(xs)) - 1]
+        assert exact < got[q] <= exact * (1 + 1.0 / m) * (1 + 1e-12), q
+
+
+def test_hdr_histogram_is_mergeable(spark):
+    """Shard histograms sum to the whole histogram — the monoid shape
+    that makes the sketch shardable and streamable."""
+    data = (spark.range(1, 10_000)
+            .select(F.lit("g").alias("grp"),
+                    (F.col("id") * 31 % 99_991 + 1).alias("v")))
+    a = data.filter(F.col("v") % 2 == 0)
+    b = data.filter(F.col("v") % 2 == 1)
+    merged = (sketches.hdr_histogram(a, "grp", "v")
+              .unionByName(sketches.hdr_histogram(b, "grp", "v"))
+              .groupBy("grp", "bucket")
+              .agg(F.min("ub").alias("ub"), F.sum("cnt").alias("cnt")))
+    whole = sketches.hdr_histogram(data, "grp", "v")
+    as_map = lambda df: {(r.grp, r.bucket): (r.ub, r.cnt)
+                         for r in df.collect()}
+    assert as_map(merged) == as_map(whole)
