@@ -168,3 +168,33 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                  F.round(F.sum("_c").cast("double")
                          / F.sum("tf").cast("double"), 6)
                   .alias("avg_logprob")))
+
+
+def rrf_fuse(ranked: "dict[str, DataFrame]", id_col: str = "doc_id",
+             rank_col: str = "rank", k0: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of independently-ranked candidate lists
+    (Cormack et al. SIGIR'09): score(d) = Σ_lists 1/(k0 + rank_list(d)),
+    absent-from-list contributing 0. The standard hybrid-retrieval
+    combiner (lexical BM25 + dense embedding ranks) because it needs no
+    score calibration between heterogeneous scorers — only ranks.
+
+    `ranked` maps a list name to its (id, rank) relation; each list's
+    rank column survives in the output as `<name>_rank` (NULL when the
+    document is missing from that list) for auditability. Scale shape:
+    the inputs are already top-k lists (k rows each), so fusion is
+    full-outer joins + a row expression over k-sized relations —
+    nothing corpus-sized."""
+    out = None
+    names = list(ranked)
+    for name, df in ranked.items():
+        c = df.select(F.col(id_col),
+                      F.col(rank_col).cast("int").alias(f"{name}_rank"))
+        out = c if out is None else out.join(c, id_col, "full_outer")
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"{name}_rank")).cast("double"),
+            F.lit(0.0))
+        score = term if score is None else score + term
+    return out.select(id_col, *[f"{n}_rank" for n in names],
+                      score.alias("rrf_score"))

@@ -932,6 +932,69 @@ def q_knn_vectorized(spark, sf_dir):
     return similarity.brute_force_topk_vectorized(emb, queries_df, k=KNN_K)
 
 
+# hybrid retrieval: reciprocal-rank fusion of the lexical BM25 top-50
+# and the dense cosine top-50 for one hybrid query (terms + query
+# vector). RRF needs no score calibration between the two scorers —
+# only ranks — which is why it is the standard lexical+dense combiner
+# (Cormack et al. SIGIR'09). Both input rankings already have portable
+# twins (bm25_topk, knn_bruteforce), so the fused list is fully
+# hash-verified end-to-end. Embeddings are keyed by vec_id == doc_id
+# (the document's embedding).
+
+RRF_DEPTH = 50
+RRF_QID = 0       # the hybrid query's vector: embedding of vec_id 0
+RRF_K0 = 60
+RRF_OUT = 20
+
+_RRF_ORACLE = f"""
+WITH bm AS ({_BM25_ORACLE}),
+bmr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+          (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS bm25_rank FROM bm),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QID}),
+kn AS (SELECT e.vec_id AS doc_id, {cosine_sql('q.qv', 'e.embedding')} AS c
+       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> {RRF_QID}),
+knr AS (SELECT doc_id, CAST(rn AS INTEGER) AS knn_rank FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS rn
+          FROM kn)
+        WHERE rn <= {RRF_DEPTH}),
+f AS (SELECT COALESCE(b.doc_id, k.doc_id) AS doc_id, b.bm25_rank, k.knn_rank
+      FROM bmr b FULL OUTER JOIN knr k ON b.doc_id = k.doc_id)
+SELECT doc_id, bm25_rank, knn_rank,
+       COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K0} + bm25_rank),
+                CAST(0.0 AS DOUBLE))
+     + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K0} + knn_rank),
+                CAST(0.0 AS DOUBLE)) AS rrf_score
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT {RRF_OUT}
+"""
+
+
+@register("hybrid_search_rrf", _RRF_ORACLE, "M6-retrieval-hybrid-rrf")
+def q_hybrid_search_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from etl_online_retail_spark.operators.relevance import (
+        bm25_scores,
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    # lexical list: the bm25_topk top-50 with explicit ranks (query-sized
+    # single-partition window — the ranked relation is docs-with-hits)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm = (bm25_scores(docs, BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+          .withColumn("rank", F.row_number().over(w))
+          .filter(F.col("rank") <= RRF_DEPTH)
+          .select("doc_id", "rank"))
+    # dense list: exact cosine top-50 for the single query vector
+    kn = (similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == RRF_QID), k=RRF_DEPTH)
+          .select(F.col("neighbour_id").alias("doc_id"), "rank"))
+    fused = rrf_fuse({"bm25": bm, "knn": kn}, k0=RRF_K0)
+    return (fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            .limit(RRF_OUT))
+
+
 def _lsh_bucket_sql(vec_expr: str) -> str:
     planes = similarity.hyperplanes(LSH_PLANES, EMB_DIMS)
     terms = []

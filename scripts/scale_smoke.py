@@ -309,6 +309,38 @@ def main() -> None:
     timed(f"bloom-pruned semi-join @ {factor}x", bloom_join)
     timed(f"count-min build+probe @ {factor}x", cms)
 
+    # KMV sketch + pair algebra: the corpus pass is distinct + count-gated
+    # band filter + per-group rank (the gate engages here — replicated
+    # shingle sets exceed KMV_PREFILTER_MIN); the pair stage is sketch-only
+    # (groups x k rows) so its cost must NOT grow with the factor.
+    def kmv():
+        from etl_online_retail_spark.functions.text import (
+            word_shingle_hashes,
+        )
+
+        rel = docs.select(
+            "source", F.explode(word_shingle_hashes("text", 2)).alias("h0"))
+        sk = sketches.kmv_sketch(rel, "source", "h0").cache()
+        sk.count()
+        (sketches.kmv_pair_overlap(sk, "source")
+         .write.format("noop").mode("overwrite").save())
+        sk.unpersist()
+
+    # distributed prefix-sum: two-phase scan must stay linear (per-shard
+    # window sorts 1/n_shards of a source; totals/offsets relation tiny)
+    def token_mix():
+        from etl_online_retail_spark.functions.text import token_count
+
+        base = docs.select(
+            "doc_id", "source",
+            token_count("text").cast("bigint").alias("n_tokens"))
+        (sampling.token_budget_mix(base, "source", "doc_id", "n_tokens",
+                                   {}, 100_000, n_shards=32)
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"kmv sketch + pair overlap @ {factor}x", kmv)
+    timed(f"token-budget mix (two-phase scan) @ {factor}x", token_mix)
+
 
 if __name__ == "__main__":
     main()

@@ -124,3 +124,24 @@ def test_repeated_passage_stats_finds_cross_doc_boilerplate(spark):
         # the boilerplate span contributes >= len-2 repeated shingles
         assert out[i].n_repeated >= 5, out[i]
         assert 0.0 < out[i].dup_fraction < 1.0
+
+
+def test_rrf_fuse_scores_and_null_ranks(spark):
+    """Reciprocal-rank fusion: score = sum of 1/(k0+rank) over the lists
+    the id appears in; a missing list leaves a NULL rank and adds 0."""
+    from etl_online_retail_spark.operators.relevance import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id int, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id int, rank int")
+    out = {r.doc_id: r for r in
+           rrf_fuse({"lex": a, "dense": b}, k0=60).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3].lex_rank == 3 and out[3].dense_rank == 1
+    assert abs(out[3].rrf_score - (1 / 63 + 1 / 61)) < 1e-12
+    assert out[1].dense_rank is None
+    assert abs(out[1].rrf_score - 1 / 61) < 1e-12
+    assert out[4].lex_rank is None
+    assert abs(out[4].rrf_score - 1 / 62) < 1e-12
+    # the doc in both lists outranks single-list docs of similar depth
+    assert out[3].rrf_score > out[1].rrf_score
