@@ -81,6 +81,10 @@ HEADLINE = [
     "cms_heavy_hitters",
     "bloom_pruned_orders",
     "jpeg_image_stats",
+    "kmv_source_overlap",
+    "token_budget_mix",
+    "hdr_price_quantiles",
+    "hybrid_search_rrf",
 ]
 
 # Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a

@@ -72,3 +72,46 @@ def count_distinct(col: str, alias: str) -> Column:
 def approx_count_distinct(col: str, alias: str, rsd: float = 0.02) -> Column:
     """Scale variant of A3: HyperLogLog++ sketch, mergeable map-side."""
     return F.approx_count_distinct(F.col(col), rsd).alias(alias)
+
+
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: float = 3.0) -> DataFrame:
+    """Robust per-group outlier statistics via the median absolute
+    deviation: med = median(v), mad = median(|v - med|), and a value is
+    an outlier when |v - med| > k * 1.4826 * mad (1.4826 scales MAD to
+    σ under normality, so k behaves like a z-score cutoff — but unlike
+    mean/stddev, the estimator itself doesn't move when the outliers it
+    is hunting pollute the tail). The standard robust cleaning gate for
+    price/length/latency columns.
+
+    Output: (group_col, n BIGINT, med DOUBLE, mad DOUBLE,
+    n_outliers BIGINT). The value column must be integer-scaled (cents,
+    chars) so the interpolated medians are exact in DOUBLE and
+    engine-portable.
+
+    Scale shape: two grouped exact-median aggregations with a broadcast
+    join-back between them (group cardinality rows), then one counting
+    aggregation — no window, no sort of the full relation beyond what
+    median itself needs. At extreme group sizes swap F.median for the
+    HDR-histogram sketch quantile (operators/sketches) at a documented
+    error bound; semantics otherwise unchanged.
+    """
+    v = F.col(value_col).cast("double")
+    med = (df.groupBy(group_col)
+           .agg(F.median(v).alias("med")))
+    dev = (df.join(F.broadcast(med), group_col)
+           .withColumn("_adev", F.abs(v - F.col("med"))))
+    mad = (dev.groupBy(group_col)
+           .agg(F.first("med").alias("med"),
+                F.median(F.col("_adev")).alias("mad")))
+    flagged = (dev.drop("med")
+               .join(F.broadcast(mad), group_col)
+               .withColumn(
+                   "_is_out",
+                   (F.col("_adev") >
+                    F.lit(k) * F.lit(1.4826) * F.col("mad")).cast("int")))
+    return (flagged.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first("med").alias("med"),
+                 F.first("mad").alias("mad"),
+                 F.sum("_is_out").cast("bigint").alias("n_outliers")))

@@ -1075,6 +1075,41 @@ def q_customer_order_medians(spark, sf_dir):
     )
 
 
+# robust per-group outlier gate: median + MAD (median absolute
+# deviation). Unlike mean/stddev the estimator doesn't move when the
+# outliers it hunts pollute the tail; medians are exact selection
+# arithmetic on integer-scaled cents, so the whole gate is
+# hash-verified. k=3 behaves like a 3σ cutoff via the 1.4826 scale.
+
+_MAD_V = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_MAD_K = "CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)"
+
+
+@register(
+    "price_outliers_mad",
+    f"""WITH v AS (SELECT o_orderpriority AS grp,
+             CAST({_MAD_V} AS DOUBLE) AS vv FROM orders),
+med AS (SELECT grp, MEDIAN(vv) AS med FROM v GROUP BY grp),
+dev AS (SELECT v.grp, v.vv, m.med, ABS(v.vv - m.med) AS adev
+        FROM v JOIN med m ON v.grp = m.grp),
+mad AS (SELECT grp, MIN(med) AS med, MEDIAN(adev) AS mad
+        FROM dev GROUP BY grp)
+SELECT d.grp AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(m.med) AS med, MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.grp = m.grp GROUP BY d.grp""",
+    "M6-cleaning-mad-outliers",
+)
+def q_price_outliers_mad(spark, sf_dir):
+    from etl_online_retail_spark.operators.aggregates import mad_outliers
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    vals = orders.select(F.col("o_orderpriority"), cents.alias("v"))
+    return mad_outliers(vals, "o_orderpriority", "v", k=3.0)
+
+
 # ---------------------------------------------------------------------------
 # the composed curation pipeline: quality floor + exact dedup + near-dup drop
 

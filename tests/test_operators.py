@@ -145,3 +145,21 @@ def test_rrf_fuse_scores_and_null_ranks(spark):
     assert abs(out[4].rrf_score - 1 / 62) < 1e-12
     # the doc in both lists outranks single-list docs of similar depth
     assert out[3].rrf_score > out[1].rrf_score
+
+
+def test_mad_outliers_flags_extremes_robustly(spark):
+    """The MAD gate flags a gross outlier without the estimator itself
+    being dragged by it (the failure mode of mean/stddev gating)."""
+    from etl_online_retail_spark.operators.aggregates import mad_outliers
+
+    rows = [("a", v) for v in range(1, 102)] + [("a", 10_000)]
+    rows += [("b", v) for v in range(1, 102)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r for r in
+           mad_outliers(df, "grp", "v", k=3.0).collect()}
+    # group a: median/MAD barely move despite the 10k point; it is the
+    # single flagged outlier
+    assert out["a"].n == 102 and out["a"].n_outliers == 1
+    assert abs(out["a"].med - 51.5) < 1e-9
+    assert out["b"].n == 101 and out["b"].n_outliers == 0
+    assert abs(out["b"].med - 51.0) < 1e-9 and abs(out["b"].mad - 25.0) < 1e-9
