@@ -381,3 +381,43 @@ def read_incremental_kmv(spark, table_dir: str, group_col: str) -> DataFrame:
 
     return kmv_merge(spark.read.parquet(table_dir),
                      group_col=group_col)
+
+
+# streaming HDR histogram: approximate quantiles over a stream with
+# bounded state — the third member of the streamable-sketch family
+# (count-min: frequencies; KMV: distincts/set-ops; HDR: quantiles).
+# Buckets are integer bit-length octaves x linear sub-buckets, counts
+# add, so per-batch partials merge exactly on read.
+
+def hdr_batch_write(batch_df: DataFrame, batch_id: int, table_dir: str,
+                    group_col: str, value_col: str) -> None:
+    from etl_online_retail_spark.operators.sketches import hdr_histogram
+
+    (hdr_histogram(batch_df.select(group_col, value_col), group_col,
+                   value_col)
+     .withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(table_dir))
+
+
+def incremental_hdr(stream_df: DataFrame, table_dir: str,
+                    checkpoint_dir: str, group_col: str,
+                    value_col: str) -> StreamingQuery:
+    """Maintain per-group HDR histograms incrementally over a stream of
+    (group, positive BIGINT value) rows."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: hdr_batch_write(
+                df, bid, table_dir, group_col, value_col))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_incremental_hdr(spark, table_dir: str, group_col: str) -> DataFrame:
+    """The merged per-group histogram over every batch partial — feed to
+    sketches.hdr_quantiles."""
+    return (spark.read.parquet(table_dir)
+            .groupBy(group_col, "bucket")
+            .agg(F.min("ub").alias("ub"), F.sum("cnt").alias("cnt")))

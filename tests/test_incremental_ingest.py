@@ -423,3 +423,52 @@ def test_streaming_kmv_matches_batch_sketch_and_replay_safe(
         else:
             assert abs(r.kmv_est - exact[r.g]) / exact[r.g] < 0.3
     ev.unpersist()
+
+
+def test_streaming_hdr_matches_batch_histogram_and_quantiles(
+        spark, tmp_path):
+    """The streamed HDR histogram (per-batch partials merged on read)
+    must equal the batch histogram, and quantile estimates from the
+    merged sketch must obey the relative-error bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.operators.sketches import (
+        HDR_SUBBUCKETS,
+        hdr_histogram,
+        hdr_quantiles,
+    )
+    from etl_online_retail_spark.streaming.ingest import (
+        incremental_hdr,
+        read_incremental_hdr,
+    )
+
+    vals = (spark.range(1, 30_000)
+            .select(F.lit("g").alias("grp"),
+                    (F.col("id") * 31 % 99_991 + 1).alias("v"))
+            .cache())
+    src = str(tmp_path / "src")
+    for b in range(3):
+        vals.filter(F.col("v") % 3 == b).write.parquet(f"{src}/shard{b}")
+    stream = (spark.readStream.schema("grp string, v bigint")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*"))
+    t = str(tmp_path / "hdr")
+    q = incremental_hdr(stream, t, str(tmp_path / "ckpt"), "grp", "v")
+    q.awaitTermination()
+
+    as_map = lambda df: {(r.grp, r.bucket): (r.ub, r.cnt)
+                         for r in df.collect()}
+    streamed = as_map(read_incremental_hdr(spark, t, "grp"))
+    batch = as_map(hdr_histogram(vals, "grp", "v"))
+    assert streamed == batch
+
+    qs = [0.5, 0.99]
+    got = {r.q: r.est for r in hdr_quantiles(
+        read_incremental_hdr(spark, t, "grp"), "grp", qs).collect()}
+    xs = sorted(r.v for r in vals.collect())
+    for qv in qs:
+        exact = xs[math.ceil(qv * len(xs)) - 1]
+        assert exact < got[qv] <= exact * (1 + 1.0 / HDR_SUBBUCKETS) * (1 + 1e-12)
+    vals.unpersist()
