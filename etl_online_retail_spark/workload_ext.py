@@ -1110,6 +1110,57 @@ def q_price_outliers_mad(spark, sf_dir):
     return mad_outliers(vals, "o_orderpriority", "v", k=3.0)
 
 
+# Z-order layout audit: interleave (customer, order-date) bits and slice
+# the curve into contiguous chunks — each chunk's min/max extent in BOTH
+# dimensions is what parquet row-group stats would expose, i.e. the
+# pruning the layout buys (operators/layout.py holds the writer; the
+# pruning itself is file-stat-tested in tests/test_layout.py). The
+# ntile window is single-partition by construction — this is the
+# DIAGNOSTIC query over the audit relation, not the layout pass (the
+# writer is one range-shuffle + local sort, no global window).
+
+_ZD = 65_536  # both dimensions reduced to 16 bits
+
+
+def _zorder_oracle() -> str:
+    from etl_online_retail_spark.operators.layout import z_value_sql
+
+    da = f"((o_custkey % {_ZD} + {_ZD}) % {_ZD})"
+    db = (f"((datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))"
+          f" % {_ZD} + {_ZD}) % {_ZD})")
+    return f"""
+WITH v AS (SELECT o_orderkey, {da} AS da, {db} AS db FROM orders),
+z AS (SELECT o_orderkey, da, db, {z_value_sql('da', 'db')} AS zv FROM v),
+c AS (SELECT da, db, NTILE(64) OVER (ORDER BY zv, o_orderkey) AS chunk
+      FROM z)
+SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(da) AS BIGINT) AS min_cust, CAST(MAX(da) AS BIGINT) AS max_cust,
+       CAST(MIN(db) AS BIGINT) AS min_day, CAST(MAX(db) AS BIGINT) AS max_day
+FROM c GROUP BY chunk"""
+
+
+@register("zorder_locality_stats", _zorder_oracle(), "M6-layout-zorder")
+def q_zorder_locality_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from etl_online_retail_spark.operators.layout import z_value
+
+    orders = _t(spark, sf_dir, "orders")
+    da = F.pmod(F.col("o_custkey"), F.lit(_ZD))
+    db = F.pmod(F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")),
+                F.lit(_ZD))
+    v = orders.select("o_orderkey", da.alias("da"), db.alias("db"))
+    z = v.withColumn("zv", z_value(F.col("da"), F.col("db")))
+    w = Window.orderBy("zv", "o_orderkey")
+    c = z.withColumn("chunk", F.ntile(64).over(w))
+    return (c.groupBy("chunk")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("da").cast("bigint").alias("min_cust"),
+                 F.max("da").cast("bigint").alias("max_cust"),
+                 F.min("db").cast("bigint").alias("min_day"),
+                 F.max("db").cast("bigint").alias("max_day")))
+
+
 # ---------------------------------------------------------------------------
 # the composed curation pipeline: quality floor + exact dedup + near-dup drop
 
