@@ -426,3 +426,23 @@ def hdr_quantiles(hist: DataFrame, group_col: str,
     best = (hit.groupBy(group_col, "q")
             .agg(F.min_by(F.col("ub"), F.col("bucket")).alias("est")))
     return best.select(group_col, "q", "est")
+
+
+def cms_join_cardinality(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two count-min sketches alone:
+    |A ⋈ B| on key k is Σ_k fA(k)·fB(k), and the sketch estimate is
+    min over hash rows j of Σ_buckets cntA[j,b]·cntB[j,b] (an AMS-style
+    inner product; always ≥ the true size, collisions only add). This is
+    the planner-statistics use of the sketch: estimating a join's output
+    size from two KB summaries without touching either relation — at
+    100 TB the inputs never meet until the plan is chosen.
+
+    Returns a single row (join_est BIGINT). Build both sketches with the
+    SAME width/depth/seed or the row-wise product is meaningless.
+    """
+    a = sk_a.select("j", "bucket", F.col("cnt").alias("_ca"))
+    b = sk_b.select("j", "bucket", F.col("cnt").alias("_cb"))
+    per_row = (a.join(b, ["j", "bucket"])
+               .groupBy("j")
+               .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot")))
+    return per_row.agg(F.min("_dot").cast("bigint").alias("join_est"))

@@ -147,6 +147,61 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# CMS join-cardinality estimation: the PLANNER-STATISTICS use of the
+# sketch — |orders ⋈ lineitem| on orderkey estimated from two KB
+# summaries as the min-over-rows inner product of their counters
+# (AMS-style; always >= truth, collisions only add). The exact size
+# rides along so the overestimate property is visible; the oracle
+# rebuilds both sketches and the dot product bit-for-bit.
+
+
+def _cms_join_oracle() -> str:
+    def side(table: str, key: str, name: str) -> str:
+        bucket_rows = " UNION ALL ".join(
+            f"SELECT c, {j} AS j, ({affine_sql('h0', a, b)}) % {_W} AS bucket "
+            f"FROM h{name}"
+            for j, (a, b) in enumerate(hash_family(_D, _SEED)))
+        return (
+            f"k{name} AS (SELECT CAST({key} AS VARCHAR) AS term, COUNT(*) AS c "
+            f"FROM {table} GROUP BY 1), "
+            f"h{name} AS (SELECT term, c, {poly_hash_sql('term')} AS h0 "
+            f"FROM k{name}), "
+            f"p{name} AS ({bucket_rows}), "
+            f"s{name} AS (SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS cnt "
+            f"FROM p{name} GROUP BY j, bucket)")
+
+    return f"""
+WITH {side('orders', 'o_orderkey', 'a')},
+{side('lineitem', 'l_orderkey', 'b')},
+dot AS (SELECT sa.j, SUM(sa.cnt * sb.cnt) AS d
+        FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
+        GROUP BY sa.j),
+ex AS (SELECT CAST(SUM(ka.c * kb.c) AS BIGINT) AS join_exact
+       FROM ka JOIN kb ON ka.term = kb.term)
+SELECT CAST(MIN(d) AS BIGINT) AS join_est, ex.join_exact
+FROM dot, ex GROUP BY ex.join_exact"""
+
+
+@register("cms_join_size", _cms_join_oracle(), "M6-sketch-join-cardinality")
+def q_cms_join_size(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sk_a = sketches.cms_sketch(
+        orders.select(F.col("o_orderkey").cast("string").alias("term")))
+    sk_b = sketches.cms_sketch(
+        li.select(F.col("l_orderkey").cast("string").alias("term")))
+    est = sketches.cms_join_cardinality(sk_a, sk_b)
+    ka = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("_ca"))
+    kb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("_cb"))
+    exact = (ka.join(kb, "k")
+             .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("bigint")
+                  .alias("join_exact")))
+    return est.crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter join pruning: the dim subset's KEY SET compresses to a KB
 # bit array that prunes the fact scan as a pure row expression; only
 # survivors (matches + ~2% false positives) reach the exact semi-join, so

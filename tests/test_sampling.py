@@ -380,3 +380,20 @@ def test_hdr_histogram_is_mergeable(spark):
     as_map = lambda df: {(r.grp, r.bucket): (r.ub, r.cnt)
                          for r in df.collect()}
     assert as_map(merged) == as_map(whole)
+
+
+def test_cms_join_cardinality_overestimates_tightly(spark):
+    """The sketch join-size estimate is always >= the true join size
+    (collisions only add), and tight when the sketch is sparse."""
+    a = spark.range(2_000).select(
+        F.col("id").cast("string").alias("term"))
+    # b: each key 0..499 appears 3x -> true join size = 500 * 3
+    b = (spark.range(1_500)
+         .select(F.pmod(F.col("id"), F.lit(500)).cast("string")
+                 .alias("term")))
+    est = sketches.cms_join_cardinality(
+        sketches.cms_sketch(a), sketches.cms_sketch(b)).collect()[0].join_est
+    true = 500 * 3
+    assert est >= true
+    # depth=4, width=1024: expected collision inflation ~ n_a*n_b/width
+    assert est <= true + (2_000 * 1_500) // sketches.CMS_WIDTH + 100
