@@ -198,3 +198,111 @@ def rrf_fuse(ranked: "dict[str, DataFrame]", id_col: str = "doc_id",
         score = term if score is None else score + term
     return out.select(id_col, *[f"{n}_rank" for n in names],
                       score.alias("rrf_score"))
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fasttext-style): model-based document
+# quality filtering, the gate production pretraining pipelines run after
+# the heuristic filters. Features are the hashing trick (token -> one of
+# HLC_DIM buckets via the portable hash), the model is a fixed linear
+# layer over mean bucket weights + sigmoid. Weights live as an inlined
+# literal array on BOTH engines (generated once from a seeded LCG,
+# serialized via repr), so scoring is JVM-only here — element_at on a
+# literal array, no join, no UDF — and bit-reproducible in the oracle.
+# A real trained model drops in by replacing the weight list; the
+# plumbing (hashing trick, mean pooling, decimal-exact summation) is
+# the part that has to survive 100 TB.
+
+HLC_DIM = 256
+HLC_SEED = 77
+
+
+def hlc_weights(dim: int = HLC_DIM, seed: int = HLC_SEED) -> list[float]:
+    """Deterministic stand-in weight vector in (-1, 1).
+
+    Full-double-precision values (state/2^63), NOT round decimal
+    fractions: grid-aligned weights make the pooled mean land exactly ON
+    6dp rounding boundaries, where Spark (BigDecimal HALF_UP) and DuckDB
+    (float rounding) legitimately disagree. Generic doubles put boundary
+    hits at measure ~0 — the same reason the ln()-valued BM25
+    contributions round consistently."""
+    out, state = [], seed
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        out.append(state / 2.0**63 * 2.0 - 1.0)
+    return out
+
+
+def _hlc_idx(term: "F.Column", dim: int, seed: int):
+    from etl_online_retail_spark.functions.hashing import (
+        affine,
+        hash_family,
+        poly_hash,
+    )
+
+    a, b = hash_family(1, seed)[0]
+    return F.pmod(affine(poly_hash(term), a, b), F.lit(dim))
+
+
+def hashed_linear_score(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", dim: int = HLC_DIM,
+                        seed: int = HLC_SEED) -> DataFrame:
+    """Per-document classifier score: z = mean over tokens of
+    w[hash(token) % dim]; p_keep = sigmoid(z). Output (id, n_tokens,
+    z, p_keep) with the BM25 float discipline (per-token contributions
+    rounded to 9dp, summed as DECIMAL — order-independent; final values
+    rounded to 6dp).
+
+    Scale shape: one explode + element_at against a literal weight array
+    (broadcast-free constant folding) + one hash aggregation per doc."""
+    w_arr = F.array(*[F.lit(x) for x in hlc_weights(dim, seed)])
+    toks = corpus_terms(docs, id_col, text_col)
+    contrib = toks.select(
+        F.col(id_col),
+        F.round(F.element_at(w_arr, _hlc_idx(F.col("term"), dim, seed)
+                             .cast("int") + F.lit(1)), 9)
+        .cast("decimal(18,9)").alias("_c"))
+    agg = (contrib.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("_c").alias("_zsum")))
+    z = F.round(F.col("_zsum").cast("double")
+                / F.col("n_tokens").cast("double"), 6)
+    return (agg.withColumn("z", z)
+            .withColumn("p_keep",
+                        F.round(F.lit(1.0)
+                                / (F.lit(1.0) + F.exp(-F.col("z"))), 6))
+            .select(id_col, "n_tokens", "z", "p_keep"))
+
+
+def hashed_linear_score_sql(dim: int = HLC_DIM,
+                            seed: int = HLC_SEED) -> str:
+    """DuckDB twin (same inlined weights, same hash, same rounding)."""
+    from etl_online_retail_spark.functions.hashing import (
+        affine_sql,
+        hash_family,
+        poly_hash_sql,
+    )
+    from etl_online_retail_spark.functions.text import normalize_sql
+
+    a, b = hash_family(1, seed)[0]
+    weights = "[" + ", ".join(repr(x) for x in hlc_weights(dim, seed)) \
+        + "]::DOUBLE[]"
+    norm = normalize_sql("text")
+    idx = (f"(({affine_sql(poly_hash_sql('term'), a, b)}) % {dim} + {dim}) "
+           f"% {dim}")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim({norm}), '\\s+')) AS term
+  FROM documents WHERE trim({norm}) <> ''),
+contrib AS (
+  SELECT doc_id,
+         CAST(ROUND(({weights})[{idx} + 1], 9) AS DECIMAL(18,9)) AS c
+  FROM toks),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*)::DOUBLE, 6) AS z
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id, n_tokens, z,
+       ROUND(CAST(1.0 AS DOUBLE)
+             / (CAST(1.0 AS DOUBLE) + exp(-z)), 6) AS p_keep
+FROM agg"""

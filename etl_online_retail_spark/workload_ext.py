@@ -1110,6 +1110,32 @@ def q_price_outliers_mad(spark, sf_dir):
     return mad_outliers(vals, "o_orderpriority", "v", k=3.0)
 
 
+# model-based quality filtering: the fasttext-style hashed linear
+# classifier (hashing-trick features, inlined literal weights, mean
+# pooling + sigmoid). The gate pretraining pipelines run after the
+# heuristic filters; a trained model drops in by swapping the weight
+# list — the plumbing is what's verified, bit-for-bit on both engines.
+
+
+def _hlc_oracle() -> str:
+    from etl_online_retail_spark.operators.relevance import (
+        hashed_linear_score_sql,
+    )
+
+    return hashed_linear_score_sql()
+
+
+@register("quality_classifier_scores", _hlc_oracle(),
+          "M6-quality-classifier")
+def q_quality_classifier_scores(spark, sf_dir):
+    from etl_online_retail_spark.operators.relevance import (
+        hashed_linear_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs)
+
+
 # Z-order layout audit: interleave (customer, order-date) bits and slice
 # the curve into contiguous chunks — each chunk's min/max extent in BOTH
 # dimensions is what parquet row-group stats would expose, i.e. the

@@ -163,3 +163,49 @@ def test_mad_outliers_flags_extremes_robustly(spark):
     assert abs(out["a"].med - 51.5) < 1e-9
     assert out["b"].n == 101 and out["b"].n_outliers == 0
     assert abs(out["b"].med - 51.0) < 1e-9 and abs(out["b"].mad - 25.0) < 1e-9
+
+
+def test_hashed_linear_score_semantics(spark):
+    """Mean-pooled hashing-trick score: verify against a Python
+    recomputation with the same weights/hash, and layout independence."""
+    from etl_online_retail_spark.functions.hashing import (
+        PRIME,
+        hash_family,
+    )
+    from etl_online_retail_spark.operators.relevance import (
+        HLC_DIM,
+        HLC_SEED,
+        hashed_linear_score,
+        hlc_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hash join hash join"),
+         (3, ""), (4, "one")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in hashed_linear_score(docs).collect()}
+    assert 3 not in out  # empty doc contributes no rows (matches twin)
+
+    w = hlc_weights()
+    a, b = hash_family(1, HLC_SEED)[0]
+
+    def poly(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % PRIME
+        return h
+
+    def score(text):
+        toks = text.split()
+        cs = [round(w[((a * poly(t) + b) % PRIME) % HLC_DIM], 9)
+              for t in toks]
+        return round(sum(cs) / len(cs), 6)
+
+    for d, text in ((1, "the quick brown fox"),
+                    (2, "hash join hash join"), (4, "one")):
+        assert abs(out[d].z - score(text)) < 1e-9, d
+        assert 0.0 < out[d].p_keep < 1.0
+    # layout independence
+    again = {r.doc_id: r.z for r in
+             hashed_linear_score(docs.repartition(7)).collect()}
+    assert {d: r.z for d, r in out.items()} == again
