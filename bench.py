@@ -85,6 +85,10 @@ HEADLINE = [
     "token_budget_mix",
     "hdr_price_quantiles",
     "hybrid_search_rrf",
+    "price_outliers_mad",
+    "zorder_locality_stats",
+    "cms_join_size",
+    "quality_classifier_scores",
 ]
 
 # Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a

@@ -1,9 +1,10 @@
 """End-to-end pretraining-data export: the LLM-pipeline user story.
 
 documents.parquet -> heavy-hitter boilerplate scan (count-min sketch) ->
-curate (quality floor + exact dedup + MinHash near-dup) -> deterministic
-language downsampling (hash-bucket stratified sample) -> train/val/test
-split -> pack the train split into fixed-budget sequences -> epoch-keyed
+curate (quality floor + exact dedup + MinHash near-dup) -> model-based
+quality gate (hashed linear classifier) -> per-source token budgets
+(two-phase prefix-sum scan) -> deterministic language downsampling
+(hash-bucket stratified sample) -> train/val/test split -> pack the train split into fixed-budget sequences -> epoch-keyed
 deterministic shuffle -> write sharded JSONL, one directory per split —
 the layout a training loader consumes. Every stage is an operator from
 this repo; nothing here is bespoke. Run: python scripts/demo_pretrain.py
@@ -52,6 +53,26 @@ def run_export(spark, sf_dir: str, out_dir: str) -> dict:
               .select("doc_id", "lang", "source", "text", "quality"))
     n_curated = corpus.count()
 
+    # model-based quality gate: the hashed linear classifier scores every
+    # survivor; keep docs the (stand-in) model prefers. A trained model
+    # drops in by swapping the weight list.
+    from etl_online_retail_spark.operators.relevance import (
+        hashed_linear_score,
+    )
+
+    scores = hashed_linear_score(corpus).select("doc_id", "p_keep")
+    corpus = (corpus.join(scores, "doc_id")
+              .filter(F.col("p_keep") >= 0.45).drop("p_keep"))
+    n_model_gated = corpus.count()
+
+    # per-source token budgets: deterministic mix quotas via the
+    # two-phase prefix-sum scan (nested under growing budgets)
+    budgeted = sampling.token_budget_mix(
+        corpus.withColumn("_tok", token_count("text").cast("bigint")),
+        "source", "doc_id", "_tok", {}, default_budget=100_000)
+    corpus = budgeted.drop("_tok", "cum_before")
+    n_budgeted = corpus.count()
+
     # deterministic language rebalancing: downweight the dominant language
     # (same rows survive on every run/engine — ablations stay comparable)
     corpus = sampling.stratified_sample(
@@ -83,6 +104,8 @@ def run_export(spark, sf_dir: str, out_dir: str) -> dict:
         "raw_docs": n_raw,
         "boilerplate_terms": ", ".join(r.term for r in hh),
         "curated_docs": n_curated,
+        "after_model_gate": n_model_gated,
+        "after_token_budget": n_budgeted,
         "after_lang_rebalance": n_sampled,
         "train": n_train, "val": n_val, "test": n_test,
         "train_sequences": sum(s.n_sequences for s in stats.values()),
