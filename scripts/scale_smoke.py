@@ -341,6 +341,50 @@ def main() -> None:
     timed(f"kmv sketch + pair overlap @ {factor}x", kmv)
     timed(f"token-budget mix (two-phase scan) @ {factor}x", token_mix)
 
+    # hashed linear classifier: explode + literal-array lookup + one hash
+    # agg — must stay linear
+    def classifier():
+        from etl_online_retail_spark.operators.relevance import (
+            hashed_linear_score,
+        )
+
+        (hashed_linear_score(docs)
+         .write.format("noop").mode("overwrite").save())
+
+    # MAD outlier gate: two grouped exact medians + broadcast join-backs
+    def mad():
+        from etl_online_retail_spark.operators.aggregates import mad_outliers
+
+        vals = o.select(
+            "o_orderpriority",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("v"))
+        (mad_outliers(vals, "o_orderpriority", "v")
+         .write.format("noop").mode("overwrite").save())
+
+    # z-order layout write: one range-shuffle + local sort, linear
+    def zorder():
+        import shutil
+        import tempfile
+
+        from etl_online_retail_spark.operators.layout import zorder_write
+
+        d = tempfile.mkdtemp(prefix="zorder_smoke_")
+        try:
+            src = o.select(
+                "o_orderkey",
+                F.pmod(F.col("o_custkey"), F.lit(65_536)).alias("a"),
+                F.pmod(F.datediff(F.to_date("o_orderdate"),
+                                  F.lit("1992-01-01")),
+                       F.lit(65_536)).alias("b"))
+            zorder_write(src, "a", "b", d, n_files=32)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    timed(f"hashed linear classifier @ {factor}x", classifier)
+    timed(f"mad outlier gate @ {factor}x", mad)
+    timed(f"zorder layout write @ {factor}x", zorder)
+
 
 if __name__ == "__main__":
     main()
