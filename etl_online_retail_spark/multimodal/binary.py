@@ -429,3 +429,104 @@ def synthetic_mjpeg_media(docs: DataFrame, id_col: str = "doc_id",
     ])
     return (docs.select(F.col(id_col).cast("long").alias("media_id"))
                 .mapInPandas(render, out_schema))
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing: dHash (difference hash) over genuinely
+# decoded pixels — the image-side near-duplicate primitive (re-encoded /
+# resized copies of one motif hash identically; exact-dhash grouping is
+# then a plain hash aggregation, and a hamming-ball extension bands on
+# hash bytes exactly like SimHash does for text).
+
+DHASH_GRID = 8
+
+
+def image_dhash(media: DataFrame, grid: int = DHASH_GRID) -> DataFrame:
+    """Arrow-batched dHash: decode -> integer luma -> nearest-neighbor
+    downsample to (grid+1) x grid -> each bit says "right neighbor is
+    brighter". Output (media_id, dhash_hi, dhash_lo) — the 64-bit hash
+    split into two BIGINT halves so it stays integer-exact on every
+    engine. Decode genuinely runs (stdlib PNG/JPEG codecs); only the
+    sampling arithmetic afterwards is closed-form.
+    """
+
+    def dhash_one(content: bytes) -> tuple[int, int]:
+        from etl_online_retail_spark.multimodal import jpeg as _jpeg
+        from etl_online_retail_spark.multimodal import png as _png
+
+        content = bytes(content)
+        if content[:8] == _png.PNG_SIGNATURE:
+            img = _png.decode_png(content)
+        elif content[:2] == _jpeg.JPEG_SOI:
+            img = _jpeg.decode_jpeg(content)
+        else:
+            raise NotImplementedError("PNG/baseline-JPEG only")
+        ch, w, h = img.channels, img.width, img.height
+        px = img.pixels
+
+        def luma(x: int, y: int) -> int:
+            o = (y * w + x) * ch
+            if ch >= 3:
+                return (px[o] + px[o + 1] + px[o + 2]) // 3
+            return px[o]
+
+        xs = [min(x * w // (grid + 1), w - 1) for x in range(grid + 1)]
+        ys = [min(y * h // grid, h - 1) for y in range(grid)]
+        bits = 0
+        for yi, y in enumerate(ys):
+            for xi in range(grid):
+                if luma(xs[xi + 1], y) > luma(xs[xi], y):
+                    bits |= 1 << (yi * grid + xi)
+        return bits >> 32, bits & 0xFFFFFFFF
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [dhash_one(b) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "dhash_hi": pd.Series([p[0] for p in pairs], dtype="int64"),
+                "dhash_lo": pd.Series([p[1] for p in pairs], dtype="int64"),
+            })
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash_hi", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+    ])
+    return media.select("media_id", "content").mapInPandas(run, schema)
+
+
+def synthetic_pattern_media(docs: DataFrame, id_col: str = "doc_id",
+                            n_motifs: int = 16, grid: int = DHASH_GRID
+                            ) -> DataFrame:
+    """One deterministic patterned PNG per row: motif m = id % n_motifs,
+    pixel value v(m, x, y) = (m*37 + x*x + y*11) % 256 at width
+    2*(grid+1), height grid. Same-motif rows are pixel-identical (the
+    planted near-duplicates); the value function is closed-form in the
+    id so a SQL oracle can verify the dHash bits analytically while the
+    Spark side genuinely encodes and decodes PNG bytes."""
+    from etl_online_retail_spark.multimodal import png as _png
+
+    w, h = 2 * (grid + 1), grid
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                m = int(i) % n_motifs
+                buf = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        v = (m * 37 + x * x + y * 11) % 256
+                        buf += bytes([v, v, v])
+                payloads.append(_png.encode_png(bytes(buf), w, h,
+                                                color_type=2))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))

@@ -1110,6 +1110,55 @@ def q_price_outliers_mad(spark, sf_dir):
     return mad_outliers(vals, "o_orderpriority", "v", k=3.0)
 
 
+# image near-duplicate grouping via dHash: one patterned PNG per doc
+# (motif = doc_id % 16; same-motif images are the planted duplicates),
+# REALLY encoded and decoded (stdlib codec) on the Spark side, then
+# perceptually hashed and grouped. The generator's pixel function is
+# closed-form in doc_id, so the oracle computes every dHash bit
+# analytically — same standard as png_image_stats.
+
+_DH_MOTIFS = 16
+
+
+def _dhash_oracle() -> str:
+    grid = 8
+    hi_terms, lo_terms = [], []
+    m = f"(doc_id % {_DH_MOTIFS})"
+    for y in range(grid):
+        for xi in range(grid):
+            a = 4 * (xi + 1) * (xi + 1) + 11 * y
+            b = 4 * xi * xi + 11 * y
+            bitpos = y * grid + xi
+            bit = (f"(CASE WHEN ({m}*37 + {a}) % 256 > "
+                   f"({m}*37 + {b}) % 256 THEN 1 ELSE 0 END)")
+            if bitpos >= 32:
+                hi_terms.append(f"({bit}::BIGINT << {bitpos - 32})")
+            else:
+                lo_terms.append(f"({bit}::BIGINT << {bitpos})")
+    hi = " + ".join(hi_terms)
+    lo = " + ".join(lo_terms)
+    return f"""
+WITH d AS (SELECT doc_id, CAST({hi} AS BIGINT) AS dhash_hi,
+                  CAST({lo} AS BIGINT) AS dhash_lo FROM documents)
+SELECT dhash_hi, dhash_lo, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+FROM d GROUP BY dhash_hi, dhash_lo"""
+
+
+@register("image_dhash_groups", _dhash_oracle(), "M6-multimodal-dhash")
+def q_image_dhash_groups(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        image_dhash,
+        synthetic_pattern_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = image_dhash(synthetic_pattern_media(docs, n_motifs=_DH_MOTIFS))
+    return (hashed.groupBy("dhash_hi", "dhash_lo")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("media_id").alias("canonical_id")))
+
+
 # model-based quality filtering: the fasttext-style hashed linear
 # classifier (hashing-trick features, inlined literal weights, mean
 # pooling + sigmoid). The gate pretraining pipelines run after the

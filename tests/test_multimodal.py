@@ -254,3 +254,31 @@ def test_audio_features_spark_stage(spark):
         assert (r.sample_rate, r.channels, r.n_frames) == (8000, 1, n)
         assert r.duration_ms == n / 8
         assert r.mean_abs == float(abs((r.media_id % 2000) - 1000))
+
+
+def test_image_dhash_groups_duplicates_and_survives_reencode(spark):
+    """Same-motif images hash identically; a decoded-and-re-encoded copy
+    (a second lossless generation) keeps the same dHash — the
+    perceptual-near-dup property exact byte hashing lacks."""
+    from etl_online_retail_spark.multimodal import png as _png
+    from etl_online_retail_spark.multimodal.binary import (
+        image_dhash,
+        synthetic_pattern_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(32)], "doc_id long")
+    media = synthetic_pattern_media(docs, n_motifs=4)
+    hashed = {r.media_id: (r.dhash_hi, r.dhash_lo)
+              for r in image_dhash(media).collect()}
+    for i in range(32):
+        assert hashed[i] == hashed[i % 4], i  # motif decides the hash
+
+    # independent re-encode: decode payload 0, re-encode, re-hash
+    payload = media.filter("media_id = 0").collect()[0].content
+    img = _png.decode_png(bytes(payload))
+    reenc = _png.encode_png(bytes(img.pixels), img.width, img.height,
+                            color_type=2)
+    redf = spark.createDataFrame([(1000, bytearray(reenc))],
+                                 "media_id long, content binary")
+    re_hash = image_dhash(redf).collect()[0]
+    assert (re_hash.dhash_hi, re_hash.dhash_lo) == hashed[0]
