@@ -530,3 +530,42 @@ def synthetic_pattern_media(docs: DataFrame, id_col: str = "doc_id",
     ])
     return (docs.select(F.col(id_col).cast("long").alias("media_id"))
                 .mapInPandas(render, out_schema))
+
+
+def dhash_near_pairs(hashed: DataFrame, max_hamming: int = 6,
+                     id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate IMAGE pairs from dHashes: band the 64-bit hash
+    into its 8 bytes and self-join per band — by pigeonhole, any pair
+    within hamming distance 7 (8 bands - 1) shares at least one whole
+    byte, so banding finds every such pair without the all-pairs join
+    (the same candidate-bounding shape SimHash uses for text). The XOR
+    popcount then verifies candidates exactly.
+
+    Output (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming
+    (must stay <= 7 for the completeness guarantee)."""
+    if max_hamming > 7:
+        raise ValueError("8-byte banding is only complete for hamming <= 7")
+    bands = F.array(*[
+        F.struct(F.lit(k).alias("band"),
+                 (F.shiftright(F.col("dhash_lo" if k < 4 else "dhash_hi"),
+                               8 * (k % 4)) % 256).alias("val"))
+        for k in range(8)
+    ])
+    rel = (hashed.select(F.col(id_col), "dhash_hi", "dhash_lo",
+                         F.explode(bands).alias("_b"))
+           .select(id_col, "dhash_hi", "dhash_lo",
+                   F.col("_b.band").alias("band"),
+                   F.col("_b.val").alias("val")))
+    a = rel.select(F.col(id_col).alias("id_a"),
+                   F.col("dhash_hi").alias("_ha"),
+                   F.col("dhash_lo").alias("_la"), "band", "val")
+    b = rel.select(F.col(id_col).alias("id_b"),
+                   F.col("dhash_hi").alias("_hb"),
+                   F.col("dhash_lo").alias("_lb"), "band", "val")
+    ham = (F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+           + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb"))))
+    return (a.join(b, ["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -1120,7 +1120,7 @@ def q_price_outliers_mad(spark, sf_dir):
 _DH_MOTIFS = 16
 
 
-def _dhash_oracle() -> str:
+def _dhash_hi_lo_sql() -> tuple[str, str]:
     grid = 8
     hi_terms, lo_terms = [], []
     m = f"(doc_id % {_DH_MOTIFS})"
@@ -1135,8 +1135,11 @@ def _dhash_oracle() -> str:
                 hi_terms.append(f"({bit}::BIGINT << {bitpos - 32})")
             else:
                 lo_terms.append(f"({bit}::BIGINT << {bitpos})")
-    hi = " + ".join(hi_terms)
-    lo = " + ".join(lo_terms)
+    return " + ".join(hi_terms), " + ".join(lo_terms)
+
+
+def _dhash_oracle() -> str:
+    hi, lo = _dhash_hi_lo_sql()
     return f"""
 WITH d AS (SELECT doc_id, CAST({hi} AS BIGINT) AS dhash_hi,
                   CAST({lo} AS BIGINT) AS dhash_lo FROM documents)
@@ -1157,6 +1160,47 @@ def q_image_dhash_groups(spark, sf_dir):
     return (hashed.groupBy("dhash_hi", "dhash_lo")
             .agg(F.count(F.lit(1)).alias("n_copies"),
                  F.min("media_id").alias("canonical_id")))
+
+
+# near-duplicate pairs BETWEEN distinct dHash groups: byte-banded
+# candidate join + XOR-popcount verify (complete for hamming <= 7 by
+# pigeonhole — the image analogue of SimHash block banding). The oracle
+# brute-forces all group pairs, which is equivalent below the banding
+# completeness bound; the Spark side runs the banded scale path.
+
+_DH_MAX_HAM = 6
+
+
+def _dhash_pairs_oracle() -> str:
+    hi, lo = _dhash_hi_lo_sql()
+    ham = ("bit_count(xor(a.dhash_hi, b.dhash_hi)) "
+           "+ bit_count(xor(a.dhash_lo, b.dhash_lo))")
+    return f"""
+WITH d AS (SELECT doc_id, CAST({hi} AS BIGINT) AS dhash_hi,
+                  CAST({lo} AS BIGINT) AS dhash_lo FROM documents),
+g AS (SELECT dhash_hi, dhash_lo, MIN(doc_id) AS cid
+      FROM d GROUP BY dhash_hi, dhash_lo)
+SELECT a.cid AS id_a, b.cid AS id_b, CAST({ham} AS INTEGER) AS hamming
+FROM g a JOIN g b ON a.cid < b.cid
+WHERE {ham} <= {_DH_MAX_HAM}"""
+
+
+@register("image_dhash_near_pairs", _dhash_pairs_oracle(),
+          "M6-multimodal-dhash-near")
+def q_image_dhash_near_pairs(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        dhash_near_pairs,
+        image_dhash,
+        synthetic_pattern_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = image_dhash(synthetic_pattern_media(docs, n_motifs=_DH_MOTIFS))
+    groups = (hashed.groupBy("dhash_hi", "dhash_lo")
+              .agg(F.min("media_id").alias("media_id")))
+    pairs = dhash_near_pairs(groups, max_hamming=_DH_MAX_HAM)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("int").alias("hamming"))
 
 
 # model-based quality filtering: the fasttext-style hashed linear

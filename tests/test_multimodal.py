@@ -282,3 +282,32 @@ def test_image_dhash_groups_duplicates_and_survives_reencode(spark):
                                  "media_id long, content binary")
     re_hash = image_dhash(redf).collect()[0]
     assert (re_hash.dhash_hi, re_hash.dhash_lo) == hashed[0]
+
+
+def test_dhash_banding_is_complete_below_bound(spark):
+    """Byte-banding must find EXACTLY the brute-force pair set for
+    hamming <= 7 (pigeonhole) — completeness, not just precision."""
+    import itertools
+    import random
+
+    from etl_online_retail_spark.multimodal.binary import dhash_near_pairs
+
+    rng = random.Random(7)
+    hashes = [rng.getrandbits(64) for _ in range(40)]
+    # plant close pairs: flip <=6 bits of some entries
+    for i in range(0, 40, 5):
+        h = hashes[i]
+        for _ in range(rng.randint(1, 6)):
+            h ^= 1 << rng.randrange(64)
+        hashes.append(h)
+    rows = [(i, h >> 32, h & 0xFFFFFFFF) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows,
+                               "media_id long, dhash_hi long, dhash_lo long")
+    got = {(r.id_a, r.id_b, r.hamming) for r in
+           dhash_near_pairs(df, max_hamming=6).collect()}
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        ham = bin(a ^ b).count("1")
+        if ham <= 6:
+            want.add((min(i, j), max(i, j), ham))
+    assert got == want
