@@ -156,15 +156,18 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
 
 def _cms_join_oracle() -> str:
+    from etl_online_retail_spark.functions.hashing import PRIME
+
     def side(table: str, key: str, name: str) -> str:
         bucket_rows = " UNION ALL ".join(
             f"SELECT c, {j} AS j, ({affine_sql('h0', a, b)}) % {_W} AS bucket "
             f"FROM h{name}"
             for j, (a, b) in enumerate(hash_family(_D, _SEED)))
         return (
-            f"k{name} AS (SELECT CAST({key} AS VARCHAR) AS term, COUNT(*) AS c "
+            f"k{name} AS (SELECT {key} AS term, COUNT(*) AS c "
             f"FROM {table} GROUP BY 1), "
-            f"h{name} AS (SELECT term, c, {poly_hash_sql('term')} AS h0 "
+            f"h{name} AS (SELECT term, c, "
+            f"((term::BIGINT % {PRIME} + {PRIME}) % {PRIME}) AS h0 "
             f"FROM k{name}), "
             f"p{name} AS ({bucket_rows}), "
             f"s{name} AS (SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS cnt "
@@ -187,9 +190,11 @@ def q_cms_join_size(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     sk_a = sketches.cms_sketch(
-        orders.select(F.col("o_orderkey").cast("string").alias("term")))
+        orders.select(F.col("o_orderkey").alias("term")),
+        numeric_keys=True)
     sk_b = sketches.cms_sketch(
-        li.select(F.col("l_orderkey").cast("string").alias("term")))
+        li.select(F.col("l_orderkey").alias("term")),
+        numeric_keys=True)
     est = sketches.cms_join_cardinality(sk_a, sk_b)
     ka = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("_ca"))
