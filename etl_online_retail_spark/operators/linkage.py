@@ -294,3 +294,58 @@ def qgram_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
                 .select("key_a", "key_b", "name_a", "name_b",
                         dist2.cast("int").alias("edit_dist")))
     return verified.unionByName(fallback)
+
+
+# ---------------------------------------------------------------------------
+# survivorship: collapse a cluster of duplicate records into one GOLDEN
+# RECORD, attribute by attribute — the step after linkage/clustering in
+# an MDM pipeline (fuzzy candidates -> connected components -> THIS).
+# Each attribute picks its survivor by an explicit, deterministic rule;
+# nothing positional survives a shuffle.
+
+def golden_records(df: "DataFrame", cluster_col: str,
+                   rules: "dict[str, tuple]") -> "DataFrame":
+    """One row per cluster. `rules` maps output column -> rule:
+
+      ("latest", value_col, order_col, tie_col)  value of the row with
+          the greatest (order_col, tie_col) — recency survivorship;
+      ("mode", value_col)  most frequent value, ties to the smallest —
+          consensus survivorship;
+      ("max", value_col) / ("min", value_col) / ("count",)  plain
+          aggregates.
+
+    Shape: one groupBy for the direct aggregates; "latest" rides the
+    same groupBy via max_by with a struct order key; each "mode" adds
+    one (cluster, value) counting pass joined back (value-cardinality
+    sized). All deterministic — ties break on explicit columns, never
+    partition order.
+    """
+    aggs, modes = [], []
+    for out, rule in sorted(rules.items()):
+        kind = rule[0]
+        if kind == "latest":
+            _, vcol, ocol, tcol = rule
+            key = F.struct(F.col(ocol), F.col(tcol))
+            aggs.append(F.max_by(F.col(vcol), key).alias(out))
+        elif kind == "mode":
+            modes.append((out, rule[1]))
+        elif kind == "max":
+            aggs.append(F.max(rule[1]).alias(out))
+        elif kind == "min":
+            aggs.append(F.min(rule[1]).alias(out))
+        elif kind == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r}")
+    out_df = df.groupBy(cluster_col).agg(*aggs)
+    for out, vcol in modes:
+        counted = (df.groupBy(cluster_col, vcol)
+                   .agg(F.count(F.lit(1)).alias("_n")))
+        # most frequent; ties to the SMALLEST value: min_by on the
+        # struct (-n, value) gives both orderings in one total order
+        pick = (counted.groupBy(cluster_col)
+                .agg(F.min_by(F.col(vcol),
+                              F.struct((-F.col("_n")).alias("_neg"),
+                                       F.col(vcol))).alias(out)))
+        out_df = out_df.join(pick, cluster_col)
+    return out_df

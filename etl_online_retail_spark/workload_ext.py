@@ -1110,6 +1110,50 @@ def q_price_outliers_mad(spark, sf_dir):
     return mad_outliers(vals, "o_orderpriority", "v", k=3.0)
 
 
+# survivorship golden records: collapse each user's event history into
+# one profile row, attribute by attribute with explicit deterministic
+# rules (recency for the live state, consensus for the habitual one) —
+# the step after linkage/clustering in an MDM pipeline. Clusters here
+# are user_ids; the same operator consumes connected-component cluster
+# ids from the dedup surface.
+
+@register(
+    "user_golden_profile",
+    """WITH base AS (SELECT user_id, event_type, ts, event_id FROM events),
+latest AS (SELECT user_id, event_type AS last_event_type FROM (
+  SELECT user_id, event_type, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM base) WHERE rn = 1),
+modal AS (SELECT user_id, event_type AS modal_event_type FROM (
+  SELECT user_id, event_type, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM (SELECT user_id, event_type, COUNT(*) AS n
+        FROM base GROUP BY user_id, event_type)) WHERE rn = 1),
+agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS last_ts FROM base GROUP BY user_id)
+SELECT a.user_id, l.last_event_type, m.modal_event_type,
+       a.n_events, a.last_ts
+FROM agg a
+JOIN latest l ON a.user_id = l.user_id
+JOIN modal m ON a.user_id = m.user_id""",
+    "M6-linkage-survivorship",
+)
+def q_user_golden_profile(spark, sf_dir):
+    from etl_online_retail_spark.operators.linkage import golden_records
+
+    ev = _t(spark, sf_dir, "events")
+    out = golden_records(
+        ev, "user_id",
+        {
+            "last_event_type": ("latest", "event_type", "ts", "event_id"),
+            "modal_event_type": ("mode", "event_type"),
+            "n_events": ("count",),
+            "last_ts": ("max", "ts"),
+        })
+    return out.select("user_id", "last_event_type", "modal_event_type",
+                      "n_events", "last_ts")
+
+
 # image near-duplicate grouping via dHash: one patterned PNG per doc
 # (motif = doc_id % 16; same-motif images are the planted duplicates),
 # REALLY encoded and decoded (stdlib codec) on the Spark side, then

@@ -111,3 +111,35 @@ def test_contracted_expands_repeated_names_with_correct_key_order(spark):
     names = {(r.key_a, r.name_a, r.key_b, r.name_b)
              for r in contracted_fuzzy_pairs(df, "k", "name", "blk").collect()}
     assert (7, "hot bolts", 10, "hot bolt") in names
+
+
+def test_golden_records_survivorship_rules_and_ties(spark):
+    """Recency picks by (order, tie) not partition luck; mode breaks
+    frequency ties to the smallest value; aggregates ride along."""
+    from etl_online_retail_spark.operators.linkage import golden_records
+
+    rows = [
+        # cluster A: 'new' is latest by (ts, id); 'old' is modal (2x)
+        ("A", "old", 1, 10), ("A", "old", 2, 11), ("A", "new", 3, 12),
+        # cluster B: ts tie -> larger event_id wins latest; mode tie
+        # between 'x' and 'y' (1 each) -> 'x' (smallest) wins
+        ("B", "y", 5, 20), ("B", "x", 5, 21),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster string, val string, ts long, eid long")
+    out = {r.cluster: r for r in golden_records(
+        df, "cluster",
+        {"last_val": ("latest", "val", "ts", "eid"),
+         "modal_val": ("mode", "val"),
+         "n": ("count",),
+         "max_ts": ("max", "ts")}).collect()}
+    assert out["A"].last_val == "new" and out["A"].modal_val == "old"
+    assert out["A"].n == 3 and out["A"].max_ts == 3
+    assert out["B"].last_val == "x"   # ts tie broken by eid
+    assert out["B"].modal_val == "x"  # frequency tie broken to smallest
+    # layout independence
+    again = {r.cluster: (r.last_val, r.modal_val) for r in golden_records(
+        df.repartition(5), "cluster",
+        {"last_val": ("latest", "val", "ts", "eid"),
+         "modal_val": ("mode", "val")}).collect()}
+    assert again == {c: (r.last_val, r.modal_val) for c, r in out.items()}
