@@ -225,3 +225,37 @@ def stratified_topk_sample(df: DataFrame, stratum_col: str, id_col: str,
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn"))
+
+
+def systematic_weighted_sample(df: DataFrame, id_col: str,
+                               weight_col: str, step: int,
+                               part_col: str | None = None,
+                               n_shards: int = 16) -> DataFrame:
+    """Weighted sampling WITHOUT replacement or rand(): walk rows in the
+    deterministic hash order, accumulate integer weights, and keep every
+    row whose weight span [cum_before, cum_before + w) crosses a
+    multiple of `step` — systematic resampling. Each row survives with
+    probability ~ w/step (w >= step: always), the expected sample size
+    is total_weight/step, and the SAME rows survive on every run,
+    engine, and layout. The A-ES exponential-key scheme needs log() —
+    a last-ulp portability risk; this stays in exact integer arithmetic.
+
+    The cumulative walk is ordered_prefix_sum (two-phase distributed
+    scan); `part_col=None` samples globally via a constant part.
+    """
+    if step <= 0:
+        raise ValueError("step must be positive")
+    work, part = df, part_col
+    if part is None:
+        part = "_all"
+        work = df.withColumn(part, F.lit(0))
+    cum = ordered_prefix_sum(work, part, id_col, weight_col,
+                             n_shards=n_shards)
+
+    def q(col):  # floor(col / step) in exact integer arithmetic
+        return ((col - F.pmod(col, F.lit(step))) / F.lit(step)).cast("bigint")
+
+    picked = cum.filter(
+        q(F.col("cum_before") + F.col(weight_col).cast("bigint"))
+        > q(F.col("cum_before")))
+    return picked.drop(part) if part_col is None else picked

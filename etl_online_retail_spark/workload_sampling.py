@@ -338,6 +338,48 @@ def q_token_budget_mix(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# weighted sampling without rand(): systematic resampling over the hash
+# order — keep every row whose integer-weight span crosses a multiple of
+# STEP. Each doc survives with probability ~ n_tokens/STEP (the
+# length-proportional sample a token-balanced eval slice wants), sample
+# size ~ total_tokens/STEP, same rows on every run/engine. The A-ES
+# exponential-key scheme needs log() — last-ulp portability risk; this
+# stays in exact integer arithmetic on the distributed prefix-sum.
+
+WEIGHTED_STEP = 500
+
+
+def _wdiv(x: str) -> str:
+    return (f"CAST((({x}) - (({x}) % {WEIGHTED_STEP})) "
+            f"/ {WEIGHTED_STEP} AS BIGINT)")
+
+
+@register(
+    "weighted_docs_sample",
+    f"""WITH t AS (
+  SELECT doc_id, CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
+         {sampling.bucket_sql('doc_id')} AS b
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY b, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM t)
+SELECT doc_id, n_tokens, cum_before FROM c
+WHERE {_wdiv('cum_before + n_tokens')} > {_wdiv('cum_before')}""",
+    "M6-sampling-weighted-systematic",
+)
+def q_weighted_docs_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens"))
+    picked = sampling.systematic_weighted_sample(
+        base, "doc_id", "n_tokens", WEIGHTED_STEP)
+    return picked.select("doc_id", "n_tokens", "cum_before")
+
+
+# ---------------------------------------------------------------------------
 # KMV distinct sketch: bounded-state distinct counting with SET OPERATIONS
 # (union / intersection / Jaccard between sources) — the corpus-overlap
 # questions HLL can't answer. Sketch values are portable affine hashes,

@@ -397,3 +397,36 @@ def test_cms_join_cardinality_overestimates_tightly(spark):
     assert est >= true
     # depth=4, width=1024: expected collision inflation ~ n_a*n_b/width
     assert est <= true + (2_000 * 1_500) // sketches.CMS_WIDTH + 100
+
+
+def test_systematic_weighted_sample_properties(spark):
+    """Weighted systematic selection: sample size ~ W/step, heavy rows
+    always survive, survival tracks weight, layout-independent."""
+    df = (spark.range(5_000)
+          .select(F.col("id").alias("doc_id"),
+                  (F.pmod(F.col("id") * 13, F.lit(40)) + 1).alias("w")))
+    step = 100
+    picked = sampling.systematic_weighted_sample(df, "doc_id", "w", step)
+    rows = picked.collect()
+    total_w = df.agg(F.sum("w")).collect()[0][0]
+    # size within +-1 of total/step (systematic sampling exactness)
+    assert abs(len(rows) - total_w / step) <= 1
+    # a row heavier than the step always survives
+    heavy = df.withColumn("w", F.col("w") + F.lit(step))
+    hp = sampling.systematic_weighted_sample(heavy, "doc_id", "w", step)
+    assert hp.count() == heavy.count()
+    # deterministic under repartition
+    again = sampling.systematic_weighted_sample(
+        df.repartition(9), "doc_id", "w", step)
+    assert ({r.doc_id for r in rows}
+            == {r.doc_id for r in again.collect()})
+    # survival frequency increases with weight (aggregate check)
+    by_w = {r.w: r.frac for r in
+            (df.join(picked.select("doc_id", F.lit(1).alias("_p")),
+                     "doc_id", "left")
+             .groupBy("w")
+             .agg((F.sum(F.coalesce(F.col("_p"), F.lit(0)))
+                   / F.count(F.lit(1))).alias("frac"))).collect()}
+    light = sum(by_w[w] for w in range(1, 11)) / 10
+    heavy_frac = sum(by_w[w] for w in range(31, 41)) / 10
+    assert heavy_frac > 2 * light
