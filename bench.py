@@ -89,6 +89,9 @@ HEADLINE = [
     "zorder_locality_stats",
     "cms_join_size",
     "quality_classifier_scores",
+    "image_dhash_groups",
+    "user_golden_profile",
+    "weighted_docs_sample",
 ]
 
 # Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a
