@@ -59,3 +59,31 @@ def packing_summary(packed: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("total_tokens"),
                  (F.max("last_seq") + 1).cast("bigint").alias("n_sequences")))
+
+
+def chunk_offsets(docs: DataFrame, window: int = 64, stride: int = 48,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Sliding-window retrieval chunking: one row per (doc, chunk) with
+    token offsets [start_tok, start_tok + chunk_len). The RAG indexing
+    primitive — pure per-row sequence explosion, no shuffle. Docs
+    shorter than the window yield exactly one chunk; empty docs none."""
+    from etl_online_retail_spark.functions.text import token_count
+
+    base = (docs.select(F.col(id_col),
+                        token_count(text_col).alias("_n"))
+            .filter(F.col("_n") > 0))
+    n_chunks = (F.when(F.col("_n") <= window, F.lit(1))
+                .otherwise(F.ceil((F.col("_n") - window)
+                                  / F.lit(float(stride))).cast("int") + 1))
+    return (base.withColumn("_nc", n_chunks)
+            .select(id_col, "_n",
+                    F.explode(F.sequence(F.lit(1), F.col("_nc")))
+                     .alias("_i"))
+            .select(id_col,
+                    (F.col("_i") - 1).cast("int").alias("chunk_id"),
+                    ((F.col("_i") - 1) * stride).cast("int")
+                     .alias("start_tok"),
+                    F.least(F.lit(window),
+                            F.col("_n") - (F.col("_i") - 1) * stride)
+                     .cast("int").alias("chunk_len")))

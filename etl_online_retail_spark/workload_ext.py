@@ -560,24 +560,10 @@ FROM (SELECT doc_id, n, unnest(range(1, n_chunks + 1)) AS i FROM c)""",
     "M6-rag-chunking",
 )
 def q_doc_chunks(spark, sf_dir):
+    from etl_online_retail_spark.operators.packing import chunk_offsets
+
     docs = _t(spark, sf_dir, "documents")
-    n = token_count("text")
-    base = (docs.select("doc_id", n.alias("_n"))
-            .filter(F.col("_n") > 0))
-    n_chunks = (F.when(F.col("_n") <= CHUNK_W, F.lit(1))
-                .otherwise(F.ceil((F.col("_n") - CHUNK_W)
-                                  / F.lit(float(CHUNK_S))).cast("int") + 1))
-    return (base.withColumn("_nc", n_chunks)
-            .select("doc_id", "_n",
-                    F.explode(F.sequence(F.lit(1), F.col("_nc")))
-                     .alias("_i"))
-            .select("doc_id",
-                    (F.col("_i") - 1).cast("int").alias("chunk_id"),
-                    ((F.col("_i") - 1) * CHUNK_S).cast("int")
-                     .alias("start_tok"),
-                    F.least(F.lit(CHUNK_W),
-                            F.col("_n") - (F.col("_i") - 1) * CHUNK_S)
-                     .cast("int").alias("chunk_len")))
+    return chunk_offsets(docs, window=CHUNK_W, stride=CHUNK_S)
 
 
 # BPE vocabulary training: learn the merge table itself (iterative,
