@@ -385,6 +385,43 @@ def main() -> None:
     timed(f"mad outlier gate @ {factor}x", mad)
     timed(f"zorder layout write @ {factor}x", zorder)
 
+    # survivorship golden records: one groupBy + per-mode counting pass
+    def golden():
+        from etl_online_retail_spark.operators.linkage import golden_records
+
+        (golden_records(
+            ev, "user_id",
+            {"last_event_type": ("latest", "event_type", "ts", "event_id"),
+             "modal_event_type": ("mode", "event_type"),
+             "n_events": ("count",), "last_ts": ("max", "ts")})
+         .write.format("noop").mode("overwrite").save())
+
+    # systematic weighted sampling: the two-phase scan + a pure filter
+    def weighted():
+        from etl_online_retail_spark.functions.text import token_count
+
+        base = docs.select(
+            "doc_id", token_count("text").cast("bigint").alias("w"))
+        (sampling.systematic_weighted_sample(base, "doc_id", "w", 500)
+         .write.format("noop").mode("overwrite").save())
+
+    # perceptual dHash: the real Python codec path (encode+decode per
+    # image inside Arrow batches) — cost is CPU-bound and must scale
+    # with cores, linear in images
+    def dhash():
+        from etl_online_retail_spark.multimodal.binary import (
+            image_dhash,
+            synthetic_pattern_media,
+        )
+
+        (image_dhash(synthetic_pattern_media(docs.select("doc_id")))
+         .groupBy("dhash_hi", "dhash_lo").count()
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"survivorship golden records @ {factor}x", golden)
+    timed(f"weighted systematic sample @ {factor}x", weighted)
+    timed(f"image dhash (real codec) @ {factor}x", dhash)
+
 
 if __name__ == "__main__":
     main()
