@@ -457,3 +457,57 @@ def repeated_passage_stats(docs: DataFrame, n: int = 3, min_df: int = 3,
             .withColumn("dup_fraction",
                         F.round(F.col("n_repeated").cast("double")
                                 / F.col("n_shingles").cast("double"), 6)))
+
+
+def remove_repeated_segments(docs: DataFrame, width: int = 10,
+                             min_df: int = 3, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """C4-style boilerplate REMOVAL: cut the repeated spans, keep the rest.
+
+    repeated_passage_stats measures cross-document repetition; this
+    operator acts on it — the cleaning step the C4/RefinedWeb pipelines
+    run ("discard any line that appears in >= N documents", C4 uses
+    line-level spans, N=3). The corpus here has no newlines, so the span
+    unit is a fixed window of `width` consecutive tokens (non-overlapping
+    segments of the normalized token stream); a segment is boilerplate iff
+    it occurs verbatim in >= min_df DISTINCT documents, and the cleaned
+    text is the surviving segments re-joined in their original order.
+
+    Output: (id, n_segments, n_dropped, cleaned) — cleaned is '' when
+    everything was boilerplate; docs with no tokens are absent.
+
+    Scale shape: segmentation is a pure array expression (no shuffle);
+    the segment-frequency relation is one map-side-combinable hash agg;
+    the df >= min_df survivors are a SMALL relation (the repeated tail of
+    the segment distribution) joined back BROADCAST-left, so the corpus
+    shuffles once — on doc_id for reassembly — and never on segment text.
+    """
+    toked = docs.select(F.col(id_col), tokens(normalize(text_col)).alias("_t"))
+    n_seg = F.ceil(F.size("_t") / F.lit(width)).cast("int")
+    # guard BEFORE sequence(): sequence(0, -1) steps DOWN (returns [0, -1]),
+    # so an empty token array must short-circuit to an empty segment list
+    segs = F.when(F.size("_t") == 0, F.array().cast("array<string>")) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("_t"), i * width + 1, width), " ")))
+    e = toked.select(F.col(id_col), F.posexplode(segs).alias("pos", "_seg"))
+    frequent = (e.groupBy("_seg")
+                .agg(F.count_distinct(id_col).alias("_df"))
+                .filter(F.col("_df") >= min_df)
+                .select("_seg"))
+    marked = (e.join(F.broadcast(frequent.withColumn("_drop", F.lit(True))),
+                     "_seg", "left")
+              .withColumn("_drop", F.coalesce(F.col("_drop"), F.lit(False))))
+    kept_in_order = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(~F.col("_drop"),
+                       F.struct(F.col("pos"), F.col("_seg"))))),
+            lambda s: s["_seg"]),
+        " ")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+                 F.sum(F.when(F.col("_drop"), 1).otherwise(0))
+                  .cast("bigint").alias("n_dropped"),
+                 kept_in_order.alias("cleaned")))

@@ -1,0 +1,96 @@
+"""Bounded graph traversal: k-hop BFS distances over an edge relation.
+
+Complements the dedup clustering operators (operators/dedup.py implements
+connected components via label propagation and large-star/small-star):
+those answer "which component", BFS answers "how far" — recommendation
+radii ("parts bought within 2 hops of this part"), blast-radius and
+lineage queries, feature generation (distance-to-seed as a model input).
+
+Spark has no recursive CTE; the BFS loop lives in the DRIVER while every
+iteration's work is a declarative DataFrame step, so Catalyst/AQE still
+plan each hop (broadcast the frontier when it is small, shuffle-join when
+it is not). This is the textbook Pregel-lite shape:
+
+    dist_0 = seeds at distance 0
+    frontier_i = nodes first reached at distance i
+    frontier_{i+1} = (frontier_i JOIN edges) \\ dist_so_far
+    dist = union of frontiers
+
+Scale notes (100 TB lens):
+  * Each hop shuffles ONLY the frontier joined against edges on src —
+    cost ∝ edges incident to the frontier, not the whole graph, and the
+    anti-join against settled nodes keeps frontiers shrinking.
+  * max_hops bounds the rounds (k joins total). Unbounded reachability
+    belongs to the connected-components operators whose round count is
+    O(log^2 n), not BFS.
+  * Each frontier is cache()d: it feeds both the next expansion and the
+    settled-set anti-join; without the cache Spark re-derives the whole
+    prefix chain per round (the self-join lineage rule, PERFORMANCE.md 7).
+  * Distances are integers — the whole result is oracle-exact against a
+    recursive-CTE twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def khop_distances(edges: DataFrame, seeds: DataFrame,
+                   max_hops: int) -> DataFrame:
+    """BFS distances from a seed set, bounded at max_hops.
+
+    edges: (src, dst) directed edge relation (feed both directions for an
+    undirected graph). seeds: (node) relation, distance 0. Returns
+    (node, dist INT) for every node reachable within max_hops — each node
+    once, at its MINIMUM distance.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col("src"), F.col("dst"))
+    settled = seeds.select(F.col("node")).distinct() \
+                   .withColumn("dist", F.lit(0)).cache()
+    frontier = settled
+    out = [settled]
+    for i in range(1, max_hops + 1):
+        settled_nodes = settled.select("node")
+        reached = (frontier.join(e, frontier["node"] == e["src"])
+                   .select(F.col("dst").alias("node"))
+                   .distinct())
+        frontier = (reached.join(settled_nodes, "node", "left_anti")
+                    .withColumn("dist", F.lit(i))
+                    .cache())
+        if not frontier.take(1):
+            break
+        out.append(frontier)
+        settled = settled.unionByName(frontier).cache()
+    result = out[0]
+    for f in out[1:]:
+        result = result.unionByName(f)
+    return result
+
+
+def copurchase_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
+    """Undirected co-purchase edge relation: two distinct parts are
+    connected iff >= min_orders DISTINCT orders contain both. The support
+    threshold is what keeps the graph meaningful AND sparse — every basket
+    pairs everything with everything once, so min_orders=1 approaches a
+    clique mush, while repeat co-occurrence is signal (the same reason
+    frequent-itemset mining thresholds on support).
+
+    The self-join runs on the order key — on the co-bucketed staged layout
+    (catalog.BUCKETED_TABLES) it plans with NO Exchange; per-order fan-out
+    is bounded by order size, not corpus size; the support count is one
+    map-side-combinable agg on the pair key. Emits both directions
+    (src<>dst) for undirected BFS.
+    """
+    a = lineitem.select(F.col("l_orderkey").alias("_ok"),
+                        F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("_ok"),
+                        F.col("l_partkey").alias("dst"))
+    return (a.join(b, "_ok")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count_distinct("_ok").alias("_n"))
+            .filter(F.col("_n") >= min_orders)
+            .select("src", "dst"))

@@ -1,0 +1,139 @@
+"""Time-series resampling: gap-fill to a regular grid + LOCF, and
+gaps-and-islands streak detection.
+
+The reference's event analytics (SURVEY §2.6/§2.8: hourly rollups, rolling
+windows, sessionization) all aggregate the rows that EXIST; a dashboard or
+feature pipeline consuming them also needs the rows that DON'T — a sensor
+that went quiet still has an hourly row (carrying the last observation
+forward), and "how many consecutive days was this user active" is a
+question about the holes, not the rows. These are the two canonical
+hypertable operators (Timescale's time_bucket_gapfill/locf and the classic
+gaps-and-islands pattern), expressed Spark-first.
+
+Scale shape (100 TB lens):
+  * gapfill_locf: one groupBy per (key, bucket) for the observed grid
+    (map-side combinable), one per-key min/max agg (tiny), a spine explode
+    whose row count is keys x buckets (the OUTPUT size — nothing is
+    amplified beyond what the result needs), and ONE window pass
+    partitioned by key for the carry-forward. Every stage shuffles on the
+    key, so AQE coalesces them onto one exchange layout; per-key state in
+    the window is a single value (the last observation), never the series.
+  * activity_streaks: distinct (key, day) -> one window (row_number per
+    key) -> two aggregations. The row_number-minus-date trick turns
+    consecutive-run detection into a groupBy — no self-join, no
+    iteration; integer/date arithmetic only, so it is oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill_locf(events: DataFrame, key_col: str, ts_col: str,
+                 value_col: str, tiebreak_col: str,
+                 step: str = "hour") -> DataFrame:
+    """Regularize an event stream to one row per (key, bucket) with gaps
+    filled by last-observation-carried-forward.
+
+    The observed value of a bucket is the value of the LAST event inside
+    it (ordered by (ts, tiebreak) so ties are deterministic); buckets
+    between a key's first and last event with no observation inherit the
+    previous bucket's value. The spine starts at each key's first active
+    bucket, so every output row has a defined value (no leading NULLs).
+
+    Output: (key_col, bucket TIMESTAMP_NTZ, value_filled, is_observed).
+    """
+    bucket = F.date_trunc(step, F.col(ts_col)).alias("bucket")
+    ev = events.select(F.col(key_col), bucket, F.col(ts_col),
+                       F.col(tiebreak_col), F.col(value_col))
+    observed = ev.groupBy(key_col, "bucket").agg(
+        F.max_by(F.col(value_col),
+                 F.struct(F.col(ts_col), F.col(tiebreak_col))).alias("_obs"))
+    bounds = ev.groupBy(key_col).agg(F.min("bucket").alias("_b0"),
+                                     F.max("bucket").alias("_b1"))
+    spine = bounds.select(
+        key_col,
+        F.explode(F.sequence("_b0", "_b1",
+                             F.expr(f"INTERVAL 1 {step}"))).alias("bucket"))
+    w = (Window.partitionBy(key_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (spine
+            .join(observed, [key_col, "bucket"], "left")
+            .select(F.col(key_col), F.col("bucket"),
+                    F.last("_obs", ignorenulls=True).over(w)
+                     .alias("value_filled"),
+                    F.col("_obs").isNotNull().alias("is_observed")))
+
+
+def activity_streaks(events: DataFrame, key_col: str,
+                     ts_col: str) -> DataFrame:
+    """Per-key streak summary over consecutive ACTIVE DAYS.
+
+    A streak is a maximal run of consecutive calendar days each containing
+    at least one event. Detection is the gaps-and-islands identity: over a
+    key's distinct active days in order, `day - row_number` is constant
+    exactly within a consecutive run, so one window plus one groupBy finds
+    every island without self-joins.
+
+    Output: (key_col, n_active_days INT, n_streaks INT, longest_streak INT,
+    longest_streak_start DATE — earliest start among maximal streaks).
+    """
+    days = (events
+            .select(F.col(key_col), F.to_date(F.col(ts_col)).alias("day"))
+            .distinct())
+    rn = F.row_number().over(
+        Window.partitionBy(key_col).orderBy("day"))
+    anchored = days.withColumn("_anchor", F.date_sub(F.col("day"), rn))
+    islands = anchored.groupBy(key_col, "_anchor").agg(
+        F.count(F.lit(1)).alias("_len"),
+        F.min("day").alias("_start"))
+    return islands.groupBy(key_col).agg(
+        F.sum("_len").cast("int").alias("n_active_days"),
+        F.count(F.lit(1)).cast("int").alias("n_streaks"),
+        F.max("_len").cast("int").alias("longest_streak"),
+        F.min_by(F.col("_start"),
+                 F.struct((-F.col("_len")).alias("l"),
+                          F.col("_start").alias("s")))
+         .alias("longest_streak_start"))
+
+
+def time_weighted_avg(events: DataFrame, key_col: str, ts_col: str,
+                      value_col: str, tiebreak_col: str,
+                      end_ts: Column) -> DataFrame:
+    """Per-key time-weighted average of a step series (LOCF semantics):
+    each observation's value is weighted by the time it REMAINED current —
+    until the next observation, or `end_ts` for the last one. The metric a
+    billing/utilization pipeline wants from irregular samples, where the
+    plain AVG over-weights bursts of frequent updates.
+
+    Exactness: the whole accumulation is int64 — values become CENTS
+    (the corpus convention: value is 2dp-representable, cast through
+    DECIMAL(18,2)), weights are MILLISECOND gaps, and cents x ms stays
+    under 2^63 for any month-scale horizon (micros x cents would not).
+    The single final division runs in DOUBLE on both engines. Updates
+    inside the same millisecond get weight 0 and drop out — on both
+    engines identically (documented semantics: only the last sub-ms
+    update holds the value). One window pass (lead) per key, one
+    aggregation; scales like any keyed window.
+
+    Output: (key_col, twa DOUBLE, total_ms BIGINT).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col),
+                                            F.col(tiebreak_col))
+    nxt = F.coalesce(F.lead(F.col(ts_col)).over(w), F.col("_end"))
+    weighted = (events
+                .select(F.col(key_col), F.col(ts_col), F.col(value_col),
+                        F.col(tiebreak_col), end_ts.alias("_end"))
+                .withColumn("_next", nxt)
+                .withColumn("_gap", F.expr(
+                    f"timestampdiff(MILLISECOND, {ts_col}, _next)")
+                    .cast("bigint"))
+                .filter(F.col("_gap") > 0))
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    num = F.sum(cents * F.col("_gap"))
+    den = F.sum("_gap")
+    return weighted.groupBy(key_col).agg(
+        F.round(num.cast("double") / den.cast("double") / F.lit(100.0), 6)
+         .alias("twa"),
+        den.cast("bigint").alias("total_ms"))

@@ -1,0 +1,247 @@
+"""Time-series / graph / cleaning workload: the round-4 surface growth.
+
+Hypertable-style resampling (gap-fill + LOCF, time-weighted averages),
+gaps-and-islands streaks, bounded BFS over the co-purchase graph (the
+recursive-CTE shape Spark lacks natively, driven as a Pregel-lite loop),
+C4-style boilerplate removal, and the skew-salted join proven
+result-identical to the plain join. Registered into the same registry as
+workload.py; oracles follow the module's exactness rules (decimal sums,
+INT casts, integer time gaps, identical aliases both sides).
+
+Reference parity notes: the reference's event analytics stop at grouped
+rollups over existing rows (etl.py's aggregations); these queries cover
+the rows that DON'T exist (gap filling, streak holes) and the multi-hop
+relationships its SQL layer cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.operators import graph, timeseries
+from etl_online_retail_spark.operators.dedup import remove_repeated_segments
+from etl_online_retail_spark.operators.joins import salted_join
+from etl_online_retail_spark.workload import REV, _t, register
+
+# shared construction parameters (Spark defaults == these)
+GAPFILL_USER_MOD = 3      # gap-fill users: user_id % 3 == 0
+COPURCHASE_MIN_ORDERS = 2  # co-purchase edge support threshold
+COPURCHASE_SEED_MOD = 499  # seed parts: p_partkey % 499 == 0
+COPURCHASE_MAX_HOPS = 4
+SEGMENT_WIDTH = 10         # boilerplate segment = 10 consecutive tokens
+SEGMENT_MIN_DF = 3         # C4's "appears in >= 3 documents"
+SALT_BUCKETS = 8
+
+
+# ---------------------------------------------------------------------------
+# time series: gap-fill + LOCF (Timescale time_bucket_gapfill/locf shape)
+
+_GAPFILL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events WHERE user_id % {GAPFILL_USER_MOD} = 0),
+obs AS (
+  SELECT user_id, bucket, v FROM (
+    SELECT user_id, bucket, value AS v,
+           ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1),
+bounds AS (
+  SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+  FROM ev GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds)
+SELECT s.user_id, s.bucket,
+       last_value(o.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       (o.v IS NOT NULL) AS is_observed
+FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.bucket = o.bucket
+"""
+
+
+@register("events_gapfill_locf", _GAPFILL_ORACLE, "M6-ts-gapfill-locf")
+def q_events_gapfill_locf(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id") % GAPFILL_USER_MOD == 0)
+    return timeseries.gapfill_locf(ev, "user_id", "ts", "value",
+                                   tiebreak_col="event_id", step="hour")
+
+
+# gaps-and-islands: consecutive-active-day streaks per user
+
+_STREAKS_ORACLE = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+  FROM d),
+i AS (
+  SELECT user_id, anchor, COUNT(*) AS len, MIN(day) AS start
+  FROM r GROUP BY user_id, anchor),
+agg AS (
+  SELECT user_id, CAST(SUM(len) AS INTEGER) AS n_active_days,
+         CAST(COUNT(*) AS INTEGER) AS n_streaks,
+         CAST(MAX(len) AS INTEGER) AS longest_streak
+  FROM i GROUP BY user_id),
+best AS (
+  SELECT i.user_id, MIN(i.start) AS longest_streak_start
+  FROM i JOIN agg ON i.user_id = agg.user_id
+  WHERE i.len = agg.longest_streak GROUP BY i.user_id)
+SELECT agg.user_id, n_active_days, n_streaks, longest_streak,
+       longest_streak_start
+FROM agg JOIN best ON agg.user_id = best.user_id
+"""
+
+
+@register("user_activity_streaks", _STREAKS_ORACLE, "M6-ts-gaps-islands")
+def q_user_activity_streaks(spark, sf_dir):
+    return timeseries.activity_streaks(
+        _t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+# time-weighted average of the user's step series (LOCF weighting). The
+# series end is the GLOBAL max ts (data-derived the same way on both
+# engines; attached as a 1-row broadcast, the corpus-stats idiom).
+
+_TWA_ORACLE = """
+WITH mx AS (SELECT MAX(ts) AS end_ts FROM events),
+w AS (
+  SELECT user_id, ts, value,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                  (SELECT end_ts FROM mx)) AS nxt
+  FROM events),
+g AS (
+  SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         (epoch_us(nxt) - epoch_us(ts)) // 1000 AS gap
+  FROM w),
+f AS (SELECT * FROM g WHERE gap > 0)
+SELECT user_id,
+       ROUND(CAST(SUM(cents * gap) AS DOUBLE)
+             / CAST(SUM(gap) AS DOUBLE) / 100.0, 6) AS twa,
+       CAST(SUM(gap) AS BIGINT) AS total_ms
+FROM f GROUP BY user_id
+"""
+
+
+@register("user_value_twa", _TWA_ORACLE, "M6-ts-time-weighted-avg")
+def q_user_value_twa(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    end_ts = ev.agg(F.max("ts").alias("_end"))
+    with_end = ev.crossJoin(F.broadcast(end_ts))
+    return timeseries.time_weighted_avg(
+        with_end, "user_id", "ts", "value", tiebreak_col="event_id",
+        end_ts=F.col("_end"))
+
+
+# ---------------------------------------------------------------------------
+# graph: bounded BFS over the co-purchase graph (recursive-CTE twin)
+
+_HOPS_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT src, dst FROM (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           COUNT(DISTINCT a.l_orderkey) AS n
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2)
+  WHERE n >= {COPURCHASE_MIN_ORDERS}),
+s AS (SELECT p_partkey AS node FROM part
+      WHERE p_partkey % {COPURCHASE_SEED_MOD} = 0),
+walk(node, d) AS (
+  SELECT node, 0 FROM s
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < {COPURCHASE_MAX_HOPS})
+SELECT node, CAST(MIN(d) AS INTEGER) AS dist FROM walk GROUP BY node
+"""
+
+
+@register("part_copurchase_hops", _HOPS_ORACLE, "M6-graph-khop-bfs")
+def q_part_copurchase_hops(spark, sf_dir):
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"),
+                                   min_orders=COPURCHASE_MIN_ORDERS)
+    seeds = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_partkey") % COPURCHASE_SEED_MOD == 0)
+             .select(F.col("p_partkey").alias("node")))
+    return graph.khop_distances(edges, seeds,
+                                max_hops=COPURCHASE_MAX_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# cleaning: C4-style boilerplate removal (segment df >= 3 -> cut)
+
+
+def _boilerplate_oracle() -> str:
+    from etl_online_retail_spark.functions.text import normalize_sql
+
+    w = SEGMENT_WIDTH
+    toks = f"regexp_split_to_array({normalize_sql('text')}, '\\s+')"
+    n_seg = f"CAST(ceil(len(toks) / {w}.0) AS BIGINT)"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {n_seg} - 1)) AS pos,
+         unnest(list_transform(generate_series(0, {n_seg} - 1),
+                i -> array_to_string(toks[(i*{w}+1):(i*{w}+{w})], ' ')))
+           AS seg
+  FROM t),
+f AS (SELECT seg FROM s GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= {SEGMENT_MIN_DF}),
+m AS (
+  SELECT s.doc_id, s.pos, s.seg, (f.seg IS NOT NULL) AS dropped
+  FROM s LEFT JOIN f ON s.seg = f.seg)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN NOT dropped THEN seg END,
+                               ' ' ORDER BY pos), '')) AS cleaned_md5
+FROM m GROUP BY doc_id
+"""
+
+
+@register("boilerplate_removal", _boilerplate_oracle(),
+          "M6-curation-boilerplate-c4")
+def q_boilerplate_removal(spark, sf_dir):
+    cleaned = remove_repeated_segments(
+        _t(spark, sf_dir, "documents"),
+        width=SEGMENT_WIDTH, min_df=SEGMENT_MIN_DF)
+    return cleaned.select("doc_id", "n_segments", "n_dropped",
+                          F.md5("cleaned").alias("cleaned_md5"))
+
+
+# ---------------------------------------------------------------------------
+# joins: the salted skew-buster, oracle-proven identical to the plain join
+# (the oracle KNOWS NOTHING about salting — result identity is the claim)
+
+_SALTED_ORACLE = f"""
+SELECT n_name AS nation, CAST(SUM({REV}) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+@register("salted_revenue_by_nation", _SALTED_ORACLE, "M6-join-salted-skew")
+def q_salted_revenue_by_nation(spark, sf_dir):
+    from etl_online_retail_spark.functions.money import net_revenue
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o_orderkey"),
+                  net_revenue().alias("_rev")))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(li, o, "o_orderkey", salt_buckets=SALT_BUCKETS)
+    return (joined
+            .join(F.broadcast(c), joined.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.sum("_rev").cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))

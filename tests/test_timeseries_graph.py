@@ -1,0 +1,223 @@
+"""Unit tests for operators/timeseries.py, operators/graph.py, and
+dedup.remove_repeated_segments — golden fixtures with hand-checked
+answers, plus the invariants each operator advertises."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.operators.dedup import remove_repeated_segments
+from etl_online_retail_spark.operators.graph import (
+    copurchase_edges,
+    khop_distances,
+)
+from etl_online_retail_spark.operators.timeseries import (
+    activity_streaks,
+    gapfill_locf,
+    time_weighted_avg,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# gapfill_locf
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        # key 1: obs at 00 and 03 -> gaps 01, 02 carry 10.0
+        (1, _ts("2024-01-01T00:10:00"), 10.0, 1),
+        (1, _ts("2024-01-01T03:20:00"), 40.0, 2),
+        # same-bucket tie: later ts wins within hour 03
+        (1, _ts("2024-01-01T03:50:00"), 45.0, 3),
+        # key 2: single observation -> single spine row
+        (2, _ts("2024-01-01T05:00:01"), 7.0, 4),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP_NTZ, value DOUBLE, event_id INT")
+
+
+def test_gapfill_fills_interior_gaps_with_locf(spark, tiny_events):
+    out = gapfill_locf(tiny_events, "user_id", "ts", "value",
+                       tiebreak_col="event_id", step="hour")
+    got = {(r.user_id, r.bucket.hour): (r.value_filled, r.is_observed)
+           for r in out.collect()}
+    assert got[(1, 0)] == (10.0, True)
+    assert got[(1, 1)] == (10.0, False)   # gap carries 10.0
+    assert got[(1, 2)] == (10.0, False)
+    assert got[(1, 3)] == (45.0, True)    # last event in the bucket wins
+    assert got[(2, 5)] == (7.0, True)
+    assert len(got) == 5                  # spine = min..max bucket per key
+
+
+def test_gapfill_spine_is_contiguous_and_never_null(spark, tiny_events):
+    out = gapfill_locf(tiny_events, "user_id", "ts", "value",
+                       tiebreak_col="event_id", step="hour").collect()
+    assert all(r.value_filled is not None for r in out)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.user_id, []).append(r.bucket)
+    for buckets in by_key.values():
+        buckets.sort()
+        for a, b in zip(buckets, buckets[1:]):
+            assert (b - a) == dt.timedelta(hours=1)
+
+
+# ---------------------------------------------------------------------------
+# activity_streaks
+
+
+def test_activity_streaks_golden(spark):
+    rows = [
+        # user 1: days 1,2,3 then 5,6 -> streaks [3, 2]
+        (1, _ts("2024-01-01T10:00:00")),
+        (1, _ts("2024-01-02T10:00:00")),
+        (1, _ts("2024-01-02T23:00:00")),  # same day, no double count
+        (1, _ts("2024-01-03T00:00:00")),
+        (1, _ts("2024-01-05T10:00:00")),
+        (1, _ts("2024-01-06T10:00:00")),
+        # user 2: one day only
+        (2, _ts("2024-02-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP_NTZ")
+    got = {r.user_id: r.asDict() for r in
+           activity_streaks(df, "user_id", "ts").collect()}
+    assert got[1]["n_active_days"] == 5
+    assert got[1]["n_streaks"] == 2
+    assert got[1]["longest_streak"] == 3
+    assert got[1]["longest_streak_start"] == dt.date(2024, 1, 1)
+    assert got[2] == {"user_id": 2, "n_active_days": 1, "n_streaks": 1,
+                      "longest_streak": 1,
+                      "longest_streak_start": dt.date(2024, 2, 1)}
+
+
+def test_activity_streaks_tie_prefers_earliest_start(spark):
+    rows = [(1, _ts("2024-01-01T00:00:00")), (1, _ts("2024-01-02T00:00:00")),
+            (1, _ts("2024-01-10T00:00:00")), (1, _ts("2024-01-11T00:00:00"))]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP_NTZ")
+    [r] = activity_streaks(df, "user_id", "ts").collect()
+    assert r.longest_streak == 2
+    assert r.longest_streak_start == dt.date(2024, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+
+
+def test_time_weighted_avg_golden(spark):
+    # value 10 holds for 1000 ms, then 20 for 3000 ms:
+    # twa = (10*1000 + 20*3000) / 4000 = 17.5
+    rows = [(1, _ts("2024-01-01T00:00:00"), 10.0, 1),
+            (1, _ts("2024-01-01T00:00:01"), 20.0, 2)]
+    df = (spark.createDataFrame(
+            rows, "user_id INT, ts TIMESTAMP_NTZ, value DOUBLE, event_id INT")
+          .withColumn("_end", F.lit(_ts("2024-01-01T00:00:04"))
+                      .cast("timestamp_ntz")))
+    [r] = time_weighted_avg(df, "user_id", "ts", "value",
+                            tiebreak_col="event_id",
+                            end_ts=F.col("_end")).collect()
+    assert r.twa == pytest.approx(17.5)
+    assert r.total_ms == 4000
+
+
+def test_time_weighted_avg_drops_sub_ms_updates(spark):
+    # two updates inside one millisecond: only the later one holds value
+    rows = [(1, _ts("2024-01-01T00:00:00.000100"), 99.0, 1),
+            (1, _ts("2024-01-01T00:00:00.000900"), 10.0, 2)]
+    df = (spark.createDataFrame(
+            rows, "user_id INT, ts TIMESTAMP_NTZ, value DOUBLE, event_id INT")
+          .withColumn("_end", F.lit(_ts("2024-01-01T00:00:01"))
+                      .cast("timestamp_ntz")))
+    [r] = time_weighted_avg(df, "user_id", "ts", "value",
+                            tiebreak_col="event_id",
+                            end_ts=F.col("_end")).collect()
+    assert r.twa == pytest.approx(10.0)
+
+
+# ---------------------------------------------------------------------------
+# khop_distances
+
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    # 1-2-3-4-5 chain plus isolated 9 (undirected: both directions)
+    edges = [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]]
+    edges += [(b, a) for a, b in edges]
+    return spark.createDataFrame(edges, "src INT, dst INT")
+
+
+def test_khop_chain_distances(spark, chain_graph):
+    seeds = spark.createDataFrame([(1,)], "node INT")
+    got = {r.node: r.dist
+           for r in khop_distances(chain_graph, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_khop_respects_max_hops(spark, chain_graph):
+    seeds = spark.createDataFrame([(1,)], "node INT")
+    got = {r.node: r.dist
+           for r in khop_distances(chain_graph, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # 4, 5 beyond the bound
+
+
+def test_khop_multi_seed_takes_min_distance(spark, chain_graph):
+    seeds = spark.createDataFrame([(1,), (5,)], "node INT")
+    got = {r.node: r.dist
+           for r in khop_distances(chain_graph, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_copurchase_edges_support_threshold(spark):
+    # pair (1,2) in two orders; (1,3) in one -> only (1,2) survives
+    rows = [(100, 1), (100, 2), (101, 1), (101, 2), (102, 1), (102, 3)]
+    li = spark.createDataFrame(rows, "l_orderkey INT, l_partkey INT")
+    got = {(r.src, r.dst)
+           for r in copurchase_edges(li, min_orders=2).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_segments
+
+
+def test_remove_repeated_segments_cuts_boilerplate(spark):
+    boiler = "this license text repeats in every single document verbatim ok"
+    uniq = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",
+            "red orange yellow green blue indigo violet black white gray"]
+    rows = [(i, f"{boiler} {uniq[i]}") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in
+           remove_repeated_segments(docs, width=10, min_df=3).collect()}
+    for i in range(3):
+        assert out[i].n_segments == 2
+        assert out[i].n_dropped == 1
+        assert out[i].cleaned == uniq[i]
+
+
+def test_remove_repeated_segments_keeps_below_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id INT, text STRING")
+    out = remove_repeated_segments(docs, width=10, min_df=3).collect()
+    assert all(r.n_dropped == 0 and r.cleaned != "" for r in out)
+
+
+def test_remove_repeated_segments_preserves_order(spark):
+    # doc 0: unique, boiler, unique2 -> cleaned must keep u1 before u2
+    boiler = "x " * 9 + "x"
+    u1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    u2 = "one two three four five six seven eight nine ten"
+    rows = [(0, f"{u1} {boiler} {u2}"), (1, boiler), (2, boiler)]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in
+           remove_repeated_segments(docs, width=10, min_df=3).collect()}
+    assert out[0].cleaned == f"{u1} {u2}"
+    assert out[1].cleaned == "" and out[1].n_dropped == 1
