@@ -904,6 +904,30 @@ def q_knn_ivf(spark, sf_dir):
                                n_clusters=16, n_probe=4)
 
 
+# PQ (product-quantization) variant: the STORAGE-side approximation —
+# the corpus is searched through 8-BYTE code words (16 subspaces x 4-bit
+# codes; 32x smaller than the float vectors) with asymmetric-distance
+# table lookups, then a 10x ADC shortlist is re-ranked by exact L2 on
+# fetched raw vectors (the FAISS refine shape; measured recall@5 ~0.94
+# vs ~0.4 unrefined on these near-random embeddings). KMeans codebooks =
+# iterative fit -> rows-only like knn_ivf; tests assert recall vs exact
+# L2 and the compression contract (operators/similarity.py pq_*).
+PQ_SUBSPACES = 16
+PQ_CODES = 16
+PQ_REFINE = 10
+
+
+@register("knn_pq", None, "M6-similarity-pq-adc")
+def q_knn_pq(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    books = similarity.train_pq_codebooks(
+        emb, m_subspaces=PQ_SUBSPACES, n_codes=PQ_CODES)
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_topk_refined(codes, emb, queries_df, books,
+                                      k=KNN_K, refine=PQ_REFINE)
+
+
 # The DEFAULT scale path for brute-force similarity: BLAS-batched scoring
 # over Arrow batches (mapInPandas), ~10-100x the interpreted fold's
 # throughput. Float summation order differs from the sequential fold at ulp

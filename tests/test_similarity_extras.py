@@ -203,3 +203,54 @@ def test_auto_probes_hits_recall_target():
         assert 1 - (1 - p) ** m >= 0.9
         if m > 1:  # minimality: one fewer probe would miss the target
             assert 1 - (1 - p) ** (m - 1) < 0.9
+
+
+def test_pq_recall_against_exact_l2(spark):
+    import numpy as np
+
+    from etl_online_retail_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_refined,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    books = train_pq_codebooks(emb, m_subspaces=16, n_codes=16)
+    codes = pq_encode(emb, books)
+    approx = {(r.query_id, r.neighbour_id)
+              for r in pq_topk_refined(codes, emb, queries, books,
+                                       k=5, refine=10).collect()}
+
+    # exact L2 top-5 (PQ approximates L2, not cosine) via numpy
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    exact = set()
+    for r in [x for x in rows if x.vec_id % 50 == 0]:
+        d2 = ((mat - np.asarray(r.embedding, dtype=np.float64)) ** 2).sum(1)
+        order = [i for i in np.lexsort((ids, d2)) if ids[i] != r.vec_id][:5]
+        exact |= {(r.vec_id, int(ids[i])) for i in order}
+
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"PQ recall too low: {recall:.2f}"
+    n_queries = len({q for q, _ in exact})
+    assert len(approx) == 5 * n_queries  # k ranked rows per query
+
+
+def test_pq_codes_are_compact_and_deterministic(spark):
+    from etl_online_retail_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    books = train_pq_codebooks(emb, m_subspaces=16, n_codes=16)
+    # codebook geometry: 16 books of 16 centroids x 4 dims (8-byte codes)
+    assert len(books) == 16
+    assert all(len(b) == 16 and len(b[0]) == 4 for b in books)
+    a = {r.vec_id: tuple(r.codes) for r in pq_encode(emb, books).collect()}
+    b = {r.vec_id: tuple(r.codes) for r in pq_encode(emb, books).collect()}
+    assert a == b  # encoding is deterministic run-to-run
+    assert all(len(c) == 16 and all(0 <= x < 16 for x in c)
+               for c in a.values())  # one 4-bit code per subspace
