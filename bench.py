@@ -92,6 +92,16 @@ HEADLINE = [
     "image_dhash_groups",
     "user_golden_profile",
     "weighted_docs_sample",
+    "user_activity_streaks",
+    "user_value_twa",
+    "events_gapfill_locf",
+    "boilerplate_removal",
+    "salted_revenue_by_nation",
+    "knn_pq",
+    # part_copurchase_hops is NOT benched: the BFS loop executes at plan
+    # construction (driver-coordinated iterations + frontier caches), so a
+    # steady-state re-run would time only the final cached-union scan and
+    # report a misleading number. Its cost is recorded in PERFORMANCE.md.
 ]
 
 # Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a

@@ -47,7 +47,11 @@ def khop_distances(edges: DataFrame, seeds: DataFrame,
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    e = edges.select(F.col("src"), F.col("dst"))
+    # cache the edge relation: it feeds EVERY hop's join, and without the
+    # cache each iteration re-derives the whole edge-construction lineage
+    # (e.g. the co-purchase self-join + support agg) — measured ~2x on the
+    # 4-hop smoke. At 100 TB this is persist(DISK) or a staged edge table.
+    e = edges.select(F.col("src"), F.col("dst")).cache()
     settled = seeds.select(F.col("node")).distinct() \
                    .withColumn("dist", F.lit(0)).cache()
     frontier = settled

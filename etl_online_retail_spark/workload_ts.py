@@ -232,9 +232,14 @@ GROUP BY 1
 def q_salted_revenue_by_nation(spark, sf_dir):
     from etl_online_retail_spark.functions.money import net_revenue
 
+    # pre-aggregate below the join (the star-query rewrite): the salted
+    # probe then carries one row per order, and the x SALT_BUCKETS
+    # replication cost applies to the small side only
     li = (_t(spark, sf_dir, "lineitem")
           .select(F.col("l_orderkey").alias("o_orderkey"),
-                  net_revenue().alias("_rev")))
+                  net_revenue().alias("_r"))
+          .groupBy("o_orderkey")
+          .agg(F.sum("_r").alias("_rev"), F.count(F.lit(1)).alias("_cnt")))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -244,4 +249,4 @@ def q_salted_revenue_by_nation(spark, sf_dir):
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"))
             .agg(F.sum("_rev").cast("double").alias("revenue"),
-                 F.count(F.lit(1)).alias("n_items")))
+                 F.sum("_cnt").alias("n_items")))

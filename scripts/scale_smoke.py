@@ -422,6 +422,80 @@ def main() -> None:
     timed(f"weighted systematic sample @ {factor}x", weighted)
     timed(f"image dhash (real codec) @ {factor}x", dhash)
 
+    # round-4 operators. Replication scales the KEY spaces (users, docs,
+    # parts), so per-key state (gapfill spine rows per user, streak
+    # islands, BFS frontier per seed) multiplies the way a bigger corpus
+    # would — the dimension that must stay linear.
+
+    # gap-fill: output = keys x buckets; one keyed window; spine explode
+    def gapfill():
+        from etl_online_retail_spark.operators.timeseries import gapfill_locf
+
+        (gapfill_locf(ev, "user_id", "ts", "value", tiebreak_col="event_id")
+         .write.format("noop").mode("overwrite").save())
+
+    # streaks: distinct (key, day) -> one window -> two aggs
+    def streaks():
+        from etl_online_retail_spark.operators.timeseries import (
+            activity_streaks,
+        )
+
+        (activity_streaks(ev, "user_id", "ts")
+         .write.format("noop").mode("overwrite").save())
+
+    # boilerplate removal: replicated docs multiply every segment's df by
+    # the factor (all cross-copy repeats), so the frequent-segment relation
+    # grows toward the FULL segment vocabulary — the worst case for the
+    # broadcast join-back; cost must still stay ~linear (explode + 2 aggs)
+    def boilerplate():
+        from etl_online_retail_spark.operators.dedup import (
+            remove_repeated_segments,
+        )
+
+        (remove_repeated_segments(docs, width=10, min_df=3)
+         .write.format("noop").mode("overwrite").save())
+
+    # k-hop BFS: edge build (support-thresholded pair agg) + bounded
+    # frontier expansions; frontier joins shuffle frontier-incident edges
+    # only. Seeds scale with the part-key space.
+    def bfs():
+        from etl_online_retail_spark.operators.graph import (
+            copurchase_edges,
+            khop_distances,
+        )
+
+        p_rep = replicate(load_table(spark, "part", SF_DIR), factor,
+                          {"p_partkey": 10_000_000})
+        edges = copurchase_edges(li, min_orders=2)
+        seeds = (p_rep.filter(F.pmod(F.col("p_partkey"), F.lit(499)) == 0)
+                 .select(F.col("p_partkey").alias("node")))
+        khop_distances(edges, seeds, max_hops=4) \
+            .write.format("noop").mode("overwrite").save()
+
+    # PQ: driver-side codebook train on the BOUNDED sample (constant),
+    # distributed encode (one numpy argmin pass per Arrow batch) + ADC
+    # scan — both linear in corpus rows
+    def pq():
+        from etl_online_retail_spark.operators.similarity import (
+            pq_encode,
+            pq_topk_refined,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(emb, m_subspaces=16, n_codes=16)
+        codes = pq_encode(emb, books).cache()
+        codes.count()
+        queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(5000)) == 0)
+        (pq_topk_refined(codes, emb, queries, books, k=5, refine=10)
+         .write.format("noop").mode("overwrite").save())
+        codes.unpersist()
+
+    timed(f"gapfill locf @ {factor}x", gapfill)
+    timed(f"activity streaks @ {factor}x", streaks)
+    timed(f"boilerplate removal @ {factor}x", boilerplate)
+    timed(f"k-hop BFS (edge build + 4 hops) @ {factor}x", bfs)
+    timed(f"pq encode + refined search @ {factor}x", pq)
+
 
 if __name__ == "__main__":
     main()
