@@ -1,0 +1,113 @@
+"""Table profiling: per-column statistics in ONE scan.
+
+The data-quality entry point (the Deequ/Great-Expectations "profiler"
+shape): before constraints can be asserted (operators/constraints.py
+validates; this one DESCRIBES), a pipeline needs null counts, distinct
+cardinalities, and value ranges per column. The naive form runs one
+aggregation per column (C scans of a 100 TB table); this operator builds
+every column's aggregates into a SINGLE groupBy().agg(...) pass — one
+scan, map-side combinable — then unpivots the 1-row result into one row
+per column with an explode over a struct array (driver-sized, free).
+
+Cross-engine canonical forms (so the profile is oracle-verifiable):
+  * numeric range as DOUBLE (bigint keys < 2^53 are exact);
+  * timestamps as epoch SECONDS (micros exceed double's exact range);
+  * string range as raw min/max (binary collation on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+_TS = (T.TimestampType, T.TimestampNTZType, T.DateType)
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row of statistics per column:
+    (col_name, n_rows, n_null, n_distinct, numeric_min, numeric_max,
+    str_min, str_max) — the numeric pair is NULL for string columns and
+    vice versa; n_distinct counts non-null values (COUNT DISTINCT
+    semantics on both engines).
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    names = cols if cols is not None else list(fields)
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in names:
+        t = fields[c]
+        col = F.col(c)
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0))
+                    .cast("bigint").alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(col).alias(f"_nd_{c}"))
+        if isinstance(t, _TS):
+            sec = F.expr(
+                f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                f" CAST({c} AS TIMESTAMP_NTZ))").cast("double")
+            aggs.append(F.min(sec).alias(f"_lo_{c}"))
+            aggs.append(F.max(sec).alias(f"_hi_{c}"))
+        elif isinstance(t, _NUMERIC):
+            aggs.append(F.min(col.cast("double")).alias(f"_lo_{c}"))
+            aggs.append(F.max(col.cast("double")).alias(f"_hi_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_lo_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"_hi_{c}"))
+        if isinstance(t, T.StringType):
+            aggs.append(F.min(col).alias(f"_smin_{c}"))
+            aggs.append(F.max(col).alias(f"_smax_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"_smin_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"_smax_{c}"))
+
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col("_n").alias("n_rows"),
+                 F.col(f"_nn_{c}").alias("n_null"),
+                 F.col(f"_nd_{c}").alias("n_distinct"),
+                 F.col(f"_lo_{c}").alias("numeric_min"),
+                 F.col(f"_hi_{c}").alias("numeric_max"),
+                 F.col(f"_smin_{c}").alias("str_min"),
+                 F.col(f"_smax_{c}").alias("str_max"))
+        for c in names])
+    return (one.select(F.explode(rows).alias("_s"))
+            .select("_s.col_name", "_s.n_rows", "_s.n_null", "_s.n_distinct",
+                    "_s.numeric_min", "_s.numeric_max",
+                    "_s.str_min", "_s.str_max"))
+
+
+def profile_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
+    """DuckDB twin: UNION ALL of per-column aggregate rows. `cols` is
+    (name, kind) with kind in {'numeric', 'ts', 'string'} — the oracle
+    states the SEMANTICS per column; the one-scan unpivot plan is what
+    the hash comparison then verifies.
+    """
+    parts = []
+    for name, kind in cols:
+        if kind == "ts":
+            # FLOOR: duckdb epoch() keeps fractional seconds; the Spark
+            # side truncates (timestampdiff SECOND). floor is monotone,
+            # so min/max commute with it.
+            lo = f"CAST(FLOOR(epoch(MIN({name}))) AS DOUBLE)"
+            hi = f"CAST(FLOOR(epoch(MAX({name}))) AS DOUBLE)"
+            smin, smax = "NULL", "NULL"
+        elif kind == "numeric":
+            lo = f"CAST(MIN({name}) AS DOUBLE)"
+            hi = f"CAST(MAX({name}) AS DOUBLE)"
+            smin, smax = "NULL", "NULL"
+        else:
+            lo, hi = "NULL", "NULL"
+            smin, smax = f"MIN({name})", f"MAX({name})"
+        parts.append(
+            f"SELECT '{name}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_null, "
+            f"CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+            f"CAST({lo} AS DOUBLE) AS numeric_min, "
+            f"CAST({hi} AS DOUBLE) AS numeric_max, "
+            f"CAST({smin} AS VARCHAR) AS str_min, "
+            f"CAST({smax} AS VARCHAR) AS str_max FROM {table}")
+    return " UNION ALL ".join(parts)

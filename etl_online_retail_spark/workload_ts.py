@@ -250,3 +250,27 @@ def q_salted_revenue_by_nation(spark, sf_dir):
             .groupBy(F.col("n_name").alias("nation"))
             .agg(F.sum("_rev").cast("double").alias("revenue"),
                  F.sum("_cnt").alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# data quality: one-scan table profiler (the Deequ/GE "describe" shape)
+
+_PROFILE_COLS = [
+    ("o_orderkey", "numeric"), ("o_custkey", "numeric"),
+    ("o_orderstatus", "string"), ("o_totalprice", "numeric"),
+    ("o_orderdate", "ts"), ("o_orderpriority", "string"),
+]
+
+
+def _profile_oracle() -> str:
+    from etl_online_retail_spark.operators.profile import profile_oracle_sql
+
+    return profile_oracle_sql("orders", _PROFILE_COLS)
+
+
+@register("orders_profile", _profile_oracle(), "M6-quality-profile")
+def q_orders_profile(spark, sf_dir):
+    from etl_online_retail_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"),
+                         [c for c, _ in _PROFILE_COLS])

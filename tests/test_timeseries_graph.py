@@ -221,3 +221,39 @@ def test_remove_repeated_segments_preserves_order(spark):
            remove_repeated_segments(docs, width=10, min_df=3).collect()}
     assert out[0].cleaned == f"{u1} {u2}"
     assert out[1].cleaned == "" and out[1].n_dropped == 1
+
+
+# ---------------------------------------------------------------------------
+# profile_table
+
+
+def test_profile_table_stats_and_single_scan(spark):
+    import datetime as dt
+
+    from etl_online_retail_spark.operators.profile import profile_table
+
+    rows = [
+        (1, "a", 1.5, dt.datetime(2024, 1, 1, 0, 0, 30)),
+        (2, "b", None, dt.datetime(2024, 1, 2)),
+        (2, None, 3.5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k INT, s STRING, v DOUBLE, ts TIMESTAMP_NTZ")
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_null == 0
+    assert prof["k"].n_distinct == 2
+    assert (prof["k"].numeric_min, prof["k"].numeric_max) == (1.0, 2.0)
+    assert prof["k"].str_min is None
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    assert (prof["s"].str_min, prof["s"].str_max) == ("a", "b")
+    assert prof["s"].numeric_min is None
+    assert prof["v"].n_null == 1
+    assert (prof["v"].numeric_min, prof["v"].numeric_max) == (1.5, 3.5)
+    assert prof["ts"].n_null == 1
+    # epoch seconds, truncated
+    assert prof["ts"].numeric_min == 1704067230.0
+    assert prof["ts"].numeric_max == 1704153600.0
+
+    # the whole profile is ONE scan: a single aggregate over the relation
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
