@@ -176,3 +176,110 @@ def scd2_stream_reordered(events: DataFrame,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             ))
+
+
+# --- streaming gap-fill + LOCF (the batch operators/timeseries.gapfill_locf
+# as a live hypertable view): one output row per (key, hour bucket), gaps
+# carrying the last observation forward, emitted as the event-time
+# watermark CLOSES each bucket. State per key = the emission cursor + the
+# carried value + observations parked beyond the watermark — bounded by
+# the disorder horizon plus one bucket, never the stream length. A bucket
+# with no observation emits on the timeout that fires when the watermark
+# passes its end, PROVIDED a later observation exists (the spine contract
+# matches batch: min..max observed bucket, trailing gaps never emit).
+
+HOUR_US = 3_600_000_000
+
+GAPFILL_STATE_SCHEMA = (
+    "cursor_us bigint, cur_val double, max_bucket_us bigint, "
+    "buf_us array<bigint>, buf_eid array<bigint>, buf_val array<double>")
+
+GAPFILL_OUTPUT_SCHEMA = (
+    "user_id bigint, bucket timestamp, value_filled double, "
+    "is_observed boolean")
+
+
+def _gapfill_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
+                   state: GroupState) -> "Iterator[pd.DataFrame]":
+    if state.exists:
+        cursor_us, cur_val, max_bucket_us, buf_us, buf_eid, buf_val = state.get
+        buf = list(zip(buf_us, buf_eid, buf_val))
+    else:
+        cursor_us, cur_val, max_bucket_us = -1, float("nan"), -1
+        buf = []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                ts_us = r.ts.value // 1000
+                buf.append((ts_us, r.event_id, r.value))
+                b = ts_us - ts_us % HOUR_US
+                max_bucket_us = max(max_bucket_us, b)
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    # a bucket is closed once the watermark passes its END; the spine
+    # never extends past the latest observed bucket
+    closed_until = (wm_us - wm_us % HOUR_US) - HOUR_US if wm_us > 0 else -1
+    bound = min(closed_until, max_bucket_us)
+
+    # fold ready observations into per-bucket last value, (ts, eid) order
+    ready = sorted(b for b in buf if (b[0] - b[0] % HOUR_US) <= bound)
+    buf = [b for b in buf if (b[0] - b[0] % HOUR_US) > bound]
+    last_in_bucket: dict = {}
+    for ts_us, _eid, val in ready:
+        last_in_bucket[ts_us - ts_us % HOUR_US] = val
+
+    if cursor_us < 0 and last_in_bucket:
+        cursor_us = min(last_in_bucket) - HOUR_US  # spine starts at 1st obs
+
+    out_b, out_v, out_o = [], [], []
+    if cursor_us >= 0:
+        b = cursor_us + HOUR_US
+        while b <= bound:
+            if b in last_in_bucket:
+                cur_val = last_in_bucket[b]
+                out_o.append(True)
+            else:
+                out_o.append(False)
+            out_b.append(pd.Timestamp(b * 1000))
+            out_v.append(cur_val)
+            cursor_us = b
+            b += HOUR_US
+
+    state.update((cursor_us, cur_val, max_bucket_us,
+                  [x[0] for x in buf], [x[1] for x in buf],
+                  [x[2] for x in buf]))
+    if cursor_us < max_bucket_us or buf:
+        # more spine to emit (or parked rows): wake when the watermark can
+        # have closed the NEXT bucket (+1 ms strictly beyond its end)
+        if cursor_us >= 0:
+            nxt_end_us = cursor_us + 2 * HOUR_US
+        else:
+            first = min(b[0] for b in buf)
+            nxt_end_us = first - first % HOUR_US + HOUR_US
+        state.setTimeoutTimestamp(nxt_end_us // 1000 + 1)
+    yield pd.DataFrame({"user_id": [key[0]] * len(out_b),
+                        "bucket": out_b, "value_filled": out_v,
+                        "is_observed": out_o})
+
+
+def gapfill_stream(events: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """Streaming hourly gap-fill + LOCF per user.
+
+    Emits each (user, hour) row exactly once, when the event-time
+    watermark closes the bucket — observed buckets carry their last
+    event's value, interior gaps carry the previous value forward, and
+    the emitted relation equals the batch gapfill_locf over the same
+    (eventually-complete) stream (equivalence-tested under shuffled
+    micro-batch arrival). Late rows beyond `delay` are dropped by the
+    watermark contract, like every stateful operator here.
+    """
+    return (events
+            .withWatermark("ts", delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _gapfill_apply,
+                outputStructType=GAPFILL_OUTPUT_SCHEMA,
+                stateStructType=GAPFILL_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ))

@@ -132,3 +132,64 @@ def test_scd2_reordered_stream_matches_batch_under_shuffled_arrival(
                                   "WHERE user_id >= 0").collect()}
     for r in batch.collect():
         assert live_ts[(r.user_id, r.version)] == r.effective_from
+
+
+def test_gapfill_stream_matches_batch_under_shuffled_arrival(
+        spark, tmp_path):
+    """Streaming hourly gap-fill emits exactly the batch gapfill_locf
+    relation once the stream is complete — under content-hash-shuffled
+    micro-batch arrival (file order unrelated to event time)."""
+    import datetime
+    import os
+
+    from etl_online_retail_spark.catalog import SCHEMAS
+    from etl_online_retail_spark.operators.timeseries import gapfill_locf
+    from etl_online_retail_spark.streaming.stateful import gapfill_stream
+
+    ev = load_events(spark, SF).filter(F.col("user_id") % 5 == 0).cache()
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert (mx - mn) < datetime.timedelta(days=300)
+
+    sdir = str(tmp_path / "shuffled")
+    os.makedirs(sdir)
+
+    def land(df, name, mtime):
+        scratch = str(tmp_path / f"_scratch_{name}")
+        df.coalesce(1).write.parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        dst = os.path.join(sdir, f"{name}.parquet")
+        os.rename(os.path.join(scratch, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = 1_000_000_000
+    for b in range(4):
+        shard = ev.filter(F.crc32(F.col("event_id").cast("string")) % 4 == b)
+        land(shard, f"shard{b}", t0 + b)
+    # sentinel rows: first advances the watermark beyond every real
+    # bucket, second runs a batch under it so EventTimeTimeouts fire
+    for i, days in enumerate((370, 740)):
+        sentinel = spark.createDataFrame(
+            [(10_000_000 + i, mx + datetime.timedelta(days=days), -1,
+              "sentinel", 0.0, "{}")],
+            schema=SCHEMAS["events"])
+        land(sentinel, f"sentinel{i}", t0 + 100 + i)
+
+    stream = (spark.readStream.schema(SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1).parquet(sdir)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    q = (gapfill_stream(stream, delay="365 days")
+         .writeStream.format("memory").queryName("gapfill_live")
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    live = {(r.user_id, r.bucket, round(r.value_filled, 9), r.is_observed)
+            for r in spark.sql(
+                "SELECT * FROM gapfill_live WHERE user_id >= 0").collect()}
+    batch = gapfill_locf(ev.withColumn("ts", F.col("ts").cast("timestamp")),
+                         "user_id", "ts", "value",
+                         tiebreak_col="event_id", step="hour")
+    want = {(r.user_id, r.bucket, round(r.value_filled, 9), r.is_observed)
+            for r in batch.collect()}
+    assert live == want
