@@ -26,12 +26,21 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 _TS = (T.TimestampType, T.TimestampNTZType, T.DateType)
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(df: DataFrame, cols: list[str] | None = None,
+                  approx: bool = False) -> DataFrame:
     """One row of statistics per column:
     (col_name, n_rows, n_null, n_distinct, numeric_min, numeric_max,
     str_min, str_max) — the numeric pair is NULL for string columns and
     vice versa; n_distinct counts non-null values (COUNT DISTINCT
     semantics on both engines).
+
+    approx=True swaps the exact distinct counts for
+    approx_count_distinct (HLL): exact multi-column COUNT DISTINCT makes
+    Spark Expand every row once per distinct-aggregated column (C-fold
+    row amplification before the partial agg — see EXPLAIN.md); the HLL
+    form keeps the scan 1x at ~2% cardinality error, which is what a
+    100 TB profile wants. Exact stays the default because it is the
+    oracle-verifiable form.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     names = cols if cols is not None else list(fields)
@@ -42,7 +51,9 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         col = F.col(c)
         aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0))
                     .cast("bigint").alias(f"_nn_{c}"))
-        aggs.append(F.count_distinct(col).alias(f"_nd_{c}"))
+        nd = (F.approx_count_distinct(col) if approx
+              else F.count_distinct(col))
+        aggs.append(nd.alias(f"_nd_{c}"))
         if isinstance(t, _TS):
             sec = F.expr(
                 f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"

@@ -257,3 +257,21 @@ def test_profile_table_stats_and_single_scan(spark):
     # the whole profile is ONE scan: a single aggregate over the relation
     plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1
+
+
+def test_profile_table_approx_mode(spark):
+    from etl_online_retail_spark.operators.profile import profile_table
+
+    from etl_online_retail_spark.catalog import load_table
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    exact = {r.col_name: r.n_distinct
+             for r in profile_table(orders).collect()}
+    approx = {r.col_name: r.n_distinct
+              for r in profile_table(orders, approx=True).collect()}
+    for c, n in exact.items():
+        # HLL default rsd=0.05 -> allow 3 sigma
+        assert abs(approx[c] - n) <= max(3, 0.15 * n), (c, n, approx[c])
+    # the approx plan drops the Expand row-amplification
+    plan = profile_table(orders, approx=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
