@@ -99,6 +99,7 @@ HEADLINE = [
     "salted_revenue_by_nation",
     "knn_pq",
     "orders_profile",
+    "wav_spectral_stats",
     # part_copurchase_hops is NOT benched: the BFS loop executes at plan
     # construction (driver-coordinated iterations + frontier caches), so a
     # steady-state re-run would time only the final cached-union scan and

@@ -274,3 +274,30 @@ def q_orders_profile(spark, sf_dir):
 
     return profile_table(_t(spark, sf_dir, "orders"),
                          [c for c, _ in _PROFILE_COLS])
+
+
+# ---------------------------------------------------------------------------
+# multimodal: REAL spectral audio analysis, oracle-exact by construction
+# (synthetic tones are DFT-bin-aligned: 250 Hz = bin 32 at 8 kHz/1024, so
+# the dominant bin/frequency are closed-form in the id while Spark
+# genuinely renders, RIFF-encodes, decodes, and Fourier-transforms)
+
+_SPECTRAL_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(32 * (1 + doc_id % 8) AS INTEGER) AS dominant_bin,
+       CAST(250.0 * (1 + doc_id % 8) AS DOUBLE) AS dominant_hz
+FROM documents
+"""
+
+
+@register("wav_spectral_stats", _SPECTRAL_ORACLE, "M6-multimodal-spectral")
+def q_wav_spectral_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        audio_spectral_features,
+        synthetic_tone_media,
+    )
+
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return (audio_spectral_features(synthetic_tone_media(docs))
+            .select("media_id", "dominant_bin", "dominant_hz"))

@@ -275,3 +275,36 @@ def test_profile_table_approx_mode(spark):
     plan = profile_table(orders, approx=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+# ---------------------------------------------------------------------------
+# audio spectral analysis
+
+
+def test_audio_spectral_detects_dominant_tone(spark):
+    import math
+
+    from etl_online_retail_spark.multimodal import wav as _wav
+    from etl_online_retail_spark.multimodal.binary import (
+        audio_spectral_features,
+    )
+
+    def tone(freqs_amps, n=1024, rate=8000):
+        return _wav.encode_wav(
+            [int(round(sum(a * math.sin(2 * math.pi * f * t / rate)
+                           for f, a in freqs_amps))) for t in range(n)],
+            rate)
+
+    rows = [
+        (1, tone([(500, 8000)])),              # pure 500 Hz -> bin 64
+        (2, tone([(250, 2000), (1000, 9000)])),  # stronger 1 kHz wins
+        (3, tone([(2000, 8000)], n=300)),      # short clip, zero-padded
+    ]
+    df = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    got = {r.media_id: r for r in audio_spectral_features(df).collect()}
+    assert got[1].dominant_bin == 64 and got[1].dominant_hz == 500.0
+    assert got[1].peak_ratio > 0.99
+    assert got[2].dominant_bin == 128 and got[2].dominant_hz == 1000.0
+    assert 0.5 < got[2].peak_ratio < 0.99  # two tones share the power
+    # zero-padding spreads the peak but the argmax stays at the tone
+    assert abs(got[3].dominant_hz - 2000.0) <= 8000 / 1024
