@@ -150,3 +150,31 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFra
 def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
     """NOT EXISTS(...) - rows of left with no match in right (left_anti)."""
     return left.join(right, on=on, how="left_anti")
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, on: str,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str) -> DataFrame:
+    """Keyed interval-overlap join: one row per pair of intervals (same
+    key) that intersect, with the intersection bounds attached as
+    `ov_start` / `ov_end`. Closed-interval semantics; a NULL end means
+    open-ended (the SCD2 "current version" convention) and clamps to the
+    partner's end.
+
+    Completes the temporal-join family (as-of = nearest point, PIT =
+    point-in-interval, pairs-within = bounded point distance; this one is
+    interval-x-interval). Scale shape: the equi-join on the key carries
+    the ONLY shuffle — co-partitioned on both sides — and the overlap
+    predicate evaluates inside key groups; per-key cost is
+    |left_k| x |right_k|, bounded by per-key interval counts (versions,
+    sessions), never cross-key. Key-free or mega-key workloads switch to
+    the bin-bucketing shape (see events_pairs_within).
+    """
+    ls, le = F.col(l_start), F.col(l_end)
+    rs, re_ = F.col(r_start), F.col(r_end)
+    ov_start = F.greatest(ls, rs)
+    ov_end = F.least(F.coalesce(le, re_), F.coalesce(re_, le))
+    return (left.join(right, on)
+            .withColumn("ov_start", ov_start)
+            .withColumn("ov_end", ov_end)
+            .filter(F.col("ov_start") <= F.col("ov_end")))

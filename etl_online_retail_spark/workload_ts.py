@@ -301,3 +301,75 @@ def q_wav_spectral_stats(spark, sf_dir):
             .repartition(spark.sparkContext.defaultParallelism))
     return (audio_spectral_features(synthetic_tone_media(docs))
             .select("media_id", "dominant_bin", "dominant_hz"))
+
+
+# ---------------------------------------------------------------------------
+# temporal: interval-overlap join — SCD2 segment versions x session
+# windows for the same user, with the exact overlap duration in micros.
+# Completes the temporal-join family (as-of / PIT / pairs-within /
+# overlap). Both interval relations already have verified oracles
+# (user_segment_scd2, session_stats); this composes them.
+
+_OVERLAP_ORACLE = """
+WITH obs AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+opens AS (
+  SELECT user_id, ts, event_id, event_type FROM obs
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type),
+ver AS (
+  SELECT user_id, event_type AS segment, ts AS effective_from,
+         CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version,
+         lead(ts) OVER w2 AS effective_to
+  FROM opens WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged),
+sess AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_seq)
+SELECT v.user_id, v.version, v.segment, s.session_seq,
+       CAST(epoch_us(LEAST(COALESCE(v.effective_to, s.session_end),
+                           s.session_end))
+            - epoch_us(GREATEST(v.effective_from, s.session_start))
+            AS BIGINT) AS overlap_us
+FROM ver v JOIN sess s ON v.user_id = s.user_id
+WHERE GREATEST(v.effective_from, s.session_start)
+      <= LEAST(COALESCE(v.effective_to, s.session_end), s.session_end)
+"""
+
+
+@register("segment_session_overlap", _OVERLAP_ORACLE,
+          "M6-temporal-interval-overlap")
+def q_segment_session_overlap(spark, sf_dir):
+    from etl_online_retail_spark.operators.joins import interval_overlap_join
+    from etl_online_retail_spark.operators.scd import scd2_from_changelog
+    from etl_online_retail_spark.operators.sessionize import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    ver = (scd2_from_changelog(ev, key_col="user_id",
+                               attr_cols=["event_type"], ts_col="ts",
+                               tiebreak_col="event_id")
+           .select("user_id", "version",
+                   F.col("event_type").alias("segment"),
+                   "effective_from", "effective_to"))
+    sess = (session_stats(ev, gap_minutes=30)
+            .select("user_id", "session_seq",
+                    "session_start", "session_end"))
+    joined = interval_overlap_join(
+        ver, sess, "user_id",
+        "effective_from", "effective_to", "session_start", "session_end")
+    return joined.select(
+        "user_id", "version", "segment", "session_seq",
+        F.expr("timestampdiff(MICROSECOND, ov_start, ov_end)")
+         .cast("bigint").alias("overlap_us"))

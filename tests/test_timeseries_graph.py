@@ -308,3 +308,28 @@ def test_audio_spectral_detects_dominant_tone(spark):
     assert 0.5 < got[2].peak_ratio < 0.99  # two tones share the power
     # zero-padding spreads the peak but the argmax stays at the tone
     assert abs(got[3].dominant_hz - 2000.0) <= 8000 / 1024
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+
+
+def test_interval_overlap_join_semantics(spark):
+    from etl_online_retail_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 20), (1, 30, None), (2, 0, 5)],
+        "k INT, ls INT, le INT")
+    right = spark.createDataFrame(
+        [(1, 15, 25),   # overlaps [10,20] on [15,20] and [30,inf)? no
+         (1, 28, 35),   # overlaps the open-ended [30,) on [30,35]
+         (1, 21, 29),   # falls in the gap -> no match
+         (2, 6, 9)],    # disjoint -> no match
+        "k INT, rs INT, re INT")
+    got = {(r.k, r.ls, r.rs): (r.ov_start, r.ov_end)
+           for r in interval_overlap_join(
+               left, right, "k", "ls", "le", "rs", "re").collect()}
+    assert got == {
+        (1, 10, 15): (15, 20),
+        (1, 30, 28): (30, 35),
+    }
