@@ -122,3 +122,62 @@ def profile_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
             f"CAST({smin} AS VARCHAR) AS str_min, "
             f"CAST({smax} AS VARCHAR) AS str_max FROM {table}")
     return " UNION ALL ".join(parts)
+
+
+def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
+    """Join/aggregation skew diagnostic for a key column, one output row:
+    (n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+    top_share, gini) — the numbers that decide whether a key needs
+    salting (operators/joins.salted_join), AQE skew splitting, or
+    nothing. Gini 0 = perfectly uniform keys; near 1 = one hot key.
+
+    Scale shape — this is where the naive form dies at 100 TB: ranking
+    every key by its group size is a GLOBAL sort over the key relation
+    (billions of rows, one reducer under a partition-less window).
+    Instead the key sizes collapse to their HISTOGRAM
+    (size -> number of keys with that size; hundreds of distinct sizes
+    whatever the key cardinality), and rank-based statistics come out in
+    closed form per histogram block: keys sharing a size occupy a
+    contiguous rank range, so the Gini rank sum is an arithmetic series
+    per block, and percentiles are cumulative-count lookups. Two
+    map-side-combinable aggs + a window over the TINY histogram. All
+    arithmetic int64-exact until two final double divisions (6dp).
+    """
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_c"))
+    hist = sizes.groupBy("_c").agg(F.count(F.lit(1)).alias("_k"))
+
+    w = (Window.orderBy("_c")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hist
+           .withColumn("_cum_keys", F.sum("_k").over(w))
+           .withColumn("_a", F.col("_cum_keys") - F.col("_k") + 1))
+    tot = cum.agg(
+        F.sum(F.col("_c") * F.col("_k")).cast("bigint").alias("_n_rows"),
+        F.sum("_k").cast("bigint").alias("_n_keys"),
+        F.max("_c").cast("bigint").alias("_max"))
+    joined = cum.crossJoin(F.broadcast(tot))
+    # per-block Gini rank sum: s*k*(2a + k - n_keys - 2), exact int64
+    blk = (F.col("_c") * F.col("_k")
+           * (2 * F.col("_a") + F.col("_k") - F.col("_n_keys") - 2))
+    # percentile lookups: smallest size with cum_keys >= ceil(q * n_keys)
+    def pct(q: float):
+        return F.min(F.when(
+            F.col("_cum_keys") >= F.ceil(F.lit(q) * F.col("_n_keys")),
+            F.col("_c")))
+    return (joined.groupBy("_n_rows", "_n_keys", "_max")
+            .agg(F.sum(blk).alias("_g"),
+                 pct(0.5).cast("bigint").alias("p50_key_rows"),
+                 pct(0.99).cast("bigint").alias("p99_key_rows"))
+            .select(F.col("_n_rows").alias("n_rows"),
+                    F.col("_n_keys").alias("n_keys"),
+                    F.col("_max").alias("max_key_rows"),
+                    "p50_key_rows", "p99_key_rows",
+                    F.round(F.col("_max").cast("double")
+                            / F.col("_n_rows").cast("double"), 6)
+                     .alias("top_share"),
+                    F.round(F.col("_g").cast("double")
+                            / (F.col("_n_keys").cast("double")
+                               * F.col("_n_rows").cast("double")), 6)
+                     .alias("gini")))

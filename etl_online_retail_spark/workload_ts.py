@@ -373,3 +373,37 @@ def q_segment_session_overlap(spark, sf_dir):
         "user_id", "version", "segment", "session_seq",
         F.expr("timestampdiff(MICROSECOND, ov_start, ov_end)")
          .cast("bigint").alias("overlap_us"))
+
+
+# ---------------------------------------------------------------------------
+# diagnostics: key-skew statistics from the group-size HISTOGRAM (the
+# salting decision input; rank math in closed form per histogram block —
+# no global sort over the key relation, see operators/profile.py)
+
+_SKEW_ORACLE = """
+WITH sizes AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+hist AS (SELECT c, COUNT(*) AS k FROM sizes GROUP BY c),
+cum AS (SELECT c, k, SUM(k) OVER (ORDER BY c
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys
+        FROM hist),
+tot AS (SELECT CAST(SUM(c * k) AS BIGINT) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS mx FROM cum),
+j AS (SELECT cum.*, tot.* FROM cum, tot)
+SELECT n_rows, n_keys, mx AS max_key_rows,
+       CAST(MIN(CASE WHEN cum_keys >= CAST(CEIL(0.5 * n_keys) AS BIGINT)
+                THEN c END) AS BIGINT) AS p50_key_rows,
+       CAST(MIN(CASE WHEN cum_keys >= CAST(CEIL(0.99 * n_keys) AS BIGINT)
+                THEN c END) AS BIGINT) AS p99_key_rows,
+       ROUND(CAST(mx AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top_share,
+       ROUND(CAST(SUM(c * k * (2 * cum_keys - k - n_keys)) AS DOUBLE)
+             / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6) AS gini
+FROM j GROUP BY n_rows, n_keys, mx
+"""
+
+
+@register("user_key_skew", _SKEW_ORACLE, "M6-diagnostics-key-skew")
+def q_user_key_skew(spark, sf_dir):
+    from etl_online_retail_spark.operators.profile import key_skew_stats
+
+    return key_skew_stats(_t(spark, sf_dir, "events"), "user_id")

@@ -333,3 +333,28 @@ def test_interval_overlap_join_semantics(spark):
         (1, 10, 15): (15, 20),
         (1, 30, 28): (30, 35),
     }
+
+
+def test_key_skew_stats_golden(spark):
+    from etl_online_retail_spark.operators.profile import key_skew_stats
+
+    # keys: a=1 row, b=1, c=2, d=6  -> sizes [1,1,2,6], n_keys=4, n=10
+    rows = ([("a",)] + [("b",)] + [("c",)] * 2 + [("d",)] * 6)
+    df = spark.createDataFrame(rows, "k STRING")
+    [r] = key_skew_stats(df, "k").collect()
+    assert (r.n_rows, r.n_keys, r.max_key_rows) == (10, 4, 6)
+    assert r.p50_key_rows == 1   # rank ceil(0.5*4)=2 -> size 1
+    assert r.p99_key_rows == 6   # rank ceil(3.96)=4 -> size 6
+    assert r.top_share == 0.6
+    # gini: sorted [1,1,2,6]; sum (2i-n-1)c = (-3*1)+(-1*1)+(1*2)+(3*6)=16
+    # -> 16 / (4*10) = 0.4
+    assert r.gini == 0.4
+
+
+def test_key_skew_stats_uniform_is_zero_gini(spark):
+    from etl_online_retail_spark.operators.profile import key_skew_stats
+
+    df = spark.createDataFrame([(i % 5,) for i in range(20)], "k INT")
+    [r] = key_skew_stats(df, "k").collect()
+    assert r.gini == 0.0 and r.top_share == 0.2
+    assert r.p50_key_rows == r.p99_key_rows == r.max_key_rows == 4
