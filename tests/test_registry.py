@@ -8,7 +8,10 @@ from etl_online_retail_spark.workload import _REGISTRY
 
 EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
                       "knn_vectorized", "semantic_dedup",
-                      "approx_length_percentiles", "bpe_vocab_merges"}
+                      "approx_length_percentiles", "bpe_vocab_merges",
+                      # PQ: KMeans codebooks are iteratively fit (like
+                      # knn_ivf); recall vs exact L2 is pytest-asserted
+                      "knn_pq"}
 
 
 def test_every_query_has_survey_reference():
