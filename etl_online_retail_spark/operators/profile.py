@@ -69,9 +69,15 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
         if isinstance(t, T.StringType):
             aggs.append(F.min(col).alias(f"_smin_{c}"))
             aggs.append(F.max(col).alias(f"_smax_{c}"))
+            aggs.append(F.min(F.length(col)).cast("bigint")
+                        .alias(f"_lmin_{c}"))
+            aggs.append(F.max(F.length(col)).cast("bigint")
+                        .alias(f"_lmax_{c}"))
         else:
             aggs.append(F.lit(None).cast("string").alias(f"_smin_{c}"))
             aggs.append(F.lit(None).cast("string").alias(f"_smax_{c}"))
+            aggs.append(F.lit(None).cast("bigint").alias(f"_lmin_{c}"))
+            aggs.append(F.lit(None).cast("bigint").alias(f"_lmax_{c}"))
 
     one = df.agg(*aggs)
     rows = F.array(*[
@@ -82,12 +88,15 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
                  F.col(f"_lo_{c}").alias("numeric_min"),
                  F.col(f"_hi_{c}").alias("numeric_max"),
                  F.col(f"_smin_{c}").alias("str_min"),
-                 F.col(f"_smax_{c}").alias("str_max"))
+                 F.col(f"_smax_{c}").alias("str_max"),
+                 F.col(f"_lmin_{c}").alias("str_len_min"),
+                 F.col(f"_lmax_{c}").alias("str_len_max"))
         for c in names])
     return (one.select(F.explode(rows).alias("_s"))
             .select("_s.col_name", "_s.n_rows", "_s.n_null", "_s.n_distinct",
                     "_s.numeric_min", "_s.numeric_max",
-                    "_s.str_min", "_s.str_max"))
+                    "_s.str_min", "_s.str_max",
+                    "_s.str_len_min", "_s.str_len_max"))
 
 
 def profile_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
@@ -105,13 +114,17 @@ def profile_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
             lo = f"CAST(FLOOR(epoch(MIN({name}))) AS DOUBLE)"
             hi = f"CAST(FLOOR(epoch(MAX({name}))) AS DOUBLE)"
             smin, smax = "NULL", "NULL"
+            lmin, lmax = "NULL", "NULL"
         elif kind == "numeric":
             lo = f"CAST(MIN({name}) AS DOUBLE)"
             hi = f"CAST(MAX({name}) AS DOUBLE)"
             smin, smax = "NULL", "NULL"
+            lmin, lmax = "NULL", "NULL"
         else:
             lo, hi = "NULL", "NULL"
             smin, smax = f"MIN({name})", f"MAX({name})"
+            lmin = f"MIN(LENGTH({name}))"
+            lmax = f"MAX(LENGTH({name}))"
         parts.append(
             f"SELECT '{name}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
             f"CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
@@ -120,7 +133,9 @@ def profile_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
             f"CAST({lo} AS DOUBLE) AS numeric_min, "
             f"CAST({hi} AS DOUBLE) AS numeric_max, "
             f"CAST({smin} AS VARCHAR) AS str_min, "
-            f"CAST({smax} AS VARCHAR) AS str_max FROM {table}")
+            f"CAST({smax} AS VARCHAR) AS str_max, "
+            f"CAST({lmin} AS BIGINT) AS str_len_min, "
+            f"CAST({lmax} AS BIGINT) AS str_len_max FROM {table}")
     return " UNION ALL ".join(parts)
 
 
@@ -181,3 +196,53 @@ def key_skew_stats(df: DataFrame, key_col: str) -> DataFrame:
                             / (F.col("_n_keys").cast("double")
                                * F.col("_n_rows").cast("double")), 6)
                      .alias("gini")))
+
+
+LOW_CARDINALITY_MAX = 20
+
+
+def suggest_constraints(profile: DataFrame) -> DataFrame:
+    """Deequ-style constraint SUGGESTION: turn a profile relation
+    (profile_table output) into candidate data-quality rules —
+    (col_name, rule, detail) — with NO extra scan of the data; the rules
+    are a pure projection over the already-computed statistics:
+
+      complete        n_null = 0            -> assert NOT NULL on loads
+      unique          every non-null value distinct (and none null)
+                                            -> primary-key candidate
+      non_negative    numeric_min >= 0      -> positivity check
+      fixed_width     all string lengths equal -> CHAR(n) semantics
+                      (detail = the width)  — the reference's CHAR(5)
+                      key columns surface exactly this way
+      low_cardinality n_distinct <= 20      -> enum/IS IN check
+                      (detail = n_distinct)
+
+    The suggest->validate loop closes with operators/constraints.py: a
+    suggested 'complete' becomes not_null_violations on the next load,
+    'fixed_width' becomes fixed_width_violations, 'unique' becomes
+    unique_key_violations.
+    """
+    cands = F.array(
+        F.when(F.col("n_null") == 0,
+               F.struct(F.lit("complete").alias("rule"),
+                        F.lit("").alias("detail"))),
+        F.when((F.col("n_null") == 0)
+               & (F.col("n_distinct") == F.col("n_rows"))
+               & (F.col("n_rows") > 0),
+               F.struct(F.lit("unique").alias("rule"),
+                        F.lit("").alias("detail"))),
+        F.when(F.col("numeric_min") >= 0,
+               F.struct(F.lit("non_negative").alias("rule"),
+                        F.lit("").alias("detail"))),
+        F.when(F.col("str_len_min") == F.col("str_len_max"),
+               F.struct(F.lit("fixed_width").alias("rule"),
+                        F.col("str_len_min").cast("string").alias("detail"))),
+        F.when(F.col("n_distinct") <= LOW_CARDINALITY_MAX,
+               F.struct(F.lit("low_cardinality").alias("rule"),
+                        F.col("n_distinct").cast("string").alias("detail"))),
+    )
+    return (profile
+            .select("col_name",
+                    F.explode(F.filter(cands, lambda s: s.isNotNull()))
+                     .alias("_r"))
+            .select("col_name", "_r.rule", "_r.detail"))

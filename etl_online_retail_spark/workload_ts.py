@@ -407,3 +407,45 @@ def q_user_key_skew(spark, sf_dir):
     from etl_online_retail_spark.operators.profile import key_skew_stats
 
     return key_skew_stats(_t(spark, sf_dir, "events"), "user_id")
+
+
+# constraint SUGGESTION over the profile (Deequ's suggest step): pure
+# rule projection on the one-scan profile relation — no second scan.
+# The loop closes with operators/constraints.py on the next load.
+
+
+def _suggest_oracle() -> str:
+    from etl_online_retail_spark.operators.profile import profile_oracle_sql
+
+    p = profile_oracle_sql("orders", _PROFILE_COLS)
+    return f"""
+WITH p AS ({p})
+SELECT col_name, 'complete' AS rule, '' AS detail FROM p WHERE n_null = 0
+UNION ALL
+SELECT col_name, 'unique' AS rule, '' AS detail FROM p
+WHERE n_null = 0 AND n_distinct = n_rows AND n_rows > 0
+UNION ALL
+SELECT col_name, 'non_negative' AS rule, '' AS detail FROM p
+WHERE numeric_min >= 0
+UNION ALL
+SELECT col_name, 'fixed_width' AS rule,
+       CAST(str_len_min AS VARCHAR) AS detail FROM p
+WHERE str_len_min = str_len_max
+UNION ALL
+SELECT col_name, 'low_cardinality' AS rule,
+       CAST(n_distinct AS VARCHAR) AS detail FROM p
+WHERE n_distinct <= 20
+"""
+
+
+@register("orders_constraint_suggestions", _suggest_oracle(),
+          "M6-quality-suggest")
+def q_orders_constraint_suggestions(spark, sf_dir):
+    from etl_online_retail_spark.operators.profile import (
+        profile_table,
+        suggest_constraints,
+    )
+
+    prof = profile_table(_t(spark, sf_dir, "orders"),
+                         [c for c, _ in _PROFILE_COLS])
+    return suggest_constraints(prof)

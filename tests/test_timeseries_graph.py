@@ -358,3 +358,22 @@ def test_key_skew_stats_uniform_is_zero_gini(spark):
     [r] = key_skew_stats(df, "k").collect()
     assert r.gini == 0.0 and r.top_share == 0.2
     assert r.p50_key_rows == r.p99_key_rows == r.max_key_rows == 4
+
+
+def test_suggest_constraints_rules(spark):
+    from etl_online_retail_spark.operators.profile import (
+        profile_table,
+        suggest_constraints,
+    )
+
+    rows = [(1, "aa", 5.0), (2, "bb", -1.0), (3, "cc", None)]
+    df = spark.createDataFrame(rows, "k INT, code STRING, v DOUBLE")
+    got = {(r.col_name, r.rule): r.detail for r in
+           suggest_constraints(profile_table(df)).collect()}
+    assert ("k", "complete") in got
+    assert ("k", "unique") in got
+    assert ("k", "non_negative") in got
+    assert got[("code", "fixed_width")] == "2"
+    assert ("v", "complete") not in got        # has a null
+    assert ("v", "non_negative") not in got    # has a negative
+    assert got[("k", "low_cardinality")] == "3"
