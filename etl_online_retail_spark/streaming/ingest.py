@@ -421,3 +421,59 @@ def read_incremental_hdr(spark, table_dir: str, group_col: str) -> DataFrame:
     return (spark.read.parquet(table_dir)
             .groupBy(group_col, "bucket")
             .agg(F.min("ub").alias("ub"), F.sum("cnt").alias("cnt")))
+
+
+def _as_of_partials(table_dir: str, batch_id: int) -> list[int]:
+    """The partition set reconstructing the aggregate AS OF micro-batch
+    `batch_id` (inclusive), or a ValueError when compaction retention has
+    discarded the needed history.
+
+    Snapshot identification is free here: `_batch_id` IS the version
+    ledger (the same role as a Delta/Iceberg snapshot id), and because
+    compacts encode their coverage in their id, "which partitions
+    reconstruct version N" is pure arithmetic on the listing — base =
+    the widest compact with coverage <= N, plus every original partial
+    in (coverage, N]. Retention contract: once a compact's coverage
+    passes N and the narrower history is cleaned up, version N is gone —
+    exactly the vacuum/retention semantics of the table formats.
+    """
+    parts = _list_partials(table_dir)
+    compacts = [b for b in parts if b <= -2 and (-b - 2) <= batch_id]
+    covered = -1
+    base: list[int] = []
+    if compacts:
+        widest = min(compacts)
+        covered = -widest - 2
+        base = [widest]
+    have = {b for b in parts if 0 <= b <= batch_id and b > covered}
+    # an id absent from the listing is EITHER an empty micro-batch (wrote
+    # no partition — benign) or history erased by compaction cleanup.
+    # Cleanup only ever deletes partials under the widest compact's
+    # coverage, so the two cases separate exactly there: absence at or
+    # under C_widest means erased, above it means empty.
+    all_compacts = [b for b in parts if b <= -2]
+    c_widest = (-min(all_compacts) - 2) if all_compacts else -1
+    erased = [b for b in range(covered + 1, batch_id + 1)
+              if b not in have and b <= c_widest]
+    if erased:
+        raise ValueError(
+            f"as-of batch {batch_id} is beyond retention: partials "
+            f"{erased} were compacted away (widest reconstructable "
+            f"coverage {covered}); compact less aggressively or snapshot "
+            f"earlier")
+    return base + sorted(have)
+
+
+def read_agg_as_of(spark, table_dir: str, key_cols: list[str],
+                   batch_id: int) -> DataFrame:
+    """TIME-TRAVEL read of the incremental aggregate: per-key
+    (n_rows, total) exactly as they stood after micro-batch `batch_id` —
+    the lakehouse "VERSION AS OF" query, served from the partition
+    ledger with no extra metadata store. Raises past the retention
+    horizon (see _as_of_partials)."""
+    keep = _as_of_partials(table_dir, batch_id)
+    return (spark.read.parquet(table_dir)
+            .filter(F.col("_batch_id").isin(keep))
+            .groupBy(*key_cols)
+            .agg(F.sum("_n").alias("n_rows"),
+                 F.sum("_sum").cast("double").alias("total")))

@@ -472,3 +472,56 @@ def test_streaming_hdr_matches_batch_histogram_and_quantiles(
         exact = xs[math.ceil(qv * len(xs)) - 1]
         assert exact < got[qv] <= exact * (1 + 1.0 / HDR_SUBBUCKETS) * (1 + 1e-12)
     vals.unpersist()
+
+
+def test_read_agg_as_of_versions_and_retention(spark):
+    """Time travel over the incremental aggregate: VERSION AS OF any
+    batch still inside retention reproduces that moment's totals; a
+    version compacted away raises with the retention message."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        autocompact_incremental_agg,
+        partial_agg_batch_write,
+        read_agg_as_of,
+        read_incremental_agg,
+    )
+
+    ev = load_events(spark, SF).cache()
+    # 4 micro-batches: events sharded by event_id % 4
+    shards = [ev.filter(F.col("event_id") % 4 == b) for b in range(4)]
+
+    with tempfile.TemporaryDirectory() as d:
+        t = f"{d}/agg"
+        for b, shard in enumerate(shards):
+            partial_agg_batch_write(shard, b, t, ["event_type"], "value")
+
+        def batch_totals(n_batches):
+            cum = ev.filter(F.col("event_id") % 4 < n_batches)
+            return {r.event_type: (r.n, round(r.v, 2)) for r in
+                    (cum.groupBy("event_type")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.col("value").cast("decimal(18,2)"))
+                           .cast("double").alias("v")).collect())}
+
+        for n in range(1, 5):
+            got = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+                   read_agg_as_of(spark, t, ["event_type"], n - 1).collect()}
+            assert got == batch_totals(n), f"as-of batch {n-1}"
+
+        # compact everything, then append one more partial (batch 4)
+        autocompact_incremental_agg(spark, t, ["event_type"])
+        partial_agg_batch_write(ev.limit(0), 4, t, ["event_type"], "value")
+
+        # latest version still serves (compact + the new partial) and
+        # equals the live read
+        live = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+                read_incremental_agg(spark, t, ["event_type"]).collect()}
+        as_of4 = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+                  read_agg_as_of(spark, t, ["event_type"], 4).collect()}
+        assert as_of4 == live == batch_totals(4)
+
+        # but version 1 predates the compact's coverage -> retention error
+        with pytest.raises(ValueError, match="retention"):
+            read_agg_as_of(spark, t, ["event_type"], 1)
