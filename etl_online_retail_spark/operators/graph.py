@@ -98,3 +98,58 @@ def copurchase_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
             .agg(F.count_distinct("_ok").alias("_n"))
             .filter(F.col("_n") >= min_orders)
             .select("src", "dst"))
+
+
+def pagerank(edges: DataFrame, max_iter: int = 10,
+             damping: float = 0.85,
+             checkpoint_every: int = 3) -> DataFrame:
+    """PageRank over a (src, dst) edge relation -> (node, rank), ranks
+    summing to 1. Standard power iteration with dangling-mass
+    redistribution:
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
+
+    The iterative-numeric sibling of khop_distances: each round is one
+    join of the rank vector with the edge relation on src plus one agg on
+    dst — shuffles stay on the node key, the edge relation is cached
+    once, and every `checkpoint_every` rounds the rank lineage is
+    truncated with localCheckpoint (without it the nested plan grows per
+    iteration and analysis time, not execution, becomes the bottleneck —
+    the standard Spark iterative-algorithm discipline, GraphX does the
+    same internally).
+
+    Float ranks are order-of-summation sensitive at ulp level, so this is
+    a rows-only operator for the driver gate; invariants (mass
+    conservation, hub dominance, uniform-cycle fixpoint) are
+    pytest-asserted.
+    """
+    e = edges.select("src", "dst").distinct().cache()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(max_iter):
+        contrib = (ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
+                   .select(ranks["node"], "rank", "_deg"))
+        # dangling nodes (no out-edges) spread their mass uniformly
+        dangling = (contrib.filter(F.col("_deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        spread = (contrib.filter(F.col("_deg").isNotNull())
+                  .join(e, contrib["node"] == e["src"])
+                  .select(F.col("dst").alias("node"),
+                          (F.col("rank") / F.col("_deg")).alias("_c")))
+        incoming = spread.groupBy("node").agg(F.sum("_c").alias("_in"))
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (nodes.join(incoming, "node", "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.lit(damping) * F.coalesce(F.col("_in"),
+                                                        F.lit(0.0)))
+                         .alias("rank")))
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -449,3 +449,18 @@ def q_orders_constraint_suggestions(spark, sf_dir):
     prof = profile_table(_t(spark, sf_dir, "orders"),
                          [c for c, _ in _PROFILE_COLS])
     return suggest_constraints(prof)
+
+
+# PageRank over the co-purchase graph: iterative-numeric (driver-looped
+# power iteration, lineage-truncated) -> rows-only like the ANN index
+# fits; invariants pytest-asserted (mass conservation, hub dominance,
+# cycle fixpoint). Like part_copurchase_hops, the iterations execute at
+# plan-build time, so it is excluded from bench.py's steady-state runs.
+
+
+@register("part_copurchase_rank", None, "M6-graph-pagerank")
+def q_part_copurchase_rank(spark, sf_dir):
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"),
+                                   min_orders=COPURCHASE_MIN_ORDERS)
+    ranked = graph.pagerank(edges, max_iter=10)
+    return ranked.select("node", F.round("rank", 9).alias("rank"))

@@ -11,7 +11,10 @@ EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
                       "approx_length_percentiles", "bpe_vocab_merges",
                       # PQ: KMeans codebooks are iteratively fit (like
                       # knn_ivf); recall vs exact L2 is pytest-asserted
-                      "knn_pq"}
+                      "knn_pq",
+                      # PageRank: iterative float power iteration —
+                      # ulp-order-sensitive; invariants pytest-asserted
+                      "part_copurchase_rank"}
 
 
 def test_every_query_has_survey_reference():

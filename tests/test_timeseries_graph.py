@@ -377,3 +377,35 @@ def test_suggest_constraints_rules(spark):
     assert ("v", "complete") not in got        # has a null
     assert ("v", "non_negative") not in got    # has a negative
     assert got[("k", "low_cardinality")] == "3"
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+
+
+def test_pagerank_invariants(spark):
+    from etl_online_retail_spark.operators.graph import pagerank
+
+    # star: spokes 2..5 all point at hub 1; hub points back at 2
+    edges = [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {r.node: r.rank for r in pagerank(df, max_iter=20).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9     # mass conserved
+    assert got[1] == max(got.values())             # hub dominates
+    assert got[2] > got[3]                         # hub's target beats spokes
+    assert abs(got[3] - got[4]) < 1e-12            # symmetric spokes equal
+
+
+def test_pagerank_uniform_on_cycle_with_dangling(spark):
+    from etl_online_retail_spark.operators.graph import pagerank
+
+    # 3-cycle: uniform fixpoint 1/3 each
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src INT, dst INT")
+    got = {r.node: r.rank for r in pagerank(cyc, max_iter=15).collect()}
+    for v in got.values():
+        assert abs(v - 1 / 3) < 1e-9
+    # dangling node: 1 -> 2, 2 has no out-edges; mass still sums to 1
+    dang = spark.createDataFrame([(1, 2)], "src INT, dst INT")
+    got = {r.node: r.rank for r in pagerank(dang, max_iter=25).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[1]                         # sink accumulates
