@@ -511,3 +511,46 @@ def remove_repeated_segments(docs: DataFrame, width: int = 10,
                  F.sum(F.when(F.col("_drop"), 1).otherwise(0))
                   .cast("bigint").alias("n_dropped"),
                  kept_in_order.alias("cleaned")))
+
+
+def dedup_within_doc(docs: DataFrame, width: int = 10,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """INTRA-document dedup: drop repeated segments WITHIN each doc,
+    keeping the first occurrence in order (the RefinedWeb/MassiveText
+    intra-doc repetition cut — a looping scraper or boilerplate template
+    repeats spans inside one page; cross-doc dedup never sees it).
+
+    Segmentation matches remove_repeated_segments (non-overlapping
+    `width`-token windows of the normalized stream). Output:
+    (id, n_segments, n_dropped, cleaned).
+
+    Scale shape: segment -> ONE window pass partitioned by (doc, segment)
+    to rank occurrences, then the per-doc reassembly agg — both shuffles
+    are on the doc key family, nothing is corpus-global (no frequency
+    relation at all, unlike the cross-doc operator).
+    """
+    from pyspark.sql import Window
+
+    toked = docs.select(F.col(id_col), tokens(normalize(text_col)).alias("_t"))
+    n_seg = F.ceil(F.size("_t") / F.lit(width)).cast("int")
+    segs = F.when(F.size("_t") == 0, F.array().cast("array<string>")) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("_t"), i * width + 1, width), " ")))
+    e = toked.select(F.col(id_col), F.posexplode(segs).alias("pos", "_seg"))
+    w = Window.partitionBy(id_col, "_seg").orderBy("pos")
+    marked = e.withColumn("_occ", F.row_number().over(w))
+    kept_in_order = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("_occ") == 1,
+                       F.struct(F.col("pos"), F.col("_seg"))))),
+            lambda s: s["_seg"]),
+        " ")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+                 F.sum(F.when(F.col("_occ") > 1, 1).otherwise(0))
+                  .cast("bigint").alias("n_dropped"),
+                 kept_in_order.alias("cleaned")))

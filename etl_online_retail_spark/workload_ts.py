@@ -464,3 +464,43 @@ def q_part_copurchase_rank(spark, sf_dir):
                                    min_orders=COPURCHASE_MIN_ORDERS)
     ranked = graph.pagerank(edges, max_iter=10)
     return ranked.select("node", F.round("rank", 9).alias("rank"))
+
+
+# intra-document segment dedup (RefinedWeb's within-page repetition cut)
+
+
+def _intradoc_oracle() -> str:
+    from etl_online_retail_spark.functions.text import normalize_sql
+
+    w = SEGMENT_WIDTH
+    toks = f"regexp_split_to_array({normalize_sql('text')}, '\\s+')"
+    n_seg = f"CAST(ceil(len(toks) / {w}.0) AS BIGINT)"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, {n_seg} - 1)) AS pos,
+         unnest(list_transform(generate_series(0, {n_seg} - 1),
+                i -> array_to_string(toks[(i*{w}+1):(i*{w}+{w})], ' ')))
+           AS seg
+  FROM t),
+m AS (
+  SELECT doc_id, pos, seg,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS occ
+  FROM s)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN occ = 1 THEN seg END,
+                               ' ' ORDER BY pos), '')) AS cleaned_md5
+FROM m GROUP BY doc_id
+"""
+
+
+@register("intradoc_dedup", _intradoc_oracle(), "M6-curation-intradoc-dedup")
+def q_intradoc_dedup(spark, sf_dir):
+    from etl_online_retail_spark.operators.dedup import dedup_within_doc
+
+    cleaned = dedup_within_doc(_t(spark, sf_dir, "documents"),
+                               width=SEGMENT_WIDTH)
+    return cleaned.select("doc_id", "n_segments", "n_dropped",
+                          F.md5("cleaned").alias("cleaned_md5"))

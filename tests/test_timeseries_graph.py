@@ -409,3 +409,19 @@ def test_pagerank_uniform_on_cycle_with_dangling(spark):
     got = {r.node: r.rank for r in pagerank(dang, max_iter=25).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[2] > got[1]                         # sink accumulates
+
+
+def test_dedup_within_doc_keeps_first_occurrence(spark):
+    from etl_online_retail_spark.operators.dedup import dedup_within_doc
+
+    rep = "spark rows shuffle join filter scan table sort merge batch"
+    u1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    u2 = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(0, f"{rep} {u1} {rep} {u2} {rep}"),   # rep x3 -> keep first
+         (1, f"{u1} {u2}")],                    # nothing repeated
+        "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in dedup_within_doc(docs, width=10).collect()}
+    assert out[0].n_segments == 5 and out[0].n_dropped == 2
+    assert out[0].cleaned == f"{rep} {u1} {u2}"
+    assert out[1].n_dropped == 0 and out[1].cleaned == f"{u1} {u2}"
