@@ -477,3 +477,51 @@ def read_agg_as_of(spark, table_dir: str, key_cols: list[str],
             .groupBy(*key_cols)
             .agg(F.sum("_n").alias("n_rows"),
                  F.sum("_sum").cast("double").alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# streaming deterministic uniform sample: reservoir-sampling semantics
+# over an unbounded stream WITHOUT rand() and without unbounded state.
+# sampling.uniform_sample_topk defines the sample as "the k rows with the
+# smallest affine-hash bucket of their id" — a MIN-K MONOID, so each
+# micro-batch writes its own k-smallest rows under `_batch_id`
+# (replay-safe partition overwrite) and the read side takes the k
+# smallest of the union of partials. The merged result is IDENTICAL to
+# running the batch sampler over the complete stream (tested), which a
+# classic randomized reservoir cannot promise across restarts/replays.
+# State per batch <= k rows; read merge input is O(batches x k).
+
+
+def uniform_sample_batch_write(batch_df: DataFrame, batch_id: int,
+                               table_dir: str, id_col: str,
+                               k: int) -> None:
+    from etl_online_retail_spark.operators.sampling import uniform_sample_topk
+
+    (uniform_sample_topk(batch_df, id_col, k)
+     .withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(table_dir))
+
+
+def incremental_uniform_sample(stream_df: DataFrame, table_dir: str,
+                               checkpoint_dir: str, id_col: str,
+                               k: int) -> StreamingQuery:
+    """Maintain a deterministic k-row uniform sample over a stream."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: uniform_sample_batch_write(
+                df, bid, table_dir, id_col, k))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_incremental_uniform_sample(spark, table_dir: str, id_col: str,
+                                    k: int) -> DataFrame:
+    """k smallest-hash rows across every batch partial — bit-equal to
+    the batch uniform_sample_topk over the union of all batches."""
+    from etl_online_retail_spark.operators.sampling import uniform_sample_topk
+
+    return uniform_sample_topk(
+        spark.read.parquet(table_dir).drop("_batch_id"), id_col, k)

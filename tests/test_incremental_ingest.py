@@ -525,3 +525,35 @@ def test_read_agg_as_of_versions_and_retention(spark):
         # but version 1 predates the compact's coverage -> retention error
         with pytest.raises(ValueError, match="retention"):
             read_agg_as_of(spark, t, ["event_type"], 1)
+
+
+def test_streaming_uniform_sample_equals_batch_and_replay_safe(spark):
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.operators.sampling import uniform_sample_topk
+    from etl_online_retail_spark.streaming.ingest import (
+        incremental_uniform_sample,
+        read_incremental_uniform_sample,
+        uniform_sample_batch_write,
+    )
+
+    K = 25
+    ev = load_events(spark, SF).cache()
+    want = {r.event_id for r in
+            uniform_sample_topk(ev, "event_id", K).collect()}
+
+    with tempfile.TemporaryDirectory() as d:
+        t, ckpt = f"{d}/sample", f"{d}/ckpt"
+        q = incremental_uniform_sample(read_event_stream(spark, SF), t, ckpt,
+                                       id_col="event_id", k=K)
+        q.awaitTermination()
+        got = {r.event_id for r in read_incremental_uniform_sample(
+            spark, t, "event_id", K).collect()}
+        assert got == want  # stream sample == batch sample, exactly
+
+        # crash-replay of batch 0 (foreachBatch redelivers the SAME
+        # content): the partition overwrite makes it a no-op
+        uniform_sample_batch_write(ev, 0, t, "event_id", K)
+        final = {r.event_id for r in read_incremental_uniform_sample(
+            spark, t, "event_id", K).collect()}
+        assert final == want
