@@ -474,7 +474,9 @@ def remove_repeated_segments(docs: DataFrame, width: int = 10,
     text is the surviving segments re-joined in their original order.
 
     Output: (id, n_segments, n_dropped, cleaned) — cleaned is '' when
-    everything was boilerplate; docs with no tokens are absent.
+    everything was boilerplate. A doc whose text normalizes to '' still
+    yields ONE empty-string segment (whitespace split returns [''], not
+    [] — identical on both engines), so every input doc has a row.
 
     Scale shape: segmentation is a pure array expression (no shuffle);
     the segment-frequency relation is one map-side-combinable hash agg;
@@ -484,14 +486,20 @@ def remove_repeated_segments(docs: DataFrame, width: int = 10,
     """
     toked = docs.select(F.col(id_col), tokens(normalize(text_col)).alias("_t"))
     n_seg = F.ceil(F.size("_t") / F.lit(width)).cast("int")
-    # guard BEFORE sequence(): sequence(0, -1) steps DOWN (returns [0, -1]),
-    # so an empty token array must short-circuit to an empty segment list
+    # defensive guard BEFORE sequence(): sequence(0, -1) steps DOWN
+    # (returns [0, -1]). tokens() never actually returns an empty array
+    # (split of '' is ['']), so this only fires if the tokenizer changes.
     segs = F.when(F.size("_t") == 0, F.array().cast("array<string>")) \
             .otherwise(F.transform(
                 F.sequence(F.lit(0), n_seg - 1),
                 lambda i: F.array_join(
                     F.slice(F.col("_t"), i * width + 1, width), " ")))
-    e = toked.select(F.col(id_col), F.posexplode(segs).alias("pos", "_seg"))
+    # cache: the exploded segment relation feeds BOTH the frequency agg
+    # and the probe side of the broadcast join-back; uncached, the
+    # normalize+segment pipeline runs twice (rule 7, same shape as
+    # repeated_passage_stats above)
+    e = toked.select(F.col(id_col),
+                     F.posexplode(segs).alias("pos", "_seg")).cache()
     frequent = (e.groupBy("_seg")
                 .agg(F.count_distinct(id_col).alias("_df"))
                 .filter(F.col("_df") >= min_df)
@@ -522,7 +530,8 @@ def dedup_within_doc(docs: DataFrame, width: int = 10,
     repeats spans inside one page; cross-doc dedup never sees it).
 
     Segmentation matches remove_repeated_segments (non-overlapping
-    `width`-token windows of the normalized stream). Output:
+    `width`-token windows of the normalized stream; empty-normalizing
+    docs yield one '' segment, same note as there). Output:
     (id, n_segments, n_dropped, cleaned).
 
     Scale shape: segment -> ONE window pass partitioned by (doc, segment)

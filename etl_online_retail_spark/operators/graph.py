@@ -132,8 +132,13 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(max_iter):
+        # cache: contrib feeds TWO consumers (the dangling-mass collect
+        # and the spread join), and the collect is an action — uncached,
+        # it replays the rank lineage back to the last checkpoint and
+        # the join recomputes it again (rule 7)
         contrib = (ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
-                   .select(ranks["node"], "rank", "_deg"))
+                   .select(ranks["node"], "rank", "_deg")
+                   .cache())
         # dangling nodes (no out-edges) spread their mass uniformly
         dangling = (contrib.filter(F.col("_deg").isNull())
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))

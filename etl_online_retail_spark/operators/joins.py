@@ -173,8 +173,12 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, on: str,
     ls, le = F.col(l_start), F.col(l_end)
     rs, re_ = F.col(r_start), F.col(r_end)
     ov_start = F.greatest(ls, rs)
+    # both ends NULL -> the intersection is itself open-ended (ov_end
+    # NULL) and the pair ALWAYS overlaps; the filter admits that case
+    # explicitly (ov_start <= NULL would silently drop it)
     ov_end = F.least(F.coalesce(le, re_), F.coalesce(re_, le))
     return (left.join(right, on)
             .withColumn("ov_start", ov_start)
             .withColumn("ov_end", ov_end)
-            .filter(F.col("ov_start") <= F.col("ov_end")))
+            .filter(F.col("ov_end").isNull()
+                    | (F.col("ov_start") <= F.col("ov_end"))))

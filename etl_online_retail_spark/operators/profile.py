@@ -55,9 +55,17 @@ def profile_table(df: DataFrame, cols: list[str] | None = None,
               else F.count_distinct(col))
         aggs.append(nd.alias(f"_nd_{c}"))
         if isinstance(t, _TS):
-            sec = F.expr(
-                f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-                f" CAST({c} AS TIMESTAMP_NTZ))").cast("double")
+            # FLOOR of epoch seconds in exact int64 (us - pmod(us, 1e6))
+            # — timestampdiff(SECOND) truncates toward zero, which
+            # disagrees with the oracle's FLOOR for pre-1970 stamps with
+            # fractional seconds; pmod keeps the arithmetic exact where
+            # a double division of raw micros (> 2^53) would not be
+            us = F.expr(
+                f"timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                f" CAST({c} AS TIMESTAMP_NTZ))")
+            sec = ((us - F.pmod(us, F.lit(1_000_000)))
+                   / F.lit(1_000_000)).cast("double")
             aggs.append(F.min(sec).alias(f"_lo_{c}"))
             aggs.append(F.max(sec).alias(f"_hi_{c}"))
         elif isinstance(t, _NUMERIC):

@@ -564,7 +564,8 @@ def pq_encode(corpus: DataFrame, codebooks: list,
 
 def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list,
             k: int = 5, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            exclude_self: bool = True) -> DataFrame:
     """ADC top-k over a PQ-encoded corpus: smallest approximate L2.
 
     The query set is serving-sized (the standing assumption of every query
@@ -601,9 +602,14 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list,
         F.zip_with(F.col("codes"), F.col("_tables"),
                    lambda c, t: F.element_at(t, c + 1)),
         F.lit(0.0), lambda acc, x: acc + x)
-    scored = (codes.join(F.broadcast(probes))
-              .filter(F.col("query_id") != F.col(id_col))
-              .withColumn("adc_dist", adc))
+    scored = codes.join(F.broadcast(probes))
+    if exclude_self:
+        # queries drawn FROM the corpus skip their own row; pass
+        # exclude_self=False when query ids live in a different
+        # namespace, or a corpus item sharing a query's id would be
+        # silently dropped
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
+    scored = scored.withColumn("adc_dist", adc)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
                                                F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -615,7 +621,8 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks: list,
 def pq_topk_refined(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
                     codebooks: list, k: int = 5, refine: int = 10,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    exclude_self: bool = True) -> DataFrame:
     """PQ search with a refine stage (FAISS's IndexRefineFlat shape):
     ADC shortlists k*refine candidates from the code table, then ONLY
     those candidates' raw vectors are fetched and re-ranked by exact L2.
@@ -634,7 +641,8 @@ def pq_topk_refined(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
     from pyspark.sql import Window
 
     shortlist = pq_topk(codes, queries, codebooks, k=k * refine,
-                        id_col=id_col, vec_col=vec_col) \
+                        id_col=id_col, vec_col=vec_col,
+                        exclude_self=exclude_self) \
         .select("query_id", "neighbour_id")
     q = queries.select(F.col(id_col).alias("query_id"),
                        as_double(vec_col).alias("_qv"))

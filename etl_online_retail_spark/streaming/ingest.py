@@ -438,6 +438,23 @@ def _as_of_partials(table_dir: str, batch_id: int) -> list[int]:
     exactly the vacuum/retention semantics of the table formats.
     """
     parts = _list_partials(table_dir)
+    partial_ids = [b for b in parts if b >= 0]
+    # the legacy offline compact (_batch_id = -1, compact_incremental_agg)
+    # folds EVERYTHING at its creation but does not date its coverage, so
+    # no specific historic version can be reconstructed through it — only
+    # the versions at or after the last partial it precedes (where the
+    # answer equals "the -1 compact plus every later partial"). For dated
+    # time travel, compact with autocompact_incremental_agg instead.
+    if -1 in parts:
+        newest = max(partial_ids, default=-1)
+        if batch_id >= newest:
+            return [-1] + sorted(partial_ids)
+        raise ValueError(
+            f"as-of batch {batch_id} is not reconstructable: the table "
+            f"holds an undated legacy full compact (_batch_id=-1); only "
+            f"batch >= {newest} can be served. Use coverage-encoded "
+            f"compaction (autocompact_incremental_agg) for dated "
+            f"time travel")
     compacts = [b for b in parts if b <= -2 and (-b - 2) <= batch_id]
     covered = -1
     base: list[int] = []
@@ -445,12 +462,16 @@ def _as_of_partials(table_dir: str, batch_id: int) -> list[int]:
         widest = min(compacts)
         covered = -widest - 2
         base = [widest]
-    have = {b for b in parts if 0 <= b <= batch_id and b > covered}
+    have = {b for b in partial_ids if b <= batch_id and b > covered}
     # an id absent from the listing is EITHER an empty micro-batch (wrote
     # no partition — benign) or history erased by compaction cleanup.
-    # Cleanup only ever deletes partials under the widest compact's
-    # coverage, so the two cases separate exactly there: absence at or
-    # under C_widest means erased, above it means empty.
+    # Cleanup only ever deletes partials at or under the widest compact's
+    # coverage, so absence ABOVE that coverage is provably an empty
+    # batch; at or under it the two cases are indistinguishable from the
+    # listing alone, and the CONSERVATIVE reading (erased -> refuse)
+    # wins: serving a possibly-partial version silently would break the
+    # snapshot contract, while refusing an actually-empty batch only
+    # costs a retry at a reconstructable version.
     all_compacts = [b for b in parts if b <= -2]
     c_widest = (-min(all_compacts) - 2) if all_compacts else -1
     erased = [b for b in range(covered + 1, batch_id + 1)
@@ -458,9 +479,9 @@ def _as_of_partials(table_dir: str, batch_id: int) -> list[int]:
     if erased:
         raise ValueError(
             f"as-of batch {batch_id} is beyond retention: partials "
-            f"{erased} were compacted away (widest reconstructable "
-            f"coverage {covered}); compact less aggressively or snapshot "
-            f"earlier")
+            f"{erased} were compacted away or indistinguishable from "
+            f"compacted (widest reconstructable coverage {covered}); "
+            f"compact less aggressively or snapshot earlier")
     return base + sorted(have)
 
 

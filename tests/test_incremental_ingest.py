@@ -557,3 +557,37 @@ def test_streaming_uniform_sample_equals_batch_and_replay_safe(spark):
         final = {r.event_id for r in read_incremental_uniform_sample(
             spark, t, "event_id", K).collect()}
         assert final == want
+
+
+def test_read_agg_as_of_legacy_full_compact(spark):
+    """An undated -1 compact serves only latest-or-later versions; any
+    earlier as-of raises with the autocompact guidance."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        compact_incremental_agg,
+        partial_agg_batch_write,
+        read_agg_as_of,
+        read_incremental_agg,
+    )
+
+    ev = load_events(spark, SF).cache()
+    with tempfile.TemporaryDirectory() as d:
+        t = f"{d}/agg"
+        for b in range(2):
+            partial_agg_batch_write(ev.filter(F.col("event_id") % 2 == b),
+                                    b, t, ["event_type"], "value")
+        compact_incremental_agg(spark, t, ["event_type"])  # -> _batch_id=-1
+        partial_agg_batch_write(ev.limit(0), 2, t, ["event_type"], "value")
+        partial_agg_batch_write(
+            ev.filter(F.col("event_id") % 7 == 0), 3, t,
+            ["event_type"], "value")
+
+        live = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+                read_incremental_agg(spark, t, ["event_type"]).collect()}
+        as_of = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+                 read_agg_as_of(spark, t, ["event_type"], 3).collect()}
+        assert as_of == live  # latest version serves through the -1 fold
+        with pytest.raises(ValueError, match="legacy full compact"):
+            read_agg_as_of(spark, t, ["event_type"], 1)

@@ -425,3 +425,13 @@ def test_dedup_within_doc_keeps_first_occurrence(spark):
     assert out[0].n_segments == 5 and out[0].n_dropped == 2
     assert out[0].cleaned == f"{rep} {u1} {u2}"
     assert out[1].n_dropped == 0 and out[1].cleaned == f"{u1} {u2}"
+
+
+def test_interval_overlap_join_both_open_ended(spark):
+    from etl_online_retail_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 10, None)], "k INT, ls INT, le INT")
+    right = spark.createDataFrame([(1, 20, None)], "k INT, rs INT, re INT")
+    [r] = interval_overlap_join(
+        left, right, "k", "ls", "le", "rs", "re").collect()
+    assert r.ov_start == 20 and r.ov_end is None  # overlap is open-ended
