@@ -137,3 +137,39 @@ def time_weighted_avg(events: DataFrame, key_col: str, ts_col: str,
         F.round(num.cast("double") / den.cast("double") / F.lit(100.0), 6)
          .alias("twa"),
         den.cast("bigint").alias("total_ms"))
+
+
+def ewma_last(events: DataFrame, key_col: str, ts_col: str,
+              tiebreak_col: str, value_col: str,
+              alpha: float = 0.5) -> DataFrame:
+    """Per-key exponentially weighted moving average over the event-time
+    order, seeded with the first observation:
+
+        ewma_1 = x_1;   ewma_i = alpha * x_i + (1 - alpha) * ewma_{i-1}
+
+    Output: (key_col, ewma DOUBLE 6dp, n_obs BIGINT) — the smoothed
+    "current level" a monitoring/forecasting pipeline reads per series.
+
+    EWMA is inherently a SEQUENTIAL fold (each step depends on the
+    last), so it is expressed as exactly that: collect the key's values
+    in (ts, tiebreak) order and fold once — the same fold, in the same
+    order, with the same float ops on both engines, which makes a
+    recursive definition hash-verifiable (the repo's sequential-fold
+    rule). alpha = 0.5 keeps every multiply an exact halving.
+
+    Scale note: per-key state is the key's OWN series (collect_list) —
+    fine for bounded series (users, devices); an unbounded series wants
+    the incremental form (carry the previous EWMA in streaming state,
+    streaming/stateful.py's shape) rather than a bigger collect.
+    """
+    arr = F.array_sort(F.collect_list(
+        F.struct(F.col(ts_col), F.col(tiebreak_col),
+                 F.col(value_col).alias("_v"))))
+    vals = F.transform(arr, lambda s: s["_v"])
+    fold = F.aggregate(
+        vals, F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(F.lit(alpha) * x
+                                  + F.lit(1.0 - alpha) * acc, x))
+    return (events.groupBy(key_col)
+            .agg(F.round(fold, 6).alias("ewma"),
+                 F.count(F.lit(1)).alias("n_obs")))

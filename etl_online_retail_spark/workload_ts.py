@@ -504,3 +504,26 @@ def q_intradoc_dedup(spark, sf_dir):
                                width=SEGMENT_WIDTH)
     return cleaned.select("doc_id", "n_segments", "n_dropped",
                           F.md5("cleaned").alias("cleaned_md5"))
+
+
+# EWMA: the sequential-fold recursive metric, hash-verified because both
+# engines run the IDENTICAL fold in the identical order (alpha=0.5 makes
+# every multiply an exact halving)
+
+EWMA_ALPHA = 0.5
+
+_EWMA_ORACLE = f"""
+SELECT user_id,
+       ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> {EWMA_ALPHA} * x
+                                     + {1.0 - EWMA_ALPHA} * acc), 6) AS ewma,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM events GROUP BY user_id
+"""
+
+
+@register("user_value_ewma", _EWMA_ORACLE, "M6-ts-ewma")
+def q_user_value_ewma(spark, sf_dir):
+    return timeseries.ewma_last(_t(spark, sf_dir, "events"), "user_id",
+                                "ts", "event_id", "value",
+                                alpha=EWMA_ALPHA)

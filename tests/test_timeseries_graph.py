@@ -435,3 +435,17 @@ def test_interval_overlap_join_both_open_ended(spark):
     [r] = interval_overlap_join(
         left, right, "k", "ls", "le", "rs", "re").collect()
     assert r.ov_start == 20 and r.ov_end is None  # overlap is open-ended
+
+
+def test_ewma_golden(spark):
+    from etl_online_retail_spark.operators.timeseries import ewma_last
+
+    # values 10, 20, 40 in time order with alpha=0.5:
+    # 10 -> 0.5*20+0.5*10=15 -> 0.5*40+0.5*15=27.5
+    rows = [(1, _ts("2024-01-01T00:00:00"), 1, 10.0),
+            (1, _ts("2024-01-01T00:01:00"), 2, 20.0),
+            (1, _ts("2024-01-01T00:02:00"), 3, 40.0)]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP_NTZ, event_id INT, value DOUBLE")
+    [r] = ewma_last(df, "user_id", "ts", "event_id", "value").collect()
+    assert r.ewma == 27.5 and r.n_obs == 3
