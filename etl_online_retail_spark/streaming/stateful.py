@@ -283,3 +283,79 @@ def gapfill_stream(events: DataFrame, delay: str = "2 hours") -> DataFrame:
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             ))
+
+
+# --- streaming EWMA (the incremental form operators/timeseries.ewma_last
+# points at): the recursive fold carries ONE number of state per key, so
+# the stream is where EWMA naturally lives — no series is ever collected.
+# Out-of-order arrival uses the same reorder-buffer discipline as
+# scd2_stream_reordered: rows park until the event-time watermark passes
+# them, then fold in (ts, id) order, so the emitted values equal the
+# batch fold over the same (eventually-complete) log.
+
+EWMA_STATE_SCHEMA = ("last_us bigint, last_eid bigint, ewma double, "
+                     "n_obs bigint, buf_us array<bigint>, "
+                     "buf_eid array<bigint>, buf_val array<double>")
+
+EWMA_OUTPUT_SCHEMA = ("user_id bigint, ts timestamp, event_id bigint, "
+                      "ewma double, n_obs bigint")
+
+EWMA_ALPHA = 0.5
+
+
+def _ewma_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
+                state: GroupState) -> "Iterator[pd.DataFrame]":
+    if state.exists:
+        last_us, last_eid, ewma, n_obs, bu, be, bv = state.get
+        buf = list(zip(bu, be, bv))
+    else:
+        last_us, last_eid, ewma, n_obs = -1, -1, None, 0
+        buf = []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                buf.append((r.ts.value // 1000, r.event_id, r.value))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort()
+    ready = [b for b in buf if b[0] <= wm_us]
+    buf = [b for b in buf if b[0] > wm_us]
+
+    out_ts, out_eid, out_e, out_n = [], [], [], []
+    for ts_us, eid, val in ready:
+        if (ts_us, eid) <= (last_us, last_eid):
+            continue  # replay behind the cursor
+        ewma = (val if ewma is None
+                else EWMA_ALPHA * val + (1.0 - EWMA_ALPHA) * ewma)
+        n_obs += 1
+        last_us, last_eid = ts_us, eid
+        out_ts.append(pd.Timestamp(ts_us * 1000))
+        out_eid.append(eid)
+        out_e.append(ewma)
+        out_n.append(n_obs)
+
+    state.update((last_us, last_eid, ewma, n_obs,
+                  [b[0] for b in buf], [b[1] for b in buf],
+                  [b[2] for b in buf]))
+    if buf:
+        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    yield pd.DataFrame({"user_id": [key[0]] * len(out_ts), "ts": out_ts,
+                        "event_id": out_eid, "ewma": out_e,
+                        "n_obs": out_n})
+
+
+def ewma_stream(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Streaming per-key EWMA: one output row per event (its post-update
+    smoothed value), emitted once the watermark confirms its order.
+    Equals the batch sequential fold over the complete log — tested
+    under shuffled micro-batch arrival. State per key = cursor + ONE
+    carried value + the parked disorder window."""
+    return (events
+            .withWatermark("ts", delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _ewma_apply,
+                outputStructType=EWMA_OUTPUT_SCHEMA,
+                stateStructType=EWMA_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ))

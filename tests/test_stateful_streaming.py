@@ -193,3 +193,64 @@ def test_gapfill_stream_matches_batch_under_shuffled_arrival(
     want = {(r.user_id, r.bucket, round(r.value_filled, 9), r.is_observed)
             for r in batch.collect()}
     assert live == want
+
+
+def test_ewma_stream_matches_batch_fold_under_shuffled_arrival(
+        spark, tmp_path):
+    """The streaming EWMA's final value per key equals the batch
+    sequential fold (ewma_last) over the complete log, despite
+    content-hash-shuffled micro-batch arrival."""
+    import datetime
+    import os
+
+    from etl_online_retail_spark.catalog import SCHEMAS
+    from etl_online_retail_spark.operators.timeseries import ewma_last
+    from etl_online_retail_spark.streaming.stateful import ewma_stream
+
+    ev = load_events(spark, SF).filter(F.col("user_id") % 5 == 0).cache()
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert (mx - mn) < datetime.timedelta(days=300)
+
+    sdir = str(tmp_path / "shuffled")
+    os.makedirs(sdir)
+
+    def land(df, name, mtime):
+        scratch = str(tmp_path / f"_scratch_{name}")
+        df.coalesce(1).write.parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        dst = os.path.join(sdir, f"{name}.parquet")
+        os.rename(os.path.join(scratch, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = 1_000_000_000
+    for b in range(4):
+        shard = ev.filter(F.crc32(F.col("event_id").cast("string")) % 4 == b)
+        land(shard, f"shard{b}", t0 + b)
+    for i, days in enumerate((370, 740)):
+        sentinel = spark.createDataFrame(
+            [(10_000_000 + i, mx + datetime.timedelta(days=days), -1,
+              "sentinel", 0.0, "{}")],
+            schema=SCHEMAS["events"])
+        land(sentinel, f"sentinel{i}", t0 + 100 + i)
+
+    stream = (spark.readStream.schema(SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1).parquet(sdir)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    q = (ewma_stream(stream, delay="365 days")
+         .writeStream.format("memory").queryName("ewma_live")
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    # last emitted row per key (max n_obs) vs the batch fold
+    live = {r.user_id: (round(r.ewma, 6), r.n_obs) for r in
+            spark.sql("""
+              SELECT user_id, ewma, n_obs FROM ewma_live a
+              WHERE user_id >= 0 AND n_obs = (
+                SELECT MAX(n_obs) FROM ewma_live b
+                WHERE b.user_id = a.user_id)""").collect()}
+    batch = ewma_last(ev.withColumn("ts", F.col("ts").cast("timestamp")),
+                      "user_id", "ts", "event_id", "value")
+    want = {r.user_id: (r.ewma, r.n_obs) for r in batch.collect()}
+    assert live == want
