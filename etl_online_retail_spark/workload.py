@@ -12,6 +12,15 @@ Conventions that make Spark-vs-DuckDB hash comparison exact:
   * LIMIT queries carry a total ORDER BY (metric + key tiebreaker).
   * Float similarity scores come from sequential folds with matching
     order on both engines, rounded to 6dp.
+  * Round-4 additions: Spark timestampdiff TRUNCATES toward zero while
+    DuckDB epoch()/FLOOR floors — pre-1970 fractional stamps diverge, so
+    canonical epoch-seconds use the exact int64 floor
+    (us - pmod(us, 1e6)) / 1e6 (operators/profile.py). DuckDB has no
+    arg_max(DOUBLE, STRUCT) — tie-broken "last per group" goes through
+    ROW_NUMBER in oracles. F.sequence(0, -1) steps DOWN (returns
+    [0, -1]); guard empty arrays before building index sequences.
+    Recursive metrics (EWMA) are oracle-safe only as the SAME sequential
+    fold on both engines (aggregate vs list_reduce, identical order).
 
 Each builder takes (spark, sf_dir) and returns a lazy DataFrame.
 """
