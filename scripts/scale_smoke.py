@@ -496,6 +496,60 @@ def main() -> None:
     timed(f"k-hop BFS (edge build + 4 hops) @ {factor}x", bfs)
     timed(f"pq encode + refined search @ {factor}x", pq)
 
+    # session-3 operators: single-scan / histogram / keyed-window shapes
+    # that must stay linear; profile + suggestions share the one scan.
+    def profile_suggest():
+        from etl_online_retail_spark.operators.profile import (
+            profile_table,
+            suggest_constraints,
+        )
+
+        (suggest_constraints(profile_table(o))
+         .write.format("noop").mode("overwrite").save())
+
+    def skew():
+        from etl_online_retail_spark.operators.profile import key_skew_stats
+
+        (key_skew_stats(ev, "user_id")
+         .write.format("noop").mode("overwrite").save())
+
+    def intradoc():
+        from etl_online_retail_spark.operators.dedup import dedup_within_doc
+
+        (dedup_within_doc(docs, width=10)
+         .write.format("noop").mode("overwrite").save())
+
+    def overlap():
+        from etl_online_retail_spark.operators.joins import (
+            interval_overlap_join,
+        )
+        from etl_online_retail_spark.operators.scd import scd2_from_changelog
+        from etl_online_retail_spark.operators.sessionize import session_stats
+
+        ver = (scd2_from_changelog(ev, "user_id", ["event_type"], "ts",
+                                   "event_id")
+               .select("user_id", "version", "effective_from",
+                       "effective_to"))
+        sess = (session_stats(ev)
+                .select("user_id", "session_seq", "session_start",
+                        "session_end"))
+        (interval_overlap_join(ver, sess, "user_id", "effective_from",
+                               "effective_to", "session_start",
+                               "session_end")
+         .write.format("noop").mode("overwrite").save())
+
+    def ewma():
+        from etl_online_retail_spark.operators.timeseries import ewma_last
+
+        (ewma_last(ev, "user_id", "ts", "event_id", "value")
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"profile + constraint suggestion @ {factor}x", profile_suggest)
+    timed(f"key skew stats @ {factor}x", skew)
+    timed(f"intra-doc dedup @ {factor}x", intradoc)
+    timed(f"interval overlap join @ {factor}x", overlap)
+    timed(f"ewma fold @ {factor}x", ewma)
+
 
 if __name__ == "__main__":
     main()
