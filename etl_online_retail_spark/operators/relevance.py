@@ -306,3 +306,56 @@ SELECT doc_id, n_tokens, z,
        ROUND(CAST(1.0 AS DOUBLE)
              / (CAST(1.0 AS DOUBLE) + exp(-z)), 6) AS p_keep
 FROM agg"""
+
+
+def tfidf_pair_cosine(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """TF-IDF weighted cosine similarity for a CANDIDATE PAIR relation —
+    the lexical scoring stage that sits behind any candidate generator
+    (MinHash bands, LSH buckets, blocking keys): candidates are cheap and
+    noisy, the TF-IDF cosine is the calibrated verdict.
+
+        w(d, t) = tf(d, t) * (ln(N / df(t)) + 1)
+        cos(a, b) = sum_t w(a,t) * w(b,t) / (||w(a)|| * ||w(b)||)
+
+    Output: (id_a, id_b, tfidf_cos 6dp). Float discipline matches BM25:
+    per-term products and per-doc norm-square contributions round to 9dp
+    and sum as DECIMAL (order-independent), with one final double
+    division — ln/sqrt are pointwise-deterministic on both engines.
+
+    Scale shape: tf/df/norms are corpus-linear hash aggs (the tf relation
+    is cached — it feeds the norm agg AND both pair sides); the scoring
+    joins are OUTPUT-bound (pairs x shared terms), never corpus x corpus.
+    """
+    toks = corpus_terms(docs, id_col, text_col).cache()
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df"))
+    n_docs = toks.select(id_col).distinct().count()
+    w = (tf.join(df, "term")
+         .select(F.col(id_col), F.col("term"),
+                 (F.col("tf")
+                  * (F.log(F.lit(float(n_docs)) / F.col("df")) + 1.0))
+                 .alias("_w"))
+         .cache())
+    norms = (w.groupBy(id_col)
+             .agg(F.sqrt(F.sum(F.round(F.col("_w") * F.col("_w"), 9)
+                               .cast("decimal(18,9)")).cast("double"))
+                  .alias("_n")))
+    wa = w.select(F.col(id_col).alias("id_a"), "term",
+                  F.col("_w").alias("_wa"))
+    wb = w.select(F.col(id_col).alias("id_b"), "term",
+                  F.col("_w").alias("_wb"))
+    num = (pairs.join(wa, "id_a").join(wb, ["id_b", "term"])
+           .groupBy("id_a", "id_b")
+           .agg(F.sum(F.round(F.col("_wa") * F.col("_wb"), 9)
+                      .cast("decimal(18,9)")).cast("double").alias("_num")))
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (pairs.join(num, ["id_a", "id_b"], "left")
+            .join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(F.coalesce(F.col("_num"), F.lit(0.0))
+                            / (F.col("_na") * F.col("_nb")), 6)
+                     .alias("tfidf_cos")))

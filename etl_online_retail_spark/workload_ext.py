@@ -65,6 +65,14 @@ _NORM = normalize_sql("text")
 # construction, the driver still receives the fully portable inline form.
 SH_BODY = f"SELECT doc_id AS _id, {_SH} AS _sh FROM documents"
 
+# Canonical tokenized-corpus relation (one row per term occurrence),
+# shared by the BM25/TF-IDF oracles; the local gate materializes it once
+# (same mechanism as the shingle bodies below).
+TOK_BODY = (
+    "SELECT doc_id, unnest(regexp_split_to_array(trim("
+    f"{_NORM}), '\\s+')) AS term\n"
+    f"  FROM documents WHERE trim({_NORM}) <> ''")
+
 
 # ---------------------------------------------------------------------------
 # dedup: exact
@@ -739,8 +747,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 _BM25_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim({_NORM}), '\\s+')) AS term
-  FROM documents WHERE trim({_NORM}) <> ''),
+  {TOK_BODY}),
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT COUNT(*) AS n_docs, SUM(dl)::DOUBLE / COUNT(*) AS avgdl
           FROM dl),
@@ -782,8 +789,7 @@ def q_bm25_topk(spark, sf_dir):
 
 _LM_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim({_NORM}), '\\s+')) AS term
-  FROM documents WHERE trim({_NORM}) <> ''),
+  {TOK_BODY}),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
 cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
 tot AS (SELECT COUNT(*) AS t_total FROM toks),
@@ -1597,11 +1603,13 @@ def q_events_pairs_within(spark, sf_dir):
 ORACLE_MATERIALIZATIONS: dict[str, str] = {
     "_mat_sh2": SH_BODY,
     "_mat_sh3": SH3_BODY,
+    "_mat_tok": TOK_BODY,
 }
 
 _LOCALIZE_REWRITES: tuple[tuple[str, str], ...] = (
     (SH_BODY, "SELECT _id, _sh FROM _mat_sh2"),
     (SH3_BODY, "SELECT doc_id, _sh FROM _mat_sh3"),
+    (TOK_BODY, "SELECT doc_id, term FROM _mat_tok"),
 )
 
 

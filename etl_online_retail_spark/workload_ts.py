@@ -527,3 +527,62 @@ def q_user_value_ewma(spark, sf_dir):
     return timeseries.ewma_last(_t(spark, sf_dir, "events"), "user_id",
                                 "ts", "event_id", "value",
                                 alpha=EWMA_ALPHA)
+
+
+# ---------------------------------------------------------------------------
+# relevance: TF-IDF cosine over a candidate-pair relation (the scoring
+# stage behind any candidate generator; the pair source here is a cheap
+# deterministic sampler — adjacent ids, every 7th — because the operator
+# is agnostic to where candidates come from)
+
+
+def _tfidf_oracle() -> str:
+    from etl_online_retail_spark.workload_ext import TOK_BODY
+
+    return f"""
+WITH t AS (
+  {TOK_BODY}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM t),
+w AS (
+  SELECT doc_id, term,
+         tf * (ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) + 1.0) AS w
+  FROM tf JOIN df USING (term), nd),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(18,9))) AS DOUBLE))
+           AS nrm
+  FROM w GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 7 = 0),
+num AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(CAST(ROUND(wa.w * wb.w, 9) AS DECIMAL(18,9))) AS DOUBLE)
+           AS num
+  FROM pairs p
+  JOIN w wa ON wa.doc_id = p.id_a
+  JOIN w wb ON wb.doc_id = p.id_b AND wb.term = wa.term
+  GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b,
+       ROUND(COALESCE(num.num, 0.0) / (na.nrm * nb.nrm), 6) AS tfidf_cos
+FROM pairs p
+LEFT JOIN num ON num.id_a = p.id_a AND num.id_b = p.id_b
+JOIN norms na ON na.doc_id = p.id_a
+JOIN norms nb ON nb.doc_id = p.id_b
+"""
+
+
+@register("tfidf_pair_cosine", _tfidf_oracle(), "M6-relevance-tfidf-cosine")
+def q_tfidf_pair_cosine(spark, sf_dir):
+    from etl_online_retail_spark.operators.relevance import tfidf_pair_cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 7 == 0) \
+            .select(F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1).alias("id_b"))
+    existing = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.join(existing, "id_b", "left_semi").select("id_a", "id_b")
+    return tfidf_pair_cosine(docs, pairs)

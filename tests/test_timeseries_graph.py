@@ -449,3 +449,21 @@ def test_ewma_golden(spark):
         rows, "user_id INT, ts TIMESTAMP_NTZ, event_id INT, value DOUBLE")
     [r] = ewma_last(df, "user_id", "ts", "event_id", "value").collect()
     assert r.ewma == 27.5 and r.n_obs == 3
+
+
+def test_tfidf_pair_cosine_semantics(spark):
+    from etl_online_retail_spark.operators.relevance import tfidf_pair_cosine
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana cherry"),
+         (2, "apple banana cherry"),       # identical -> cos 1
+         (3, "apple banana mango"),        # shares 2 of 3 terms with 1
+         (4, "xylophone quartz vortex")],  # disjoint -> cos 0
+        "doc_id INT, text STRING")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a INT, id_b INT")
+    got = {(r.id_a, r.id_b): r.tfidf_cos
+           for r in tfidf_pair_cosine(docs, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.0 < got[(1, 3)] < 1.0
+    assert got[(1, 4)] == 0.0
