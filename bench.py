@@ -106,6 +106,7 @@ HEADLINE = [
     "intradoc_dedup",
     "user_value_ewma",
     "tfidf_pair_cosine",
+    "cohort_retention",
     # part_copurchase_hops is NOT benched: the BFS loop executes at plan
     # construction (driver-coordinated iterations + frontier caches), so a
     # steady-state re-run would time only the final cached-union scan and

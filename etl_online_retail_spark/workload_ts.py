@@ -586,3 +586,44 @@ def q_tfidf_pair_cosine(spark, sf_dir):
     existing = docs.select(F.col("doc_id").alias("id_b"))
     pairs = a.join(existing, "id_b", "left_semi").select("id_a", "id_b")
     return tfidf_pair_cosine(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# product analytics: weekly cohort retention (the classic BI triangle —
+# users grouped by first-active week, counted in each later week they
+# return). Pure integer counts over two hash aggs and a keyed join;
+# week arithmetic in integer days so both engines bucket identically.
+
+_COHORT_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+marked AS (
+  SELECT f.user_id,
+         CAST((f.d0 - DATE '1970-01-05') // 7 AS INTEGER) AS cohort_week,
+         CAST((a.d - DATE '1970-01-05') // 7 AS INTEGER)
+           - CAST((f.d0 - DATE '1970-01-05') // 7 AS INTEGER) AS week_offset
+  FROM first_day f JOIN active a ON f.user_id = a.user_id)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM marked GROUP BY cohort_week, week_offset
+"""
+
+
+@register("cohort_retention", _COHORT_ORACLE, "M6-analytics-cohort")
+def q_cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    # week index anchored on a Monday (1970-01-05), integer-day floor div
+    def week(day_col):
+        return F.floor(F.datediff(day_col, F.lit("1970-01-05"))
+                       / F.lit(7)).cast("int")
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("_d0"))
+             .withColumn("cohort_week", week(F.col("_d0"))))
+    active = ev.select("user_id", F.to_date("ts").alias("_d")).distinct()
+    return (first.join(active, "user_id")
+            .withColumn("week_offset",
+                        week(F.col("_d")) - F.col("cohort_week"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("user_id").alias("n_users")))
