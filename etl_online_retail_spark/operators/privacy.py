@@ -1,0 +1,58 @@
+"""Privacy-preserving release operators: k-anonymity over quasi-identifiers.
+
+A released dataset is k-anonymous over a quasi-identifier (QI) tuple iff
+every distinct QI combination is shared by at least k rows — no individual
+can be singled out below the crowd size k. The operator family here is the
+suppression form (withhold rows in under-k groups) plus the audit report a
+data steward reviews before release; generalization (coarsening a column
+until groups reach k) composes from ordinary expressions, e.g. banding a
+numeric column before calling these.
+
+Scale shape: one map-side-combinable hash agg over the QI tuple to get
+group sizes, then either (a) a broadcast-or-shuffle semi-join of the input
+against the surviving groups (k_anonymize — the group relation is
+|distinct QI|, usually dwarfed by the input) or (b) the group-level report
+alone (k_anonymity_report — never touches row width). No sort, no window,
+no skew beyond the QI distribution itself, which the partial agg absorbs.
+
+Reference parity: the reference pipeline stores raw customer rows with no
+release gating (etl.py:150-210); this adds the governance layer a
+warehouse feeding analysts/models needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_report(df: DataFrame, qi_cols: Sequence[str],
+                       k: int = 5) -> DataFrame:
+    """Group-level audit: every distinct QI combination with its crowd
+    size and whether a k-suppression release would withhold it.
+
+    Output: (*qi_cols, n_rows BIGINT, suppressed BOOLEAN). The report
+    itself is group-granular (it reveals QI values but no non-QI
+    attributes), which is the standard steward-facing artifact.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("suppressed", F.col("n_rows") < k))
+
+
+def k_anonymize(df: DataFrame, qi_cols: Sequence[str],
+                k: int = 5) -> DataFrame:
+    """Suppression release: rows of df whose QI group has >= k members.
+
+    Schema-preserving. The surviving-group relation is one row per
+    distinct QI tuple — small next to the input — so the filter join
+    plans as broadcast-semi when it fits, shuffle-semi otherwise.
+    """
+    keep = (k_anonymity_report(df, qi_cols, k)
+            .filter(~F.col("suppressed"))
+            .select(*qi_cols))
+    return df.join(keep, list(qi_cols), "left_semi")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.functions.text import normalize, tokens
@@ -77,6 +77,48 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
                         .alias("_c")))
     return (contrib.groupBy(id_col)
             .agg(F.round(F.sum("_c").cast("double"), 6).alias("bm25")))
+
+
+def inverted_index(docs: DataFrame, min_df: int = 2,
+                   max_postings: int | None = None,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The serving artifact BM25 scoring implies: a flattened inverted
+    index — for every retained term, its corpus statistics and its
+    tf-ranked posting list.
+
+    Output, one row per (term, posting):
+        (term, df BIGINT, cf BIGINT, posting_rank BIGINT, doc_id, tf
+        BIGINT)
+    where df = documents containing the term, cf = corpus frequency,
+    posting_rank orders postings by (tf DESC, id) within the term.
+    Hapax/noise terms drop below min_df; max_postings truncates each list
+    to its top entries (impact-ordered posting pruning, the static index
+    pruning of Carmel et al.) — unbounded by default.
+
+    Scale shape: tokenize (no shuffle) -> one (id, term) hash agg for tfs
+    -> per-term stats agg + one ranking window partitioned BY TERM. Both
+    shuffles key on the term; a hot stop-term's partition is bounded by
+    its df, and min_df/max_postings are the knobs that keep the emitted
+    index (the thing a serving tier loads) bounded. Rows are
+    integers/strings — oracle-hash-exact. Group the flat rows by term and
+    collect to materialize physical posting lists; the flat form is the
+    exchange format (and what a parquet-backed index scan reads back).
+    """
+    toks = corpus_terms(docs, id_col, text_col)
+    tf = (toks.groupBy("term", id_col)
+          .agg(F.count(F.lit(1)).alias("tf")))
+    stats = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df"),
+                  F.sum("tf").alias("cf"))
+             .filter(F.col("df") >= min_df))
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))
+    ranked = tf.withColumn("posting_rank",
+                           F.row_number().over(w).cast("bigint"))
+    if max_postings is not None:
+        ranked = ranked.filter(F.col("posting_rank") <= max_postings)
+    return (ranked.join(stats, "term")
+            .select("term", "df", "cf", "posting_rank", id_col, "tf"))
 
 
 def bigram_logprob(docs: DataFrame, k_smooth: float = 0.5,

@@ -56,3 +56,47 @@ def session_stats(events: DataFrame, user_col: str = "user_id", ts_col: str = "t
                   F.count(F.lit(1)).alias("n_events"),
                   F.sum(F.col("value").cast("decimal(18,2)"))
                    .cast("double").alias("total_value")))
+
+
+def last_touch_attribution(events: DataFrame,
+                           touch_types: tuple[str, ...] = ("click", "view"),
+                           conversion_type: str = "purchase",
+                           window_hours: int = 24,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts") -> DataFrame:
+    """Last-touch marketing attribution: credit each conversion to the
+    most recent preceding touch event by the same user within the lookback
+    window, or to 'none' when no touch qualifies.
+
+    Single ordered pass per user (the sessionize shape — one shuffle on
+    user_col, both carried values share the exchange): each row carries
+    the last touch's (type, ts) via last(ignorenulls) over the strictly
+    preceding frame; conversion rows then test the lookback bound in exact
+    microsecond arithmetic (the module's cross-engine gap discipline).
+    No self-join of conversions against touches — at 100 TB the windowed
+    pass is one shuffle, vs a range join whose per-user fan-out is
+    touches x conversions.
+
+    Output: one row per conversion event — (event_id, user_col,
+    attributed_type STRING, lag_us BIGINT nullable, value). Aggregate
+    downstream for per-channel credit.
+    """
+    w = (Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col("event_type").isin(*touch_types)
+    touch_ts = F.when(is_touch, F.col(ts_col))
+    touch_type = F.when(is_touch, F.col("event_type"))
+    window_us = window_hours * 3600 * 1_000_000
+    carried = (events
+               .withColumn("_t_ts", F.last(touch_ts, ignorenulls=True).over(w))
+               .withColumn("_t_type",
+                           F.last(touch_type, ignorenulls=True).over(w)))
+    lag_us = F.expr(f"timestampdiff(MICROSECOND, _t_ts, {ts_col})")
+    in_window = F.col("_t_ts").isNotNull() & (lag_us <= window_us)
+    return (carried
+            .filter(F.col("event_type") == conversion_type)
+            .select("event_id", user_col,
+                    F.when(in_window, F.col("_t_type"))
+                     .otherwise(F.lit("none")).alias("attributed_type"),
+                    F.when(in_window, lag_us).cast("bigint").alias("lag_us"),
+                    "value"))

@@ -1,0 +1,254 @@
+"""Serving-artifact / governance workload: the round-4 session-4 growth.
+
+Cross-document duplicate-SPAN detection (the Lee-et-al exact-substring
+dedup shape, re-expressed as sliding windows + frequency join + interval
+merge), the inverted-index serving artifact behind BM25, k-anonymity
+release gating (privacy — a new family), per-node triangle counts over the
+co-purchase graph, and last-touch attribution over the event stream.
+Registered into the same registry as workload.py; oracles follow the
+module exactness rules (decimal sums, BIGINT casts, exact microsecond
+gaps, identical aliases both sides).
+
+Reference parity: the reference's curation is row-level filters and its
+event analytics are grouped rollups (etl.py:150-210); nothing here exists
+there — these are the operators a corpus/warehouse at 100 TB needs on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.operators import graph, privacy, relevance, spans
+from etl_online_retail_spark.operators.sessionize import last_touch_attribution
+from etl_online_retail_spark.workload import _t, register
+from etl_online_retail_spark.workload_ext import TOK_BODY
+from etl_online_retail_spark.functions.text import normalize_sql
+
+# shared construction parameters (Spark defaults == these)
+SPAN_W = 5              # duplicated-window width, tokens
+SPAN_MIN_COUNT = 2      # occurrences corpus-wide to call a window duplicated
+IDX_MIN_DF = 2          # inverted index: drop hapax terms
+IDX_MAX_POSTINGS = 10   # inverted index: impact-ordered posting cut
+K_ANON = 5              # k-anonymity crowd size
+ATTR_TOUCHES = ("click", "view")
+ATTR_WINDOW_HOURS = 24
+TRI_MIN_ORDERS = 2      # co-purchase support threshold (== workload_ts)
+
+
+# ---------------------------------------------------------------------------
+# curation: cross-document duplicate spans (windows -> df -> island merge)
+
+_NORM = normalize_sql("text")
+_SPAN_PARTS = " || ' ' || ".join(f"toks[i + {j}]" for j in range(SPAN_W))
+
+# occurrences of every stride-1 W-token window: (doc_id, pos, win)
+_SPAN_OCC = f"""
+t AS (SELECT doc_id, regexp_split_to_array({_NORM}, '\\s+') AS toks
+      FROM documents WHERE trim({_NORM}) <> ''),
+w AS (SELECT doc_id,
+             unnest(generate_series(1, len(toks) - {SPAN_W - 1})) - 1 AS pos,
+             unnest(list_transform(
+                 generate_series(1, len(toks) - {SPAN_W - 1}),
+                 i -> {_SPAN_PARTS})) AS win
+      FROM t WHERE len(toks) >= {SPAN_W}),
+d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= {SPAN_MIN_COUNT}),
+o AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+m AS (SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + {SPAN_W}) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM o),
+i AS (SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+      FROM m),
+sp AS (SELECT doc_id,
+              CAST(MIN(pos) AS BIGINT) AS span_start,
+              CAST(MAX(pos) + {SPAN_W} AS BIGINT) AS span_end,
+              COUNT(*) AS n_windows,
+              CAST(MAX(pos) + {SPAN_W} - MIN(pos) AS BIGINT) AS dup_tokens
+       FROM i GROUP BY doc_id, isl)
+"""
+
+_SPANS_ORACLE = f"""
+WITH {_SPAN_OCC}
+SELECT doc_id, span_start, span_end, n_windows, dup_tokens FROM sp
+"""
+
+
+@register("duplicate_spans", _SPANS_ORACLE, "M6-curation-span-dedup")
+def q_duplicate_spans(spark, sf_dir):
+    return spans.duplicate_spans(_t(spark, sf_dir, "documents"),
+                                 width=SPAN_W, min_count=SPAN_MIN_COUNT)
+
+
+_SPAN_STATS_ORACLE = f"""
+WITH {_SPAN_OCC}
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens_total
+FROM sp GROUP BY doc_id
+"""
+
+
+@register("span_dedup_stats", _SPAN_STATS_ORACLE, "M6-curation-span-dedup")
+def q_span_dedup_stats(spark, sf_dir):
+    return spans.span_dedup_stats(_t(spark, sf_dir, "documents"),
+                                  width=SPAN_W, min_count=SPAN_MIN_COUNT)
+
+
+# ---------------------------------------------------------------------------
+# serving: the flattened inverted index behind BM25
+
+_IDX_ORACLE = f"""
+WITH tok AS (
+  {TOK_BODY}),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+stats AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+          FROM tf GROUP BY term HAVING COUNT(*) >= {IDX_MIN_DF}),
+p AS (SELECT term, doc_id, tf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                     ORDER BY tf DESC, doc_id) AS BIGINT)
+               AS posting_rank
+      FROM tf)
+SELECT p.term, s.df, s.cf, p.posting_rank, p.doc_id, p.tf
+FROM p JOIN stats s USING (term)
+WHERE p.posting_rank <= {IDX_MAX_POSTINGS}
+"""
+
+
+@register("inverted_index", _IDX_ORACLE, "M6-serving-inverted-index")
+def q_inverted_index(spark, sf_dir):
+    return relevance.inverted_index(_t(spark, sf_dir, "documents"),
+                                    min_df=IDX_MIN_DF,
+                                    max_postings=IDX_MAX_POSTINGS)
+
+
+# ---------------------------------------------------------------------------
+# privacy: k-anonymity audit + suppression release over customer QIs
+# QI tuple: (nationkey, mktsegment, account-balance band of 1000).
+# The band uses DOUBLE floor-division: band boundaries are x000.00, and
+# x000.00/1000.0 is exact in binary floating point, so both engines band
+# identically (the workload's float-boundary discipline).
+
+_BAL_BAND = "CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)"
+
+_KANON_REPORT_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment, {_BAL_BAND} AS bal_band,
+       COUNT(*) AS n_rows, (COUNT(*) < {K_ANON}) AS suppressed
+FROM customer GROUP BY 1, 2, 3
+"""
+
+_KANON_QI = ["c_nationkey", "c_mktsegment", "bal_band"]
+
+
+def _customer_banded(spark, sf_dir):
+    return (_t(spark, sf_dir, "customer")
+            .withColumn("bal_band",
+                        F.floor(F.col("c_acctbal").cast("double") / 1000.0)
+                        .cast("bigint")))
+
+
+@register("k_anonymity_report", _KANON_REPORT_ORACLE, "M6-privacy-kanon")
+def q_k_anonymity_report(spark, sf_dir):
+    return privacy.k_anonymity_report(_customer_banded(spark, sf_dir),
+                                      _KANON_QI, k=K_ANON)
+
+
+_KANON_RELEASE_ORACLE = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, {_BAL_BAND} AS bal_band
+  FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) >= {K_ANON})
+SELECT COUNT(*) AS n_released,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_acctbal
+FROM customer c JOIN g
+  ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment
+ AND {_BAL_BAND.replace('c_acctbal', 'c.c_acctbal')} = g.bal_band
+"""
+
+
+@register("k_anonymous_release", _KANON_RELEASE_ORACLE, "M6-privacy-kanon")
+def q_k_anonymous_release(spark, sf_dir):
+    released = privacy.k_anonymize(_customer_banded(spark, sf_dir),
+                                   _KANON_QI, k=K_ANON)
+    return released.agg(
+        F.count(F.lit(1)).alias("n_released"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+         .cast("double").alias("total_acctbal"))
+
+
+# ---------------------------------------------------------------------------
+# graph: per-node triangle counts on the co-purchase graph
+
+_TRI_ORACLE = f"""
+WITH e0 AS (
+  SELECT src, dst FROM (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           COUNT(DISTINCT a.l_orderkey) AS n
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2)
+  WHERE n >= {TRI_MIN_ORDERS}),
+c AS (SELECT DISTINCT src, dst FROM e0 WHERE src < dst),
+t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c2
+      FROM c e1 JOIN c e2 ON e1.dst = e2.src
+      JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+u AS (SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c2 FROM t)
+SELECT node, COUNT(*) AS n_triangles FROM u GROUP BY node
+"""
+
+
+@register("part_triangle_counts", _TRI_ORACLE, "M6-graph-triangles")
+def q_part_triangle_counts(spark, sf_dir):
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"),
+                                   min_orders=TRI_MIN_ORDERS)
+    return graph.triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# events: last-touch attribution (one ordered pass, no range self-join)
+
+_ATTR_WINDOW_US = ATTR_WINDOW_HOURS * 3600 * 1_000_000
+_ATTR_IN = "', '".join(ATTR_TOUCHES)
+_ATTR_FRAME = ("PARTITION BY user_id ORDER BY ts, event_id "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING")
+
+_ATTR_ORACLE = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN ('{_ATTR_IN}') THEN ts END
+                    IGNORE NULLS) OVER ({_ATTR_FRAME}) AS t_ts,
+         last_value(CASE WHEN event_type IN ('{_ATTR_IN}') THEN event_type END
+                    IGNORE NULLS) OVER ({_ATTR_FRAME}) AS t_type
+  FROM events),
+a AS (
+  SELECT CASE WHEN t_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(t_ts) <= {_ATTR_WINDOW_US}
+              THEN t_type ELSE 'none' END AS attributed_type,
+         CASE WHEN t_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(t_ts) <= {_ATTR_WINDOW_US}
+              THEN epoch_us(ts) - epoch_us(t_ts) END AS lag_us,
+         value
+  FROM c WHERE event_type = 'purchase')
+SELECT attributed_type, COUNT(*) AS n_conversions,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(lag_us) AS BIGINT) AS lag_us_total
+FROM a GROUP BY attributed_type
+"""
+
+
+@register("attribution_last_touch", _ATTR_ORACLE, "T1-attribution")
+def q_attribution_last_touch(spark, sf_dir):
+    attributed = last_touch_attribution(
+        _t(spark, sf_dir, "events"),
+        touch_types=ATTR_TOUCHES, conversion_type="purchase",
+        window_hours=ATTR_WINDOW_HOURS)
+    return (attributed.groupBy("attributed_type")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("total_value"),
+                 F.sum("lag_us").alias("lag_us_total")))

@@ -1,0 +1,239 @@
+"""Unit tests for the session-4 operators: cross-document duplicate spans
+(operators/spans.py), the inverted index (relevance.inverted_index),
+k-anonymity (operators/privacy.py), triangle counts (graph.triangle_counts)
+and last-touch attribution (sessionize.last_touch_attribution) — golden
+fixtures with hand-checked answers plus each operator's invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.operators.graph import triangle_counts
+from etl_online_retail_spark.operators.privacy import (
+    k_anonymity_report,
+    k_anonymize,
+)
+from etl_online_retail_spark.operators.relevance import inverted_index
+from etl_online_retail_spark.operators.sessionize import last_touch_attribution
+from etl_online_retail_spark.operators.spans import (
+    duplicate_spans,
+    span_dedup_stats,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (1, "a b c d e f g h"),          # shares a..f with doc 2
+        (2, "x x a b c d e f y"),
+        (3, "p q r z p q r"),            # verbatim repeat WITHIN one doc
+        (4, "m n"),                      # fewer than width tokens
+        (5, "   "),                      # blank after normalization
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_duplicate_spans_golden(spark, span_docs):
+    out = duplicate_spans(span_docs, width=3, min_count=2)
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows, r.dup_tokens)
+           for r in out.collect()}
+    assert got == {
+        # doc 1: windows abc bcd cde def (pos 0..3) merge -> [0, 6)
+        (1, 0, 6, 4, 6),
+        # doc 2: same four windows at pos 2..5 -> [2, 8)
+        (2, 2, 8, 4, 6),
+        # doc 3: pqr at pos 0 and 4 -> two spans (gap breaks the island)
+        (3, 0, 3, 1, 3),
+        (3, 4, 7, 1, 3),
+    }
+
+
+def test_duplicate_spans_merges_adjacent_windows(spark):
+    # 'a b c' at pos 0 and again at pos 3: spans [0,3) and [3,6) touch
+    # (gap 0) and must merge into one [0, 6) span
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c z"), (2, "a b c q")],
+        "doc_id BIGINT, text STRING")
+    out = duplicate_spans(docs, width=3, min_count=2)
+    got = {(r.doc_id, r.span_start, r.span_end) for r in out.collect()}
+    assert (1, 0, 6) in got
+    assert (2, 0, 3) in got
+
+
+def test_duplicate_spans_normalizes_text(spark):
+    # case and punctuation differences must not defeat the match
+    docs = spark.createDataFrame(
+        [(1, "Alpha, Beta GAMMA delta!"), (2, "alpha beta gamma x")],
+        "doc_id BIGINT, text STRING")
+    out = duplicate_spans(docs, width=3, min_count=2).collect()
+    assert {(r.doc_id, r.span_start, r.span_end) for r in out} == {
+        (1, 0, 3), (2, 0, 3)}
+
+
+def test_span_dedup_stats_rollup(spark, span_docs):
+    out = {r.doc_id: (r.n_spans, r.dup_tokens_total)
+           for r in span_dedup_stats(span_docs, width=3,
+                                     min_count=2).collect()}
+    assert out == {1: (1, 6), 2: (1, 6), 3: (2, 6)}
+
+
+# ---------------------------------------------------------------------------
+# inverted_index
+
+
+def test_inverted_index_golden(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id BIGINT, text STRING")
+    out = inverted_index(docs, min_df=2)
+    got = {(r.term, r.df, r.cf, r.posting_rank, r.doc_id, r.tf)
+           for r in out.collect()}
+    assert got == {
+        ("apple", 2, 3, 1, 1, 2),    # tf 2 outranks tf 1
+        ("apple", 2, 3, 2, 3, 1),
+        ("banana", 2, 2, 1, 1, 1),   # tf tie -> doc_id order
+        ("banana", 2, 2, 2, 2, 1),
+    }  # cherry: df 1 < min_df, dropped
+
+
+def test_inverted_index_max_postings_truncates(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id BIGINT, text STRING")
+    out = inverted_index(docs, min_df=2, max_postings=1).collect()
+    assert {(r.term, r.doc_id) for r in out} == {("apple", 1), ("banana", 1)}
+    assert all(r.posting_rank == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+
+
+@pytest.fixture(scope="module")
+def qi_rows(spark):
+    rows = [("us", "a", i) for i in range(3)] \
+        + [("us", "b", 10)] \
+        + [("de", "a", 20), ("de", "a", 21)]
+    return spark.createDataFrame(rows, "country STRING, seg STRING, x INT")
+
+
+def test_k_anonymity_report_flags_small_groups(spark, qi_rows):
+    rep = {(r.country, r.seg): (r.n_rows, r.suppressed)
+           for r in k_anonymity_report(qi_rows, ["country", "seg"],
+                                       k=2).collect()}
+    assert rep == {("us", "a"): (3, False),
+                   ("us", "b"): (1, True),
+                   ("de", "a"): (2, False)}
+
+
+def test_k_anonymize_suppresses_and_preserves_schema(spark, qi_rows):
+    out = k_anonymize(qi_rows, ["country", "seg"], k=2)
+    assert out.columns == qi_rows.columns
+    rows = out.collect()
+    assert len(rows) == 5                       # the ("us","b") row is gone
+    assert all((r.country, r.seg) != ("us", "b") for r in rows)
+    # invariant: every released QI group has >= k members
+    sizes = (out.groupBy("country", "seg").count().collect())
+    assert all(r["count"] >= 2 for r in sizes)
+
+
+def test_k_anonymize_k1_is_identity(spark, qi_rows):
+    assert k_anonymize(qi_rows, ["country", "seg"], k=1).count() \
+        == qi_rows.count()
+
+
+def test_k_anonymity_rejects_bad_k(spark, qi_rows):
+    with pytest.raises(ValueError):
+        k_anonymity_report(qi_rows, ["country"], k=0)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+
+
+def _sym(edges):
+    return [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+
+
+def test_triangle_counts_two_triangles_sharing_a_node(spark):
+    e = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]),
+        "src BIGINT, dst BIGINT")
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_triangle_counts_k4(spark):
+    # K4 holds 4 triangles; every node sits in C(3,2) = 3 of them
+    e = spark.createDataFrame(
+        _sym([(a, b) for a in range(1, 5) for b in range(a + 1, 5)]),
+        "src BIGINT, dst BIGINT")
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert sum(got.values()) == 3 * 4           # 3 corners per triangle
+
+
+def test_triangle_counts_no_triangle_in_a_path(spark):
+    e = spark.createDataFrame(_sym([(1, 2), (2, 3), (3, 4)]),
+                              "src BIGINT, dst BIGINT")
+    assert triangle_counts(e).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# last_touch_attribution
+
+
+def test_last_touch_attribution_golden(spark):
+    rows = [
+        # user 1: view then click then purchase -> LAST touch (click) wins
+        (1, 1, _ts("2024-01-01T00:00:00"), "view", 0.0),
+        (2, 1, _ts("2024-01-01T01:00:00"), "click", 0.0),
+        (3, 1, _ts("2024-01-01T02:00:00"), "purchase", 50.0),
+        # user 2: touch 30h before purchase -> outside 24h window -> none
+        (4, 2, _ts("2024-01-01T00:00:00"), "click", 0.0),
+        (5, 2, _ts("2024-01-02T06:00:00"), "purchase", 30.0),
+        # user 3: purchase with no preceding events at all -> none
+        (6, 3, _ts("2024-01-01T00:00:00"), "purchase", 20.0),
+        # user 4: touch at the SAME ts but HIGHER event_id is not
+        # "preceding" under the (ts, event_id) order -> none
+        (7, 4, _ts("2024-01-01T00:00:00"), "purchase", 10.0),
+        (8, 4, _ts("2024-01-01T00:00:00"), "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id INT, user_id INT, ts TIMESTAMP_NTZ, "
+              "event_type STRING, value DOUBLE")
+    got = {r.event_id: (r.attributed_type, r.lag_us)
+           for r in last_touch_attribution(ev, window_hours=24).collect()}
+    assert got == {
+        3: ("click", 3_600_000_000),
+        5: ("none", None),
+        6: ("none", None),
+        7: ("none", None),
+    }
+
+
+def test_last_touch_attribution_intervening_purchase_keeps_touch(spark):
+    # touch, purchase, purchase: BOTH purchases attribute to the touch
+    # (a purchase is not a touch and does not reset the carry)
+    rows = [
+        (1, 1, _ts("2024-01-01T00:00:00"), "view", 0.0),
+        (2, 1, _ts("2024-01-01T00:30:00"), "purchase", 5.0),
+        (3, 1, _ts("2024-01-01T01:00:00"), "purchase", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id INT, user_id INT, ts TIMESTAMP_NTZ, "
+              "event_type STRING, value DOUBLE")
+    got = {r.event_id: r.attributed_type
+           for r in last_touch_attribution(ev, window_hours=24).collect()}
+    assert got == {2: "view", 3: "view"}
