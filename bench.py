@@ -107,6 +107,11 @@ HEADLINE = [
     "user_value_ewma",
     "tfidf_pair_cosine",
     "cohort_retention",
+    "duplicate_spans",
+    "inverted_index",
+    "k_anonymity_report",
+    "part_triangle_counts",
+    "attribution_last_touch",
     # part_copurchase_hops is NOT benched: the BFS loop executes at plan
     # construction (driver-coordinated iterations + frontier caches), so a
     # steady-state re-run would time only the final cached-union scan and

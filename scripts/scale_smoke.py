@@ -550,6 +550,66 @@ def main() -> None:
     timed(f"interval overlap join @ {factor}x", overlap)
     timed(f"ewma fold @ {factor}x", ewma)
 
+    # session-4 operators. Replicated docs multiply every window's corpus
+    # frequency (all cross-copy repeats -> EVERY window becomes
+    # duplicated), so span dedup's join-back hits 100% of occurrences —
+    # the worst case; must stay ~linear (explode + agg + keyed window).
+    def span_dedup():
+        from etl_online_retail_spark.operators.spans import duplicate_spans
+
+        (duplicate_spans(docs, width=5, min_count=2)
+         .write.format("noop").mode("overwrite").save())
+
+    # inverted index: explode + two hash aggs + per-term ranking window;
+    # replication multiplies df/cf but not the term vocabulary, so the
+    # posting-truncated output is ~constant while the scan scales
+    def inv_index():
+        from etl_online_retail_spark.operators.relevance import (
+            inverted_index,
+        )
+
+        (inverted_index(docs, min_df=2, max_postings=10)
+         .write.format("noop").mode("overwrite").save())
+
+    # k-anonymity: one QI hash agg + a group-sized semi-join
+    def kanon():
+        from etl_online_retail_spark.operators.privacy import k_anonymize
+
+        banded = c.withColumn(
+            "band", F.floor(F.col("c_acctbal").cast("double") / 1000.0))
+        (k_anonymize(banded, ["c_nationkey", "c_mktsegment", "band"], k=5)
+         .groupBy("c_mktsegment").count()
+         .write.format("noop").mode("overwrite").save())
+
+    # triangles: wedge join + closure join on the support-thresholded
+    # edges; replication multiplies components (disjoint key spaces), so
+    # wedge work scales with copies, not copies^2
+    def triangles():
+        from etl_online_retail_spark.operators.graph import (
+            copurchase_edges,
+            triangle_counts,
+        )
+
+        (triangle_counts(copurchase_edges(li, min_orders=2))
+         .write.format("noop").mode("overwrite").save())
+
+    # attribution: the sessionize shape — one shuffle on user, two carried
+    # window values sharing the exchange
+    def attribution():
+        from etl_online_retail_spark.operators.sessionize import (
+            last_touch_attribution,
+        )
+
+        (last_touch_attribution(ev)
+         .groupBy("attributed_type").count()
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"duplicate spans (all-dup worst case) @ {factor}x", span_dedup)
+    timed(f"inverted index @ {factor}x", inv_index)
+    timed(f"k-anonymity release @ {factor}x", kanon)
+    timed(f"triangle counts @ {factor}x", triangles)
+    timed(f"last-touch attribution @ {factor}x", attribution)
+
 
 if __name__ == "__main__":
     main()
