@@ -100,6 +100,60 @@ def copurchase_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
             .select("src", "dst"))
 
 
+def copurchase_pmi(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
+    """Association scores for co-purchased part pairs: support, lift and
+    PMI — the market-basket step up from copurchase_edges' boolean
+    membership (Amazon's 'frequently bought together' ranks by exactly
+    this kind of co-occurrence-vs-chance score, not raw counts).
+
+        lift(a,b) = N * supp(a,b) / (supp(a) * supp(b))
+        pmi(a,b)  = ln(lift)             -- > 0 iff above-chance
+
+    counted over DISTINCT orders (a basket contributes once however many
+    line items repeat a part). Pairs are canonical a < b and thresholded
+    at min_orders joint support — the same sparsifier as the edge
+    relation, applied BEFORE the per-part join-backs so the scored
+    relation is support-bounded.
+
+    Scale shape: one distinct (order, part) projection feeds both the
+    per-part supports (hash agg) and the pair supports (self-join on the
+    order key — shuffle-free on the co-bucketed staging — then a
+    map-combinable pair agg); the two support join-backs key on a part
+    each, broadcast when the part dimension fits. Floats appear only in
+    the final row-local arithmetic: lift is one IEEE division of exact
+    integers, pmi is ln(lift) rounded to 9dp (the workload's float
+    discipline), so the result is oracle-hash-exact.
+
+    Output: (src, dst, n_both, n_src, n_dst, lift DOUBLE, pmi DOUBLE).
+    """
+    op = (lineitem.select(F.col("l_orderkey").alias("_ok"),
+                          F.col("l_partkey").alias("_pk"))
+          .distinct()
+          .cache())  # feeds supports, both pair legs, and N (rule 7)
+    # N rides along as a broadcast 1-row crossJoin (the relevance.py
+    # corpus-stats pattern) — fully lazy, no driver-side action
+    n_rel = op.agg(F.count_distinct("_ok").alias("_n"))
+    supp = op.groupBy("_pk").agg(F.count(F.lit(1)).alias("_s"))
+    a = op.select(F.col("_ok"), F.col("_pk").alias("src"))
+    b = op.select(F.col("_ok"), F.col("_pk").alias("dst"))
+    pairs = (a.join(b, "_ok")
+             .filter(F.col("src") < F.col("dst"))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .filter(F.col("n_both") >= min_orders))
+    lift = (F.col("_n").cast("double") * F.col("n_both").cast("double")
+            / (F.col("n_src").cast("double") * F.col("n_dst").cast("double")))
+    return (pairs
+            .join(supp.select(F.col("_pk").alias("src"),
+                              F.col("_s").alias("n_src")), "src")
+            .join(supp.select(F.col("_pk").alias("dst"),
+                              F.col("_s").alias("n_dst")), "dst")
+            .crossJoin(F.broadcast(n_rel))
+            .select("src", "dst", "n_both", "n_src", "n_dst",
+                    lift.alias("lift"),
+                    F.round(F.log(lift), 9).alias("pmi")))
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 

@@ -139,6 +139,62 @@ def time_weighted_avg(events: DataFrame, key_col: str, ts_col: str,
         den.cast("bigint").alias("total_ms"))
 
 
+def rolling_zscore_anomalies(events: DataFrame, key_col: str, ts_col: str,
+                             tiebreak_col: str, value_col: str,
+                             lookback: int = 10, min_obs: int = 5,
+                             threshold: float = 3.0) -> DataFrame:
+    """Per-key rolling z-score anomaly gate: flag an observation whose
+    value sits more than `threshold` sample standard deviations from the
+    mean of its own trailing window — the classic self-calibrating
+    monitor for metric streams (each key learns its own level/volatility,
+    unlike a global cutoff; the MAD gate in operators/aggregates.py is
+    the batch-robust sibling, this is the ROLLING per-point one).
+
+    The baseline frame is the `lookback` rows STRICTLY BEFORE the row
+    (never the row itself — a spike must not inflate the baseline that
+    judges it) and needs >= min_obs observations, so series heads go
+    unjudged rather than wrongly judged.
+
+    Exactness: window sums accumulate int64 CENTS and cents² (exact;
+    2dp values up to ~$21M keep cents² x lookback under 2^63). Mean,
+    sample variance and the z-score then run in DOUBLE as row-local
+    arithmetic on those exact integers, z rounds to 6dp — deterministic
+    on both engines (no float reduction order anywhere). Zero-variance
+    baselines emit no row (any deviation from a flat baseline is
+    infinite-z; callers wanting that case filter _sd = 0 upstream).
+
+    One keyed window pass (three frame aggregates share one exchange +
+    sort), then a pure filter — scales like sessionization.
+
+    Output: (key_col, event_id/tiebreak, ts, value DOUBLE, baseline_n
+    BIGINT, zscore DOUBLE) for anomalous rows only.
+    """
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col), F.col(tiebreak_col))
+         .rowsBetween(-lookback, -1))
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = (events
+            .withColumn("_c", cents)
+            .withColumn("_n", F.count("_c").over(w))
+            .withColumn("_s", F.sum("_c").over(w))
+            .withColumn("_s2", F.sum(F.col("_c") * F.col("_c")).over(w)))
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    # sample variance in cents^2: (s2 - s^2/n) / (n - 1), exact inputs
+    var = ((F.col("_s2").cast("double")
+            - F.col("_s").cast("double") * F.col("_s").cast("double") / n)
+           / (n - F.lit(1.0)))
+    sd = F.sqrt(var)
+    z = (F.col("_c").cast("double") - mean) / sd
+    return (base
+            .filter((F.col("_n") >= min_obs) & (sd > 0)
+                    & (F.abs(z) > threshold))
+            .select(F.col(key_col), F.col(tiebreak_col), F.col(ts_col),
+                    F.col(value_col),
+                    F.col("_n").cast("bigint").alias("baseline_n"),
+                    F.round(z, 6).alias("zscore")))
+
+
 def ewma_last(events: DataFrame, key_col: str, ts_col: str,
               tiebreak_col: str, value_col: str,
               alpha: float = 0.5) -> DataFrame:

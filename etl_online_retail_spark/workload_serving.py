@@ -210,6 +210,86 @@ def q_part_triangle_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# graph: co-purchase association scores (support / lift / PMI)
+
+PMI_MIN_ORDERS = 2
+
+_PMI_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+supp AS (SELECT pk, COUNT(*) AS s FROM op GROUP BY pk),
+p AS (SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS n_both
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_ORDERS})
+SELECT src, dst, n_both, sa.s AS n_src, sb.s AS n_dst,
+       CAST(n_orders AS DOUBLE) * CAST(n_both AS DOUBLE)
+         / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS lift,
+       ROUND(ln(CAST(n_orders AS DOUBLE) * CAST(n_both AS DOUBLE)
+                / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE))), 9)
+         AS pmi
+FROM p JOIN supp sa ON p.src = sa.pk
+       JOIN supp sb ON p.dst = sb.pk, n
+"""
+
+
+@register("part_copurchase_pmi", _PMI_ORACLE, "M6-graph-association-pmi")
+def q_part_copurchase_pmi(spark, sf_dir):
+    return graph.copurchase_pmi(_t(spark, sf_dir, "lineitem"),
+                                min_orders=PMI_MIN_ORDERS)
+
+
+# ---------------------------------------------------------------------------
+# time series: rolling z-score anomaly gate over the event stream
+
+Z_LOOKBACK = 10
+Z_MIN_OBS = 5
+Z_THRESHOLD = 3.0
+
+_Z_FRAME = (f"PARTITION BY user_id ORDER BY ts, event_id "
+            f"ROWS BETWEEN {Z_LOOKBACK} PRECEDING AND 1 PRECEDING")
+
+_ZSCORE_ORACLE = f"""
+WITH b AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         COUNT(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           OVER ({_Z_FRAME}) AS n,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           OVER ({_Z_FRAME}) AS s,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           OVER ({_Z_FRAME}) AS s2
+  FROM events),
+z AS (
+  SELECT user_id, event_id, ts, value, n,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)) AS sd,
+         (CAST(c AS DOUBLE)
+          - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS dev
+  FROM b)
+SELECT user_id, event_id, ts, value,
+       CAST(n AS BIGINT) AS baseline_n,
+       ROUND(dev / sd, 6) AS zscore
+FROM z
+WHERE n >= {Z_MIN_OBS} AND sd > 0 AND abs(dev / sd) > {Z_THRESHOLD}
+"""
+
+
+@register("events_anomaly_zscore", _ZSCORE_ORACLE, "T1-anomaly-zscore")
+def q_events_anomaly_zscore(spark, sf_dir):
+    from etl_online_retail_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    return rolling_zscore_anomalies(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id", "value",
+        lookback=Z_LOOKBACK, min_obs=Z_MIN_OBS, threshold=Z_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
 # events: last-touch attribution (one ordered pass, no range self-join)
 
 _ATTR_WINDOW_US = ATTR_WINDOW_HOURS * 3600 * 1_000_000

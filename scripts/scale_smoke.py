@@ -610,6 +610,26 @@ def main() -> None:
     timed(f"triangle counts @ {factor}x", triangles)
     timed(f"last-touch attribution @ {factor}x", attribution)
 
+    # association PMI: the co-purchase pair agg + two keyed join-backs
+    def pmi():
+        from etl_online_retail_spark.operators.graph import copurchase_pmi
+
+        (copurchase_pmi(li, min_orders=2)
+         .write.format("noop").mode("overwrite").save())
+
+    # rolling z-score: one keyed window (3 frame aggs share the
+    # exchange) + a pure filter
+    def zscore():
+        from etl_online_retail_spark.operators.timeseries import (
+            rolling_zscore_anomalies,
+        )
+
+        (rolling_zscore_anomalies(ev, "user_id", "ts", "event_id", "value")
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"co-purchase PMI @ {factor}x", pmi)
+    timed(f"rolling z-score anomalies @ {factor}x", zscore)
+
 
 if __name__ == "__main__":
     main()

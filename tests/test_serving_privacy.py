@@ -223,6 +223,62 @@ def test_last_touch_attribution_golden(spark):
     }
 
 
+def test_copurchase_pmi_golden(spark):
+    import math
+
+    from etl_online_retail_spark.operators.graph import copurchase_pmi
+
+    rows = [  # (orderkey, partkey); o1 duplicates part 1 (must not count 2x)
+        (1, 1), (1, 1), (1, 2),
+        (2, 1), (2, 2),
+        (3, 1), (3, 3),
+        (4, 2),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey BIGINT, l_partkey BIGINT")
+    out = copurchase_pmi(li, min_orders=2).collect()
+    assert len(out) == 1                       # (1,3) joint support 1 drops
+    r = out[0]
+    assert (r.src, r.dst, r.n_both, r.n_src, r.n_dst) == (1, 2, 2, 3, 3)
+    lift = 4.0 * 2.0 / (3.0 * 3.0)
+    assert r.lift == pytest.approx(lift)
+    assert r.pmi == pytest.approx(round(math.log(lift), 9))
+    assert r.pmi < 0                           # below-chance co-occurrence
+
+
+def test_rolling_zscore_flags_spike_not_head(spark):
+    from etl_online_retail_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: alternating 10/12 baseline, then a spike
+    for i in range(10):
+        rows.append((i, 1, t0 + dt.timedelta(minutes=i),
+                     10.0 if i % 2 == 0 else 12.0))
+    rows.append((10, 1, t0 + dt.timedelta(minutes=10), 100.0))
+    # user 2: extreme 5th value but only 4 baseline rows -> unjudged
+    for i in range(4):
+        rows.append((20 + i, 2, t0 + dt.timedelta(minutes=i), 10.0))
+    rows.append((24, 2, t0 + dt.timedelta(minutes=4), 1000.0))
+    # user 3: flat baseline (sd = 0) -> spike emits no row
+    for i in range(6):
+        rows.append((30 + i, 3, t0 + dt.timedelta(minutes=i), 10.0))
+    rows.append((36, 3, t0 + dt.timedelta(minutes=6), 100.0))
+    ev = spark.createDataFrame(
+        rows, "event_id INT, user_id INT, ts TIMESTAMP_NTZ, value DOUBLE")
+    out = rolling_zscore_anomalies(ev, "user_id", "ts", "event_id", "value",
+                                   lookback=10, min_obs=5,
+                                   threshold=3.0).collect()
+    assert [(r.user_id, r.event_id, r.baseline_n) for r in out] \
+        == [(1, 10, 10)]
+    # hand-computed: cents baseline mean 1100, sample sd over 5x(+-100)
+    n, s, s2 = 10.0, 11000.0, 12200000.0
+    sd = ((s2 - s * s / n) / (n - 1.0)) ** 0.5
+    z = (10000.0 - s / n) / sd
+    assert out[0].zscore == pytest.approx(round(z, 6))
+
+
 def test_last_touch_attribution_intervening_purchase_keeps_touch(spark):
     # touch, purchase, purchase: BOTH purchases attribute to the touch
     # (a purchase is not a touch and does not reset the carry)
