@@ -114,6 +114,7 @@ HEADLINE = [
     "attribution_last_touch",
     "part_copurchase_pmi",
     "events_anomaly_zscore",
+    "gif_frame_stats",
     # part_copurchase_hops is NOT benched: the BFS loop executes at plan
     # construction (driver-coordinated iterations + frontier caches), so a
     # steady-state re-run would time only the final cached-union scan and

@@ -102,6 +102,7 @@ def decode_image(content: bytes) -> dict:
     keep. Routing is by magic bytes, the same dispatch a production
     decoder pool uses.
     """
+    from etl_online_retail_spark.multimodal import gif as _gif
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
     from etl_online_retail_spark.multimodal import png as _png
 
@@ -110,11 +111,13 @@ def decode_image(content: bytes) -> dict:
         img = _png.decode_png(content)
     elif content[:2] == _jpeg.JPEG_SOI:
         img = _jpeg.decode_jpeg(content)
+    elif content[:6] in _gif.GIF_MAGICS:
+        img = _gif.decode_gif(content).frames[0]  # still view: first frame
     else:
         raise NotImplementedError(
-            "only PNG and baseline JPEG decode in this environment (stdlib "
-            "codecs); WebP/audio/video require libraries not present in "
-            "this container"
+            "only PNG, baseline JPEG and GIF decode in this environment "
+            "(stdlib codecs); WebP requires libraries not present in this "
+            "container"
         )
     return {
         "width": img.width,
@@ -429,6 +432,92 @@ def synthetic_mjpeg_media(docs: DataFrame, id_col: str = "doc_id",
     ])
     return (docs.select(F.col(id_col).cast("long").alias("media_id"))
                 .mapInPandas(render, out_schema))
+
+
+def synthetic_gif_media(docs: DataFrame, id_col: str = "doc_id",
+                        max_w: int = 16, max_h: int = 8) -> DataFrame:
+    """One deterministic solid-gray single-frame GIF per row (real LZW
+    encoder, multimodal/gif.py) — the synthetic_png_media pattern: width
+    = 1 + id % max_w, height = 1 + id % max_h, every palette index (and,
+    through the grayscale table, every RGB sample) = id % 256, so the
+    oracle verifies the decoded features in closed form."""
+    from etl_online_retail_spark.multimodal import gif as _gif
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h, v = 1 + i % max_w, 1 + i % max_h, i % 256
+                payloads.append(_gif.encode_gif([bytes([v]) * (w * h)],
+                                                w, h))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
+def synthetic_animated_gif_media(docs: DataFrame, id_col: str = "doc_id",
+                                 max_frames: int = 4) -> DataFrame:
+    """One deterministic ANIMATED GIF per row: 1 + id % max_frames solid
+    frames, frame f's gray value = (id + 85*f) % 256 — closed-form in
+    (id, frame index) like synthetic_mjpeg_media, so per-frame decode is
+    SQL-oracle-checkable."""
+    from etl_online_retail_spark.multimodal import gif as _gif
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 1 + i % 16, 1 + i % 8
+                frames = [bytes([(i + 85 * f) % 256]) * (w * h)
+                          for f in range(1 + i % max_frames)]
+                payloads.append(_gif.encode_gif(frames, w, h))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
+def gif_frame_features(media: DataFrame) -> DataFrame:
+    """Per-frame decode of (possibly animated) GIF payloads: one output
+    row per frame — the container-structure twin of video_frame_features
+    (MJPEG), driven by GIF's image-descriptor walk rather than marker
+    scanning. Same columnar fan-out contract and output schema."""
+    from etl_online_retail_spark.multimodal import gif as _gif
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = _gif.decode_gif(bytes(content))
+                for fi, frame in enumerate(img.frames):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ws.append(frame.width)
+                    hs.append(frame.height)
+                    means.append(frame.mean_pixel())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "mean_pixel": pd.Series(means, dtype="float64"),
+            })
+
+    return media.select("media_id", "content").mapInPandas(
+        extract, FRAME_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -1513,6 +1513,60 @@ def q_mjpeg_frame_stats(spark, sf_dir):
         MJPEG_EVERY_N)
 
 
+# real GIF codec round-trip (stdlib LZW, multimodal/gif.py): the
+# png_image_stats shape — solid value = id % 256 through the grayscale
+# palette, closed-form oracle, Spark genuinely LZW-encodes and decodes.
+@register(
+    "gif_image_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST(8 AS INTEGER) AS bit_depth, "
+    "CAST(doc_id % 256 AS DOUBLE) AS mean_pixel "
+    "FROM documents",
+    "M6-multimodal-codec",
+)
+def q_gif_image_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        image_features,
+        synthetic_gif_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(synthetic_gif_media(docs))
+
+
+# animated GIF per-frame decode: the mjpeg_frame_stats shape driven by
+# the container's image-descriptor walk (every frame, no sampling stride).
+GIF_MAX_FRAMES = 4
+
+
+@register(
+    "gif_frame_stats",
+    f"""WITH f AS (
+  SELECT doc_id, 1 + doc_id % {GIF_MAX_FRAMES} AS nf FROM documents),
+s AS (
+  SELECT doc_id, CAST(unnest(range(0, nf)) AS INTEGER) AS i FROM f)
+SELECT doc_id AS media_id, i AS frame_idx,
+  CAST(1 + doc_id % 16 AS INTEGER) AS width,
+  CAST(1 + doc_id % 8 AS INTEGER) AS height,
+  CAST((doc_id + 85 * i) % 256 AS DOUBLE) AS mean_pixel
+FROM s""",
+    "M6-multimodal-frame-sample",
+)
+def q_gif_frame_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        gif_frame_features,
+        synthetic_animated_gif_media,
+    )
+
+    docs = (_t(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return gif_frame_features(
+        synthetic_animated_gif_media(docs, max_frames=GIF_MAX_FRAMES))
+
+
 # audio: real WAV/PCM decode (multimodal/wav) — duration and amplitude
 # closed-form in the id (see synthetic_wav_media for the exactness note).
 @register(
