@@ -115,6 +115,9 @@ HEADLINE = [
     "part_copurchase_pmi",
     "events_anomaly_zscore",
     "gif_frame_stats",
+    "quality_rank_normalized",
+    "source_length_psi",
+    "contrastive_negatives",
     # part_copurchase_hops is NOT benched: the BFS loop executes at plan
     # construction (driver-coordinated iterations + frontier caches), so a
     # steady-state re-run would time only the final cached-union scan and

@@ -177,3 +177,111 @@ def curate_corpus(docs: DataFrame, min_quality: float = 0.35,
             .filter(F.col("quality") >= min_quality)
             .join(canonical, "doc_id", "left_semi")
             .join(dominated, "doc_id", "left_anti"))
+
+
+def rank_normalize(df: DataFrame, part_col: str, order_col: str,
+                   tiebreak_col: str,
+                   out_col: str = "rank_pct") -> DataFrame:
+    """Percentile-rank normalization within each partition: append
+    out_col = (rank - 1) / (n - 1) in [0, 1] (0 when the partition is a
+    singleton, matching PERCENT_RANK in both engines).
+
+    The curation use: raw quality scores are not comparable across
+    sources (each source has its own score distribution), so mixing
+    policies threshold on the WITHIN-SOURCE percentile instead — "keep
+    every source's top 40%" — which is exactly this transform. The
+    tiebreak column makes the ordering total, so the rank (and the
+    normalized value: one exact-integer division in double) is
+    deterministic and oracle-hash-exact.
+
+    One window pass per partition key; scales like any keyed window.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(part_col)
+         .orderBy(F.col(order_col), F.col(tiebreak_col)))
+    return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def contrastive_negatives(docs: DataFrame, anchors: DataFrame,
+                          k: int = 3, n_buckets: int = 16,
+                          id_col: str = "doc_id",
+                          group_col: str = "source",
+                          seed: int = 77) -> DataFrame:
+    """Deterministic random negatives for contrastive training: for each
+    anchor document, k pseudo-random corpus documents from a DIFFERENT
+    group (source), reproducible across runs and engines — the negative
+    half of an (anchor, positive, negatives) triplet builder. Hard
+    negatives (same-bucket near-misses) come from the similarity
+    operators; these are the unbiased easy negatives every contrastive
+    recipe also needs, without rand() (the repo's determinism rule).
+
+    Shape: candidates get a hash bucket (affine universal hash, pmod-
+    first so ids >= 2^61 can't overflow — the sampling.py lesson); each
+    anchor probes k buckets derived from (anchor, round). The join is an
+    EQUI-join on the bucket, so each (anchor, round) scans ~N/n_buckets
+    candidates, never the corpus — n_buckets is the cost/diversity knob
+    (at 100 TB, size it so a bucket is a few thousand docs). Within a
+    probed bucket the winner is the minimum pairwise hash — one ranking
+    window per (anchor, round).
+
+    Output: (anchor_id, neg_round 0..k-1, neg_id, neg_group). A round
+    whose bucket holds no eligible candidate yields no row (use more
+    buckets per round or larger n_buckets if full coverage is needed).
+    """
+    from etl_online_retail_spark.functions.hashing import (
+        PRIME,
+        hash_family,
+    )
+    from pyspark.sql import Window
+
+    (a1, b1), (a2, b2), (a3, b3), (a4, b4) = hash_family(4, seed=seed)
+
+    def _aff(h, a, b):
+        return (F.pmod(h.cast("bigint"), F.lit(PRIME)) * F.lit(a)
+                + F.lit(b)) % F.lit(PRIME)
+
+    cand = docs.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(group_col).alias("neg_group"),
+        F.pmod(_aff(F.col(id_col), a1, b1), F.lit(n_buckets))
+         .alias("_bkt"),
+        _aff(F.col(id_col), a3, b3).alias("_ch"))
+    probes = (anchors
+              .select(F.col(id_col).alias("anchor_id"),
+                      F.col(group_col).alias("_agrp"))
+              .select("anchor_id", "_agrp",
+                      F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                       .alias("neg_round"))
+              .withColumn(
+                  "_bkt",
+                  F.pmod(_aff(F.pmod(F.col("anchor_id").cast("bigint"),
+                                     F.lit(PRIME)) * F.lit(k)
+                              + F.col("neg_round"), a2, b2),
+                         F.lit(n_buckets)))
+              .withColumn("_ah", _aff(F.col("anchor_id"), a4, b4)))
+    paired = (probes.join(cand, "_bkt")
+              .filter((F.col("neg_id") != F.col("anchor_id"))
+                      & (F.col("neg_group") != F.col("_agrp")))
+              .withColumn("_ph", (F.col("_ch") + F.col("_ah"))
+                          % F.lit(PRIME)))
+    w = (Window.partitionBy("anchor_id", "neg_round")
+         .orderBy(F.col("_ph"), F.col("neg_id")))
+    return (paired
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("anchor_id",
+                    F.col("neg_round").cast("bigint").alias("neg_round"),
+                    "neg_id", "neg_group"))
+
+
+def auto_n_buckets(n_docs: int, target_bucket: int = 1024,
+                   floor: int = 16) -> int:
+    """Bucket count for contrastive_negatives that holds the per-probe
+    candidate scan ~constant as the corpus grows: ~target_bucket docs per
+    bucket. With fixed buckets the probe cost is N/B per (anchor, round)
+    — linear in N, i.e. anchors x N overall; sizing B ~ N/target makes it
+    anchors x target instead (measured: the 2x->10x smoke is quadratic at
+    B=16 and ~linear under auto sizing — the auto_n_planes lesson from
+    the embedding LSH)."""
+    return max(floor, n_docs // target_bucket)

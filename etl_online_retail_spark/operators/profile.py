@@ -254,3 +254,56 @@ def suggest_constraints(profile: DataFrame) -> DataFrame:
                     F.explode(F.filter(cands, lambda s: s.isNotNull()))
                      .alias("_r"))
             .select("col_name", "_r.rule", "_r.detail"))
+
+
+def psi_by_group(rel: DataFrame, group_col: str,
+                 bucket_col: str) -> DataFrame:
+    """Population Stability Index of each group's bucket distribution
+    against the corpus-wide distribution — the standard drift score a
+    feature-monitoring pipeline computes per slice/day/source:
+
+        PSI(g) = sum_b (p_gb - q_b) * ln(p_gb / q_b)
+
+    with add-one (Laplace) smoothing over the observed bucket vocabulary
+    on BOTH sides, so empty buckets contribute finite, deterministic
+    mass instead of infinities: p_gb = (c_gb + 1) / (n_g + B),
+    q_b = (c_b + 1) / (n + B), B = number of distinct observed buckets.
+    Rule of thumb read-out: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    shifted.
+
+    rel: one row per item with (group_col, bucket_col) — bucketing is the
+    caller's closed-form expression (e.g. a capped integer division of a
+    length), keeping the operator engine-agnostic and oracle-exact.
+
+    Exactness: counts are exact integers; each bucket's float
+    contribution is rounded to 9dp and summed as DECIMAL(18,9) (the BM25
+    discipline — order-independent), the total rounds to 6dp.
+
+    Scale shape: two hash aggs ((group, bucket) and bucket) + a
+    broadcast of the bucket marginals (B rows) and scalars; the groups x
+    buckets contribution relation is tiny. One shuffle over the input.
+    """
+    gb = (rel.groupBy(group_col, bucket_col)
+          .agg(F.count(F.lit(1)).alias("_cgb")))
+    # every (group, bucket) pair over the OBSERVED bucket vocabulary —
+    # absent pairs must contribute their smoothed mass, so build the
+    # full cross of group totals x bucket marginals (groups*B rows, tiny)
+    gtot = rel.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    btot = rel.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_cb"))
+    scal = rel.agg(F.count(F.lit(1)).alias("_n"))
+    nb = btot.agg(F.count(F.lit(1)).alias("_b"))
+    full = (gtot.crossJoin(F.broadcast(btot))
+            .join(gb, [group_col, bucket_col], "left")
+            .crossJoin(F.broadcast(scal))
+            .crossJoin(F.broadcast(nb))
+            .withColumn("_cgb", F.coalesce(F.col("_cgb"), F.lit(0))))
+    p = ((F.col("_cgb") + 1).cast("double")
+         / (F.col("_ng") + F.col("_b")).cast("double"))
+    q = ((F.col("_cb") + 1).cast("double")
+         / (F.col("_n") + F.col("_b")).cast("double"))
+    contrib = F.round((p - q) * F.log(p / q), 9).cast("decimal(18,9)")
+    return (full
+            .select(F.col(group_col), F.col("_ng"), contrib.alias("_c"))
+            .groupBy(group_col, "_ng")
+            .agg(F.round(F.sum("_c").cast("double"), 6).alias("psi"))
+            .select(F.col(group_col), F.col("_ng").alias("n_rows"), "psi"))

@@ -210,6 +210,160 @@ def q_part_triangle_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# curation: within-source percentile-rank normalization of quality scores
+
+_QUALITY_EXPR = None  # built lazily below from the text-fn twins
+
+
+def _quality_sql() -> str:
+    from etl_online_retail_spark.functions.text import (
+        punct_ratio_sql,
+        stopword_ratio_sql,
+        token_count_sql,
+    )
+
+    return (f"(0.5 * ({stopword_ratio_sql('text', 'en')}) "
+            f" + 0.3 * least({token_count_sql('text')} / 100.0, 1.0) "
+            f" + 0.2 * (1.0 - ({punct_ratio_sql('text')})))")
+
+
+_RANK_ORACLE = f"""
+WITH q AS (SELECT doc_id, source, {_quality_sql()} AS quality
+           FROM documents)
+SELECT doc_id, source, quality,
+       PERCENT_RANK() OVER (PARTITION BY source
+                            ORDER BY quality, doc_id) AS rank_pct
+FROM q
+"""
+
+
+@register("quality_rank_normalized", _RANK_ORACLE, "M6-curation-rank-norm")
+def q_quality_rank_normalized(spark, sf_dir):
+    from etl_online_retail_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from etl_online_retail_spark.operators.curation import rank_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = (F.lit(0.5) * stopword_ratio("text", "en")
+               + F.lit(0.3) * F.least(token_count("text") / F.lit(100.0),
+                                      F.lit(1.0))
+               + F.lit(0.2) * (F.lit(1.0) - punct_ratio("text")))
+    scored = docs.select("doc_id", "source", quality.alias("quality"))
+    return rank_normalize(scored, "source", "quality", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# drift: PSI of each source's token-length distribution vs the corpus
+
+PSI_BUCKET_W = 20
+PSI_MAX_BUCKET = 9
+
+
+def _psi_oracle() -> str:
+    from etl_online_retail_spark.functions.text import token_count_sql
+
+    bkt = (f"least(CAST(FLOOR(CAST({token_count_sql('text')} AS DOUBLE) "
+           f"/ {PSI_BUCKET_W}.0) AS BIGINT), {PSI_MAX_BUCKET})")
+    return f"""
+WITH r AS (SELECT source, {bkt} AS bkt FROM documents),
+gb AS (SELECT source, bkt, COUNT(*) AS cgb FROM r GROUP BY 1, 2),
+gt AS (SELECT source, COUNT(*) AS ng FROM r GROUP BY 1),
+bt AS (SELECT bkt, COUNT(*) AS cb FROM r GROUP BY 1),
+s AS (SELECT COUNT(*) AS n FROM r),
+nb AS (SELECT COUNT(*) AS b FROM bt),
+f AS (
+  SELECT gt.source, gt.ng, bt.bkt, bt.cb,
+         COALESCE(gb.cgb, 0) AS cgb, s.n, nb.b
+  FROM gt CROSS JOIN bt
+  LEFT JOIN gb ON gb.source = gt.source AND gb.bkt = bt.bkt, s, nb),
+c AS (
+  SELECT source, ng,
+         CAST(ROUND(
+           (CAST(cgb + 1 AS DOUBLE) / CAST(ng + b AS DOUBLE)
+            - CAST(cb + 1 AS DOUBLE) / CAST(n + b AS DOUBLE))
+           * ln((CAST(cgb + 1 AS DOUBLE) / CAST(ng + b AS DOUBLE))
+                / (CAST(cb + 1 AS DOUBLE) / CAST(n + b AS DOUBLE))), 9)
+           AS DECIMAL(18,9)) AS contrib
+  FROM f)
+SELECT source, CAST(ng AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS psi
+FROM c GROUP BY source, ng
+"""
+
+
+@register("source_length_psi", _psi_oracle(), "M6-drift-psi")
+def q_source_length_psi(spark, sf_dir):
+    from etl_online_retail_spark.functions.text import token_count
+    from etl_online_retail_spark.operators.profile import psi_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    bkt = F.least(
+        F.floor(token_count("text").cast("double") / PSI_BUCKET_W),
+        F.lit(PSI_MAX_BUCKET)).cast("bigint")
+    return psi_by_group(docs.select("source", bkt.alias("bkt")),
+                        "source", "bkt")
+
+
+# ---------------------------------------------------------------------------
+# curation: deterministic contrastive negatives (bucket-probed, no rand())
+
+NEG_K = 3
+NEG_BUCKETS = 16
+NEG_SEED = 77
+NEG_ANCHOR_MOD = 50
+
+
+def _neg_oracle() -> str:
+    from etl_online_retail_spark.functions.hashing import (
+        PRIME,
+        hash_family,
+    )
+
+    (a1, b1), (a2, b2), (a3, b3), (a4, b4) = hash_family(4, seed=NEG_SEED)
+    return f"""
+WITH anc AS (SELECT doc_id AS anchor_id, source AS agrp
+             FROM documents WHERE doc_id % {NEG_ANCHOR_MOD} = 0),
+pr AS (SELECT anchor_id, agrp,
+              unnest(generate_series(0, {NEG_K - 1})) AS neg_round
+       FROM anc),
+p2 AS (SELECT anchor_id, agrp, neg_round,
+              (((((anchor_id % {PRIME}) * {NEG_K} + neg_round)
+                 % {PRIME}) * {a2} + {b2}) % {PRIME}) % {NEG_BUCKETS}
+                AS bkt,
+              ((anchor_id % {PRIME}) * {a4} + {b4}) % {PRIME} AS ah
+       FROM pr),
+cd AS (SELECT doc_id AS neg_id, source AS neg_group,
+              (((doc_id % {PRIME}) * {a1} + {b1}) % {PRIME})
+                % {NEG_BUCKETS} AS bkt,
+              ((doc_id % {PRIME}) * {a3} + {b3}) % {PRIME} AS ch
+       FROM documents),
+j AS (SELECT anchor_id, neg_round, neg_id, neg_group,
+             (ch + ah) % {PRIME} AS ph
+      FROM p2 JOIN cd USING (bkt)
+      WHERE neg_id <> anchor_id AND neg_group <> agrp),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, neg_round
+                                    ORDER BY ph, neg_id) AS rn
+       FROM j)
+SELECT anchor_id, neg_round, neg_id, neg_group FROM rk WHERE rn = 1
+"""
+
+
+@register("contrastive_negatives", _neg_oracle(), "M6-curation-negatives")
+def q_contrastive_negatives(spark, sf_dir):
+    from etl_online_retail_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") % NEG_ANCHOR_MOD == 0)
+    return contrastive_negatives(docs, anchors, k=NEG_K,
+                                 n_buckets=NEG_BUCKETS, seed=NEG_SEED)
+
+
+# ---------------------------------------------------------------------------
 # graph: co-purchase association scores (support / lift / PMI)
 
 PMI_MIN_ORDERS = 2

@@ -279,6 +279,68 @@ def test_rolling_zscore_flags_spike_not_head(spark):
     assert out[0].zscore == pytest.approx(round(z, 6))
 
 
+def test_rank_normalize_golden_and_singleton(spark):
+    from etl_online_retail_spark.operators.curation import rank_normalize
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 40.0),
+         ("b", 5, 99.0)],
+        "src STRING, id INT, score DOUBLE")
+    got = {r.id: r.rank_pct
+           for r in rank_normalize(df, "src", "score", "id").collect()}
+    assert got == {1: 0.0, 3: pytest.approx(1 / 3), 2: pytest.approx(2 / 3),
+                   4: 1.0, 5: 0.0}          # singleton partition -> 0
+
+
+def test_psi_identical_vs_shifted_distributions(spark):
+    from etl_online_retail_spark.operators.profile import psi_by_group
+
+    rows = []
+    # eight groups share one bucket mix (they ARE the corpus shape);
+    # one group concentrates all mass elsewhere
+    common = [f"g{i}" for i in range(8)]
+    for g in common:
+        rows += [(g, b) for b in (0, 0, 1, 1, 2, 2)]
+    rows += [("shifted", 9)] * 6
+    rel = spark.createDataFrame(rows, "src STRING, bkt INT")
+    got = {r.src: (r.n_rows, r.psi) for r in
+           psi_by_group(rel, "src", "bkt").collect()}
+    assert all(n == 6 for n, _ in got.values())
+    # the common groups match each other exactly and sit near the corpus
+    # distribution -> stable band; the concentrated group is far shifted
+    assert len({got[g] for g in common}) == 1
+    assert got[common[0]][1] < 0.1              # "stable" band
+    assert got["shifted"][1] > 0.25             # "shifted" band
+
+
+def test_contrastive_negatives_invariants(spark):
+    from etl_online_retail_spark.operators.curation import (
+        contrastive_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(200)],
+        "doc_id BIGINT, source STRING")
+    anchors = docs.filter(F.col("doc_id") % 40 == 0)
+    out = contrastive_negatives(docs, anchors, k=3, n_buckets=8)
+    rows = out.collect()
+    assert rows, "expected at least one negative"
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        assert r.neg_group != f"s{r.anchor_id % 5}"
+        assert 0 <= r.neg_round < 3
+    per_anchor = {}
+    for r in rows:
+        key = (r.anchor_id, r.neg_round)
+        assert key not in per_anchor          # one winner per round
+        per_anchor[key] = r.neg_id
+    # deterministic under physical re-layout of the input
+    again = {(r.anchor_id, r.neg_round): r.neg_id
+             for r in contrastive_negatives(
+                 docs.repartition(7), anchors, k=3, n_buckets=8).collect()}
+    assert again == per_anchor
+
+
 def test_last_touch_attribution_intervening_purchase_keeps_touch(spark):
     # touch, purchase, purchase: BOTH purchases attribute to the touch
     # (a purchase is not a touch and does not reset the carry)
