@@ -118,6 +118,8 @@ HEADLINE = [
     "quality_rank_normalized",
     "source_length_psi",
     "contrastive_negatives",
+    "l_diversity_report",
+    "embedding_pca",
     # part_copurchase_hops is NOT benched: the BFS loop executes at plan
     # construction (driver-coordinated iterations + frontier caches), so a
     # steady-state re-run would time only the final cached-union scan and

@@ -44,6 +44,28 @@ def k_anonymity_report(df: DataFrame, qi_cols: Sequence[str],
             .withColumn("suppressed", F.col("n_rows") < k))
 
 
+def l_diversity_report(df: DataFrame, qi_cols: Sequence[str],
+                       sensitive_col: str, l: int = 2) -> DataFrame:
+    """Distinct-l-diversity audit: k-anonymity's necessary companion.
+    A k-anonymous group whose members all share one sensitive value
+    still leaks that value for everyone in the group (the homogeneity
+    attack); distinct l-diversity demands >= l distinct sensitive values
+    per QI group.
+
+    Output: (*qi_cols, n_rows BIGINT, n_sensitive BIGINT, diverse
+    BOOLEAN). Same scale shape as the k-report — one hash agg over the
+    QI tuple; the COUNT(DISTINCT sensitive) adds one Expand pass, the
+    usual exact-distinct cost.
+    """
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count_distinct(F.col(sensitive_col))
+                  .alias("n_sensitive"))
+            .withColumn("diverse", F.col("n_sensitive") >= l))
+
+
 def k_anonymize(df: DataFrame, qi_cols: Sequence[str],
                 k: int = 5) -> DataFrame:
     """Suppression release: rows of df whose QI group has >= k members.

@@ -659,3 +659,92 @@ def pq_topk_refined(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbour_id", "l2_dist", "rank"))
+
+
+def train_pca(corpus: DataFrame, k: int = 16, train_rows: int = 20_000,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> tuple[list, list]:
+    """Top-k principal components of the embedding corpus: (mean[d],
+    components[k][d]) — the linear dimensionality reduction every vector
+    store reaches for before PQ/IVF (project to the energy-carrying
+    subspace, THEN quantize/index the short vectors).
+
+    Same training asymmetry as train_pq_codebooks: the spectral solve is
+    DRIVER-side numpy over the train_rows smallest-affine-hash sample
+    (unbiased, deterministic across runs and layouts; FAISS's PCAMatrix
+    trains the same way), because an eigendecomposition of a d x d
+    covariance (d = embedding width, typically <= 4096) is microseconds —
+    only projection touches the corpus. Component SIGNS are fixed
+    (largest-|coefficient| entry made positive) so the matrix is unique,
+    not just the subspace.
+    """
+    import numpy as np
+
+    from etl_online_retail_spark.operators.sampling import _bucket
+
+    sample = (corpus
+              .select(F.col(id_col), as_double(vec_col).alias("_v"))
+              .orderBy(_bucket(F.col(id_col)).asc(), F.col(id_col).asc())
+              .limit(train_rows)
+              .collect())
+    mat = np.array([r._v for r in sample], dtype=np.float64)
+    if k > mat.shape[1]:
+        raise ValueError(f"k={k} exceeds embedding width {mat.shape[1]}")
+    mean = mat.mean(axis=0)
+    c = mat - mean
+    cov = (c.T @ c) / max(len(mat) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)       # ascending
+    comp = evecs[:, ::-1][:, :k].T           # k x d, descending variance
+    for i in range(len(comp)):               # deterministic sign
+        j = int(np.abs(comp[i]).argmax())
+        if comp[i][j] < 0:
+            comp[i] = -comp[i]
+    return ([float(x) for x in mean],
+            [[float(x) for x in row] for row in comp])
+
+
+def pca_project(corpus: DataFrame, mean: list, components: list,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Arrow-batched PCA projection + per-vector audit: (id, proj
+    array<double>, recon_err, var_ratio) where recon_err is the L2 error
+    of reconstructing the centered vector from its projection and
+    var_ratio = |projection|^2 / |centered|^2 (energy captured; NULL for
+    a vector exactly at the mean). One numpy GEMM per batch — the
+    knn_vectorized shape; the corpus never shuffles.
+
+    Float reductions follow BLAS order, so queries over this are
+    rows-only for the driver gate (like knn_pq); the invariants
+    (orthonormal components, var_ratio bounds, error -> 0 as k -> d,
+    layout determinism) are pytest-asserted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mu = np.array(mean, dtype=np.float64)
+    b = np.array(components, dtype=np.float64)          # k x d
+
+    def run(batches):
+        for pdf in batches:
+            x = np.stack(pdf["_v"].to_numpy())
+            c = x - mu
+            p = c @ b.T
+            r = p @ b
+            err = np.sqrt(((c - r) ** 2).sum(axis=1))
+            cn = (c ** 2).sum(axis=1)
+            ratio = np.where(cn > 0, (p ** 2).sum(axis=1) / cn, np.nan)
+            yield pd.DataFrame({
+                "__id": pdf["__id"],
+                "proj": [list(map(float, row)) for row in p],
+                "recon_err": err,
+                "var_ratio": ratio,
+            })
+
+    out = (corpus
+           .select(F.col(id_col).alias("__id"),
+                   as_double(vec_col).alias("_v"))
+           .mapInPandas(
+               run,
+               f"__id long, proj array<double>, recon_err double, "
+               f"var_ratio double"))
+    return out.withColumnRenamed("__id", id_col)

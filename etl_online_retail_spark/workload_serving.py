@@ -169,6 +169,43 @@ FROM customer c JOIN g
 """
 
 
+L_DIVERSITY = 3
+
+_LDIV_ORACLE = f"""
+SELECT c_nationkey, {_BAL_BAND} AS bal_band,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT c_mktsegment) AS n_sensitive,
+       (COUNT(DISTINCT c_mktsegment) >= {L_DIVERSITY}) AS diverse
+FROM customer GROUP BY 1, 2
+"""
+
+
+@register("l_diversity_report", _LDIV_ORACLE, "M6-privacy-ldiversity")
+def q_l_diversity_report(spark, sf_dir):
+    return privacy.l_diversity_report(
+        _customer_banded(spark, sf_dir),
+        ["c_nationkey", "bal_band"], "c_mktsegment", l=L_DIVERSITY)
+
+
+# PCA projection audit: rows-only for the driver (BLAS reduction order,
+# like knn_pq) — orthonormality/energy/determinism invariants are
+# pytest-asserted (tests/test_serving_privacy.py).
+PCA_K = 16
+
+
+@register("embedding_pca", None, "M6-similarity-pca")
+def q_embedding_pca(spark, sf_dir):
+    from etl_online_retail_spark.operators.similarity import (
+        pca_project,
+        train_pca,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comp = train_pca(emb, k=PCA_K)
+    return (pca_project(emb, mean, comp)
+            .select("vec_id", "recon_err", "var_ratio"))
+
+
 @register("k_anonymous_release", _KANON_RELEASE_ORACLE, "M6-privacy-kanon")
 def q_k_anonymous_release(spark, sf_dir):
     released = privacy.k_anonymize(_customer_banded(spark, sf_dir),

@@ -660,6 +660,19 @@ def main() -> None:
     timed(f"psi drift by source @ {factor}x", psi)
     timed(f"contrastive negatives (auto buckets) @ {factor}x", negatives)
 
+    # PCA: sample-bounded driver solve (constant) + one GEMM per batch
+    def pca():
+        from etl_online_retail_spark.operators.similarity import (
+            pca_project,
+            train_pca,
+        )
+
+        mean, comp = train_pca(emb, k=16)
+        (pca_project(emb, mean, comp)
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"pca train+project @ {factor}x", pca)
+
 
 if __name__ == "__main__":
     main()

@@ -14,7 +14,10 @@ EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
                       "knn_pq",
                       # PageRank: iterative float power iteration —
                       # ulp-order-sensitive; invariants pytest-asserted
-                      "part_copurchase_rank"}
+                      "part_copurchase_rank",
+                      # PCA: BLAS projection, float reduction order —
+                      # orthonormality/energy invariants pytest-asserted
+                      "embedding_pca"}
 
 
 def test_every_query_has_survey_reference():

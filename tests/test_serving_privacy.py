@@ -341,6 +341,61 @@ def test_contrastive_negatives_invariants(spark):
     assert again == per_anchor
 
 
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from etl_online_retail_spark.operators.privacy import l_diversity_report
+
+    df = spark.createDataFrame(
+        [("us", "cancer"), ("us", "cancer"), ("us", "cancer"),   # homogeneous
+         ("de", "flu"), ("de", "cancer"),                        # diverse
+         ("fr", "flu")],
+        "country STRING, diagnosis STRING")
+    rep = {r.country: (r.n_rows, r.n_sensitive, r.diverse)
+           for r in l_diversity_report(df, ["country"], "diagnosis",
+                                       l=2).collect()}
+    # 'us' is 3-anonymous yet totally homogeneous — the case k-anonymity
+    # alone cannot see
+    assert rep == {"us": (3, 1, False), "de": (2, 2, True),
+                   "fr": (1, 1, False)}
+    with pytest.raises(ValueError):
+        l_diversity_report(df, ["country"], "diagnosis", l=0)
+
+
+def test_pca_invariants(spark):
+    import math
+
+    from etl_online_retail_spark.operators.similarity import (
+        pca_project,
+        train_pca,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comp = train_pca(emb, k=8)
+    d = len(mean)
+    # components orthonormal
+    for i in range(8):
+        for j in range(8):
+            dot = sum(comp[i][t] * comp[j][t] for t in range(d))
+            assert dot == pytest.approx(1.0 if i == j else 0.0, abs=1e-9)
+        # deterministic sign: largest-|coeff| entry positive
+        mx = max(range(d), key=lambda t: abs(comp[i][t]))
+        assert comp[i][mx] > 0
+    out8 = pca_project(emb, mean, comp).collect()
+    assert all(0.0 <= r.var_ratio <= 1.0 + 1e-12 for r in out8
+               if r.var_ratio is not None and not math.isnan(r.var_ratio))
+    # k = d reconstructs exactly (full basis)
+    mean_f, comp_f = train_pca(emb, k=d)
+    outd = pca_project(emb, mean_f, comp_f).collect()
+    assert all(r.recon_err < 1e-9 for r in outd)
+    # more components capture no less energy, vector by vector
+    e8 = {r.vec_id: r.recon_err for r in out8}
+    mean4, comp4 = train_pca(emb, k=4)
+    out4 = pca_project(emb, mean4, comp4).collect()
+    assert all(e8[r.vec_id] <= r.recon_err + 1e-9 for r in out4)
+    # layout determinism: training reads a hash-ORDERED sample
+    mean_r, comp_r = train_pca(emb.repartition(7), k=8)
+    assert mean_r == mean and comp_r == comp
+
+
 def test_last_touch_attribution_intervening_purchase_keeps_touch(spark):
     # touch, purchase, purchase: BOTH purchases attribute to the touch
     # (a purchase is not a touch and does not reset the carry)
