@@ -77,4 +77,9 @@ def k_anonymize(df: DataFrame, qi_cols: Sequence[str],
     keep = (k_anonymity_report(df, qi_cols, k)
             .filter(~F.col("suppressed"))
             .select(*qi_cols))
-    return df.join(keep, list(qi_cols), "left_semi")
+    # the keep relation is one row per surviving QI tuple — broadcast it
+    # explicitly (aggregate outputs have no size estimate, so the static
+    # plan would otherwise shuffle BOTH sides into a sort-merge semi-join;
+    # plan-asserted). If QI cardinality ever rivals the row count, the
+    # suppression gains nothing and a shuffle join is the least concern.
+    return df.join(F.broadcast(keep), list(qi_cols), "left_semi")

@@ -107,6 +107,53 @@ def duplicate_spans(docs: DataFrame, width: int = 5, min_count: int = 2,
             .drop("_isl"))
 
 
+def excise_spans(docs: DataFrame, width: int = 5, min_count: int = 2,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """The ACTION to duplicate_spans' measurement (the C4-removal
+    pattern, boilerplate_removal's sibling): rebuild each document with
+    its duplicated spans cut out.
+
+    Output: (id_col, n_tokens BIGINT, dup_tokens BIGINT, cleaned STRING)
+    for every tokenizable document — untouched docs pass through with
+    dup_tokens = 0, fully-duplicated docs come back with cleaned = ''.
+
+    Shape: the token relation left-anti joins the span relation on
+    doc_id + position-in-[start,end) — the only shuffles key on doc_id
+    (token reassembly would shuffle there anyway), per-doc fan-out is
+    tokens x spans-in-doc, and the span relation is output-bounded. The
+    surviving tokens reassemble in position order via one grouped sort.
+    """
+    norm = normalize(text_col)
+    toks = (docs
+            .filter(F.trim(norm) != "")
+            .select(id_col, F.posexplode(tokens(norm)).alias("pos", "tok")))
+    spans = duplicate_spans(docs, width, min_count, id_col, text_col) \
+        .select(id_col, "span_start", "span_end")
+    cut = (toks.join(
+        spans,
+        (toks[id_col] == spans[id_col])
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") < F.col("span_end")),
+        "left_anti"))
+    kept = (cut.groupBy(id_col)
+            .agg(F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"])).alias("cleaned"),
+                F.count(F.lit(1)).alias("_n_kept")))
+    totals = (toks.groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_tokens")))
+    return (totals.join(kept, id_col, "left")
+            .select(id_col, "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                    .cast("bigint").alias("dup_tokens"),
+                    F.coalesce(F.col("cleaned"), F.lit(""))
+                    .alias("cleaned")))
+
+
 def span_dedup_stats(docs: DataFrame, width: int = 5, min_count: int = 2,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:

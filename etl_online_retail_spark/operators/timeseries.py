@@ -175,9 +175,14 @@ def rolling_zscore_anomalies(events: DataFrame, key_col: str, ts_col: str,
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
     base = (events
             .withColumn("_c", cents)
+            # pre-project the square: a computed expression INSIDE a
+            # window aggregate forces Catalyst to split a second Window
+            # node off for it; over a plain column all three frame
+            # aggregates plan into ONE Window pass (plan-asserted)
+            .withColumn("_c2", F.col("_c") * F.col("_c"))
             .withColumn("_n", F.count("_c").over(w))
             .withColumn("_s", F.sum("_c").over(w))
-            .withColumn("_s2", F.sum(F.col("_c") * F.col("_c")).over(w)))
+            .withColumn("_s2", F.sum("_c2").over(w)))
     n = F.col("_n").cast("double")
     mean = F.col("_s").cast("double") / n
     # sample variance in cents^2: (s2 - s^2/n) / (n - 1), exact inputs

@@ -98,6 +98,41 @@ def q_span_dedup_stats(spark, sf_dir):
                                   width=SPAN_W, min_count=SPAN_MIN_COUNT)
 
 
+# the ACTION: rebuild documents with duplicated spans cut out
+_EXCISE_ORACLE = f"""
+WITH {_SPAN_OCC},
+tk AS (SELECT doc_id,
+              unnest(generate_series(1, len(toks))) - 1 AS pos,
+              unnest(toks) AS tok
+       FROM t),
+keep AS (
+  SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sp
+    WHERE sp.doc_id = tk.doc_id
+      AND tk.pos >= sp.span_start AND tk.pos < sp.span_end)),
+kept AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+         COUNT(*) AS n_kept
+  FROM keep GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tk GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_tokens,
+       CAST(tot.n_tokens - COALESCE(kept.n_kept, 0) AS BIGINT)
+         AS dup_tokens,
+       md5(COALESCE(kept.cleaned, '')) AS cleaned_md5
+FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+"""
+
+
+@register("span_excision", _EXCISE_ORACLE, "M6-curation-span-dedup")
+def q_span_excision(spark, sf_dir):
+    out = spans.excise_spans(_t(spark, sf_dir, "documents"),
+                             width=SPAN_W, min_count=SPAN_MIN_COUNT)
+    return out.select("doc_id", "n_tokens", "dup_tokens",
+                      F.md5("cleaned").alias("cleaned_md5"))
+
+
 # ---------------------------------------------------------------------------
 # serving: the flattened inverted index behind BM25
 

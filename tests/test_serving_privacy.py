@@ -81,6 +81,34 @@ def test_duplicate_spans_normalizes_text(spark):
         (1, 0, 3), (2, 0, 3)}
 
 
+def test_excise_spans_golden(spark, span_docs):
+    from etl_online_retail_spark.operators.spans import excise_spans
+
+    out = {r.doc_id: (r.n_tokens, r.dup_tokens, r.cleaned)
+           for r in excise_spans(span_docs, width=3,
+                                 min_count=2).collect()}
+    # doc 1 loses tokens 0..5 (a..f), keeps "g h"; doc 2 keeps the flanks
+    assert out[1] == (8, 6, "g h")
+    assert out[2] == (9, 6, "x x y")
+    # doc 3 loses both pqr copies, keeps the middle "z"
+    assert out[3] == (7, 6, "z")
+    # doc 4 is below the window width: untouched passthrough
+    assert out[4] == (2, 0, "m n")
+    # blank doc 5 is not tokenizable: absent (same contract as the
+    # measurement queries)
+    assert 5 not in out
+
+
+def test_excise_spans_can_empty_a_document(spark):
+    from etl_online_retail_spark.operators.spans import excise_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id BIGINT, text STRING")
+    out = {r.doc_id: (r.dup_tokens, r.cleaned)
+           for r in excise_spans(docs, width=3, min_count=2).collect()}
+    assert out == {1: (3, ""), 2: (3, "")}
+
+
 def test_span_dedup_stats_rollup(spark, span_docs):
     out = {r.doc_id: (r.n_spans, r.dup_tokens_total)
            for r in span_dedup_stats(span_docs, width=3,
@@ -221,6 +249,52 @@ def test_last_touch_attribution_golden(spark):
         6: ("none", None),
         7: ("none", None),
     }
+
+
+# ---------------------------------------------------------------------------
+# physical-plan audits: the shapes the docstrings claim must be the
+# shapes Catalyst actually produces
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_attribution_plan_shares_one_exchange(spark):
+    """Both carried window values (touch ts, touch type) must ride ONE
+    shuffle on user_id — the whole point of the windowed formulation
+    over a touches x conversions range join."""
+    ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "view", 0.0)],
+        "event_id INT, user_id INT, ts TIMESTAMP_NTZ, "
+        "event_type STRING, value DOUBLE")
+    plan = _plan(last_touch_attribution(ev))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_zscore_plan_shares_one_exchange_and_window(spark):
+    """count/sum/sum-of-squares over the same frame must share one
+    exchange AND one Window operator."""
+    from etl_online_retail_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), 1.0)],
+        "event_id INT, user_id INT, ts TIMESTAMP_NTZ, value DOUBLE")
+    plan = _plan(rolling_zscore_anomalies(ev, "user_id", "ts",
+                                          "event_id", "value"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("Window ") == 1, plan[:2000]
+
+
+def test_k_anonymize_plans_broadcast_semi_join(spark, qi_rows=None):
+    """The surviving-group relation is group-sized — the release filter
+    must plan as a BROADCAST semi-join, not a shuffle of the input."""
+    df = spark.createDataFrame([("us", "a", 1)] * 8,
+                               "country STRING, seg STRING, x INT")
+    plan = _plan(k_anonymize(df, ["country", "seg"], k=2))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
 
 
 def test_copurchase_pmi_golden(spark):
