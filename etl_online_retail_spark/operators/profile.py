@@ -283,14 +283,27 @@ def psi_by_group(rel: DataFrame, group_col: str,
     broadcast of the bucket marginals (B rows) and scalars; the groups x
     buckets contribution relation is tiny. One shuffle over the input.
     """
-    gb = (rel.groupBy(group_col, bucket_col)
-          .agg(F.count(F.lit(1)).alias("_cgb")))
+    counts = (rel.groupBy(group_col, bucket_col)
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    return psi_from_counts(counts, group_col, bucket_col)
+
+
+def psi_from_counts(counts: DataFrame, group_col: str,
+                    bucket_col: str) -> DataFrame:
+    """psi_by_group over an already-aggregated (group, bucket, cnt)
+    relation. Split out because bucket counts are a MONOID: per-shard or
+    per-micro-batch count partials merge exactly (sum), so the streaming
+    drift monitor (streaming/ingest.incremental_psi) reaches bit-equality
+    with the batch score by merging its partials through this same
+    function."""
+    gb = counts.select(F.col(group_col), F.col(bucket_col),
+                       F.col("cnt").alias("_cgb"))
     # every (group, bucket) pair over the OBSERVED bucket vocabulary —
     # absent pairs must contribute their smoothed mass, so build the
     # full cross of group totals x bucket marginals (groups*B rows, tiny)
-    gtot = rel.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
-    btot = rel.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_cb"))
-    scal = rel.agg(F.count(F.lit(1)).alias("_n"))
+    gtot = gb.groupBy(group_col).agg(F.sum("_cgb").alias("_ng"))
+    btot = gb.groupBy(bucket_col).agg(F.sum("_cgb").alias("_cb"))
+    scal = gb.agg(F.sum("_cgb").alias("_n"))
     nb = btot.agg(F.count(F.lit(1)).alias("_b"))
     full = (gtot.crossJoin(F.broadcast(btot))
             .join(gb, [group_col, bucket_col], "left")

@@ -546,3 +546,49 @@ def read_incremental_uniform_sample(spark, table_dir: str, id_col: str,
 
     return uniform_sample_topk(
         spark.read.parquet(table_dir).drop("_batch_id"), id_col, k)
+
+
+# ---------------------------------------------------------------------------
+# streaming drift monitor: PSI over an unbounded stream with bounded
+# state. Bucket counts are a monoid, so each micro-batch writes its OWN
+# (group, bucket, cnt) partial under `_batch_id` (replay-safe partition
+# overwrite) and the read side sums partials and scores them through the
+# SAME psi_from_counts the batch operator uses — the live PSI is
+# bit-equal to psi_by_group over the complete log (tested). State per
+# batch is groups x observed-buckets rows, never the stream length.
+
+
+def psi_batch_write(batch_df: DataFrame, batch_id: int, table_dir: str,
+                    group_col: str, bucket_col: str) -> None:
+    (batch_df.groupBy(group_col, bucket_col)
+     .agg(F.count(F.lit(1)).alias("cnt"))
+     .withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(table_dir))
+
+
+def incremental_psi(stream_df: DataFrame, table_dir: str,
+                    checkpoint_dir: str, group_col: str,
+                    bucket_col: str) -> StreamingQuery:
+    """Maintain per-(group, bucket) count partials over a stream; score
+    drift on read via read_incremental_psi."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: psi_batch_write(
+                df, bid, table_dir, group_col, bucket_col))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_incremental_psi(spark, table_dir: str, group_col: str,
+                         bucket_col: str) -> DataFrame:
+    """PSI per group over everything ingested so far — bit-equal to the
+    batch psi_by_group over the union of all batches."""
+    from etl_online_retail_spark.operators.profile import psi_from_counts
+
+    merged = (spark.read.parquet(table_dir)
+              .groupBy(group_col, bucket_col)
+              .agg(F.sum("cnt").alias("cnt")))
+    return psi_from_counts(merged, group_col, bucket_col)

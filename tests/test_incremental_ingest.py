@@ -591,3 +591,56 @@ def test_read_agg_as_of_legacy_full_compact(spark):
         assert as_of == live  # latest version serves through the -1 fold
         with pytest.raises(ValueError, match="legacy full compact"):
             read_agg_as_of(spark, t, ["event_type"], 1)
+
+
+def test_streaming_psi_matches_batch_and_replay_safe(spark, tmp_path):
+    """The live PSI (per-micro-batch count partials merged through
+    psi_from_counts) must be bit-equal to the batch psi_by_group over
+    the complete log, and a replayed batch must not change it."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import SCHEMAS
+    from etl_online_retail_spark.operators.profile import psi_by_group
+    from etl_online_retail_spark.streaming.ingest import (
+        incremental_psi,
+        psi_batch_write,
+        read_incremental_psi,
+    )
+
+    ev = load_events(spark, SF).cache()
+    bucketed = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).alias("bkt"))
+    src = str(tmp_path / "psi_src")
+    for b in range(3):
+        (ev.filter(F.col("event_id") % 3 == b)
+         .write.parquet(f"{src}/shard{b}"))
+    stream = (spark.readStream.schema(SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*")
+              .select("event_type",
+                      F.least(F.floor(F.col("value") / 50), F.lit(9))
+                       .alias("bkt")))
+    t = str(tmp_path / "psi")
+    q = incremental_psi(stream, t, str(tmp_path / "psi_ckpt"),
+                        "event_type", "bkt")
+    q.awaitTermination()
+
+    live = {r.event_type: (r.n_rows, r.psi)
+            for r in read_incremental_psi(spark, t,
+                                          "event_type", "bkt").collect()}
+    want = {r.event_type: (r.n_rows, r.psi)
+            for r in psi_by_group(bucketed, "event_type", "bkt").collect()}
+    assert live == want and len(live) >= 3
+
+    # replay of an already-committed batch: overwrites its own partition
+    psi_batch_write(
+        ev.filter(F.col("event_id") % 3 == 1)
+          .select("event_type",
+                  F.least(F.floor(F.col("value") / 50), F.lit(9))
+                   .alias("bkt")),
+        1, t, "event_type", "bkt")
+    after = {r.event_type: (r.n_rows, r.psi)
+             for r in read_incremental_psi(spark, t,
+                                           "event_type", "bkt").collect()}
+    assert after == want
