@@ -82,7 +82,11 @@ def duplicate_spans(docs: DataFrame, width: int = 5, min_count: int = 2,
     positions, n_windows = duplicated windows merged into the span,
     dup_tokens = span length. All integers: oracle-hash-exact.
     """
-    occ = window_occurrences(docs, width, id_col, text_col)
+    # cache: occ feeds BOTH the frequency agg and the occurrence probe —
+    # uncached, the tokenize + window-explode lineage runs twice (rule 7;
+    # measured ~1.5x on the sf0.1 bench query). At 100 TB: persist(DISK)
+    # or stage the window relation once.
+    occ = window_occurrences(docs, width, id_col, text_col).cache()
     dup = (occ.groupBy("win")
            .agg(F.count(F.lit(1)).alias("_n"))
            .filter(F.col("_n") >= min_count)
@@ -125,14 +129,21 @@ def excise_spans(docs: DataFrame, width: int = 5, min_count: int = 2,
     surviving tokens reassemble in position order via one grouped sort.
     """
     norm = normalize(text_col)
+    # cache: the token relation feeds the total count AND the anti-join
+    # probe (rule 7)
     toks = (docs
             .filter(F.trim(norm) != "")
-            .select(id_col, F.posexplode(tokens(norm)).alias("pos", "tok")))
+            .select(id_col, F.posexplode(tokens(norm)).alias("pos", "tok"))
+            .cache())
+    # alias the span side's id: both relations descend from `docs`, so a
+    # toks[id] == spans[id] condition trips Spark's self-join attribute
+    # disambiguation (it warns and CAN mis-resolve to a trivially-true
+    # compare); distinct names make the equi-part unambiguous
     spans = duplicate_spans(docs, width, min_count, id_col, text_col) \
-        .select(id_col, "span_start", "span_end")
+        .select(F.col(id_col).alias("_span_id"), "span_start", "span_end")
     cut = (toks.join(
         spans,
-        (toks[id_col] == spans[id_col])
+        (F.col(id_col) == F.col("_span_id"))
         & (F.col("pos") >= F.col("span_start"))
         & (F.col("pos") < F.col("span_end")),
         "left_anti"))
