@@ -563,3 +563,77 @@ def dedup_within_doc(docs: DataFrame, width: int = 10,
                  F.sum(F.when(F.col("_occ") > 1, 1).otherwise(0))
                   .cast("bigint").alias("n_dropped"),
                  kept_in_order.alias("cleaned")))
+
+
+def minhash_candidates(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 2, k: int = 16,
+                       bands: int = 4, mode: str = "word",
+                       seed: int = 42) -> DataFrame:
+    """The RAW banded candidate set (id_a, id_b), before exact-Jaccard
+    verification — the quantity LSH actually controls. Exposed for
+    calibration: recall against the exact pair set is the banding
+    scheme's miss rate, precision its wasted-verification rate."""
+    assert k % bands == 0, "k must divide into equal bands"
+    rows = k // bands
+    sh = _shingled(docs, text_col, id_col, n, mode).filter(F.col("_size") > 0)
+    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
+    band_cols = [
+        F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")
+                           for j in range(rows)]).alias(f"_band{i}")
+        for i in range(bands)
+    ]
+    banded = sig.select("_id", *band_cols).cache()  # 2 sides x bands joins
+    cands = None
+    for i in range(bands):
+        a = banded.select(F.col("_id").alias("id_a"),
+                          F.col(f"_band{i}").alias("_bv"))
+        b = banded.select(F.col("_id").alias("id_b"),
+                          F.col(f"_band{i}").alias("_bv"))
+        c = (a.join(b, "_bv").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.distinct()
+
+
+def minhash_calibration(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 2, k: int = 16,
+                        bands: int = 4, threshold: float = 0.5,
+                        seed: int = 42) -> DataFrame:
+    """Calibration scorecard for the MinHash/LSH parameters against
+    EXACT Jaccard ground truth — the evaluation every dedup deployment
+    owes its (k, bands, threshold) choice:
+
+        (n_exact, n_candidates, n_true, precision, recall)
+
+    where n_true = |candidates ∩ exact pairs|, precision = n_true /
+    n_candidates (how much verification work the banding wastes) and
+    recall = n_true / n_exact (which true pairs the banding can reach
+    AT ALL — verification can only shrink from here). NULL when the
+    denominator is zero.
+
+    The exact side is the UNCAPPED quadratic join — ground truth is
+    affordable at calibration-sample scale only, which is how this is
+    meant to be run at 100 TB: calibrate on a bounded sample (e.g.
+    operators/sampling.uniform_sample_topk), apply the tuned parameters
+    corpus-wide. All counts are exact integers; the two ratios are
+    single IEEE divisions — oracle-hash-exact.
+    """
+    exact = (jaccard_pairs(docs, text_col=text_col, id_col=id_col, n=n,
+                           threshold=threshold, max_shingle_df=None)
+             .select("id_a", "id_b")
+             .cache())   # feeds the count AND the intersection (rule 7)
+    cands = minhash_candidates(docs, text_col, id_col, n, k, bands,
+                               seed=seed).cache()
+    tp = cands.join(exact, ["id_a", "id_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = tp.agg(F.count(F.lit(1)).alias("n_true"))
+    prec = (F.when(F.col("n_candidates") > 0,
+                   F.col("n_true").cast("double")
+                   / F.col("n_candidates").cast("double")))
+    rec = (F.when(F.col("n_exact") > 0,
+                  F.col("n_true").cast("double")
+                  / F.col("n_exact").cast("double")))
+    return (ne.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(nt))
+            .select("n_exact", "n_candidates", "n_true",
+                    prec.alias("precision"), rec.alias("recall")))

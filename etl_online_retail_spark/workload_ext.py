@@ -159,6 +159,47 @@ def q_minhash_near_dups(spark, sf_dir):
         threshold=JACCARD_THRESHOLD)
 
 
+# dedup: the LSH-parameter calibration scorecard (candidates vs exact
+# ground truth) — precision is wasted verification, recall is the
+# banding's reachable-pair ceiling
+
+def _calibration_oracle() -> str:
+    return f"""
+WITH {_minhash_cte_block()},
+e AS (SELECT _id, unnest(_sh) AS _h, len(_sh) AS _size FROM sh),
+exact AS (
+  SELECT id_a, id_b FROM (
+    SELECT a._id AS id_a, b._id AS id_b,
+           COUNT(*)::DOUBLE
+             / (a._size + b._size - COUNT(*))::DOUBLE AS jaccard
+    FROM e a JOIN e b ON a._h = b._h AND a._id < b._id
+    GROUP BY a._id, b._id, a._size, b._size)
+  WHERE jaccard >= {JACCARD_THRESHOLD}),
+c2 AS (SELECT DISTINCT id_a, id_b FROM cands),
+ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+nc AS (SELECT COUNT(*) AS n_candidates FROM c2),
+nt AS (SELECT COUNT(*) AS n_true
+       FROM c2 JOIN exact USING (id_a, id_b))
+SELECT n_exact, n_candidates, n_true,
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_true AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+       END AS precision,
+       CASE WHEN n_exact > 0
+            THEN CAST(n_true AS DOUBLE) / CAST(n_exact AS DOUBLE)
+       END AS recall
+FROM ne, nc, nt
+"""
+
+
+@register("minhash_calibration", _calibration_oracle(),
+          "M6-dedup-minhash-calibration")
+def q_minhash_calibration(spark, sf_dir):
+    return dedup.minhash_calibration(
+        _t(spark, sf_dir, "documents"),
+        n=SHINGLE_N, k=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD)
+
+
 # dedup: SimHash signatures + hamming-banded near-dup pairs
 
 def _simhash_expr_sql() -> str:

@@ -59,3 +59,24 @@ def test_approx_percentiles_track_exact(spark):
         # the discrete median element
         assert a.p50 == src_row.exact_p50
         assert a.p50 <= a.p90 <= a.p99
+
+
+def test_minhash_calibration_scorecard(spark):
+    from etl_online_retail_spark.operators.dedup import minhash_calibration
+
+    # planted corpus: two exact-near-dup pairs + unrelated docs
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog now"),
+         (3, "completely different text about apples and oranges here"),
+         (4, "completely different text about apples and oranges there"),
+         (5, "nothing shares shingles with this lonely sentence at all"),
+         (6, "yet another unrelated fragment of words goes right here")],
+        "doc_id BIGINT, text STRING")
+    r = minhash_calibration(docs, k=16, bands=8, threshold=0.5).collect()[0]
+    assert r.n_exact == 2
+    # consistency: the intersection can exceed neither side
+    assert r.n_true <= min(r.n_exact, r.n_candidates)
+    # 8 bands of 2 rows catch these high-jaccard pairs
+    assert r.recall == 1.0
+    assert r.precision is not None and 0.0 < r.precision <= 1.0
