@@ -139,6 +139,53 @@ def time_weighted_avg(events: DataFrame, key_col: str, ts_col: str,
         den.cast("bigint").alias("total_ms"))
 
 
+def holt_last(events: DataFrame, key_col: str, ts_col: str,
+              tiebreak_col: str, value_col: str,
+              alpha: float = 0.5, beta: float = 0.5) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + linear trend)
+    over the event-time order — the forecasting step past ewma_last,
+    which tracks level only and lags any trending series:
+
+        l_1 = x_1,  b_1 = 0
+        l_i = alpha * x_i + (1 - alpha) * (l_{i-1} + b_{i-1})
+        b_i = beta * (l_i - l_{i-1}) + (1 - beta) * b_{i-1}
+
+    Output: (key_col, level, trend, forecast_1, n_obs) — forecast_1 =
+    level + trend, the one-step-ahead prediction a capacity/demand
+    pipeline reads per series.
+
+    Same exactness argument as ewma_last: a sequential fold expressed AS
+    a sequential fold, identical order and identical IEEE ops on both
+    engines, so the recursive definition is hash-verifiable; default
+    alpha = beta = 0.5 keeps every multiply an exact halving. Same scale
+    note too: per-key state is the key's own collected series — bounded
+    series only; unbounded series use the streaming twin
+    (streaming/stateful.holt_stream) carrying TWO numbers of state.
+    """
+    arr = F.array_sort(F.collect_list(
+        F.struct(F.col(ts_col), F.col(tiebreak_col),
+                 F.col(value_col).alias("_v"))))
+    vals = F.transform(arr, lambda s: s["_v"])
+    zero = F.struct(F.lit(None).cast("double").alias("l"),
+                    F.lit(None).cast("double").alias("t"))
+
+    def step(acc, x):
+        new_l = (F.lit(alpha) * x
+                 + F.lit(1.0 - alpha) * (acc["l"] + acc["t"]))
+        new_t = (F.lit(beta) * (new_l - acc["l"])
+                 + F.lit(1.0 - beta) * acc["t"])
+        return F.when(acc["l"].isNull(),
+                      F.struct(x.alias("l"), F.lit(0.0).alias("t"))) \
+                .otherwise(F.struct(new_l.alias("l"), new_t.alias("t")))
+
+    fold = F.aggregate(vals, zero, step)
+    return (events.groupBy(key_col)
+            .agg(F.round(fold["l"], 6).alias("level"),
+                 F.round(fold["t"], 6).alias("trend"),
+                 F.round(fold["l"] + fold["t"], 6).alias("forecast_1"),
+                 F.count(F.lit(1)).alias("n_obs")))
+
+
 def rolling_zscore_anomalies(events: DataFrame, key_col: str, ts_col: str,
                              tiebreak_col: str, value_col: str,
                              lookback: int = 10, min_obs: int = 5,

@@ -431,6 +431,82 @@ def _ewma_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                         "n_obs": out_n})
 
 
+HOLT_STATE_SCHEMA = ("last_us bigint, last_eid bigint, level double, "
+                     "trend double, n_obs bigint, buf_us array<bigint>, "
+                     "buf_eid array<bigint>, buf_val array<double>")
+
+HOLT_OUTPUT_SCHEMA = ("user_id bigint, ts timestamp, event_id bigint, "
+                      "level double, trend double, n_obs bigint")
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+
+
+def _holt_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
+                state: GroupState) -> "Iterator[pd.DataFrame]":
+    if state.exists:
+        last_us, last_eid, level, trend, n_obs, bu, be, bv = state.get
+        buf = list(zip(bu, be, bv))
+    else:
+        last_us, last_eid, level, trend, n_obs = -1, -1, None, 0.0, 0
+        buf = []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                buf.append((r.ts.value // 1000, r.event_id, r.value))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort()
+    ready = [b for b in buf if b[0] <= wm_us]
+    buf = [b for b in buf if b[0] > wm_us]
+
+    out_ts, out_eid, out_l, out_t, out_n = [], [], [], [], []
+    for ts_us, eid, val in ready:
+        if (ts_us, eid) <= (last_us, last_eid):
+            continue  # replay behind the cursor
+        if level is None:
+            level, trend = val, 0.0
+        else:
+            # the exact batch fold arithmetic (holt_last) on IEEE doubles
+            new_l = HOLT_ALPHA * val + (1.0 - HOLT_ALPHA) * (level + trend)
+            trend = HOLT_BETA * (new_l - level) + (1.0 - HOLT_BETA) * trend
+            level = new_l
+        n_obs += 1
+        last_us, last_eid = ts_us, eid
+        out_ts.append(pd.Timestamp(ts_us * 1000))
+        out_eid.append(eid)
+        out_l.append(level)
+        out_t.append(trend)
+        out_n.append(n_obs)
+
+    state.update((last_us, last_eid, level, trend, n_obs,
+                  [b[0] for b in buf], [b[1] for b in buf],
+                  [b[2] for b in buf]))
+    if buf:
+        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    yield pd.DataFrame({"user_id": [key[0]] * len(out_ts), "ts": out_ts,
+                        "event_id": out_eid, "level": out_l,
+                        "trend": out_t, "n_obs": out_n})
+
+
+def holt_stream(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Streaming Holt level+trend: one output row per event (its
+    post-update smoothed level and trend), emitted once the watermark
+    confirms its order. Equals the batch sequential fold (holt_last)
+    over the complete log — tested under shuffled micro-batch arrival.
+    State per key = cursor + TWO carried values + the parked disorder
+    window."""
+    return (events
+            .withWatermark("ts", delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _holt_apply,
+                outputStructType=HOLT_OUTPUT_SCHEMA,
+                stateStructType=HOLT_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ))
+
+
 def ewma_stream(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
     """Streaming per-key EWMA: one output row per event (its post-update
     smoothed value), emitted once the watermark confirms its order.

@@ -529,6 +529,50 @@ def q_user_value_ewma(spark, sf_dir):
                                 alpha=EWMA_ALPHA)
 
 
+# Holt double exponential smoothing: level + trend, the forecasting step
+# past EWMA. DuckDB's list_reduce seeds the accumulator with the FIRST
+# element — [x1, 0.0], exactly the fold's init — and the lambda inlines
+# new_level into the trend update (recomputing the same IEEE expression
+# yields the same double). The pair rides a 2-element DOUBLE LIST, not a
+# struct: DuckDB 1.0 mis-evaluates multi-reference struct accumulators
+# inside list_reduce lambdas (verified: trend came back wrong from the
+# 3rd element on), while list accumulators fold correctly.
+# alpha = beta = 0.5: every multiply an exact halving.
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+
+_HOLT_NEW_L = (f"{HOLT_ALPHA} * x[1] "
+               f"+ {1.0 - HOLT_ALPHA} * (acc[1] + acc[2])")
+
+_HOLT_ORACLE = f"""
+WITH f AS (
+  SELECT user_id,
+         list_reduce(
+           list([CAST(value AS DOUBLE), CAST(0.0 AS DOUBLE)]
+                ORDER BY ts, event_id),
+           (acc, x) -> [
+             {_HOLT_NEW_L},
+             {HOLT_BETA} * (({_HOLT_NEW_L}) - acc[1])
+             + {1.0 - HOLT_BETA} * acc[2]]) AS fold,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       ROUND(fold[1], 6) AS level,
+       ROUND(fold[2], 6) AS trend,
+       ROUND(fold[1] + fold[2], 6) AS forecast_1,
+       CAST(n AS BIGINT) AS n_obs
+FROM f
+"""
+
+
+@register("user_value_holt", _HOLT_ORACLE, "M6-ts-holt")
+def q_user_value_holt(spark, sf_dir):
+    return timeseries.holt_last(_t(spark, sf_dir, "events"), "user_id",
+                                "ts", "event_id", "value",
+                                alpha=HOLT_ALPHA, beta=HOLT_BETA)
+
+
 # ---------------------------------------------------------------------------
 # relevance: TF-IDF cosine over a candidate-pair relation (the scoring
 # stage behind any candidate generator; the pair source here is a cheap
