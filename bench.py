@@ -120,6 +120,9 @@ HEADLINE = [
     "contrastive_negatives",
     "l_diversity_report",
     "embedding_pca",
+    "user_value_holt",
+    "part_copurchase_rules",
+    "span_excision",
     # part_copurchase_hops is NOT benched: the BFS loop executes at plan
     # construction (driver-coordinated iterations + frontier caches), so a
     # steady-state re-run would time only the final cached-union scan and

@@ -154,6 +154,44 @@ def copurchase_pmi(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
                     F.round(F.log(lift), 9).alias("pmi")))
 
 
+def copurchase_rules(lineitem: DataFrame, min_orders: int = 2,
+                     min_confidence: float = 0.0) -> DataFrame:
+    """Directed association rules a -> b from the co-purchase pairs:
+
+        confidence(a -> b) = supp(a,b) / supp(a)     (P(b | a))
+        lift as in copurchase_pmi (symmetric)
+
+    The recommender reads this, not PMI: "customers who bought a also
+    bought b with probability c". Each undirected support pair emits
+    BOTH directions (confidence is asymmetric); min_confidence prunes
+    the emission, min_orders the support relation before it.
+
+    Scale shape: copurchase_pmi's plan plus one projection — the
+    directed expansion is output-bound. Confidence is one IEEE division
+    of exact integers: oracle-hash-exact.
+
+    Output: (antecedent, consequent, n_both, n_antecedent, confidence,
+    lift).
+    """
+    # cache: the scored pair relation feeds BOTH direction projections
+    # (rule 7 — uncached, the pair agg + support join-backs run twice);
+    # it is support-thresholded, i.e. output-sized
+    scored = copurchase_pmi(lineitem, min_orders=min_orders).cache()
+    fwd = scored.select(
+        F.col("src").alias("antecedent"), F.col("dst").alias("consequent"),
+        "n_both", F.col("n_src").alias("n_antecedent"), "lift")
+    rev = scored.select(
+        F.col("dst").alias("antecedent"), F.col("src").alias("consequent"),
+        "n_both", F.col("n_dst").alias("n_antecedent"), "lift")
+    conf = (F.col("n_both").cast("double")
+            / F.col("n_antecedent").cast("double"))
+    return (fwd.unionByName(rev)
+            .withColumn("confidence", conf)
+            .filter(F.col("confidence") >= min_confidence)
+            .select("antecedent", "consequent", "n_both", "n_antecedent",
+                    "confidence", "lift"))
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 

@@ -465,6 +465,45 @@ def q_part_copurchase_pmi(spark, sf_dir):
                                 min_orders=PMI_MIN_ORDERS)
 
 
+RULE_MIN_CONFIDENCE = 0.08
+
+_RULES_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+supp AS (SELECT pk, COUNT(*) AS s FROM op GROUP BY pk),
+p AS (SELECT a.pk AS src, b.pk AS dst, COUNT(*) AS n_both
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_ORDERS}),
+scored AS (
+  SELECT src, dst, n_both, sa.s AS n_src, sb.s AS n_dst,
+         CAST(n_orders AS DOUBLE) * CAST(n_both AS DOUBLE)
+           / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS lift
+  FROM p JOIN supp sa ON p.src = sa.pk
+         JOIN supp sb ON p.dst = sb.pk, n),
+directed AS (
+  SELECT src AS antecedent, dst AS consequent, n_both,
+         n_src AS n_antecedent, lift FROM scored
+  UNION ALL
+  SELECT dst AS antecedent, src AS consequent, n_both,
+         n_dst AS n_antecedent, lift FROM scored)
+SELECT antecedent, consequent, n_both, n_antecedent,
+       CAST(n_both AS DOUBLE) / CAST(n_antecedent AS DOUBLE)
+         AS confidence,
+       lift
+FROM directed
+WHERE CAST(n_both AS DOUBLE) / CAST(n_antecedent AS DOUBLE)
+      >= {RULE_MIN_CONFIDENCE}
+"""
+
+
+@register("part_copurchase_rules", _RULES_ORACLE, "M6-graph-association-rules")
+def q_part_copurchase_rules(spark, sf_dir):
+    return graph.copurchase_rules(_t(spark, sf_dir, "lineitem"),
+                                  min_orders=PMI_MIN_ORDERS,
+                                  min_confidence=RULE_MIN_CONFIDENCE)
+
+
 # ---------------------------------------------------------------------------
 # time series: rolling z-score anomaly gate over the event stream
 

@@ -319,6 +319,27 @@ def test_copurchase_pmi_golden(spark):
     assert r.pmi < 0                           # below-chance co-occurrence
 
 
+def test_copurchase_rules_confidence_asymmetric(spark):
+    from etl_online_retail_spark.operators.graph import copurchase_rules
+
+    rows = [  # part 1 in 4 baskets, part 2 in 2; both together in 2
+        (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (4, 1),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey BIGINT, l_partkey BIGINT")
+    got = {(r.antecedent, r.consequent): (r.n_both, r.n_antecedent,
+                                          r.confidence)
+           for r in copurchase_rules(li, min_orders=2,
+                                     min_confidence=0.0).collect()}
+    # P(2|1) = 2/4, P(1|2) = 2/2 — direction matters
+    assert got[(1, 2)] == (2, 4, 0.5)
+    assert got[(2, 1)] == (2, 2, 1.0)
+    # min_confidence prunes the weak direction only
+    pruned = {(r.antecedent, r.consequent)
+              for r in copurchase_rules(li, min_orders=2,
+                                        min_confidence=0.75).collect()}
+    assert pruned == {(2, 1)}
+
+
 def test_rolling_zscore_flags_spike_not_head(spark):
     from etl_online_retail_spark.operators.timeseries import (
         rolling_zscore_anomalies,
