@@ -123,6 +123,11 @@ HEADLINE = [
     "user_value_holt",
     "part_copurchase_rules",
     "span_excision",
+    "attribution_linear",
+    # minhash_calibration is NOT benched: its ground-truth side is the
+    # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
+    # documented calibrate-on-a-bounded-sample tool, not a steady-state
+    # query. It stays oracle-gated at the driver's sf0.01.
     # part_copurchase_hops is NOT benched: the BFS loop executes at plan
     # construction (driver-coordinated iterations + frontier caches), so a
     # steady-state re-run would time only the final cached-union scan and

@@ -58,6 +58,77 @@ def session_stats(events: DataFrame, user_col: str = "user_id", ts_col: str = "t
                    .cast("double").alias("total_value")))
 
 
+def linear_attribution_credit(events: DataFrame,
+                              touch_types: tuple[str, ...] = ("click",
+                                                              "view"),
+                              conversion_type: str = "purchase",
+                              window_hours: int = 24,
+                              user_col: str = "user_id",
+                              ts_col: str = "ts") -> DataFrame:
+    """Linear (equal-share) multi-touch attribution: every qualifying
+    touch in the lookback window splits the conversion's value evenly —
+    the complement of last_touch_attribution's winner-takes-all, and the
+    version marketing mix analysis usually starts from.
+
+    Needs the full touches x conversions pair set (not just the latest
+    carry), so it uses the bounded range-join shape
+    (joins.range_self_join_within): window-sized time bins, touches
+    duplicated into their own + next bin, equi-join on (user, bin), then
+    the exact [0, window] + strictly-before predicate. Candidates are
+    bounded by bin population, never the per-user cross product.
+
+    Output: (attributed_type, n_credits BIGINT, credit DOUBLE) — one row
+    per touch type plus a 'none' row carrying the full value of
+    conversions no touch reaches. Per-pair credit = value / n_touches is
+    rounded to 9dp and summed as DECIMAL(18,9) (order-independent), so
+    the result is oracle-hash-exact.
+    """
+    us = F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', "
+                f"{ts_col})")
+    window_us = window_hours * 3600 * 1_000_000
+    base = events.select(F.col(user_col).alias("_u"), "event_id",
+                         "event_type", F.col("value"), us.alias("_us"))
+    bin_ = F.floor(F.col("_us") / F.lit(window_us))
+    touches = (base.filter(F.col("event_type").isin(*touch_types))
+               .select("_u", F.col("event_id").alias("_tid"),
+                       F.col("event_type").alias("attributed_type"),
+                       F.col("_us").alias("_tus"),
+                       F.explode(F.array(bin_, bin_ + 1)).alias("_bin")))
+    convs = (base.filter(F.col("event_type") == conversion_type)
+             .select("_u", F.col("event_id").alias("_cid"),
+                     F.col("value"), F.col("_us").alias("_cus"),
+                     bin_.alias("_bin"))
+             .cache())  # feeds the pair join AND the unattributed anti-join
+    gap = F.col("_cus") - F.col("_tus")
+    strictly_before = ((F.col("_tus") < F.col("_cus"))
+                       | ((F.col("_tus") == F.col("_cus"))
+                          & (F.col("_tid") < F.col("_cid"))))
+    # cache: pairs feed the per-conversion count window, the credit agg
+    # AND the attributed-conversion set (rule 7)
+    pairs = (touches.join(convs, ["_u", "_bin"])
+             .filter(strictly_before & (gap >= 0) & (gap <= window_us))
+             .select("_cid", "attributed_type", "value",
+                     F.count(F.lit(1)).over(
+                         Window.partitionBy("_cid")).alias("_nt"))
+             .cache())
+    contrib = (F.round(F.col("value") / F.col("_nt"), 9)
+               .cast("decimal(18,9)"))
+    touched = (pairs
+               .groupBy("attributed_type")
+               .agg(F.count(F.lit(1)).alias("n_credits"),
+                    F.round(F.sum(contrib).cast("double"), 6)
+                     .alias("credit")))
+    unattributed = (convs
+                    .join(pairs.select("_cid").distinct(),
+                          convs["_cid"] == pairs["_cid"], "left_anti")
+                    .agg(F.count(F.lit(1)).alias("n_credits"),
+                         F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                                 .cast("double"), 6).alias("credit"))
+                    .select(F.lit("none").alias("attributed_type"),
+                            "n_credits", "credit"))
+    return touched.unionByName(unattributed)
+
+
 def last_touch_attribution(events: DataFrame,
                            touch_types: tuple[str, ...] = ("click", "view"),
                            conversion_type: str = "purchase",

@@ -586,6 +586,42 @@ FROM a GROUP BY attributed_type
 """
 
 
+_ATTR_LINEAR_ORACLE = f"""
+WITH t AS (SELECT user_id, ts, event_id, event_type FROM events
+           WHERE event_type IN ('{_ATTR_IN}')),
+c AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'),
+p AS (SELECT c.event_id AS cid, t.event_type AS ttype, c.value
+      FROM c JOIN t ON t.user_id = c.user_id
+       AND epoch_us(c.ts) - epoch_us(t.ts) BETWEEN 0 AND {_ATTR_WINDOW_US}
+       AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))),
+n AS (SELECT cid, COUNT(*) AS nt FROM p GROUP BY cid),
+touched AS (
+  SELECT p.ttype AS attributed_type, COUNT(*) AS n_credits,
+         ROUND(CAST(SUM(CAST(ROUND(p.value / n.nt, 9) AS DECIMAL(18,9)))
+                    AS DOUBLE), 6) AS credit
+  FROM p JOIN n ON p.cid = n.cid GROUP BY p.ttype),
+unattributed AS (
+  SELECT 'none' AS attributed_type, COUNT(*) AS n_credits,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS credit
+  FROM c WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.cid = c.event_id))
+SELECT * FROM touched UNION ALL SELECT * FROM unattributed
+"""
+
+
+@register("attribution_linear", _ATTR_LINEAR_ORACLE, "T1-attribution")
+def q_attribution_linear(spark, sf_dir):
+    from etl_online_retail_spark.operators.sessionize import (
+        linear_attribution_credit,
+    )
+
+    return linear_attribution_credit(
+        _t(spark, sf_dir, "events"),
+        touch_types=ATTR_TOUCHES, conversion_type="purchase",
+        window_hours=ATTR_WINDOW_HOURS)
+
+
 @register("attribution_last_touch", _ATTR_ORACLE, "T1-attribution")
 def q_attribution_last_touch(spark, sf_dir):
     attributed = last_touch_attribution(

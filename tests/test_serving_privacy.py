@@ -491,6 +491,34 @@ def test_pca_invariants(spark):
     assert mean_r == mean and comp_r == comp
 
 
+def test_linear_attribution_splits_and_conserves(spark):
+    from etl_online_retail_spark.operators.sessionize import (
+        linear_attribution_credit,
+    )
+
+    rows = [
+        # purchase 3 splits 10.0 across the two preceding touches
+        (1, 1, _ts("2024-01-01T00:00:00"), "click", 0.0),
+        (2, 1, _ts("2024-01-01T01:00:00"), "view", 0.0),
+        (3, 1, _ts("2024-01-01T02:00:00"), "purchase", 10.0),
+        # purchase 4 has no touches -> 'none' keeps its full value
+        (4, 2, _ts("2024-01-01T00:00:00"), "purchase", 7.0),
+        # purchase 6's only touch is outside 24h -> 'none' too
+        (5, 3, _ts("2024-01-01T00:00:00"), "click", 0.0),
+        (6, 3, _ts("2024-01-02T12:00:00"), "purchase", 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id INT, user_id INT, ts TIMESTAMP_NTZ, "
+              "event_type STRING, value DOUBLE")
+    got = {r.attributed_type: (r.n_credits, r.credit)
+           for r in linear_attribution_credit(ev,
+                                              window_hours=24).collect()}
+    assert got == {"click": (1, 5.0), "view": (1, 5.0),
+                   "none": (2, 10.0)}
+    # conservation: total credit equals total conversion value
+    assert sum(c for _, c in got.values()) == pytest.approx(20.0)
+
+
 def test_last_touch_attribution_intervening_purchase_keeps_touch(spark):
     # touch, purchase, purchase: BOTH purchases attribute to the touch
     # (a purchase is not a touch and does not reset the carry)
