@@ -673,6 +673,41 @@ def main() -> None:
 
     timed(f"pca train+project @ {factor}x", pca)
 
+    # Holt fold: one collect_list + array fold per key (the EWMA shape)
+    def holt():
+        from etl_online_retail_spark.operators.timeseries import holt_last
+
+        (holt_last(ev, "user_id", "ts", "event_id", "value")
+         .write.format("noop").mode("overwrite").save())
+
+    # association rules: the PMI plan + an output-bound directed expand
+    def rules():
+        from etl_online_retail_spark.operators.graph import copurchase_rules
+
+        (copurchase_rules(li, min_orders=2, min_confidence=0.08)
+         .write.format("noop").mode("overwrite").save())
+
+    # linear attribution: window-binned touches x conversions range join
+    def linear_attr():
+        from etl_online_retail_spark.operators.sessionize import (
+            linear_attribution_credit,
+        )
+
+        (linear_attribution_credit(ev)
+         .write.format("noop").mode("overwrite").save())
+
+    # span excision: the span plan + a doc_id-keyed anti-join + regroup
+    def excision():
+        from etl_online_retail_spark.operators.spans import excise_spans
+
+        (excise_spans(docs)
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"holt fold @ {factor}x", holt)
+    timed(f"association rules @ {factor}x", rules)
+    timed(f"linear attribution @ {factor}x", linear_attr)
+    timed(f"span excision @ {factor}x", excision)
+
 
 if __name__ == "__main__":
     main()
