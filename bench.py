@@ -124,6 +124,8 @@ HEADLINE = [
     "part_copurchase_rules",
     "span_excision",
     "attribution_linear",
+    "conversion_lag_percentiles",
+    "orders_price_jackknife",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state

@@ -115,3 +115,65 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
                  F.first("med").alias("med"),
                  F.first("mad").alias("mad"),
                  F.sum("_is_out").cast("bigint").alias("n_outliers")))
+
+
+def jackknife_mean(df: DataFrame, id_col: str, cents_col: str,
+                   n_buckets: int = 32, z: float = 1.96) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for a mean — an honest
+    uncertainty band on any dashboard average, computed deterministically
+    (hash buckets, no RNG) and distributed (the classic "bag of little
+    bootstraps"-era trick: resampling over PARTITION AGGREGATES, never
+    over rows).
+
+        m_b  = mean over all rows OUTSIDE bucket b        (B leave-one-out means)
+        se^2 = (B-1)/B * sum_b (m_b - mbar)^2
+
+    cents_col must be an exact int64 quantity (the repo's cents
+    convention) so every bucket total is exact; the leave-one-out means
+    are then row-local IEEE doubles, and both float reductions over the
+    B-row relation (mbar, the variance sum) follow the
+    decimal-contribution discipline — round to 9dp, sum as
+    DECIMAL(18,9) — making the whole estimate oracle-hash-exact.
+
+    Output: one row (n_rows, mean, se, ci_lo, ci_hi) with mean/se/ci in
+    cents, rounded to 6dp. Scale shape: one map-combinable hash agg to
+    B partial sums, then arithmetic over a B-row relation.
+    """
+    from etl_online_retail_spark.functions.hashing import PRIME, hash_family
+
+    a, b = hash_family(1, seed=13)[0]
+    bucket = F.pmod((F.pmod(F.col(id_col).cast("bigint"), F.lit(PRIME))
+                     * F.lit(a) + F.lit(b)) % F.lit(PRIME),
+                    F.lit(n_buckets))
+    per = (df.select(bucket.alias("_b"), F.col(cents_col).alias("_v"))
+           .groupBy("_b")
+           .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s")))
+    tot = per.agg(F.sum("_n").alias("_nt"), F.sum("_s").alias("_st"))
+    loo = (per.crossJoin(F.broadcast(tot))
+           .select("_b", "_nt", "_st",
+                   ((F.col("_st") - F.col("_s")).cast("double")
+                    / (F.col("_nt") - F.col("_n")).cast("double"))
+                   .alias("_m"))
+           .cache())  # feeds mbar AND the variance sum (rule 7)
+    nb = F.lit(float(n_buckets))
+    mbar_rel = loo.agg(
+        (F.sum(F.round(F.col("_m"), 9).cast("decimal(18,9)"))
+         .cast("double") / nb).alias("_mbar"))
+    var_rel = (loo.crossJoin(F.broadcast(mbar_rel))
+               .agg(F.first("_nt").alias("_nt"), F.first("_st").alias("_st"),
+                    F.first("_mbar").alias("_mbar"),
+                    # squared deviations are cents^2 — DECIMAL(28,9)
+                    # (integer range 1e19) so large-mean corpora can't
+                    # overflow the exact accumulator
+                    F.sum(F.round((F.col("_m") - F.col("_mbar"))
+                                  * (F.col("_m") - F.col("_mbar")), 9)
+                          .cast("decimal(28,9)")).cast("double")
+                    .alias("_ss")))
+    mean = F.col("_st").cast("double") / F.col("_nt").cast("double")
+    se = F.sqrt(F.lit((n_buckets - 1) / n_buckets) * F.col("_ss"))
+    return var_rel.select(
+        F.col("_nt").alias("n_rows"),
+        F.round(mean, 6).alias("mean"),
+        F.round(se, 6).alias("se"),
+        F.round(mean - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(mean + F.lit(z) * se, 6).alias("ci_hi"))

@@ -436,6 +436,60 @@ def q_contrastive_negatives(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# statistics: deterministic jackknife CI for a dashboard mean
+
+JK_BUCKETS = 32
+
+
+def _jackknife_oracle() -> str:
+    from etl_online_retail_spark.functions.hashing import PRIME, hash_family
+
+    a, b = hash_family(1, seed=13)[0]
+    frac = repr((JK_BUCKETS - 1) / JK_BUCKETS)
+    return f"""
+WITH r AS (
+  SELECT ((((o_orderkey % {PRIME}) * {a} + {b}) % {PRIME})
+          % {JK_BUCKETS}) AS bkt,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders),
+per AS (SELECT bkt, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s
+        FROM r GROUP BY bkt),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
+        FROM per),
+loo AS (SELECT nt, st,
+               CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE) AS m
+        FROM per, tot),
+mb AS (SELECT CAST(SUM(CAST(ROUND(m, 9) AS DECIMAL(18,9))) AS DOUBLE)
+              / {JK_BUCKETS}.0 AS mbar FROM loo),
+v2 AS (SELECT MAX(nt) AS nt, MAX(st) AS st, MAX(mbar) AS mbar,
+              CAST(SUM(CAST(ROUND((m - mbar) * (m - mbar), 9)
+                            AS DECIMAL(28,9))) AS DOUBLE) AS ss
+       FROM loo, mb)
+SELECT nt AS n_rows,
+       ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean,
+       ROUND(sqrt({frac} * ss), 6) AS se,
+       ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+             - 1.96 * sqrt({frac} * ss), 6) AS ci_lo,
+       ROUND(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+             + 1.96 * sqrt({frac} * ss), 6) AS ci_hi
+FROM v2
+"""
+
+
+@register("orders_price_jackknife", _jackknife_oracle(),
+          "A2-uncertainty-jackknife")
+def q_orders_price_jackknife(spark, sf_dir):
+    from etl_online_retail_spark.operators.aggregates import jackknife_mean
+
+    orders = (_t(spark, sf_dir, "orders")
+              .select("o_orderkey",
+                      (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                      .cast("bigint").alias("cents")))
+    return jackknife_mean(orders, "o_orderkey", "cents",
+                          n_buckets=JK_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
 # graph: co-purchase association scores (support / lift / PMI)
 
 PMI_MIN_ORDERS = 2
@@ -620,6 +674,50 @@ def q_attribution_linear(spark, sf_dir):
         _t(spark, sf_dir, "events"),
         touch_types=ATTR_TOUCHES, conversion_type="purchase",
         window_hours=ATTR_WINDOW_HOURS)
+
+
+# time-to-conversion profile: exact interpolated percentiles of the
+# attribution lag per credited touch type (the latency read-out of the
+# attribution pipeline; percentile()/quantile_cont share the
+# (1-g)*lo + g*hi interpolation — the length_percentiles discipline)
+_LAG_ORACLE = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN ('{_ATTR_IN}') THEN ts END
+                    IGNORE NULLS) OVER ({_ATTR_FRAME}) AS t_ts,
+         last_value(CASE WHEN event_type IN ('{_ATTR_IN}') THEN event_type END
+                    IGNORE NULLS) OVER ({_ATTR_FRAME}) AS t_type
+  FROM events),
+a AS (
+  SELECT t_type AS attributed_type,
+         epoch_us(ts) - epoch_us(t_ts) AS lag_us
+  FROM c
+  WHERE event_type = 'purchase' AND t_ts IS NOT NULL
+    AND epoch_us(ts) - epoch_us(t_ts) <= {_ATTR_WINDOW_US})
+SELECT attributed_type, COUNT(*) AS n_conversions,
+       ROUND(quantile_cont(lag_us, 0.5), 6) AS p50_lag_us,
+       ROUND(quantile_cont(lag_us, 0.9), 6) AS p90_lag_us,
+       ROUND(quantile_cont(lag_us, 0.99), 6) AS p99_lag_us
+FROM a GROUP BY attributed_type
+"""
+
+
+@register("conversion_lag_percentiles", _LAG_ORACLE, "T1-attribution")
+def q_conversion_lag_percentiles(spark, sf_dir):
+    attributed = last_touch_attribution(
+        _t(spark, sf_dir, "events"),
+        touch_types=ATTR_TOUCHES, conversion_type="purchase",
+        window_hours=ATTR_WINDOW_HOURS)
+    return (attributed
+            .filter(F.col("attributed_type") != "none")
+            .groupBy("attributed_type")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.round(F.percentile("lag_us", F.lit(0.5)), 6)
+                  .alias("p50_lag_us"),
+                 F.round(F.percentile("lag_us", F.lit(0.9)), 6)
+                  .alias("p90_lag_us"),
+                 F.round(F.percentile("lag_us", F.lit(0.99)), 6)
+                  .alias("p99_lag_us")))
 
 
 @register("attribution_last_touch", _ATTR_ORACLE, "T1-attribution")

@@ -297,6 +297,38 @@ def test_k_anonymize_plans_broadcast_semi_join(spark, qi_rows=None):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
 
 
+def test_jackknife_mean_tracks_classic_se(spark):
+    from etl_online_retail_spark.operators.aggregates import jackknife_mean
+
+    # deterministic pseudo-data with real spread
+    df = (spark.range(4000)
+          .select(F.col("id"),
+                  (F.pmod(F.col("id") * 2654435761, F.lit(1000)))
+                  .cast("bigint").alias("v")))
+    r = jackknife_mean(df, "id", "v", n_buckets=32).collect()[0]
+    assert r.n_rows == 4000
+    assert r.ci_lo < r.mean < r.ci_hi and r.se > 0
+    # the delete-one jackknife of a mean ~ s/sqrt(n); agree within 25%
+    import math
+    rows = df.collect()
+    vals = [row.v for row in rows]
+    mu = sum(vals) / len(vals)
+    sd = math.sqrt(sum((x - mu) ** 2 for x in vals) / (len(vals) - 1))
+    classic = sd / math.sqrt(len(vals))
+    assert abs(r.se - classic) / classic < 0.25
+    assert r.mean == pytest.approx(mu, rel=1e-9)
+
+
+def test_jackknife_constant_data_has_zero_se(spark):
+    from etl_online_retail_spark.operators.aggregates import jackknife_mean
+
+    df = spark.range(640).select(
+        F.col("id"), F.lit(500).cast("bigint").alias("v"))
+    r = jackknife_mean(df, "id", "v", n_buckets=32).collect()[0]
+    assert (r.mean, r.se) == (500.0, 0.0)
+    assert r.ci_lo == r.ci_hi == 500.0
+
+
 def test_copurchase_pmi_golden(spark):
     import math
 
