@@ -112,6 +112,10 @@ def lzw_decode(data: bytes, min_code_size: int = _MIN_CODE_SIZE) -> bytes:
         if code == eoi:
             return bytes(out)
         if prev is None:
+            if code >= clear:
+                raise ValueError(
+                    f"corrupt LZW stream: first code after clear must be "
+                    f"a literal, got {code}")
             entry = table[code]
         elif code < next_code:
             entry = table[code]

@@ -155,22 +155,30 @@ def jackknife_mean(df: DataFrame, id_col: str, cents_col: str,
                     / (F.col("_nt") - F.col("_n")).cast("double"))
                    .alias("_m"))
            .cache())  # feeds mbar AND the variance sum (rule 7)
-    nb = F.lit(float(n_buckets))
+    # B below is the number of OCCUPIED buckets with a defined LOO mean
+    # (COUNT of non-null _m), not the nominal n_buckets: tiny or
+    # unluckily-hashed inputs leave buckets empty, and dividing by the
+    # nominal count would deflate mbar and inflate the deviations.
+    # Both accumulators are DECIMAL(28,9) (integer range 1e19): the LOO
+    # means are full-sized cents values and their squares cents^2, so
+    # the narrow (18,9) accumulator would overflow for means past ~1e9
+    # cents — Spark nullifying silently while DuckDB errors.
     mbar_rel = loo.agg(
-        (F.sum(F.round(F.col("_m"), 9).cast("decimal(18,9)"))
-         .cast("double") / nb).alias("_mbar"))
-    var_rel = (loo.crossJoin(F.broadcast(mbar_rel))
+        F.sum(F.round(F.col("_m"), 9).cast("decimal(28,9)")).alias("_sm"),
+        F.count(F.col("_m")).alias("_nb"))
+    mbar = F.col("_sm").cast("double") / F.col("_nb").cast("double")
+    var_rel = (loo.crossJoin(F.broadcast(
+                   mbar_rel.select(mbar.alias("_mbar"),
+                                   F.col("_nb"))))
                .agg(F.first("_nt").alias("_nt"), F.first("_st").alias("_st"),
-                    F.first("_mbar").alias("_mbar"),
-                    # squared deviations are cents^2 — DECIMAL(28,9)
-                    # (integer range 1e19) so large-mean corpora can't
-                    # overflow the exact accumulator
+                    F.first("_nb").alias("_nb"),
                     F.sum(F.round((F.col("_m") - F.col("_mbar"))
                                   * (F.col("_m") - F.col("_mbar")), 9)
                           .cast("decimal(28,9)")).cast("double")
                     .alias("_ss")))
     mean = F.col("_st").cast("double") / F.col("_nt").cast("double")
-    se = F.sqrt(F.lit((n_buckets - 1) / n_buckets) * F.col("_ss"))
+    nbd = F.col("_nb").cast("double")
+    se = F.sqrt((nbd - F.lit(1.0)) / nbd * F.col("_ss"))
     return var_rel.select(
         F.col("_nt").alias("n_rows"),
         F.round(mean, 6).alias("mean"),

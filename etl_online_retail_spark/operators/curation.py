@@ -38,15 +38,26 @@ def quality_scores(docs: DataFrame, text_col: str = "text",
     reads it (token/punct ratios are defined over the RAW text).
     """
     nt = token_count(text_col)
+    quality = quality_expr(text_col, norm_col=norm_col)
+    return docs.select("doc_id", nt.alias("n_tokens"), quality.alias("quality"))
+
+
+def quality_expr(text_col: str = "text",
+                 norm_col: str | None = None):
+    """THE quality formula as a Column — the single definition every
+    consumer (doc_quality, the curation pipeline, rank normalization,
+    quality-weighted sampling) builds on, so a tuning change can never
+    silently diverge between them. SQL twin: workload_ext._QUALITY_SQL.
+    """
+    nt = token_count(text_col)
     pr = punct_ratio(text_col)
     if norm_col is not None:
         sr = stopword_ratio(norm_col, "en", normalized=True)
     else:
         sr = stopword_ratio(text_col, "en")
-    quality = (F.lit(0.5) * sr
-               + F.lit(0.3) * F.least(nt / F.lit(100.0), F.lit(1.0))
-               + F.lit(0.2) * (F.lit(1.0) - pr))
-    return docs.select("doc_id", nt.alias("n_tokens"), quality.alias("quality"))
+    return (F.lit(0.5) * sr
+            + F.lit(0.3) * F.least(nt / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.2) * (F.lit(1.0) - pr))
 
 
 SPLIT_A = 48271          # affine split hash (MINSTD multiplier)

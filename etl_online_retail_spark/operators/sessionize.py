@@ -118,12 +118,21 @@ def linear_attribution_credit(events: DataFrame,
                .agg(F.count(F.lit(1)).alias("n_credits"),
                     F.round(F.sum(contrib).cast("double"), 6)
                      .alias("credit")))
+    # alias the probe side's id: pairs descends from convs, so a
+    # convs._cid == pairs._cid condition trips self-join attribute
+    # disambiguation (the excise_spans lesson)
+    attributed_ids = (pairs.select(F.col("_cid").alias("_pcid"))
+                      .distinct())
     unattributed = (convs
-                    .join(pairs.select("_cid").distinct(),
-                          convs["_cid"] == pairs["_cid"], "left_anti")
+                    .join(attributed_ids,
+                          F.col("_cid") == F.col("_pcid"), "left_anti")
                     .agg(F.count(F.lit(1)).alias("n_credits"),
-                         F.round(F.sum(F.col("value").cast("decimal(18,2)"))
-                                 .cast("double"), 6).alias("credit"))
+                         # COALESCE: zero unreached conversions must
+                         # yield credit 0.0, not NULL (consumers sum it)
+                         F.round(F.coalesce(
+                             F.sum(F.col("value").cast("decimal(18,2)")),
+                             F.lit(0).cast("decimal(18,2)"))
+                             .cast("double"), 6).alias("credit"))
                     .select(F.lit("none").alias("attributed_type"),
                             "n_credits", "credit"))
     return touched.unionByName(unattributed)

@@ -687,6 +687,8 @@ def train_pca(corpus: DataFrame, k: int = 16, train_rows: int = 20_000,
               .orderBy(_bucket(F.col(id_col)).asc(), F.col(id_col).asc())
               .limit(train_rows)
               .collect())
+    if not sample:
+        raise ValueError("train_pca: empty corpus (nothing to sample)")
     mat = np.array([r._v for r in sample], dtype=np.float64)
     if k > mat.shape[1]:
         raise ValueError(f"k={k} exceeds embedding width {mat.shape[1]}")
@@ -732,7 +734,12 @@ def pca_project(corpus: DataFrame, mean: list, components: list,
             r = p @ b
             err = np.sqrt(((c - r) ** 2).sum(axis=1))
             cn = (c ** 2).sum(axis=1)
-            ratio = np.where(cn > 0, (p ** 2).sum(axis=1) / cn, np.nan)
+            # nullable Float64, not np.nan: the contract says NULL for a
+            # vector exactly at the mean, and NaN would survive Arrow as
+            # NaN (IS NULL filters and aggregates then mishandle it)
+            ratio = pd.array(
+                [float((p[i] ** 2).sum() / cn[i]) if cn[i] > 0 else None
+                 for i in range(len(cn))], dtype="Float64")
             yield pd.DataFrame({
                 "__id": pdf["__id"],
                 "proj": [list(map(float, row)) for row in p],

@@ -203,7 +203,9 @@ def rolling_zscore_anomalies(events: DataFrame, key_col: str, ts_col: str,
     unjudged rather than wrongly judged.
 
     Exactness: window sums accumulate int64 CENTS and cents² (exact;
-    2dp values up to ~$21M keep cents² x lookback under 2^63). Mean,
+    the cents² frame sum stays under 2^63 for |value| up to
+    sqrt(2^63 / lookback) cents — ~$9.6M at the default lookback of
+    10; beyond that, pre-scale the value or shrink the frame). Mean,
     sample variance and the z-score then run in DOUBLE as row-local
     arithmetic on those exact integers, z rounds to 6dp — deterministic
     on both engines (no float reduction order anywhere). Zero-variance

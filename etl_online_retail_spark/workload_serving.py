@@ -282,25 +282,16 @@ def q_part_triangle_counts(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# curation: within-source percentile-rank normalization of quality scores
+# curation: within-source percentile-rank normalization of quality
+# scores. Both sides reuse the CANONICAL quality formula (the review
+# rule: one definition per formula) — curation.quality_expr on Spark,
+# workload_ext._QUALITY_SQL in the oracle.
 
-_QUALITY_EXPR = None  # built lazily below from the text-fn twins
+def _rank_oracle() -> str:
+    from etl_online_retail_spark.workload_ext import _QUALITY_SQL
 
-
-def _quality_sql() -> str:
-    from etl_online_retail_spark.functions.text import (
-        punct_ratio_sql,
-        stopword_ratio_sql,
-        token_count_sql,
-    )
-
-    return (f"(0.5 * ({stopword_ratio_sql('text', 'en')}) "
-            f" + 0.3 * least({token_count_sql('text')} / 100.0, 1.0) "
-            f" + 0.2 * (1.0 - ({punct_ratio_sql('text')})))")
-
-
-_RANK_ORACLE = f"""
-WITH q AS (SELECT doc_id, source, {_quality_sql()} AS quality
+    return f"""
+WITH q AS (SELECT doc_id, source, {_QUALITY_SQL} AS quality
            FROM documents)
 SELECT doc_id, source, quality,
        PERCENT_RANK() OVER (PARTITION BY source
@@ -309,21 +300,17 @@ FROM q
 """
 
 
-@register("quality_rank_normalized", _RANK_ORACLE, "M6-curation-rank-norm")
+@register("quality_rank_normalized", _rank_oracle(),
+          "M6-curation-rank-norm")
 def q_quality_rank_normalized(spark, sf_dir):
-    from etl_online_retail_spark.functions.text import (
-        punct_ratio,
-        stopword_ratio,
-        token_count,
+    from etl_online_retail_spark.operators.curation import (
+        quality_expr,
+        rank_normalize,
     )
-    from etl_online_retail_spark.operators.curation import rank_normalize
 
     docs = _t(spark, sf_dir, "documents")
-    quality = (F.lit(0.5) * stopword_ratio("text", "en")
-               + F.lit(0.3) * F.least(token_count("text") / F.lit(100.0),
-                                      F.lit(1.0))
-               + F.lit(0.2) * (F.lit(1.0) - punct_ratio("text")))
-    scored = docs.select("doc_id", "source", quality.alias("quality"))
+    scored = docs.select("doc_id", "source",
+                         quality_expr("text").alias("quality"))
     return rank_normalize(scored, "source", "quality", "doc_id")
 
 
@@ -445,7 +432,7 @@ def _jackknife_oracle() -> str:
     from etl_online_retail_spark.functions.hashing import PRIME, hash_family
 
     a, b = hash_family(1, seed=13)[0]
-    frac = repr((JK_BUCKETS - 1) / JK_BUCKETS)
+    frac = ("(CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE)")
     return f"""
 WITH r AS (
   SELECT ((((o_orderkey % {PRIME}) * {a} + {b}) % {PRIME})
@@ -459,9 +446,10 @@ tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
 loo AS (SELECT nt, st,
                CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE) AS m
         FROM per, tot),
-mb AS (SELECT CAST(SUM(CAST(ROUND(m, 9) AS DECIMAL(18,9))) AS DOUBLE)
-              / {JK_BUCKETS}.0 AS mbar FROM loo),
-v2 AS (SELECT MAX(nt) AS nt, MAX(st) AS st, MAX(mbar) AS mbar,
+mb AS (SELECT CAST(SUM(CAST(ROUND(m, 9) AS DECIMAL(28,9))) AS DOUBLE)
+              / CAST(COUNT(m) AS DOUBLE) AS mbar,
+              COUNT(m) AS nb FROM loo),
+v2 AS (SELECT MAX(nt) AS nt, MAX(st) AS st, MAX(nb) AS nb,
               CAST(SUM(CAST(ROUND((m - mbar) * (m - mbar), 9)
                             AS DECIMAL(28,9))) AS DOUBLE) AS ss
        FROM loo, mb)
@@ -657,7 +645,8 @@ touched AS (
   FROM p JOIN n ON p.cid = n.cid GROUP BY p.ttype),
 unattributed AS (
   SELECT 'none' AS attributed_type, COUNT(*) AS n_credits,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+         ROUND(CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))),
+                             CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 6)
            AS credit
   FROM c WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.cid = c.event_id))
 SELECT * FROM touched UNION ALL SELECT * FROM unattributed

@@ -336,18 +336,49 @@ def test_lzw_roundtrip_across_code_widths():
         assert lzw_decode(lzw_encode(data)) == data
 
 
-def test_lzw_decoder_honors_midstream_clear():
+def test_lzw_decoder_stops_at_eoi():
     from etl_online_retail_spark.multimodal.gif import lzw_decode, lzw_encode
 
-    # our encoder never emits mid-stream clears; splice two independently
-    # encoded segments by re-packing their code streams is involved, so
-    # emulate the reset the cheap way: a stream that is JUST two
-    # clear-prefixed segments concatenated at the bitstream level is what
-    # a spec encoder with table resets produces for segment boundaries.
-    # decode(encode(a)) already ends with EOI, so decode must stop there —
-    # trailing garbage after EOI is ignored.
+    # decode must stop at EOI — trailing garbage after it is ignored
     enc = lzw_encode(b"hello")
     assert lzw_decode(enc + b"\xff\xff\xff") == b"hello"
+
+
+def test_lzw_decoder_honors_midstream_clear():
+    """Spec encoders emit CLEAR mid-stream to reset a full table; ours
+    never does, so hand-pack a code stream that exercises the reset
+    branch (table truncation, code-size reset, re-seeded prev)."""
+    from etl_online_retail_spark.multimodal.gif import lzw_decode
+
+    min_code_size = 2                      # clear=4, eoi=5, 3-bit codes
+
+    def pack(codes_with_widths):
+        acc = nbits = 0
+        out = bytearray()
+        for c, w in codes_with_widths:
+            acc |= c << nbits
+            nbits += w
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # clear,1,2,2 grows the table to entry 7 (width bumps to 4 bits),
+    # then a MID-STREAM CLEAR resets the width to 3 and kills the table
+    codes = [(4, 3), (1, 3), (2, 3), (2, 3),
+             (4, 4),                        # the mid-stream clear, 4-bit
+             (3, 3), (3, 3), (1, 3),        # back to 3-bit after reset
+             (5, 4)]                        # table regrew to 8 -> 4-bit
+    assert lzw_decode(pack(codes), min_code_size) \
+        == bytes([1, 2, 2, 3, 3, 1])
+    # dictionary entries made BEFORE the clear must be dead after it:
+    # a non-literal code right after a clear is corrupt
+    bad = [(4, 3), (1, 3), (4, 3), (7, 3), (5, 3)]
+    with pytest.raises(ValueError, match="corrupt"):
+        lzw_decode(pack(bad), min_code_size)
 
 
 def test_gif_roundtrip_still_and_animated():
