@@ -431,6 +431,98 @@ def _ewma_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                         "n_obs": out_n})
 
 
+ZSCORE_STATE_SCHEMA = ("last_us bigint, last_eid bigint, "
+                       "ring array<bigint>, buf_us array<bigint>, "
+                       "buf_eid array<bigint>, buf_val array<double>")
+
+ZSCORE_OUTPUT_SCHEMA = ("user_id bigint, event_id bigint, ts timestamp, "
+                        "value double, baseline_n bigint, zscore double")
+
+Z_LOOKBACK = 10
+Z_MIN_OBS = 5
+Z_THRESHOLD = 3.0
+
+
+def _zscore_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
+                  state: GroupState) -> "Iterator[pd.DataFrame]":
+    if state.exists:
+        last_us, last_eid, ring, bu, be, bv = state.get
+        ring = list(ring)
+        buf = list(zip(bu, be, bv))
+    else:
+        last_us, last_eid, ring = -1, -1, []
+        buf = []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                buf.append((r.ts.value // 1000, r.event_id, r.value))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort()
+    ready = [b for b in buf if b[0] <= wm_us]
+    buf = [b for b in buf if b[0] > wm_us]
+
+    out = {"user_id": [], "event_id": [], "ts": [], "value": [],
+           "baseline_n": [], "zscore": []}
+    for ts_us, eid, val in ready:
+        if (ts_us, eid) <= (last_us, last_eid):
+            continue  # replay behind the cursor
+        c = int(round(val * 100))          # exact for 2dp inputs
+        n = len(ring)
+        if n >= Z_MIN_OBS:
+            s = sum(ring)
+            s2 = sum(x * x for x in ring)
+            # the batch operator's exact double expression tree
+            # (math.sqrt, not ** 0.5: sqrt is correctly rounded on both
+            # runtimes, pow(x, 0.5) is not guaranteed to be)
+            import math
+
+            nd = float(n)
+            sd = math.sqrt((float(s2) - float(s) * float(s) / nd)
+                           / (nd - 1.0))
+            if sd > 0:
+                z = (float(c) - float(s) / nd) / sd
+                if abs(z) > Z_THRESHOLD:
+                    out["user_id"].append(key[0])
+                    out["event_id"].append(eid)
+                    out["ts"].append(pd.Timestamp(ts_us * 1000))
+                    out["value"].append(val)
+                    out["baseline_n"].append(n)
+                    out["zscore"].append(round(z, 6))
+        ring.append(c)
+        if len(ring) > Z_LOOKBACK:
+            ring.pop(0)
+        last_us, last_eid = ts_us, eid
+
+    state.update((last_us, last_eid, ring,
+                  [b[0] for b in buf], [b[1] for b in buf],
+                  [b[2] for b in buf]))
+    if buf:
+        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    yield pd.DataFrame(out)
+
+
+def zscore_stream(events: DataFrame,
+                  delay: str = "30 minutes") -> DataFrame:
+    """Streaming rolling z-score anomaly gate: each event judged
+    against its key's trailing `Z_LOOKBACK` observations, emitted once
+    the watermark confirms order — the live twin of
+    timeseries.rolling_zscore_anomalies, flagging exactly the rows the
+    batch operator flags over the complete log (tested under shuffled
+    arrival). State per key = cursor + a lookback-sized ring of int64
+    cents + the parked disorder window — bounded however long the
+    stream runs."""
+    return (events
+            .withWatermark("ts", delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _zscore_apply,
+                outputStructType=ZSCORE_OUTPUT_SCHEMA,
+                stateStructType=ZSCORE_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ))
+
+
 HOLT_STATE_SCHEMA = ("last_us bigint, last_eid bigint, level double, "
                      "trend double, n_obs bigint, buf_us array<bigint>, "
                      "buf_eid array<bigint>, buf_val array<double>")

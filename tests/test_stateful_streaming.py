@@ -376,3 +376,64 @@ def test_holt_stream_matches_batch_fold_under_shuffled_arrival(
     want = {r.user_id: (r.level, r.trend, r.n_obs)
             for r in batch.collect()}
     assert live == want
+
+
+def test_zscore_stream_flags_exactly_the_batch_anomalies(spark, tmp_path):
+    """The streaming z-score gate must flag exactly the rows the batch
+    operator flags over the complete log, with identical scores,
+    despite content-hash-shuffled micro-batch arrival."""
+    import datetime
+    import os
+
+    from etl_online_retail_spark.catalog import SCHEMAS
+    from etl_online_retail_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+    from etl_online_retail_spark.streaming.stateful import zscore_stream
+
+    ev = load_events(spark, SF).filter(F.col("user_id") % 3 == 0).cache()
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert (mx - mn) < datetime.timedelta(days=300)
+
+    sdir = str(tmp_path / "z_shuffled")
+    os.makedirs(sdir)
+
+    def land(df, name, mtime):
+        scratch = str(tmp_path / f"_z_scratch_{name}")
+        df.coalesce(1).write.parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        dst = os.path.join(sdir, f"{name}.parquet")
+        os.rename(os.path.join(scratch, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = 1_000_000_000
+    for b in range(4):
+        shard = ev.filter(F.crc32(F.col("event_id").cast("string")) % 4 == b)
+        land(shard, f"shard{b}", t0 + b)
+    for i, days in enumerate((370, 740)):
+        sentinel = spark.createDataFrame(
+            [(10_000_000 + i, mx + datetime.timedelta(days=days), -1,
+              "sentinel", 0.0, "{}")],
+            schema=SCHEMAS["events"])
+        land(sentinel, f"sentinel{i}", t0 + 100 + i)
+
+    stream = (spark.readStream.schema(SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1).parquet(sdir)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    q = (zscore_stream(stream, delay="365 days")
+         .writeStream.format("memory").queryName("z_live")
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    live = {(r.user_id, r.event_id): (r.baseline_n, r.zscore)
+            for r in spark.sql(
+                "SELECT * FROM z_live WHERE user_id >= 0").collect()}
+    batch = rolling_zscore_anomalies(
+        ev.withColumn("ts", F.col("ts").cast("timestamp")),
+        "user_id", "ts", "event_id", "value")
+    want = {(r.user_id, r.event_id): (r.baseline_n, r.zscore)
+            for r in batch.collect()}
+    assert live == want
+    assert len(live) > 0
