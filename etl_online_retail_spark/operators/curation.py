@@ -296,3 +296,41 @@ def auto_n_buckets(n_docs: int, target_bucket: int = 1024,
     B=16 and ~linear under auto sizing — the auto_n_planes lesson from
     the embedding LSH)."""
     return max(floor, n_docs // target_bucket)
+
+
+def contrastive_triplets(docs: DataFrame, n: int = 2, k: int = 16,
+                         bands: int = 4, threshold: float = 0.5,
+                         n_buckets: int = 16, seed: int = 77,
+                         id_col: str = "doc_id",
+                         group_col: str = "source") -> DataFrame:
+    """(anchor, positive, negative) training triplets — the complete
+    contrastive-pair construction this module's pieces exist for:
+    positives are verified MinHash near-duplicates (genuinely similar
+    text), negatives the deterministic different-group easy negatives of
+    contrastive_negatives, one per (anchor, round).
+
+    Output: (anchor_id, pos_id, jaccard, neg_round, neg_id, neg_group) —
+    one row per (near-dup pair, negative round). Anchors are the id_a
+    (smaller id) side of each verified pair. All construction is
+    hash-deterministic: the same corpus yields the same triplets on any
+    engine, run, or layout.
+
+    Scale shape: the positive side is the LSH pipeline (banded
+    candidates only); the negative side the bucket equi-join; the final
+    assembly one keyed join between two output-bounded relations.
+    """
+    from etl_online_retail_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    pos = (minhash_near_duplicates(docs, id_col=id_col, n=n, k=k,
+                                   bands=bands, threshold=threshold)
+           .select(F.col("id_a").alias("anchor_id"),
+                   F.col("id_b").alias("pos_id"), "jaccard"))
+    anchors = docs.join(
+        pos.select(F.col("anchor_id").alias(id_col)).distinct(),
+        id_col, "left_semi")
+    negs = (contrastive_negatives(docs, anchors, k=1,
+                                  n_buckets=n_buckets, id_col=id_col,
+                                  group_col=group_col, seed=seed))
+    return pos.join(negs, "anchor_id")

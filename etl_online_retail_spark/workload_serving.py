@@ -423,6 +423,66 @@ def q_contrastive_negatives(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# curation: the complete contrastive TRIPLET builder (anchor, verified
+# near-dup positive, deterministic different-source negative)
+
+
+def _triplets_oracle() -> str:
+    from etl_online_retail_spark.functions.hashing import (
+        PRIME,
+        hash_family,
+    )
+    from etl_online_retail_spark.workload_ext import _minhash_cte_block
+
+    (a1, b1), (a2, b2), (a3, b3), (a4, b4) = hash_family(4, seed=NEG_SEED)
+    B = NEG_BUCKETS
+    return f"""
+WITH {_minhash_cte_block()},
+anc AS (SELECT DISTINCT p.id_a AS anchor_id, d.source AS agrp
+        FROM neardup_pairs p JOIN documents d ON d.doc_id = p.id_a),
+p2 AS (SELECT anchor_id, agrp,
+              (((anchor_id % {PRIME}) * {a2} + {b2}) % {PRIME}) % {B}
+                AS bkt,
+              ((anchor_id % {PRIME}) * {a4} + {b4}) % {PRIME} AS ah
+       FROM anc),
+cd AS (SELECT doc_id AS neg_id, source AS neg_group,
+              (((doc_id % {PRIME}) * {a1} + {b1}) % {PRIME}) % {B} AS bkt,
+              ((doc_id % {PRIME}) * {a3} + {b3}) % {PRIME} AS ch
+       FROM documents),
+j AS (SELECT anchor_id, neg_id, neg_group, (ch + ah) % {PRIME} AS ph
+      FROM p2 JOIN cd USING (bkt)
+      WHERE neg_id <> anchor_id AND neg_group <> agrp),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                    ORDER BY ph, neg_id) AS rn FROM j),
+ng AS (SELECT anchor_id, CAST(0 AS BIGINT) AS neg_round,
+              neg_id, neg_group FROM rk WHERE rn = 1)
+SELECT p.id_a AS anchor_id, p.id_b AS pos_id, p.jaccard,
+       ng.neg_round, ng.neg_id, ng.neg_group
+FROM neardup_pairs p JOIN ng ON ng.anchor_id = p.id_a
+"""
+
+
+@register("contrastive_triplets", _triplets_oracle(),
+          "M6-curation-triplets")
+def q_contrastive_triplets(spark, sf_dir):
+    from etl_online_retail_spark.operators.curation import (
+        contrastive_triplets,
+    )
+    from etl_online_retail_spark.workload_ext import (
+        JACCARD_THRESHOLD,
+        MINHASH_BANDS,
+        MINHASH_K,
+        SHINGLE_N,
+    )
+
+    return contrastive_triplets(
+        _t(spark, sf_dir, "documents"),
+        n=SHINGLE_N, k=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD,
+        n_buckets=NEG_BUCKETS, seed=NEG_SEED)
+
+
+# ---------------------------------------------------------------------------
 # statistics: deterministic jackknife CI for a dashboard mean
 
 JK_BUCKETS = 32

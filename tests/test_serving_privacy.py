@@ -297,6 +297,30 @@ def test_k_anonymize_plans_broadcast_semi_join(spark, qi_rows=None):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
 
 
+def test_contrastive_triplets_shape(spark):
+    from etl_online_retail_spark.operators.curation import (
+        contrastive_triplets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "s0"),
+         (2, "the quick brown fox jumps over the lazy cat", "s0"),
+         (3, "totally unrelated words about fruit and vegetables", "s1"),
+         (4, "more unrelated content goes here with distinct terms", "s2")],
+        "doc_id BIGINT, text STRING, source STRING")
+    # n_buckets=1 so the single negative probe is guaranteed to see the
+    # two eligible docs at this fixture scale (with 16 buckets a probe
+    # may legitimately land in an empty bucket — documented behavior)
+    rows = contrastive_triplets(docs, k=16, bands=8, threshold=0.5,
+                                n_buckets=1).collect()
+    assert rows, "the planted near-dup pair must anchor a triplet"
+    for r in rows:
+        assert r.anchor_id < r.pos_id          # canonical pair direction
+        assert r.jaccard >= 0.5
+        assert r.neg_id not in (r.anchor_id, r.pos_id)
+        assert r.neg_group != "s0"             # different-group negative
+
+
 def test_jackknife_mean_tracks_classic_se(spark):
     from etl_online_retail_spark.operators.aggregates import jackknife_mean
 
