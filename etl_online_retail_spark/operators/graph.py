@@ -236,6 +236,68 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"))
 
 
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          max_iter: int = 10, damping: float = 0.85,
+                          checkpoint_every: int = 3) -> DataFrame:
+    """Personalized PageRank: the random walk teleports back to the SEED
+    set instead of everywhere — rank becomes "importance relative to
+    these nodes", the standard relatedness score behind
+    people-also-bought recommendations and seed-expansion labeling
+    (vs global pagerank's corpus-wide prestige).
+
+        r'(v) = (1-d) * s(v) + d * (sum_{u->v} r(u)/outdeg(u)
+                                     + dangling_mass * s(v))
+
+    with s uniform over `seeds` (a (node) relation) and 0 elsewhere —
+    dangling mass also returns to the seeds, keeping total mass 1.
+    Same iterative discipline as pagerank (cached edges/contrib, rank
+    lineage checkpointed); rows-only for the driver like its sibling,
+    invariants (mass conservation, seed locality, teleport floor on
+    seeds) pytest-asserted.
+    """
+    e = edges.select("src", "dst").distinct().cache()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    s = (seeds.select(F.col("node")).distinct()
+         .join(nodes, "node", "left_semi").cache())
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is in the graph")
+    seed_share = 1.0 / n_seeds
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
+
+    is_seed = F.col("_s").isNotNull()
+    seeded_nodes = (nodes.join(s.withColumn("_s", F.lit(1)), "node", "left")
+                    .cache())
+    ranks = seeded_nodes.select(
+        "node", F.when(is_seed, F.lit(seed_share)).otherwise(F.lit(0.0))
+                 .alias("rank"))
+    for i in range(max_iter):
+        contrib = (ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
+                   .select(ranks["node"], "rank", "_deg")
+                   .cache())
+        dangling = (contrib.filter(F.col("_deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        spread = (contrib.filter(F.col("_deg").isNotNull())
+                  .join(e, contrib["node"] == e["src"])
+                  .select(F.col("dst").alias("node"),
+                          (F.col("rank") / F.col("_deg")).alias("_c")))
+        incoming = spread.groupBy("node").agg(F.sum("_c").alias("_in"))
+        teleport = ((1.0 - damping) + damping * dangling) * seed_share
+        ranks = (seeded_nodes.join(incoming, "node", "left")
+                 .select("node",
+                         (F.when(is_seed, F.lit(teleport))
+                           .otherwise(F.lit(0.0))
+                          + F.lit(damping) * F.coalesce(F.col("_in"),
+                                                        F.lit(0.0)))
+                         .alias("rank")))
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def pagerank(edges: DataFrame, max_iter: int = 10,
              damping: float = 0.85,
              checkpoint_every: int = 3) -> DataFrame:

@@ -466,6 +466,20 @@ def q_part_copurchase_rank(spark, sf_dir):
     return ranked.select("node", F.round("rank", 9).alias("rank"))
 
 
+# personalized variant: relatedness to the seed parts, not global
+# prestige — rows-only like its sibling (iterative float power
+# iteration); invariants pytest-asserted (tests/test_timeseries_graph.py)
+@register("part_copurchase_ppr", None, "M6-graph-pagerank-personalized")
+def q_part_copurchase_ppr(spark, sf_dir):
+    edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"),
+                                   min_orders=COPURCHASE_MIN_ORDERS)
+    seeds = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_partkey") % COPURCHASE_SEED_MOD == 0)
+             .select(F.col("p_partkey").alias("node")))
+    ranked = graph.personalized_pagerank(edges, seeds, max_iter=10)
+    return ranked.select("node", F.round("rank", 9).alias("rank"))
+
+
 # intra-document segment dedup (RefinedWeb's within-page repetition cut)
 
 

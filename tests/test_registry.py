@@ -17,7 +17,10 @@ EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
                       "part_copurchase_rank",
                       # PCA: BLAS projection, float reduction order —
                       # orthonormality/energy invariants pytest-asserted
-                      "embedding_pca"}
+                      "embedding_pca",
+                      # personalized PageRank: iterative float power
+                      # iteration like its global sibling
+                      "part_copurchase_ppr"}
 
 
 def test_every_query_has_survey_reference():

@@ -467,3 +467,40 @@ def test_tfidf_pair_cosine_semantics(spark):
     assert got[(1, 2)] == 1.0
     assert 0.0 < got[(1, 3)] < 1.0
     assert got[(1, 4)] == 0.0
+
+
+def test_personalized_pagerank_localizes_mass(spark):
+    from etl_online_retail_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # undirected chain 1-2-3-4-5, seed at node 1
+    und = [(a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5)]]
+    e = spark.createDataFrame(und + [(b, a) for a, b in und],
+                              "src BIGINT, dst BIGINT")
+    seeds = spark.createDataFrame([(1,)], "node BIGINT")
+    ranks = {r.node: r.rank
+             for r in personalized_pagerank(e, seeds, max_iter=20)
+             .collect()}
+    # mass conserved
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    # mass localizes toward the seed end: monotone decay holds beyond
+    # the seed's immediate neighbor (node 2 legitimately collects the
+    # seed's ENTIRE outflow — deg(seed)=1 — so it may outrank the seed)
+    assert ranks[2] > ranks[3] > ranks[4] > ranks[5]
+    assert ranks[1] > ranks[3]
+    # the far end holds far less than the seed end
+    assert ranks[5] < 0.25 * (ranks[1] + ranks[2])
+    # the seed keeps at least the teleport floor
+    assert ranks[1] >= (1 - 0.85) * 1.0 - 1e-12
+
+
+def test_personalized_pagerank_rejects_foreign_seeds(spark):
+    from etl_online_retail_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src BIGINT, dst BIGINT")
+    seeds = spark.createDataFrame([(99,)], "node BIGINT")
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(e, seeds)
