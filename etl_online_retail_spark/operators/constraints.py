@@ -72,3 +72,37 @@ def check_warehouse(wh) -> dict[str, int]:
                 "date_dim_id", "date_dim_id"),
     }
     return {k: v for k, v in out.items() if v > 0}
+
+
+def quarantine(df: DataFrame,
+               rules: "list[tuple[str, F.Column]]") \
+        -> tuple[DataFrame, DataFrame]:
+    """Split a load into (valid, invalid) by a rule list — the ACTION
+    the violation counts above inform: instead of failing the load or
+    silently keeping bad rows, route them to a quarantine table with an
+    explanation a steward can triage (the Deequ/DLT "expectations with
+    drop + log" pattern).
+
+    rules: [(rule_name, predicate_that_holds_for_GOOD_rows), ...].
+    Returns (valid, invalid) where invalid carries one extra column
+    `violations` — a comma-joined list of every rule the row breaks
+    (a row failing two rules appears ONCE with both names, not twice).
+
+    One pass, no shuffle: both outputs are filters over the same
+    projection, and the violation list is a pure row expression
+    (concat of CASE WHENs). A NULL predicate result counts as a
+    violation (unknown != proven good — the SQL three-valued-logic trap
+    a naive `filter(pred)` + `filter(~pred)` split silently drops rows
+    into neither side).
+    """
+    flags = [
+        F.when(pred.isNull() | ~pred, F.lit(name)).alias(f"_viol_{i}")
+        for i, (name, pred) in enumerate(rules)
+    ]
+    tagged = df.withColumn(
+        "violations",
+        F.concat_ws(",", *[f for f in flags]))
+    valid = (tagged.filter(F.col("violations") == "")
+             .drop("violations"))
+    invalid = tagged.filter(F.col("violations") != "")
+    return valid, invalid

@@ -483,6 +483,46 @@ def q_contrastive_triplets(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# data quality: quarantine split summary (the expectations-with-drop
+# ACTION on the event stream — every row lands in exactly one bucket
+# keyed by the comma-joined list of rules it breaks; '' = valid)
+
+QUAR_VALUE_CAP = 300.0
+QUAR_KNOWN_TYPES = ("click", "view", "purchase", "signup")
+
+_QUAR_IN = "', '".join(QUAR_KNOWN_TYPES)
+
+_QUAR_ORACLE = f"""
+WITH t AS (
+  SELECT concat_ws(',',
+    CASE WHEN (value <= {QUAR_VALUE_CAP}) IS NULL
+           OR NOT (value <= {QUAR_VALUE_CAP}) THEN 'value_cap' END,
+    CASE WHEN (event_type IN ('{_QUAR_IN}')) IS NULL
+           OR NOT (event_type IN ('{_QUAR_IN}')) THEN 'known_type' END)
+    AS violations
+  FROM events)
+SELECT violations, COUNT(*) AS n_rows FROM t GROUP BY violations
+"""
+
+
+@register("events_quarantine_summary", _QUAR_ORACLE, "S6-quarantine")
+def q_events_quarantine_summary(spark, sf_dir):
+    from etl_online_retail_spark.operators.constraints import quarantine
+
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        ("value_cap", F.col("value") <= QUAR_VALUE_CAP),
+        ("known_type", F.col("event_type").isin(*QUAR_KNOWN_TYPES)),
+    ]
+    valid, invalid = quarantine(ev, rules)
+    tagged = (valid.withColumn("violations", F.lit(""))
+              .select("violations")
+              .unionByName(invalid.select("violations")))
+    return tagged.groupBy("violations").agg(
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
 # statistics: deterministic jackknife CI for a dashboard mean
 
 JK_BUCKETS = 32

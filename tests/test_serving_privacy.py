@@ -297,6 +297,26 @@ def test_k_anonymize_plans_broadcast_semi_join(spark, qi_rows=None):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
 
 
+def test_quarantine_routes_nulls_and_multi_violations(spark):
+    from etl_online_retail_spark.operators.constraints import quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "click"), (2, 999.0, "click"), (3, 10.0, "weird"),
+         (4, 999.0, "weird"), (5, None, "click")],
+        "id INT, value DOUBLE, event_type STRING")
+    rules = [("value_cap", F.col("value") <= 300.0),
+             ("known_type", F.col("event_type").isin("click", "view"))]
+    valid, invalid = quarantine(df, rules)
+    assert [r.id for r in valid.collect()] == [1]
+    got = {r.id: r.violations for r in invalid.collect()}
+    assert got == {2: "value_cap", 3: "known_type",
+                   4: "value_cap,known_type",   # one row, both names
+                   5: "value_cap"}              # NULL pred = violation
+    # nothing falls into neither side (the three-valued-logic trap)
+    assert valid.count() + invalid.count() == df.count()
+    assert valid.columns == df.columns           # schema-preserving
+
+
 def test_contrastive_triplets_shape(spark):
     from etl_online_retail_spark.operators.curation import (
         contrastive_triplets,
