@@ -128,6 +128,7 @@ HEADLINE = [
     "orders_price_jackknife",
     "contrastive_triplets",
     "events_quarantine_summary",
+    "cohort_revenue_retention",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state

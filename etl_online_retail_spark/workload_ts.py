@@ -669,6 +669,58 @@ FROM marked GROUP BY cohort_week, week_offset
 """
 
 
+# revenue-weighted sibling: how much each cohort SPENDS as it ages, not
+# just whether it returns — the LTV-curve input. Same integer week
+# arithmetic; purchase sums stay DECIMAL until the final cast.
+_COHORT_REV_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+weekly AS (
+  SELECT user_id, CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7
+                       AS INTEGER) AS w,
+         COUNT(*) AS n_purch,
+         SUM(CAST(value AS DECIMAL(18,2))) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+marked AS (
+  SELECT f.user_id,
+         CAST((f.d0 - DATE '1970-01-05') // 7 AS INTEGER) AS cohort_week,
+         w.w - CAST((f.d0 - DATE '1970-01-05') // 7 AS INTEGER)
+           AS week_offset,
+         w.n_purch, w.rev
+  FROM first_day f JOIN weekly w ON f.user_id = w.user_id)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+       CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+       CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM marked GROUP BY cohort_week, week_offset
+"""
+
+
+@register("cohort_revenue_retention", _COHORT_REV_ORACLE,
+          "M6-analytics-cohort-ltv")
+def q_cohort_revenue_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+
+    def week(day_col):
+        return F.floor(F.datediff(day_col, F.lit("1970-01-05"))
+                       / F.lit(7)).cast("int")
+
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.to_date("ts")).alias("_d0"))
+             .withColumn("cohort_week", week(F.col("_d0"))))
+    weekly = (ev.filter(F.col("event_type") == "purchase")
+              .groupBy("user_id", week(F.to_date("ts")).alias("_w"))
+              .agg(F.count(F.lit(1)).alias("_n"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .alias("_rev")))
+    return (first.join(weekly, "user_id")
+            .withColumn("week_offset", F.col("_w") - F.col("cohort_week"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("user_id").alias("n_buyers"),
+                 F.sum("_n").alias("n_purchases"),
+                 F.sum("_rev").cast("double").alias("revenue")))
+
+
 @register("cohort_retention", _COHORT_ORACLE, "M6-analytics-cohort")
 def q_cohort_retention(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
