@@ -1049,3 +1049,74 @@ def q_events_hourly(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n_events"),
                    F.sum(F.col("value").cast("decimal(18,2)"))
                     .cast("double").alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# supplier / region dimension coverage: the two catalog tables no query
+# had touched. supplier_balance_by_region is the dim-only rollup through
+# the nation -> region snowflake chain; local_supplier_revenue is the
+# TPC-H Q5 SHAPE — revenue from orders fulfilled by a supplier in the
+# customer's OWN nation, by region — the classic two-dimension star join
+# with an equality between two dimension keys.
+
+@register(
+    "supplier_balance_by_region",
+    "SELECT r_name AS region, COUNT(*) AS n_suppliers, "
+    "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, "
+    "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) "
+    "AS avg_bal "
+    "FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY 1",
+    "J1-snowflake-dims",
+)
+def q_supplier_balance_by_region(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    total = F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 total.alias("total_bal"),
+                 (total / F.count(F.lit(1))).alias("avg_bal")))
+
+
+@register(
+    "local_supplier_revenue",
+    f"SELECT r_name AS region, n_name AS nation, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS revenue, "
+    f"COUNT(*) AS n_items "
+    f"FROM lineitem "
+    f"JOIN orders ON l_orderkey = o_orderkey "
+    f"JOIN customer ON o_custkey = c_custkey "
+    f"JOIN supplier ON l_suppkey = s_suppkey "
+    f"AND c_nationkey = s_nationkey "
+    f"JOIN nation ON c_nationkey = n_nationkey "
+    f"JOIN region ON n_regionkey = r_regionkey "
+    f"GROUP BY 1, 2",
+    "J3-q5-local-supplier",
+)
+def q_local_supplier_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (li
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            # the Q5 twist: supplier must sit in the customer's nation —
+            # an equality BETWEEN dimension keys, pushed into the join
+            .join(F.broadcast(s),
+                  (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"),
+                     F.col("n_name").alias("nation"))
+            .agg(money.sum_money(money.net_revenue(), "revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
