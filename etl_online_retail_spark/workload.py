@@ -21,6 +21,13 @@ Conventions that make Spark-vs-DuckDB hash comparison exact:
     [0, -1]); guard empty arrays before building index sequences.
     Recursive metrics (EWMA) are oracle-safe only as the SAME sequential
     fold on both engines (aggregate vs list_reduce, identical order).
+  * Session-4 additions: a DECIMAL column whose scaled integer exceeds
+    2^53 does NOT cast to DOUBLE identically across engines (DuckDB
+    converts hugeint->double then divides — two roundings; Spark's
+    BigDecimal rounds once): keep SUM scales small enough, or ROUND the
+    exact sum to a coarse scale first. And that ROUND must be ROUND —
+    DuckDB TRUNCATES on decimal->decimal downscale CASTs while Spark
+    rounds HALF_UP (pricing_summary's sum_charge hit both).
 
 Each builder takes (spark, sf_dir) and returns a lazy DataFrame.
 """
@@ -1120,3 +1127,61 @@ def q_local_supplier_revenue(spark, sf_dir):
                      F.col("n_name").alias("nation"))
             .agg(money.sum_money(money.net_revenue(), "revenue"),
                  F.count(F.lit(1)).alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# the TPC-H Q1 pricing summary — the canonical scan-heavy single-pass
+# report, and the first use of l_tax. The charge term multiplies THREE
+# factors; to keep the decimal widths inside both engines' 38-digit cap
+# the two double factors combine FIRST ((1-disc)*(1+tax), exact-input
+# doubles, correctly-rounded product, cast once to DECIMAL(18,8)) and
+# the decimal multiply happens once: (18,2) x (18,8) -> scale 10, well
+# under the cap on both engines. The charge SUM is ROUND()ed to scale 2
+# BEFORE its double cast (ROUND, not a decimal downscale CAST — DuckDB
+# TRUNCATES on decimal->decimal casts): at scale 10 the sum's scaled integer exceeds 2^53 and
+# DuckDB's hugeint->double conversion double-rounds (int->double, then
+# /1e10) while Spark's BigDecimal conversion rounds once — measured
+# divergence in the 9th significant digit. At scale 2 the scaled integer
+# is double-exact and both engines round identically (HALF_UP ==
+# half-away-from-zero for these positive sums).
+
+_Q1_CHARGE = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+              "CAST((1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,8))")
+
+
+@register(
+    "pricing_summary",
+    f"SELECT l_returnflag, l_linestatus, "
+    f"CAST(SUM({QTY}) AS DOUBLE) AS sum_qty, "
+    f"CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+    f"AS sum_base_price, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS sum_disc_price, "
+    f"CAST(ROUND(SUM({_Q1_CHARGE}), 2) AS DOUBLE) AS sum_charge, "
+    f"CAST(SUM({QTY}) AS DOUBLE) / COUNT(*) AS avg_qty, "
+    f"CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+    f"/ COUNT(*) AS avg_price, "
+    f"CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) "
+    f"/ COUNT(*) AS avg_disc, "
+    f"COUNT(*) AS count_order "
+    f"FROM lineitem GROUP BY 1, 2",
+    "A1-tpch-q1",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    charge = price * ((F.lit(1.0) - F.col("l_discount"))
+                      * (F.lit(1.0) + F.col("l_tax"))).cast("decimal(18,8)")
+    n = F.count(F.lit(1))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(money.net_revenue()).cast("double")
+                  .alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).cast("double")
+                  .alias("sum_charge"),
+                 (F.sum(qty).cast("double") / n).alias("avg_qty"),
+                 (F.sum(price).cast("double") / n).alias("avg_price"),
+                 (F.sum(disc).cast("double") / n).alias("avg_disc"),
+                 n.alias("count_order")))
