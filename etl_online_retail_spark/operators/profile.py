@@ -320,3 +320,33 @@ def psi_from_counts(counts: DataFrame, group_col: str,
             .groupBy(group_col, "_ng")
             .agg(F.round(F.sum("_c").cast("double"), 6).alias("psi"))
             .select(F.col(group_col), F.col("_ng").alias("n_rows"), "psi"))
+
+
+def observed_load(df: DataFrame, cols: list[str] | None = None):
+    """Attach single-pass load metrics to a DataFrame: row count plus
+    per-column null counts, collected DURING whatever action the caller
+    runs next (a write, a count) via Spark's Observation API — the
+    metrics-while-writing pattern (Deequ's "analyzers on the ingestion
+    pass"), with NO second scan of the input.
+
+    Returns (df', fetch) where df' must be used for the action and
+    fetch() — called AFTER the action completes — returns
+    {"n_rows": ..., "null_<col>": ...}. The profile_table operator is
+    the ad-hoc full profile; this is the always-on cheap subset a
+    production load wires into every write.
+    """
+    from pyspark.sql import Observation
+
+    cols = cols if cols is not None else df.columns
+    obs = Observation("load_metrics")
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}")
+        for c in cols
+    ]
+    out = df.observe(obs, *metrics)
+
+    def fetch() -> dict:
+        return dict(obs.get)
+
+    return out, fetch

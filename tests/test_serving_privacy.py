@@ -609,3 +609,18 @@ def test_last_touch_attribution_intervening_purchase_keeps_touch(spark):
     got = {r.event_id: r.attributed_type
            for r in last_touch_attribution(ev, window_hours=24).collect()}
     assert got == {2: "view", 3: "view"}
+
+
+def test_observed_load_collects_metrics_in_one_pass(spark, tmp_path):
+    from etl_online_retail_spark.operators.profile import observed_load
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)],
+        "id INT, name STRING")
+    out, fetch = observed_load(df)
+    out.write.parquet(str(tmp_path / "observed"))   # the ONLY action
+    got = fetch()
+    assert got == {"n_rows": 4, "null_id": 0, "null_name": 2}
+    # the written data is untouched by the observation
+    back = spark.read.parquet(str(tmp_path / "observed"))
+    assert back.count() == 4
