@@ -592,3 +592,40 @@ def read_incremental_psi(spark, table_dir: str, group_col: str,
               .groupBy(group_col, bucket_col)
               .agg(F.sum("cnt").alias("cnt")))
     return psi_from_counts(merged, group_col, bucket_col)
+
+
+# ---------------------------------------------------------------------------
+# streaming quarantine: the expectations-with-drop+log split applied to
+# every micro-batch — valid rows land in the main table, rows breaking
+# any rule land beside it with their violation list, both under the
+# batch's own `_batch_id` partition so a replay overwrites exactly its
+# own first attempt on BOTH sides (the idempotent_batch_write contract).
+
+
+def quarantine_batch_write(batch_df: DataFrame, batch_id: int,
+                           valid_dir: str, quarantine_dir: str,
+                           rules) -> None:
+    from etl_online_retail_spark.operators.constraints import quarantine
+
+    valid, invalid = quarantine(batch_df, rules)
+    for df, out in ((valid, valid_dir), (invalid, quarantine_dir)):
+        (df.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(out))
+
+
+def quarantined_ingest(stream_df: DataFrame, valid_dir: str,
+                       quarantine_dir: str, checkpoint_dir: str,
+                       rules) -> StreamingQuery:
+    """Route a stream through the constraint rules: valid rows to
+    valid_dir, rule-breakers (with reasons) to quarantine_dir —
+    replay-safe on both sides. rules: [(name, good-row predicate), ...]
+    per operators/constraints.quarantine."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: quarantine_batch_write(
+                df, bid, valid_dir, quarantine_dir, rules))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -644,3 +644,50 @@ def test_streaming_psi_matches_batch_and_replay_safe(spark, tmp_path):
              for r in read_incremental_psi(spark, t,
                                            "event_type", "bkt").collect()}
     assert after == want
+
+
+def test_streaming_quarantine_routes_and_replays_safely(spark, tmp_path):
+    """Every row lands on exactly one side with the batch operator's
+    exact routing, and a replayed batch overwrites its own partitions
+    on BOTH sides."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import SCHEMAS
+    from etl_online_retail_spark.streaming.ingest import (
+        quarantine_batch_write,
+        quarantined_ingest,
+    )
+
+    ev = load_events(spark, SF).cache()
+    src = str(tmp_path / "q_src")
+    for b in range(3):
+        (ev.filter(F.col("event_id") % 3 == b)
+         .write.parquet(f"{src}/shard{b}"))
+    stream = spark.readStream.schema(SCHEMAS["events"]).parquet(f"{src}/*")
+    rules = [("value_cap", F.col("value") <= 300.0),
+             ("known_type",
+              F.col("event_type").isin("click", "view", "purchase",
+                                       "signup"))]
+    vdir, qdir = str(tmp_path / "valid"), str(tmp_path / "quar")
+    q = quarantined_ingest(stream, vdir, qdir, str(tmp_path / "q_ckpt"),
+                           rules)
+    q.awaitTermination()
+
+    valid = spark.read.parquet(vdir)
+    quar = spark.read.parquet(qdir)
+    assert valid.count() + quar.count() == ev.count()
+    # routing matches the batch operator exactly
+    n_bad = ev.filter((F.col("value") > 300.0)
+                      | (F.col("event_type") == "error")).count()
+    assert quar.count() == n_bad
+    assert "violations" in quar.columns
+    assert quar.filter(F.col("violations") == "").count() == 0
+
+    # replay the committed batch (availableNow ran the three files as
+    # ONE micro-batch, id 0) with identical content: both sides must
+    # come back unchanged (partition overwrite, not append)
+    before = (valid.count(), quar.count())
+    quarantine_batch_write(ev, 0, vdir, qdir, rules)
+    after = (spark.read.parquet(vdir).count(),
+             spark.read.parquet(qdir).count())
+    assert after == before
