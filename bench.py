@@ -132,6 +132,7 @@ HEADLINE = [
     "supplier_balance_by_region",
     "local_supplier_revenue",
     "pricing_summary",
+    "shipping_priority",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state

@@ -1185,3 +1185,50 @@ def q_pricing_summary(spark, sf_dir):
                  (F.sum(price).cast("double") / n).alias("avg_price"),
                  (F.sum(disc).cast("double") / n).alias("avg_disc"),
                  n.alias("count_order")))
+
+
+# the TPC-H Q3 shape — shipping priority: top unshipped-revenue orders
+# for one market segment (orders placed before the cutoff whose items
+# ship after it). Classic selective-star + top-k: both date predicates
+# push into their scans, the segment filter prunes customer BEFORE it
+# broadcasts, and the LIMIT compiles to TakeOrderedAndProject under a
+# total order (revenue DESC, orderkey tiebreak — the O2 discipline).
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-03-15"
+
+
+@register(
+    "shipping_priority",
+    f"SELECT l_orderkey, "
+    f"CAST(SUM({REV}) AS DOUBLE) AS revenue, "
+    f"CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority "
+    f"FROM customer "
+    f"JOIN orders ON c_custkey = o_custkey "
+    f"JOIN lineitem ON l_orderkey = o_orderkey "
+    f"WHERE c_mktsegment = '{Q3_SEGMENT}' "
+    f"AND o_orderdate < DATE '{Q3_CUTOFF}' "
+    f"AND l_shipdate > DATE '{Q3_CUTOFF}' "
+    f"GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    f"ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "O1-O3-tpch-q3",
+)
+def q_shipping_priority(spark, sf_dir):
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+         .select("c_custkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF))
+         .select("o_orderkey", "o_custkey",
+                 F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                 "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit(Q3_CUTOFF)))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(money.sum_money(money.net_revenue(), "revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "l_orderkey")
+            .limit(10))
