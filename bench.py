@@ -133,6 +133,7 @@ HEADLINE = [
     "local_supplier_revenue",
     "pricing_summary",
     "shipping_priority",
+    "ulaw_audio_stats",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state

@@ -356,6 +356,38 @@ def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 .mapInPandas(render, out_schema))
 
 
+def synthetic_ulaw_media(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """One deterministic G.711 mu-law clip per row: mono 8 kHz square
+    wave of n = 800 + 80*(id % 10) samples at amplitude
+    A(id) = 132 * (2^(1 + id % 6) - 1) — amplitudes chosen as EXACT
+    mu-law codewords (m=0 rungs of the companding ladder), so the lossy
+    compand->expand round-trip is bit-exact and mean_abs = A(id) stays
+    closed-form for the oracle while Spark genuinely runs the ITU
+    algebra both ways."""
+    from etl_online_retail_spark.multimodal import wav as _wav
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 800 + 80 * (i % 10)
+                a = 132 * (2 ** (1 + i % 6) - 1)
+                wave = [a if j % 2 == 0 else -a for j in range(n)]
+                payloads.append(_wav.encode_wav(wave, 8000,
+                                                audio_format=7))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
 # kept as the documented stub surface for container formats
 def frame_sample_stub(content: bytes, every_n: int = 30) -> list[bytes]:
     """Placeholder for container-format (mp4/webm) frame sampling."""

@@ -3,7 +3,9 @@
 Third media family (after PNG/JPEG images and MJPEG video): linear PCM
 audio in a RIFF container — the interchange format audio training
 pipelines ingest before feature extraction. struct is enough: RIFF/WAVE
-header, fmt chunk (PCM format 1, 8- or 16-bit), data chunk of interleaved
+header, fmt chunk (linear PCM format 1, 8- or 16-bit, or G.711 mu-law
+format 7 — the telephony companding every speech corpus eventually
+meets, decoded through the ITU algebra below), data chunk of interleaved
 little-endian samples. Unknown chunks (LIST, fact, ...) are skipped by
 their declared size, the same rule as PNG ancillary chunks.
 
@@ -28,7 +30,8 @@ class WavClip:
     sample_rate: int
     channels: int
     bit_depth: int
-    samples: list[int]  # interleaved, signed (16-bit) or unsigned (8-bit)
+    samples: list[int]  # interleaved; LINEAR values (mu-law pre-decoded)
+    audio_format: int = 1  # 1 = linear PCM, 7 = G.711 mu-law source
 
     @property
     def n_frames(self) -> int:
@@ -46,10 +49,48 @@ class WavClip:
         return sum(abs(s - off) for s in self.samples) / len(self.samples)
 
 
+# --- G.711 mu-law companding (ITU-T G.711, the canonical algebra) ---
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def linear_to_ulaw(s: int) -> int:
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    if s > _ULAW_CLIP:
+        s = _ULAW_CLIP
+    s += _ULAW_BIAS
+    exponent = 7
+    mask = 0x4000
+    while exponent > 0 and not (s & mask):
+        exponent -= 1
+        mask >>= 1
+    mantissa = (s >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def ulaw_to_linear(u: int) -> int:
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    s = (((mantissa << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
+    return -s if sign else s
+
+
 def encode_wav(samples: list[int], sample_rate: int, channels: int = 1,
-               bit_depth: int = 16) -> bytes:
-    """Encode interleaved PCM samples as a canonical RIFF/WAVE file."""
-    if bit_depth == 16:
+               bit_depth: int = 16, audio_format: int = 1) -> bytes:
+    """Encode interleaved samples as a canonical RIFF/WAVE file.
+
+    audio_format 1: linear PCM at bit_depth. audio_format 7: G.711
+    mu-law — `samples` are LINEAR values, companded here (bit_depth is
+    forced to 8, the mu-law code width)."""
+    if audio_format == 7:
+        bit_depth = 8
+        data = bytes(linear_to_ulaw(s) for s in samples)
+    elif bit_depth == 16:
         if any(not -32768 <= s <= 32767 for s in samples):
             raise ValueError("16-bit samples must be in [-32768, 32767]")
         data = struct.pack(f"<{len(samples)}h", *samples)
@@ -60,7 +101,7 @@ def encode_wav(samples: list[int], sample_rate: int, channels: int = 1,
     else:
         raise ValueError("only 8- and 16-bit PCM supported")
     block_align = channels * bit_depth // 8
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+    fmt = struct.pack("<HHIIHH", audio_format, channels, sample_rate,
                       sample_rate * block_align, block_align, bit_depth)
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -89,8 +130,14 @@ def decode_wav(payload: bytes) -> WavClip:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _, _, bit_depth = fmt
+    if audio_format == 7:
+        return WavClip(sample_rate=sample_rate, channels=channels,
+                       bit_depth=8,
+                       samples=[ulaw_to_linear(b) for b in data],
+                       audio_format=7)
     if audio_format != 1:
-        raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+        raise ValueError(
+            f"only PCM (1) and mu-law (7) supported, got {audio_format}")
     if bit_depth == 16:
         samples = list(struct.unpack(f"<{len(data) // 2}h", data))
     elif bit_depth == 8:

@@ -1554,6 +1554,32 @@ def q_mjpeg_frame_stats(spark, sf_dir):
         MJPEG_EVERY_N)
 
 
+# G.711 mu-law audio: the companded telephony path beside linear PCM.
+# Fixture amplitudes are exact mu-law codewords (see
+# synthetic_ulaw_media), so the lossy compand->expand is bit-exact and
+# the oracle stays closed-form: mean_abs = 132 * (2^(1 + id%6) - 1).
+@register(
+    "ulaw_audio_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(8000 AS INTEGER) AS sample_rate, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "CAST(800 + 80 * (doc_id % 10) AS INTEGER) AS n_frames, "
+    "CAST((800 + 80 * (doc_id % 10)) / 8 AS DOUBLE) AS duration_ms, "
+    "CAST(132 * (CAST(POWER(2, 1 + doc_id % 6) AS BIGINT) - 1) AS DOUBLE) "
+    "AS mean_abs "
+    "FROM documents",
+    "M6-multimodal-audio-ulaw",
+)
+def q_ulaw_audio_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        audio_features,
+        synthetic_ulaw_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_features(synthetic_ulaw_media(docs))
+
+
 # real GIF codec round-trip (stdlib LZW, multimodal/gif.py): the
 # png_image_stats shape — solid value = id % 256 through the grayscale
 # palette, closed-form oracle, Spark genuinely LZW-encodes and decodes.

@@ -438,3 +438,45 @@ def test_gif_frame_features_spark_stage(spark):
     for (mid, fi) in rows:
         by_id[mid] = max(by_id.get(mid, 0), fi + 1)
     assert all(n == 1 + mid % 4 for mid, n in by_id.items())
+
+
+def test_ulaw_codec_roundtrips():
+    from etl_online_retail_spark.multimodal.wav import (
+        decode_wav,
+        encode_wav,
+        linear_to_ulaw,
+        ulaw_to_linear,
+    )
+
+    # every code word (except the two zero encodings) survives
+    # decode -> encode exactly
+    for u in range(256):
+        if u in (0x7F, 0xFF):
+            continue
+        assert linear_to_ulaw(ulaw_to_linear(u)) == u
+    # exact-codeword amplitudes round-trip bit-exactly through the
+    # container (the lossy compander is exact ON its ladder rungs)
+    for e in range(1, 7):
+        a = 132 * (2 ** e - 1)
+        clip = decode_wav(encode_wav([a, -a] * 50, 8000, audio_format=7))
+        assert clip.audio_format == 7 and clip.bit_depth == 8
+        assert clip.samples[:4] == [a, -a, a, -a]
+        assert clip.mean_abs() == float(a)
+    # off-ladder amplitudes come back companded (lossy), within the
+    # step size of their segment
+    clip = decode_wav(encode_wav([1000] * 10, 8000, audio_format=7))
+    assert clip.samples[0] != 1000
+    assert abs(clip.samples[0] - 1000) <= 64
+
+
+def test_ulaw_audio_features_spark_stage(spark):
+    from etl_online_retail_spark.multimodal.binary import (
+        audio_features,
+        synthetic_ulaw_media,
+    )
+
+    docs = load_table(spark, "documents", SF).limit(10)
+    out = audio_features(synthetic_ulaw_media(docs)).collect()
+    for r in out:
+        assert r.mean_abs == 132 * (2 ** (1 + r.media_id % 6) - 1)
+        assert r.sample_rate == 8000
