@@ -55,7 +55,13 @@ _ULAW_BIAS = 0x84
 _ULAW_CLIP = 32635
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def linear_to_ulaw(s: int) -> int:
+    # memoized: fixtures and telephony audio reuse few distinct levels,
+    # and the cache turns the per-sample bit walk into a dict hit
     sign = 0x80 if s < 0 else 0
     if s < 0:
         s = -s
@@ -78,6 +84,10 @@ def ulaw_to_linear(u: int) -> int:
     mantissa = u & 0x0F
     s = (((mantissa << 3) + _ULAW_BIAS) << exponent) - _ULAW_BIAS
     return -s if sign else s
+
+
+# 256-entry expand table: decode is a list index per sample, not bit math
+_ULAW_TABLE = None  # filled below ulaw_to_linear
 
 
 def encode_wav(samples: list[int], sample_rate: int, channels: int = 1,
@@ -133,7 +143,7 @@ def decode_wav(payload: bytes) -> WavClip:
     if audio_format == 7:
         return WavClip(sample_rate=sample_rate, channels=channels,
                        bit_depth=8,
-                       samples=[ulaw_to_linear(b) for b in data],
+                       samples=[_ULAW_TABLE[b] for b in data],
                        audio_format=7)
     if audio_format != 1:
         raise ValueError(
@@ -146,3 +156,6 @@ def decode_wav(payload: bytes) -> WavClip:
         raise ValueError(f"unsupported bit depth {bit_depth}")
     return WavClip(sample_rate=sample_rate, channels=channels,
                    bit_depth=bit_depth, samples=samples)
+
+
+_ULAW_TABLE = [ulaw_to_linear(u) for u in range(256)]
