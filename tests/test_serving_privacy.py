@@ -624,3 +624,15 @@ def test_observed_load_collects_metrics_in_one_pass(spark, tmp_path):
     # the written data is untouched by the observation
     back = spark.read.parquet(str(tmp_path / "observed"))
     assert back.count() == 4
+
+
+def test_pricing_summary_plan_is_one_scan_one_exchange(spark):
+    """The Q1 report must stay a single scan with map-side partial
+    aggregation and exactly one Exchange — nine aggregates or not."""
+    import __spark_entry__ as m
+
+    df = m.queries()["pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "partial_sum" in plan          # map-side combine engaged
