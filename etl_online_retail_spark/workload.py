@@ -1232,3 +1232,41 @@ def q_shipping_priority(spark, sf_dir):
                     "o_orderpriority")
             .orderBy(F.col("revenue").desc(), "l_orderkey")
             .limit(10))
+
+
+# A5 depth: ROLLUP with GROUPING() disambiguation. revenue_rollup reads
+# subtotal rows off their NULL keys, which is ambiguous the moment the
+# data itself can hold NULLs; gid = GROUPING(year)*2 + GROUPING(month)
+# tags every row with WHICH keys are aggregated away — the lossless form
+# a BI layer should consume. Same plan as the plain rollup (one Expand +
+# one aggregate); the gid is free metadata.
+
+
+@register(
+    "revenue_rollup_gid",
+    # DuckDB's GROUPING() binds to the grouping COLUMN, so the keys live
+    # in a projection CTE and the rollup groups the aliased columns
+    f"""WITH t AS (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+         CAST(month(l_shipdate) AS INTEGER) AS month,
+         {REV} AS _rev
+  FROM lineitem)
+SELECT year, month,
+       CAST(GROUPING(year) * 2 + GROUPING(month) AS INTEGER) AS gid,
+       CAST(SUM(_rev) AS DOUBLE) AS revenue
+FROM t GROUP BY ROLLUP(year, month)""",
+    "A5-grouping-id",
+)
+def q_revenue_rollup_gid(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(
+                F.year("l_shipdate").cast("int").alias("year"),
+                F.month("l_shipdate").cast("int").alias("month"),
+                money.net_revenue().alias("_rev"))
+              .rollup("year", "month")
+              # grouping() is only resolvable INSIDE the grouping
+              # aggregate, not a downstream select
+              .agg((F.grouping("year") * 2 + F.grouping("month"))
+                   .cast("int").alias("gid"),
+                   F.sum("_rev").cast("double").alias("revenue"))
+              .select("year", "month", "gid", "revenue"))
