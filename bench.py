@@ -132,6 +132,7 @@ HEADLINE = [
     "supplier_balance_by_region",
     "local_supplier_revenue",
     "pricing_summary",
+    "revenue_rollup_gid",
     "shipping_priority",
     "ulaw_audio_stats",
     # minhash_calibration is NOT benched: its ground-truth side is the
