@@ -39,6 +39,7 @@ HEADLINE = [
     "running_customer_spend",
     "session_stats",
     "events_hourly",
+    "events_sliding",
     "exact_dup_groups",
     "repeated_passage_stats",
     "minhash_near_dups",
@@ -115,6 +116,7 @@ HEADLINE = [
     "part_copurchase_pmi",
     "events_anomaly_zscore",
     "gif_frame_stats",
+    "gif_image_stats",
     "quality_rank_normalized",
     "source_length_psi",
     "contrastive_negatives",
