@@ -170,6 +170,8 @@ class GifImage:
 
 
 def _u16(b: bytes, off: int) -> int:
+    if off + 2 > len(b):
+        raise ValueError("truncated GIF header field")
     return b[off] | (b[off + 1] << 8)
 
 
@@ -177,6 +179,8 @@ def decode_gif(data: bytes) -> GifImage:
     data = bytes(data)
     if data[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF payload")
+    if len(data) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
     sw, sh = _u16(data, 6), _u16(data, 8)
     packed = data[10]
     pos = 13
@@ -194,17 +198,23 @@ def decode_gif(data: bytes) -> GifImage:
         if block == 0x3B:                 # trailer
             break
         if block == 0x21:                 # extension: label + sub-blocks
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension block")
             label = data[pos]
             pos += 1
             sub_start = pos
-            while data[pos] != 0:
+            while pos < len(data) and data[pos] != 0:
                 pos += data[pos] + 1
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension block")
             if label == 0xF9 and data[sub_start] >= 3:
                 delay_cs = _u16(data, sub_start + 2)
             pos += 1                      # block terminator
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
         fw, fh = _u16(data, pos + 4), _u16(data, pos + 6)
         fpacked = data[pos + 8]
         pos += 9
@@ -217,13 +227,19 @@ def decode_gif(data: bytes) -> GifImage:
             pos += 3 * n
         if not palette:
             raise ValueError("GIF frame without any color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
         min_code_size = data[pos]
         pos += 1
         lzw = bytearray()
-        while data[pos] != 0:
+        while pos < len(data) and data[pos] != 0:
             ln = data[pos]
+            if pos + 1 + ln > len(data):
+                raise ValueError("truncated GIF image data")
             lzw += data[pos + 1:pos + 1 + ln]
             pos += ln + 1
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
         pos += 1                          # sub-block terminator
         indices = lzw_decode(bytes(lzw), min_code_size)[:fw * fh]
         if len(indices) < fw * fh:

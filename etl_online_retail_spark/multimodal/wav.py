@@ -22,6 +22,8 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 
+import numpy as np
+
 WAV_RIFF = b"RIFF"
 
 
@@ -30,23 +32,31 @@ class WavClip:
     sample_rate: int
     channels: int
     bit_depth: int
-    samples: list[int]  # interleaved; LINEAR values (mu-law pre-decoded)
+    samples: np.ndarray  # interleaved int32; LINEAR values (mu-law pre-decoded)
     audio_format: int = 1  # 1 = linear PCM, 7 = G.711 mu-law source
 
     @property
     def n_frames(self) -> int:
-        return len(self.samples) // self.channels
+        return int(self.samples.size) // self.channels
 
     def duration_ms(self) -> float:
         return 1000.0 * self.n_frames / self.sample_rate
 
     def mean_abs(self) -> float:
-        """Mean absolute amplitude over every sample (8-bit is centered
-        on 128 per the PCM spec before taking the magnitude)."""
-        if not self.samples:
+        """Mean absolute amplitude over every sample. Only UNSIGNED
+        linear 8-bit PCM (audio_format 1) is centered on 128 per the PCM
+        spec; mu-law (audio_format 7) decodes to SIGNED linear values
+        even though the stored code width is 8 bits, so it takes no
+        offset — applying one would skew any asymmetric or low-amplitude
+        clip."""
+        n = int(self.samples.size)
+        if n == 0:
             return 0.0
-        off = 128 if self.bit_depth == 8 else 0
-        return sum(abs(s - off) for s in self.samples) / len(self.samples)
+        off = 128 if (self.bit_depth == 8 and self.audio_format == 1) else 0
+        # int64 accumulator then one float division: identical result to
+        # the scalar sum(abs(...))/n fold, at numpy speed
+        total = int(np.abs(self.samples.astype(np.int64) - off).sum())
+        return total / n
 
 
 # --- G.711 mu-law companding (ITU-T G.711, the canonical algebra) ---
@@ -86,28 +96,47 @@ def ulaw_to_linear(u: int) -> int:
     return -s if sign else s
 
 
-# 256-entry expand table: decode is a list index per sample, not bit math
+# 256-entry expand table (numpy): decode is one vectorized LUT index
 _ULAW_TABLE = None  # filled below ulaw_to_linear
 
+# segment edges for the vectorized compander: biased magnitude in
+# [2^(e+7), 2^(e+8)) has exponent e for e>=1; below 256 it's e=0
+_ULAW_EDGES = np.array([1 << k for k in range(8, 15)], dtype=np.int64)
 
-def encode_wav(samples: list[int], sample_rate: int, channels: int = 1,
+
+def _ulaw_encode_array(arr: np.ndarray) -> bytes:
+    """Vectorized ITU-T G.711 compander: identical output to the scalar
+    linear_to_ulaw bit walk (equality asserted over the full 16-bit
+    domain in tests), at numpy speed for long clips."""
+    arr = arr.astype(np.int64)
+    sign = np.where(arr < 0, 0x80, 0)
+    mag = np.minimum(np.abs(arr), _ULAW_CLIP) + _ULAW_BIAS
+    exp = np.searchsorted(_ULAW_EDGES, mag, side="right")
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def encode_wav(samples, sample_rate: int, channels: int = 1,
                bit_depth: int = 16, audio_format: int = 1) -> bytes:
-    """Encode interleaved samples as a canonical RIFF/WAVE file.
+    """Encode interleaved samples (list or numpy array) as a canonical
+    RIFF/WAVE file.
 
     audio_format 1: linear PCM at bit_depth. audio_format 7: G.711
     mu-law — `samples` are LINEAR values, companded here (bit_depth is
     forced to 8, the mu-law code width)."""
+    arr = np.asarray(samples, dtype=np.int64)
+    n = int(arr.size)
     if audio_format == 7:
         bit_depth = 8
-        data = bytes(linear_to_ulaw(s) for s in samples)
+        data = _ulaw_encode_array(arr)
     elif bit_depth == 16:
-        if any(not -32768 <= s <= 32767 for s in samples):
+        if n and not (int(arr.min()) >= -32768 and int(arr.max()) <= 32767):
             raise ValueError("16-bit samples must be in [-32768, 32767]")
-        data = struct.pack(f"<{len(samples)}h", *samples)
+        data = arr.astype("<i2").tobytes()
     elif bit_depth == 8:
-        if any(not 0 <= s <= 255 for s in samples):
+        if n and not (int(arr.min()) >= 0 and int(arr.max()) <= 255):
             raise ValueError("8-bit samples must be in [0, 255]")
-        data = bytes(samples)
+        data = arr.astype(np.uint8).tobytes()
     else:
         raise ValueError("only 8- and 16-bit PCM supported")
     block_align = channels * bit_depth // 8
@@ -141,21 +170,23 @@ def decode_wav(payload: bytes) -> WavClip:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _, _, bit_depth = fmt
     if audio_format == 7:
+        codes = np.frombuffer(data, dtype=np.uint8)
         return WavClip(sample_rate=sample_rate, channels=channels,
                        bit_depth=8,
-                       samples=[_ULAW_TABLE[b] for b in data],
+                       samples=_ULAW_TABLE[codes],
                        audio_format=7)
     if audio_format != 1:
         raise ValueError(
             f"only PCM (1) and mu-law (7) supported, got {audio_format}")
     if bit_depth == 16:
-        samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
     elif bit_depth == 8:
-        samples = list(data)
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
     else:
         raise ValueError(f"unsupported bit depth {bit_depth}")
     return WavClip(sample_rate=sample_rate, channels=channels,
                    bit_depth=bit_depth, samples=samples)
 
 
-_ULAW_TABLE = [ulaw_to_linear(u) for u in range(256)]
+_ULAW_TABLE = np.array([ulaw_to_linear(u) for u in range(256)],
+                       dtype=np.int32)

@@ -149,10 +149,16 @@ def jackknife_mean(df: DataFrame, id_col: str, cents_col: str,
            .groupBy("_b")
            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s")))
     tot = per.agg(F.sum("_n").alias("_nt"), F.sum("_s").alias("_st"))
+    # a bucket holding EVERY row has no leave-one-out complement: its
+    # 0/0 must become NULL (excluded by COUNT(_m)), never a NaN that
+    # COUNT would still tally — with one occupied bucket the whole se/ci
+    # then reads NULL instead of silently propagating NaN
     loo = (per.crossJoin(F.broadcast(tot))
            .select("_b", "_nt", "_st",
-                   ((F.col("_st") - F.col("_s")).cast("double")
-                    / (F.col("_nt") - F.col("_n")).cast("double"))
+                   F.when(
+                       F.col("_nt") > F.col("_n"),
+                       (F.col("_st") - F.col("_s")).cast("double")
+                       / (F.col("_nt") - F.col("_n")).cast("double"))
                    .alias("_m"))
            .cache())  # feeds mbar AND the variance sum (rule 7)
     # B below is the number of OCCUPIED buckets with a defined LOO mean
@@ -166,7 +172,10 @@ def jackknife_mean(df: DataFrame, id_col: str, cents_col: str,
     mbar_rel = loo.agg(
         F.sum(F.round(F.col("_m"), 9).cast("decimal(28,9)")).alias("_sm"),
         F.count(F.col("_m")).alias("_nb"))
-    mbar = F.col("_sm").cast("double") / F.col("_nb").cast("double")
+    # _nb = 0 (no defined LOO mean anywhere) must surface as NULL, not
+    # an ANSI DIVIDE_BY_ZERO error mid-plan
+    mbar = F.try_divide(F.col("_sm").cast("double"),
+                        F.col("_nb").cast("double"))
     var_rel = (loo.crossJoin(F.broadcast(
                    mbar_rel.select(mbar.alias("_mbar"),
                                    F.col("_nb"))))
@@ -178,7 +187,7 @@ def jackknife_mean(df: DataFrame, id_col: str, cents_col: str,
                     .alias("_ss")))
     mean = F.col("_st").cast("double") / F.col("_nt").cast("double")
     nbd = F.col("_nb").cast("double")
-    se = F.sqrt((nbd - F.lit(1.0)) / nbd * F.col("_ss"))
+    se = F.sqrt(F.try_divide(nbd - F.lit(1.0), nbd) * F.col("_ss"))
     return var_rel.select(
         F.col("_nt").alias("n_rows"),
         F.round(mean, 6).alias("mean"),

@@ -67,19 +67,22 @@ def l_diversity_report(df: DataFrame, qi_cols: Sequence[str],
 
 
 def k_anonymize(df: DataFrame, qi_cols: Sequence[str],
-                k: int = 5) -> DataFrame:
+                k: int = 5, broadcast: bool = True) -> DataFrame:
     """Suppression release: rows of df whose QI group has >= k members.
 
     Schema-preserving. The surviving-group relation is one row per
-    distinct QI tuple — small next to the input — so the filter join
-    plans as broadcast-semi when it fits, shuffle-semi otherwise.
+    distinct QI tuple — small next to the input for the narrow QIs this
+    audit targets — so with broadcast=True (default) the filter join is
+    hinted broadcast-semi (aggregate outputs carry no size estimate, so
+    the static plan would otherwise shuffle BOTH sides into a sort-merge
+    semi-join; plan-asserted in tests). For a WIDE/high-cardinality QI
+    tuple the surviving-group relation can approach the input size and a
+    forced broadcast OOMs instead of degrading: pass broadcast=False to
+    let the planner (AQE) choose a shuffle semi-join.
     """
     keep = (k_anonymity_report(df, qi_cols, k)
             .filter(~F.col("suppressed"))
             .select(*qi_cols))
-    # the keep relation is one row per surviving QI tuple — broadcast it
-    # explicitly (aggregate outputs have no size estimate, so the static
-    # plan would otherwise shuffle BOTH sides into a sort-merge semi-join;
-    # plan-asserted). If QI cardinality ever rivals the row count, the
-    # suppression gains nothing and a shuffle join is the least concern.
-    return df.join(F.broadcast(keep), list(qi_cols), "left_semi")
+    if broadcast:
+        keep = F.broadcast(keep)
+    return df.join(keep, list(qi_cols), "left_semi")

@@ -221,7 +221,7 @@ def test_wav_roundtrip_and_chunk_skipping():
     samples = [0, 100, -100, 32767, -32768, 7, 8, -9]
     clip = wav.decode_wav(wav.encode_wav(samples, 44100, channels=2))
     assert (clip.sample_rate, clip.channels, clip.bit_depth) == (44100, 2, 16)
-    assert clip.samples == samples
+    assert clip.samples.tolist() == samples
     assert clip.n_frames == 4
     # 8-bit mono, mean_abs centered on 128
     clip8 = wav.decode_wav(wav.encode_wav([128, 130, 126], 8000, 1, 8))
@@ -235,7 +235,7 @@ def test_wav_roundtrip_and_chunk_skipping():
     raw[i:i] = insert
     raw[4:8] = struct.pack("<I", len(raw) - 8)
     clip = wav.decode_wav(bytes(raw))
-    assert clip.samples == [5, -5]
+    assert clip.samples.tolist() == [5, -5]
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="RIFF"):
@@ -413,6 +413,27 @@ def test_gif_decoder_rejects_interlace_and_non_gif():
         decode_gif(b"NOTAGIF!")
 
 
+def test_gif_decoder_truncation_raises_valueerror_not_indexerror():
+    """Truncating a payload anywhere in the sub-block walks must raise
+    the codec family's ValueError('truncated ...') contract, never leak
+    an IndexError from an unchecked data[pos]."""
+    from etl_online_retail_spark.multimodal.gif import decode_gif, encode_gif
+
+    full = encode_gif([bytes(range(12)) * 1], 4, 3)
+    anim = encode_gif([bytes(12), bytes(12)], 4, 3, delay_cs=5)
+    for payload in (full, anim):
+        # cut at every prefix length past the header: each must raise a
+        # ValueError (or decode fine when the cut only drops the trailer)
+        for cut in range(14, len(payload)):
+            try:
+                decode_gif(payload[:cut])
+            except ValueError:
+                pass
+            except NotImplementedError:
+                pass
+            # IndexError / struct.error would fail the test by raising
+
+
 def test_decode_image_dispatches_gif():
     from etl_online_retail_spark.multimodal.gif import encode_gif
 
@@ -460,13 +481,50 @@ def test_ulaw_codec_roundtrips():
         a = 132 * (2 ** e - 1)
         clip = decode_wav(encode_wav([a, -a] * 50, 8000, audio_format=7))
         assert clip.audio_format == 7 and clip.bit_depth == 8
-        assert clip.samples[:4] == [a, -a, a, -a]
+        assert clip.samples[:4].tolist() == [a, -a, a, -a]
         assert clip.mean_abs() == float(a)
     # off-ladder amplitudes come back companded (lossy), within the
     # step size of their segment
     clip = decode_wav(encode_wav([1000] * 10, 8000, audio_format=7))
     assert clip.samples[0] != 1000
-    assert abs(clip.samples[0] - 1000) <= 64
+    assert abs(int(clip.samples[0]) - 1000) <= 64
+
+
+def test_ulaw_mean_abs_no_unsigned_offset():
+    """mu-law decodes to SIGNED linear samples even though the stored
+    code width is 8 bits — mean_abs must NOT apply the unsigned-PCM 128
+    offset. Asymmetric and low-amplitude clips expose the skew that
+    symmetric +/-a square waves (a >= 128, even n) cancel out."""
+    from etl_online_retail_spark.multimodal.wav import decode_wav, encode_wav
+
+    # all-positive ladder-rung clip: exact mean is the rung itself
+    clip = decode_wav(encode_wav([132, 132, 396, 396], 8000, audio_format=7))
+    assert clip.mean_abs() == (132 + 132 + 396 + 396) / 4
+    # low-amplitude rung (8 = (1<<3)+132<<0 - 132) below the 128 offset
+    clip = decode_wav(encode_wav([8, -8], 8000, audio_format=7))
+    assert clip.samples.tolist() == [8, -8]
+    assert clip.mean_abs() == 8.0
+
+
+def test_ulaw_vectorized_encoder_matches_scalar_bitwalk():
+    """The numpy compander must equal the scalar ITU bit walk on the
+    full 16-bit domain (sampled densely + all boundary values)."""
+    import numpy as np
+
+    from etl_online_retail_spark.multimodal.wav import (
+        _ulaw_encode_array,
+        linear_to_ulaw,
+    )
+
+    vals = sorted(set(
+        list(range(-300, 301))
+        + [-32768, -32767, 32767, 32635, -32635, 32636, -32636]
+        + [s * (2 ** k + d) for k in range(2, 15)
+           for d in (-1, 0, 1) for s in (1, -1)]))
+    got = np.frombuffer(
+        _ulaw_encode_array(np.array(vals, dtype=np.int64)), dtype=np.uint8)
+    want = [linear_to_ulaw(v) for v in vals]
+    assert got.tolist() == want
 
 
 def test_ulaw_audio_features_spark_stage(spark):

@@ -142,7 +142,7 @@ def test_wav_16bit_roundtrip_lossless(samples, sr, channels):
     from etl_online_retail_spark.multimodal import wav
 
     clip = wav.decode_wav(wav.encode_wav(samples, sr, channels))
-    assert clip.samples == samples
+    assert clip.samples.tolist() == samples
     assert (clip.sample_rate, clip.channels) == (sr, channels)
 
 

@@ -373,6 +373,38 @@ def test_jackknife_constant_data_has_zero_se(spark):
     assert r.ci_lo == r.ci_hi == 500.0
 
 
+def test_jackknife_single_occupied_bucket_yields_null_not_nan(spark):
+    """With every row in one bucket the leave-one-out mean has no
+    complement: its 0/0 must be NULL (excluded by COUNT), so se/ci come
+    back NULL — never a NaN that COUNT silently tallies as a value."""
+    import math
+
+    from etl_online_retail_spark.operators.aggregates import jackknife_mean
+
+    df = spark.range(5).select(
+        F.col("id"), (F.col("id") * 100).cast("bigint").alias("v"))
+    r = jackknife_mean(df, "id", "v", n_buckets=1).collect()[0]
+    assert r.n_rows == 5
+    assert r.mean == 200.0                       # the mean itself is fine
+    for x in (r.se, r.ci_lo, r.ci_hi):
+        assert x is None or not math.isnan(x)
+    assert r.se is None                          # honest NULL, not NaN
+
+
+def test_k_anonymize_broadcast_false_still_correct(spark):
+    """broadcast=False (the wide-QI escape hatch) must not hint the keep
+    relation and must return the identical release."""
+    df = spark.createDataFrame(
+        [("us", "a", i) for i in range(4)] + [("fr", "b", 9)],
+        "country STRING, seg STRING, x INT")
+    hinted = k_anonymize(df, ["country", "seg"], k=2)
+    unhinted = k_anonymize(df, ["country", "seg"], k=2, broadcast=False)
+    assert sorted(map(tuple, unhinted.collect())) \
+        == sorted(map(tuple, hinted.collect()))
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution() \
+        .analyzed().toString()
+
+
 def test_copurchase_pmi_golden(spark):
     import math
 
