@@ -5,7 +5,10 @@ The reference does pandas hash-merges for surrogate-key lookups
 (superset.db#tables[2].sql). Spark-first translation: dimension sides get an
 explicit broadcast() hint so the fact table never shuffles for a dim lookup
 - at 100 TB a shuffled fact join is the single most expensive mistake this
-workload could make, while every dim here is MBs.
+workload could make. The hint is SIZE-GUARDED: the retail dims are MBs and
+always qualify, but TPC-H-shaped part/customer grow linearly with the data,
+and past the bound a forced broadcast OOMs executors instead of degrading —
+there the hint is withheld and AQE/DPP pick the strategy at runtime.
 """
 
 from __future__ import annotations
@@ -15,30 +18,70 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Per-dim ceiling for a FORCED broadcast hint (Catalyst's static plan-size
+# estimate — file size for a scan, conservative propagation otherwise).
+# 64 MB: ~6x Spark's default autoBroadcastJoinThreshold, small enough that
+# a 1000-executor fan-out stays in the tens of GB of aggregate network.
+# Dims whose estimate exceeds it (or is unavailable) get NO hint — AQE
+# still broadcasts at runtime whenever the actual build side fits.
+BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's static size estimate for a plan, in bytes (None if the
+    estimate cannot be read). Driver-side plan inspection only — no job."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def size_guarded_broadcast(dim: DataFrame, force: bool = False,
+                           max_bytes: int = BROADCAST_MAX_BYTES) -> DataFrame:
+    """broadcast(dim) iff its static size estimate fits max_bytes (or
+    force=True for fixed-size dims); otherwise the unhinted dim, leaving
+    the join strategy to AQE. Use wherever a dim that SCALES with the
+    data would otherwise carry an unconditional hint."""
+    if force:
+        return F.broadcast(dim)
+    size = _plan_size_bytes(dim)
+    if size is not None and size <= max_bytes:
+        return F.broadcast(dim)
+    return dim
+
+
 
 def broadcast_lookup(facts: DataFrame, dim: DataFrame, on: str | list[str],
-                     how: str = "left") -> DataFrame:
+                     how: str = "left", force_broadcast: bool = False,
+                     max_bytes: int = BROADCAST_MAX_BYTES) -> DataFrame:
     """J1/J2: surrogate-key lookup - broadcast hash join, fact side unmoved.
 
     Mirrors tbl_invoices.merge(df_dim, how='left', on=key)
     (etl.py:216-225): dim is unique on the key so fact row count is
-    preserved.
+    preserved. The hint applies only while the dim's plan-size estimate
+    fits max_bytes (or force_broadcast=True for genuinely fixed-size dims
+    — nation/region/date spine); larger dims fall through to AQE.
     """
-    return facts.join(F.broadcast(dim), on=on, how=how)
+    return facts.join(size_guarded_broadcast(dim, force_broadcast, max_bytes),
+                      on=on, how=how)
 
 
 def star_join(fact: DataFrame, dims: Iterable[tuple[DataFrame, str | list[str]]],
-              how: str = "inner") -> DataFrame:
-    """J3: fact joined to N dimensions, each broadcast.
+              how: str = "inner", force_broadcast: bool = False,
+              max_bytes: int = BROADCAST_MAX_BYTES) -> DataFrame:
+    """J3: fact joined to N dimensions, each broadcast while it fits.
 
     The BI virtual dataset is fct ⋈ dim_dates ⋈ dim_customers ⋈ dim_products
     (superset.db#tables[2].sql); here any (dim, key) list. All dims
     broadcast => one stage over the fact scan, zero shuffles before the
-    downstream aggregation.
+    downstream aggregation; a dim past the size bound joins unhinted and
+    AQE decides at runtime.
     """
     out = fact
     for dim, key in dims:
-        out = out.join(F.broadcast(dim), on=key, how=how)
+        out = out.join(size_guarded_broadcast(dim, force_broadcast, max_bytes),
+                       on=key, how=how)
     return out
 
 

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from etl_online_retail_spark import catalog
 from etl_online_retail_spark.functions import money
+from etl_online_retail_spark.operators import joins
 from etl_online_retail_spark.functions.datetime_fns import month_start
 
 MATVIEW_DIR_CONF = "spark.graft.matview.dir"
@@ -59,7 +60,7 @@ def _build_star_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = (li.groupBy("l_orderkey")
                    .agg(F.sum(money.net_revenue()).alias("_rev")))
     return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(joins.size_guarded_broadcast(c), o.o_custkey == c.c_custkey)
               .groupBy(F.col("c_nationkey").alias("nationkey"),
                        month_start("o_orderdate").alias("month_start"))
               .agg(F.sum("_rev").alias("revenue")))

@@ -209,7 +209,7 @@ def q_star_revenue(spark, sf_dir):
     per_order = (li.groupBy("l_orderkey")
                    .agg(F.sum(money.net_revenue()).alias("_rev")))
     star = (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(joins.size_guarded_broadcast(c), o.o_custkey == c.c_custkey)
               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     return (star.groupBy(
                 F.col("n_name").alias("nation"),
@@ -272,7 +272,7 @@ def q_orders_missing_big_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     joined = li.join(
-        F.broadcast(p),
+        joins.size_guarded_broadcast(p),
         (li.l_partkey == p.p_partkey) & (p.p_size > 25),
         "left",
     )
@@ -599,7 +599,7 @@ def q_revenue_share_by_nation(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     per_nation = (li.join(o, li.l_orderkey == o.o_orderkey)
-                  .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                  .join(joins.size_guarded_broadcast(c), o.o_custkey == c.c_custkey)
                   .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
                   .groupBy(F.col("n_name").alias("nation"))
                   .agg(F.sum(money.net_revenue()).alias("_rev")))
@@ -1118,7 +1118,7 @@ def q_local_supplier_revenue(spark, sf_dir):
             .join(c, o.o_custkey == c.c_custkey)
             # the Q5 twist: supplier must sit in the customer's nation —
             # an equality BETWEEN dimension keys, pushed into the join
-            .join(F.broadcast(s),
+            .join(joins.size_guarded_broadcast(s),
                   (li.l_suppkey == s.s_suppkey)
                   & (c.c_nationkey == s.s_nationkey))
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -1225,7 +1225,7 @@ def q_shipping_priority(spark, sf_dir):
     li = (_t(spark, sf_dir, "lineitem")
           .filter(F.col("l_shipdate") > F.lit(Q3_CUTOFF)))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(joins.size_guarded_broadcast(c), o.o_custkey == c.c_custkey)
             .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
             .agg(money.sum_money(money.net_revenue(), "revenue"))
             .select("l_orderkey", "revenue", "o_orderdate",

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from etl_online_retail_spark.functions import money
 from etl_online_retail_spark.functions.datetime_fns import date_key
+from etl_online_retail_spark.operators import joins
 from etl_online_retail_spark.operators.windows import top_n_per_group
 from etl_online_retail_spark.workload import REV, YMD_KEY, _t, register
 
@@ -43,9 +44,9 @@ def q_virtual_dataset(spark, sf_dir):
     star = (li.join(o.filter((F.col("o_orderdate") >= "1996-01-01")
                              & (F.col("o_orderdate") < "1997-01-01")),
                     li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(joins.size_guarded_broadcast(c), o.o_custkey == c.c_custkey)
               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-              .join(F.broadcast(p), li.l_partkey == p.p_partkey))
+              .join(joins.size_guarded_broadcast(p), li.l_partkey == p.p_partkey))
     return star.select(
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.col("o_orderkey").alias("invoice_id"),

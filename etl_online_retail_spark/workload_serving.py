@@ -765,12 +765,19 @@ def q_attribution_linear(spark, sf_dir):
         window_hours=ATTR_WINDOW_HOURS)
 
 
-# time-to-conversion profile: exact interpolated percentiles of the
-# attribution lag per credited touch type (the latency read-out of the
-# attribution pipeline; percentile()/quantile_cont share the
-# (1-g)*lo + g*hi interpolation — the length_percentiles discipline)
-_LAG_ORACLE = f"""
-WITH c AS (
+# time-to-conversion profile: percentiles of the attribution lag per
+# credited touch type (the latency read-out of the attribution
+# pipeline). DEFAULT = the HDR log-histogram sketch (bounded per-group
+# state: O(64 x 32) bucket counts however many conversions a type has,
+# map-side combinable — the 100 TB shape), with the oracle rebuilding
+# the identical integer bucketing so the row stays hash-exact. The
+# exact interpolated fold survives as conversion_lag_percentiles_exact,
+# the oracle/debug twin at test SF — the orders_profile pattern.
+# Lags are bucketed at v = lag_us + 1 so a zero-lag conversion (touch
+# and purchase sharing a microsecond) still lands in a bucket (the
+# sketch needs v >= 1); both engines subtract the 1 back off the edge.
+_LAG_CTE = f"""
+c AS (
   SELECT event_id, user_id, ts, event_type, value,
          last_value(CASE WHEN event_type IN ('{_ATTR_IN}') THEN ts END
                     IGNORE NULLS) OVER ({_ATTR_FRAME}) AS t_ts,
@@ -782,7 +789,56 @@ a AS (
          epoch_us(ts) - epoch_us(t_ts) AS lag_us
   FROM c
   WHERE event_type = 'purchase' AND t_ts IS NOT NULL
-    AND epoch_us(ts) - epoch_us(t_ts) <= {_ATTR_WINDOW_US})
+    AND epoch_us(ts) - epoch_us(t_ts) <= {_ATTR_WINDOW_US})"""
+
+_LAG_QS = (0.5, 0.9, 0.99)
+
+
+def _lag_hdr_oracle() -> str:
+    from etl_online_retail_spark.operators import sketches
+
+    bucket_id, ub = sketches.hdr_bucket_sql("v")
+    q_list = ", ".join(f"CAST({q} AS DOUBLE)" for q in _LAG_QS)
+    return f"""
+WITH {_LAG_CTE},
+v AS (SELECT attributed_type, lag_us + 1 AS v FROM a),
+b AS (SELECT attributed_type, {bucket_id} AS bucket, {ub} AS ub FROM v),
+hist AS (SELECT attributed_type, bucket, MIN(ub) AS ub, COUNT(*) AS cnt
+         FROM b GROUP BY 1, 2),
+cum AS (SELECT attributed_type, bucket, ub,
+        CAST(SUM(cnt) OVER (PARTITION BY attributed_type
+                            ORDER BY bucket) AS DOUBLE) AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY attributed_type) AS DOUBLE) AS n
+        FROM hist),
+qq AS (SELECT unnest([{q_list}]) AS q),
+hit AS (SELECT c.attributed_type, q.q, c.bucket, c.ub
+        FROM cum c JOIN qq q ON c.cum >= CAST(CEIL(q.q * c.n) AS DOUBLE)),
+sel AS (SELECT attributed_type, q, MIN(bucket) AS b FROM hit GROUP BY 1, 2)
+SELECT s.attributed_type, s.q, h.ub - 1 AS est_lag_us
+FROM sel s JOIN hist h
+  ON h.attributed_type = s.attributed_type AND h.bucket = s.b"""
+
+
+@register("conversion_lag_percentiles", _lag_hdr_oracle(), "T1-attribution")
+def q_conversion_lag_percentiles(spark, sf_dir):
+    from etl_online_retail_spark.operators import sketches
+
+    attributed = last_touch_attribution(
+        _t(spark, sf_dir, "events"),
+        touch_types=ATTR_TOUCHES, conversion_type="purchase",
+        window_hours=ATTR_WINDOW_HOURS)
+    lags = (attributed
+            .filter(F.col("attributed_type") != "none")
+            .select("attributed_type",
+                    (F.col("lag_us") + F.lit(1)).alias("v")))
+    hist = sketches.hdr_histogram(lags, "attributed_type", "v")
+    return (sketches.hdr_quantiles(hist, "attributed_type", list(_LAG_QS))
+            .select("attributed_type", "q",
+                    (F.col("est") - F.lit(1.0)).alias("est_lag_us")))
+
+
+_LAG_EXACT_ORACLE = f"""
+WITH {_LAG_CTE}
 SELECT attributed_type, COUNT(*) AS n_conversions,
        ROUND(quantile_cont(lag_us, 0.5), 6) AS p50_lag_us,
        ROUND(quantile_cont(lag_us, 0.9), 6) AS p90_lag_us,
@@ -791,8 +847,14 @@ FROM a GROUP BY attributed_type
 """
 
 
-@register("conversion_lag_percentiles", _LAG_ORACLE, "T1-attribution")
-def q_conversion_lag_percentiles(spark, sf_dir):
+@register("conversion_lag_percentiles_exact", _LAG_EXACT_ORACLE,
+          "T1-attribution")
+def q_conversion_lag_percentiles_exact(spark, sf_dir):
+    """Exact interpolated percentiles (percentile()/quantile_cont share
+    the (1-g)*lo + g*hi interpolation). Oracle/debug twin of the HDR
+    default: each F.percentile buffer holds EVERY lag for its touch
+    type, so at 100 TB this is the documented unbounded-state form —
+    run it at test SF to calibrate the sketch, ship the sketch."""
     attributed = last_touch_attribution(
         _t(spark, sf_dir, "events"),
         touch_types=ATTR_TOUCHES, conversion_type="purchase",

@@ -373,6 +373,30 @@ def test_jackknife_constant_data_has_zero_se(spark):
     assert r.ci_lo == r.ci_hi == 500.0
 
 
+def test_conversion_lag_sketch_tracks_exact_percentiles(spark):
+    """The HDR-sketch default must agree with the exact interpolated
+    fold within the sketch's relative-error bound: the bucket upper edge
+    sits at or above the rank value and within a (1 + 1/M) factor of it
+    (M = 32 sub-buckets -> ~3.1%; a little slack covers interpolation
+    between adjacent ranks)."""
+    from etl_online_retail_spark.workload_serving import (
+        q_conversion_lag_percentiles,
+        q_conversion_lag_percentiles_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    est = {(r.attributed_type, r.q): r.est_lag_us
+           for r in q_conversion_lag_percentiles(spark, sf).collect()}
+    for r in q_conversion_lag_percentiles_exact(spark, sf).collect():
+        for q, exact in ((0.5, r.p50_lag_us), (0.9, r.p90_lag_us),
+                         (0.99, r.p99_lag_us)):
+            sketch = est[(r.attributed_type, q)]
+            assert sketch > 0
+            # upper-edge estimate: never far below, bounded above
+            assert sketch >= exact * 0.97, (r.attributed_type, q)
+            assert sketch <= exact * 1.05 + 1, (r.attributed_type, q)
+
+
 def test_jackknife_single_occupied_bucket_yields_null_not_nan(spark):
     """With every row in one bucket the leave-one-out mean has no
     complement: its 0/0 must be NULL (excluded by COUNT), so se/ci come
