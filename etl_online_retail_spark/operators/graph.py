@@ -236,9 +236,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"))
 
 
+# Fixed-point scale for exact-mode power iteration: ranks live in
+# [0, 1] so the int64 carrier is rank * 10^12; every operation is then
+# integer add / multiply / truncating divide — bit-identical on any
+# engine and any partitioning by construction (no IEEE rounding anywhere
+# until the final scale-down to DOUBLE). Headroom: d_num(<=100) * any
+# mass sum <= 1e14, far inside int64. All values are non-negative, so
+# Spark's `div` (truncate toward zero) and DuckDB's `//` (floor) agree.
+PR_FP_SCALE = 10 ** 12
+
+
+def _damping_pct(damping: float) -> int:
+    d_num = int(round(damping * 100))
+    if not 0 <= d_num <= 100 or abs(d_num - damping * 100) > 1e-9:
+        raise ValueError(
+            "exact mode needs damping expressible in percent "
+            f"(got {damping})")
+    return d_num
+
+
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                           max_iter: int = 10, damping: float = 0.85,
-                          checkpoint_every: int = 3) -> DataFrame:
+                          checkpoint_every: int = 3,
+                          exact: bool = False) -> DataFrame:
     """Personalized PageRank: the random walk teleports back to the SEED
     set instead of everywhere — rank becomes "importance relative to
     these nodes", the standard relatedness score behind
@@ -251,9 +271,13 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     with s uniform over `seeds` (a (node) relation) and 0 elsewhere —
     dangling mass also returns to the seeds, keeping total mass 1.
     Same iterative discipline as pagerank (cached edges/contrib, rank
-    lineage checkpointed); rows-only for the driver like its sibling,
-    invariants (mass conservation, seed locality, teleport floor on
-    seeds) pytest-asserted.
+    lineage checkpointed). Default float mode is rows-only for the
+    driver; exact=True runs the whole iteration in FIXED-POINT int64
+    (rank * 10^12, truncating integer divides — see PR_FP_SCALE), so a
+    fixed iteration count hash-verifies against an unrolled SQL oracle;
+    the returned rank is then fp/10^12 as DOUBLE. Invariants (mass
+    conservation, seed locality, teleport floor on seeds)
+    pytest-asserted on the float mode.
     """
     e = edges.select("src", "dst").distinct().cache()
     nodes = (e.select(F.col("src").alias("node"))
@@ -270,29 +294,41 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     is_seed = F.col("_s").isNotNull()
     seeded_nodes = (nodes.join(s.withColumn("_s", F.lit(1)), "node", "left")
                     .cache())
+    if exact:
+        d_num = _damping_pct(damping)
+        init = F.lit(PR_FP_SCALE // n_seeds).cast("long")
+        zero = F.lit(0).cast("long")
+    else:
+        init, zero = F.lit(seed_share), F.lit(0.0)
     ranks = seeded_nodes.select(
-        "node", F.when(is_seed, F.lit(seed_share)).otherwise(F.lit(0.0))
-                 .alias("rank"))
+        "node", F.when(is_seed, init).otherwise(zero).alias("rank"))
     for i in range(max_iter):
         contrib = (ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
                    .select(ranks["node"], "rank", "_deg")
                    .cache())
         dangling = (contrib.filter(F.col("_deg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .agg(F.coalesce(F.sum("rank"), zero))
                     .collect()[0][0])
+        per_edge = (F.expr("rank div _deg") if exact
+                    else F.col("rank") / F.col("_deg"))
         spread = (contrib.filter(F.col("_deg").isNotNull())
                   .join(e, contrib["node"] == e["src"])
-                  .select(F.col("dst").alias("node"),
-                          (F.col("rank") / F.col("_deg")).alias("_c")))
+                  .select(F.col("dst").alias("node"), per_edge.alias("_c")))
         incoming = spread.groupBy("node").agg(F.sum("_c").alias("_in"))
-        teleport = ((1.0 - damping) + damping * dangling) * seed_share
+        if exact:
+            teleport_fp = (((100 - d_num) * PR_FP_SCALE
+                            + d_num * int(dangling))
+                           // (100 * n_seeds))
+            new_rank = (F.when(is_seed, F.lit(teleport_fp).cast("long"))
+                        .otherwise(zero)
+                        + F.expr(f"({d_num} * coalesce(_in, 0L)) div 100"))
+        else:
+            teleport = ((1.0 - damping) + damping * dangling) * seed_share
+            new_rank = (F.when(is_seed, F.lit(teleport)).otherwise(zero)
+                        + F.lit(damping) * F.coalesce(F.col("_in"),
+                                                      F.lit(0.0)))
         ranks = (seeded_nodes.join(incoming, "node", "left")
-                 .select("node",
-                         (F.when(is_seed, F.lit(teleport))
-                           .otherwise(F.lit(0.0))
-                          + F.lit(damping) * F.coalesce(F.col("_in"),
-                                                        F.lit(0.0)))
-                         .alias("rank")))
+                 .select("node", new_rank.alias("rank")))
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
@@ -300,7 +336,8 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
 
 def pagerank(edges: DataFrame, max_iter: int = 10,
              damping: float = 0.85,
-             checkpoint_every: int = 3) -> DataFrame:
+             checkpoint_every: int = 3,
+             exact: bool = False) -> DataFrame:
     """PageRank over a (src, dst) edge relation -> (node, rank), ranks
     summing to 1. Standard power iteration with dangling-mass
     redistribution:
@@ -316,10 +353,14 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
     the standard Spark iterative-algorithm discipline, GraphX does the
     same internally).
 
-    Float ranks are order-of-summation sensitive at ulp level, so this is
-    a rows-only operator for the driver gate; invariants (mass
-    conservation, hub dominance, uniform-cycle fixpoint) are
-    pytest-asserted.
+    Float ranks are order-of-summation sensitive at ulp level, so the
+    default mode is rows-only for the driver gate; exact=True runs the
+    whole iteration in FIXED-POINT int64 (rank * 10^12, truncating
+    integer divides — see PR_FP_SCALE): every step is integer
+    arithmetic, bit-identical on any engine/partitioning, so a fixed
+    iteration count hash-verifies against an unrolled SQL oracle.
+    Invariants (mass conservation, hub dominance, uniform-cycle
+    fixpoint) are pytest-asserted on the float mode.
     """
     e = edges.select("src", "dst").distinct().cache()
     nodes = (e.select(F.col("src").alias("node"))
@@ -328,7 +369,14 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if exact:
+        d_num = _damping_pct(damping)
+        ranks = nodes.withColumn(
+            "rank", F.lit(PR_FP_SCALE // n).cast("long"))
+        zero = F.lit(0).cast("long")
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        zero = F.lit(0.0)
     for i in range(max_iter):
         # cache: contrib feeds TWO consumers (the dangling-mass collect
         # and the spread join), and the collect is an action — uncached,
@@ -339,20 +387,26 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
                    .cache())
         # dangling nodes (no out-edges) spread their mass uniformly
         dangling = (contrib.filter(F.col("_deg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .agg(F.coalesce(F.sum("rank"), zero))
                     .collect()[0][0])
+        per_edge = (F.expr("rank div _deg") if exact
+                    else F.col("rank") / F.col("_deg"))
         spread = (contrib.filter(F.col("_deg").isNotNull())
                   .join(e, contrib["node"] == e["src"])
-                  .select(F.col("dst").alias("node"),
-                          (F.col("rank") / F.col("_deg")).alias("_c")))
+                  .select(F.col("dst").alias("node"), per_edge.alias("_c")))
         incoming = spread.groupBy("node").agg(F.sum("_c").alias("_in"))
-        base = (1.0 - damping) / n + damping * dangling / n
+        if exact:
+            base_fp = (((100 - d_num) * PR_FP_SCALE
+                        + d_num * int(dangling)) // (100 * n))
+            new_rank = (F.lit(base_fp).cast("long")
+                        + F.expr(f"({d_num} * coalesce(_in, 0L)) div 100"))
+        else:
+            base = (1.0 - damping) / n + damping * dangling / n
+            new_rank = (F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("_in"),
+                                                      F.lit(0.0)))
         ranks = (nodes.join(incoming, "node", "left")
-                 .select("node",
-                         (F.lit(base)
-                          + F.lit(damping) * F.coalesce(F.col("_in"),
-                                                        F.lit(0.0)))
-                         .alias("rank")))
+                 .select("node", new_rank.alias("rank")))
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -5,9 +5,12 @@ back to observe SERIAL keys. In this engine surrogate keys are assigned
 in-plan (operators/surrogate.py), so the read-back disappears; JDBC remains
 as an optional boundary for deployments with a real warehouse.
 
-The harness ships no JDBC driver jar, so these are thin, untested-here
-wrappers around the standard spark JDBC source; partitioning options are
-surfaced because an unpartitioned JDBC scan is a single-task bottleneck.
+Integration-tested against the embedded Derby warehouse Spark itself
+ships (tests/test_sources.py::test_jdbc_roundtrip_serial_parity_...):
+the full write -> DB-assigned IDENTITY -> partitioned read-back loop runs
+for real and matches the in-plan dense_keys surrogate path exactly.
+Partitioning options are surfaced because an unpartitioned JDBC scan is a
+single-task bottleneck; pass partition_column+bounds for any real table.
 """
 
 from __future__ import annotations

@@ -452,32 +452,133 @@ def q_orders_constraint_suggestions(spark, sf_dir):
 
 
 # PageRank over the co-purchase graph: iterative-numeric (driver-looped
-# power iteration, lineage-truncated) -> rows-only like the ANN index
-# fits; invariants pytest-asserted (mass conservation, hub dominance,
-# cycle fixpoint). Like part_copurchase_hops, the iterations execute at
-# plan-build time, so it is excluded from bench.py's steady-state runs.
+# power iteration, lineage-truncated). HASH-VERIFIED since r5: exact=True
+# runs the whole iteration in FIXED-POINT int64 (rank * 10^12, truncating
+# integer divides — graph.PR_FP_SCALE), so every step is integer
+# arithmetic with no IEEE rounding anywhere; a FIXED iteration count then
+# equals an UNROLLED 10-step SQL oracle bit-for-bit (the EWMA/Holt
+# sequential-fold discipline applied to power iteration — decimal-round
+# folds were tried first and disagreed at ROUND half-boundaries between
+# engines at sf0.01; integers cannot). Float-mode invariants stay
+# pytest-asserted. Like part_copurchase_hops, the iterations execute at
+# plan-build time, so both queries are excluded from bench.py's
+# steady-state runs.
+
+_PR_ITERS = 10
+_PR_D = 0.85
+_PR_DN = 85            # damping as integer percent (exact-mode carrier)
+_PR_S = graph.PR_FP_SCALE
+
+# shared graph CTEs: the support-thresholded co-purchase edge relation
+# (distinct pairs by construction), its node set, out-degrees, and N
+_PR_GRAPH = f"""
+e AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst,
+           COUNT(DISTINCT a.l_orderkey) AS n
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2)
+  WHERE n >= {COPURCHASE_MIN_ORDERS}),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS _deg FROM e GROUP BY src),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)"""
 
 
-@register("part_copurchase_rank", None, "M6-graph-pagerank")
+def _pr_step_ctes(i: int, rank_expr: str) -> str:
+    """One unrolled power-iteration step over the fixed-point ranks:
+    dangling mass and incoming contributions are plain integer SUMs
+    over r{i-1} (order-independent), per-edge spread is a truncating
+    integer divide, and r{i} applies rank_expr — all BIGINT."""
+    p = f"r{i - 1}"
+    return f"""
+dang{i} AS (
+  SELECT CAST(COALESCE(SUM(p.rank), 0) AS BIGINT) AS dang
+  FROM {p} p LEFT JOIN deg d ON p.node = d.src
+  WHERE d.src IS NULL),
+inc{i} AS (
+  SELECT e.dst AS node, CAST(SUM(p.rank // d._deg) AS BIGINT) AS _in
+  FROM {p} p JOIN deg d ON p.node = d.src JOIN e ON e.src = p.node
+  GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT n.node, CAST({rank_expr} AS BIGINT) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN dang{i} dg
+  LEFT JOIN inc{i} i ON i.node = n.node)"""
+
+
+_PR_OUT = ("SELECT node, CAST(rank AS DOUBLE) / {s}.0 AS rank "
+           "FROM r{k}").format(s=_PR_S, k=_PR_ITERS)
+
+
+def _pagerank_oracle() -> str:
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        base = (f"(({100 - _PR_DN} * {_PR_S}::BIGINT"
+                f" + {_PR_DN} * dg.dang) // (100 * nn.n))")
+        steps.append(_pr_step_ctes(
+            i, f"{base} + ({_PR_DN} * COALESCE(i._in, 0)) // 100"))
+    return (f"WITH {_PR_GRAPH},\n"
+            f"r0 AS (SELECT node, "
+            f"CAST({_PR_S}::BIGINT // nn.n AS BIGINT) AS rank "
+            f"FROM nodes CROSS JOIN nn),"
+            + ",".join(steps)
+            + "\n" + _PR_OUT)
+
+
+def _ppr_oracle() -> str:
+    seeds = (f"s AS MATERIALIZED (SELECT node FROM nodes WHERE node IN "
+             f"(SELECT p_partkey FROM part "
+             f"WHERE p_partkey % {COPURCHASE_SEED_MOD} = 0)),\n"
+             f"ns AS MATERIALIZED (SELECT COUNT(*) AS ns FROM s)")
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        teleport = (f"(({100 - _PR_DN} * {_PR_S}::BIGINT"
+                    f" + {_PR_DN} * dg.dang) // (100 * ns.ns))")
+        rank = (f"CASE WHEN n.node IN (SELECT node FROM s) "
+                f"THEN {teleport} ELSE 0 END "
+                f"+ ({_PR_DN} * COALESCE(i._in, 0)) // 100")
+        step = _pr_step_ctes(i, rank).replace(
+            "CROSS JOIN nn CROSS JOIN",
+            "CROSS JOIN nn CROSS JOIN ns CROSS JOIN")
+        steps.append(step)
+    return (f"WITH {_PR_GRAPH},\n{seeds},\n"
+            f"r0 AS (SELECT n.node, CASE WHEN n.node IN "
+            f"(SELECT node FROM s) "
+            f"THEN CAST({_PR_S}::BIGINT // ns.ns AS BIGINT) "
+            f"ELSE 0 END AS rank "
+            f"FROM nodes n CROSS JOIN ns),"
+            + ",".join(steps)
+            + "\n" + _PR_OUT)
+
+
+def _pr_rank_out():
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("rank").cast("double") / F.lit(float(_PR_S))
+
+
+@register("part_copurchase_rank", _pagerank_oracle(), "M6-graph-pagerank")
 def q_part_copurchase_rank(spark, sf_dir):
     edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"),
                                    min_orders=COPURCHASE_MIN_ORDERS)
-    ranked = graph.pagerank(edges, max_iter=10)
-    return ranked.select("node", F.round("rank", 9).alias("rank"))
+    ranked = graph.pagerank(edges, max_iter=_PR_ITERS, damping=_PR_D,
+                            exact=True)
+    return ranked.select("node", _pr_rank_out().alias("rank"))
 
 
 # personalized variant: relatedness to the seed parts, not global
-# prestige — rows-only like its sibling (iterative float power
-# iteration); invariants pytest-asserted (tests/test_timeseries_graph.py)
-@register("part_copurchase_ppr", None, "M6-graph-pagerank-personalized")
+# prestige — same fixed-point promotion, teleport mass returns to seeds
+@register("part_copurchase_ppr", _ppr_oracle(),
+          "M6-graph-pagerank-personalized")
 def q_part_copurchase_ppr(spark, sf_dir):
     edges = graph.copurchase_edges(_t(spark, sf_dir, "lineitem"),
                                    min_orders=COPURCHASE_MIN_ORDERS)
     seeds = (_t(spark, sf_dir, "part")
              .filter(F.col("p_partkey") % COPURCHASE_SEED_MOD == 0)
              .select(F.col("p_partkey").alias("node")))
-    ranked = graph.personalized_pagerank(edges, seeds, max_iter=10)
-    return ranked.select("node", F.round("rank", 9).alias("rank"))
+    ranked = graph.personalized_pagerank(edges, seeds, max_iter=_PR_ITERS,
+                                         damping=_PR_D, exact=True)
+    return ranked.select("node", _pr_rank_out().alias("rank"))
 
 
 # intra-document segment dedup (RefinedWeb's within-page repetition cut)

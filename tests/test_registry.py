@@ -12,15 +12,12 @@ EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
                       # PQ: KMeans codebooks are iteratively fit (like
                       # knn_ivf); recall vs exact L2 is pytest-asserted
                       "knn_pq",
-                      # PageRank: iterative float power iteration —
-                      # ulp-order-sensitive; invariants pytest-asserted
-                      "part_copurchase_rank",
                       # PCA: BLAS projection, float reduction order —
                       # orthonormality/energy invariants pytest-asserted
-                      "embedding_pca",
-                      # personalized PageRank: iterative float power
-                      # iteration like its global sibling
-                      "part_copurchase_ppr"}
+                      "embedding_pca"}
+# (r5) part_copurchase_rank / part_copurchase_ppr left this set: the
+# registered queries now run the FIXED-POINT int64 power iteration
+# (graph.PR_FP_SCALE) and hash-verify against unrolled SQL oracles.
 
 
 def test_every_query_has_survey_reference():

@@ -411,6 +411,51 @@ def test_pagerank_uniform_on_cycle_with_dangling(spark):
     assert got[2] > got[1]                         # sink accumulates
 
 
+def test_pagerank_exact_mode_tracks_float_and_conserves_mass(spark):
+    """exact=True (fixed-point int64, the oracle-twinned mode) must land
+    within truncation distance of the float power iteration, keep (lossy,
+    downward-only) mass conservation, and preserve the ordering the float
+    invariants assert. Same checks for the personalized variant."""
+    from etl_online_retail_spark.operators.graph import (
+        PR_FP_SCALE,
+        pagerank,
+        personalized_pagerank,
+    )
+
+    edges = [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    # 20 iterations as in the float invariant test: the star graph's
+    # hub/spoke masses still oscillate at 10
+    flo = {r.node: r.rank for r in pagerank(df, max_iter=20).collect()}
+    fp = {r.node: r.rank
+          for r in pagerank(df, max_iter=20, exact=True).collect()}
+    total = sum(fp.values())
+    # each truncating div loses < 1 fp unit per term; the iterations
+    # over 5 nodes stay well within this loose bound
+    assert PR_FP_SCALE * 0.999 <= total <= PR_FP_SCALE
+    for node, r in fp.items():
+        assert abs(r / PR_FP_SCALE - flo[node]) < 1e-6, node
+    assert max(fp, key=fp.get) == 1                # hub still dominates
+
+    seeds = spark.createDataFrame([(1,)], "node INT")
+    pflo = {r.node: r.rank for r in personalized_pagerank(
+        df, seeds, max_iter=10).collect()}
+    pfp = {r.node: r.rank for r in personalized_pagerank(
+        df, seeds, max_iter=10, exact=True).collect()}
+    for node, r in pfp.items():
+        assert abs(r / PR_FP_SCALE - pflo[node]) < 1e-6, node
+
+
+def test_pagerank_exact_rejects_unrepresentable_damping(spark):
+    import pytest as _pytest
+
+    from etl_online_retail_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src INT, dst INT")
+    with _pytest.raises(ValueError, match="percent"):
+        pagerank(df, max_iter=1, damping=0.853, exact=True)
+
+
 def test_dedup_within_doc_keeps_first_occurrence(spark):
     from etl_online_retail_spark.operators.dedup import dedup_within_doc
 
