@@ -4,6 +4,10 @@ Builds the retail star schema from a raw invoice table (the reference's
 Airflow DAG as one Spark job), registers the Superset-style virtual
 dataset, and renders the five dashboard queries (SURVEY.md §2.9) through
 the semantic layer. Run: python scripts/demo_retail.py
+
+build_virtual_dataset/dashboard_charts are importable so the golden test
+(tests/test_demo_retail_golden.py) pins the SAME chart layer the demo
+renders — the reference's only human-visible outputs, end-to-end.
 """
 
 from __future__ import annotations
@@ -19,31 +23,27 @@ from etl_online_retail_spark.plans.semantic import ChartSpec, Metric, chart_quer
 from etl_online_retail_spark.session import get_spark
 
 
-def main() -> None:
-    spark = get_spark("demo-retail")
+def build_virtual_dataset(wh):
+    """The Superset virtual dataset (superset.db#tables[2].sql) over a
+    built warehouse."""
+    return (wh.fct_invoices
+            .join(F.broadcast(wh.dim_dates),
+                  wh.fct_invoices.invoice_date_dim_id
+                  == wh.dim_dates.date_dim_id)
+            .join(F.broadcast(wh.dim_customers), "customer_dim_id")
+            .join(F.broadcast(wh.dim_products), "product_dim_id")
+            .select("date", "invoice_id",
+                    F.col("customer_id").alias("cust_id"),
+                    F.col("country").alias("cust_country"),
+                    "stock_code",
+                    F.col("description").alias("prod_name"),
+                    (F.col("quantity") * F.col("unit_price"))
+                    .alias("revenue")))
 
-    # raw invoices: in production this is the ingested-once xlsx
-    # (sources/excel.py); here the pipeline test fixture
-    from tests.test_pipeline_golden import RAW_SCHEMA, ROWS
 
-    raw = spark.createDataFrame(ROWS, RAW_SCHEMA)
-    wh = build_warehouse(raw)
-
-    # the virtual dataset (superset.db#tables[2].sql)
-    vds = (wh.fct_invoices
-           .join(F.broadcast(wh.dim_dates), wh.fct_invoices.invoice_date_dim_id
-                 == wh.dim_dates.date_dim_id)
-           .join(F.broadcast(wh.dim_customers), "customer_dim_id")
-           .join(F.broadcast(wh.dim_products), "product_dim_id")
-           .select("date", "invoice_id",
-                   F.col("customer_id").alias("cust_id"),
-                   F.col("country").alias("cust_country"),
-                   "stock_code",
-                   F.col("description").alias("prod_name"),
-                   (F.col("quantity") * F.col("unit_price")).alias("revenue")))
-    vds.cache()
-
-    charts = {
+def dashboard_charts() -> dict[str, ChartSpec]:
+    """The five dashboard slices (SURVEY.md §2.9) as chart specs."""
+    return {
         "Total Revenue (slice 2)": ChartSpec(
             metrics=(Metric("SUM", F.col("revenue"), "total_revenue"),)),
         "Revenue by month (slice 3)": ChartSpec(
@@ -53,13 +53,28 @@ def main() -> None:
             metrics=(Metric("SUM", F.col("revenue"), "revenue"),),
             groupby=("prod_name",), row_limit=10),
         "Customer location (slice 6)": ChartSpec(
-            metrics=(Metric("COUNT_DISTINCT", F.col("cust_id"), "n_customers"),),
+            metrics=(Metric("COUNT_DISTINCT", F.col("cust_id"),
+                            "n_customers"),),
             groupby=("cust_country",), row_limit=10),
         "Invoices lacking customer info (slice 7)": ChartSpec(
-            metrics=(Metric("COUNT_DISTINCT", F.col("invoice_id"), "n_invoices"),),
+            metrics=(Metric("COUNT_DISTINCT", F.col("invoice_id"),
+                            "n_invoices"),),
             filters=(F.col("cust_country").isNull(),)),
     }
-    for title, spec in charts.items():
+
+
+def main() -> None:
+    spark = get_spark("demo-retail")
+
+    # raw invoices: in production this is the ingested-once xlsx
+    # (sources/excel.py); here the pipeline test fixture
+    from tests.test_pipeline_golden import RAW_SCHEMA, ROWS
+
+    raw = spark.createDataFrame(ROWS, RAW_SCHEMA)
+    vds = build_virtual_dataset(build_warehouse(raw))
+    vds.cache()
+
+    for title, spec in dashboard_charts().items():
         print(f"\n== {title}")
         chart_query(vds, spec).show(10, truncate=False)
 

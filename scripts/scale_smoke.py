@@ -3,7 +3,12 @@ check the plans degrade linearly, not quadratically (PERFORMANCE.md).
 
 Key duplication keeps join cardinalities honest: each copy gets a distinct
 key offset, so a 10x run is 10x the rows AND 10x the keys - the same shape
-a bigger SF would have. Usage: python scripts/scale_smoke.py [factor]
+a bigger SF would have.
+
+Usage: python scripts/scale_smoke.py [factor] [label-filter]
+  label-filter: run only the timed entries whose label contains the
+  substring (e.g. `span` for the span-dedup family) — everything else
+  is skipped, for fast single-family 2x->10x comparisons.
 """
 
 from __future__ import annotations
@@ -33,14 +38,22 @@ def replicate(df: DataFrame, factor: int, key_cols: dict[str, int]) -> DataFrame
     return out.drop("_copy")
 
 
+LABEL_FILTER = ""
+
+
 def timed(label: str, action) -> None:
+    if LABEL_FILTER and LABEL_FILTER not in label:
+        return
     t0 = time.perf_counter()
     action()
     print(f"{label}: {time.perf_counter() - t0:.1f}s", flush=True)
 
 
 def main() -> None:
+    global LABEL_FILTER
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:
+        LABEL_FILTER = sys.argv[2]
     spark = get_spark("scale-smoke")
     li = replicate(load_table(spark, "lineitem", SF_DIR), factor,
                    {"l_orderkey": 10_000_000, "l_partkey": 10_000_000})
@@ -180,8 +193,9 @@ def main() -> None:
         with_lsh_bucket,
     )
 
-    n_vec = emb.count()
-    for label, planes in (("pinned-4", 4), ("auto", auto_n_planes(n_vec))):
+    n_vec = emb.count() if not LABEL_FILTER or "lsh" in LABEL_FILTER else 0
+    for label, planes in ((("pinned-4", 4), ("auto", auto_n_planes(n_vec)))
+                          if n_vec else ()):
         sizes = with_lsh_bucket(emb, planes, 64).groupBy("bucket").count()
         cands = sizes.agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)
                           .alias("pairs")).collect()[0].pairs
