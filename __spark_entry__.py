@@ -23,6 +23,7 @@ from etl_online_retail_spark import workload_bi  # noqa: E402,F401  (registers B
 from etl_online_retail_spark import workload_ext  # noqa: E402,F401  (registers extensions)
 from etl_online_retail_spark import workload_sampling  # noqa: E402,F401  (registers sampling/sketches)
 from etl_online_retail_spark import workload_serving  # noqa: E402,F401  (registers serving/privacy/graph)
+from etl_online_retail_spark import workload_tpch  # noqa: E402,F401  (registers TPC-H shapes)
 from etl_online_retail_spark import workload_ts  # noqa: E402,F401  (registers timeseries/graph/cleaning)
 from etl_online_retail_spark.session import ensure_session_confs  # noqa: E402
 

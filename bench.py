@@ -137,6 +137,17 @@ HEADLINE = [
     "revenue_rollup_gid",
     "shipping_priority",
     "ulaw_audio_stats",
+    # round-5 TPC-H shape wave
+    "late_shipment_priority",
+    "nation_trade_volume",
+    "returned_item_ranking",
+    "shipping_priority_split",
+    "promo_revenue_share",
+    "brand_supplier_counts",
+    "large_order_customers",
+    "brand_quantity_revenue",
+    "inactive_rich_customers",
+    "cheapest_supplier_per_part",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state
