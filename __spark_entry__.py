@@ -59,6 +59,7 @@ _FRONT_EXTENSIONS = [
     "intradoc_dedup", "salted_revenue_by_nation", "events_gapfill_locf",
     "pii_redaction", "quality_classifier_scores", "doc_fingerprints",
     "bloom_pruned_orders", "decontamination_overlap", "corpus_curation",
+    "temperature_mix_report", "length_bucketed_batches",
     "events_pairs_within", "orders_price_jackknife",
 ]
 

@@ -148,6 +148,10 @@ HEADLINE = [
     "brand_quantity_revenue",
     "inactive_rich_customers",
     "cheapest_supplier_per_part",
+    # round-5 mixing/batching wave
+    "temperature_mix_report",
+    "length_bucketed_batches",
+    "padding_efficiency",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state

@@ -337,6 +337,8 @@ def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     DOUBLE) while Spark genuinely encodes and decodes RIFF bytes."""
     from etl_online_retail_spark.multimodal import wav as _wav
 
+    import numpy as np
+
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["media_id"]
@@ -345,7 +347,8 @@ def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = int(i)
                 n = 800 + 80 * (i % 10)
                 v = (i % 2000) - 1000
-                payloads.append(_wav.encode_wav([v] * n, 8000))
+                payloads.append(
+                    _wav.encode_wav(np.full(n, v, dtype=np.int64), 8000))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
@@ -367,6 +370,8 @@ def synthetic_ulaw_media(docs: DataFrame,
     algebra both ways."""
     from etl_online_retail_spark.multimodal import wav as _wav
 
+    import numpy as np
+
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["media_id"]
@@ -375,7 +380,9 @@ def synthetic_ulaw_media(docs: DataFrame,
                 i = int(i)
                 n = 800 + 80 * (i % 10)
                 a = 132 * (2 ** (1 + i % 6) - 1)
-                wave = [a if j % 2 == 0 else -a for j in range(n)]
+                wave = np.empty(n, dtype=np.int64)
+                wave[0::2] = a
+                wave[1::2] = -a
                 payloads.append(_wav.encode_wav(wave, 8000,
                                                 audio_format=7))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
@@ -764,7 +771,7 @@ def synthetic_tone_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 f = 250 * (1 + int(i) % 8)
                 wave = np.rint(8000 * np.sin(2 * np.pi * f * t_axis))
                 payloads.append(
-                    _wav.encode_wav([int(s) for s in wave], 8000))
+                    _wav.encode_wav(wave.astype(np.int64), 8000))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([

@@ -61,6 +61,58 @@ def packing_summary(packed: DataFrame,
                  (F.max("last_seq") + 1).cast("bigint").alias("n_sequences")))
 
 
+def length_bucket_batches(docs: DataFrame, id_col: str, tokens_col: Column,
+                          batch_size: int,
+                          bucketed: bool = True) -> DataFrame:
+    """Length-bucketed batch assembly for padded (non-packed) training:
+    docs are grouped into power-of-two length buckets (capacity = next
+    power of two >= n_tokens), ordered deterministically inside each
+    bucket by the sampling hash, and cut into fixed-count batches. Each
+    batch pads every member to ITS OWN max length, so per-batch waste =
+    batch_count * max(n_tokens) - sum(n_tokens). Output: one row per
+    batch (bucket_cap, batch_id, n_docs, real_tokens, padded_tokens).
+
+    bucketed=False computes the naive baseline — one global bucket, same
+    arithmetic — whose single-partition window is exactly the thing
+    bucketing avoids; it exists as the measured comparison, not a scale
+    path. Shape (bucketed): one shuffle on the bucket key; ~60 buckets
+    however large the corpus, each window sorting only its own bucket.
+
+    Integer arithmetic throughout (capacity from the BIT LENGTH of
+    n_tokens - 1, never floating log2) — hash-verifiable cross-engine.
+    """
+    from etl_online_retail_spark.operators.sampling import _bucket
+
+    tok = tokens_col.cast("bigint")
+    # next power of two >= t: 1 << bit_length(t - 1); t == 1 -> 1
+    # (bit length via the binary-string trick — integer-exact, the HDR
+    # sketch's octave discipline; shift count must ride an expr because
+    # the python shiftleft binding takes a literal int only)
+    base = (docs.select(F.col(id_col).alias("_id"), tok.alias("_t"))
+            .filter(F.col("_t") >= 1)
+            .withColumn(
+                "_bl",
+                F.when(F.col("_t") <= 1, F.lit(0)).otherwise(
+                    F.length(F.conv((F.col("_t") - 1).cast("string"),
+                                    10, 2))).cast("int"))
+            .withColumn(
+                "_cap",
+                F.expr("shiftleft(CAST(1 AS BIGINT), _bl)")
+                if bucketed else F.lit(0).cast("bigint"))
+            .drop("_bl"))
+    w = (Window.partitionBy("_cap")
+         .orderBy(_bucket(F.col("_id")).asc(), F.col("_id").asc()))
+    batched = (base.withColumn("_rn", F.row_number().over(w))
+               .withColumn("batch_id",
+                           F.expr(f"(_rn - 1) div {int(batch_size)}")
+                           .cast("bigint")))
+    return (batched.groupBy(F.col("_cap").alias("bucket_cap"), "batch_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_t").cast("bigint").alias("real_tokens"),
+                 (F.max("_t") * F.count(F.lit(1))).cast("bigint")
+                 .alias("padded_tokens")))
+
+
 def chunk_offsets(docs: DataFrame, window: int = 64, stride: int = 48,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:

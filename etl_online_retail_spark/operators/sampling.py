@@ -203,6 +203,61 @@ def token_budget_mix(df: DataFrame, part_col: str, id_col: str,
     return cum.filter(F.col("cum_before") < budget)
 
 
+def temperature_rates(df: DataFrame, part_col: str, budget_docs: int,
+                      alpha: float = 0.5) -> DataFrame:
+    """Per-source sampling rates for TEMPERATURE-BASED data mixing (the
+    XLM-R / mT5 multilingual recipe): source i is drawn with probability
+    p_i ∝ n_i^alpha, flattening the natural distribution so
+    low-resource sources are up-weighted without discarding the
+    high-resource ones. Returns one row per source:
+    (part, n_total, p_temp, cutoff) where cutoff is the integer bucket
+    threshold realizing keep-rate min(1, budget_docs * p_i / n_i).
+
+    Cross-engine exactness: alpha=0.5 (the registered default) uses
+    sqrt, which IEEE-754 requires to be CORRECTLY ROUNDED — unlike
+    pow(), whose libm implementations differ in the last ulp between
+    JVMs and C runtimes — and the denominator folds the per-source
+    sqrt values under the decimal-contribution discipline (round 9dp,
+    sum DECIMAL(28,9)) so it is order-independent. Every remaining step
+    is scalar IEEE arithmetic in a fixed order plus one integer floor.
+    Other alphas work but carry the pow() portability caveat.
+
+    Scale shape: one hash agg over the data (source cardinality rows),
+    a 1-row broadcast for the denominator — no collect, no shuffle of
+    the corpus itself.
+    """
+    n = F.col("n_total").cast("double")
+    if alpha == 0.5:
+        raw_w = F.sqrt(n)
+    else:
+        raw_w = F.pow(n, F.lit(float(alpha)))
+    stats = (df.groupBy(part_col)
+             .agg(F.count(F.lit(1)).alias("n_total"))
+             .withColumn("_w", F.round(raw_w, 9).cast("decimal(28,9)")))
+    denom = stats.agg(F.sum("_w").cast("double").alias("_denom"))
+    p = F.col("_w").cast("double") / F.col("_denom")
+    rate = F.least(F.lit(1.0),
+                   (F.lit(float(budget_docs)) * F.col("p_temp")) / n)
+    return (stats.crossJoin(F.broadcast(denom))
+            .withColumn("p_temp", p)
+            .withColumn("cutoff",
+                        F.floor(rate * F.lit(SAMPLE_RESOLUTION))
+                        .cast("bigint"))
+            .select(part_col, "n_total", "p_temp", "cutoff"))
+
+
+def temperature_mix(df: DataFrame, part_col: str, id_col: str,
+                    budget_docs: int, alpha: float = 0.5) -> DataFrame:
+    """Rows surviving the temperature mix: doc kept iff
+    bucket(id) < its source's cutoff (see temperature_rates). The same
+    deterministic nested-sample property as stratified_sample — raising
+    the budget strictly grows every source's kept set."""
+    rates = temperature_rates(df, part_col, budget_docs, alpha)
+    return (df.join(F.broadcast(rates.select(part_col, "cutoff")), part_col)
+            .filter(_bucket(F.col(id_col)) < F.col("cutoff"))
+            .drop("cutoff"))
+
+
 def stratified_topk_sample(df: DataFrame, stratum_col: str, id_col: str,
                            k: int) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum: the k smallest

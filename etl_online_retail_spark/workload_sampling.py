@@ -478,3 +478,157 @@ def q_epoch_shuffle_layout(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return sampling.epoch_shuffle(docs, "doc_id", SHUFFLE_EPOCH,
                                   SHUFFLE_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# temperature-based data mixing (the XLM-R / mT5 multilingual recipe):
+# p_source ∝ n^alpha flattens the natural source distribution. alpha=0.5
+# keeps the weight function at sqrt — IEEE-CORRECTLY-ROUNDED on every
+# engine (pow is not) — and the weight denominator folds under the
+# decimal-contribution discipline, so the whole rate computation is
+# hash-exact. Rates realize as integer bucket cutoffs (the sampler
+# discipline), making the KEPT SET itself cross-engine identical.
+
+MIX_BUDGET_DOCS = 200
+
+
+def _temperature_oracle() -> str:
+    res = sampling.SAMPLE_RESOLUTION
+    return f"""
+WITH stats AS (
+  SELECT source, COUNT(*) AS n_total,
+         CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)), 9) AS DECIMAL(28,9))
+           AS w
+  FROM documents GROUP BY source),
+d AS (SELECT CAST(SUM(w) AS DOUBLE) AS denom FROM stats),
+rates AS (
+  SELECT source, n_total, CAST(w AS DOUBLE) / denom AS p_temp,
+         CAST(FLOOR(LEAST(1.0,
+              ({MIX_BUDGET_DOCS}.0 * (CAST(w AS DOUBLE) / denom))
+              / CAST(n_total AS DOUBLE)) * {res}) AS BIGINT) AS cutoff
+  FROM stats CROSS JOIN d),
+kept AS (
+  SELECT doc_id, source FROM documents JOIN rates USING (source)
+  WHERE ({sampling.bucket_sql('doc_id')}) < cutoff)
+SELECT r.source, r.n_total, r.p_temp, r.cutoff,
+       COUNT(k.doc_id) AS n_kept
+FROM rates r LEFT JOIN kept k ON k.source = r.source
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("temperature_mix_report", _temperature_oracle(),
+          "M6-sampling-temperature-mix")
+def q_temperature_mix_report(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = sampling.temperature_rates(docs, "source", MIX_BUDGET_DOCS)
+    kept = sampling.temperature_mix(docs, "source", "doc_id",
+                                    MIX_BUDGET_DOCS)
+    counts = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_nk"))
+    return (rates.join(counts, "source", "left")
+            .select("source", "n_total", "p_temp", "cutoff",
+                    F.coalesce(F.col("_nk"), F.lit(0)).cast("bigint")
+                    .alias("n_kept")))
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batch assembly: padded-batch waste under power-of-two
+# length buckets vs the naive unbucketed baseline. Capacity comes from
+# the BIT LENGTH of n_tokens - 1 (never floating log2); batches cut on
+# row_number in the deterministic hash order; per-batch padding counts
+# are pure integer arithmetic — fully hash-verified.
+
+BATCH_SIZE = 8
+
+_LB_TOKENS = f"({token_count_sql('text')})::BIGINT"
+
+_LB_BASE = f"""
+base AS (
+  SELECT doc_id AS _id, {_LB_TOKENS} AS _t,
+         ({sampling.bucket_sql('doc_id')}) AS _ord
+  FROM documents WHERE {_LB_TOKENS} >= 1)"""
+
+
+def _lb_batches_sql(cap_expr: str, sfx: str = "") -> str:
+    return f"""
+capd{sfx} AS (SELECT _id, _t, _ord, {cap_expr} AS _cap FROM base),
+rn{sfx} AS (SELECT _id, _t, _cap,
+              ROW_NUMBER() OVER (PARTITION BY _cap
+                                 ORDER BY _ord ASC, _id ASC) AS _rn
+       FROM capd{sfx}),
+b{sfx} AS (SELECT _cap AS bucket_cap, (_rn - 1) // {BATCH_SIZE} AS batch_id,
+             _t FROM rn{sfx})
+"""
+
+
+_LB_CAP = ("CASE WHEN _t <= 1 THEN 1 "
+           "ELSE (1::BIGINT << length(bin(_t - 1))) END")
+
+_LB_ORACLE = f"""
+WITH {_LB_BASE},
+{_lb_batches_sql(_LB_CAP)}
+SELECT bucket_cap, batch_id, COUNT(*) AS n_docs,
+       CAST(SUM(_t) AS BIGINT) AS real_tokens,
+       CAST(MAX(_t) * COUNT(*) AS BIGINT) AS padded_tokens
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("length_bucketed_batches", _LB_ORACLE, "M6-packing-length-buckets")
+def q_length_bucketed_batches(spark, sf_dir):
+    from etl_online_retail_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("_tok"))
+    return length_bucket_batches(docs, "doc_id", F.col("_tok"), BATCH_SIZE)
+
+
+_PAD_POLICY = """
+SELECT '{name}' AS policy, COUNT(*) AS n_batches,
+       CAST(SUM(real) AS BIGINT) AS real_tokens,
+       CAST(SUM(pad) AS BIGINT) AS padded_tokens,
+       CAST(SUM(pad) - SUM(real) AS DOUBLE) / CAST(SUM(pad) AS DOUBLE)
+         AS waste
+FROM (SELECT batch_id, bucket_cap, SUM(_t) AS real,
+             MAX(_t) * COUNT(*) AS pad
+      FROM {rel} GROUP BY 1, 2)"""
+
+_PAD_ORACLE = f"""
+WITH {_LB_BASE},
+{_lb_batches_sql(_LB_CAP)},
+bucketed AS ({_PAD_POLICY.format(name='bucketed', rel='b')}),
+{_lb_batches_sql('0::BIGINT', sfx='2')},
+naive AS ({_PAD_POLICY.format(name='naive', rel='b2')})
+SELECT * FROM bucketed UNION ALL SELECT * FROM naive
+"""
+
+
+@register("padding_efficiency", _PAD_ORACLE, "M6-packing-padding-waste")
+def q_padding_efficiency(spark, sf_dir):
+    """Two-row policy comparison: total padding waste bucketed vs naive.
+    The naive arm's global window is THE measured cost bucketing avoids
+    (a comparison artifact, not a scale path — documented in
+    packing.length_bucket_batches)."""
+    from etl_online_retail_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("_tok"))
+
+    def police(name, bucketed):
+        b = length_bucket_batches(docs, "doc_id", F.col("_tok"),
+                                  BATCH_SIZE, bucketed=bucketed)
+        real = F.sum("real_tokens").cast("bigint")
+        pad = F.sum("padded_tokens").cast("bigint")
+        return b.agg(F.lit(name).alias("policy"),
+                     F.count(F.lit(1)).alias("n_batches"),
+                     real.alias("real_tokens"),
+                     pad.alias("padded_tokens"),
+                     ((pad - real).cast("double") / pad.cast("double"))
+                     .alias("waste"))
+
+    return police("bucketed", True).unionByName(police("naive", False))

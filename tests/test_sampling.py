@@ -10,6 +10,7 @@ the int64 no-overflow guarantee for ids far beyond the hash prime
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.catalog import load_table
@@ -430,3 +431,61 @@ def test_systematic_weighted_sample_properties(spark):
     light = sum(by_w[w] for w in range(1, 11)) / 10
     heavy_frac = sum(by_w[w] for w in range(31, 41)) / 10
     assert heavy_frac > 2 * light
+
+
+def test_temperature_mix_flattens_and_nests(spark):
+    from etl_online_retail_spark.operators import sampling
+
+    # three sources with very different sizes: 1000 / 100 / 10
+    rows = ([(i, "big") for i in range(1000)]
+            + [(1000 + i, "mid") for i in range(100)]
+            + [(1100 + i, "small") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING")
+    rates = {r.source: r for r in
+             sampling.temperature_rates(df, "source", 300).collect()}
+    # alpha=0.5 weights: sqrt(1000):sqrt(100):sqrt(10) ~ 31.6:10:3.16
+    import math
+    denom = math.sqrt(1000) + math.sqrt(100) + math.sqrt(10)
+    for name, n in (("big", 1000), ("mid", 100), ("small", 10)):
+        assert rates[name].p_temp == pytest.approx(math.sqrt(n) / denom,
+                                                   rel=1e-6)
+    # flattening: the small source's SHARE of the sample beats its share
+    # of the corpus; the big source's keep-RATE is the lowest
+    assert rates["small"].p_temp > 10 / 1110
+    assert rates["big"].p_temp < 1000 / 1110
+    kept = sampling.temperature_mix(df, "source", "doc_id", 300)
+    by = {r.source: r.n for r in
+          kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["small"] == 10        # rate clamps at 1.0: keep everything
+    assert by.get("big", 0) < 1000  # big is genuinely downsampled
+    # nested samples: a larger budget keeps a superset
+    small_ids = {r.doc_id for r in kept.collect()}
+    bigger = {r.doc_id for r in sampling.temperature_mix(
+        df, "source", "doc_id", 600).collect()}
+    assert small_ids <= bigger
+
+
+def test_length_bucket_batches_integer_caps_and_waste(spark):
+    from etl_online_retail_spark.operators.packing import (
+        length_bucket_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([1, 2, 3, 4, 5, 8, 9, 15, 16, 17, 0])],
+        "doc_id BIGINT, n_tok BIGINT")
+    out = length_bucket_batches(df, "doc_id", F.col("n_tok"), 4)
+    rows = out.collect()
+    # zero-token doc excluded; capacities are next powers of two
+    caps = {r.bucket_cap for r in rows}
+    assert caps <= {1, 2, 4, 8, 16, 32}
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == 10
+    for r in rows:
+        assert r.padded_tokens >= r.real_tokens
+        assert r.n_docs <= 4
+    # bucketed beats naive on padded tokens for this spread
+    naive = length_bucket_batches(df, "doc_id", F.col("n_tok"), 4,
+                                  bucketed=False)
+    pad_b = sum(r.padded_tokens for r in rows)
+    pad_n = sum(r.padded_tokens for r in naive.collect())
+    assert pad_b <= pad_n
