@@ -70,6 +70,19 @@ MATVIEWS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "star_month_rollup": _build_star_month_rollup,
 }
 
+# Navigator metadata: each view's GRAIN (the columns it is grouped by)
+# and the measures it carries as exact-decimal PARTIAL sums. A measure
+# kept as a decimal partial re-aggregates exactly at any coarser grain
+# (sum-of-sums — the money.py discipline), which is what makes automatic
+# rewrite SOUND: the navigator only ever rolls partials up, never
+# apportions them down.
+MATVIEW_META: dict[str, dict] = {
+    "star_month_rollup": {
+        "grain": ("nationkey", "month_start"),
+        "measures": {"revenue": "revenue"},
+    },
+}
+
 
 def materialize(spark: SparkSession, sf_dir: str,
                 names: list[str] | None = None) -> None:
@@ -99,3 +112,43 @@ def serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     if not spark.catalog.tableExists(view):
         return None
     return spark.table(view)
+
+
+def navigate(spark: SparkSession, sf_dir: str, dims: list[str],
+             measures: list[str]) -> DataFrame | None:
+    """Aggregate navigator (the Kimball "aggregate navigator" / Oracle
+    query-rewrite pattern): given the DIMENSIONS a query groups by and
+    the MEASURES it sums, return a relation answering it from the
+    smallest registered materialized view whose grain covers the
+    request — re-aggregated from the view's exact decimal partials when
+    the request is coarser — or None when no staged view qualifies (the
+    caller then runs its base-table plan unchanged).
+
+    Soundness: a view qualifies only if dims ⊆ its grain and every
+    measure is one of its decimal partial sums; partial sums compose
+    exactly under re-aggregation (order-independent decimal addition),
+    so view-served results are bit-identical to the base plan —
+    asserted in tests/test_matview.py. Measures come back still
+    DECIMAL; consumers cast at the edge exactly as with the base plan.
+
+    At 100 TB this is the difference between scanning the fact table
+    and scanning a ~(25 x months)-row summary the incremental writer
+    maintains — the navigator makes that substitution automatic for
+    every dashboard-grain query instead of hand-wired per call site.
+    """
+    want_dims, want_measures = set(dims), set(measures)
+    candidates = []
+    for name, meta in MATVIEW_META.items():
+        grain = set(meta["grain"])
+        if want_dims <= grain and want_measures <= set(meta["measures"]):
+            candidates.append((len(grain), name, meta))
+    for _, name, meta in sorted(candidates):      # smallest grain first
+        mv = serve(spark, sf_dir, name)
+        if mv is None:
+            continue
+        cols = [meta["measures"][m] for m in measures]
+        if want_dims == set(meta["grain"]):
+            return mv.select(*dims, *cols)
+        return (mv.groupBy(*dims)
+                .agg(*[F.sum(c).alias(c) for c in cols]))
+    return None

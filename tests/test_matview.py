@@ -51,3 +51,61 @@ def test_star_rollup_serves_and_matches_base(spark, staged_matview):
 def test_serve_refuses_other_directory(spark, staged_matview):
     assert matview.serve(spark, "/root/testdata/sf0.01",
                          "star_month_rollup") is None
+
+
+def test_navigator_serves_exact_and_coarser_grains(spark, staged_matview):
+    """navigate() answers a same-grain request straight off the view and
+    a COARSER request by re-aggregating the decimal partials — both
+    bit-identical to the base-table plan."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+    from etl_online_retail_spark.functions import money
+    from etl_online_retail_spark.functions.datetime_fns import month_start
+
+    exact = matview.navigate(spark, SF_SMALL,
+                             ["nationkey", "month_start"], ["revenue"])
+    assert exact is not None
+    coarse = matview.navigate(spark, SF_SMALL, ["nationkey"], ["revenue"])
+    assert coarse is not None
+    # neither plan touches the fact table's parquet
+    for df in (exact, coarse):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+
+    li = catalog.load_table(spark, "lineitem", SF_SMALL)
+    o = catalog.load_table(spark, "orders", SF_SMALL)
+    c = catalog.load_table(spark, "customer", SF_SMALL)
+    base = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey))
+    want_exact = sorted(
+        (r.nationkey, r.month_start, float(r.revenue)) for r in
+        base.groupBy(F.col("c_nationkey").alias("nationkey"),
+                     month_start("o_orderdate").alias("month_start"))
+        .agg(F.sum(money.net_revenue()).alias("revenue")).collect())
+    got_exact = sorted((r.nationkey, r.month_start, float(r.revenue))
+                       for r in exact.collect())
+    assert got_exact == want_exact  # decimal partials: bit-identical
+    want_coarse = sorted(
+        (r.nationkey, float(r.revenue)) for r in
+        base.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum(money.net_revenue()).alias("revenue")).collect())
+    got_coarse = sorted((r.nationkey, float(r.revenue))
+                        for r in coarse.collect())
+    assert got_coarse == want_coarse
+
+
+def test_navigator_declines_uncovered_requests(spark, staged_matview):
+    # a dimension outside every registered grain -> base plan territory
+    assert matview.navigate(spark, SF_SMALL,
+                            ["orderkey"], ["revenue"]) is None
+    # an unknown measure -> same
+    assert matview.navigate(spark, SF_SMALL,
+                            ["nationkey"], ["quantity"]) is None
+    # nothing staged -> None even for a covered grain
+    spark.conf.unset(matview.MATVIEW_DIR_CONF)
+    try:
+        assert matview.navigate(spark, SF_SMALL,
+                                ["nationkey"], ["revenue"]) is None
+    finally:
+        matview.materialize(spark, SF_SMALL)  # restore for fixture teardown
