@@ -14,7 +14,8 @@ whole pipeline into as few stages as the plan allows.
     similarity   brute-force/LSH/IVF/PQ nearest neighbours + PCA
     sessionize   gap sessionization + last-touch/linear attribution
     spans        cross-document duplicate-span detection + excision
-    privacy      k-anonymity + l-diversity release gating
+    privacy      k-anonymity/l-diversity gating + erasure propagation
+    planner      statistics-driven join strategy choice (sketch-backed)
     graph        BFS, PageRank (+personalized), triangles, PMI/rules
     timeseries   gap-fill/streaks/TWA/EWMA/Holt + rolling z-score gate
     profile      one-scan profiling, constraint suggestion, PSI drift,

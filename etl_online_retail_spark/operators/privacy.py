@@ -86,3 +86,55 @@ def k_anonymize(df: DataFrame, qi_cols: Sequence[str],
     if broadcast:
         keep = F.broadcast(keep)
     return df.join(keep, list(qi_cols), "left_semi")
+
+
+def erasure_scope(tables: dict[str, DataFrame],
+                  key_map: dict[str, str],
+                  subjects: DataFrame,
+                  subject_key: str = "subject_key") -> DataFrame:
+    """Right-to-erasure impact audit (GDPR Art. 17 / CCPA delete): given
+    the SUBJECT keys to forget and, per table, which column references
+    the subject, report how many rows each table would lose and keep.
+
+    Output: (table STRING, n_rows BIGINT, n_erased BIGINT,
+    n_retained BIGINT) — the artifact a steward signs off before the
+    destructive pass runs. Scale shape per table: the subject relation
+    broadcasts (a deletion request batch is human-scale next to any
+    fact table) and ONE conditional aggregation counts matches — no
+    semi-join materialization, no shuffle of the fact beyond its scan.
+
+    The destructive counterpart is erase_rows (an anti-join projection);
+    running scope first and checking n_erased against the request size
+    is the referential-integrity guard: a subject key that erases 0
+    rows from a table it should hit signals a broken key mapping
+    BEFORE any data is dropped.
+    """
+    outs = []
+    subj = subjects.select(F.col(subject_key).alias("_skey")).distinct()
+    for name, df in tables.items():
+        key = key_map[name]
+        flagged = df.join(
+            F.broadcast(subj.withColumn("_hit", F.lit(1))),
+            df[key] == F.col("_skey"), "left")
+        outs.append(
+            flagged.agg(
+                F.lit(name).alias("table"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.col("_hit")).alias("n_erased"),
+                (F.count(F.lit(1)) - F.count(F.col("_hit")))
+                .alias("n_retained")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def erase_rows(df: DataFrame, key_col: str, subjects: DataFrame,
+               subject_key: str = "subject_key") -> DataFrame:
+    """The destructive pass: rows of df whose key is NOT in the subject
+    set (left-anti against the broadcast-small deletion batch).
+    Schema-preserving; pair with erasure_scope for the pre-flight audit
+    and write the result with overwrite/MERGE semantics."""
+    subj = subjects.select(F.col(subject_key).alias("_skey")).distinct()
+    return df.join(F.broadcast(subj), df[key_col] == F.col("_skey"),
+                   "left_anti")

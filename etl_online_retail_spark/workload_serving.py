@@ -882,3 +882,64 @@ def q_attribution_last_touch(spark, sf_dir):
                  F.sum(F.col("value").cast("decimal(18,2)"))
                   .cast("double").alias("total_value"),
                  F.sum("lag_us").alias("lag_us_total")))
+
+
+# ---------------------------------------------------------------------------
+# right-to-erasure impact audit (GDPR Art. 17): how many rows each table
+# loses when a subject batch is forgotten, INCLUDING the cascade through
+# referential chains (lineitems of erased orders) — the sign-off
+# artifact before the destructive anti-join pass (privacy.erase_rows).
+
+ERASE_MOD = 97  # deletion batch: customers with c_custkey % 97 == 0
+
+_ERASURE_ORACLE = f"""
+WITH s AS (SELECT DISTINCT c_custkey AS k FROM customer
+           WHERE c_custkey % {ERASE_MOD} = 0),
+eo AS (SELECT DISTINCT o_orderkey AS k FROM orders
+       WHERE o_custkey IN (SELECT k FROM s))
+SELECT 'customer' AS "table", COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN c_custkey IN (SELECT k FROM s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_erased,
+       CAST(SUM(CASE WHEN c_custkey IN (SELECT k FROM s)
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_retained
+FROM customer
+UNION ALL
+SELECT 'orders', COUNT(*),
+       CAST(SUM(CASE WHEN o_custkey IN (SELECT k FROM s)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IN (SELECT k FROM s)
+                THEN 0 ELSE 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem', COUNT(*),
+       CAST(SUM(CASE WHEN l_orderkey IN (SELECT k FROM eo)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN l_orderkey IN (SELECT k FROM eo)
+                THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+"""
+
+
+@register("erasure_impact_audit", _ERASURE_ORACLE, "M6-privacy-erasure")
+def q_erasure_impact_audit(spark, sf_dir):
+    """Erasure scope over the referential chain customer -> orders ->
+    lineitem: direct key hits on customer/orders, then the CASCADE (the
+    lineitems belonging to erased orders — lineitem carries no customer
+    key, so the order set is the propagation frontier). One broadcast +
+    conditional aggregation per table; the fact tables never shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    subjects = (c.filter(F.col("c_custkey") % ERASE_MOD == 0)
+                .select(F.col("c_custkey").alias("subject_key")))
+    direct = privacy.erasure_scope(
+        {"customer": c, "orders": o},
+        {"customer": "c_custkey", "orders": "o_custkey"},
+        subjects)
+    erased_orders = (o.join(F.broadcast(subjects),
+                            o.o_custkey == F.col("subject_key"),
+                            "left_semi")
+                     .select(F.col("o_orderkey").alias("subject_key")))
+    cascade = privacy.erasure_scope(
+        {"lineitem": li}, {"lineitem": "l_orderkey"}, erased_orders)
+    return direct.unionByName(cascade)
