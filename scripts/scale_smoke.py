@@ -722,6 +722,58 @@ def main() -> None:
     timed(f"linear attribution @ {factor}x", linear_attr)
     timed(f"span excision @ {factor}x", excision)
 
+    # round-5 wave: temperature mixing (one hash agg + broadcast rates +
+    # pure filter), length-bucketed batching (~60-bucket windows), the
+    # erasure cascade (broadcast + conditional aggs), and the Q19
+    # disjunctive-pushdown join (per-side implications prune both scans)
+    def temp_mix():
+        from etl_online_retail_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        (temperature_mix(docs.select("doc_id", "source"), "source",
+                         "doc_id", 2000)
+         .groupBy("source").count()
+         .write.format("noop").mode("overwrite").save())
+
+    def bucketed_batches():
+        from etl_online_retail_spark.functions.text import token_count
+        from etl_online_retail_spark.operators.packing import (
+            length_bucket_batches,
+        )
+
+        (length_bucket_batches(
+            docs.select("doc_id", token_count("text").alias("_tok")),
+            "doc_id", F.col("_tok"), 8)
+         .write.format("noop").mode("overwrite").save())
+
+    def erasure():
+        from etl_online_retail_spark.operators.privacy import erasure_scope
+
+        subjects = (c.filter(F.col("c_custkey") % 97 == 0)
+                    .select(F.col("c_custkey").alias("subject_key")))
+        (erasure_scope({"customer": c, "orders": o},
+                       {"customer": "c_custkey", "orders": "o_custkey"},
+                       subjects)
+         .write.format("noop").mode("overwrite").save())
+
+    def q19():
+        rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+               * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+        p = replicate(load_table(spark, "part", SF_DIR), factor,
+                      {"p_partkey": 10_000_000})
+        arm = ((F.col("p_brand") == "Brand#12")
+               & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(1, 11))
+        (li.join(p, li.l_partkey == p.p_partkey).filter(arm)
+         .agg(F.sum(rev).cast("double"))
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"temperature mix @ {factor}x", temp_mix)
+    timed(f"length-bucketed batches @ {factor}x", bucketed_batches)
+    timed(f"erasure scope @ {factor}x", erasure)
+    timed(f"q19 disjunctive join @ {factor}x", q19)
+
 
 if __name__ == "__main__":
     main()

@@ -109,3 +109,82 @@ def test_navigator_declines_uncovered_requests(spark, staged_matview):
                                 ["nationkey"], ["revenue"]) is None
     finally:
         matview.materialize(spark, SF_SMALL)  # restore for fixture teardown
+
+
+def test_navigator_serves_the_incrementally_maintained_rollup(spark, tmp_path):
+    """Closes the maintenance loop: the star rollup maintained through
+    the incremental partial-aggregate writer (multi-batch, replay-safe,
+    then compacted) equals the one-shot rebuild, and the navigator can
+    serve coarser grains off the MAINTAINED relation with exact decimal
+    re-aggregation."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+    from etl_online_retail_spark.functions import money
+    from etl_online_retail_spark.functions.datetime_fns import month_start
+    from etl_online_retail_spark.streaming.ingest import (
+        compact_incremental_agg,
+        partial_agg_batch_write,
+        read_incremental_agg,
+    )
+
+    li = catalog.load_table(spark, "lineitem", SF_SMALL)
+    o = catalog.load_table(spark, "orders", SF_SMALL)
+    c = catalog.load_table(spark, "customer", SF_SMALL)
+    fact = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select(F.col("c_nationkey").alias("nationkey"),
+                    month_start("o_orderdate").alias("month_start"),
+                    money.net_revenue().alias("v"),
+                    F.col("l_orderkey")))
+    keys = ["nationkey", "month_start"]
+    table_dir = str(tmp_path / "mv")
+    for b in range(4):  # four "loads", disjoint by order key
+        partial_agg_batch_write(
+            fact.filter(F.pmod(F.col("l_orderkey"), F.lit(4)) == b),
+            b, table_dir, keys, "v")
+
+    def rows(df):
+        return sorted((r.nationkey, r.month_start, r.n_rows,
+                       round(r.total, 4)) for r in df.collect())
+
+    oneshot = (fact.groupBy(*keys)
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col("v").cast("decimal(18,2)"))
+                    .cast("double").alias("total")))
+    maintained = read_incremental_agg(spark, table_dir, keys)
+    assert rows(maintained) == rows(oneshot)
+    # a replayed batch overwrites its own partials: still equal
+    partial_agg_batch_write(
+        fact.filter(F.pmod(F.col("l_orderkey"), F.lit(4)) == 2),
+        2, table_dir, keys, "v")
+    assert rows(read_incremental_agg(spark, table_dir, keys)) \
+        == rows(oneshot)
+    # compaction folds partials without changing the answer
+    compact_incremental_agg(spark, table_dir, keys)
+    assert rows(read_incremental_agg(spark, table_dir, keys)) \
+        == rows(oneshot)
+
+    # serve the MAINTAINED relation through the navigator: decimal
+    # partials straight off the parquet partials, re-aggregated exactly
+    mv = (spark.read.parquet(table_dir)
+          .groupBy(*keys).agg(F.sum("_sum").alias("revenue")))
+    mv.createOrReplaceTempView(
+        f"{matview.MATVIEW_PREFIX}_star_month_rollup")
+    spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
+    try:
+        coarse = matview.navigate(spark, SF_SMALL, ["nationkey"],
+                                  ["revenue"])
+        assert coarse is not None
+        got = sorted((r.nationkey, float(r.revenue))
+                     for r in coarse.collect())
+        want = sorted(
+            (r.nationkey, float(r.revenue)) for r in
+            fact.groupBy("nationkey")
+            .agg(F.sum(F.col("v").cast("decimal(18,2)"))
+                 .alias("revenue")).collect())
+        assert got == want
+    finally:
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        spark.catalog.dropTempView(
+            f"{matview.MATVIEW_PREFIX}_star_month_rollup")
