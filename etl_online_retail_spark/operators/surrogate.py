@@ -77,3 +77,56 @@ def assert_injective(dim: DataFrame, natural_cols: Sequence[str],
         raise ValueError(
             f"hashed key {key_name} collides: {n_nat} natural keys -> "
             f"{n_key} hash values; re-seed hashed_keys or widen the key")
+
+
+def resolve_with_unknown(facts: DataFrame, dim: DataFrame,
+                         natural_key: str, dim_key: str,
+                         unknown_id: int = 1) -> DataFrame:
+    """Late-arriving-dimension tolerant FK resolution: facts whose
+    natural key has no dim row yet resolve to the seeded unknown member
+    (id 1, init_db.sql:12-13) instead of being dropped or crashing the
+    load — the standard Kimball treatment for facts that outrun their
+    dimension feed. Adds `dim_key` and `_dim_resolved` (False marks the
+    rows a later backfill should revisit)."""
+    from etl_online_retail_spark.operators.joins import (
+        size_guarded_broadcast,
+    )
+
+    lookup = dim.select(F.col(natural_key).alias("_nk"),
+                        F.col(dim_key).alias("_dk"))
+    return (facts.join(size_guarded_broadcast(lookup),
+                       facts[natural_key] == F.col("_nk"), "left")
+            .withColumn(dim_key,
+                        F.coalesce(F.col("_dk"),
+                                   F.lit(unknown_id)).cast("int"))
+            .withColumn("_dim_resolved", F.col("_dk").isNotNull())
+            .drop("_nk", "_dk"))
+
+
+def backfill_late_dims(facts: DataFrame, dim: DataFrame,
+                       natural_key: str, dim_key: str,
+                       unknown_id: int = 1) -> DataFrame:
+    """The second half of the late-arriving flow: once the dimension
+    feed catches up, re-resolve ONLY the fact rows parked on the unknown
+    member. Resolved rows pass through untouched (no join at all on that
+    leg); the unknown-member slice re-joins the refreshed dim and flips
+    `_dim_resolved` where a real key now exists. Repeated backfills are
+    idempotent — a row leaves the unknown slice exactly when its dim row
+    lands."""
+    from etl_online_retail_spark.operators.joins import (
+        size_guarded_broadcast,
+    )
+
+    parked = facts.filter(F.col(dim_key) == unknown_id)
+    settled = facts.filter(F.col(dim_key) != unknown_id)
+    lookup = dim.select(F.col(natural_key).alias("_nk"),
+                        F.col(dim_key).alias("_dk"))
+    refreshed = (parked.drop(dim_key, "_dim_resolved")
+                 .join(size_guarded_broadcast(lookup),
+                       parked[natural_key] == F.col("_nk"), "left")
+                 .withColumn(dim_key,
+                             F.coalesce(F.col("_dk"),
+                                        F.lit(unknown_id)).cast("int"))
+                 .withColumn("_dim_resolved", F.col("_dk").isNotNull())
+                 .drop("_nk", "_dk"))
+    return settled.unionByName(refreshed.select(settled.columns))
