@@ -78,3 +78,37 @@ def test_sql_frontend_surfaces_analysis_errors(views, spark):
     # the reference's failed-query history: unknown column -> analysis error
     with pytest.raises(AnalysisException):
         run_sql(spark, "SELECT not_a_column FROM lineitem").collect()
+
+
+def test_sql_lab_runs_ansi_sql_over_the_catalog(spark):
+    """End-to-end ad-hoc SQL: catalog tables auto-registered, ANSI
+    constructs (CTE + join + grouping + window) execute, results match
+    the DataFrame path, and the enforced limit applies."""
+    from etl_online_retail_spark.plans.sql_frontend import sql_lab
+
+    sf = "/root/testdata/sf0.001"
+    out = sql_lab(spark, sf, """
+        WITH per_nation AS (
+          SELECT n_name AS nation, COUNT(DISTINCT c_custkey) AS n_cust
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name)
+        SELECT nation, n_cust,
+               RANK() OVER (ORDER BY n_cust DESC, nation) AS rnk
+        FROM per_nation
+    """)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert rows[0].__fields__ == ["nation", "n_cust", "rnk"]
+    total = sum(r.n_cust for r in rows)
+    from etl_online_retail_spark.catalog import load_table
+    assert total == load_table(spark, "customer", sf).count()
+    # the enforced limit plans as a limit, and a tiny cap truncates
+    capped = sql_lab(spark, sf, "SELECT * FROM lineitem",
+                     enforced_limit=7)
+    assert capped.count() == 7
+    # the reference's SQL Lab failure surface: analysis errors raise
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        sql_lab(spark, sf, "SELECT no_such_column FROM orders").collect()
