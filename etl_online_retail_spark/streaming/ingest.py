@@ -629,3 +629,72 @@ def quarantined_ingest(stream_df: DataFrame, valid_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def erase_from_landed(spark, out_dir: str, key_col: str,
+                      subject_keys: list) -> dict[str, int]:
+    """GDPR erasure against the LANDED streaming warehouse: remove every
+    row whose key is in `subject_keys` from the incremental_append
+    layout, rewriting ONLY the (_batch_id, partition) directories that
+    actually contain subject rows — history partitions without a hit
+    are never touched, so the pass costs ~(affected partitions), not a
+    table rewrite. A partition left EMPTY by the erasure is deleted
+    outright (dynamic overwrite cannot express "overwrite with
+    nothing").
+
+    Idempotent (a second pass finds nothing) and replay-consistent: the
+    rewritten partitions keep their _batch_id, so a later stream replay
+    of one of those batches overwrites them wholesale — which REINSERTS
+    the subject's rows from the replayed source. Erasure therefore also
+    belongs upstream (drop the subject at ingest with
+    privacy.erase_rows) and this pass is the retroactive sweep over
+    what already landed; run it again after any replay window. Returns
+    {'partitions_rewritten': n, 'rows_erased': n} for the audit log.
+    """
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    subjects = sorted(set(subject_keys))
+    if not subjects:
+        return {"partitions_rewritten": 0, "rows_erased": 0}
+    table = spark.read.parquet(out_dir)
+    # partition columns from the directory layout: _batch_id plus any
+    # second-level partitionBy column
+    part_cols = ["_batch_id"]
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("_batch_id="):
+            for e in sorted(os.listdir(os.path.join(out_dir, d))):
+                m = re.match(r"([^=]+)=", e)
+                if m:
+                    part_cols.append(m.group(1))
+                    break
+            break
+
+    is_subject = F.col(key_col).isin(*subjects)
+    hits = (table.filter(is_subject)
+            .select(*part_cols).distinct().collect())
+    rewritten = 0
+    erased = 0
+    for h in hits:
+        pred = None
+        for c in part_cols:
+            p = F.col(c) == h[c]
+            pred = p if pred is None else (pred & p)
+        part = table.filter(pred).localCheckpoint(eager=True)
+        kept = part.filter(~is_subject)
+        n_all, n_kept = part.count(), kept.count()
+        erased += n_all - n_kept
+        part_dir = os.path.join(
+            out_dir, *[f"{c}={h[c]}" for c in part_cols])
+        if n_kept == 0:
+            shutil.rmtree(part_dir, ignore_errors=True)
+        else:
+            (kept.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(*part_cols)
+             .parquet(out_dir))
+        rewritten += 1
+    return {"partitions_rewritten": rewritten, "rows_erased": erased}

@@ -691,3 +691,52 @@ def test_streaming_quarantine_routes_and_replays_safely(spark, tmp_path):
     after = (spark.read.parquet(vdir).count(),
              spark.read.parquet(qdir).count())
     assert after == before
+
+
+def test_erase_from_landed_rewrites_only_hit_partitions(spark, tmp_path):
+    """Retroactive GDPR sweep over the landed stream: subject rows
+    vanish, unaffected partition directories are not rewritten, an
+    all-subject partition is deleted outright, and a second pass is a
+    no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        erase_from_landed,
+        idempotent_batch_write,
+    )
+
+    out = str(tmp_path / "landed")
+    rows0 = [(1, "click", 10.0), (2, "view", 5.0), (1, "view", 2.0)]
+    rows1 = [(3, "click", 7.0), (4, "click", 1.0)]
+    rows2 = [(1, "buy", 9.0)]          # batch 2: ONLY the subject
+    for i, rows in enumerate((rows0, rows1, rows2)):
+        idempotent_batch_write(
+            spark.createDataFrame(rows, "user_id INT, event_type STRING,"
+                                        " value DOUBLE"),
+            i, out, partition_by="event_type")
+
+    untouched = os.path.join(out, "_batch_id=1", "event_type=click")
+    before = sorted(os.listdir(untouched))
+    mtimes = {f: os.path.getmtime(os.path.join(untouched, f))
+              for f in before}
+
+    audit = erase_from_landed(spark, out, "user_id", [1])
+    assert audit["rows_erased"] == 3
+    assert audit["partitions_rewritten"] == 3   # b0/click, b0/view, b2/buy
+
+    table = spark.read.parquet(out)
+    assert table.filter(F.col("user_id") == 1).count() == 0
+    assert table.count() == 3                   # users 2,3,4 intact
+    # the all-subject partition directory is gone
+    assert not os.path.exists(os.path.join(out, "_batch_id=2",
+                                           "event_type=buy"))
+    # the untouched partition kept its exact files
+    after = sorted(os.listdir(untouched))
+    assert after == before
+    assert all(os.path.getmtime(os.path.join(untouched, f)) == mtimes[f]
+               for f in after)
+
+    again = erase_from_landed(spark, out, "user_id", [1])
+    assert again == {"partitions_rewritten": 0, "rows_erased": 0}
