@@ -44,9 +44,15 @@ def _widen(a: T.DataType, b: T.DataType, name: str) -> T.DataType:
                 f"the 38-digit ceiling")
         return T.DecimalType(intd + scale, scale)
     if a in _RANK and b in _RANK:
-        # integral -> floating crossings are NOT lossless for big
-        # integers; allow them only up to double (the conventional
-        # mergeSchema behavior) when one side is already floating
+        floats = (T.FloatType(), T.DoubleType())
+        a_f, b_f = a in floats, b in floats
+        if a_f != b_f:
+            # integral x floating crossing: promote to DOUBLE, never
+            # float32 (a float32 target silently corrupts any integer
+            # >= 2^24). Double is the conventional mergeSchema landing
+            # spot; ints past 2^53 still lose precision there — the ONE
+            # permitted lossy crossing, inherent to the drift itself.
+            return T.DoubleType()
         return a if _RANK[a] >= _RANK[b] else b
     raise TypeError(
         f"schema evolution on {name!r}: no lossless widening between "

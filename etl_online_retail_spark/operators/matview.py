@@ -146,9 +146,13 @@ def navigate(spark: SparkSession, sf_dir: str, dims: list[str],
         mv = serve(spark, sf_dir, name)
         if mv is None:
             continue
-        cols = [meta["measures"][m] for m in measures]
+        # measures come back under their REQUESTED names (the mapping's
+        # whole point): a view whose internal column is `_sum` must
+        # still serve `revenue`, or the rewrite changes the schema
+        pairs = [(m, meta["measures"][m]) for m in measures]
         if want_dims == set(meta["grain"]):
-            return mv.select(*dims, *cols)
+            return mv.select(*dims,
+                             *[F.col(c).alias(m) for m, c in pairs])
         return (mv.groupBy(*dims)
-                .agg(*[F.sum(c).alias(c) for c in cols]))
+                .agg(*[F.sum(c).alias(m) for m, c in pairs]))
     return None

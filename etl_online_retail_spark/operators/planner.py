@@ -92,7 +92,11 @@ def plan_equi_join(left: DataFrame, right: DataFrame,
     small_right = rb is not None and rb <= broadcast_max_bytes
     small_left = lb is not None and lb <= broadcast_max_bytes
     if small_right or small_left:
-        if small_right and (not small_left or (rb <= (lb or rb))):
+        # explicit None check: a genuine 0-byte estimate is falsy and
+        # `lb or rb` would compare rb against itself, flipping the
+        # build-side choice for empty relations
+        if small_right and (not small_left
+                            or rb <= (rb if lb is None else lb)):
             build, built = "right", F.broadcast(right)
             joined = left.join(built, cond, how)
         else:
@@ -107,7 +111,11 @@ def plan_equi_join(left: DataFrame, right: DataFrame,
     probe, probe_key = ((left, left_key) if probe_is_left
                         else (right, right_key))
     share = _top_share(probe, probe_key)
-    if share > skew_share:
+    # salting replicates the build side, so an OUTER join whose
+    # preserved side is the replicated one would emit salt_buckets
+    # null-extended copies of every unmatched row — salt only inner
+    # joins; outer joins under skew are AQE's skew-split territory
+    if share > skew_share and how == "inner":
         # salted_join's shape with per-side key names: the probe side
         # gets a per-row salt, the build side explodes into
         # salt_buckets replicas, the shuffle key becomes (key, salt) —
@@ -130,7 +138,10 @@ def plan_equi_join(left: DataFrame, right: DataFrame,
                            f"side (> {skew_share:.0%})")
         return joined, dec
 
-    dec = JoinDecision("shuffle", None, lb, rb, share,
-                       "both sides past the broadcast bound, no "
-                       "dominant key — AQE's shuffle join")
+    reason = ("both sides past the broadcast bound, no dominant key — "
+              "AQE's shuffle join"
+              if share <= skew_share else
+              f"top key holds ~{share:.0%} but {how!r} join cannot be "
+              f"salted (replicated unmatched rows) — AQE skew-split")
+    dec = JoinDecision("shuffle", None, lb, rb, share, reason)
     return left.join(right, cond, how), dec

@@ -674,6 +674,10 @@ def erase_from_landed(spark, out_dir: str, key_col: str,
             break
 
     is_subject = F.col(key_col).isin(*subjects)
+    # a NULL key is NOT a subject: ~isin is NULL for NULL keys and a bare
+    # filter would destroy those rows in the rewrite — the erasure must
+    # only ever remove the named subjects
+    keep_pred = F.col(key_col).isNull() | ~is_subject
     hits = (table.filter(is_subject)
             .select(*part_cols).distinct().collect())
     rewritten = 0
@@ -683,14 +687,28 @@ def erase_from_landed(spark, out_dir: str, key_col: str,
         for c in part_cols:
             p = F.col(c) == h[c]
             pred = p if pred is None else (pred & p)
-        part = table.filter(pred).localCheckpoint(eager=True)
-        kept = part.filter(~is_subject)
+        sliced = table.filter(pred)
+        # the partition's ON-DISK directory comes from its actual files
+        # (input_file_name), never from f"{col}={value}" formatting —
+        # Spark escapes partition values in directory names (and maps
+        # NULL to __HIVE_DEFAULT_PARTITION__), so a hand-built path can
+        # silently miss the real directory and leave subject data behind
+        from urllib.parse import unquote, urlparse
+
+        # input_file_name returns a file: URI with the on-disk name
+        # URI-encoded ON TOP of Spark's own partition-value escaping
+        # (disk `a%3Ab` -> URI `a%253Ab`); one unquote of the URI path
+        # recovers the true directory
+        part_dirs = {
+            os.path.dirname(unquote(urlparse(r[0]).path))
+            for r in sliced.select(F.input_file_name()).distinct().collect()}
+        part = sliced.localCheckpoint(eager=True)
+        kept = part.filter(keep_pred)
         n_all, n_kept = part.count(), kept.count()
         erased += n_all - n_kept
-        part_dir = os.path.join(
-            out_dir, *[f"{c}={h[c]}" for c in part_cols])
         if n_kept == 0:
-            shutil.rmtree(part_dir, ignore_errors=True)
+            for d in part_dirs:
+                shutil.rmtree(d, ignore_errors=True)
         else:
             (kept.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")

@@ -193,7 +193,10 @@ def main() -> None:
         with_lsh_bucket,
     )
 
-    n_vec = emb.count() if not LABEL_FILTER or "lsh" in LABEL_FILTER else 0
+    # gate follows the filter-is-substring-of-LABEL rule like timed():
+    # the printed labels are "lsh candidates @ Nx [pinned-4 ...]" etc.
+    run_lsh = not LABEL_FILTER or LABEL_FILTER in "lsh candidates"
+    n_vec = emb.count() if run_lsh else 0
     for label, planes in ((("pinned-4", 4), ("auto", auto_n_planes(n_vec)))
                           if n_vec else ()):
         sizes = with_lsh_bucket(emb, planes, 64).groupBy("bucket").count()

@@ -79,3 +79,12 @@ def test_late_arriving_dim_parks_then_backfills(spark):
     again = backfill_late_dims(filled, dim_v2, "sku", "product_dim_id")
     assert sorted(map(tuple, again.collect())) \
         == sorted(map(tuple, filled.collect()))
+
+
+def test_evolve_union_int_float_crossing_promotes_to_double(spark):
+    old = spark.createDataFrame([(16_777_217,)], "v BIGINT")
+    new = spark.createDataFrame([(1.5,)], "v FLOAT")
+    out = evolve_union(old, new)
+    assert out.schema["v"].dataType == T.DoubleType()
+    vals = sorted(r.v for r in out.collect())
+    assert vals[1] == 16_777_217.0     # survives (float32 would corrupt)

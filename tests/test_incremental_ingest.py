@@ -740,3 +740,39 @@ def test_erase_from_landed_rewrites_only_hit_partitions(spark, tmp_path):
 
     again = erase_from_landed(spark, out, "user_id", [1])
     assert again == {"partitions_rewritten": 0, "rows_erased": 0}
+
+
+def test_erase_from_landed_preserves_null_keys_and_escaped_partitions(
+        spark, tmp_path):
+    """NULL-key rows are NOT subjects and must survive the rewrite; a
+    partition VALUE Spark escapes on disk (colon) must still be found
+    and deleted when its partition becomes all-subject."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        erase_from_landed,
+        idempotent_batch_write,
+    )
+
+    out = str(tmp_path / "landed")
+    rows = [(1, "a:b", 1.0),          # subject in an ESCAPED partition
+            (None, "plain", 2.0),     # NULL key beside a subject
+            (1, "plain", 3.0),
+            (2, "plain", 4.0)]
+    idempotent_batch_write(
+        spark.createDataFrame(rows, "user_id INT, event_type STRING,"
+                                    " value DOUBLE"),
+        0, out, partition_by="event_type")
+
+    audit = erase_from_landed(spark, out, "user_id", [1])
+    assert audit["rows_erased"] == 2
+    table = spark.read.parquet(out)
+    got = {(r.user_id, r.event_type) for r in table.collect()}
+    assert (None, "plain") in got          # NULL-key row survived
+    assert (2, "plain") in got
+    assert all(u != 1 for u, _ in got)
+    # the escaped all-subject partition directory is actually gone
+    b0 = os.path.join(out, "_batch_id=0")
+    assert not any("a%3Ab" in d or "a:b" in d for d in os.listdir(b0))

@@ -63,3 +63,19 @@ def test_skew_share_is_conservative_upper_bound(spark):
     s_uni, s_hot = _top_share(uni, "k"), _top_share(hot, "k")
     assert s_hot > 0.7                      # 80% hot key, CMS >= truth
     assert s_uni < s_hot / 3
+
+
+def test_outer_join_under_skew_refuses_salting_and_stays_correct(spark):
+    # 90%-hot probe, LEFT join: salting would emit salt_buckets copies
+    # of every unmatched preserved row — the ladder must fall through
+    # to shuffle and stay row-identical to the plain join
+    probe = spark.createDataFrame(
+        [(7 if i % 10 else i, i) for i in range(2000)], "k INT, v INT")
+    build = spark.createDataFrame(
+        [(7, "hot"), (0, "cold")], "bk INT, name STRING")
+    joined, dec = plan_equi_join(probe, build, "k", "bk", how="left",
+                                 broadcast_max_bytes=0)
+    assert dec.strategy == "shuffle", dec
+    assert "salted" in dec.reason or "skew" in dec.reason
+    plain = probe.join(build, probe.k == build.bk, "left")
+    assert _rows(joined) == _rows(plain)
