@@ -320,3 +320,57 @@ def q_chart_monthly_revenue(spark, sf_dir):
     )
     out = chart_query(li, spec)
     return out.select("__timestamp", F.col("revenue").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window completions (r5): relative-rank forms. percent_rank and
+# cume_dist are (rank-1)/(n-1) and rank_with_ties/n — exact small-integer
+# divisions in DOUBLE, identical on both engines when the ORDER BY is a
+# total order (custkey tie-break), so no rounding is needed.
+
+@register(
+    "customer_balance_relrank",
+    "SELECT c_custkey, c_mktsegment, "
+    "percent_rank() OVER w AS pr, "
+    "cume_dist() OVER w AS cd "
+    "FROM customer "
+    "WINDOW w AS (PARTITION BY c_mktsegment "
+    "             ORDER BY c_acctbal, c_custkey)",
+    "W-percent-rank-cume-dist",
+)
+def q_customer_balance_relrank(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("c_acctbal"), F.col("c_custkey")))
+    return (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment",
+                    F.percent_rank().over(w).alias("pr"),
+                    F.cume_dist().over(w).alias("cd")))
+
+
+# LATERAL correlated subquery (the SQL-frontend parity row): per nation,
+# its top-2 customers by balance. Both engines execute the correlated
+# derived table natively (Spark 3.4+ LATERAL; DuckDB LATERAL); the inner
+# ORDER BY carries the custkey tie-break so the LIMIT is a deterministic
+# set. The Spark side goes through sql_lab — the reference's ad-hoc SQL
+# surface — rather than the DataFrame API, pinning that the SQL text a
+# user brings runs unchanged.
+
+_LATERAL_SQL = """
+SELECT n_name AS nation, t.c_custkey, t.c_name,
+       CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+FROM nation,
+LATERAL (SELECT c_custkey, c_name, c_acctbal
+         FROM customer
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey
+         LIMIT 2) t
+"""
+
+
+@register("lateral_top_customers", _LATERAL_SQL, "SQL-lateral-correlated")
+def q_lateral_top_customers(spark, sf_dir):
+    from etl_online_retail_spark.plans.sql_frontend import sql_lab
+
+    return sql_lab(spark, sf_dir, _LATERAL_SQL, enforced_limit=None)
