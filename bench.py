@@ -155,6 +155,7 @@ HEADLINE = [
     "erasure_impact_audit",
     "customer_balance_relrank",
     "lateral_top_customers",
+    "orders_footer_stats",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state

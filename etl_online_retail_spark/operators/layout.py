@@ -63,3 +63,48 @@ def zorder_write(df: DataFrame, a_col: str, b_col: str, out_dir: str,
      .sortWithinPartitions("_z")
      .drop("_z")
      .write.mode("overwrite").parquet(out_dir))
+
+
+def parquet_layout_stats(spark, path: str,
+                         columns: list[str]) -> DataFrame:
+    """Physical-layout introspection: per (file, row group, column) the
+    row count and min/max footer statistics — the metadata every scan
+    planner prunes with (and the evidence behind the z-order pruning
+    claims). Footers are read driver-side with pyarrow: the work is
+    FILE-COUNT bounded (a few KB per footer, no data pages touched),
+    the same boundedness class as the codebook/vocabulary collects.
+
+    Values surface as STRINGS so one relation covers every column type
+    (the cross-engine caveat: integer and string stats stringify
+    identically everywhere; float/timestamp reprs can differ between
+    engines' printers, so oracle-checked queries should stick to
+    int/string columns). Output: (file_idx INT, row_group INT,
+    n_rows BIGINT, column STRING, min_value STRING, max_value STRING),
+    file_idx ordered by file name for determinism.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+    else:
+        files = [path]
+    rows = []
+    for fi, fname in enumerate(files):
+        meta = pq.ParquetFile(fname).metadata
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            by_name = {g.column(i).path_in_schema: g.column(i)
+                       for i in range(g.num_columns)}
+            for col in columns:
+                c = by_name[col]
+                st = c.statistics
+                rows.append((fi, rg, g.num_rows, col,
+                             None if st is None else str(st.min),
+                             None if st is None else str(st.max)))
+    return spark.createDataFrame(
+        rows, "file_idx INT, row_group INT, n_rows BIGINT, "
+              "column STRING, min_value STRING, max_value STRING")

@@ -1748,3 +1748,33 @@ def materialize_oracle_tables(con) -> None:
     evaluation each, shared by every localized oracle)."""
     for name, body in ORACLE_MATERIALIZATIONS.items():
         con.execute(f"CREATE OR REPLACE TEMP TABLE {name} AS {body}")
+
+
+# ---------------------------------------------------------------------------
+# physical-layout introspection (r5): per-row-group footer statistics —
+# the metadata scan planners prune with. The oracle states the SEMANTIC
+# contract rather than re-reading footers (DuckDB's parquet_metadata()
+# needs a literal path the portable oracle cannot carry): the driver
+# testdata ships ONE row group per single-file table, so every footer
+# min/max must equal the column's true extremes — the footer-integrity
+# check itself. Int/string columns only (float/timestamp stat reprs
+# differ between engines' printers; documented in the operator).
+
+_FOOTER_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority")
+
+_FOOTER_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT 0 AS file_idx, 0 AS row_group, COUNT(*) AS n_rows, "
+    f"'{c}' AS \"column\", CAST(MIN({c}) AS VARCHAR) AS min_value, "
+    f"CAST(MAX({c}) AS VARCHAR) AS max_value FROM orders"
+    for c in _FOOTER_COLS)
+
+
+@register("orders_footer_stats", _FOOTER_ORACLE, "M6-layout-footer-stats")
+def q_orders_footer_stats(spark, sf_dir):
+    from etl_online_retail_spark.operators.layout import (
+        parquet_layout_stats,
+    )
+
+    return parquet_layout_stats(
+        spark, f"{sf_dir}/orders.parquet", list(_FOOTER_COLS))
