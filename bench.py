@@ -156,6 +156,16 @@ HEADLINE = [
     "customer_balance_relrank",
     "lateral_top_customers",
     "orders_footer_stats",
+    # round-5 TPC-H completion wave
+    "forecast_revenue_change",
+    "nation_market_share",
+    "nation_profit",
+    "concentrated_part_value",
+    "customer_order_distribution",
+    "top_supplier_of_quarter",
+    "small_quantity_revenue",
+    "promo_volume_suppliers",
+    "sole_blame_suppliers",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state

@@ -451,3 +451,346 @@ def q_cheapest_supplier_per_part(spark, sf_dir):
                   best.l_suppkey == s.s_suppkey)
             .select("p_partkey", "p_brand", "s_name",
                     F.col("unit_price").alias("best_unit_price")))
+
+
+# ---------------------------------------------------------------------------
+# round-5 second wave: the remaining TPC-H shapes (Q6/Q8/Q9'/Q11'/Q13/
+# Q15/Q17/Q20/Q21), same adaptation rule — keep the operator shape,
+# bind to the columns the testdata carries.
+
+Q6_YEAR = 1997
+Q8_NATION = "NATION_3"         # market-share subject
+Q11_MULT = 1.5                 # Q11': parts worth > 1.5x the average part
+# (the synthetic part-value distribution is near-flat: max/avg ~1.8, so
+# 1.5x selects the genuine top ~1% tail at every SF; a fixed fraction of
+# the TOTAL - the literal spec form - shrinks with catalog size and
+# selects nothing at 10x)
+Q15_QUARTER = ("1997-01-01", "1997-04-01")
+Q17_BRAND = "Brand#23"
+Q20_MIN_QTY = 50               # Q20' shipped-volume floor for PROMO parts
+
+_Q6_REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+           "CAST(l_discount AS DECIMAL(18,4))")
+
+
+@register(
+    "forecast_revenue_change",
+    f"SELECT CAST(SUM({_Q6_REV}) AS DOUBLE) AS revenue_delta, "
+    f"COUNT(*) AS n_items "
+    f"FROM lineitem "
+    f"WHERE year(l_shipdate) = {Q6_YEAR} "
+    f"  AND l_discount BETWEEN 0.05 AND 0.07 "
+    f"  AND l_quantity < 24",
+    "Q6-filter-agg",
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    """Q6: the pure filter-aggregate — every predicate pushes into the
+    scan, zero joins, one map-combined agg. The what-if metric is
+    revenue lost to the discount band (extendedprice x discount)."""
+    li = _t(spark, sf_dir, "lineitem")
+    delta = (F.col("l_extendedprice").cast("decimal(18,2)")
+             * F.col("l_discount").cast("decimal(18,4)"))
+    return (li.filter((F.year("l_shipdate") == Q6_YEAR)
+                      & F.col("l_discount").between(0.05, 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.sum(delta).cast("double").alias("revenue_delta"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+_Q8_ORACLE = f"""
+WITH sales AS (
+  SELECT year(o_orderdate) AS yr, sn.n_name AS supp_nation, {REV} AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+SELECT CAST(yr AS INTEGER) AS order_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                      THEN rev END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+FROM sales GROUP BY yr
+"""
+
+
+@register("nation_market_share", _Q8_ORACLE, "Q8-market-share")
+def q_nation_market_share(spark, sf_dir):
+    """Q8: one nation's share of supplied revenue per year — the
+    conditional/total ratio over a star join (CASE numerator sums NULL
+    for other nations), one IEEE division of two exact sums, 6dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    rev = money.net_revenue()
+    subject = F.sum(F.when(F.col("n_name") == Q8_NATION, rev)) \
+        .cast("double")
+    total = F.sum(rev).cast("double")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(joins.size_guarded_broadcast(s),
+                  li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+            .agg(F.round(subject / total, 6).alias("mkt_share"),
+                 total.alias("total_revenue")))
+
+
+_Q9_COST = ("CAST(CAST(p_retailprice AS DECIMAL(18,2)) "
+            "* CAST(l_quantity AS DECIMAL(18,2)) "
+            "* CAST(0.5 AS DECIMAL(8,2)) AS DECIMAL(28,4))")
+
+_Q9_ORACLE = f"""
+SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INTEGER)
+         AS order_year,
+       CAST(SUM(CAST({REV} AS DECIMAL(28,4)) - {_Q9_COST}) AS DOUBLE)
+         AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("nation_profit", _Q9_ORACLE, "Q9-profit-rollup")
+def q_nation_profit(spark, sf_dir):
+    """Q9 shape: profit by supplier nation and year. The testdata has
+    no partsupp/supplycost, so cost is proxied as half the part's
+    retail price per unit (documented adaptation) — the SHAPE under
+    test is the 5-way join with a two-term measure folded in one
+    decimal aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    cost = (F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)")
+            * F.lit(0.5).cast("decimal(8,2)")).cast("decimal(28,4)")
+    profit = money.net_revenue().cast("decimal(28,4)") - cost
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(joins.size_guarded_broadcast(p),
+                  li.l_partkey == p.p_partkey)
+            .join(joins.size_guarded_broadcast(s),
+                  li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("supp_nation"),
+                     F.year("o_orderdate").cast("int").alias("order_year"))
+            .agg(F.sum(profit).cast("double").alias("profit")))
+
+
+_Q11_ORACLE = f"""
+WITH vals AS (
+  SELECT l_partkey, CAST(SUM({REV}) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(SUM({REV}) AS DOUBLE) AS total,
+               COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem)
+SELECT l_partkey AS partkey, part_value
+FROM vals CROSS JOIN tot
+WHERE part_value > {Q11_MULT} * (total / n_parts)
+"""
+
+
+@register("concentrated_part_value", _Q11_ORACLE, "Q11-having-scalar")
+def q_concentrated_part_value(spark, sf_dir):
+    """Q11 shape: groups whose value exceeds a multiple of the AVERAGE
+    group value — the grouped HAVING against a scalar subquery. The
+    spec's fixed fraction of the total shrinks with catalog size (it
+    selected nothing at 10x), so the threshold is the scale-free
+    1.5x-average form; the scalar (total, n_parts) rides a 1-row
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = money.net_revenue()
+    vals = (li.groupBy(F.col("l_partkey").alias("partkey"))
+            .agg(F.sum(rev).cast("double").alias("part_value")))
+    tot = li.agg(F.sum(rev).cast("double").alias("_total"),
+                 F.count_distinct("l_partkey").alias("_np"))
+    return (vals.crossJoin(F.broadcast(tot))
+            .filter(F.col("part_value")
+                    > F.lit(Q11_MULT) * (F.col("_total") / F.col("_np")))
+            .select("partkey", "part_value"))
+
+
+_Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       COUNT(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+"""
+
+
+@register("customer_order_distribution", _Q13_ORACLE, "Q13-distribution")
+def q_customer_order_distribution(spark, sf_dir):
+    """Q13: the orders-per-customer histogram INCLUDING zero-order
+    customers — the left join + COUNT(col) (not COUNT(*)) that keeps
+    unmatched customers at 0, then a second aggregation over the first
+    (the classic double groupBy)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("n_orders")))
+    return (per.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+_Q15_ORACLE = f"""
+WITH srev AS (
+  SELECT l_suppkey, CAST(SUM({REV}) AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_QUARTER[0]}'
+    AND l_shipdate <  TIMESTAMP '{Q15_QUARTER[1]}'
+  GROUP BY 1),
+mx AS (SELECT MAX(total_rev) AS m FROM srev)
+SELECT s_suppkey, s_name, total_rev
+FROM srev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN mx
+WHERE total_rev = m
+"""
+
+
+@register("top_supplier_of_quarter", _Q15_ORACLE, "Q15-view-max")
+def q_top_supplier_of_quarter(spark, sf_dir):
+    """Q15: the supplier(s) hitting the quarter's MAX revenue — the
+    derived-view + max-equality shape. Equality against the scalar max
+    returns ALL tied suppliers (a deterministic set; the exact decimal
+    sum makes ties genuine, not float accidents)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    srev = (li.filter((F.col("l_shipdate") >= Q15_QUARTER[0])
+                      & (F.col("l_shipdate") < Q15_QUARTER[1]))
+            .groupBy("l_suppkey")
+            .agg(money.sum_money(money.net_revenue(), "total_rev")))
+    mx = srev.agg(F.max("total_rev").alias("_m"))
+    return (srev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("_m"))
+            .join(joins.size_guarded_broadcast(s),
+                  F.col("l_suppkey") == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_rev"))
+
+
+_Q17_ORACLE = f"""
+WITH pavg AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = '{Q17_BRAND}'
+JOIN pavg USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("small_quantity_revenue", _Q17_ORACLE, "Q17-correlated-avg")
+def q_small_quantity_revenue(spark, sf_dir):
+    """Q17: revenue locked in small-quantity orders of one brand — each
+    line compared against ITS PART's average quantity (the correlated
+    scalar subquery, decorrelated into one grouped relation joined
+    back). avg is exact-sum / count, one IEEE division."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_brand") == Q17_BRAND)
+         .select("p_partkey"))
+    pavg = (li.groupBy(F.col("l_partkey").alias("_pk"))
+            .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double") / F.count(F.lit(1))).alias("avg_qty")))
+    return (li.join(joins.size_guarded_broadcast(p),
+                    li.l_partkey == p.p_partkey)
+            .join(pavg, li.l_partkey == F.col("_pk"))
+            .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+_Q20_ORACLE = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q20_MIN_QTY})
+"""
+
+
+@register("promo_volume_suppliers", _Q20_ORACLE, "Q20-nested-in")
+def q_promo_volume_suppliers(spark, sf_dir):
+    """Q20 shape: suppliers moving real volume of PROMO parts — the
+    nested-IN chain (parts -> qualifying shipments -> suppliers), each
+    level a semi-join, the volume floor a HAVING on the grouped fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    promo = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    movers = (li.join(joins.size_guarded_broadcast(promo),
+                      li.l_partkey == promo.p_partkey, "left_semi")
+              .groupBy("l_suppkey")
+              .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                   .alias("_q"))
+              .filter(F.col("_q") > Q20_MIN_QTY)
+              .select("l_suppkey"))
+    return s.join(movers, s.s_suppkey == F.col("l_suppkey"),
+                  "left_semi")
+
+
+_Q21_ORACLE = f"""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY)
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders o
+WHERE s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
+@register("sole_blame_suppliers", _Q21_ORACLE, "Q21-exists-notexists")
+def q_sole_blame_suppliers(spark, sf_dir):
+    """Q21: suppliers SOLELY responsible for late multi-supplier orders
+    — the famous EXISTS + NOT-EXISTS composite on the same fact. The
+    Spark plan is one semi-join (another supplier exists in the order)
+    and one anti-join (no OTHER supplier was late), both keyed on the
+    order — the late relation is computed once and cached (it feeds the
+    driving leg and the anti leg; rule 7)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate")
+                    + F.expr(f"INTERVAL {LATE_DAYS} DAYS"))
+            .select("l_orderkey", "l_suppkey")
+            .cache())
+    others = li.select(F.col("l_orderkey").alias("_ok"),
+                       F.col("l_suppkey").alias("_sk"))
+    other_late = late.select(F.col("l_orderkey").alias("_ok"),
+                             F.col("l_suppkey").alias("_sk"))
+    blamed = (late
+              .join(others,
+                    (late.l_orderkey == others["_ok"])
+                    & (late.l_suppkey != others["_sk"]), "left_semi")
+              .join(other_late,
+                    (late.l_orderkey == other_late["_ok"])
+                    & (late.l_suppkey != other_late["_sk"]), "left_anti"))
+    return (blamed.join(joins.size_guarded_broadcast(s),
+                        blamed.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))

@@ -76,3 +76,25 @@ def test_q7_both_nation_roles_broadcast(spark):
     must be broadcast — zero extra shuffles for dimension attachment."""
     plan = _executed(w.q_nation_trade_volume(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+def test_q21_is_semi_plus_anti_with_cached_late_relation(spark):
+    """The EXISTS compiles to one LeftSemi, the NOT EXISTS to one
+    LeftAnti, and the late relation is cached (it feeds the driving leg
+    and the anti leg — recomputing the join-filter lineage twice is the
+    rule-7 trap)."""
+    plan = _executed(w.q_sole_blame_suppliers(spark, SF))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "InMemoryTableScan" in plan, plan[:2000]
+
+
+def test_q13_left_join_keeps_zero_order_customers(spark):
+    """COUNT(col) over the left join must keep unmatched customers in
+    the 0 bucket; total customers across the histogram equals the dim."""
+    from etl_online_retail_spark.catalog import load_table
+
+    hist = {r.n_orders: r.n_customers
+            for r in w.q_customer_order_distribution(spark, SF).collect()}
+    n_cust = load_table(spark, "customer", SF).count()
+    assert sum(hist.values()) == n_cust
