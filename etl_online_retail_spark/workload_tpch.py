@@ -7,16 +7,28 @@ suite exercises, adapted to the driver testdata's columns (no
 commitdate/shipmode/partsupp — each query keeps the shape, not the
 constants):
 
+  Q2'  cheapest supplier per part (argmin with deterministic ties)
   Q4   EXISTS semi-join with a date-arithmetic correlation
+  Q6   pure filter-aggregate (zero joins, full pushdown)
   Q7   two-nation trade volume (role-swapped dimension pair + year)
+  Q8   one nation's market share (conditional/total ratio per year)
+  Q9'  profit rollup (5-way join, two-term decimal measure)
   Q10  returned-item customer ranking (deterministic top-20 via rank)
+  Q11' value concentration (grouped HAVING vs a scalar subquery)
   Q12  CASE-sum split by priority class per ship year
+  Q13  orders-per-customer histogram incl. zero (left join + COUNT(col))
   Q14  promo revenue share (conditional / total aggregate ratio)
+  Q15  top supplier of the quarter (view + max-equality, tie-safe)
   Q16  supplier variety per (brand, type, size) with NOT-IN pushdown
+  Q17  small-quantity revenue (correlated per-part average, decorrelated)
   Q18  large-order customers (HAVING on a grouped fact, joined back)
   Q19  disjunctive multi-column predicates (OR-of-ANDs pushdown)
+  Q20  promo-volume suppliers (nested-IN semi-join chain)
+  Q21  sole-blame suppliers (EXISTS + NOT-EXISTS on the same fact)
   Q22  inactive-rich-customer audit (scalar subquery + anti-join)
-  Q2'  cheapest supplier per part (argmin with deterministic ties)
+
+With workload.py's Q1/Q3/Q5, every one of the 22 spec queries is
+represented by shape.
 
 Exactness follows workload.py's module rules: money through
 DECIMAL(18,2)/(18,4) sums cast to DOUBLE, quantities through
