@@ -166,6 +166,8 @@ HEADLINE = [
     "small_quantity_revenue",
     "promo_volume_suppliers",
     "sole_blame_suppliers",
+    "revenue_yoy_growth",
+    "pricing_measures_unpivoted",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state

@@ -806,3 +806,90 @@ def q_sole_blame_suppliers(spark, sf_dir):
                         blamed.l_suppkey == s.s_suppkey)
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+# ---------------------------------------------------------------------------
+# beyond the spec: two composite shapes warehouses run daily
+
+_YOY_ORACLE = f"""
+WITH yearly AS (
+  SELECT n_name AS nation, year(o_orderdate) AS yr,
+         CAST(SUM({REV}) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT nation, CAST(yr AS INTEGER) AS order_year, revenue,
+       LAG(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev_revenue,
+       ROUND((revenue - LAG(revenue) OVER (PARTITION BY nation
+                                           ORDER BY yr))
+             / LAG(revenue) OVER (PARTITION BY nation ORDER BY yr)
+             * 100.0, 6) AS yoy_pct
+FROM yearly
+"""
+
+
+@register("revenue_yoy_growth", _YOY_ORACLE, "BI-yoy-window-over-agg")
+def q_revenue_yoy_growth(spark, sf_dir):
+    """Year-over-year growth per nation: the window-OVER-aggregate
+    composite (LAG across the grouped relation, not the fact). The
+    window input is nations x years — driver-scale — so the lag pass is
+    free; growth is one IEEE division of two exact decimal sums, 6dp;
+    first years carry NULLs honestly."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    yearly = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(joins.size_guarded_broadcast(c),
+                    o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").alias("yr"))
+              .agg(money.sum_money(money.net_revenue(), "revenue")))
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation", F.col("yr").cast("int").alias("order_year"), "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100.0, 6)
+        .alias("yoy_pct"))
+
+
+_UNPIVOT_ORACLE = f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base,
+         CAST(SUM({REV}) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_base', sum_base FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+"""
+
+
+@register("pricing_measures_unpivoted", _UNPIVOT_ORACLE, "A5-unpivot-melt")
+def q_pricing_measures_unpivoted(spark, sf_dir):
+    """UNPIVOT (melt): the wide pricing aggregate flipped to long
+    (flag, measure, value) rows — the inverse of revenue_pivot_by_flag
+    and the missing half of the reshape pair. Spark's stack() expands
+    IN-PLACE over the 3-row aggregate (no join, no shuffle beyond the
+    aggregation's own); the oracle states the same melt as UNION ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = (li.groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_base"),
+                 F.sum(money.net_revenue()).cast("double")
+                 .alias("sum_disc")))
+    return wide.select(
+        "l_returnflag",
+        F.expr("stack(3, 'sum_qty', sum_qty, 'sum_base', sum_base, "
+               "'sum_disc', sum_disc) AS (measure, value)"))

@@ -88,3 +88,29 @@ def test_evolve_union_int_float_crossing_promotes_to_double(spark):
     assert out.schema["v"].dataType == T.DoubleType()
     vals = sorted(r.v for r in out.collect())
     assert vals[1] == 16_777_217.0     # survives (float32 would corrupt)
+
+
+def test_evolved_schema_lattice_properties():
+    """The widening lattice is symmetric (up to column order) and
+    idempotent — the algebra a multi-load union chain relies on."""
+    import itertools
+
+    from etl_online_retail_spark.operators.evolution import evolved_schema
+
+    types = [T.IntegerType(), T.LongType(), T.FloatType(), T.DoubleType(),
+             T.DecimalType(10, 2), T.DecimalType(14, 4), T.StringType()]
+    for a, b in itertools.product(types, types):
+        sa = T.StructType([T.StructField("v", a)])
+        sb = T.StructType([T.StructField("v", b)])
+        try:
+            ab = evolved_schema(sa, sb)["v"].dataType
+        except TypeError:
+            # refusal must be symmetric too
+            with pytest.raises(TypeError):
+                evolved_schema(sb, sa)
+            continue
+        ba = evolved_schema(sb, sa)["v"].dataType
+        assert ab == ba, (a, b)                        # symmetric
+        sab = T.StructType([T.StructField("v", ab)])
+        assert evolved_schema(sab, sa)["v"].dataType == ab   # idempotent
+        assert evolved_schema(sab, sb)["v"].dataType == ab
