@@ -772,10 +772,59 @@ def main() -> None:
          .agg(F.sum(rev).cast("double"))
          .write.format("noop").mode("overwrite").save())
 
+    # TPC-H completion-wave heavies: Q21's semi+anti composite over the
+    # cached late relation, Q17's per-part average join-back, Q9's
+    # 5-way star with a two-term measure
+    def q21():
+        lo = li.join(o, li.l_orderkey == o.o_orderkey)
+        late = (lo.filter(F.col("l_shipdate")
+                          > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+                .select("l_orderkey", "l_suppkey").cache())
+        others = li.select(F.col("l_orderkey").alias("_ok"),
+                           F.col("l_suppkey").alias("_sk"))
+        other_late = late.select(F.col("l_orderkey").alias("_ok"),
+                                 F.col("l_suppkey").alias("_sk"))
+        (late.join(others, (late.l_orderkey == others["_ok"])
+                   & (late.l_suppkey != others["_sk"]), "left_semi")
+         .join(other_late, (late.l_orderkey == other_late["_ok"])
+               & (late.l_suppkey != other_late["_sk"]), "left_anti")
+         .groupBy("l_suppkey").count()
+         .write.format("noop").mode("overwrite").save())
+        late.unpersist()
+
+    def q17():
+        pavg = (li.groupBy(F.col("l_partkey").alias("_pk"))
+                .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                      .cast("double") / F.count(F.lit(1))).alias("avg_q")))
+        (li.join(pavg, li.l_partkey == F.col("_pk"))
+         .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+         .agg(F.count(F.lit(1)))
+         .write.format("noop").mode("overwrite").save())
+
+    def q9():
+        rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+               * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)"))
+        p = replicate(load_table(spark, "part", SF_DIR), factor,
+                      {"p_partkey": 10_000_000})
+        sup = replicate(load_table(spark, "supplier", SF_DIR), factor,
+                        {"s_suppkey": 10_000_000})
+        cost = (F.col("p_retailprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+                * F.lit(0.5).cast("decimal(8,2)")).cast("decimal(28,4)")
+        (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(p, li.l_partkey == p.p_partkey)
+         .join(sup, li.l_suppkey == sup.s_suppkey)
+         .groupBy("s_nationkey", F.year("o_orderdate"))
+         .agg(F.sum(rev.cast("decimal(28,4)") - cost).cast("double"))
+         .write.format("noop").mode("overwrite").save())
+
     timed(f"temperature mix @ {factor}x", temp_mix)
     timed(f"length-bucketed batches @ {factor}x", bucketed_batches)
     timed(f"erasure scope @ {factor}x", erasure)
     timed(f"q19 disjunctive join @ {factor}x", q19)
+    timed(f"q21 semi+anti composite @ {factor}x", q21)
+    timed(f"q17 per-part avg join-back @ {factor}x", q17)
+    timed(f"q9 five-way profit rollup @ {factor}x", q9)
 
 
 if __name__ == "__main__":
