@@ -102,9 +102,13 @@ def parquet_layout_stats(spark, path: str,
             for col in columns:
                 c = by_name[col]
                 st = c.statistics
+                # a chunk can carry a statistics object WITHOUT min/max
+                # (all-NULL column): has_min_max=False with st.min None —
+                # emit NULL, never the literal string "None"
+                has = st is not None and st.has_min_max
                 rows.append((fi, rg, g.num_rows, col,
-                             None if st is None else str(st.min),
-                             None if st is None else str(st.max)))
+                             str(st.min) if has else None,
+                             str(st.max) if has else None))
     return spark.createDataFrame(
         rows, "file_idx INT, row_group INT, n_rows BIGINT, "
               "column STRING, min_value STRING, max_value STRING")

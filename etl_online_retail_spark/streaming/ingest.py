@@ -682,31 +682,39 @@ def erase_from_landed(spark, out_dir: str, key_col: str,
             .select(*part_cols).distinct().collect())
     rewritten = 0
     erased = 0
+    from urllib.parse import unquote, urlparse
+
     for h in hits:
         pred = None
         for c in part_cols:
-            p = F.col(c) == h[c]
+            # eqNullSafe, not ==: a NULL partition value (the
+            # __HIVE_DEFAULT_PARTITION__ directory) makes `col == None`
+            # NULL-never-true, which would skip the slice entirely and
+            # leave the subject's rows on disk while still counting the
+            # partition as rewritten
+            p = F.col(c).eqNullSafe(F.lit(h[c]))
             pred = p if pred is None else (pred & p)
         sliced = table.filter(pred)
-        # the partition's ON-DISK directory comes from its actual files
-        # (input_file_name), never from f"{col}={value}" formatting —
-        # Spark escapes partition values in directory names (and maps
-        # NULL to __HIVE_DEFAULT_PARTITION__), so a hand-built path can
-        # silently miss the real directory and leave subject data behind
-        from urllib.parse import unquote, urlparse
-
-        # input_file_name returns a file: URI with the on-disk name
-        # URI-encoded ON TOP of Spark's own partition-value escaping
-        # (disk `a%3Ab` -> URI `a%253Ab`); one unquote of the URI path
-        # recovers the true directory
-        part_dirs = {
-            os.path.dirname(unquote(urlparse(r[0]).path))
-            for r in sliced.select(F.input_file_name()).distinct().collect()}
         part = sliced.localCheckpoint(eager=True)
         kept = part.filter(keep_pred)
         n_all, n_kept = part.count(), kept.count()
         erased += n_all - n_kept
         if n_kept == 0:
+            # the partition's ON-DISK directory comes from its actual
+            # files (input_file_name), never from f"{col}={value}"
+            # formatting — Spark escapes partition values in directory
+            # names (and maps NULL to __HIVE_DEFAULT_PARTITION__), so a
+            # hand-built path can silently miss the real directory.
+            # input_file_name returns a file: URI with the on-disk name
+            # URI-encoded ON TOP of that escaping (disk `a%3Ab` -> URI
+            # `a%253Ab`); one unquote of the URI path recovers the true
+            # directory. Collected only on this branch (the rewrite
+            # branch never needs it — no wasted scan per partition) and
+            # BEFORE the rmtree while the files still exist.
+            part_dirs = {
+                os.path.dirname(unquote(urlparse(r[0]).path))
+                for r in sliced.select(F.input_file_name())
+                .distinct().collect()}
             for d in part_dirs:
                 shutil.rmtree(d, ignore_errors=True)
         else:

@@ -56,7 +56,8 @@ def main() -> None:
         LABEL_FILTER = sys.argv[2]
     spark = get_spark("scale-smoke")
     li = replicate(load_table(spark, "lineitem", SF_DIR), factor,
-                   {"l_orderkey": 10_000_000, "l_partkey": 10_000_000})
+                   {"l_orderkey": 10_000_000, "l_partkey": 10_000_000,
+                    "l_suppkey": 10_000_000})
     o = replicate(load_table(spark, "orders", SF_DIR), factor,
                   {"o_orderkey": 10_000_000, "o_custkey": 10_000_000})
     c = replicate(load_table(spark, "customer", SF_DIR), factor,
@@ -193,9 +194,13 @@ def main() -> None:
         with_lsh_bucket,
     )
 
-    # gate follows the filter-is-substring-of-LABEL rule like timed():
-    # the printed labels are "lsh candidates @ Nx [pinned-4 ...]" etc.
-    run_lsh = not LABEL_FILTER or LABEL_FILTER in "lsh candidates"
+    # gate follows the filter-is-substring-of-LABEL rule like timed(),
+    # checked against the full printed label prefixes (the trailing
+    # plane/vector counts need n_vec, which only exists if we run)
+    _lsh_labels = [f"lsh candidates @ {factor}x [pinned-4",
+                   f"lsh candidates @ {factor}x [auto"]
+    run_lsh = (not LABEL_FILTER
+               or any(LABEL_FILTER in lbl for lbl in _lsh_labels))
     n_vec = emb.count() if run_lsh else 0
     for label, planes in ((("pinned-4", 4), ("auto", auto_n_planes(n_vec)))
                           if n_vec else ()):

@@ -19,5 +19,9 @@ def test_data_card_sections_consistent(spark):
     tl = card["token_lengths"]
     assert tl["min"] <= tl["p50"] <= tl["p90"] <= tl["max"]
     mix = card["proposed_mix"]
-    assert abs(sum(m["p_temp"] for m in mix.values()) - 1.0) < 1e-6
+    # p_temp values are rounded to 4dp for the card, so the sum carries
+    # up to 5e-5 rounding error PER SOURCE (exact only for a perfectly
+    # uniform corpus) — tolerance scales with source count
+    assert abs(sum(m["p_temp"] for m in mix.values()) - 1.0) \
+        <= len(mix) * 5e-5
     assert set(mix) == set(comp)

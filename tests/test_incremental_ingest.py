@@ -776,3 +776,28 @@ def test_erase_from_landed_preserves_null_keys_and_escaped_partitions(
     # the escaped all-subject partition directory is actually gone
     b0 = os.path.join(out, "_batch_id=0")
     assert not any("a%3Ab" in d or "a:b" in d for d in os.listdir(b0))
+
+
+def test_erase_from_landed_handles_null_partition_values(spark, tmp_path):
+    """A subject row landed under a NULL partition value (the
+    __HIVE_DEFAULT_PARTITION__ directory) must still be erased — the
+    slice predicate needs eqNullSafe, not ==."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        erase_from_landed,
+        idempotent_batch_write,
+    )
+
+    out = str(tmp_path / "landed")
+    rows = [(1, None, 1.0), (2, None, 2.0), (1, "click", 3.0)]
+    idempotent_batch_write(
+        spark.createDataFrame(rows, "user_id INT, event_type STRING,"
+                                    " value DOUBLE"),
+        0, out, partition_by="event_type")
+    audit = erase_from_landed(spark, out, "user_id", [1])
+    assert audit["rows_erased"] == 2
+    table = spark.read.parquet(out)
+    assert table.filter(F.col("user_id") == 1).count() == 0
+    # the non-subject row in the NULL partition survived
+    assert table.filter(F.col("event_type").isNull()).count() == 1
