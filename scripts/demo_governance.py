@@ -74,9 +74,26 @@ def run_governance(spark, sf_dir: str) -> dict:
     linear = {r.attributed_type: (r.n_credits, r.credit)
               for r in linear_attribution_credit(events).collect()}
 
+    # right-to-erasure: the pre-flight impact audit over the
+    # referential chain, then the destructive pass on the dim itself
+    from etl_online_retail_spark.operators.privacy import (
+        erase_rows,
+        erasure_scope,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    subjects = (customer.filter(F.col("c_custkey") % 97 == 0)
+                .select(F.col("c_custkey").alias("subject_key")))
+    scope = {r.table: (r.n_rows, r.n_erased) for r in erasure_scope(
+        {"customer": customer, "orders": orders},
+        {"customer": "c_custkey", "orders": "o_custkey"},
+        subjects).collect()}
+    n_after = erase_rows(customer, "c_custkey", subjects).count()
+
     return {"n_groups": n_groups, "n_suppressed": n_suppressed,
             "n_homogeneous": n_homogeneous, "n_in": n_in, "n_out": n_out,
-            "psi": psi, "last": last, "linear": linear}
+            "psi": psi, "last": last, "linear": linear,
+            "erasure_scope": scope, "n_after_erasure": n_after}
 
 
 def main() -> None:
@@ -98,6 +115,11 @@ def main() -> None:
         band = ("stable" if r.psi < 0.1
                 else "drifting" if r.psi < 0.25 else "SHIFTED")
         print(f"  {r.source:8s} psi={r.psi:.4f}  [{band}]")
+
+    print("== right-to-erasure (subjects: custkey % 97 == 0) ==")
+    for tbl, (n_rows, n_erased) in sorted(out["erasure_scope"].items()):
+        print(f"  {tbl:8s} {n_erased:5d} of {n_rows:,} rows in scope")
+    print(f"  post-erasure customer rows: {out['n_after_erasure']:,}")
 
     print("== attribution: last-touch vs linear ==")
     for t in sorted(set(out["last"]) | set(out["linear"])):
