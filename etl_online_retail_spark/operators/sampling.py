@@ -226,14 +226,26 @@ def temperature_rates(df: DataFrame, part_col: str, budget_docs: int,
     a 1-row broadcast for the denominator — no collect, no shuffle of
     the corpus itself.
     """
+    counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("n_total"))
+    return rates_from_counts(counts, part_col, budget_docs, alpha)
+
+
+def rates_from_counts(counts: DataFrame, part_col: str, budget_docs: int,
+                      alpha: float = 0.5) -> DataFrame:
+    """The counts -> rates arithmetic alone, over a (part, n_total)
+    relation. Split out so a STREAMING count maintainer (per-batch
+    source-count partials merged on read — streaming/ingest.
+    incremental_source_counts) feeds the IDENTICAL computation and the
+    live rates equal the batch rates bit-for-bit over the complete
+    stream (counts are a monoid; everything downstream is the same
+    deterministic expression tree)."""
     n = F.col("n_total").cast("double")
     if alpha == 0.5:
         raw_w = F.sqrt(n)
     else:
         raw_w = F.pow(n, F.lit(float(alpha)))
-    stats = (df.groupBy(part_col)
-             .agg(F.count(F.lit(1)).alias("n_total"))
-             .withColumn("_w", F.round(raw_w, 9).cast("decimal(28,9)")))
+    stats = counts.withColumn("_w",
+                              F.round(raw_w, 9).cast("decimal(28,9)"))
     denom = stats.agg(F.sum("_w").cast("double").alias("_denom"))
     p = F.col("_w").cast("double") / F.col("_denom")
     rate = F.least(F.lit(1.0),

@@ -724,3 +724,46 @@ def erase_from_landed(spark, out_dir: str, key_col: str,
              .parquet(out_dir))
         rewritten += 1
     return {"partitions_rewritten": rewritten, "rows_erased": erased}
+
+
+def incremental_source_counts(stream_df: DataFrame, table_dir: str,
+                              checkpoint_dir: str,
+                              part_col: str) -> StreamingQuery:
+    """Maintain per-source row counts over a stream — the live input to
+    temperature-based mix rates (the fifth streamable family beside
+    CMS/KMV/HDR/PSI: counts are the simplest monoid of all). Each
+    micro-batch writes its per-source count partial under its own
+    _batch_id partition (replay overwrites exactly itself); the read
+    side merges by addition."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df.groupBy(part_col)
+                .agg(F.count(F.lit(1)).alias("_n")))
+        (part.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(table_dir))
+
+    return (stream_df.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_mix_rates(spark, table_dir: str, part_col: str,
+                   budget_docs: int, alpha: float = 0.5) -> DataFrame:
+    """Live temperature-mix rates from the maintained count partials:
+    merge counts by addition, then run the IDENTICAL counts->rates
+    arithmetic as the batch operator (sampling.rates_from_counts) — so
+    the streaming rates equal the batch rates bit-for-bit over the
+    complete stream, and the cutoffs select the SAME documents."""
+    from etl_online_retail_spark.operators.sampling import (
+        rates_from_counts,
+    )
+
+    counts = (spark.read.parquet(table_dir)
+              .groupBy(part_col)
+              .agg(F.sum("_n").alias("n_total")))
+    return rates_from_counts(counts, part_col, budget_docs, alpha)

@@ -801,3 +801,55 @@ def test_erase_from_landed_handles_null_partition_values(spark, tmp_path):
     assert table.filter(F.col("user_id") == 1).count() == 0
     # the non-subject row in the NULL partition survived
     assert table.filter(F.col("event_type").isNull()).count() == 1
+
+
+def test_streaming_mix_rates_equal_batch(spark, tmp_path):
+    """The fifth streamable family: per-batch source-count partials
+    merged on read feed the identical counts->rates arithmetic, so the
+    live temperature-mix rates equal the batch operator bit-for-bit
+    over the complete stream, replay-safe."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import load_table
+    from etl_online_retail_spark.operators.sampling import (
+        temperature_rates,
+    )
+    from etl_online_retail_spark.streaming.ingest import (
+        incremental_source_counts,
+        read_mix_rates,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "source")
+    # shuffled micro-batch arrival: content-hash batching, not id order
+    sdir = str(tmp_path / "stream")
+    os.makedirs(sdir)
+    batched = docs.withColumn(
+        "_b", F.pmod(F.xxhash64("doc_id"), F.lit(4)))
+    for b in range(4):
+        (batched.filter(F.col("_b") == b).drop("_b").coalesce(1)
+         .write.mode("overwrite").parquet(f"{sdir}/b{b}"))
+    stream = (spark.readStream
+              .schema(docs.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(sdir + "/b*"))
+    t, ckpt = str(tmp_path / "counts"), str(tmp_path / "ckpt")
+    q = incremental_source_counts(stream, t, ckpt, "source")
+    q.awaitTermination()
+
+    def rows(df):
+        return sorted((r.source, r.n_total, r.p_temp, r.cutoff)
+                      for r in df.collect())
+
+    live = rows(read_mix_rates(spark, t, "source", 200))
+    batch = rows(temperature_rates(docs, "source", 200))
+    assert live == batch                       # bit-for-bit
+    # crash-replay of one batch: partials overwrite, rates unchanged
+    replay = spark.read.parquet(f"{sdir}/b2")
+    (replay.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+     .withColumn("_batch_id", F.lit(2))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(t))
+    assert rows(read_mix_rates(spark, t, "source", 200)) == batch
