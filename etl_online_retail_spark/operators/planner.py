@@ -58,14 +58,28 @@ class JoinDecision:
     reason: str
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "integer", "bigint",
+                   "long", "short", "byte", "date", "boolean"}
+
+
 def _top_share(df: DataFrame, key: str) -> float:
     """CMS-estimated share of the probe side held by its hottest key:
     max single-bucket count in the shallowest hash row, over total rows.
     Collision-inflated (CMS only overestimates), so the share is an
     UPPER bound — a clean verdict is definitive, a skew verdict is
-    conservative. Cost: one map-combinable agg to a KB relation."""
-    keyed = df.select(F.col(key).alias("term"))
-    sk = sketches.cms_sketch(keyed, "term", numeric_keys=True)
+    conservative. Cost: one map-combinable agg to a KB relation.
+
+    The CMS integer fast-path (`numeric_keys=True`) casts the key to
+    BIGINT — under ANSI mode that cast THROWS for non-numeric keys
+    (CAST_INVALID_INPUT), so it is taken only when the key's declared
+    type is integral; everything else (strings, decimals, timestamps)
+    routes through the portable string fold, stringified first so
+    poly_hash's char-fold sees a deterministic rendering."""
+    dtype = dict(df.dtypes).get(key, "string")
+    numeric = dtype in _INTEGRAL_TYPES
+    key_col = F.col(key) if numeric else F.col(key).cast("string")
+    keyed = df.select(key_col.alias("term"))
+    sk = sketches.cms_sketch(keyed, "term", numeric_keys=numeric)
     row = (sk.groupBy("j")
            .agg(F.max("cnt").alias("_mx"), F.sum("cnt").alias("_tot"))
            .agg(F.min(F.col("_mx").cast("double")
@@ -119,8 +133,15 @@ def plan_equi_join(left: DataFrame, right: DataFrame,
         # salted_join's shape with per-side key names: the probe side
         # gets a per-row salt, the build side explodes into
         # salt_buckets replicas, the shuffle key becomes (key, salt) —
-        # output columns equal the plain join's (both keys kept)
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]),
+        # output columns equal the plain join's (both keys kept).
+        # The salt is a per-ROW position, not a content hash: hot keys
+        # are hot precisely because many rows share the same values, so
+        # a row-content hash would send every duplicate to one bucket
+        # (no split) and throws on unhashable column types (map). The
+        # monotonic id differs per row regardless of content; the join
+        # RESULT is salt-invariant, so its non-determinism across runs
+        # is physical only.
+        salt = F.pmod(F.monotonically_increasing_id(),
                       F.lit(salt_buckets))
         replicas = F.explode(
             F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -65,6 +65,49 @@ def test_skew_share_is_conservative_upper_bound(spark):
     assert s_uni < s_hot / 3
 
 
+def test_string_keyed_big_join_plans_without_ansi_cast_crash(spark):
+    # regression: _top_share hardcoded numeric_keys=True, so under ANSI
+    # mode the BIGINT cast threw CAST_INVALID_INPUT for any string-keyed
+    # join whose sides both exceed the broadcast bound
+    a = spark.createDataFrame([(f"u{i % 7}", i) for i in range(2000)],
+                              "k STRING, v INT")
+    b = spark.createDataFrame([(f"u{i}", i * 3) for i in range(500)],
+                              "bk STRING, w INT")
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        joined, dec = plan_equi_join(a, b, "k", "bk",
+                                     broadcast_max_bytes=0)
+        assert dec.strategy in ("salted", "shuffle")
+        assert joined.count() == 2000
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_salt_splits_fully_duplicate_hot_rows(spark):
+    # regression: a content-hash salt sent every DUPLICATE row of the
+    # hot key to one bucket (no split). The per-row-position salt must
+    # spread identical rows across several buckets.
+    from etl_online_retail_spark.operators.planner import (
+        DEFAULT_SALT_BUCKETS, plan_equi_join as _pej)
+    probe = spark.createDataFrame([(7, 1)] * 2000 + [(1, 2), (2, 3)],
+                                  "k INT, v INT")
+    build = spark.createDataFrame([(i, f"b{i}") for i in range(10)],
+                                  "bk INT, name STRING")
+    joined, dec = _pej(probe, build, "k", "bk", broadcast_max_bytes=0)
+    assert dec.strategy == "salted", dec
+    assert joined.count() == 2002
+    # measure the split directly with the same salt expression
+    salts = (probe.withColumn(
+        "_s", F.pmod(F.monotonically_increasing_id(),
+                     F.lit(DEFAULT_SALT_BUCKETS)))
+        .where(F.col("k") == 7).select("_s").distinct().count())
+    assert salts > 1
+
+
 def test_outer_join_under_skew_refuses_salting_and_stays_correct(spark):
     # 90%-hot probe, LEFT join: salting would emit salt_buckets copies
     # of every unmatched preserved row — the ladder must fall through
