@@ -48,3 +48,82 @@ def with_lag(df: DataFrame, partition: Sequence[str], order: Sequence[Column],
     """lag(col, offset) over partition/order (basis for sessionization)."""
     w = Window.partitionBy(*partition).orderBy(*order)
     return df.withColumn(alias, F.lag(col, offset).over(w))
+
+
+def distributed_rank(df: DataFrame, order: Sequence[Column],
+                     shard_by: Column, n_shards: int = 64,
+                     alias: str = "grank") -> tuple[DataFrame, int]:
+    """EXACT global row_number over a total order, without the
+    single-partition sort that `Window.orderBy(...)` (no PARTITION BY)
+    compiles to — the classic 100 TB cliff, since WindowExec moves the
+    whole relation through one `Exchange SinglePartition`.
+
+    `shard_by` must be a numeric column expression MONOTONE
+    NON-DECREASING along `order` (pass the negated sort key for a
+    descending primary order). Rows with equal `shard_by` values may tie
+    arbitrarily in `order`'s tie-break columns; they are kept in one
+    shard so shards stay CONTIGUOUS rank ranges, which is what makes the
+    offset arithmetic exact.
+
+    Three bounded steps, no global sort:
+
+      1. approx shard boundaries: one `percentile_approx` aggregation
+         (map-combinable, KB result). Boundaries only balance the
+         shards — rank EXACTNESS never depends on where they fall;
+      2. per-shard counts -> exclusive offsets, computed driver-side
+         over <= n_shards rows;
+      3. row_number PARTITIONED by shard (each reducer sorts ~1/n_shards
+         of the data) + the shard's offset = the exact global rank.
+
+    Returns (df + alias column, total_rows). The input is cached — it
+    feeds the boundary job, the count job and the final plan (rule 7).
+    """
+    sv = shard_by.cast("double")
+    work = df.withColumn("_sv", sv).cache()
+    fracs = [i / n_shards for i in range(1, n_shards)]
+    bounds_row = work.agg(
+        F.percentile_approx("_sv", fracs, 10_000).alias("_b")).first()
+    bounds = sorted({float(b) for b in (bounds_row["_b"] or [])
+                     if b is not None})
+    shard = F.lit(0)
+    for b in bounds:
+        # strict '>' sends boundary-valued rows to the LOWER shard —
+        # equal shard_by values always share a shard (contiguity)
+        shard = shard + (F.col("_sv") > F.lit(b)).cast("int")
+    sharded = work.withColumn("_shard", shard).drop("_sv").cache()
+    counts = {r["_shard"]: r["n"] for r in
+              (sharded.groupBy("_shard")
+               .agg(F.count(F.lit(1)).alias("n")).collect())}
+    total, offsets = 0, {}
+    for s in sorted(counts):
+        offsets[s] = total
+        total += counts[s]
+    off = F.lit(0)
+    for s, o in offsets.items():
+        off = F.when(F.col("_shard") == s, F.lit(o)).otherwise(off)
+    w = Window.partitionBy("_shard").orderBy(*order)
+    ranked_df = (sharded
+                 .withColumn(alias, (off.cast("bigint")
+                                     + F.row_number().over(w)))
+                 .drop("_shard"))
+    return ranked_df, total
+
+
+def distributed_ntile(df: DataFrame, order: Sequence[Column],
+                      shard_by: Column, n: int, n_shards: int = 64,
+                      alias: str = "bucket") -> DataFrame:
+    """EXACT NTILE(n) over a total order without a single-partition
+    sort: the bucket of a row is a CLOSED FORM of its global rank r and
+    the total count N (the first N % n buckets hold ceil(N/n) rows, the
+    rest floor(N/n)), so `distributed_rank` + driver-side arithmetic
+    reproduces NTILE bit-for-bit — asserted against the oracle engines'
+    own NTILE in the decile/z-order query hashes."""
+    ranked_df, total = distributed_rank(df, order, shard_by,
+                                        n_shards=n_shards, alias="_gr")
+    q, rem = divmod(total, n)
+    t = rem * (q + 1)
+    # `div` = exact integer division (the double `/` rounds near 2^52)
+    in_big = F.expr(f"(_gr - 1) div {q + 1} + 1")
+    in_small = F.expr(f"{rem} + (_gr - {t} - 1) div {max(q, 1)} + 1")
+    bucket = F.when(F.col("_gr") <= F.lit(t), in_big).otherwise(in_small)
+    return ranked_df.withColumn(alias, bucket.cast("int")).drop("_gr")

@@ -418,10 +418,13 @@ def q_smart_key_range(spark, sf_dir):
 
 
 # §2.6 extension — ntile quantile bucketing: customer spend deciles.
-# The decile assignment is a global total sort (exact-decimal spend,
-# custkey tiebreak -> deterministic buckets on both engines); at scale this
-# is the one window that genuinely wants approx percentiles instead
-# (length_percentiles_by_source is that path).
+# The decile assignment is deterministic (exact-decimal spend, custkey
+# tiebreak) but is NOT computed with a global ntile window — that
+# single-partitions the whole per-customer relation. distributed_ntile
+# range-shards on (-spend), ranks within shards, and derives the decile
+# closed-form from the exact global rank — bit-identical to NTILE(10)
+# (the oracle hash proves it), no `Exchange SinglePartition` in the plan
+# (plan-asserted in tests/test_scale_plans.py).
 
 @register(
     "customer_spend_deciles",
@@ -437,13 +440,15 @@ def q_smart_key_range(spark, sf_dir):
     "W-ntile-quantile-bucketing",
 )
 def q_customer_spend_deciles(spark, sf_dir):
-    from pyspark.sql import Window
+    from etl_online_retail_spark.operators.windows import distributed_ntile
 
     o = _t(spark, sf_dir, "orders")
     spend = (o.groupBy("o_custkey")
              .agg(F.sum(money.exact("o_totalprice")).alias("_s")))
-    w = Window.orderBy(F.desc("_s"), F.asc("o_custkey"))
-    return (spend.withColumn("decile", F.ntile(10).over(w))
+    tiled = distributed_ntile(
+        spend, order=[F.desc("_s"), F.asc("o_custkey")],
+        shard_by=-F.col("_s"), n=10, alias="decile")
+    return (tiled
             .groupBy(F.col("decile").cast("int").alias("decile"))
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("_s").cast("double").alias("decile_spend")))

@@ -1036,12 +1036,17 @@ def q_hybrid_search_rrf(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    # lexical list: the bm25_topk top-50 with explicit ranks (query-sized
-    # single-partition window — the ranked relation is docs-with-hits)
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    # lexical list: cut to the top-50 FIRST with orderBy().limit() —
+    # TakeOrderedAndProject, per-partition heaps — then stamp ranks on
+    # the 50-row result (trivially single-partition). The ranked
+    # relation before the cut is every doc matching the query terms —
+    # corpus-fraction sized, so a global row_number there would move it
+    # all to one partition (the Q10 discipline, workload_tpch.py).
+    order = [F.desc("bm25"), F.asc("doc_id")]
+    w = Window.orderBy(*order)
     bm = (bm25_scores(docs, BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+          .orderBy(*order).limit(RRF_DEPTH)
           .withColumn("rank", F.row_number().over(w))
-          .filter(F.col("rank") <= RRF_DEPTH)
           .select("doc_id", "rank"))
     # dense list: exact cosine top-50 for the single query vector
     kn = (similarity.brute_force_topk(
@@ -1335,9 +1340,11 @@ def q_quality_classifier_scores(spark, sf_dir):
 # dimensions is what parquet row-group stats would expose, i.e. the
 # pruning the layout buys (operators/layout.py holds the writer; the
 # pruning itself is file-stat-tested in tests/test_layout.py). The
-# ntile window is single-partition by construction — this is the
-# DIAGNOSTIC query over the audit relation, not the layout pass (the
-# writer is one range-shuffle + local sort, no global window).
+# chunk assignment is distributed_ntile over zv — range-sharded exact
+# ranks + closed-form bucket, bit-identical to NTILE(64) with no
+# `Exchange SinglePartition` over the fact table (the diagnostic now
+# matches the writer's own one-range-shuffle discipline;
+# plan-asserted in tests/test_scale_plans.py).
 
 _ZD = 65_536  # both dimensions reduced to 16 bits
 
@@ -1361,9 +1368,8 @@ FROM c GROUP BY chunk"""
 
 @register("zorder_locality_stats", _zorder_oracle(), "M6-layout-zorder")
 def q_zorder_locality_stats(spark, sf_dir):
-    from pyspark.sql import Window
-
     from etl_online_retail_spark.operators.layout import z_value
+    from etl_online_retail_spark.operators.windows import distributed_ntile
 
     orders = _t(spark, sf_dir, "orders")
     da = F.pmod(F.col("o_custkey"), F.lit(_ZD))
@@ -1371,8 +1377,8 @@ def q_zorder_locality_stats(spark, sf_dir):
                 F.lit(_ZD))
     v = orders.select("o_orderkey", da.alias("da"), db.alias("db"))
     z = v.withColumn("zv", z_value(F.col("da"), F.col("db")))
-    w = Window.orderBy("zv", "o_orderkey")
-    c = z.withColumn("chunk", F.ntile(64).over(w))
+    c = distributed_ntile(z, order=[F.asc("zv"), F.asc("o_orderkey")],
+                          shard_by=F.col("zv"), n=64, alias="chunk")
     return (c.groupBy("chunk")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("da").cast("bigint").alias("min_cust"),

@@ -1,0 +1,98 @@
+"""Plan-shape guards against single-partition global sorts.
+
+An ORDER BY window with no PARTITION BY compiles to
+`Exchange SinglePartition` + WindowExec — the whole relation moves to
+one reducer. Fine over a bounded relation (a stamped top-k result);
+a scale-killer over anything that grows with the data. These tests pin
+the three queries the round-5 verdict flagged (customer_spend_deciles,
+zorder_locality_stats, hybrid_search_rrf's lexical leg) to plans with
+NO SinglePartition exchange over an unbounded relation, and pin the
+distributed_ntile operator's exactness against the naive global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_online_retail_spark.operators.windows import (
+    distributed_ntile,
+    distributed_rank,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spend_deciles_plan_has_no_single_partition_exchange(spark):
+    from etl_online_retail_spark.workload import q_customer_spend_deciles
+
+    plan = _executed(q_customer_spend_deciles(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "ntile" not in plan        # closed-form, not a global window
+
+
+def test_zorder_stats_plan_has_no_single_partition_exchange(spark):
+    from etl_online_retail_spark.workload_ext import q_zorder_locality_stats
+
+    plan = _executed(q_zorder_locality_stats(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "ntile" not in plan
+
+
+def test_hybrid_rrf_lexical_leg_is_take_ordered(spark):
+    """The corpus-fraction-sized ranked relation must be cut with
+    TakeOrderedAndProject (per-partition heaps) BEFORE any rank stamp;
+    the only windows left operate on the bounded top-k results."""
+    from etl_online_retail_spark.workload_ext import q_hybrid_search_rrf
+
+    plan = _executed(q_hybrid_search_rrf(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_distributed_rank_equals_global_window(spark):
+    df = spark.createDataFrame(
+        [((i * 37) % 101, i) for i in range(1000)], "v INT, id INT")
+    got, total = distributed_rank(
+        df, order=[F.asc("v"), F.asc("id")], shard_by=F.col("v"),
+        n_shards=8, alias="r")
+    assert total == 1000
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("r", F.row_number().over(w).cast("bigint"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert "SinglePartition" not in _executed(got)
+
+
+def test_distributed_ntile_equals_global_ntile_with_remainder(spark):
+    # 1003 rows % 7 buckets: first 2 buckets get 144, rest 143
+    df = spark.createDataFrame(
+        [((i * 17) % 211, i) for i in range(1003)], "v INT, id INT")
+    got = distributed_ntile(df, order=[F.desc("v"), F.asc("id")],
+                            shard_by=-F.col("v"), n=7, n_shards=8,
+                            alias="b")
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = df.withColumn("b", F.ntile(7).over(w))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_distributed_ntile_fewer_rows_than_buckets(spark):
+    df = spark.createDataFrame([(i, i) for i in range(4)], "v INT, id INT")
+    got = distributed_ntile(df, order=[F.asc("v"), F.asc("id")],
+                            shard_by=F.col("v"), n=10, n_shards=4,
+                            alias="b")
+    assert sorted(r["b"] for r in got.collect()) == [1, 2, 3, 4]
+
+
+def test_distributed_rank_constant_key_single_shard_still_exact(spark):
+    # degenerate: every shard_by value equal -> one shard, ranks exact
+    df = spark.createDataFrame([(5, i) for i in range(50)], "v INT, id INT")
+    got, total = distributed_rank(df, order=[F.asc("v"), F.asc("id")],
+                                  shard_by=F.col("v"), n_shards=8,
+                                  alias="r")
+    assert total == 50
+    assert sorted(r["r"] for r in got.collect()) == list(range(1, 51))
