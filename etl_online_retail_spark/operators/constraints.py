@@ -43,35 +43,137 @@ def unique_key_violations(df: DataFrame, key_cols: list[str]) -> int:
     return int(dups.collect()[0]._total)
 
 
+def _null_flag(c: str):
+    return F.count(F.when(F.col(c).isNull(), 1))
+
+
+def _width_flag(c: str, width: int):
+    return F.count(F.when(F.col(c).isNotNull()
+                          & (F.length(c) != width), 1))
+
+
+def _stack_rules(row_df: DataFrame, names: list[str]) -> DataFrame:
+    """One-row aggregate -> (rule, n) rows (pure row expression)."""
+    return row_df.select(F.explode(F.array(*[
+        F.struct(F.lit(n).alias("rule"),
+                 F.col(f"_r{i}").cast("bigint").alias("n"))
+        for i, n in enumerate(names)
+    ])).alias("_s")).select("_s.rule", "_s.n")
+
+
+def _table_rules(df: DataFrame, rules: list[tuple[str, F.Column]],
+                 pk: tuple[str, list[str]] | None = None) -> DataFrame:
+    """All of one table's declarative rules in ONE SCAN.
+
+    Row-level rules (NOT NULL, CHAR width, FK-miss flags from an
+    already-joined lookup) are conditional counts in a single
+    aggregation. A PK rule needs the per-key counts, so when present the
+    scan goes groupBy(pk) FIRST (row-rule counts ride along as per-group
+    partials, map-side combinable) and a second tiny aggregation over
+    the keyed relation folds everything to one row — still one scan of
+    the table, one shuffle, not one action per rule."""
+    names = [n for n, _ in rules]
+    aggs = [c.alias(f"_r{i}") for i, (_, c) in enumerate(rules)]
+    if pk is None:
+        return _stack_rules(df.agg(*aggs) if aggs
+                            else df.limit(0).agg(F.count(F.lit(1))),
+                            names)
+    pk_name, pk_cols = pk
+    per_key = (df.groupBy(*pk_cols)
+               .agg(F.count(F.lit(1)).alias("_n"), *aggs))
+    folded = per_key.agg(
+        F.coalesce(F.sum(F.when(F.col("_n") > 1, F.col("_n"))),
+                   F.lit(0)).alias("_pk"),
+        *[F.sum(f"_r{i}").alias(f"_r{i}") for i in range(len(rules))])
+    names = names + [pk_name]
+    folded = folded.withColumn(f"_r{len(rules)}", F.col("_pk"))
+    return _stack_rules(folded, names)
+
+
+def _fk_miss(fact_key: str) -> F.Column:
+    """Row-level FK flag for a fact ALREADY left-joined to the dim's
+    DISTINCT key projection (marker `_fk_<fact_key>`): no dim match.
+    NULL fact keys count as misses — exactly the `left_anti` semantics
+    of fk_violations (a NULL never equals any dim key)."""
+    return F.count(F.when(F.col(f"_fk_{fact_key}").isNull(), 1))
+
+
+def fct_row_rules() -> "list[tuple[str, F.Column]]":
+    """The fact table's row-level rules (built lazily — Column
+    construction needs an active SparkContext)."""
+    return [
+        ("fct.invoice_id CHAR(6)", _width_flag("invoice_id", 6)),
+        ("fct.unit_price NOT NULL",
+         F.count(F.when(F.col("unit_price").isNull()
+                        | F.col("quantity").isNull(), 1))),
+    ]
+
+
+def warehouse_check_plan(wh) -> DataFrame:
+    """Every reference constraint as ONE lazy plan — (rule, n) rows.
+
+    Scan discipline (plan-asserted in tests/test_constraints.py): each
+    table is scanned ONCE. The three FKs do not re-scan the fact — the
+    fact branch left-joins all three (broadcast-sized) dim key
+    projections in one pass and counts misses as conditional sums, so
+    the whole sweep is 3 dim scans + 3 broadcast builds + 1 fact scan,
+    versus the naive 10-action form's ~5 fact scans per load."""
+    dims = _table_rules(
+        wh.dim_customers,
+        [("dim_customers.customer_id NOT NULL",
+          _null_flag("customer_id")),
+         ("dim_customers.customer_id CHAR(5)",
+          _width_flag("customer_id", 5))],
+        pk=("dim_customers PK", ["customer_dim_id"]),
+    ).unionAll(_table_rules(
+        wh.dim_products, [], pk=("dim_products PK", ["product_dim_id"]),
+    )).unionAll(_table_rules(
+        wh.dim_dates, [], pk=("dim_dates PK", ["date_dim_id"]),
+    ))
+    fct = wh.fct_invoices
+    for fact_key, dim, dim_key in (
+            ("customer_dim_id", wh.dim_customers, "customer_dim_id"),
+            ("product_dim_id", wh.dim_products, "product_dim_id"),
+            ("invoice_date_dim_id", wh.dim_dates, "date_dim_id")):
+        keys = (dim.select(F.col(dim_key).alias(fact_key))
+                .distinct()
+                .withColumn(f"_fk_{fact_key}", F.lit(1)))
+        fct = fct.join(F.broadcast(keys), on=fact_key, how="left")
+    fct_rules = _table_rules(fct, fct_row_rules() + [
+        ("fct->dim_customers FK", _fk_miss("customer_dim_id")),
+        ("fct->dim_products FK", _fk_miss("product_dim_id")),
+        ("fct->dim_dates FK", _fk_miss("invoice_date_dim_id")),
+    ])
+    return dims.unionAll(fct_rules)
+
+
 def check_warehouse(wh) -> dict[str, int]:
-    """All reference constraints over a RetailWarehouse; {} means clean."""
-    out = {
-        "dim_customers.customer_id NOT NULL":
-            not_null_violations(wh.dim_customers, ["customer_id"]),
-        "dim_customers.customer_id CHAR(5)":
-            fixed_width_violations(wh.dim_customers, "customer_id", 5),
-        "dim_customers PK":
-            unique_key_violations(wh.dim_customers, ["customer_dim_id"]),
-        "dim_products PK":
-            unique_key_violations(wh.dim_products, ["product_dim_id"]),
-        "dim_dates PK":
-            unique_key_violations(wh.dim_dates, ["date_dim_id"]),
-        "fct.invoice_id CHAR(6)":
-            fixed_width_violations(wh.fct_invoices, "invoice_id", 6),
-        "fct.unit_price NOT NULL":
-            not_null_violations(wh.fct_invoices, ["unit_price", "quantity"]),
-        "fct->dim_customers FK":
-            fk_violations(wh.fct_invoices, wh.dim_customers,
-                          "customer_dim_id", "customer_dim_id"),
-        "fct->dim_products FK":
-            fk_violations(wh.fct_invoices, wh.dim_products,
-                          "product_dim_id", "product_dim_id"),
-        "fct->dim_dates FK":
-            fk_violations(wh.fct_invoices.withColumnRenamed(
-                "invoice_date_dim_id", "date_dim_id"), wh.dim_dates,
-                "date_dim_id", "date_dim_id"),
-    }
-    return {k: v for k, v in out.items() if v > 0}
+    """All reference constraints over a RetailWarehouse; {} means clean.
+    One Spark action total (the unioned warehouse_check_plan)."""
+    rows = warehouse_check_plan(wh).collect()
+    return {r["rule"]: int(r["n"]) for r in rows if r["n"]}
+
+
+def observed_rules(df: DataFrame, rules: "list[tuple[str, F.Column]]"):
+    """Ride a table's row-level rule counts on the caller's NEXT action
+    (normally the load's own write) via the Observation API — zero extra
+    scans, the observed_load pattern (operators/profile.py) specialised
+    to constraint counts. Returns (df', fetch); use df' for the action,
+    call fetch() after it completes for {rule: violation_count}.
+    Row-level rules only (NOT NULL, CHAR width, pre-joined FK flags) —
+    PK uniqueness needs a groupBy and cannot ride a write."""
+    from pyspark.sql import Observation
+
+    obs = Observation("constraint_metrics")
+    out = df.observe(obs, *[c.alias(f"_r{i}")
+                            for i, (_, c) in enumerate(rules)])
+
+    def fetch() -> dict[str, int]:
+        got = obs.get
+        return {name: int(got[f"_r{i}"])
+                for i, (name, _) in enumerate(rules)}
+
+    return out, fetch
 
 
 def quarantine(df: DataFrame,

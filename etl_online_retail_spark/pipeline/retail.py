@@ -48,11 +48,14 @@ SPINE_END = "2012-01-01"
 
 @dataclass
 class RetailWarehouse:
-    """The star schema the pipeline produces (init_db.sql:7-42)."""
+    """The star schema the pipeline produces (init_db.sql:7-42).
+    load_metrics: row-level constraint counts observed DURING the fact
+    write (no extra scan) when run_pipeline persists; None otherwise."""
     dim_customers: DataFrame
     dim_products: DataFrame
     dim_dates: DataFrame
     fct_invoices: DataFrame
+    load_metrics: dict | None = None
 
 
 def build_date_spine(spark: SparkSession) -> DataFrame:
@@ -130,6 +133,11 @@ def run_pipeline(raw: DataFrame, warehouse_dir: str | None = None) -> RetailWare
     (the reference's load_* JDBC appends, S5). Parquet partitioning: the
     fact is written partitioned by the smart date key's year so the F5
     range pattern prunes partitions at scale."""
+    from etl_online_retail_spark.operators.constraints import (
+        fct_row_rules,
+        observed_rules,
+    )
+
     wh = build_warehouse(raw)
     if warehouse_dir is not None:
         wh.dim_customers.write.mode("overwrite").parquet(
@@ -138,8 +146,13 @@ def run_pipeline(raw: DataFrame, warehouse_dir: str | None = None) -> RetailWare
             f"{warehouse_dir}/dim_products")
         wh.dim_dates.write.mode("overwrite").parquet(
             f"{warehouse_dir}/dim_dates")
-        (wh.fct_invoices
+        # constraint counts ride the fact write itself (Observation API
+        # — zero extra scans; the full PK/FK sweep stays in
+        # check_warehouse's one-action plan for on-demand audits)
+        observed_fct, fetch = observed_rules(wh.fct_invoices, fct_row_rules())
+        (observed_fct
          .withColumn("_year", (F.col("invoice_date_dim_id") / 10000).cast("int"))
          .write.mode("overwrite").partitionBy("_year")
          .parquet(f"{warehouse_dir}/fct_invoices"))
+        wh.load_metrics = fetch()
     return wh
