@@ -30,6 +30,48 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Per-key series ceiling for the batch sequential folds (ewma_last /
+# holt_last). The folds are bit-exact BECAUSE they replay the key's
+# whole series in IEEE order — any chunked/associative re-combination
+# reassociates float additions and breaks the oracle hash — so the
+# per-key aggregation state is the series itself. This cap turns the
+# silent OOM a 10^8-event hot key would cause into a loud, actionable
+# error BEFORE the collect buffers anything (a count pre-pass + a
+# broadcast of the over-cap keys, normally empty).
+MAX_SERIES_DEFAULT = 1_000_000
+
+
+def _series_cap_guard(events: DataFrame, key_col: str, op: str,
+                      cap: int | None) -> DataFrame:
+    """Fail loudly if any key's series exceeds `cap` observations.
+
+    One map-combinable count aggregation (state: one int64 per key, never
+    the series) finds over-cap keys; the normally-EMPTY over-cap relation
+    broadcasts back and a raise_error fires on the first matching row —
+    before collect_list has buffered an unbounded series. cap=None skips
+    the pre-pass for callers that have bounded series by construction."""
+    if cap is None:
+        return events
+    over = (events.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("_series_n"))
+            .filter(F.col("_series_n") > cap)
+            .select(key_col, "_series_n"))
+    guarded = events.join(F.broadcast(over), [key_col], "left")
+    msg = F.concat(
+        F.lit(f"{op}: series for key '"), F.col(key_col).cast("string"),
+        F.lit("' has "), F.col("_series_n").cast("string"),
+        F.lit(f" observations (> max_series={cap}). The batch fold "
+              "holds the whole series per key; route unbounded series "
+              "to the streaming twin (streaming/stateful.py) or raise "
+              "max_series explicitly."))
+    return (guarded
+            .withColumn("_series_ok",
+                        F.when(F.col("_series_n").isNull(), F.lit(True))
+                         .otherwise(F.raise_error(msg)))
+            .filter(F.col("_series_ok"))
+            .drop("_series_n", "_series_ok"))
+
+
 def gapfill_locf(events: DataFrame, key_col: str, ts_col: str,
                  value_col: str, tiebreak_col: str,
                  step: str = "hour") -> DataFrame:
@@ -141,7 +183,8 @@ def time_weighted_avg(events: DataFrame, key_col: str, ts_col: str,
 
 def holt_last(events: DataFrame, key_col: str, ts_col: str,
               tiebreak_col: str, value_col: str,
-              alpha: float = 0.5, beta: float = 0.5) -> DataFrame:
+              alpha: float = 0.5, beta: float = 0.5,
+              max_series: int | None = MAX_SERIES_DEFAULT) -> DataFrame:
     """Per-key Holt double exponential smoothing (level + linear trend)
     over the event-time order — the forecasting step past ewma_last,
     which tracks level only and lags any trending series:
@@ -158,10 +201,12 @@ def holt_last(events: DataFrame, key_col: str, ts_col: str,
     a sequential fold, identical order and identical IEEE ops on both
     engines, so the recursive definition is hash-verifiable; default
     alpha = beta = 0.5 keeps every multiply an exact halving. Same scale
-    note too: per-key state is the key's own collected series — bounded
-    series only; unbounded series use the streaming twin
-    (streaming/stateful.holt_stream) carrying TWO numbers of state.
+    note too: per-key state is the key's own collected series, so the
+    max_series guard (count pre-pass, loud error) bounds it; unbounded
+    series use the streaming twin (streaming/stateful.holt_stream)
+    carrying TWO numbers of state.
     """
+    events = _series_cap_guard(events, key_col, "holt_last", max_series)
     arr = F.array_sort(F.collect_list(
         F.struct(F.col(ts_col), F.col(tiebreak_col),
                  F.col(value_col).alias("_v"))))
@@ -251,7 +296,8 @@ def rolling_zscore_anomalies(events: DataFrame, key_col: str, ts_col: str,
 
 def ewma_last(events: DataFrame, key_col: str, ts_col: str,
               tiebreak_col: str, value_col: str,
-              alpha: float = 0.5) -> DataFrame:
+              alpha: float = 0.5,
+              max_series: int | None = MAX_SERIES_DEFAULT) -> DataFrame:
     """Per-key exponentially weighted moving average over the event-time
     order, seeded with the first observation:
 
@@ -267,11 +313,14 @@ def ewma_last(events: DataFrame, key_col: str, ts_col: str,
     recursive definition hash-verifiable (the repo's sequential-fold
     rule). alpha = 0.5 keeps every multiply an exact halving.
 
-    Scale note: per-key state is the key's OWN series (collect_list) —
-    fine for bounded series (users, devices); an unbounded series wants
-    the incremental form (carry the previous EWMA in streaming state,
+    Scale note: per-key state is the key's OWN series (collect_list),
+    bounded by the max_series guard — a key past the cap fails loudly
+    BEFORE the collect buffers it (one count pre-pass + broadcast of
+    the normally-empty over-cap keys). An unbounded series wants the
+    incremental form (carry the previous EWMA in streaming state,
     streaming/stateful.py's shape) rather than a bigger collect.
     """
+    events = _series_cap_guard(events, key_col, "ewma_last", max_series)
     arr = F.array_sort(F.collect_list(
         F.struct(F.col(ts_col), F.col(tiebreak_col),
                  F.col(value_col).alias("_v"))))

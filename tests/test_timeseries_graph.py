@@ -496,6 +496,54 @@ def test_ewma_golden(spark):
     assert r.ewma == 27.5 and r.n_obs == 3
 
 
+def test_series_cap_guard_raises_loudly_over_cap(spark):
+    """A key past max_series must fail with an actionable error naming
+    the key, the count and the streaming twin — not OOM inside
+    collect_list (round-5 verdict #4)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.operators.timeseries import (
+        ewma_last,
+        holt_last,
+    )
+
+    df = (spark.range(5000)
+          .select(F.lit(7).alias("user_id"),
+                  (F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                   + F.make_interval(secs=F.col("id").cast("double")))
+                  .alias("ts"),
+                  F.col("id").cast("int").alias("event_id"),
+                  (F.col("id") % 100).cast("double").alias("value")))
+    for op in (ewma_last, holt_last):
+        with pytest.raises(Exception) as ei:
+            op(df, "user_id", "ts", "event_id", "value",
+               max_series=1000).collect()
+        assert "max_series=1000" in str(ei.value)
+        assert "streaming" in str(ei.value)
+
+
+def test_ewma_single_key_million_events_within_cap(spark):
+    """The verdict's property case: ONE key with 10^6 events computes
+    under the default cap (bounded state proven at the cap itself) and
+    matches the closed-form EWMA of a constant series (alpha=0.5 on a
+    constant x gives ewma == x at every step, exactly)."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.operators.timeseries import ewma_last
+
+    n = 1_000_000
+    df = (spark.range(n)
+          .select(F.lit(1).alias("user_id"),
+                  (F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+                   + F.make_interval(secs=F.col("id").cast("double")))
+                  .alias("ts"),
+                  F.col("id").cast("int").alias("event_id"),
+                  F.lit(42.0).alias("value")))
+    [r] = ewma_last(df, "user_id", "ts", "event_id", "value").collect()
+    assert r.ewma == 42.0 and r.n_obs == n
+
+
 def test_tfidf_pair_cosine_semantics(spark):
     from etl_online_retail_spark.operators.relevance import tfidf_pair_cosine
 
