@@ -38,13 +38,19 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# The driver samples a prefix of the registry for its correctness file;
-# registration order alone would keep the §2 core in every sample and the
-# extension surface out of all of them. Interleave: odd positions carry
-# the highest-value extension queries (one per family — dedup, sketches,
-# sampling, ANN, spans, attribution, privacy, codecs, time-series...),
-# even positions keep the §2 core, so ANY prefix of the dict covers both
-# surfaces. Every query stays present exactly once.
+# The driver samples a prefix of the registry for its correctness file.
+# Two mechanisms decide the order (both deterministic from committed
+# state):
+#   1. ROTATION: queries are sorted by how recently a committed
+#      CORRECTNESS_r*.json attested them — never-attested first, then
+#      longest-ago, then last round's sample. Each round's 50-query
+#      prefix therefore covers the least-recently-checked slice of the
+#      registry, so over rounds every query gets a driver row.
+#   2. INTERLEAVE (tie-break within equal recency): odd positions carry
+#      the highest-value extension queries (one per family — dedup,
+#      sketches, sampling, ANN, spans, attribution, privacy, codecs,
+#      time-series...), even positions keep the §2 core, so any prefix
+#      covers both surfaces. Every query stays present exactly once.
 _FRONT_EXTENSIONS = [
     "duplicate_spans", "minhash_near_dups", "cms_heavy_hitters",
     "sequence_packing", "events_asof_orders", "exact_dup_groups",
@@ -80,12 +86,43 @@ def _interleaved(names: list[str]) -> list[str]:
     return out
 
 
+def _attestation_recency() -> dict[str, int]:
+    """name -> rounds-ago it last appeared in a committed
+    CORRECTNESS_r*.json (0 = most recent round's sample). Names absent
+    from every file are absent from the dict (= never attested)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+                   reverse=True)
+    recency: dict[str, int] = {}
+    for age, path in enumerate(files):
+        try:
+            with open(path) as f:
+                sampled = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in sampled:
+            recency.setdefault(name, age)
+    return recency
+
+
+def _rotated(names: list[str]) -> list[str]:
+    """Least-recently-attested first (never-attested before everything),
+    interleave order as the stable tie-break within equal recency."""
+    base = _interleaved(names)
+    recency = _attestation_recency()
+    never = len(recency) + 10_000
+    return sorted(base, key=lambda n: -recency.get(n, never))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = workload.queries()
-    return {name: q[name] for name in _interleaved(list(q))}
+    return {name: q[name] for name in _rotated(list(q))}
 
 
 def oracle_sql() -> dict[str, str]:
     o = workload.oracles()
-    order = _interleaved(list(workload.queries()))
+    order = _rotated(list(workload.queries()))
     return {name: o[name] for name in order if name in o}

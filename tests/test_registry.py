@@ -34,6 +34,40 @@ def test_oracle_coverage_is_complete_except_documented():
         f"here: {sorted(qs - oracles)}")
 
 
+def test_front_extensions_all_exist_in_registry():
+    """The hand-maintained interleave list is load-bearing for the
+    driver's prefix sample: a typo'd or renamed query here would
+    silently vanish from the rotation (round-5 advice)."""
+    missing = [n for n in entrymod._FRONT_EXTENSIONS if n not in _REGISTRY]
+    assert not missing, f"_FRONT_EXTENSIONS names not registered: {missing}"
+
+
+def test_rotation_prefix_prefers_unattested_queries():
+    """The driver samples a 50-query prefix; the rotation must surface
+    >=20 names absent from the most recent committed CORRECTNESS file
+    so each round attests a fresh slice (round-5 verdict #5)."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if not files:
+        return
+    last = set(json.load(open(files[-1])))
+    prefix = list(entrymod.queries())[:50]
+    fresh = [n for n in prefix if n not in last]
+    assert len(fresh) >= 20, (len(fresh), fresh)
+
+
+def test_rotation_keeps_every_query_exactly_once():
+    from etl_online_retail_spark.workload import queries as reg_queries
+
+    rotated = list(entrymod.queries())
+    assert sorted(rotated) == sorted(reg_queries())
+    assert len(rotated) == len(set(rotated))
+
+
 def test_oracles_are_single_select_statements():
     for name, sql in entrymod.oracle_sql().items():
         s = sql.strip().rstrip(";")
