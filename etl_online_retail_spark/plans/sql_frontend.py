@@ -13,9 +13,38 @@ Postgres:
 
 from __future__ import annotations
 
+import re
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_ENFORCED_LIMIT = 100_000
+
+# A Join node in the ANALYZED plan with no condition prints as a bare
+# "Join Inner" / "Join LeftOuter" line (with a condition it prints
+# "Join Inner, (cond)"). Explicit "Join Cross" is the user saying
+# CROSS JOIN and stays allowed.
+_IMPLICIT_CARTESIAN = re.compile(
+    r"\bJoin (Inner|LeftOuter|RightOuter|FullOuter)\s*$")
+
+
+def _reject_implicit_cartesian(df: DataFrame, sql_text: str) -> None:
+    """The reference's SQL Lab (Postgres) rejects `a JOIN b WHERE ...`
+    — JOIN without ON/USING is a syntax error there
+    (superset.db#query[56-61]). Spark's grammar parses it as an
+    unconditioned inner join (an implicit cartesian product), which on
+    a warehouse fact table is a silent combinatorial explosion instead
+    of an error. Surface the reference's failure class at analysis
+    time: scan the analyzed plan for a condition-less non-cross Join."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        if _IMPLICIT_CARTESIAN.search(line.strip()):
+            raise AnalysisException(
+                "[IMPLICIT_CARTESIAN_PRODUCT] JOIN without an ON/USING "
+                "condition is not allowed in the SQL Lab surface (the "
+                "reference's Postgres rejects it as a syntax error). "
+                "Write an explicit CROSS JOIN if a cartesian product is "
+                f"intended. Statement: {sql_text.strip()[:200]}")
 
 
 def run_sql(spark: SparkSession, sql_text: str,
@@ -24,9 +53,11 @@ def run_sql(spark: SparkSession, sql_text: str,
 
     AnalysisException / ParseException propagate to the caller - that IS
     the reference behavior (failed rows in the query history with the DB
-    error message attached).
+    error message attached). JOIN-without-ON additionally raises here
+    (Postgres rejects it; Spark alone would run the cartesian).
     """
     df = spark.sql(sql_text)
+    _reject_implicit_cartesian(df, sql_text)
     if enforced_limit is not None:
         df = df.limit(enforced_limit)
     return df

@@ -37,9 +37,23 @@ SEED_INSERTS = [
 
 
 def init_warehouse(spark: SparkSession, drop_first: bool = True) -> None:
-    """init_db: DROP SCHEMA CASCADE + CREATE (etl.py:36-39)."""
+    """init_db: DROP SCHEMA CASCADE + CREATE (etl.py:36-39).
+
+    The drop also clears a stale `retail.db` directory under the
+    warehouse location: a previous session that died between write and
+    catalog commit leaves files the catalog no longer tracks, and
+    CREATE TABLE then fails with LOCATION_ALREADY_EXISTS — the
+    reference's `DROP SCHEMA CASCADE` has no such half-state, so ours
+    must not either."""
     if drop_first:
         spark.sql("DROP DATABASE IF EXISTS retail CASCADE")
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = urlparse(spark.conf.get(
+            "spark.sql.warehouse.dir", "")).path
+        if loc:
+            shutil.rmtree(f"{loc}/retail.db", ignore_errors=True)
     for stmt in RETAIL_DDL:
         spark.sql(stmt)
     for stmt in SEED_INSERTS:

@@ -1,0 +1,100 @@
+"""SQL Lab failure parity (SURVEY.md §3.3).
+
+The reference's superset.db query history records 27 failed ad-hoc
+statements; their error shapes cluster into the classes below. Each
+class, adapted to the same retail warehouse schema (sources/ddl.py ==
+init_db.sql), must raise the matching Catalyst error through
+plans/sql_frontend.run_sql — the reference surface shows the DB error in
+the query history, so OUR surface must error too, not silently run.
+
+Reference rows cited per class (superset/superset.db#query ids).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.errors import AnalysisException, ParseException
+
+from etl_online_retail_spark.plans.sql_frontend import run_sql
+
+FAILURE_CLASSES = [
+    # (class, reference ids, adapted statement, expected exception,
+    #  error-class fragment expected in the message)
+    ("syntax_missing_comma", "q36",
+     "SELECT date, country cust_country SUM(quantity * unit_price) rev "
+     "FROM retail.fct_invoices",
+     ParseException, "PARSE_SYNTAX_ERROR"),
+    ("syntax_trailing_comma", "q79-81",
+     "SELECT country, COUNT(DISTINCT customer_id) cnt, "
+     "FROM retail.fct_invoices inv JOIN retail.dim_customers cust "
+     "ON inv.customer_dim_id = cust.customer_dim_id GROUP BY country",
+     ParseException, "PARSE_SYNTAX_ERROR"),
+    ("unknown_column", "q46,q48-49,q66",
+     "SELECT SUM(quantity * unit_price) revenue FROM retail.fct_invoices "
+     "WHERE invoice_date_id >= 20091201",
+     AnalysisException, "UNRESOLVED_COLUMN"),
+    ("unknown_relation", "q5",
+     "SELECT * FROM fct_invoices",   # unqualified, schema not set
+     AnalysisException, "TABLE_OR_VIEW_NOT_FOUND"),
+    ("join_without_on", "q56-61",
+     "SELECT SUM(quantity * unit_price) revenue "
+     "FROM retail.fct_invoices invoices "
+     "JOIN retail.dim_customers customers "
+     "WHERE invoices.invoice_date_dim_id >= 20091201",
+     AnalysisException, "IMPLICIT_CARTESIAN_PRODUCT"),
+    ("non_grouped_column", "q14,q16,q51,q64-65",
+     "SELECT customer_id, country, SUM(quantity) s "
+     "FROM retail.fct_invoices i JOIN retail.dim_customers c "
+     "ON i.customer_dim_id = c.customer_dim_id GROUP BY country",
+     AnalysisException, "MISSING_AGGREGATION"),
+    ("aggregate_misuse_in_having", "q34-35",
+     "SELECT country, SUM(quantity) s "
+     "FROM retail.fct_invoices i JOIN retail.dim_customers c "
+     "ON i.customer_dim_id = c.customer_dim_id GROUP BY country "
+     "HAVING SUM(quantity) > MAX(SUM(quantity))",
+     AnalysisException, "NESTED_AGGREGATE_FUNCTION"),
+    ("multiple_statements", "q20",
+     "SELECT MAX(date) FROM retail.dim_dates; "
+     "DROP TABLE retail.dim_dates;",
+     ParseException, "PARSE_SYNTAX_ERROR"),
+]
+
+
+@pytest.fixture(scope="module")
+def retail_schema(spark):
+    from etl_online_retail_spark.sources.ddl import init_warehouse
+
+    init_warehouse(spark)
+    yield spark
+    spark.sql("DROP DATABASE IF EXISTS retail CASCADE")
+
+
+@pytest.mark.parametrize(
+    "cls,ref,sql,exc,fragment",
+    FAILURE_CLASSES, ids=[c[0] for c in FAILURE_CLASSES])
+def test_sql_lab_failure_class(retail_schema, cls, ref, sql, exc, fragment):
+    with pytest.raises(exc) as ei:
+        run_sql(retail_schema, sql).collect()
+    assert fragment in str(ei.value), (cls, str(ei.value)[:300])
+
+
+def test_explicit_cross_join_stays_allowed(retail_schema):
+    """The cartesian guard only rejects the IMPLICIT form — a user who
+    writes CROSS JOIN gets the product they asked for."""
+    out = run_sql(
+        retail_schema,
+        "SELECT c.customer_dim_id, d.date_dim_id "
+        "FROM retail.dim_customers c CROSS JOIN retail.dim_dates d",
+        enforced_limit=5)
+    assert out.count() <= 5
+
+
+def test_conditioned_joins_pass_the_cartesian_guard(retail_schema):
+    out = run_sql(
+        retail_schema,
+        "SELECT COUNT(*) AS n FROM retail.fct_invoices i "
+        "JOIN retail.dim_customers c "
+        "ON i.customer_dim_id = c.customer_dim_id "
+        "LEFT JOIN retail.dim_products p "
+        "ON i.product_dim_id = p.product_dim_id")
+    assert out.collect()[0].n >= 0
