@@ -648,8 +648,13 @@ def erase_from_landed(spark, out_dir: str, key_col: str,
     the subject's rows from the replayed source. Erasure therefore also
     belongs upstream (drop the subject at ingest with
     privacy.erase_rows) and this pass is the retroactive sweep over
-    what already landed; run it again after any replay window. Returns
-    {'partitions_rewritten': n, 'rows_erased': n} for the audit log.
+    what already landed. Every sweep records its subjects in the
+    `_erasure_ledger/` sidecar so replay_erasure_sweep can re-apply the
+    full erased set after any replay window automatically. Returns
+    {'partitions_rewritten': n (rewritten in place),
+    'partitions_deleted': n (left empty and removed — reported
+    separately: a deleted directory is GONE and a replay recreates it
+    wholesale), 'rows_erased': n} for the audit log.
     """
     import os
     import re
@@ -659,7 +664,9 @@ def erase_from_landed(spark, out_dir: str, key_col: str,
 
     subjects = sorted(set(subject_keys))
     if not subjects:
-        return {"partitions_rewritten": 0, "rows_erased": 0}
+        return {"partitions_rewritten": 0, "partitions_deleted": 0,
+                "rows_erased": 0}
+    _ledger_append(out_dir, key_col, subjects)
     table = spark.read.parquet(out_dir)
     # partition columns from the directory layout: _batch_id plus any
     # second-level partitionBy column
@@ -681,6 +688,7 @@ def erase_from_landed(spark, out_dir: str, key_col: str,
     hits = (table.filter(is_subject)
             .select(*part_cols).distinct().collect())
     rewritten = 0
+    deleted = 0
     erased = 0
     from urllib.parse import unquote, urlparse
 
@@ -717,13 +725,70 @@ def erase_from_landed(spark, out_dir: str, key_col: str,
                 .distinct().collect()}
             for d in part_dirs:
                 shutil.rmtree(d, ignore_errors=True)
+            deleted += 1
         else:
             (kept.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy(*part_cols)
              .parquet(out_dir))
-        rewritten += 1
-    return {"partitions_rewritten": rewritten, "rows_erased": erased}
+            rewritten += 1
+    return {"partitions_rewritten": rewritten,
+            "partitions_deleted": deleted, "rows_erased": erased}
+
+
+_LEDGER_DIR = "_erasure_ledger"
+
+
+def _ledger_append(out_dir: str, key_col: str, subjects: list) -> None:
+    """Append this sweep's subjects to the table's erasure ledger — a
+    JSON sidecar per sweep (underscore-prefixed: parquet readers skip
+    it). JSON-representable keys only (int/str — the subject-id types);
+    the ledger is what makes erasure durable across stream replays."""
+    import json
+    import os
+
+    already = ledger_subjects(out_dir).get(key_col, [])
+    if set(subjects) <= set(already):
+        return          # replay sweeps re-erase without re-ledgering
+    ldir = os.path.join(out_dir, _LEDGER_DIR)
+    os.makedirs(ldir, exist_ok=True)
+    n = len(os.listdir(ldir))
+    path = os.path.join(ldir, f"sweep_{n:06d}.json")
+    with open(path, "w") as f:
+        json.dump({"key_col": key_col, "subjects": subjects}, f)
+
+
+def ledger_subjects(out_dir: str) -> dict[str, list]:
+    """All erased subjects ever recorded for a landed table, keyed by
+    key column."""
+    import json
+    import os
+
+    ldir = os.path.join(out_dir, _LEDGER_DIR)
+    out: dict[str, list] = {}
+    if not os.path.isdir(ldir):
+        return out
+    for name in sorted(os.listdir(ldir)):
+        with open(os.path.join(ldir, name)) as f:
+            rec = json.load(f)
+        out.setdefault(rec["key_col"], [])
+        out[rec["key_col"]].extend(rec["subjects"])
+    return {k: sorted(set(v)) for k, v in out.items()}
+
+
+def replay_erasure_sweep(spark, out_dir: str) -> dict[str, int]:
+    """Re-apply EVERY ledgered erasure after a stream replay window —
+    the operational closure of erase_from_landed's documented caveat
+    (a replayed _batch_id reinserts erased subjects; this sweep removes
+    them again from whatever landed). Idempotent; totals summed over
+    key columns."""
+    totals = {"partitions_rewritten": 0, "partitions_deleted": 0,
+              "rows_erased": 0}
+    for key_col, subjects in ledger_subjects(out_dir).items():
+        got = erase_from_landed(spark, out_dir, key_col, subjects)
+        for k in totals:
+            totals[k] += got[k]
+    return totals
 
 
 def incremental_source_counts(stream_df: DataFrame, table_dir: str,

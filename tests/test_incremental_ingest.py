@@ -724,7 +724,8 @@ def test_erase_from_landed_rewrites_only_hit_partitions(spark, tmp_path):
 
     audit = erase_from_landed(spark, out, "user_id", [1])
     assert audit["rows_erased"] == 3
-    assert audit["partitions_rewritten"] == 3   # b0/click, b0/view, b2/buy
+    assert audit["partitions_rewritten"] == 1   # b0/view (mixed rows)
+    assert audit["partitions_deleted"] == 2     # b0/click, b2/buy (all-subject)
 
     table = spark.read.parquet(out)
     assert table.filter(F.col("user_id") == 1).count() == 0
@@ -739,7 +740,8 @@ def test_erase_from_landed_rewrites_only_hit_partitions(spark, tmp_path):
                for f in after)
 
     again = erase_from_landed(spark, out, "user_id", [1])
-    assert again == {"partitions_rewritten": 0, "rows_erased": 0}
+    assert again == {"partitions_rewritten": 0, "partitions_deleted": 0,
+                     "rows_erased": 0}
 
 
 def test_erase_from_landed_preserves_null_keys_and_escaped_partitions(
@@ -801,6 +803,46 @@ def test_erase_from_landed_handles_null_partition_values(spark, tmp_path):
     assert table.filter(F.col("user_id") == 1).count() == 0
     # the non-subject row in the NULL partition survived
     assert table.filter(F.col("event_type").isNull()).count() == 1
+
+
+def test_replay_erasure_sweep_reapplies_ledger(spark, tmp_path):
+    """The documented replay caveat, closed: a replayed _batch_id
+    reinserts erased subjects; replay_erasure_sweep re-applies every
+    ledgered erasure so the subject stays gone without the caller
+    re-supplying the key list."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        erase_from_landed,
+        idempotent_batch_write,
+        ledger_subjects,
+        replay_erasure_sweep,
+    )
+
+    out = str(tmp_path / "landed")
+    rows0 = [(1, "click", 10.0), (2, "view", 5.0)]
+    idempotent_batch_write(
+        spark.createDataFrame(rows0, "user_id INT, event_type STRING,"
+                                     " value DOUBLE"),
+        0, out, partition_by="event_type")
+    erase_from_landed(spark, out, "user_id", [1])
+    assert ledger_subjects(out) == {"user_id": [1]}
+
+    # the stream replays batch 0 wholesale -> subject reinserted
+    idempotent_batch_write(
+        spark.createDataFrame(rows0, "user_id INT, event_type STRING,"
+                                     " value DOUBLE"),
+        0, out, partition_by="event_type")
+    table = spark.read.parquet(out)
+    assert table.filter(F.col("user_id") == 1).count() == 1
+
+    swept = replay_erasure_sweep(spark, out)
+    assert swept["rows_erased"] == 1
+    assert spark.read.parquet(out).filter(
+        F.col("user_id") == 1).count() == 0
+    # the sweep re-erased without duplicating the ledger
+    assert ledger_subjects(out) == {"user_id": [1]}
+    assert replay_erasure_sweep(spark, out)["rows_erased"] == 0
 
 
 def test_streaming_mix_rates_equal_batch(spark, tmp_path):
