@@ -117,6 +117,7 @@ HEADLINE = [
     "events_anomaly_zscore",
     "gif_frame_stats",
     "gif_image_stats",
+    "webp_image_stats",
     "quality_rank_normalized",
     "source_length_psi",
     "contrastive_negatives",

@@ -9,10 +9,11 @@ spark.sql.execution.arrow.maxRecordsPerBatch to keep
 payload-size-agnostic.
 
 PNG decodes FOR REAL via the stdlib codec in multimodal/png.py (zlib
-inflate + scanline unfilter) and baseline JPEG via multimodal/jpeg.py
-(Huffman + IDCT); other codecs (WebP, audio, video) still need libraries
-this container does not ship and stay stubbed behind the same
-signatures. binary_features additionally extracts deterministic
+inflate + scanline unfilter), baseline JPEG via multimodal/jpeg.py
+(Huffman + IDCT), GIF via multimodal/gif.py (LZW) and lossless WebP
+via multimodal/webp.py (VP8L prefix coding); remaining codecs (lossy
+WebP, mp3/aac audio, mp4/webm video) still need libraries this
+container does not ship and stay stubbed behind the same signatures. binary_features additionally extracts deterministic
 byte-level features (length, header hex) so the full Spark path - binary
 column -> Arrow batch -> pandas -> result schema - is oracle-checkable
 even where no real codec exists.
@@ -105,6 +106,7 @@ def decode_image(content: bytes) -> dict:
     from etl_online_retail_spark.multimodal import gif as _gif
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
     from etl_online_retail_spark.multimodal import png as _png
+    from etl_online_retail_spark.multimodal import webp as _webp
 
     content = bytes(content)
     if content[:8] == _png.PNG_SIGNATURE:
@@ -113,11 +115,14 @@ def decode_image(content: bytes) -> dict:
         img = _jpeg.decode_jpeg(content)
     elif content[:6] in _gif.GIF_MAGICS:
         img = _gif.decode_gif(content).frames[0]  # still view: first frame
+    elif (content[:4] == _webp.RIFF_MAGIC
+          and content[8:12] == _webp.WEBP_MAGIC):
+        img = _webp.decode_webp(content)   # VP8L; VP8/VP8X raise inside
     else:
         raise NotImplementedError(
-            "only PNG, baseline JPEG and GIF decode in this environment "
-            "(stdlib codecs); WebP requires libraries not present in this "
-            "container"
+            "only PNG, baseline JPEG, GIF and lossless WebP decode in "
+            "this environment (stdlib codecs); other formats require "
+            "libraries not present in this container"
         )
     return {
         "width": img.width,
@@ -184,25 +189,58 @@ def synthetic_png_media(docs: DataFrame, id_col: str = "doc_id",
                 .mapInPandas(render, out_schema))
 
 
+def synthetic_webp_media(docs: DataFrame, id_col: str = "doc_id",
+                         max_w: int = 16, max_h: int = 8) -> DataFrame:
+    """Render one deterministic solid-gray lossless WebP per row (real
+    VP8L encoder, multimodal/webp.py) — the synthetic_png_media pattern:
+    width = 1 + id % max_w, height = 1 + id % max_h, every RGB sample =
+    id % 256, so the SQL oracle verifies the decoded features in closed
+    form while the Spark side genuinely encodes and decodes WebP
+    bytes."""
+    from etl_online_retail_spark.multimodal import webp as _webp
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
+                payloads.append(_webp.encode_webp_lossless(
+                    bytes([v]) * (w * h * 3), w, h, channels=3))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
 _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
 
 
 def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
-    """Nearest-neighbor resize of a decodable payload (PNG or baseline
-    JPEG in), re-encoded as PNG (lossless out — resizing shouldn't add a
-    second lossy generation). Pure stdlib, same per-payload shape a
-    PIL-backed body would keep."""
+    """Nearest-neighbor resize of a decodable payload (PNG, baseline
+    JPEG or lossless WebP in), re-encoded as PNG (lossless out —
+    resizing shouldn't add a second lossy generation). Pure stdlib,
+    same per-payload shape a PIL-backed body would keep."""
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
     from etl_online_retail_spark.multimodal import png as _png
+    from etl_online_retail_spark.multimodal import webp as _webp
 
     content = bytes(content)
     if content[:8] == _png.PNG_SIGNATURE:
         img = _png.decode_png(content)
     elif content[:2] == _jpeg.JPEG_SOI:
         img = _jpeg.decode_jpeg(content)
+    elif (content[:4] == _webp.RIFF_MAGIC
+          and content[8:12] == _webp.WEBP_MAGIC):
+        img = _webp.decode_webp(content)
     else:
         raise NotImplementedError(
-            "resize supports PNG and baseline JPEG payloads here")
+            "resize supports PNG, baseline JPEG and lossless WebP "
+            "payloads here")
     ch = img.channels
     src = img.pixels
     out = bytearray(out_w * out_h * ch)

