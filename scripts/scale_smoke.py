@@ -42,7 +42,9 @@ LABEL_FILTER = ""
 
 
 def timed(label: str, action) -> None:
-    if LABEL_FILTER and LABEL_FILTER not in label:
+    # comma-separated filter: run entries matching ANY substring
+    if LABEL_FILTER and not any(
+            part and part in label for part in LABEL_FILTER.split(",")):
         return
     t0 = time.perf_counter()
     action()
@@ -830,6 +832,88 @@ def main() -> None:
     timed(f"q21 semi+anti composite @ {factor}x", q21)
     timed(f"q17 per-part avg join-back @ {factor}x", q17)
     timed(f"q9 five-way profit rollup @ {factor}x", q9)
+
+    # round-6: the verdict's five shuffle-heaviest families at 30x/100x.
+    # Replicated DOCS get per-copy text mutation (a copy-tag token) and
+    # EMBEDDINGS a per-copy deterministic perturbation — identical
+    # copies would make every near-dup family's OUTPUT quadratic in the
+    # factor (every copy pairs with every other), which measures output
+    # explosion, not plan scaling. Mutation keeps the pair density of
+    # the base corpus so the curves isolate the plan.
+    docs_mut = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" copytag"),
+                         F.pmod(F.col("doc_id"), F.lit(10_000_000))
+                         .cast("string")))
+    emb_mut = emb.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: x + ((F.pmod(F.col("vec_id"), F.lit(97)) + i)
+                              % 13 - 6).cast("double") * 0.02))
+
+    def tfidf_pairs():
+        from etl_online_retail_spark.operators.relevance import (
+            tfidf_pair_cosine,
+        )
+
+        pairs = (docs_mut.select(F.col("doc_id").alias("id_a"))
+                 .filter(F.col("id_a") % 7 == 0)
+                 .withColumn("id_b", F.col("id_a") + 1))
+        (tfidf_pair_cosine(docs_mut, pairs)
+         .write.format("noop").mode("overwrite").save())
+
+    def curation():
+        from etl_online_retail_spark.operators.curation import curate_corpus
+
+        (curate_corpus(docs_mut)
+         .write.format("noop").mode("overwrite").save())
+
+    def fact_build():
+        from etl_online_retail_spark.operators.joins import broadcast_lookup
+        from etl_online_retail_spark.operators.surrogate import (
+            dense_keys,
+            with_unknown_member,
+        )
+
+        p = replicate(load_table(spark, "part", SF_DIR), factor,
+                      {"p_partkey": 10_000_000})
+        cust = c.select(F.lpad(F.col("c_custkey").cast("string"), 7, "0")
+                        .alias("customer_id"), "c_custkey")
+        dim_c = with_unknown_member(
+            dense_keys(cust, ["c_custkey"], "customer_dim_id", offset=1)
+            .select("customer_dim_id", "customer_id"),
+            "customer_dim_id", "customer_id")
+        prod = p.select(F.lpad(F.col("p_partkey").cast("string"), 7, "0")
+                        .alias("part_id"), "p_partkey")
+        dim_p = with_unknown_member(
+            dense_keys(prod, ["p_partkey"], "product_dim_id", offset=1)
+            .select("product_dim_id", "part_id"),
+            "product_dim_id", "part_id")
+        staged = (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .withColumn("customer_id",
+                              F.lpad(F.col("o_custkey").cast("string"),
+                                     7, "0"))
+                  .withColumn("part_id",
+                              F.lpad(F.col("l_partkey").cast("string"),
+                                     7, "0")))
+        staged = broadcast_lookup(staged, dim_c, on="customer_id")
+        staged = broadcast_lookup(staged, dim_p, on="part_id")
+        (staged.select("l_orderkey", "l_linenumber", "product_dim_id",
+                       "customer_dim_id", "l_extendedprice", "l_quantity")
+         .write.format("noop").mode("overwrite").save())
+
+    def emb_neardup():
+        from etl_online_retail_spark.operators.similarity import (
+            lsh_near_duplicates,
+        )
+
+        (lsh_near_duplicates(emb_mut, threshold=0.95)
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"tfidf pair cosine @ {factor}x", tfidf_pairs)
+    timed(f"corpus curation @ {factor}x", curation)
+    timed(f"fact table build @ {factor}x", fact_build)
+    timed(f"embedding near-dups (lsh) @ {factor}x", emb_neardup)
 
 
 if __name__ == "__main__":

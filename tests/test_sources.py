@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import os
 import tempfile
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -230,6 +233,60 @@ def test_jdbc_roundtrip_serial_parity_with_inplan_surrogate(spark, tmp_path):
                      num_partitions=4, lower_bound=1, upper_bound=n + 2,
                      driver=drv)
     assert back.rdd.getNumPartitions() == 4  # partitioned scan, not 1 task
+    got = sorted(map(tuple, back.select(
+        "customer_dim_id", "customer_id", "c_name").collect()))
+    want = sorted(map(tuple,
+                      q_customer_dim_build(spark, SF).collect()))
+    assert got == want
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("SPARK_GRAFT_PG_URL")
+         and os.environ.get("SPARK_GRAFT_PG_JAR")),
+    reason="no Postgres in this sandbox: set SPARK_GRAFT_PG_URL "
+           "(jdbc:postgresql://...) and SPARK_GRAFT_PG_JAR (driver jar "
+           "path) to run the real-dialect SERIAL parity suite; until "
+           "then the embedded-Derby IDENTITY parity test above stands")
+def test_jdbc_roundtrip_serial_parity_postgres(spark, tmp_path):
+    """Round-5 verdict #7: the Derby parity suite against REAL Postgres
+    SERIAL semantics (etl.py:145-205's actual warehouse), env-gated on a
+    reachable server + driver jar. Same contract as the Derby twin: the
+    DB assigns 2..N+1 in insertion order after the id-1 unknown-member
+    seed, and the read-back equals the in-plan dense_keys surrogates."""
+    from etl_online_retail_spark.sources.jdbc import append_jdbc, read_jdbc
+    from etl_online_retail_spark.workload import q_customer_dim_build
+
+    url = os.environ["SPARK_GRAFT_PG_URL"]
+    jar = os.environ["SPARK_GRAFT_PG_JAR"]
+    spark._jsc.addJar(jar)
+    drv = "org.postgresql.Driver"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(drv)
+    props = jvm.java.util.Properties()
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    st = conn.createStatement()
+    st.executeUpdate("DROP TABLE IF EXISTS dim_customers_parity")
+    st.executeUpdate(
+        "CREATE TABLE dim_customers_parity ("
+        "customer_dim_id SERIAL PRIMARY KEY, "
+        "customer_id VARCHAR(16) NOT NULL, c_name VARCHAR(64))")
+    st.executeUpdate(
+        "INSERT INTO dim_customers_parity (customer_id, c_name) "
+        "VALUES ('00000', NULL)")
+    st.close()
+    conn.close()
+
+    c = (load_table(spark, "customer", SF)
+         .select(F.lpad(F.col("c_custkey").cast("string"), 5, "0")
+                  .alias("customer_id"),
+                 F.col("c_name").cast("string").alias("c_name")))
+    append_jdbc(c.coalesce(1).sortWithinPartitions("customer_id"),
+                url, "dim_customers_parity", driver=drv)
+    n = c.count()
+    back = read_jdbc(spark, url, "dim_customers_parity",
+                     partition_column="customer_dim_id",
+                     num_partitions=4, lower_bound=1, upper_bound=n + 2,
+                     driver=drv)
     got = sorted(map(tuple, back.select(
         "customer_dim_id", "customer_id", "c_name").collect()))
     want = sorted(map(tuple,
