@@ -37,6 +37,31 @@ def dense_keys(dim: DataFrame, order: Sequence[str], key_name: str,
     return dim.withColumn(key_name, (F.row_number().over(w) + offset).cast("int"))
 
 
+def dense_keys_distributed(dim: DataFrame, order: Sequence[str],
+                           key_name: str, shard_by,
+                           offset: int = 1) -> DataFrame:
+    """dense_keys without the single-partition window: EXACT same
+    1..N ids over the same natural-key order, computed via
+    distributed_rank (operators/windows.py — approx range shards +
+    per-shard row_number + driver-side offsets, r6).
+
+    For the reference's real dimensions dense_keys is fine (dim-sized
+    by design, PERFORMANCE.md rule 4); this is the variant for a
+    dimension that outgrows one partition while still needing DENSE
+    SERIAL-style ids (hashed_keys being the sparse alternative).
+    `shard_by` must be a numeric Column monotone non-decreasing along
+    `order` — for a numeric natural key, the key itself. Ids stay INT
+    for drop-in parity with dense_keys; a dimension past 2^31 rows
+    should widen key_name downstream."""
+    from etl_online_retail_spark.operators.windows import distributed_rank
+
+    ranked, _ = distributed_rank(
+        dim, [F.col(c) for c in order], shard_by, alias="_rk")
+    return (ranked
+            .withColumn(key_name, (F.col("_rk") + offset).cast("int"))
+            .drop("_rk"))
+
+
 def with_unknown_member(dim: DataFrame, key_name: str,
                         natural_key: str, unknown_value: str = "00000") -> DataFrame:
     """Prepend the unknown-member seed row at id 1.

@@ -88,6 +88,26 @@ def test_distributed_ntile_fewer_rows_than_buckets(spark):
     assert sorted(r["b"] for r in got.collect()) == [1, 2, 3, 4]
 
 
+def test_dense_keys_distributed_equals_dense_keys(spark):
+    """The monster-dim SERIAL variant: same 1..N+offset ids over the
+    same natural order as the single-window dense_keys, with no
+    SinglePartition exchange in the plan."""
+    from etl_online_retail_spark.operators.surrogate import (
+        dense_keys,
+        dense_keys_distributed,
+    )
+
+    dim = spark.createDataFrame(
+        [((i * 37) % 101, f"n{i}") for i in range(500)],
+        "nk INT, name STRING").distinct()
+    want = sorted(map(tuple, dense_keys(
+        dim, ["nk", "name"], "id", offset=1).collect()))
+    got_df = dense_keys_distributed(
+        dim, ["nk", "name"], "id", shard_by=F.col("nk"), offset=1)
+    assert sorted(map(tuple, got_df.collect())) == want
+    assert "SinglePartition" not in _executed(got_df)
+
+
 def test_distributed_rank_constant_key_single_shard_still_exact(spark):
     # degenerate: every shard_by value equal -> one shard, ranks exact
     df = spark.createDataFrame([(5, i) for i in range(50)], "v INT, id INT")
