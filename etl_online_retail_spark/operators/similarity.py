@@ -399,7 +399,8 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
                         n_planes: int | None = None, n_dims: int = 64,
                         seed: int = 42, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        probes: int = 1) -> DataFrame:
+                        probes: int = 1,
+                        scorer: str = "fold") -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets.
 
     Output: id_a, id_b, cos_sim (rounded to 6dp). Only same-bucket pairs
@@ -412,6 +413,17 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
     plane families (seed, seed+1, ...) to recover the recall that more
     planes cost — each probe is another linear bucket join, never
     quadratic.
+
+    scorer picks the candidate-verify arithmetic: "fold" (default) scores
+    each pair with the Catalyst aggregate fold — deterministic summation
+    order, hash-exact against the DuckDB oracle; "vectorized" runs the
+    SAME candidate relation through a numpy mapInPandas batch (row-wise
+    einsum, one BLAS-shaped pass per Arrow batch) — the scale path when
+    candidates number in the tens of millions, where the interpreted
+    per-pair fold dominates the runtime (measured ~7x at the 30x scale
+    smoke). The two differ only in float summation order (ulp-level);
+    agreement is tolerance-tested, the brute_force_topk_vectorized
+    protocol (ROADMAP.md item 3).
     """
     if n_planes is None:
         n_planes = auto_n_planes(vectors.count())
@@ -440,8 +452,42 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
                     F.col("_n").alias("_na"))
     right = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
                      F.col("_n").alias("_nb"))
+    paired = cands.join(left, "id_a").join(right, "id_b")
+    if scorer == "vectorized":
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        id_type = paired.schema["id_a"].dataType.simpleString()
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"scorer='vectorized' needs integral ids, got {id_type}; "
+                "use scorer='fold'")
+        out_schema = "id_a bigint, id_b bigint, cos_sim double"
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                va = np.array(list(pdf["_va"]), dtype=np.float64)
+                vb = np.array(list(pdf["_vb"]), dtype=np.float64)
+                denom_np = (pdf["_na"].to_numpy(dtype=np.float64)
+                            * pdf["_nb"].to_numpy(dtype=np.float64))
+                dots = np.einsum("ij,ij->i", va, vb)
+                sims = np.where(denom_np == 0.0, 0.0,
+                                dots / np.where(denom_np == 0.0, 1.0,
+                                                denom_np))
+                keep = sims >= threshold
+                yield pd.DataFrame({
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
+                    "cos_sim": np.round(sims[keep], 6),
+                })
+
+        return paired.mapInPandas(score, out_schema)
     denom = F.col("_na") * F.col("_nb")
-    return (cands.join(left, "id_a").join(right, "id_b")
+    return (paired
             .withColumn("cos_sim",
                         F.when(denom == 0.0, F.lit(0.0))
                          .otherwise(dot(F.col("_va"), F.col("_vb")) / denom))

@@ -1087,6 +1087,21 @@ def q_embedding_near_dups(spark, sf_dir):
         emb, threshold=COS_THRESHOLD, n_planes=LSH_PLANES, n_dims=EMB_DIMS)
 
 
+# Rows-only (numpy batch summation order differs from the SQL fold at ulp
+# level, so the 6dp hash could flip on threshold-boundary pairs): the
+# scale-path scorer for the same candidate relation — einsum per Arrow
+# batch instead of a Catalyst fold per pair. Pair-set/score agreement vs
+# the fold path is tolerance-tested (tests/test_similarity_extras.py),
+# the knn_vectorized protocol.
+@register("embedding_near_dups_vectorized", None,
+          "M6-similarity-lsh-neardup-scale")
+def q_embedding_near_dups_vectorized(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_near_duplicates(
+        emb, threshold=COS_THRESHOLD, n_planes=LSH_PLANES, n_dims=EMB_DIMS,
+        scorer="vectorized")
+
+
 # SemDeDup-style semantic dedup: KMeans cluster representatives, drop
 # members near their representative. O(N*k) — no pairwise term at all.
 # Iterative fit -> rows-only driver check (like knn_ivf); pytest asserts

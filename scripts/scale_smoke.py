@@ -834,22 +834,34 @@ def main() -> None:
     timed(f"q9 five-way profit rollup @ {factor}x", q9)
 
     # round-6: the verdict's five shuffle-heaviest families at 30x/100x.
-    # Replicated DOCS get per-copy text mutation (a copy-tag token) and
-    # EMBEDDINGS a per-copy deterministic perturbation — identical
-    # copies would make every near-dup family's OUTPUT quadratic in the
-    # factor (every copy pairs with every other), which measures output
-    # explosion, not plan scaling. Mutation keeps the pair density of
-    # the base corpus so the curves isolate the plan.
+    # Replicated DOCS and EMBEDDINGS need per-copy mutation that actually
+    # SEPARATES the copies: identical (or merely tail-tagged) copies all
+    # land in the same minhash bands / LSH buckets, so the near-dup
+    # OUTPUT grows quadratically in the factor — that measures output
+    # explosion, not plan scaling. The mutations below are bijections of
+    # each copy's content, so WITHIN-copy pair structure is exactly the
+    # base corpus's (pair count = factor x base) while CROSS-copy
+    # similarity collapses to noise:
+    #   docs: every word gets a per-copy suffix (regexp group rewrite) —
+    #     word-shingle sets of different copies are disjoint, in-copy
+    #     Jaccard is unchanged (suffixing is injective per word).
+    #   embeddings: per-copy cyclic rotation of the 64 dims (+ reversal
+    #     past 64 copies) — norms and in-copy dot products are exactly
+    #     preserved, cross-copy cosines are ~N(0, 1/64), far below the
+    #     0.95 threshold.
+    copy_ix = F.floor(F.col("doc_id") / F.lit(10_000_000))
     docs_mut = docs.withColumn(
-        "text", F.concat(F.col("text"), F.lit(" copytag"),
-                         F.pmod(F.col("doc_id"), F.lit(10_000_000))
-                         .cast("string")))
+        "text", F.regexp_replace(
+            F.col("text"), F.lit(r"(\w+)"),
+            F.concat(F.lit(r"$1x"), copy_ix.cast("string"))))
+    rot = F.pmod(F.floor(F.col("vec_id") / F.lit(10_000_000)),
+                 F.lit(64)).cast("int")
+    flip = F.pmod(F.floor(F.col("vec_id") / F.lit(640_000_000)),
+                  F.lit(2)).cast("int")
+    rotated = F.concat(F.slice(F.col("embedding"), rot + 1, F.lit(64) - rot),
+                       F.slice(F.col("embedding"), F.lit(1), rot))
     emb_mut = emb.withColumn(
-        "embedding",
-        F.transform(
-            "embedding",
-            lambda x, i: x + ((F.pmod(F.col("vec_id"), F.lit(97)) + i)
-                              % 13 - 6).cast("double") * 0.02))
+        "embedding", F.when(flip == 1, F.reverse(rotated)).otherwise(rotated))
 
     def tfidf_pairs():
         from etl_online_retail_spark.operators.relevance import (
@@ -907,7 +919,7 @@ def main() -> None:
             lsh_near_duplicates,
         )
 
-        (lsh_near_duplicates(emb_mut, threshold=0.95)
+        (lsh_near_duplicates(emb_mut, threshold=0.95, scorer="vectorized")
          .write.format("noop").mode("overwrite").save())
 
     timed(f"tfidf pair cosine @ {factor}x", tfidf_pairs)

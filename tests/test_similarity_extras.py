@@ -66,6 +66,34 @@ def test_auto_n_planes_scales_with_corpus():
         prev = cur
 
 
+def test_lsh_vectorized_scorer_agrees_with_fold(spark):
+    """scorer='vectorized' (numpy einsum over Arrow batches) must produce
+    the same pair set as the oracle-exact fold, with scores equal to well
+    inside the 6dp rounding (they differ only in float summation order).
+    Threshold low enough that real pairs survive at sf0.001."""
+    from etl_online_retail_spark.operators.similarity import lsh_near_duplicates
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    fold = {(r.id_a, r.id_b): r.cos_sim for r in
+            lsh_near_duplicates(emb, threshold=0.3, n_planes=4,
+                                scorer="fold").collect()}
+    vec = {(r.id_a, r.id_b): r.cos_sim for r in
+           lsh_near_duplicates(emb, threshold=0.3, n_planes=4,
+                               scorer="vectorized").collect()}
+    assert fold, "fixture produced no pairs - threshold too high"
+    assert set(fold) == set(vec)
+    for k in fold:
+        assert abs(fold[k] - vec[k]) <= 1e-6
+
+    # non-integral ids refuse the vectorized path loudly
+    import pytest
+
+    str_ids = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(ValueError, match="integral ids"):
+        lsh_near_duplicates(str_ids, threshold=0.3, n_planes=4,
+                            scorer="vectorized").collect()
+
+
 def test_lsh_multiprobe_is_superset_of_single_probe(spark):
     from etl_online_retail_spark.operators.similarity import lsh_near_duplicates
 
