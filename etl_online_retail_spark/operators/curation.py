@@ -18,13 +18,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.functions.text import (
+    STOPWORDS,
     normalize,
     punct_ratio,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from etl_online_retail_spark.operators.dedup import (
     _shingled,
+    duplicate_clusters,
     exact_duplicates,
     minhash_near_duplicates,
 )
@@ -58,6 +61,120 @@ def quality_expr(text_col: str = "text",
     return (F.lit(0.5) * sr
             + F.lit(0.3) * F.least(nt / F.lit(100.0), F.lit(1.0))
             + F.lit(0.2) * (F.lit(1.0) - pr))
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1) — the
+# standard per-document heuristic filter battery a pretraining pipeline
+# runs before any model-based scoring.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = GOPHER_MIN_WORDS,
+                         max_words: int = GOPHER_MAX_WORDS,
+                         min_stopwords: int = GOPHER_MIN_STOPWORDS,
+                         ) -> DataFrame:
+    """Per-document Gopher rule flags (one boolean column per rule plus
+    the conjunction) — the rule-level report a curation run audits before
+    committing to a floor, beside the scalar quality_expr score.
+
+    Every measure is integer counting plus one IEEE int/int division, so
+    the flags are bit-exact cross-engine. Pure per-row projection: no
+    shuffle, survives any scale as a map stage.
+
+    Rules (raw whitespace tokens unless noted):
+      word_count_ok     min_words <= n <= max_words
+      mean_word_len_ok  3 <= (sum of token lengths / n) <= 10
+      symbol_ratio_ok   ('#' + non-overlapping '...') / n <= 0.1
+      alpha_ratio_ok    >= 80% of tokens contain an ASCII letter
+      stopword_ok       >= min_stopwords DISTINCT English stopwords
+                        present (normalized text)
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = token_count(t)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_wl = (F.when(n == 0, F.lit(0.0))
+               .otherwise(sum_len.cast("double") / n.cast("double")))
+    hash_cnt = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    ell_cnt = ((F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", "")))
+               / F.lit(3)).cast("int")
+    sym_ratio = (F.when(n == 0, F.lit(0.0))
+                 .otherwise((hash_cnt + ell_cnt).cast("double")
+                            / n.cast("double")))
+    alpha_cnt = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = (F.when(n == 0, F.lit(0.0))
+                   .otherwise(alpha_cnt.cast("double") / n.cast("double")))
+    stop_cnt = F.size(F.array_intersect(
+        F.array_distinct(tokens(normalize(t))),
+        F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    flags = {
+        "word_count_ok": (n >= min_words) & (n <= max_words),
+        "mean_word_len_ok": ((n > 0)
+                             & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+                             & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)),
+        "symbol_ratio_ok": sym_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "alpha_ratio_ok": (n > 0) & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO),
+        "stopword_ok": stop_cnt >= min_stopwords,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_cnt.cast("int").alias("n_stopwords"),
+        *[c.alias(name) for name, c in flags.items()],
+        passes.alias("passes_gopher"))
+
+
+def cluster_representatives(docs: DataFrame, n: int = 2, k: int = 16,
+                            bands: int = 4, threshold: float = 0.5,
+                            ) -> DataFrame:
+    """Keep-best retention: ONE representative per near-dup cluster — the
+    retention policy that completes the dedup story (curate_corpus's
+    dominant-id rule keeps the minimum id; real pipelines keep the
+    highest-QUALITY member of each connected component).
+
+    Returns (cluster_id, doc_id, quality, n_members) for the KEPT docs:
+    the highest-quality member of every near-dup cluster (ties broken by
+    minimum doc id — deterministic), singletons keeping themselves with
+    n_members = 1.
+
+    Scale shape: pairs/components come from the banded machinery (never
+    all-pairs); the election is one groupBy(cluster_id) argmax via struct
+    max — a single hash aggregation with map-side partials, no window, no
+    sort. Quality is the shared oracle-exact formula, so the float
+    comparison is cross-engine deterministic.
+    """
+    pairs = minhash_near_duplicates(docs, n=n, k=k, bands=bands,
+                                    threshold=threshold)
+    comps = duplicate_clusters(pairs)
+    labeled = (quality_scores(docs)
+               .join(comps, "doc_id", "left")
+               .withColumn("cluster_id",
+                           F.coalesce(F.col("cluster_id"), F.col("doc_id"))))
+    # argmax by (quality, -doc_id): struct max orders lexicographically,
+    # so equal-quality ties resolve to the SMALLEST doc id
+    best = F.max(F.struct(F.col("quality"),
+                          (-F.col("doc_id")).alias("_negid"))).alias("_best")
+    return (labeled.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"), best)
+            .select("cluster_id",
+                    (-F.col("_best._negid")).alias("doc_id"),
+                    F.col("_best.quality").alias("quality"),
+                    "n_members"))
 
 
 SPLIT_A = 48271          # affine split hash (MINSTD multiplier)

@@ -565,6 +565,75 @@ def dedup_within_doc(docs: DataFrame, width: int = 10,
                  kept_in_order.alias("cleaned")))
 
 
+def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 2,
+                                k: int = 16, bands: int = 4,
+                                threshold: float = 0.5, mode: str = "word",
+                                seed: int = 42) -> DataFrame:
+    """Near-dup hits of a NEW batch probed against an EXISTING corpus —
+    the production dedup shape (reference has no analogue; this extends
+    minhash_near_duplicates, etl.py's pandas drop_duplicates being the
+    closest reference op).
+
+    When a new crawl slice lands you do not re-pair the whole corpus: you
+    keep a band INDEX over everything already retained and probe it with
+    only the new batch's band signatures. Work is proportional to
+    |new| x bucket-collision count — never |corpus|^2 and never a corpus
+    self-join. At 100 TB the index side is a staged parquet of
+    (band value, id, shingles) appended by each load (exactly the
+    relation built here); the probe is a broadcast-sized daily slice, so
+    each band join is a broadcast probe into the bucketed index with no
+    corpus shuffle at all.
+
+    Returns (new_id, corpus_id, jaccard) for exact-verified pairs with
+    jaccard >= threshold. Pairs WITHIN the new batch are the ordinary
+    minhash_near_duplicates(new_docs) call and deliberately not repeated
+    here.
+    """
+    assert k % bands == 0, "k must divide into equal bands"
+    rows = k // bands
+
+    def banded_of(docs_df: DataFrame) -> DataFrame:
+        sh = _shingled(docs_df, text_col, id_col, n, mode)
+        sh = sh.filter(F.col("_size") > 0)
+        sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
+        band_cols = [
+            F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")
+                               for j in range(rows)]).alias(f"_band{i}")
+            for i in range(bands)
+        ]
+        return sig.select("_id", "_sh", "_size", *band_cols)
+
+    # both sides feed `bands` candidate joins + one verify join each
+    index = banded_of(corpus).cache()
+    probe = banded_of(new_docs).cache()
+    cands = None
+    for i in range(bands):
+        a = probe.select(F.col("_id").alias("new_id"),
+                         F.col(f"_band{i}").alias("_bv"))
+        b = index.select(F.col("_id").alias("corpus_id"),
+                         F.col(f"_band{i}").alias("_bv"))
+        c = a.join(b, "_bv").select("new_id", "corpus_id")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    left = probe.select(F.col("_id").alias("new_id"),
+                        F.col("_sh").alias("_sh_a"),
+                        F.col("_size").alias("size_a"))
+    right = index.select(F.col("_id").alias("corpus_id"),
+                         F.col("_sh").alias("_sh_b"),
+                         F.col("_size").alias("size_b"))
+    return (cands.join(left, "new_id").join(right, "corpus_id")
+            .withColumn("n_common",
+                        F.size(F.array_intersect("_sh_a", "_sh_b")))
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double")
+                        / (F.col("size_a") + F.col("size_b")
+                           - F.col("n_common")).cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "corpus_id", "jaccard"))
+
+
 def minhash_candidates(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 2, k: int = 16,
                        bands: int = 4, mode: str = "word",

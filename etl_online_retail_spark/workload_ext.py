@@ -115,15 +115,20 @@ def q_jaccard_near_dups(spark, sf_dir):
 
 # dedup: MinHash + LSH banding, exact-verified
 
-def _minhash_cte_block() -> str:
-    """The shared CTE chain: shingles -> signatures -> bands -> verified
-    near-dup pairs. Reused by the minhash query and the curation pipeline."""
+def _band_cols_sql() -> str:
+    """The banded-signature projection shared by every minhash oracle."""
     rows = MINHASH_K // MINHASH_BANDS
-    band_cols = ", ".join(
+    return ", ".join(
         " || '_' || ".join(f"_sig[{i * rows + j + 1}]::VARCHAR" for j in range(rows))
         + f" AS _band{i}"
         for i in range(MINHASH_BANDS)
     )
+
+
+def _minhash_cte_block() -> str:
+    """The shared CTE chain: shingles -> signatures -> bands -> verified
+    near-dup pairs. Reused by the minhash query and the curation pipeline."""
+    band_cols = _band_cols_sql()
     cand_union = " UNION ".join(
         f"SELECT a._id AS id_a, b._id AS id_b FROM banded a "
         f"JOIN banded b ON a._band{i} = b._band{i} AND a._id < b._id"
@@ -197,6 +202,48 @@ def q_minhash_calibration(spark, sf_dir):
     return dedup.minhash_calibration(
         _t(spark, sf_dir, "documents"),
         n=SHINGLE_N, k=MINHASH_K, bands=MINHASH_BANDS,
+        threshold=JACCARD_THRESHOLD)
+
+
+# dedup: the INCREMENTAL shape — a new batch (doc_id % 10 = 0 stands in
+# for today's crawl slice) probed against the already-retained corpus's
+# band index. Work ∝ |new| x collisions, never a corpus self-join; at
+# 100 TB the index side is the staged parquet previous loads appended.
+
+def _incremental_oracle() -> str:
+    cand_union = " UNION ".join(
+        f"SELECT p._id AS new_id, i._id AS corpus_id FROM probe p "
+        f"JOIN idx i ON p._band{b} = i._band{b}"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sh AS ({SH_BODY}),
+sized AS (SELECT _id, _sh, len(_sh) AS _size FROM sh WHERE len(_sh) > 0),
+sig AS (SELECT _id, _sh, _size,
+        {minhash_signature_sql('_sh', MINHASH_K)} AS _sig FROM sized),
+banded AS (SELECT _id, _sh, _size, {_band_cols_sql()} FROM sig),
+probe AS (SELECT * FROM banded WHERE _id % 10 = 0),
+idx AS (SELECT * FROM banded WHERE _id % 10 <> 0),
+cands AS ({cand_union})
+SELECT new_id, corpus_id, jaccard FROM (
+  SELECT c.new_id, c.corpus_id,
+         len(list_intersect(a._sh, b._sh))::DOUBLE
+           / (a._size + b._size - len(list_intersect(a._sh, b._sh)))::DOUBLE
+           AS jaccard
+  FROM (SELECT DISTINCT new_id, corpus_id FROM cands) c
+  JOIN probe a ON a._id = c.new_id
+  JOIN idx b ON b._id = c.corpus_id)
+WHERE jaccard >= {JACCARD_THRESHOLD}"""
+
+
+@register("incremental_near_dups", _incremental_oracle(),
+          "M6-dedup-incremental")
+def q_incremental_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_near_duplicates(
+        corpus, new_batch, n=SHINGLE_N, k=MINHASH_K, bands=MINHASH_BANDS,
         threshold=JACCARD_THRESHOLD)
 
 
@@ -288,6 +335,55 @@ def q_duplicate_clusters_star(spark, sf_dir):
     return dedup.duplicate_clusters_star(pairs)
 
 
+# dedup retention: keep the highest-QUALITY member of each near-dup
+# cluster (ties -> min doc id), singletons keeping themselves — the
+# policy real pipelines apply after clustering, beside curate_corpus's
+# dominant-id rule. Quality is the shared oracle-exact formula, so the
+# float ordering is cross-engine deterministic. NOTE: the oracle's
+# _QUALITY_SQL is defined near corpus_curation below; defer via lambda
+# would complicate register, so the expression is repeated inline here
+# from the same *_sql building blocks (drift-safe: both are pure
+# functions of the same constants).
+
+_RETENTION_ORACLE = f"""
+WITH RECURSIVE {_minhash_cte_block()},
+edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM neardup_pairs
+          UNION SELECT id_b, id_a FROM neardup_pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node AS root, node AS reached FROM nodes
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.reached),
+comp AS (SELECT root AS doc_id, MIN(reached) AS cluster_id
+         FROM reach GROUP BY root),
+scored AS (SELECT doc_id,
+                  (0.5 * ({stopword_ratio_sql('text', 'en')})
+                   + 0.3 * least({token_count_sql('text')} / 100.0, 1.0)
+                   + 0.2 * (1.0 - ({punct_ratio_sql('text')}))) AS quality
+           FROM documents),
+labeled AS (SELECT s.doc_id, COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+                   s.quality
+            FROM scored s LEFT JOIN comp c ON c.doc_id = s.doc_id)
+SELECT cluster_id, doc_id, quality, n_members FROM (
+  SELECT cluster_id, doc_id, quality,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM labeled)
+WHERE rn = 1"""
+
+
+@register("dedup_retention", _RETENTION_ORACLE, "M6-dedup-retention")
+def q_dedup_retention(spark, sf_dir):
+    from etl_online_retail_spark.operators.curation import (
+        cluster_representatives,
+    )
+
+    return cluster_representatives(
+        _t(spark, sf_dir, "documents"), n=SHINGLE_N, k=MINHASH_K,
+        bands=MINHASH_BANDS, threshold=JACCARD_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -352,6 +448,75 @@ def q_doc_quality(spark, sf_dir):
                + F.lit(0.2) * (F.lit(1.0) - pr))
     return docs.select("doc_id", nt.alias("n_tokens"), pr.alias("punct_ratio"),
                        sr.alias("stopword_ratio"), quality.alias("quality"))
+
+
+# Gopher rule battery (Rae et al. 2021 table A1): per-rule boolean flags
+# + the conjunction, beside doc_quality's scalar score. All integer
+# counting + single IEEE divisions — bit-exact cross-engine. The
+# registered run lowers min_stopwords to 1: the synthetic corpus
+# vocabulary carries exactly one stopword TYPE ('the'), so the spec's
+# >=2-distinct rule would be constant-false here (the operator default
+# stays at the paper's 2).
+
+GOPHER_MIN_STOPWORDS_Q = 1
+
+
+def _gopher_oracle() -> str:
+    from etl_online_retail_spark.operators import curation as _cur
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n = token_count_sql("text")
+    return f"""
+WITH m AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         {n} AS n,
+         regexp_split_to_array(trim({_NORM}), '\\s+') AS ntoks
+  FROM documents),
+f AS (
+  SELECT doc_id, n,
+    CASE WHEN n = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE)
+              / CAST(n AS DOUBLE) END AS mean_word_len,
+    CASE WHEN n = 0 THEN 0.0
+         ELSE CAST(strlen(text) - strlen(replace(text, '#', ''))
+                   + CAST((strlen(text)
+                           - strlen(replace(text, '...', ''))) / 3 AS INTEGER)
+                   AS DOUBLE) / CAST(n AS DOUBLE) END AS symbol_ratio,
+    CASE WHEN n = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / CAST(n AS DOUBLE) END AS alpha_ratio,
+    CAST(len(list_intersect(list_distinct(ntoks), [{stoplist}]))
+         AS INTEGER) AS n_stopwords
+  FROM m)
+SELECT doc_id, n AS n_tokens, mean_word_len, symbol_ratio, alpha_ratio,
+  n_stopwords,
+  (n >= {_cur.GOPHER_MIN_WORDS} AND n <= {_cur.GOPHER_MAX_WORDS})
+    AS word_count_ok,
+  (n > 0 AND mean_word_len >= {_cur.GOPHER_MIN_MEAN_WORD_LEN}
+         AND mean_word_len <= {_cur.GOPHER_MAX_MEAN_WORD_LEN})
+    AS mean_word_len_ok,
+  (symbol_ratio <= {_cur.GOPHER_MAX_SYMBOL_RATIO}) AS symbol_ratio_ok,
+  (n > 0 AND alpha_ratio >= {_cur.GOPHER_MIN_ALPHA_RATIO}) AS alpha_ratio_ok,
+  (n_stopwords >= {GOPHER_MIN_STOPWORDS_Q}) AS stopword_ok,
+  ((n >= {_cur.GOPHER_MIN_WORDS} AND n <= {_cur.GOPHER_MAX_WORDS})
+   AND (n > 0 AND mean_word_len >= {_cur.GOPHER_MIN_MEAN_WORD_LEN}
+            AND mean_word_len <= {_cur.GOPHER_MAX_MEAN_WORD_LEN})
+   AND symbol_ratio <= {_cur.GOPHER_MAX_SYMBOL_RATIO}
+   AND (n > 0 AND alpha_ratio >= {_cur.GOPHER_MIN_ALPHA_RATIO})
+   AND n_stopwords >= {GOPHER_MIN_STOPWORDS_Q}) AS passes_gopher
+FROM f"""
+
+
+@register("gopher_quality_flags", _gopher_oracle(), "M6-text-quality-gopher")
+def q_gopher_quality_flags(spark, sf_dir):
+    from etl_online_retail_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"),
+                                min_stopwords=GOPHER_MIN_STOPWORDS_Q)
 
 
 @register(

@@ -887,15 +887,21 @@ def main() -> None:
             with_unknown_member,
         )
 
+        # pad width 12, NOT the workload's 7: replicated keys carry the
+        # +copy*10M offset, and lpad TRUNCATES strings longer than the
+        # width - a 7-wide pad collides distinct custkeys into shared
+        # 7-char prefixes, making dim ids non-unique and exploding the
+        # lookup join ~factor-fold (first measured as a bogus 760 s at
+        # 30x; the engine was innocent).
         p = replicate(load_table(spark, "part", SF_DIR), factor,
                       {"p_partkey": 10_000_000})
-        cust = c.select(F.lpad(F.col("c_custkey").cast("string"), 7, "0")
+        cust = c.select(F.lpad(F.col("c_custkey").cast("string"), 12, "0")
                         .alias("customer_id"), "c_custkey")
         dim_c = with_unknown_member(
             dense_keys(cust, ["c_custkey"], "customer_dim_id", offset=1)
             .select("customer_dim_id", "customer_id"),
             "customer_dim_id", "customer_id")
-        prod = p.select(F.lpad(F.col("p_partkey").cast("string"), 7, "0")
+        prod = p.select(F.lpad(F.col("p_partkey").cast("string"), 12, "0")
                         .alias("part_id"), "p_partkey")
         dim_p = with_unknown_member(
             dense_keys(prod, ["p_partkey"], "product_dim_id", offset=1)
@@ -904,10 +910,10 @@ def main() -> None:
         staged = (li.join(o, li.l_orderkey == o.o_orderkey)
                   .withColumn("customer_id",
                               F.lpad(F.col("o_custkey").cast("string"),
-                                     7, "0"))
+                                     12, "0"))
                   .withColumn("part_id",
                               F.lpad(F.col("l_partkey").cast("string"),
-                                     7, "0")))
+                                     12, "0")))
         staged = broadcast_lookup(staged, dim_c, on="customer_id")
         staged = broadcast_lookup(staged, dim_p, on="part_id")
         (staged.select("l_orderkey", "l_linenumber", "product_dim_id",

@@ -80,3 +80,97 @@ def test_minhash_calibration_scorecard(spark):
     # 8 bands of 2 rows catch these high-jaccard pairs
     assert r.recall == 1.0
     assert r.precision is not None and 0.0 < r.precision <= 1.0
+
+
+def test_gopher_flags_rules_and_edges(spark):
+    """Rule semantics on constructed fixtures: word-count bounds, symbol
+    ratio, alpha ratio, stopword floor, and the empty-doc guards."""
+    from etl_online_retail_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    fixtures = [
+        # 60 alpha words incl. two distinct stopwords -> passes all
+        (1, "the and " + " ".join(f"word{i}" for i in range(58))),
+        # too short
+        (2, "the and tiny doc"),
+        # symbol-heavy: '#' per word pushes symbol_ratio to 1.0 > 0.1
+        (3, " ".join("#tag" for _ in range(60)) + " the and"),
+        # numeric tokens sink the alpha ratio below 0.8
+        (4, " ".join(str(i) for i in range(55)) + " the and aaa"),
+        # empty text: every count guard must hold (no div-by-zero)
+        (5, "   "),
+    ]
+    docs = spark.createDataFrame(fixtures, "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert rows[1].passes_gopher
+    assert not rows[2].word_count_ok and not rows[2].passes_gopher
+    assert not rows[3].symbol_ratio_ok and rows[3].n_tokens == 62
+    assert not rows[4].alpha_ratio_ok and rows[4].stopword_ok
+    assert rows[5].n_tokens == 0 and not rows[5].passes_gopher
+    assert rows[5].mean_word_len == 0.0 and rows[5].symbol_ratio == 0.0
+    # '...' counting is non-overlapping and length-normalized
+    ell = spark.createDataFrame(
+        [(9, "x... y...... " + " ".join(f"w{i}" for i in range(58)))],
+        "doc_id bigint, text string")
+    r9 = gopher_quality_flags(ell).collect()[0]
+    assert abs(r9.symbol_ratio - 3 / 60.0) < 1e-12
+
+
+def test_cluster_representatives_keeps_best_quality(spark):
+    """Every cluster elects exactly one member; the elected member has the
+    cluster's max quality (ties -> min doc_id); singletons keep
+    themselves; membership partitions the corpus."""
+    from etl_online_retail_spark.operators.curation import (
+        cluster_representatives,
+        quality_scores,
+    )
+    from etl_online_retail_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", SF).cache()
+    reps = cluster_representatives(docs).collect()
+    n_docs = docs.count()
+    assert sum(r.n_members for r in reps) == n_docs
+    assert len({r.cluster_id for r in reps}) == len(reps)
+
+    # cross-check the election against the components + scores directly
+    pairs = minhash_near_duplicates(docs)
+    comp = {r.doc_id: r.cluster_id
+            for r in duplicate_clusters(pairs).collect()}
+    qual = {r.doc_id: r.quality for r in quality_scores(docs).collect()}
+    by_cluster: dict[int, list[int]] = {}
+    for d in qual:
+        by_cluster.setdefault(comp.get(d, d), []).append(d)
+    for r in reps:
+        members = by_cluster[r.cluster_id]
+        assert len(members) == r.n_members
+        best = min(members, key=lambda d: (-qual[d], d))
+        assert r.doc_id == best and abs(r.quality - qual[best]) < 1e-15
+
+
+def test_incremental_near_dups_matches_full_pair_set(spark):
+    """The incremental probe finds exactly the full run's cross-side
+    pairs: restrict minhash_near_duplicates(all docs) to (new, corpus)
+    pairs and compare - same pairs, same jaccard."""
+    from etl_online_retail_spark.operators.dedup import (
+        incremental_near_duplicates,
+        minhash_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", SF).cache()
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    inc = {(r.new_id, r.corpus_id): r.jaccard
+           for r in incremental_near_duplicates(corpus, new_batch).collect()}
+    full = minhash_near_duplicates(docs).collect()
+    expected = {}
+    for r in full:
+        a_new, b_new = r.id_a % 10 == 0, r.id_b % 10 == 0
+        if a_new and not b_new:
+            expected[(r.id_a, r.id_b)] = r.jaccard
+        elif b_new and not a_new:
+            expected[(r.id_b, r.id_a)] = r.jaccard
+    assert inc == expected and inc, "fixture found no cross-side pairs"
