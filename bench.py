@@ -44,8 +44,12 @@ HEADLINE = [
     "repeated_passage_stats",
     "minhash_near_dups",
     "simhash_near_dups",
+    "incremental_near_dups",
+    "dedup_retention",
     "knn_vectorized",
     "embedding_near_dups",
+    "embedding_near_dups_vectorized",
+    "gopher_quality_flags",
     "media_features",
     "corpus_curation",
     "decontamination_overlap",

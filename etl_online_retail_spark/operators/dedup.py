@@ -565,49 +565,35 @@ def dedup_within_doc(docs: DataFrame, width: int = 10,
                  kept_in_order.alias("cleaned")))
 
 
-def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
-                                text_col: str = "text",
-                                id_col: str = "doc_id", n: int = 2,
-                                k: int = 16, bands: int = 4,
-                                threshold: float = 0.5, mode: str = "word",
-                                seed: int = 42) -> DataFrame:
-    """Near-dup hits of a NEW batch probed against an EXISTING corpus —
-    the production dedup shape (reference has no analogue; this extends
-    minhash_near_duplicates, etl.py's pandas drop_duplicates being the
-    closest reference op).
-
-    When a new crawl slice lands you do not re-pair the whole corpus: you
-    keep a band INDEX over everything already retained and probe it with
-    only the new batch's band signatures. Work is proportional to
-    |new| x bucket-collision count — never |corpus|^2 and never a corpus
-    self-join. At 100 TB the index side is a staged parquet of
-    (band value, id, shingles) appended by each load (exactly the
-    relation built here); the probe is a broadcast-sized daily slice, so
-    each band join is a broadcast probe into the bucketed index with no
-    corpus shuffle at all.
-
-    Returns (new_id, corpus_id, jaccard) for exact-verified pairs with
-    jaccard >= threshold. Pairs WITHIN the new batch are the ordinary
-    minhash_near_duplicates(new_docs) call and deliberately not repeated
-    here.
-    """
+def banded_signatures(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 2, k: int = 16,
+                      bands: int = 4, mode: str = "word",
+                      seed: int = 42) -> DataFrame:
+    """The persistable minhash band INDEX relation for a document set:
+    (_id, _sh, _size, _band0.._band{bands-1}). Exactly what an
+    incremental dedup deployment stages to parquet per load — the bands
+    drive candidate joins, the shingles the exact verify."""
     assert k % bands == 0, "k must divide into equal bands"
     rows = k // bands
+    sh = _shingled(docs, text_col, id_col, n, mode)
+    sh = sh.filter(F.col("_size") > 0)
+    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
+    band_cols = [
+        F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")
+                           for j in range(rows)]).alias(f"_band{i}")
+        for i in range(bands)
+    ]
+    return sig.select("_id", "_sh", "_size", *band_cols)
 
-    def banded_of(docs_df: DataFrame) -> DataFrame:
-        sh = _shingled(docs_df, text_col, id_col, n, mode)
-        sh = sh.filter(F.col("_size") > 0)
-        sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
-        band_cols = [
-            F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")
-                               for j in range(rows)]).alias(f"_band{i}")
-            for i in range(bands)
-        ]
-        return sig.select("_id", "_sh", "_size", *band_cols)
 
+def near_dups_between(probe: DataFrame, index: DataFrame, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Verified near-dup pairs BETWEEN two banded_signatures relations:
+    candidates from per-band bucket joins, exact-Jaccard verify on the
+    stored shingles. Returns (new_id, corpus_id, jaccard)."""
     # both sides feed `bands` candidate joins + one verify join each
-    index = banded_of(corpus).cache()
-    probe = banded_of(new_docs).cache()
+    probe = probe.cache()
+    index = index.cache()
     cands = None
     for i in range(bands):
         a = probe.select(F.col("_id").alias("new_id"),
@@ -632,6 +618,40 @@ def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
                            - F.col("n_common")).cast("double"))
             .filter(F.col("jaccard") >= threshold)
             .select("new_id", "corpus_id", "jaccard"))
+
+
+def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 2,
+                                k: int = 16, bands: int = 4,
+                                threshold: float = 0.5, mode: str = "word",
+                                seed: int = 42) -> DataFrame:
+    """Near-dup hits of a NEW batch probed against an EXISTING corpus —
+    the production dedup shape (reference has no analogue; this extends
+    minhash_near_duplicates, etl.py's pandas drop_duplicates being the
+    closest reference op).
+
+    When a new crawl slice lands you do not re-pair the whole corpus: you
+    keep a band INDEX over everything already retained and probe it with
+    only the new batch's band signatures. Work is proportional to
+    |new| x bucket-collision count — never |corpus|^2 and never a corpus
+    self-join. At 100 TB the index side is a staged parquet of
+    (band value, id, shingles) appended by each load (exactly the
+    banded_signatures relation; streaming/ingest.incremental_minhash_dedup
+    runs that loop live); the probe is a broadcast-sized daily slice, so
+    each band join is a broadcast probe into the bucketed index with no
+    corpus shuffle at all.
+
+    Returns (new_id, corpus_id, jaccard) for exact-verified pairs with
+    jaccard >= threshold. Pairs WITHIN the new batch are the ordinary
+    minhash_near_duplicates(new_docs) call and deliberately not repeated
+    here.
+    """
+    index = banded_signatures(corpus, text_col, id_col, n, k, bands, mode,
+                              seed)
+    probe = banded_signatures(new_docs, text_col, id_col, n, k, bands, mode,
+                              seed)
+    return near_dups_between(probe, index, bands, threshold)
 
 
 def minhash_candidates(docs: DataFrame, text_col: str = "text",

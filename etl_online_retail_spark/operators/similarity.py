@@ -399,7 +399,7 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
                         n_planes: int | None = None, n_dims: int = 64,
                         seed: int = 42, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        probes: int = 1,
+                        probes: int | None = 1,
                         scorer: str = "fold") -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets.
 
@@ -409,28 +409,50 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
     n_planes=None sizes the plane count to the corpus (auto_n_planes: one
     count(), then ~log2(N) planes) so buckets stay ~constant-sized as N
     grows; a pinned value is for oracle parity at test scale. probes > 1
-    is multi-probe: candidates are unioned across `probes` independent
-    plane families (seed, seed+1, ...) to recover the recall that more
-    planes cost — each probe is another linear bucket join, never
-    quadratic.
+    is multi-probe: pairs are unioned across `probes` independent plane
+    families (seed, seed+1, ...) to recover the recall that more planes
+    cost — each probe is another linear bucket pass, never quadratic.
+    probes=None derives the count from the hyperplane collision model
+    (auto_probes: enough families that a true pair at `threshold` is
+    caught with >=90% probability) — single-probe recall decays with the
+    plane count (0.899^p at threshold 0.95), so auto planes without auto
+    probes silently loses recall as the corpus grows.
 
-    scorer picks the candidate-verify arithmetic: "fold" (default) scores
-    each pair with the Catalyst aggregate fold — deterministic summation
-    order, hash-exact against the DuckDB oracle; "vectorized" runs the
-    SAME candidate relation through a numpy mapInPandas batch (row-wise
-    einsum, one BLAS-shaped pass per Arrow batch) — the scale path when
-    candidates number in the tens of millions, where the interpreted
-    per-pair fold dominates the runtime (measured ~7x at the 30x scale
-    smoke). The two differ only in float summation order (ulp-level);
-    agreement is tolerance-tested, the brute_force_topk_vectorized
-    protocol (ROADMAP.md item 3).
+    scorer picks the pair-verify arithmetic: "fold" (default) scores each
+    pair with the Catalyst aggregate fold over a bucket self-JOIN —
+    deterministic summation order, hash-exact against the DuckDB oracle;
+    "vectorized" computes each bucket's pair scores as a chunked GEMM
+    (numpy V @ V.T row blocks inside applyInPandas) — the scale path.
+    The two differ only in float summation order (ulp-level); pair-set
+    and score agreement is tolerance-tested.
+
+    Scale shape — verification is BUCKET-LOCAL: each probe family
+    shuffles the (id, vector, norm) relation ONCE, keyed by bucket; no
+    pairs-sized relation ever carries vectors through an exchange. The
+    GEMM scorer moves N vectors per probe through Arrow and does the
+    c x c similarity block per bucket in BLAS: at the 30x smoke (60k
+    vectors, 104M in-bucket pairs) the per-pair designs paid ~3 us/pair
+    in Arrow list conversion alone (~330 s); the bucket GEMM transfers
+    30 MB and spends its time in dgemm. Hot-bucket memory is bounded by
+    the 2048-row block x bucket width; the group itself (c x dims
+    doubles) is the applyInPandas ceiling — a 500k-row bucket is 256 MB,
+    the signal to add planes. Duplicate pairs across probe families are
+    dropped AFTER scoring (scores are bitwise-identical per pair, so
+    distinct() dedups).
     """
     if n_planes is None:
         n_planes = auto_n_planes(vectors.count())
+    if probes is None:
+        probes = auto_probes(threshold, n_planes)
+    if scorer == "vectorized":
+        id_type = vectors.schema[id_col].dataType.simpleString()
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"scorer='vectorized' needs integral ids, got {id_type}; "
+                "use scorer='fold'")
     # cache: bucket assignment (n_planes 64-dim folds per row per probe)
-    # feeds both sides of each bucket self-join AND the verify joins; norms
-    # are precomputed per vector so each candidate pair costs a single
-    # dot-product fold.
+    # feeds both sides of each bucket self-join (fold) or the grouped
+    # bucket pass (vectorized); norms are precomputed per vector.
     planes = [hyperplanes(n_planes, n_dims, seed + p) for p in range(probes)]
     v = (vectors
          .select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
@@ -439,60 +461,70 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
                  *[bucket_expr(F.col("_v"), planes[p]).alias(f"_bkt{p}")
                    for p in range(probes)])
          .cache())
-    cands = None
-    for p in range(probes):
-        a = v.select(F.col("_id").alias("id_a"), F.col(f"_bkt{p}").alias("_bv"))
-        b = v.select(F.col("_id").alias("id_b"), F.col(f"_bkt{p}").alias("_bv"))
-        c = (a.join(b, "_bv").filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b"))
-        cands = c if cands is None else cands.unionByName(c)
-    if probes > 1:
-        cands = cands.distinct()
-    left = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-                    F.col("_n").alias("_na"))
-    right = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-                     F.col("_n").alias("_nb"))
-    paired = cands.join(left, "id_a").join(right, "id_b")
-    if scorer == "vectorized":
-        from collections.abc import Iterator
 
+    def fold_pairs(p: int) -> DataFrame:
+        a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                     F.col("_n").alias("_na"),
+                     F.col(f"_bkt{p}").alias("_bv"))
+        b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                     F.col("_n").alias("_nb"),
+                     F.col(f"_bkt{p}").alias("_bv"))
+        paired = a.join(b, "_bv").filter(F.col("id_a") < F.col("id_b"))
+        denom = F.col("_na") * F.col("_nb")
+        return (paired
+                .withColumn("cos_sim",
+                            F.when(denom == 0.0, F.lit(0.0))
+                             .otherwise(dot(F.col("_va"), F.col("_vb"))
+                                        / denom))
+                .filter(F.col("cos_sim") >= threshold)
+                .select("id_a", "id_b",
+                        F.round("cos_sim", 6).alias("cos_sim")))
+
+    def gemm_pairs(p: int) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        id_type = paired.schema["id_a"].dataType.simpleString()
-        if id_type not in ("tinyint", "smallint", "int", "bigint"):
-            raise ValueError(
-                f"scorer='vectorized' needs integral ids, got {id_type}; "
-                "use scorer='fold'")
         out_schema = "id_a bigint, id_b bigint, cos_sim double"
+        block = 2048
 
-        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                va = np.array(list(pdf["_va"]), dtype=np.float64)
-                vb = np.array(list(pdf["_vb"]), dtype=np.float64)
-                denom_np = (pdf["_na"].to_numpy(dtype=np.float64)
-                            * pdf["_nb"].to_numpy(dtype=np.float64))
-                dots = np.einsum("ij,ij->i", va, vb)
-                sims = np.where(denom_np == 0.0, 0.0,
-                                dots / np.where(denom_np == 0.0, 1.0,
-                                                denom_np))
-                keep = sims >= threshold
-                yield pd.DataFrame({
-                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
-                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
-                    "cos_sim": np.round(sims[keep], 6),
-                })
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_id")
+            c = len(pdf)
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            vm = np.array(list(pdf["_v"]), dtype=np.float64)
+            norms = pdf["_n"].to_numpy(dtype=np.float64)
+            cols: list[np.ndarray] = [np.empty(0, dtype=np.int64)]
+            rows: list[np.ndarray] = [np.empty(0, dtype=np.int64)]
+            sims_out: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+            col_ix = np.arange(c)[None, :]
+            for i0 in range(0, c, block):
+                i1 = min(i0 + block, c)
+                g = vm[i0:i1] @ vm.T
+                denom = np.outer(norms[i0:i1], norms)
+                sims = np.where(denom == 0.0, 0.0,
+                                g / np.where(denom == 0.0, 1.0, denom))
+                # ids are sorted, so column-index > row-index == id_b > id_a
+                keep = (sims >= threshold) & (col_ix
+                                              > np.arange(i0, i1)[:, None])
+                ri, ci = np.nonzero(keep)
+                rows.append(ids[ri + i0])
+                cols.append(ids[ci])
+                sims_out.append(np.round(sims[keep], 6))
+            return pd.DataFrame({"id_a": np.concatenate(rows),
+                                 "id_b": np.concatenate(cols),
+                                 "cos_sim": np.concatenate(sims_out)})
 
-        return paired.mapInPandas(score, out_schema)
-    denom = F.col("_na") * F.col("_nb")
-    return (paired
-            .withColumn("cos_sim",
-                        F.when(denom == 0.0, F.lit(0.0))
-                         .otherwise(dot(F.col("_va"), F.col("_vb")) / denom))
-            .filter(F.col("cos_sim") >= threshold)
-            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
+        side = v.select("_id", "_v", "_n", F.col(f"_bkt{p}").alias("_bv"))
+        return side.groupBy("_bv").applyInPandas(score_bucket, out_schema)
+
+    make = gemm_pairs if scorer == "vectorized" else fold_pairs
+    out = None
+    for p in range(probes):
+        scored = make(p)
+        out = scored if out is None else out.unionByName(scored)
+    if probes > 1:
+        out = out.distinct()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -817,6 +817,94 @@ def incremental_source_counts(stream_df: DataFrame, table_dir: str,
             .start())
 
 
+def minhash_index_batch_write(batch_df: DataFrame, batch_id: int,
+                              index_dir: str, dups_dir: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 2,
+                              k: int = 16, bands: int = 4,
+                              threshold: float = 0.5,
+                              seed: int = 42) -> None:
+    """One micro-batch of the live dedup loop: (1) probe the accumulated
+    band index for near-dup hits against every EARLIER batch, landing the
+    hits under this batch's `_batch_id` partition; (2) append the batch's
+    own banded signatures + shingles to the index under the same
+    `_batch_id`.
+
+    Replay-deterministic by construction: the probe reads only index
+    partitions with `_batch_id < batch_id`, so a replayed batch sees
+    exactly the view its first attempt saw — even when LATER batches
+    have already landed, and even when its own first attempt
+    half-wrote its index partition (own id is excluded from the probe,
+    and dynamic partition overwrite rewrites it whole). Hits + index
+    rows are both rewritten, so the crash window between the two writes
+    heals on replay.
+    """
+    import os
+
+    from etl_online_retail_spark.operators.dedup import (
+        banded_signatures,
+        near_dups_between,
+    )
+
+    spark = batch_df.sparkSession
+    probe = banded_signatures(batch_df, text_col, id_col, n, k, bands,
+                              seed=seed).localCheckpoint(eager=True)
+    if os.path.isdir(index_dir):
+        index = (spark.read.parquet(index_dir)
+                 .filter(F.col("_batch_id") < batch_id)
+                 .drop("_batch_id"))
+        hits = near_dups_between(probe, index, bands, threshold)
+    else:
+        hits = (probe.limit(0)
+                .select(F.col("_id").alias("new_id"),
+                        F.col("_id").alias("corpus_id"),
+                        F.lit(0.0).alias("jaccard")))
+    (hits.withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(dups_dir))
+    (probe.withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(index_dir))
+
+
+def incremental_minhash_dedup(stream_df: DataFrame, index_dir: str,
+                              dups_dir: str, checkpoint_dir: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 2,
+                              k: int = 16, bands: int = 4,
+                              threshold: float = 0.5,
+                              seed: int = 42) -> StreamingQuery:
+    """The streaming twin of dedup.incremental_near_duplicates: each
+    micro-batch of documents is probed against the band index the stream
+    itself has accumulated, then added to it. Over the complete stream
+    the union of hit partitions equals the batch operator's cross-batch
+    pair set (each pair attributed to the LATER side's batch) — the
+    within-batch pairs remain minhash_near_duplicates(batch) by design,
+    same as the batch operator.
+
+    Bounded work per batch: |batch| x bucket collisions, exactly the
+    batch operator's cost model — the index grows with the corpus but is
+    only ever bucket-JOINED, never self-paired. At 100 TB the index is
+    this same parquet layout partitioned by `_batch_id` (compaction into
+    band-bucketed files is an offline optimization, not a semantic
+    change)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        minhash_index_batch_write(batch_df, batch_id, index_dir, dups_dir,
+                                  text_col, id_col, n, k, bands, threshold,
+                                  seed)
+
+    return (stream_df.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def read_mix_rates(spark, table_dir: str, part_col: str,
                    budget_docs: int, alpha: float = 0.5) -> DataFrame:
     """Live temperature-mix rates from the maintained count partials:

@@ -895,3 +895,62 @@ def test_streaming_mix_rates_equal_batch(spark, tmp_path):
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id").parquet(t))
     assert rows(read_mix_rates(spark, t, "source", 200)) == batch
+
+
+def test_incremental_minhash_dedup_stream_equals_batch(spark):
+    """The live dedup loop: micro-batches probe the index the stream has
+    accumulated. Over the full stream, the union of hit partitions must
+    equal the batch operator's cross-batch pair set (each pair attributed
+    to the LATER side's batch), with identical jaccard values; replaying
+    a batch must leave both outputs unchanged."""
+    import pyspark.sql.functions as F
+
+    from etl_online_retail_spark.catalog import load_table
+    from etl_online_retail_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from etl_online_retail_spark.streaming.ingest import (
+        incremental_minhash_dedup,
+        minhash_index_batch_write,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text").cache()
+    with tempfile.TemporaryDirectory() as d:
+        src, index_dir, dups_dir, ckpt = (f"{d}/src", f"{d}/index",
+                                          f"{d}/dups", f"{d}/ckpt")
+        # three source files = three micro-batches (maxFilesPerTrigger=1)
+        for part in range(3):
+            (docs.filter(F.col("doc_id") % 3 == part)
+             .coalesce(1).write.parquet(f"{src}/p{part}"))
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/p*"))
+        q = incremental_minhash_dedup(stream, index_dir, dups_dir, ckpt)
+        q.awaitTermination()
+
+        batch_of = {r._id: r._batch_id for r in
+                    (spark.read.parquet(index_dir)
+                     .select("_id", "_batch_id").collect())}
+        assert set(batch_of.values()) == {0, 1, 2}
+        hits = {(r.new_id, r.corpus_id): (r.jaccard, r._batch_id) for r in
+                spark.read.parquet(dups_dir).collect()}
+
+        expected = {}
+        for r in minhash_near_duplicates(docs).collect():
+            ba, bb = batch_of[r.id_a], batch_of[r.id_b]
+            if ba == bb:
+                continue  # within-batch pairs are out of contract
+            new, old = (r.id_a, r.id_b) if ba > bb else (r.id_b, r.id_a)
+            expected[(new, old)] = (r.jaccard, max(ba, bb))
+        assert expected, "fixture produced no cross-batch pairs"
+        assert hits == expected
+
+        # replay batch 1 (at-least-once): identical view -> identical rows
+        batch1_docs = docs.filter(
+            F.col("doc_id").isin([i for i, b in batch_of.items() if b == 1]))
+        minhash_index_batch_write(batch1_docs, 1, index_dir, dups_dir)
+        hits2 = {(r.new_id, r.corpus_id): (r.jaccard, r._batch_id) for r in
+                 spark.read.parquet(dups_dir).collect()}
+        assert hits2 == expected
+        assert {r._id: r._batch_id for r in
+                (spark.read.parquet(index_dir)
+                 .select("_id", "_batch_id").collect())} == batch_of
