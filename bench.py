@@ -50,6 +50,7 @@ HEADLINE = [
     "embedding_near_dups",
     "embedding_near_dups_vectorized",
     "gopher_quality_flags",
+    "perplexity_buckets",
     "media_features",
     "corpus_curation",
     "decontamination_overlap",

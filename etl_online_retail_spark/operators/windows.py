@@ -109,6 +109,96 @@ def distributed_rank(df: DataFrame, order: Sequence[Column],
     return ranked_df, total
 
 
+def distributed_rank_by(df: DataFrame, part_cols: Sequence[str],
+                        order: Sequence[Column], shard_by: Column,
+                        n_shards: int = 64, alias: str = "grank",
+                        total_alias: str | None = None) -> DataFrame:
+    """EXACT per-group row_number over a total order WITHIN each group —
+    distributed_rank's partitioned sibling, for the case where the
+    groups themselves are huge (a per-source window over a 100 TB corpus
+    split across 5 sources is 5 near-global single-partition sorts; this
+    runs one range-sharded pass).
+
+    Same three bounded steps: global approx shard boundaries (balance
+    only — exactness never depends on them), per-(group, shard) counts
+    folded into exclusive offsets driver-side, then row_number
+    partitioned by (group, shard) plus the offset. The offset table is
+    |groups| x n_shards rows broadcast back, so `part_cols` must be
+    BOUNDED (dimension-sized: source, language, shard-date...), never a
+    key column. `shard_by` must be monotone non-decreasing along
+    `order`. NULLs in part_cols are joined null-safely (their own
+    group). Adds `alias` (per-group rank) and, when total_alias is
+    given, the group's total row count.
+    """
+    sv = shard_by.cast("double")
+    work = df.withColumn("_sv", sv).cache()
+    fracs = [i / n_shards for i in range(1, n_shards)]
+    bounds_row = work.agg(
+        F.percentile_approx("_sv", fracs, 10_000).alias("_b")).first()
+    bounds = sorted({float(b) for b in (bounds_row["_b"] or [])
+                     if b is not None})
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + (F.col("_sv") > F.lit(b)).cast("int")
+    sharded = work.withColumn("_shard", shard).drop("_sv").cache()
+    counts = (sharded.groupBy(*part_cols, "_shard")
+              .agg(F.count(F.lit(1)).alias("_n")).collect())
+    per_part: dict[tuple, dict[int, int]] = {}
+    for r in counts:
+        key = tuple(r[c] for c in part_cols)
+        per_part.setdefault(key, {})[r["_shard"]] = r["_n"]
+    rows = []
+    for key, shards in per_part.items():
+        tot = sum(shards.values())
+        run = 0
+        for s in sorted(shards):
+            rows.append((*key, s, run, tot))
+            run += shards[s]
+    from pyspark.sql import types as T
+
+    off_schema = T.StructType(
+        [sharded.schema[c] for c in part_cols]
+        + [T.StructField("_shard", T.IntegerType(), False),
+           T.StructField("_off", T.LongType(), False),
+           T.StructField("_tot", T.LongType(), False)])
+    off_df = df.sparkSession.createDataFrame(rows, off_schema)
+    cond = F.col("l._shard") == F.col("r._shard")
+    for c in part_cols:
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    joined = (sharded.alias("l")
+              .join(F.broadcast(off_df.alias("r")), cond)
+              .select("l.*", "r._off", "r._tot"))
+    w = Window.partitionBy(*part_cols, "_shard").orderBy(*order)
+    out = (joined
+           .withColumn(alias, F.col("_off") + F.row_number().over(w))
+           .drop("_shard", "_off"))
+    if total_alias is None:
+        return out.drop("_tot")
+    return out.withColumnRenamed("_tot", total_alias)
+
+
+def distributed_ntile_by(df: DataFrame, part_cols: Sequence[str],
+                         order: Sequence[Column], shard_by: Column,
+                         n: int, n_shards: int = 64,
+                         alias: str = "bucket") -> DataFrame:
+    """EXACT per-group NTILE(n) without per-group single-partition
+    sorts: distributed_rank_by + the same closed form as
+    distributed_ntile, with the group total N carried as a column (the
+    first N % n buckets hold ceil(N/n) rows, the rest floor(N/n)) — all
+    integer `div`/`%` arithmetic, bit-equal to the engines' own
+    partitioned NTILE."""
+    ranked_df = distributed_rank_by(df, part_cols, order, shard_by,
+                                    n_shards=n_shards, alias="_gr",
+                                    total_alias="_gn")
+    in_big = F.expr(f"(_gr - 1) div (_gn div {n} + 1) + 1")
+    in_small = F.expr(
+        f"_gn % {n} + (_gr - (_gn % {n}) * (_gn div {n} + 1) - 1)"
+        f" div greatest(_gn div {n}, 1) + 1")
+    t = F.expr(f"(_gn % {n}) * (_gn div {n} + 1)")
+    bucket = F.when(F.col("_gr") <= t, in_big).otherwise(in_small)
+    return ranked_df.withColumn(alias, bucket.cast("int")).drop("_gr", "_gn")
+
+
 def distributed_ntile(df: DataFrame, order: Sequence[Column],
                       shard_by: Column, n: int, n_shards: int = 64,
                       alias: str = "bucket") -> DataFrame:

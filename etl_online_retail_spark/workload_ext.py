@@ -1018,6 +1018,58 @@ def q_doc_lm_logprob(spark, sf_dir):
     return unigram_logprob(docs)
 
 
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): per SOURCE,
+# split documents into head/middle/tail thirds by LM score (higher mean
+# logprob = lower perplexity = head) — the standard quality triage
+# before mixing. avg_logprob is the hash-exact doc_lm_logprob value, so
+# the (score DESC, doc_id) order is cross-engine identical and the
+# thirds are exactly NTILE(3). Scale shape: distributed_ntile_by — one
+# range-sharded pass for ALL sources; a per-source window would be
+# |sources| near-global single-partition sorts at 100 TB.
+
+_CCNET_ORACLE = f"""
+WITH toks AS (
+  {TOK_BODY}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+cnt AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT COUNT(*) AS t_total FROM toks),
+contrib AS (
+  SELECT tf.doc_id, tf.tf,
+    CAST(ROUND(tf.tf * ln(cnt.cnt::DOUBLE / tot.t_total::DOUBLE), 9)
+         AS DECIMAL(18,9)) AS c
+  FROM tf JOIN cnt USING (term) CROSS JOIN tot),
+lm AS (
+  SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE) / SUM(tf)::DOUBLE, 6)
+         AS avg_logprob
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id, source, avg_logprob,
+  CASE NTILE(3) OVER (PARTITION BY source
+                      ORDER BY avg_logprob DESC, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM lm JOIN documents USING (doc_id)
+"""
+
+
+@register("perplexity_buckets", _CCNET_ORACLE, "M6-curation-ccnet")
+def q_perplexity_buckets(spark, sf_dir):
+    from etl_online_retail_spark.operators.relevance import unigram_logprob
+    from etl_online_retail_spark.operators.windows import (
+        distributed_ntile_by,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = (unigram_logprob(docs).drop("n_tokens")
+          .join(docs.select("doc_id", "source"), "doc_id"))
+    bucketed = distributed_ntile_by(
+        lm, ["source"],
+        order=[F.desc("avg_logprob"), F.asc("doc_id")],
+        shard_by=-F.col("avg_logprob"), n=3, alias="_b")
+    name = (F.when(F.col("_b") == 1, "head")
+            .when(F.col("_b") == 2, "middle").otherwise("tail"))
+    return bucketed.select("doc_id", "source", "avg_logprob",
+                           name.alias("ppl_bucket"))
+
+
 # bigram LM with add-k smoothing: word ORDER now matters, not just word
 # choice. Same decimal contribution discipline; all engine arithmetic
 # forced to DOUBLE on both sides.

@@ -116,3 +116,44 @@ def test_distributed_rank_constant_key_single_shard_still_exact(spark):
                                   alias="r")
     assert total == 50
     assert sorted(r["r"] for r in got.collect()) == list(range(1, 51))
+
+
+def test_distributed_ntile_by_equals_partitioned_ntile(spark):
+    """The partitioned variant must reproduce NTILE(n) OVER (PARTITION BY
+    g ORDER BY ...) bit-for-bit, including groups with remainders, groups
+    smaller than n, and a NULL group key."""
+    from etl_online_retail_spark.operators.windows import (
+        distributed_ntile_by,
+    )
+
+    rows = ([("a", i) for i in range(103)]         # remainder group
+            + [("b", i) for i in range(60)]        # exact-split group
+            + [("c", i) for i in range(2)]         # fewer rows than n
+            + [(None, i) for i in range(7)])       # NULL group
+    df = spark.createDataFrame(rows, "g string, v int").repartition(8)
+    got = {((r.g, r.v)): r.bucket for r in
+           distributed_ntile_by(df, ["g"], order=[F.asc("v")],
+                                shard_by=F.col("v"), n=3,
+                                n_shards=4).collect()}
+    w = Window.partitionBy("g").orderBy(F.asc("v"))
+    want = {((r.g, r.v)): r.want for r in
+            df.withColumn("want", F.ntile(3).over(w)).collect()}
+    assert got == want
+
+
+def test_perplexity_buckets_windows_are_all_sharded(spark):
+    """The LM relation legitimately reduces to one partition for the
+    single-row corpus-total aggregate (KB of data), so a blanket
+    SinglePartition assertion would be wrong here; what must never
+    appear is a WINDOW over an unsharded relation — every window spec
+    in the plan has to carry the range-shard key."""
+    import re
+
+    from etl_online_retail_spark.workload_ext import q_perplexity_buckets
+
+    plan = _executed(q_perplexity_buckets(spark, SF))
+    assert "ntile" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "_shard" in spec, spec
