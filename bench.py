@@ -51,6 +51,8 @@ HEADLINE = [
     "embedding_near_dups_vectorized",
     "gopher_quality_flags",
     "perplexity_buckets",
+    "ngram_diversity_by_source",
+    "dup_rate_by_source",
     "media_features",
     "corpus_curation",
     "decontamination_overlap",

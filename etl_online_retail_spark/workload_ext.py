@@ -29,6 +29,7 @@ from etl_online_retail_spark.functions.text import (
     stopword_ratio_sql,
     token_count,
     token_count_sql,
+    word_ngrams_all_sql,
     word_shingle_hashes_sql,
 )
 from etl_online_retail_spark.functions.vectors import cosine_sql
@@ -384,6 +385,62 @@ def q_dedup_retention(spark, sf_dir):
         bands=MINHASH_BANDS, threshold=JACCARD_THRESHOLD)
 
 
+# dedup telemetry: the per-source duplication scorecard every curation
+# dashboard tracks — exact-copy rate (non-canonical members of a
+# fingerprint group) and near-dup domination rate (dominated side of a
+# verified pair) per source. Integer counts + single IEEE divisions.
+
+_DUP_RATE_ORACLE = f"""
+WITH {_minhash_cte_block()},
+canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})),
+dominated AS (SELECT DISTINCT id_b AS doc_id FROM neardup_pairs),
+per_doc AS (
+  SELECT d.source, d.doc_id,
+         CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS is_exact_dup,
+         CASE WHEN dm.doc_id IS NULL THEN 0 ELSE 1 END AS is_dominated
+  FROM documents d
+  LEFT JOIN canon c ON c.doc_id = d.doc_id
+  LEFT JOIN dominated dm ON dm.doc_id = d.doc_id)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(is_exact_dup) AS BIGINT) AS n_exact_dups,
+  CAST(SUM(is_dominated) AS BIGINT) AS n_near_dominated,
+  CAST(SUM(is_exact_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS exact_dup_rate,
+  CAST(SUM(is_dominated) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS near_dup_rate
+FROM per_doc GROUP BY source"""
+
+
+@register("dup_rate_by_source", _DUP_RATE_ORACLE, "M6-dedup-telemetry")
+def q_dup_rate_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").cache()
+    canon = (dedup.exact_duplicates(docs)
+             .select(F.col("canonical_id").alias("doc_id"))
+             .withColumn("_canon", F.lit(1)))
+    dominated = (dedup.minhash_near_duplicates(
+                     docs, n=SHINGLE_N, k=MINHASH_K, bands=MINHASH_BANDS,
+                     threshold=JACCARD_THRESHOLD)
+                 .select(F.col("id_b").alias("doc_id")).distinct()
+                 .withColumn("_dom", F.lit(1)))
+    per_doc = (docs.select("source", "doc_id")
+               .join(canon, "doc_id", "left")
+               .join(dominated, "doc_id", "left")
+               .select("source",
+                       F.when(F.col("_canon").isNull(), 1).otherwise(0)
+                        .alias("is_exact_dup"),
+                       F.coalesce(F.col("_dom"), F.lit(0))
+                        .alias("is_dominated")))
+    n = F.count(F.lit(1))
+    return (per_doc.groupBy("source")
+            .agg(n.alias("n_docs"),
+                 F.sum("is_exact_dup").alias("n_exact_dups"),
+                 F.sum("is_dominated").alias("n_near_dominated"),
+                 (F.sum("is_exact_dup").cast("double") / n.cast("double"))
+                 .alias("exact_dup_rate"),
+                 (F.sum("is_dominated").cast("double") / n.cast("double"))
+                 .alias("near_dup_rate")))
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -534,6 +591,72 @@ def q_token_stats_by_source(spark, sf_dir):
                  F.sum(token_count("text")).alias("total_tokens"),
                  (F.sum(token_count("text")).cast("double")
                   / F.count(F.lit(1))).alias("avg_tokens")))
+
+
+# n-gram diversity (distinct-1/distinct-2): the corpus-diversity metric
+# synthetic-data and dedup pipelines watch — a source whose distinct-2
+# ratio collapses is template-generated or over-duplicated. Two hash
+# aggs per n; ratios are single IEEE divisions of exact counts.
+
+_DIVERSITY_ORACLE = f"""
+WITH base AS (
+  SELECT source, {_NORM} AS norm FROM documents WHERE {_NORM} <> ''),
+uni AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS d1
+  FROM (SELECT source, unnest(regexp_split_to_array(norm, '\\s+')) AS g
+        FROM base) GROUP BY source),
+bi AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n2,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+  FROM (SELECT source, unnest({word_ngrams_all_sql('norm', SHINGLE_N)}) AS g
+        FROM base) GROUP BY source)
+SELECT source, n1 AS total_unigrams, d1 AS distinct_unigrams,
+  COALESCE(n2, 0::BIGINT) AS total_bigrams,
+  COALESCE(d2, 0::BIGINT) AS distinct_bigrams,
+  CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS distinct_1,
+  CASE WHEN COALESCE(n2, 0::BIGINT) > 0
+       THEN CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS distinct_2
+FROM uni LEFT JOIN bi USING (source)"""
+
+
+@register("ngram_diversity_by_source", _DIVERSITY_ORACLE,
+          "M6-text-diversity")
+def q_ngram_diversity_by_source(spark, sf_dir):
+    from etl_online_retail_spark.functions.text import (
+        normalize,
+        tokens,
+        word_ngrams_all_of_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (docs.withColumn("_norm", normalize("text"))
+            .filter(F.col("_norm") != "")
+            .select("source", tokens(F.col("_norm")).alias("_t"))
+            .cache())  # feeds both n-gram scans (rule 7)
+    uni = (base.select("source", F.explode("_t").alias("g"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("total_unigrams"),
+                F.countDistinct("g").alias("distinct_unigrams")))
+    bi = (base.select("source",
+                      F.explode(word_ngrams_all_of_tokens(F.col("_t"),
+                                                          SHINGLE_N))
+                      .alias("g"))
+          .groupBy("source")
+          .agg(F.count(F.lit(1)).alias("_n2"),
+               F.countDistinct("g").alias("_d2")))
+    d2 = (F.when(F.coalesce(F.col("_n2"), F.lit(0)) > 0,
+                 F.col("_d2").cast("double") / F.col("_n2").cast("double")))
+    return (uni.join(bi, "source", "left")
+            .select("source", "total_unigrams", "distinct_unigrams",
+                    F.coalesce(F.col("_n2"), F.lit(0).cast("bigint"))
+                     .alias("total_bigrams"),
+                    F.coalesce(F.col("_d2"), F.lit(0).cast("bigint"))
+                     .alias("distinct_bigrams"),
+                    (F.col("distinct_unigrams").cast("double")
+                     / F.col("total_unigrams").cast("double"))
+                    .alias("distinct_1"),
+                    d2.alias("distinct_2")))
 
 
 @register(
