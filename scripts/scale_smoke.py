@@ -928,10 +928,46 @@ def main() -> None:
         (lsh_near_duplicates(emb_mut, threshold=0.95, scorer="vectorized")
          .write.format("noop").mode("overwrite").save())
 
+    def emb_neardup_autoprobe():
+        # the recall-honest configuration: auto planes + auto multi-probe
+        # (>=90% capture at the threshold) — cost is ~probes x the
+        # single-probe GEMM pass, still linear
+        from etl_online_retail_spark.operators.similarity import (
+            lsh_near_duplicates,
+        )
+
+        (lsh_near_duplicates(emb_mut, threshold=0.95, probes=None,
+                             scorer="vectorized")
+         .write.format("noop").mode("overwrite").save())
+
+    def incremental_dedup():
+        # 90% retained corpus indexed, 10% "today's slice" probed —
+        # the production shape; work ∝ |new| x collisions
+        from etl_online_retail_spark.operators.dedup import (
+            incremental_near_duplicates,
+        )
+
+        corpus = docs_mut.filter(F.col("doc_id") % 10 != 0)
+        new_batch = docs_mut.filter(F.col("doc_id") % 10 == 0)
+        (incremental_near_duplicates(corpus, new_batch)
+         .write.format("noop").mode("overwrite").save())
+
+    def retention():
+        from etl_online_retail_spark.operators.curation import (
+            cluster_representatives,
+        )
+
+        (cluster_representatives(docs_mut)
+         .write.format("noop").mode("overwrite").save())
+
     timed(f"tfidf pair cosine @ {factor}x", tfidf_pairs)
     timed(f"corpus curation @ {factor}x", curation)
     timed(f"fact table build @ {factor}x", fact_build)
     timed(f"embedding near-dups (lsh) @ {factor}x", emb_neardup)
+    timed(f"embedding near-dups (auto-probe) @ {factor}x",
+          emb_neardup_autoprobe)
+    timed(f"incremental dedup probe @ {factor}x", incremental_dedup)
+    timed(f"dedup retention @ {factor}x", retention)
 
 
 if __name__ == "__main__":
