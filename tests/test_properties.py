@@ -163,3 +163,26 @@ def test_mjpeg_split_recovers_every_frame(frames):
         img = jpeg.decode_jpeg(fr)
         assert (img.width, img.height) == (w, h)
         assert img.mean_pixel() == 2 * v  # even gray: bit-exact
+
+
+@given(st.integers(min_value=0, max_value=500),
+       st.integers(min_value=1, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_ntile_closed_form_matches_definition(total, n):
+    """The integer closed form behind distributed_ntile(_by) — first
+    N % n buckets hold ceil(N/n) rows, the rest floor(N/n) — must equal
+    the SQL-standard NTILE definition for every (rank, N, n)."""
+    q, rem = divmod(total, n)
+    t = rem * (q + 1)
+
+    def closed_form(r: int) -> int:
+        if r <= t:
+            return (r - 1) // (q + 1) + 1
+        return rem + (r - t - 1) // max(q, 1) + 1
+
+    # reference: deal rows into n buckets, larger buckets first
+    sizes = [q + 1 if i < rem else q for i in range(n)]
+    ref = []
+    for b, s in enumerate(sizes, start=1):
+        ref.extend([b] * s)
+    assert [closed_form(r) for r in range(1, total + 1)] == ref
