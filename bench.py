@@ -53,6 +53,7 @@ HEADLINE = [
     "perplexity_buckets",
     "ngram_diversity_by_source",
     "dup_rate_by_source",
+    "progressive_jpeg_stats",
     "media_features",
     "corpus_curation",
     "decontamination_overlap",

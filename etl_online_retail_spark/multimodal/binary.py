@@ -9,8 +9,8 @@ spark.sql.execution.arrow.maxRecordsPerBatch to keep
 payload-size-agnostic.
 
 PNG decodes FOR REAL via the stdlib codec in multimodal/png.py (zlib
-inflate + scanline unfilter), baseline JPEG via multimodal/jpeg.py
-(Huffman + IDCT), GIF via multimodal/gif.py (LZW) and lossless WebP
+inflate + scanline unfilter), JPEG — baseline AND progressive — via
+multimodal/jpeg.py (Huffman + IDCT + Annex G scans), GIF via multimodal/gif.py (LZW) and lossless WebP
 via multimodal/webp.py (VP8L prefix coding); remaining codecs (lossy
 WebP, mp3/aac audio, mp4/webm video) still need libraries this
 container does not ship and stay stubbed behind the same signatures. binary_features additionally extracts deterministic
@@ -95,13 +95,14 @@ IMAGE_FEATURE_SCHEMA = T.StructType([
 def decode_image(content: bytes) -> dict:
     """Decode one image payload to dimension/channel/intensity features.
 
-    PNG and baseline JPEG decode for real via the stdlib codecs
+    PNG and JPEG (baseline SOF0 AND progressive SOF2, incl. successive
+    approximation) decode for real via the stdlib codecs
     (multimodal/png.py — zlib inflate + scanline unfilter;
-    multimodal/jpeg.py — Huffman + IDCT); other formats still need an
-    imaging library this container does not ship and raise
-    NotImplementedError with the same signature a PIL-backed body would
-    keep. Routing is by magic bytes, the same dispatch a production
-    decoder pool uses.
+    multimodal/jpeg.py — Huffman + IDCT + the T.81 Annex G progressive
+    scan machinery); other formats still need an imaging library this
+    container does not ship and raise NotImplementedError with the same
+    signature a PIL-backed body would keep. Routing is by magic bytes,
+    the same dispatch a production decoder pool uses.
     """
     from etl_online_retail_spark.multimodal import gif as _gif
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
@@ -120,7 +121,8 @@ def decode_image(content: bytes) -> dict:
         img = _webp.decode_webp(content)   # VP8L; VP8/VP8X raise inside
     else:
         raise NotImplementedError(
-            "only PNG, baseline JPEG, GIF and lossless WebP decode in "
+            "only PNG, JPEG (baseline + progressive), GIF and lossless "
+            "WebP decode in "
             "this environment (stdlib codecs); other formats require "
             "libraries not present in this container"
         )
@@ -300,6 +302,39 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
                 v = 2 * (int(i) % 128)
                 payloads.append(_jpeg.encode_jpeg(
                     bytes([v]) * (w * h * 3), w, h, channels=3))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
+def synthetic_progressive_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
+                                     max_w: int = 16,
+                                     max_h: int = 8) -> DataFrame:
+    """Render one deterministic solid-gray PROGRESSIVE JPEG per row
+    (SOF2 with successive approximation — all four progressive scan
+    kinds: DC first/refine and AC first/refine). Same closed-form
+    contract as synthetic_jpeg_media: even intensity keeps the decode
+    bit-exact (identical quantized coefficients, only the scan script
+    differs), so the oracle stays analytic in the id while the Spark
+    side genuinely decodes a multi-scan entropy stream.
+    """
+    from etl_online_retail_spark.multimodal import jpeg as _jpeg
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                w, h = 1 + int(i) % max_w, 1 + int(i) % max_h
+                v = 2 * (int(i) % 128)
+                payloads.append(_jpeg.encode_progressive_jpeg(
+                    bytes([v]) * (w * h * 3), w, h, channels=3,
+                    successive=True))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([

@@ -1,17 +1,23 @@
 """Minimal pure-stdlib baseline JPEG codec (Huffman + 8x8 DCT).
 
 Second real format for the media path (after multimodal/png.py), again
-with zero dependencies: struct + math are enough for baseline sequential
-8-bit JPEG (ITU-T T.81). The decoder handles grayscale and YCbCr with any
-sampling factors <= 2 (4:4:4, 4:2:2, 4:2:0), restart markers, and the
-standard marker stream (SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS/EOI); the
-encoder emits spec-valid baseline JPEG with the Annex K quantization and
-Huffman tables (grayscale or YCbCr, optional 2x2 luma sampling = 4:2:0)
-so tests and queries can fabricate fixtures deterministically.
+with zero dependencies: struct + math are enough for 8-bit JPEG
+(ITU-T T.81) — baseline sequential (SOF0) AND progressive (SOF2, r6):
+spectral selection and successive approximation per Annex G, all four
+scan kinds (DC/AC x first/refinement) with end-of-band runs. The decoder
+handles grayscale and YCbCr with any sampling factors <= 2 (4:4:4,
+4:2:2, 4:2:0), restart markers, and the standard marker stream
+(SOI/APPn/COM/DQT/SOF0/SOF2/DHT/DRI/multi-SOS/EOI); the encoders emit
+spec-valid baseline and progressive streams with the Annex K tables so
+tests and queries can fabricate fixtures deterministically — and because
+both encoders share one quantization pipeline, decode(progressive) is
+asserted pixel-identical to decode(baseline) on random images.
 
 Format reference: the public JPEG specification (ITU-T T.81 / ISO 10918):
 marker layout, zig-zag order, Annex K.1/K.2 quantization tables, Annex
-K.3 typical Huffman tables, F.1/F.2 entropy coding procedures.
+K.3 typical Huffman tables, F.1/F.2 entropy coding procedures, Annex G
+progressive procedures (G.1.2.1-G.1.2.3; the refinement correction-bit
+buffering follows the same discipline libjpeg's encoder documents).
 
 Determinism notes (the oracle relies on these):
   * Quantization rounds half away from zero (matches SQL ROUND), not
@@ -311,8 +317,177 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return [bytes(s) for s in segments], i
 
 
+def _block_dc(br: _BitReader, coef: list[int], pred: int, dc_tab: dict,
+              ah: int, al: int) -> int:
+    """DC pass for one block (first when ah==0, refinement otherwise).
+    Returns the new predictor (first pass only uses it)."""
+    if ah == 0:
+        t = _decode_symbol(br, dc_tab)
+        pred += _extend(br.read_bits(t), t)
+        coef[0] = pred << al
+    elif br.read_bit():
+        coef[0] |= 1 << al
+    return pred
+
+def _block_ac_first(br: _BitReader, coef: list[int], ss: int, se: int,
+                    al: int, ac_tab: dict, eobrun: int) -> int:
+    """First AC pass (G.1.2.2) over zigzag band [ss, se]; returns the
+    remaining end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits blocks incl. this one
+                return (1 << r) - 1 + (br.read_bits(r) if r else 0)
+            k += 16     # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index overran the band")
+        coef[ZIGZAG[k]] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+def _block_ac_refine(br: _BitReader, coef: list[int], ss: int, se: int,
+                     al: int, ac_tab: dict, eobrun: int) -> int:
+    """Refinement AC pass (G.1.2.3): correction bits for history-nonzero
+    coefficients, insertion of newly-nonzero ones. Returns the remaining
+    end-of-band run (this block consumes one when inside a run)."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                    break  # correction-bit tail below ends this block
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan carries s > 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                pos = ZIGZAG[k]
+                if coef[pos] != 0:
+                    if br.read_bit() and (coef[pos] & p1) == 0:
+                        coef[pos] += p1 if coef[pos] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            pos = ZIGZAG[k]
+            if coef[pos] != 0:
+                if br.read_bit() and (coef[pos] & p1) == 0:
+                    coef[pos] += p1 if coef[pos] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+def _run_scan(scan_comps: list, segments: list[bytes], ss: int, se: int,
+              ah: int, al: int, progressive: bool,
+              coefs: dict, geom: dict, mcus_x: int, mcus_y: int,
+              dc_tables: dict, ac_tables: dict,
+              restart_interval: int) -> None:
+    """Entropy-decode one scan into the coefficient grids.
+
+    Baseline: the classic interleaved DC+AC MCU walk. Progressive: a DC
+    scan (interleaved over the padded grid when ns > 1) or a
+    single-component AC band scan in raster order over the REAL block
+    grid (padding blocks carry DC only — same samples baseline edge
+    replication produces). Restart markers reset predictors and the
+    end-of-band run every `restart_interval` MCUs/blocks.
+    """
+    seg_iter = iter(segments)
+    br = _BitReader(next(seg_iter))
+    if not progressive:
+        pred = {c.cid: 0 for c in scan_comps}
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br = _BitReader(next(seg_iter))
+                pred = {c.cid: 0 for c in scan_comps}
+            mx, my = mcu % mcus_x, mcu // mcus_x
+            for c in scan_comps:
+                bwf = geom[c.cid][0]
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        coef = coefs[c.cid][(my * c.v + by) * bwf
+                                            + mx * c.h + bx]
+                        t = _decode_symbol(br, dc_tables[c.td])
+                        pred[c.cid] += _extend(br.read_bits(t), t)
+                        coef[0] = pred[c.cid]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, ac_tables[c.ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break        # EOB
+                            k += r
+                            coef[ZIGZAG[k]] = _extend(br.read_bits(s), s)
+                            k += 1
+        return
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        if len(scan_comps) > 1:  # interleaved: padded MCU walk
+            pred = {c.cid: 0 for c in scan_comps}
+            for mcu in range(mcus_x * mcus_y):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    br = _BitReader(next(seg_iter))
+                    pred = {c.cid: 0 for c in scan_comps}
+                mx, my = mcu % mcus_x, mcu // mcus_x
+                for c in scan_comps:
+                    bwf = geom[c.cid][0]
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            coef = coefs[c.cid][(my * c.v + by) * bwf
+                                                + mx * c.h + bx]
+                            pred[c.cid] = _block_dc(
+                                br, coef, pred[c.cid],
+                                dc_tables[c.td], ah, al)
+            return
+        c = scan_comps[0]
+        bwf, _, bw, bh = geom[c.cid]
+        pred0 = 0
+        for unit in range(bw * bh):
+            if restart_interval and unit and unit % restart_interval == 0:
+                br = _BitReader(next(seg_iter))
+                pred0 = 0
+            coef = coefs[c.cid][(unit // bw) * bwf + unit % bw]
+            pred0 = _block_dc(br, coef, pred0, dc_tables[c.td], ah, al)
+        return
+    # AC band scan: exactly one component, raster over real blocks
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = scan_comps[0]
+    bwf, _, bw, bh = geom[c.cid]
+    block_fn = _block_ac_refine if ah else _block_ac_first
+    eobrun = 0
+    for unit in range(bw * bh):
+        if restart_interval and unit and unit % restart_interval == 0:
+            br = _BitReader(next(seg_iter))
+            eobrun = 0
+        coef = coefs[c.cid][(unit // bw) * bwf + unit % bw]
+        eobrun = block_fn(br, coef, ss, se, al, ac_tables[c.ta], eobrun)
+
+
 def decode_jpeg(data: bytes) -> JpegImage:
-    """Decode a baseline sequential 8-bit JPEG (SOF0)."""
+    """Decode an 8-bit JPEG: baseline sequential (SOF0) or progressive
+    (SOF2, spectral selection + successive approximation per T.81 G)."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG: missing SOI marker")
     qtables: dict[int, list[int]] = {}
@@ -321,8 +496,31 @@ def decode_jpeg(data: bytes) -> JpegImage:
     comps: list[_Component] = []
     width = height = None
     restart_interval = 0
+    progressive = False
+    any_scan = False
     pos = 2
-    segments: list[bytes] | None = None
+    # per-component quantized-coefficient grids (natural order within a
+    # block), MCU-padded — scans accumulate into them; dequant + IDCT
+    # happen once at the end, which is also exactly what the baseline
+    # single-scan case needs
+    coefs: dict[int, list[list[int]]] = {}
+    geom: dict[int, tuple[int, int, int, int]] = {}  # bwf,bhf,bw,bh
+    mcus_x = mcus_y = hmax = vmax = 0
+
+    def init_grids() -> None:
+        nonlocal mcus_x, mcus_y, hmax, vmax
+        hmax = max(c.h for c in comps)
+        vmax = max(c.v for c in comps)
+        mcus_x = -(-width // (8 * hmax))
+        mcus_y = -(-height // (8 * vmax))
+        for c in comps:
+            bwf, bhf = mcus_x * c.h, mcus_y * c.v
+            cw = -(-width * c.h // hmax)    # component sample dims
+            ch_ = -(-height * c.v // vmax)
+            bw, bh = -(-cw // 8), -(-ch_ // 8)  # real (unpadded) blocks
+            geom[c.cid] = (bwf, bhf, bw, bh)
+            coefs[c.cid] = [[0] * 64 for _ in range(bwf * bhf)]
+
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -357,21 +555,25 @@ def decode_jpeg(data: bytes) -> JpegImage:
                 table = _huff_decode_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            init_grids()
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) "
-                f"JPEGs are supported by this stdlib codec")
+                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) and "
+                f"progressive (SOF2) JPEGs are supported by this codec")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if width is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             order = {c.cid: c for c in comps}
             scan_comps = []
@@ -380,62 +582,36 @@ def decode_jpeg(data: bytes) -> JpegImage:
                 comp = order[cid]
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 scan_comps.append(comp)
-            comps = scan_comps
+            ss, se, ahl = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
             segments, pos = _split_entropy(data, pos)
-            break
+            _run_scan(scan_comps, segments, ss, se, ah, al, progressive,
+                      coefs, geom, mcus_x, mcus_y, dc_tables, ac_tables,
+                      restart_interval)
+            any_scan = True
+            if not progressive:
+                break
         # APPn / COM / others: skipped via seglen
-    if width is None or segments is None:
-        raise ValueError("JPEG missing SOF0 or SOS")
+    if width is None or not any_scan:
+        raise ValueError("JPEG missing SOF or SOS")
 
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
+    # dequantize + IDCT every (padded) block into the sample planes
     planes = {c.cid: bytearray(mcus_x * c.h * 8 * mcus_y * c.v * 8)
               for c in comps}
     plane_w = {c.cid: mcus_x * c.h * 8 for c in comps}
-
-    seg_iter = iter(segments)
-    br = _BitReader(next(seg_iter))
-    pred = {c.cid: 0 for c in comps}
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            br = _BitReader(next(seg_iter))
-            pred = {c.cid: 0 for c in comps}
-        mx, my = mcu % mcus_x, mcu // mcus_x
-        for c in comps:
-            q = qtables[c.tq]
-            for by in range(c.v):
-                for bx in range(c.h):
-                    coef = [0.0] * 64
-                    t = _decode_symbol(br, dc_tables[c.td])
-                    diff = _extend(br.read_bits(t), t)
-                    pred[c.cid] += diff
-                    coef[0] = pred[c.cid] * q[0]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(br, ac_tables[c.ta])
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL: run of 16 zeros
-                                k += 16
-                                continue
-                            break        # EOB
-                        k += r
-                        nat = ZIGZAG[k]
-                        coef[nat] = _extend(br.read_bits(s), s) * q[nat]
-                        k += 1
-                    px = _idct2(coef)
-                    x0 = (mx * c.h + bx) * 8
-                    y0 = (my * c.v + by) * 8
-                    pw = plane_w[c.cid]
-                    plane = planes[c.cid]
-                    for y in range(8):
-                        row = (y0 + y) * pw + x0
-                        for x in range(8):
-                            v = _round_half_away(px[y * 8 + x] + 128.0)
-                            plane[row + x] = 0 if v < 0 else (
-                                255 if v > 255 else v)
+    for c in comps:
+        q = qtables[c.tq]
+        bwf = geom[c.cid][0]
+        pw = plane_w[c.cid]
+        plane = planes[c.cid]
+        for bi, qcoef in enumerate(coefs[c.cid]):
+            px = _idct2([qcoef[i] * q[i] for i in range(64)])
+            x0, y0 = (bi % bwf) * 8, (bi // bwf) * 8
+            for y in range(8):
+                row = (y0 + y) * pw + x0
+                for x in range(8):
+                    v = _round_half_away(px[y * 8 + x] + 128.0)
+                    plane[row + x] = 0 if v < 0 else (255 if v > 255 else v)
 
     if len(comps) == 1:
         c = comps[0]
@@ -554,14 +730,11 @@ def _block_at(plane: list[int], pw: int, ph: int,
     return out
 
 
-def encode_jpeg(pixels: bytes, width: int, height: int,
-                channels: int = 3, subsample: bool = False) -> bytes:
-    """Encode 8-bit samples as baseline JPEG with the Annex K tables.
-
-    channels=1: grayscale; channels=3: RGB input, encoded as YCbCr —
-    4:4:4, or 4:2:0 (2x2 luma sampling + averaged chroma) when
-    `subsample` is set. `pixels` is row-major interleaved.
-    """
+def _prepare_planes(pixels: bytes, width: int, height: int,
+                    channels: int, subsample: bool):
+    """Color-convert + (optionally) subsample into per-component planes;
+    returns (planes, dims, samp) — shared by the baseline and progressive
+    encoders so their coefficients are identical by construction."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if len(pixels) != width * height * channels:
@@ -607,7 +780,19 @@ def encode_jpeg(pixels: bytes, width: int, height: int,
             planes = [luma, cb_full, cr_full]
             dims = [(width, height)] * 3
             samp = [(1, 1)] * 3
+    return planes, dims, samp
 
+
+def encode_jpeg(pixels: bytes, width: int, height: int,
+                channels: int = 3, subsample: bool = False) -> bytes:
+    """Encode 8-bit samples as baseline JPEG with the Annex K tables.
+
+    channels=1: grayscale; channels=3: RGB input, encoded as YCbCr —
+    4:4:4, or 4:2:0 (2x2 luma sampling + averaged chroma) when
+    `subsample` is set. `pixels` is row-major interleaved.
+    """
+    planes, dims, samp = _prepare_planes(pixels, width, height, channels,
+                                         subsample)
     hmax = max(h for h, _ in samp)
     vmax = max(v for _, v in samp)
     mcus_x = -(-width // (8 * hmax))
@@ -661,5 +846,219 @@ def encode_jpeg(pixels: bytes, width: int, height: int,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2)
+
+def _quantized_grids(planes, dims, samp, width, height, channels):
+    """Quantized-coefficient grids for every (MCU-padded) block of every
+    component — the shared input of all progressive scans."""
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    qtabs = [STD_LUMA_Q] + ([STD_CHROMA_Q] if channels == 3 else [])
+    grids = []
+    for ci in range(channels):
+        h, v = samp[ci]
+        pw, ph = dims[ci]
+        q = qtabs[0 if ci == 0 else 1]
+        bwf, bhf = mcus_x * h, mcus_y * v
+        grid = []
+        for by in range(bhf):
+            for bx in range(bwf):
+                block = _block_at(planes[ci], pw, ph, bx * 8, by * 8)
+                grid.append(_quantize(_fdct2(block), q))
+        grids.append(grid)
+    return grids, mcus_x, mcus_y
+
+
+def _shift_to_zero(v: int, al: int) -> int:
+    """Divide by 2^al rounding toward zero (the AC point transform)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _write_amplitude(bw: _BitWriter, v: int, s: int) -> None:
+    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _encode_ac_first_block(bw: _BitWriter, coef: list[int], ss: int,
+                           se: int, al: int, ac_tab: dict) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = _shift_to_zero(coef[ZIGZAG[k]], al)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        _write_amplitude(bw, v, s)
+        run = 0
+    if run:
+        code, length = ac_tab[0x00]  # EOB (run of exactly this block)
+        bw.write(code, length)
+
+
+def _encode_ac_refine_block(bw: _BitWriter, coef: list[int], ss: int,
+                            se: int, al: int, ac_tab: dict) -> None:
+    """Refinement AC scan for one block (G.1.2.3, per-block EOB): emit
+    run/size symbols for newly-nonzero coefficients, buffering one
+    correction bit per already-nonzero coefficient passed, flushed after
+    each symbol's appended bits."""
+    shifted = [_shift_to_zero(coef[ZIGZAG[k]], al) for k in range(ss, se + 1)]
+    run = 0
+    pending: list[int] = []
+    # last newly-nonzero index: ZRL is only emitted while another new
+    # coefficient is still coming (k <= eob_k); trailing zero runs are
+    # the EOB's job. The ZRL check runs at EVERY nonzero position (the
+    # libjpeg discipline) so correction bits buffered before the run
+    # flush with the ZRL and bits after it wait for the next symbol —
+    # the decoder reads them in exactly that order.
+    eob_k = max((k for i, k in enumerate(range(ss, se + 1))
+                 if abs(shifted[i]) == 1), default=ss - 1)
+    for i, k in enumerate(range(ss, se + 1)):
+        t = abs(shifted[i])
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob_k:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+            run -= 16
+        if t > 1:  # history-nonzero: correction bit, run unaffected
+            pending.append(t & 1)
+            continue
+        # newly-nonzero at this precision
+        code, length = ac_tab[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if shifted[i] > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        code, length = ac_tab[0x00]
+        bw.write(code, length)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_progressive_jpeg(pixels: bytes, width: int, height: int,
+                            channels: int = 3, subsample: bool = False,
+                            successive: bool = False) -> bytes:
+    """Encode 8-bit samples as PROGRESSIVE JPEG (SOF2, Annex K tables).
+
+    successive=False: spectral selection only — one interleaved DC scan,
+    then each component's full AC band. successive=True additionally
+    splits every band across two precision passes (Al=1 first, then the
+    Ah=1/Al=0 refinement), exercising all four progressive scan kinds.
+    The quantized coefficients come from the SAME pipeline as
+    encode_jpeg, so decode(progressive bytes) is pixel-identical to
+    decode(baseline bytes) of the same input — the equivalence the tests
+    pin.
+    """
+    planes, dims, samp = _prepare_planes(pixels, width, height, channels,
+                                         subsample)
+    grids, mcus_x, mcus_y = _quantized_grids(planes, dims, samp,
+                                             width, height, channels)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    qtabs = [STD_LUMA_Q] + ([STD_CHROMA_Q] if channels == 3 else [])
+    dc_enc = [_huff_encode_table(*_DC_LUMA)]
+    ac_enc = [_huff_encode_table(*_AC_LUMA)]
+    if channels == 3:
+        dc_enc.append(_huff_encode_table(*_DC_CHROMA))
+        ac_enc.append(_huff_encode_table(*_AC_CHROMA))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(JPEG_SOI)
+    for tq, q in enumerate(qtabs):
+        zz = bytes(q[ZIGZAG[k]] for k in range(64))
+        out += seg(0xDB, bytes([tq]) + zz)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    huff_specs = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+    if channels == 3:
+        huff_specs += [(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+    for tc, th, (bits, vals) in huff_specs:
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    def sos_header(comp_ixs, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ixs)])
+        for ci in comp_ixs:
+            t = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * channels
+        for mcu in range(mcus_x * mcus_y):
+            mx, my = mcu % mcus_x, mcu // mcus_x
+            for ci in range(channels):
+                h, v = samp[ci]
+                bwf = mcus_x * h
+                t_ix = 0 if ci == 0 else 1
+                for by in range(v):
+                    for bx in range(h):
+                        dc = grids[ci][(my * v + by) * bwf
+                                       + mx * h + bx][0]
+                        if ah == 0:
+                            val = dc >> al
+                            diff = val - pred[ci]
+                            pred[ci] = val
+                            t = _category(diff)
+                            code, length = dc_enc[t_ix][t]
+                            bw.write(code, length)
+                            if t:
+                                _write_amplitude(bw, diff, t)
+                        else:
+                            bw.write((dc >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_scan(ci: int, al: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        h, v = samp[ci]
+        bwf = mcus_x * h
+        cw = -(-width * h // hmax)
+        ch_ = -(-height * v // vmax)
+        bw_, bh_ = -(-cw // 8), -(-ch_ // 8)  # real blocks only
+        tab = ac_enc[0 if ci == 0 else 1]
+        enc = _encode_ac_refine_block if refine else _encode_ac_first_block
+        for by in range(bh_):
+            for bx in range(bw_):
+                enc(bw, grids[ci][by * bwf + bx], 1, 63, al, tab)
+        bw.flush()
+        return bytes(bw.out)
+
+    first_al = 1 if successive else 0
+    out += sos_header(list(range(channels)), 0, 0, 0, first_al)
+    out += dc_scan(0, first_al)
+    for ci in range(channels):
+        out += sos_header([ci], 1, 63, 0, first_al)
+        out += ac_scan(ci, first_al, refine=False)
+    if successive:
+        out += sos_header(list(range(channels)), 0, 0, 1, 0)
+        out += dc_scan(1, 0)
+        for ci in range(channels):
+            out += sos_header([ci], 1, 63, 1, 0)
+            out += ac_scan(ci, 0, refine=True)
     out += b"\xff\xd9"
     return bytes(out)

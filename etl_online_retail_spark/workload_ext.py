@@ -1854,6 +1854,32 @@ def q_webp_image_stats(spark, sf_dir):
 # multimodal/jpeg.py): same shape as png_image_stats. Intensity is even
 # (2 * (id % 128)) so the lossy codec is bit-exact on these fixtures and
 # the oracle stays closed-form (see synthetic_jpeg_media docstring).
+# real PROGRESSIVE JPEG codec round-trip (SOF2 with successive
+# approximation — all four Annex G scan kinds decoded for real, r6):
+# same closed-form contract as jpeg_image_stats (identical quantized
+# coefficients; only the scan script differs), so the oracle verifies
+# the multi-scan decode exactly. Progressive is how most web JPEGs
+# ship — the crawl-corpus format the baseline-only codec would reject.
+@register(
+    "progressive_jpeg_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST(8 AS INTEGER) AS bit_depth, "
+    "CAST(2 * (doc_id % 128) AS DOUBLE) AS mean_pixel "
+    "FROM documents",
+    "M6-multimodal-codec",
+)
+def q_progressive_jpeg_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        synthetic_progressive_jpeg_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(synthetic_progressive_jpeg_media(docs))
+
+
 @register(
     "jpeg_image_stats",
     "SELECT doc_id AS media_id, "

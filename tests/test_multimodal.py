@@ -113,14 +113,19 @@ def test_jpeg_grayscale_and_odd_dimensions():
     assert (img.width, img.height, img.channels) == (w, h, 3)
 
 
-def test_jpeg_rejects_progressive_and_truncated():
+def test_jpeg_rejects_unsupported_sof_and_truncated():
     from etl_online_retail_spark.multimodal import jpeg
 
     data = bytearray(jpeg.encode_jpeg(bytes([10]) * 192, 8, 8, 3))
-    # rewrite the SOF0 marker (FFC0) to SOF2 (progressive)
     i = bytes(data).find(b"\xff\xc0")
+    # SOF3 (lossless) stays unsupported
+    data[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF3"):
+        jpeg.decode_jpeg(bytes(data))
+    # SOF2 decodes now — but a baseline scan header relabeled progressive
+    # is an INVALID progressive stream (a DC scan must have Se = 0)
     data[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         jpeg.decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\xff\xd8\xff\xe0\x00\x04aa")  # truncated
@@ -646,3 +651,47 @@ def test_webp_image_features_spark_stage(spark):
         assert r.height == 1 + r.media_id % 8
         assert r.channels == 3 and r.bit_depth == 8
         assert r.mean_pixel == pytest.approx(float(r.media_id % 256))
+
+
+def test_progressive_jpeg_equals_baseline_on_random_images():
+    """decode(progressive bytes) must be PIXEL-IDENTICAL to
+    decode(baseline bytes) of the same input — both encoders share one
+    quantization pipeline, so any bit slip in the four progressive scan
+    kinds (DC/AC x first/refine, EOB runs, ZRL + correction-bit order)
+    breaks either the Huffman stream or this equality."""
+    import random
+
+    from etl_online_retail_spark.multimodal import jpeg
+
+    rng = random.Random(20260814)
+    for _ in range(25):
+        w, h = rng.randint(1, 40), rng.randint(1, 32)
+        ch = rng.choice([1, 3])
+        sub = rng.choice([False, True]) if ch == 3 else False
+        succ = rng.choice([False, True])
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, w, h, ch,
+                                                 subsample=sub))
+        prog = jpeg.decode_jpeg(jpeg.encode_progressive_jpeg(
+            px, w, h, ch, subsample=sub, successive=succ))
+        assert (prog.width, prog.height, prog.channels) == \
+            (base.width, base.height, base.channels)
+        assert prog.pixels == base.pixels, (w, h, ch, sub, succ)
+
+
+def test_progressive_jpeg_marker_structure_and_dispatch():
+    """The emitted stream is structurally progressive (SOF2 + one SOS
+    per scan: 1 DC + 3 AC without successive approximation, doubled
+    with) and routes through decode_image's magic-byte dispatch."""
+    from etl_online_retail_spark.multimodal import jpeg
+    from etl_online_retail_spark.multimodal.binary import decode_image
+
+    px = bytes([100]) * (12 * 9 * 3)
+    spectral = jpeg.encode_progressive_jpeg(px, 12, 9, 3)
+    succ = jpeg.encode_progressive_jpeg(px, 12, 9, 3, successive=True)
+    for data, n_scans in ((spectral, 4), (succ, 8)):
+        assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+        assert data.count(b"\xff\xda") == n_scans
+    feats = decode_image(succ)
+    assert (feats["width"], feats["height"], feats["channels"]) == (12, 9, 3)
+    assert feats["mean_pixel"] == 100.0  # even gray: bit-exact
