@@ -54,6 +54,7 @@ HEADLINE = [
     "ngram_diversity_by_source",
     "dup_rate_by_source",
     "progressive_jpeg_stats",
+    "mp4_demux_stats",
     "media_features",
     "corpus_curation",
     "decontamination_overlap",

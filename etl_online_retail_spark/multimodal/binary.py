@@ -353,14 +353,25 @@ def frame_sample(content: bytes, every_n: int = 30) -> list[tuple[int, bytes]]:
     container formats (mp4/webm) still need ffmpeg/pyav and raise with
     the signature a real demuxer body would keep."""
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
+    from etl_online_retail_spark.multimodal import mp4 as _mp4
 
     content = bytes(content)
     if content[:2] == _jpeg.JPEG_SOI:
         frames = _jpeg.split_mjpeg(content)
         return [(i, frames[i]) for i in range(0, len(frames), every_n)]
+    if _mp4.is_mp4(content):
+        # REAL demux (ISO BMFF box walk, multimodal/mp4.py): the sampled
+        # payloads are the track's codec samples (e.g. H.264 AUs) as
+        # opaque bytes — decodable frames only for MJPEG-style tracks;
+        # decoding AVC/HEVC payloads still needs ffmpeg-class codecs.
+        info = _mp4.demux_mp4(content)
+        vid = next((t for t in info.tracks if t.handler == "vide"), None)
+        if vid is None or not vid.samples:
+            raise ValueError("mp4 has no video track with a sample table")
+        return _mp4.extract_samples(content, vid, every_n)
     raise NotImplementedError(
-        "video frame sampling beyond MJPEG requires ffmpeg/pyav, "
-        "not present here"
+        "video frame sampling beyond MJPEG and MP4 demux requires "
+        "ffmpeg/pyav, not present here"
     )
 
 
@@ -468,12 +479,85 @@ def synthetic_ulaw_media(docs: DataFrame,
                 .mapInPandas(render, out_schema))
 
 
-# kept as the documented stub surface for container formats
+# kept as the documented stub surface for codec DECODE of demuxed samples
 def frame_sample_stub(content: bytes, every_n: int = 30) -> list[bytes]:
-    """Placeholder for container-format (mp4/webm) frame sampling."""
+    """Placeholder for decoding demuxed AVC/HEVC/VP9 sample payloads to
+    pixels (mp4/webm DEMUX is real — multimodal/mp4.py — the codec
+    decode of its samples is what still needs ffmpeg)."""
     raise NotImplementedError(
         "video frame sampling requires ffmpeg/pyav, not present here"
     )
+
+
+def synthetic_mp4_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One deterministic minimal MP4 per row (real builder, multimodal/
+    mp4.py): n_samples = 1 + id % 7 opaque payloads of 8 + id % 9 bytes,
+    timescale 1000 with 100 units per sample, avc1 fourcc, width/height
+    closed-form in the id — so the demux features are analytic for the
+    SQL oracle while the Spark side genuinely walks the box tree."""
+    from etl_online_retail_spark.multimodal import mp4 as _mp4
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                n = 1 + int(i) % 7
+                size = 8 + int(i) % 9
+                samples = [bytes([(int(i) + s) % 256]) * size
+                           for s in range(n)]
+                payloads.append(_mp4.build_mp4(
+                    samples, timescale=1000,
+                    codec="avc1", width=64 + 16 * (int(i) % 8), height=64))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
+MP4_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("major_brand", T.StringType()),
+    T.StructField("handler", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("total_sample_bytes", T.LongType()),
+])
+
+
+def mp4_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL container demux via mapInPandas: box-tree walk,
+    movie/track metadata, full sample-table expansion — the product a
+    video curation pipeline filters on before any codec ever runs."""
+    from etl_online_retail_spark.multimodal import mp4 as _mp4
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in MP4_FEATURE_SCHEMA}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                info = _mp4.demux_mp4(bytes(content))
+                t = info.tracks[0]
+                rows["media_id"].append(mid)
+                rows["major_brand"].append(info.major_brand)
+                rows["handler"].append(t.handler)
+                rows["codec"].append(t.codec)
+                rows["width"].append(t.width)
+                rows["height"].append(t.height)
+                rows["duration_ms"].append(info.duration_ms())
+                rows["n_samples"].append(len(t.samples))
+                rows["total_sample_bytes"].append(
+                    sum(sz for _, sz in t.samples))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        extract, MP4_FEATURE_SCHEMA)
 
 
 FRAME_FEATURE_SCHEMA = T.StructType([

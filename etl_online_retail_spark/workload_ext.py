@@ -1854,6 +1854,35 @@ def q_webp_image_stats(spark, sf_dir):
 # multimodal/jpeg.py): same shape as png_image_stats. Intensity is even
 # (2 * (id % 128)) so the lossy codec is bit-exact on these fixtures and
 # the oracle stays closed-form (see synthetic_jpeg_media docstring).
+# real MP4/ISO-BMFF container DEMUX (r6): box-tree walk + full sample
+# table expansion (stts/stsc/stsz/stco) over builder-synthesized files —
+# the honest container-video boundary: demux is pure public-spec
+# structure and runs for real; the codec payloads it yields stay opaque
+# (decoding them needs ffmpeg-class libraries). Closed-form oracle, the
+# codec-query discipline.
+@register(
+    "mp4_demux_stats",
+    "SELECT doc_id AS media_id, 'isom' AS major_brand, "
+    "'vide' AS handler, 'avc1' AS codec, "
+    "CAST(64 + 16 * (doc_id % 8) AS INTEGER) AS width, "
+    "CAST(64 AS INTEGER) AS height, "
+    "CAST(100 * (1 + doc_id % 7) AS BIGINT) AS duration_ms, "
+    "CAST(1 + doc_id % 7 AS INTEGER) AS n_samples, "
+    "CAST((1 + doc_id % 7) * (8 + doc_id % 9) AS BIGINT) "
+    "AS total_sample_bytes "
+    "FROM documents",
+    "M6-multimodal-container",
+)
+def q_mp4_demux_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        mp4_features,
+        synthetic_mp4_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return mp4_features(synthetic_mp4_media(docs))
+
+
 # real PROGRESSIVE JPEG codec round-trip (SOF2 with successive
 # approximation — all four Annex G scan kinds decoded for real, r6):
 # same closed-form contract as jpeg_image_stats (identical quantized

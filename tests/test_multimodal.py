@@ -184,8 +184,9 @@ def test_mjpeg_split_and_frame_sample():
     assert [i for i, _ in sampled] == [0, 2, 4]
     for i, fr in sampled:
         assert jpeg.decode_jpeg(fr).mean_pixel() == 2 * i
-    with pytest.raises(NotImplementedError, match="MJPEG"):
-        frame_sample(b"\x00\x00\x00 ftypmp4")
+    # mp4 now DEMUXES for real; formats outside MJPEG/MP4 still raise
+    with pytest.raises(NotImplementedError, match="MJPEG and MP4"):
+        frame_sample(b"\x1aE\xdf\xa3webm-ish")
 
 
 def test_mjpeg_splitter_not_fooled_by_soi_bytes_in_tables():
@@ -695,3 +696,36 @@ def test_progressive_jpeg_marker_structure_and_dispatch():
     feats = decode_image(succ)
     assert (feats["width"], feats["height"], feats["channels"]) == (12, 9, 3)
     assert feats["mean_pixel"] == 100.0  # even gray: bit-exact
+
+
+def test_mp4_demux_round_trip_and_frame_sampling():
+    """build -> demux recovers movie/track metadata exactly; sample
+    extraction returns the exact payload bytes through every chunking
+    shape (1-per-chunk, remainder chunk, one big chunk); frame_sample
+    routes mp4 through the demux."""
+    from etl_online_retail_spark.multimodal import mp4
+    from etl_online_retail_spark.multimodal.binary import frame_sample
+
+    samples = [bytes([i]) * (5 + i) for i in range(7)]
+    data = mp4.build_mp4(samples, timescale=1000, duration=3210,
+                         codec="avc1", width=640, height=360)
+    info = mp4.demux_mp4(data)
+    assert info.major_brand == "isom"
+    assert (info.timescale, info.duration, info.duration_ms()) == \
+        (1000, 3210, 3210)
+    t = info.tracks[0]
+    assert (t.handler, t.codec, t.width, t.height) == \
+        ("vide", "avc1", 640, 360)
+    assert [b for _, b in mp4.extract_samples(data, t)] == samples
+    for spc in (1, 3, 5, 100):
+        d2 = mp4.build_mp4(samples, samples_per_chunk=spc)
+        t2 = mp4.demux_mp4(d2).tracks[0]
+        assert [b for _, b in mp4.extract_samples(d2, t2)] == samples, spc
+    # opaque payload sampling via the shared dispatch, stride honored
+    sampled = frame_sample(data, every_n=3)
+    assert [(i, b) for i, b in sampled] == [(0, samples[0]),
+                                            (3, samples[3]),
+                                            (6, samples[6])]
+    # malformed structure fails loudly, not silently
+    with pytest.raises(ValueError, match="malformed box"):
+        mp4.demux_mp4(b"\x00\x00\x00 ftypisom" + b"\x00" * 4)
