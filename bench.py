@@ -55,6 +55,7 @@ HEADLINE = [
     "dup_rate_by_source",
     "progressive_jpeg_stats",
     "mp4_demux_stats",
+    "adpcm_audio_stats",
     "media_features",
     "corpus_curation",
     "decontamination_overlap",

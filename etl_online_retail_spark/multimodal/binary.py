@@ -443,6 +443,40 @@ def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 .mapInPandas(render, out_schema))
 
 
+def synthetic_adpcm_media(docs: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+    """One deterministic IMA-ADPCM clip per row (REAL 4:1 compressed
+    audio, wav.py format 0x11): mono at 8 kHz, n = 400 + 80*(id % 9)
+    constant samples of value (id % 2000) - 1000. Constant signals
+    survive the lossy codec BIT-EXACTLY (step[0] = 7 makes the zero
+    nibble reconstruct diff 0 — see encode_wav_adpcm), and n is a
+    multiple of 8, so every decoded feature stays closed-form in the id
+    while Spark genuinely runs the quantize/reconstruct feedback loop
+    over block-structured nibbles (partial final blocks included)."""
+    from etl_online_retail_spark.multimodal import wav as _wav
+
+    import numpy as np
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 400 + 80 * (i % 9)
+                v = (i % 2000) - 1000
+                payloads.append(_wav.encode_wav_adpcm(
+                    np.full(n, v, dtype=np.int64), 8000))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
 def synthetic_ulaw_media(docs: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """One deterministic G.711 mu-law clip per row: mono 8 kHz square

@@ -3,9 +3,11 @@
 Third media family (after PNG/JPEG images and MJPEG video): linear PCM
 audio in a RIFF container — the interchange format audio training
 pipelines ingest before feature extraction. struct is enough: RIFF/WAVE
-header, fmt chunk (linear PCM format 1, 8- or 16-bit, or G.711 mu-law
+header, fmt chunk (linear PCM format 1, 8- or 16-bit; G.711 mu-law
 format 7 — the telephony companding every speech corpus eventually
-meets, decoded through the ITU algebra below), data chunk of interleaved
+meets, decoded through the ITU algebra below; or IMA/DVI ADPCM format
+0x11 — the classic 4:1 compressed codec, r6, block-structured 4-bit
+codes through the public step/index tables), data chunk of interleaved
 little-endian samples. Unknown chunks (LIST, fact, ...) are skipped by
 their declared size, the same rule as PNG ancillary chunks.
 
@@ -155,6 +157,7 @@ def decode_wav(payload: bytes) -> WavClip:
     pos = 12
     fmt = None
     data = None
+    n_fact = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
@@ -163,12 +166,21 @@ def decode_wav(payload: bytes) -> WavClip:
             raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact":
+            (n_fact,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    audio_format, channels, sample_rate, _, _, bit_depth = fmt
+    audio_format, channels, sample_rate, _, block_align, bit_depth = fmt
+    if audio_format == WAVE_FORMAT_IMA_ADPCM:
+        if channels != 1:
+            raise ValueError("IMA-ADPCM decode is mono-only here")
+        return WavClip(sample_rate=sample_rate, channels=1, bit_depth=4,
+                       samples=_decode_adpcm_data(data, block_align,
+                                                  n_fact),
+                       audio_format=WAVE_FORMAT_IMA_ADPCM)
     if audio_format == 7:
         codes = np.frombuffer(data, dtype=np.uint8)
         return WavClip(sample_rate=sample_rate, channels=channels,
@@ -190,3 +202,125 @@ def decode_wav(payload: bytes) -> WavClip:
 
 _ULAW_TABLE = np.array([ulaw_to_linear(u) for u in range(256)],
                        dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM (WAV format tag 0x11) — the classic 4:1 compressed-audio
+# codec that is pure public-spec integer algebra (IMA "Recommended
+# Practices for Enhancing Digital Audio Compatibility", the same tables
+# every implementation ships). Mono only here — the fixture surface this
+# repo needs; stereo interleaves 4-byte nibble groups per channel and
+# slots in behind the same signatures.
+
+WAVE_FORMAT_IMA_ADPCM = 0x11
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_reconstruct(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One decoder step: (new predictor, new index)."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _ADPCM_INDEX_ADJUST[nibble & 7]))
+    return pred, index
+
+
+def _adpcm_quantize(diff: int, step: int) -> int:
+    """One encoder step: the 4-bit code for a target difference."""
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    return nibble
+
+
+def encode_wav_adpcm(samples, sample_rate: int,
+                     block_align: int = 256) -> bytes:
+    """Encode mono 16-bit samples as an IMA-ADPCM WAV (format 0x11).
+
+    Block layout per spec: 4-byte header (predictor int16 = the block's
+    FIRST sample, step index uint8, reserved) + (block_align - 4) nibble
+    bytes, low nibble first -> (block_align - 4) * 2 + 1 samples per
+    block. The final partial block pads by repeating the last sample; a
+    `fact` chunk records the true frame count and decode truncates to
+    it. Exactness note the oracle leans on: step[0] = 7 makes the
+    zero nibble reconstruct diff = 7 >> 3 = 0, so a CONSTANT signal
+    encodes to all-zero nibbles and decodes back bit-exactly.
+    """
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and not (int(arr.min()) >= -32768
+                         and int(arr.max()) <= 32767):
+        raise ValueError("ADPCM input must be 16-bit samples")
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    n = int(arr.size)
+    data = bytearray()
+    index = 0
+    i = 0
+    while i < n:
+        block = list(arr[i:i + spb])
+        if len(block) < spb:
+            block += [block[-1]] * (spb - len(block))
+        pred = int(block[0])
+        data += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in block[1:]:
+            step = _ADPCM_STEPS[index]
+            nib = _adpcm_quantize(int(s) - pred, step)
+            pred, index = _adpcm_reconstruct(pred, index, nib)
+            nibbles.append(nib)
+        for j in range(0, len(nibbles), 2):
+            data.append(nibbles[j] | (nibbles[j + 1] << 4))
+        i += spb
+    fmt = struct.pack("<HHIIHHHH", WAVE_FORMAT_IMA_ADPCM, 1, sample_rate,
+                      sample_rate * block_align // spb, block_align, 4,
+                      2, spb)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n)
+            + b"data" + struct.pack("<I", len(data)) + bytes(data))
+    return WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def _decode_adpcm_data(data: bytes, block_align: int,
+                       n_frames: int | None) -> np.ndarray:
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0:b0 + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block header")
+        pred, index, _ = struct.unpack("<hBB", block[:4])
+        index = max(0, min(88, index))
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, index = _adpcm_reconstruct(pred, index, nib)
+                out.append(pred)
+    if n_frames is not None:
+        out = out[:n_frames]
+    return np.array(out, dtype=np.int32)

@@ -2023,6 +2023,32 @@ def q_ulaw_audio_stats(spark, sf_dir):
     return audio_features(synthetic_ulaw_media(docs))
 
 
+# real COMPRESSED audio: IMA/DVI ADPCM (WAV format 0x11, 4:1) — the
+# quantize/reconstruct feedback loop over block-structured nibbles, run
+# for real both directions (wav.py, r6). Constant fixtures survive the
+# lossy codec bit-exactly (the step-table zero-nibble invariant), so the
+# oracle stays closed-form; bit_depth reports the 4-bit code width.
+@register(
+    "adpcm_audio_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(8000 AS INTEGER) AS sample_rate, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "CAST(400 + 80 * (doc_id % 9) AS INTEGER) AS n_frames, "
+    "CAST((400 + 80 * (doc_id % 9)) / 8 AS DOUBLE) AS duration_ms, "
+    "CAST(ABS((doc_id % 2000) - 1000) AS DOUBLE) AS mean_abs "
+    "FROM documents",
+    "M6-multimodal-audio",
+)
+def q_adpcm_audio_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        audio_features,
+        synthetic_adpcm_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_features(synthetic_adpcm_media(docs))
+
+
 # real GIF codec round-trip (stdlib LZW, multimodal/gif.py): the
 # png_image_stats shape — solid value = id % 256 through the grayscale
 # palette, closed-form oracle, Spark genuinely LZW-encodes and decodes.

@@ -729,3 +729,41 @@ def test_mp4_demux_round_trip_and_frame_sampling():
     # malformed structure fails loudly, not silently
     with pytest.raises(ValueError, match="malformed box"):
         mp4.demux_mp4(b"\x00\x00\x00 ftypisom" + b"\x00" * 4)
+
+
+def test_adpcm_codec_exactness_and_tracking():
+    """IMA-ADPCM (format 0x11): constant signals survive the lossy codec
+    bit-exactly (step-table zero-nibble invariant, incl. partial final
+    blocks via the fact-chunk truncation); random walks decode within the
+    codec's tracking error; the quantize/reconstruct steps match
+    hand-computed spec values."""
+    import random
+
+    import numpy as np
+
+    from etl_online_retail_spark.multimodal import wav
+    from etl_online_retail_spark.multimodal.wav import (
+        _adpcm_quantize,
+        _adpcm_reconstruct,
+    )
+
+    for v in (-1000, 0, 32767, -32768, 777):
+        for n in (1, 10, 505, 700, 1200):
+            clip = wav.decode_wav(wav.encode_wav_adpcm(np.full(n, v), 8000))
+            assert (clip.audio_format, clip.bit_depth, clip.n_frames) == \
+                (0x11, 4, n)
+            assert (clip.samples == v).all(), (v, n)
+            assert clip.mean_abs() == float(abs(v))
+    rng = random.Random(3)
+    for _ in range(5):
+        n = rng.randint(50, 1500)
+        sig = np.cumsum(rng.choices(range(-200, 201), k=n))
+        sig = sig.clip(-30000, 30000)
+        clip = wav.decode_wav(wav.encode_wav_adpcm(sig, 16000))
+        assert clip.n_frames == n
+        assert float(np.abs(clip.samples - sig).mean()) < 120
+    # spec arithmetic: +100 from (pred 0, index 0, step 7) -> nibble 7,
+    # reconstructing +11 (0 + 7 + 3 + 1) with index jump +8
+    assert _adpcm_quantize(100, 7) == 7
+    assert _adpcm_reconstruct(0, 0, 7) == (11, 8)
+    assert _adpcm_reconstruct(0, 0, 15) == (-11, 8)
