@@ -369,8 +369,15 @@ def frame_sample(content: bytes, every_n: int = 30) -> list[tuple[int, bytes]]:
         if vid is None or not vid.samples:
             raise ValueError("mp4 has no video track with a sample table")
         return _mp4.extract_samples(content, vid, every_n)
+    from etl_online_retail_spark.multimodal import webm as _webm
+
+    if _webm.is_webm(content):
+        # REAL demux (EBML walk, multimodal/webm.py): SimpleBlock
+        # payloads (VP8/VP9 frames) as opaque bytes, same split as mp4.
+        return _webm.extract_frames(_webm.demux_webm(content),
+                                    every_n=every_n)
     raise NotImplementedError(
-        "video frame sampling beyond MJPEG and MP4 demux requires "
+        "video frame sampling beyond MJPEG and MP4/WebM demux requires "
         "ffmpeg/pyav, not present here"
     )
 
@@ -441,6 +448,76 @@ def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ])
     return (docs.select(F.col(id_col).cast("long").alias("media_id"))
                 .mapInPandas(render, out_schema))
+
+
+def synthetic_webm_media(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """One deterministic minimal WebM per row (real EBML builder,
+    multimodal/webm.py): n = 1 + id % 8 opaque VP9-labeled frames of
+    6 + id % 7 bytes at 40 ms per frame, width 128 + 32*(id % 4) — the
+    demux features are analytic in the id while Spark genuinely walks
+    the element tree and SimpleBlock lacing."""
+    from etl_online_retail_spark.multimodal import webm as _webm
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 1 + i % 8
+                size = 6 + i % 7
+                frames = [bytes([(i + f) % 256]) * size for f in range(n)]
+                payloads.append(_webm.build_webm(
+                    frames, codec_id="V_VP9",
+                    width=128 + 32 * (i % 4), height=96))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+                .mapInPandas(render, out_schema))
+
+
+WEBM_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("doctype", T.StringType()),
+    T.StructField("codec_id", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("total_frame_bytes", T.LongType()),
+])
+
+
+def webm_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WebM/EBML demux via mapInPandas — the
+    container-metadata triage for the other video format a crawl meets,
+    beside mp4_features."""
+    from etl_online_retail_spark.multimodal import webm as _webm
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in WEBM_FEATURE_SCHEMA}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                info = _webm.demux_webm(bytes(content))
+                t = info.tracks[0]
+                rows["media_id"].append(mid)
+                rows["doctype"].append(info.doctype)
+                rows["codec_id"].append(t.codec_id)
+                rows["width"].append(t.width)
+                rows["height"].append(t.height)
+                rows["duration_ms"].append(info.duration_ms())
+                rows["n_frames"].append(len(t.frames))
+                rows["total_frame_bytes"].append(
+                    sum(len(b) for _, b in t.frames))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        extract, WEBM_FEATURE_SCHEMA)
 
 
 def synthetic_adpcm_media(docs: DataFrame,

@@ -1883,6 +1883,32 @@ def q_mp4_demux_stats(spark, sf_dir):
     return mp4_features(synthetic_mp4_media(docs))
 
 
+# real WebM/EBML container DEMUX (r6): the matroska sibling of
+# mp4_demux_stats — EBML vints, Segment/Info/Tracks walk, Cluster +
+# SimpleBlock lacing into per-frame opaque payloads. Same honest
+# boundary and closed-form-oracle discipline.
+@register(
+    "webm_demux_stats",
+    "SELECT doc_id AS media_id, 'webm' AS doctype, 'V_VP9' AS codec_id, "
+    "CAST(128 + 32 * (doc_id % 4) AS INTEGER) AS width, "
+    "CAST(96 AS INTEGER) AS height, "
+    "CAST(40 * (1 + doc_id % 8) AS BIGINT) AS duration_ms, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS n_frames, "
+    "CAST((1 + doc_id % 8) * (6 + doc_id % 7) AS BIGINT) "
+    "AS total_frame_bytes "
+    "FROM documents",
+    "M6-multimodal-container",
+)
+def q_webm_demux_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        synthetic_webm_media,
+        webm_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return webm_features(synthetic_webm_media(docs))
+
+
 # real PROGRESSIVE JPEG codec round-trip (SOF2 with successive
 # approximation — all four Annex G scan kinds decoded for real, r6):
 # same closed-form contract as jpeg_image_stats (identical quantized

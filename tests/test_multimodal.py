@@ -184,9 +184,9 @@ def test_mjpeg_split_and_frame_sample():
     assert [i for i, _ in sampled] == [0, 2, 4]
     for i, fr in sampled:
         assert jpeg.decode_jpeg(fr).mean_pixel() == 2 * i
-    # mp4 now DEMUXES for real; formats outside MJPEG/MP4 still raise
-    with pytest.raises(NotImplementedError, match="MJPEG and MP4"):
-        frame_sample(b"\x1aE\xdf\xa3webm-ish")
+    # mp4 AND webm now DEMUX for real; other containers still raise
+    with pytest.raises(NotImplementedError, match="MJPEG and MP4/WebM"):
+        frame_sample(b"\x30\x26\xb2\x75asf-ish")
 
 
 def test_mjpeg_splitter_not_fooled_by_soi_bytes_in_tables():
@@ -767,3 +767,36 @@ def test_adpcm_codec_exactness_and_tracking():
     assert _adpcm_quantize(100, 7) == 7
     assert _adpcm_reconstruct(0, 0, 7) == (11, 8)
     assert _adpcm_reconstruct(0, 0, 15) == (-11, 8)
+
+
+def test_webm_demux_round_trip_and_frame_sampling():
+    """EBML build -> demux recovers doctype/codec/geometry/duration and
+    the exact frame payloads with absolute timestamps, through every
+    cluster shape; frame_sample routes webm through the demux; vints
+    and malformed streams fail loudly."""
+    from etl_online_retail_spark.multimodal import webm
+    from etl_online_retail_spark.multimodal.binary import frame_sample
+
+    frames = [bytes([i]) * (6 + i) for i in range(8)]
+    data = webm.build_webm(frames, codec_id="V_VP9", width=320, height=180,
+                           frame_duration=40, frames_per_cluster=3)
+    info = webm.demux_webm(data)
+    assert (info.doctype, info.timestamp_scale) == ("webm", 1_000_000)
+    assert info.duration_ms() == 8 * 40
+    t = info.tracks[0]
+    assert (t.number, t.track_type, t.codec_id, t.width, t.height) == \
+        (1, 1, "V_VP9", 320, 180)
+    assert [b for _, b in t.frames] == frames
+    assert [ts for ts, _ in t.frames] == [40 * i for i in range(8)]
+    for fpc in (1, 2, 8, 100):
+        d2 = webm.build_webm(frames, frames_per_cluster=fpc)
+        t2 = webm.demux_webm(d2).tracks[0]
+        assert [b for _, b in t2.frames] == frames, fpc
+    sampled = frame_sample(data, every_n=3)
+    assert sampled == [(0, frames[0]), (3, frames[3]), (6, frames[6])]
+    # vint edge: multi-byte sizes round-trip (a frame > 127 bytes)
+    big = [bytes(300)]
+    assert webm.demux_webm(webm.build_webm(big)).tracks[0].frames[0][1] \
+        == big[0]
+    with pytest.raises(ValueError, match="overruns"):
+        webm.demux_webm(webm.EBML_MAGIC + b"\x90\xff")
