@@ -44,6 +44,18 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _id_partitions(docs: DataFrame, id_col: str) -> DataFrame:
+    """The id relation every synthetic-media generator renders from,
+    spread across the session's default parallelism: the render loops
+    are real per-payload Python codecs inside mapInPandas, so an
+    unpartitioned source would serialize the whole corpus through one
+    task (measured 10x on the block-looped codecs at sf0.1). Same rule
+    a production decode pool applies to its work queue."""
+    n = max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
+            .repartition(n))
+
+
 def to_media_table(docs: DataFrame, id_col: str = "doc_id",
                    payload_col: str = "text",
                    mime: str = "application/octet-stream") -> DataFrame:
@@ -187,8 +199,7 @@ def synthetic_png_media(docs: DataFrame, id_col: str = "doc_id",
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 def synthetic_webp_media(docs: DataFrame, id_col: str = "doc_id",
@@ -215,8 +226,7 @@ def synthetic_webp_media(docs: DataFrame, id_col: str = "doc_id",
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
@@ -308,8 +318,7 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 def synthetic_progressive_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
@@ -341,8 +350,7 @@ def synthetic_progressive_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 def frame_sample(content: bytes, every_n: int = 30) -> list[tuple[int, bytes]]:
@@ -446,8 +454,7 @@ def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 def synthetic_webm_media(docs: DataFrame,
@@ -477,8 +484,7 @@ def synthetic_webm_media(docs: DataFrame,
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 WEBM_FEATURE_SCHEMA = T.StructType([
@@ -523,13 +529,14 @@ def webm_features(media: DataFrame) -> DataFrame:
 def synthetic_adpcm_media(docs: DataFrame,
                           id_col: str = "doc_id") -> DataFrame:
     """One deterministic IMA-ADPCM clip per row (REAL 4:1 compressed
-    audio, wav.py format 0x11): mono at 8 kHz, n = 400 + 80*(id % 9)
-    constant samples of value (id % 2000) - 1000. Constant signals
-    survive the lossy codec BIT-EXACTLY (step[0] = 7 makes the zero
-    nibble reconstruct diff 0 — see encode_wav_adpcm), and n is a
-    multiple of 8, so every decoded feature stays closed-form in the id
-    while Spark genuinely runs the quantize/reconstruct feedback loop
-    over block-structured nibbles (partial final blocks included)."""
+    audio, wav.py format 0x11): mono at 8 kHz, n = 40 + 8*(id % 9)
+    constant samples of value (id % 2000) - 1000, block_align 36 (65
+    samples per block) so clips span one-to-two blocks incl. padded
+    partial finals. Constant signals survive the lossy codec BIT-EXACTLY
+    (step[0] = 7 makes the zero nibble reconstruct diff 0 — see
+    encode_wav_adpcm), and n is a multiple of 8, so every decoded
+    feature stays closed-form in the id while Spark genuinely runs the
+    quantize/reconstruct feedback loop over block-structured nibbles."""
     from etl_online_retail_spark.multimodal import wav as _wav
 
     import numpy as np
@@ -540,18 +547,17 @@ def synthetic_adpcm_media(docs: DataFrame,
             payloads = []
             for i in ids:
                 i = int(i)
-                n = 400 + 80 * (i % 9)
+                n = 40 + 8 * (i % 9)
                 v = (i % 2000) - 1000
                 payloads.append(_wav.encode_wav_adpcm(
-                    np.full(n, v, dtype=np.int64), 8000))
+                    np.full(n, v, dtype=np.int64), 8000, block_align=36))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 def synthetic_ulaw_media(docs: DataFrame,
@@ -586,8 +592,7 @@ def synthetic_ulaw_media(docs: DataFrame,
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 # kept as the documented stub surface for codec DECODE of demuxed samples
@@ -626,8 +631,7 @@ def synthetic_mp4_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 MP4_FEATURE_SCHEMA = T.StructType([
@@ -737,8 +741,7 @@ def synthetic_mjpeg_media(docs: DataFrame, id_col: str = "doc_id",
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 def synthetic_gif_media(docs: DataFrame, id_col: str = "doc_id",
@@ -765,8 +768,7 @@ def synthetic_gif_media(docs: DataFrame, id_col: str = "doc_id",
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 def synthetic_animated_gif_media(docs: DataFrame, id_col: str = "doc_id",
@@ -793,8 +795,7 @@ def synthetic_animated_gif_media(docs: DataFrame, id_col: str = "doc_id",
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 def gif_frame_features(media: DataFrame) -> DataFrame:
@@ -924,8 +925,7 @@ def synthetic_pattern_media(docs: DataFrame, id_col: str = "doc_id",
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
 
 
 def dhash_near_pairs(hashed: DataFrame, max_hamming: int = 6,
@@ -1046,5 +1046,4 @@ def synthetic_tone_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ])
-    return (docs.select(F.col(id_col).cast("long").alias("media_id"))
-                .mapInPandas(render, out_schema))
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)

@@ -2059,8 +2059,8 @@ def q_ulaw_audio_stats(spark, sf_dir):
     "SELECT doc_id AS media_id, "
     "CAST(8000 AS INTEGER) AS sample_rate, "
     "CAST(1 AS INTEGER) AS channels, "
-    "CAST(400 + 80 * (doc_id % 9) AS INTEGER) AS n_frames, "
-    "CAST((400 + 80 * (doc_id % 9)) / 8 AS DOUBLE) AS duration_ms, "
+    "CAST(40 + 8 * (doc_id % 9) AS INTEGER) AS n_frames, "
+    "CAST((40 + 8 * (doc_id % 9)) / 8 AS DOUBLE) AS duration_ms, "
     "CAST(ABS((doc_id % 2000) - 1000) AS DOUBLE) AS mean_abs "
     "FROM documents",
     "M6-multimodal-audio",
