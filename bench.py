@@ -56,6 +56,7 @@ HEADLINE = [
     "progressive_jpeg_stats",
     "mp4_demux_stats",
     "adpcm_audio_stats",
+    "flac_audio_stats",
     "webm_demux_stats",
     "media_features",
     "corpus_curation",

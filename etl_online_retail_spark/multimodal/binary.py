@@ -401,15 +401,23 @@ AUDIO_FEATURE_SCHEMA = T.StructType([
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched REAL audio decode (WAV/PCM via multimodal/wav):
-    per-clip rate/channels/duration/amplitude features — the triage
-    columns an audio-training pipeline filters on before the expensive
-    model stages."""
+    """Arrow-batched REAL audio decode: per-clip rate/channels/duration/
+    amplitude features — the triage columns an audio-training pipeline
+    filters on before the expensive model stages. Dispatches on magic
+    bytes: RIFF/WAVE (linear PCM, G.711 mu-law, IMA ADPCM — wav.py) and
+    fLaC (lossless compressed — flac.py); both clip types expose the
+    same feature surface."""
+    from etl_online_retail_spark.multimodal import flac as _flac
     from etl_online_retail_spark.multimodal import wav as _wav
+
+    def _decode(b: bytes):
+        if b[:4] == _flac.FLAC_MAGIC:
+            return _flac.decode_flac(b)
+        return _wav.decode_wav(b)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            clips = [_wav.decode_wav(bytes(b)) for b in pdf["content"]]
+            clips = [_decode(bytes(b)) for b in pdf["content"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "sample_rate": pd.Series(
@@ -551,6 +559,41 @@ def synthetic_adpcm_media(docs: DataFrame,
                 v = (i % 2000) - 1000
                 payloads.append(_wav.encode_wav_adpcm(
                     np.full(n, v, dtype=np.int64), 8000, block_align=36))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+
+
+def synthetic_flac_media(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """One deterministic FLAC clip per row (REAL lossless compressed
+    audio, multimodal/flac.py): mono 16-bit at 8 kHz, a sawtooth
+    s_k = k mod m with period m = 8 * (1 + id % 8) repeated
+    reps = 30 + id % 5 times (n = m * reps samples, always a multiple
+    of 8 so duration_ms = n / 8 is exact in DOUBLE). The ramp makes the
+    order-1 fixed predictor's residual constant except at period wraps,
+    so Spark genuinely exercises predictor selection + Rice coding and
+    real compression — while losslessness keeps every decoded feature
+    closed-form in the id: mean_abs = (m - 1) / 2 exactly."""
+    from etl_online_retail_spark.multimodal import flac as _flac
+
+    import numpy as np
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                m = 8 * (1 + i % 8)
+                reps = 30 + i % 5
+                wave = np.tile(np.arange(m, dtype=np.int64), reps)
+                payloads.append(_flac.encode_flac(wave, 8000,
+                                                  block_size=256))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([

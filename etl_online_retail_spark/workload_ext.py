@@ -2075,6 +2075,34 @@ def q_adpcm_audio_stats(spark, sf_dir):
     return audio_features(synthetic_adpcm_media(docs))
 
 
+# real LOSSLESS COMPRESSED audio: FLAC (multimodal/flac.py, RFC 9639) —
+# fixed-predictor selection + Rice residual coding run for real both
+# directions; losslessness (MD5-verified in decode) keeps the sawtooth
+# fixture's features closed-form: m = 8*(1 + id%8), reps = 30 + id%5,
+# n = m*reps (multiple of 8), mean_abs = (m-1)/2 exact in DOUBLE.
+@register(
+    "flac_audio_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(8000 AS INTEGER) AS sample_rate, "
+    "CAST(1 AS INTEGER) AS channels, "
+    "CAST((8 * (1 + doc_id % 8)) * (30 + doc_id % 5) AS INTEGER) "
+    "AS n_frames, "
+    "CAST((8 * (1 + doc_id % 8)) * (30 + doc_id % 5) / 8 AS DOUBLE) "
+    "AS duration_ms, "
+    "CAST((8 * (1 + doc_id % 8) - 1) / 2.0 AS DOUBLE) AS mean_abs "
+    "FROM documents",
+    "M6-multimodal-audio-flac",
+)
+def q_flac_audio_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        audio_features,
+        synthetic_flac_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_features(synthetic_flac_media(docs))
+
+
 # real GIF codec round-trip (stdlib LZW, multimodal/gif.py): the
 # png_image_stats shape — solid value = id % 256 through the grayscale
 # palette, closed-form oracle, Spark genuinely LZW-encodes and decodes.
