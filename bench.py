@@ -61,6 +61,7 @@ HEADLINE = [
     "media_features",
     "corpus_curation",
     "decontamination_overlap",
+    "dsir_importance_select",
     "repetition_scores",
     "events_asof_orders",
     "events_pairs_within",

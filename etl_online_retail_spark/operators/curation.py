@@ -451,3 +451,87 @@ def contrastive_triplets(docs: DataFrame, n: int = 2, k: int = 16,
                                   n_buckets=n_buckets, id_col=id_col,
                                   group_col=group_col, seed=seed))
     return pos.join(negs, "anchor_id")
+
+
+def dsir_importance(docs: DataFrame, is_target,
+                    n: int = 2, buckets: int = 256, k: int = 10,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    strata_col: str = "source") -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every RAW document by how target-like its hashed n-gram
+    profile is, then keep the top-k per stratum.
+
+    Public-method derivation, exact-integer variant: DSIR weights are
+    log p_target(x)/p_raw(x) under bag-of-hashed-ngrams models. Logs
+    are not bit-reproducible across engines, so this linearizes the
+    per-feature term to the cross-difference
+        c[b] = tc[b] * R - rc[b] * T
+    (tc/rc = target/raw occurrence counts in hash bucket b, T/R their
+    totals) — positive exactly when the bucket is over-represented in
+    the target (tc/T > rc/R), i.e. the first-order expansion of the
+    log-ratio around equal rates. A doc's score is the sum of c[bucket]
+    over its n-gram OCCURRENCES — pure BIGINT/DECIMAL(38,0) arithmetic,
+    so selection is deterministic and the DuckDB oracle is hash-exact
+    (products stay < 10^38 up to ~10^12 total n-grams ≈ 100 TB of
+    text).
+
+    Scale shape (100 TB story): one explode over token n-grams, one
+    map-combined groupBy down to `buckets` rows, a 1-row total, the
+    bucket->contribution table BROADCAST back into the exploded
+    relation (no shuffle on the big side beyond the per-doc groupBy),
+    and the per-stratum top-k via distributed_rank_by — the
+    range-sharded exact rank, never a per-source single-partition
+    window. Docs with fewer than n tokens have no features and are
+    not candidates (the oracle's join drops them identically).
+
+    is_target: a boolean Column marking target-distribution rows.
+    Returns (id, stratum, n_grams, score, rank) for rank <= k raw docs.
+    """
+    from etl_online_retail_spark.functions.text import (
+        word_shingle_hashes_all_of_tokens,
+    )
+    from etl_online_retail_spark.operators.windows import (
+        distributed_rank_by,
+    )
+
+    base = docs.select(
+        F.col(id_col), F.col(strata_col),
+        is_target.alias("_is_t"),
+        tokens(normalize(F.col(text_col))).alias("_toks"))
+    grams = (base.select(
+        id_col, strata_col, "_is_t",
+        F.explode(word_shingle_hashes_all_of_tokens(F.col("_toks"), n))
+        .alias("_gh"))
+        .withColumn("_bucket", (F.col("_gh") % buckets).cast("int")))
+    grams = grams.cache()  # feeds both the model build and the scoring
+    bucket_counts = (grams.groupBy("_bucket").agg(
+        F.sum(F.col("_is_t").cast("bigint")).alias("_tc"),
+        F.sum((~F.col("_is_t")).cast("bigint")).alias("_rc")))
+    totals = bucket_counts.agg(F.sum("_tc").alias("_T"),
+                               F.sum("_rc").alias("_R"))
+    contrib = (bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "_bucket",
+        (F.col("_tc").cast("decimal(19,0)")
+         * F.col("_R").cast("decimal(19,0)")
+         - F.col("_rc").cast("decimal(19,0)")
+         * F.col("_T").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").alias("_c")))
+    scored = (grams.filter(~F.col("_is_t"))
+              .join(F.broadcast(contrib), "_bucket")
+              .groupBy(id_col, strata_col)
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   # internal arithmetic stays DECIMAL(38,0); the final
+                   # BIGINT cast is presentation-layer (pandas-stable on
+                   # both engines) and exact below 2^63 — at corpus
+                   # scales where scores could exceed it, widen the
+                   # output to keep the decimal
+                   F.sum("_c").cast("bigint").alias("score")))
+    ranked = distributed_rank_by(
+        scored, [strata_col],
+        order=[F.col("score").desc(), F.col(id_col).asc()],
+        shard_by=-F.col("score").cast("double"),
+        n_shards=32, alias="rank")
+    return (ranked.filter(F.col("rank") <= k)
+            .select(id_col, strata_col, "n_grams", "score",
+                    F.col("rank").cast("int").alias("rank")))

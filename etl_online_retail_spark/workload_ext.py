@@ -30,6 +30,7 @@ from etl_online_retail_spark.functions.text import (
     token_count,
     token_count_sql,
     word_ngrams_all_sql,
+    word_shingle_hashes_all_sql,
     word_shingle_hashes_sql,
 )
 from etl_online_retail_spark.functions.vectors import cosine_sql
@@ -993,6 +994,56 @@ def q_decontamination_overlap(spark, sf_dir):
                                    min_shared=DECON_MIN_SHARED,
                                    corpus_shingles=co_sh,
                                    eval_shingles=ev_sh)
+
+
+# curation: DSIR-style importance-weighted selection (Xie et al. 2023)
+# over hashed bigram features — target = English docs, raw pool = the
+# rest; keep the top-K most target-like raw docs per source. The
+# per-feature log-ratio is linearized to the exact-integer
+# cross-difference tc*R - rc*T (see operators/curation.dsir_importance)
+# so both engines agree bit-for-bit; the oracle states the naive
+# PARTITION BY window, the Spark side runs the range-sharded exact rank
+# (distributed_rank_by — no per-source single-partition sort).
+
+DSIR_BUCKETS = 256
+DSIR_K = 10
+
+_DSIR_GRAMS = (f"SELECT doc_id, source, lang = 'en' AS is_t, "
+               f"unnest({word_shingle_hashes_all_sql('text', 2)}) AS gh "
+               "FROM documents")
+
+
+@register(
+    "dsir_importance_select",
+    f"""WITH g AS ({_DSIR_GRAMS}),
+gb AS (SELECT doc_id, source, is_t, CAST(gh % {DSIR_BUCKETS} AS INTEGER)
+              AS bucket FROM g),
+b AS (SELECT bucket,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+             CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rc
+      FROM gb GROUP BY 1),
+tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(rc) AS BIGINT) AS rt
+        FROM b),
+c AS (SELECT bucket,
+             CAST(tc::HUGEINT * rt - rc::HUGEINT * tt AS DECIMAL(38,0))
+             AS c
+      FROM b CROSS JOIN tot),
+scored AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                  CAST(SUM(c.c) AS BIGINT) AS score
+           FROM gb JOIN c USING (bucket) WHERE NOT is_t GROUP BY 1, 2),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id) AS rk FROM scored)
+SELECT doc_id, source, n_grams, score, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {DSIR_K}""",
+    "M6-curation-dsir",
+)
+def q_dsir_importance_select(spark, sf_dir):
+    from etl_online_retail_spark.operators.curation import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_importance(docs, F.col("lang") == "en",
+                          n=2, buckets=DSIR_BUCKETS, k=DSIR_K)
+    return out.withColumnRenamed("rank", "rk")
 
 
 # sequence packing: the "concat and chunk" pretraining layout — each doc's
@@ -2248,12 +2299,14 @@ ORACLE_MATERIALIZATIONS: dict[str, str] = {
     "_mat_sh2": SH_BODY,
     "_mat_sh3": SH3_BODY,
     "_mat_tok": TOK_BODY,
+    "_mat_dsir": _DSIR_GRAMS,
 }
 
 _LOCALIZE_REWRITES: tuple[tuple[str, str], ...] = (
     (SH_BODY, "SELECT _id, _sh FROM _mat_sh2"),
     (SH3_BODY, "SELECT doc_id, _sh FROM _mat_sh3"),
     (TOK_BODY, "SELECT doc_id, term FROM _mat_tok"),
+    (_DSIR_GRAMS, "SELECT doc_id, source, is_t, gh FROM _mat_dsir"),
 )
 
 

@@ -174,3 +174,65 @@ def test_incremental_near_dups_matches_full_pair_set(spark):
         elif b_new and not a_new:
             expected[(r.id_b, r.id_a)] = r.jaccard
     assert inc == expected and inc, "fixture found no cross-side pairs"
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """DSIR-lite selection (operators/curation.dsir_importance): raw docs
+    sharing the target's bigrams outrank raw docs that don't; the score
+    is the exact-integer cross-difference sum (hand-computed on a tiny
+    corpus); docs with < n tokens have no features and are never
+    candidates; ties break deterministically by doc_id."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.operators.curation import dsir_importance
+
+    rows = [
+        # target distribution: "spark shuffle" bigrams
+        (0, "spark shuffle spark shuffle", "t", "s0"),
+        (1, "spark shuffle plan", "t", "s0"),
+        # raw pool: one target-like, one off-distribution, one tie pair
+        (10, "spark shuffle runs", "r", "s0"),
+        (11, "pandas loop pandas loop", "r", "s0"),
+        (12, "alpha beta", "r", "s0"),
+        (13, "alpha beta", "r", "s0"),
+        (14, "tiny", "r", "s0"),  # < 2 tokens -> no features
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "kind string, source string")
+    out = dsir_importance(docs, F.col("kind") == "t", n=2, buckets=64,
+                          k=10).orderBy("rank").collect()
+    ids = [r.doc_id for r in out]
+    assert 14 not in ids, "featureless doc must not be a candidate"
+    assert ids[0] == 10, "target-like doc must rank first"
+    assert ids[-1] == 11, "anti-target doc must rank last"
+    # tie pair (12, 13): identical text -> identical score, doc_id order
+    r12 = next(r for r in out if r.doc_id == 12)
+    r13 = next(r for r in out if r.doc_id == 13)
+    assert r12.score == r13.score and r12.rank + 1 == r13.rank
+    # exact-integer invariant: a doc's score equals the hand-folded sum
+    # over its bigram buckets of tc*R - rc*T
+    from etl_online_retail_spark.functions.text import PRIME
+
+    def gram_hash(g):
+        acc = 0
+        for ch in g:
+            acc = (acc * 31 + ord(ch)) % PRIME
+        return acc
+
+    def bigrams(text):
+        t = text.split()
+        return [" ".join(t[i:i + 2]) for i in range(len(t) - 1)]
+
+    tc, rc = {}, {}
+    for _id, text, kind, _src in rows:
+        for g in bigrams(text):
+            b = gram_hash(g) % 64
+            d = tc if kind == "t" else rc
+            d[b] = d.get(b, 0) + 1
+    T, R = sum(tc.values()), sum(rc.values())
+    for r in out:
+        text = next(t for i, t, *_ in rows if i == r.doc_id)
+        want = sum(tc.get(gram_hash(g) % 64, 0) * R
+                   - rc.get(gram_hash(g) % 64, 0) * T
+                   for g in bigrams(text))
+        assert r.score == want, (r.doc_id, r.score, want)
