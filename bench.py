@@ -62,6 +62,7 @@ HEADLINE = [
     "corpus_curation",
     "decontamination_overlap",
     "dsir_importance_select",
+    "blocklist_filter_stats",
     "repetition_scores",
     "events_asof_orders",
     "events_pairs_within",

@@ -535,3 +535,48 @@ def dsir_importance(docs: DataFrame, is_target,
     return (ranked.filter(F.col("rank") <= k)
             .select(id_col, strata_col, "n_grams", "score",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def blocklist_flags(docs: DataFrame, blocklist: list[str],
+                    id_col: str = "doc_id", text_col: str = "text",
+                    strata_col: str = "source") -> DataFrame:
+    """C4-style blocklist filtering (Raffel et al. 2020 drop documents
+    containing denylist terms): per-doc distinct-match count + flag.
+
+    Mechanism: array_intersect between the doc's distinct token set and
+    a LITERAL array — a pure JVM map-side expression, zero shuffle, the
+    right plan while the blocklist fits in an expression (hundreds of
+    terms). For industrial lists (10k+ terms, where a regex alternation
+    or literal array stops scaling) use blocklist_flags_joined — same
+    output, broadcast set-join mechanism (equality-tested).
+    """
+    toks = F.array_distinct(tokens(normalize(F.col(text_col))))
+    matched = F.array_intersect(
+        toks, F.array(*[F.lit(t) for t in blocklist]))
+    return docs.select(
+        F.col(id_col), F.col(strata_col),
+        F.size(matched).cast("int").alias("n_bad_terms"),
+        (F.size(matched) > 0).alias("flagged"))
+
+
+def blocklist_flags_joined(docs: DataFrame, blocklist: list[str],
+                           id_col: str = "doc_id", text_col: str = "text",
+                           strata_col: str = "source") -> DataFrame:
+    """blocklist_flags via explode + broadcast set-join — the mechanism
+    that scales to arbitrarily large blocklists (the list becomes a
+    table; at 100 TB the join stays broadcast until the blocklist
+    itself outgrows executors, then sort-merge on the term). LEFT join
+    keeps zero-match docs in the output like the expression path."""
+    spark = docs.sparkSession
+    bl = spark.createDataFrame([(t,) for t in blocklist], ["_term"])
+    toks = (docs.select(
+        F.col(id_col), F.col(strata_col),
+        F.explode_outer(F.array_distinct(
+            tokens(normalize(F.col(text_col))))).alias("_term")))
+    hits = (toks.join(F.broadcast(bl.withColumn("_hit", F.lit(1))),
+                      "_term", "left")
+            .groupBy(id_col, strata_col)
+            .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .cast("int").alias("n_bad_terms")))
+    return hits.select(id_col, strata_col, "n_bad_terms",
+                       (F.col("n_bad_terms") > 0).alias("flagged"))

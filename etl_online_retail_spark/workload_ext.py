@@ -996,6 +996,46 @@ def q_decontamination_overlap(spark, sf_dir):
                                    eval_shingles=ev_sh)
 
 
+# curation: C4-style blocklist filtering (Raffel et al. 2020's denylist
+# drop) — per-source flag rates via a map-side array_intersect against a
+# literal term list (zero shuffle before the bounded agg); the broadcast
+# set-join mechanism for industrial 10k+-term lists is
+# blocklist_flags_joined, equality-tested in tests/test_curation.py.
+
+BADWORDS = ["slow", "dup"]
+
+
+@register(
+    "blocklist_filter_stats",
+    f"""WITH d AS (
+  SELECT doc_id, source,
+         len(list_intersect(
+             list_distinct(regexp_split_to_array(trim({_NORM}), '\\s+')),
+             {BADWORDS!r})) AS n_bad
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(n_bad) AS BIGINT) AS bad_term_hits,
+       ROUND(CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS flag_rate
+FROM d GROUP BY source""",
+    "M6-curation-blocklist",
+)
+def q_blocklist_filter_stats(spark, sf_dir):
+    from etl_online_retail_spark.operators.curation import blocklist_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = blocklist_flags(docs, BADWORDS)
+    n_flagged = F.sum(F.col("flagged").cast("bigint"))
+    return (flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        n_flagged.alias("n_flagged"),
+        F.sum("n_bad_terms").cast("bigint").alias("bad_term_hits"),
+        F.round(n_flagged.cast("double")
+                / F.count(F.lit(1)).cast("double"), 6).alias("flag_rate")))
+
+
 # curation: DSIR-style importance-weighted selection (Xie et al. 2023)
 # over hashed bigram features — target = English docs, raw pool = the
 # rest; keep the top-K most target-like raw docs per source. The

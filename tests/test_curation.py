@@ -236,3 +236,25 @@ def test_dsir_importance_prefers_target_like_docs(spark):
                    - rc.get(gram_hash(g) % 64, 0) * T
                    for g in bigrams(text))
         assert r.score == want, (r.doc_id, r.score, want)
+
+
+def test_blocklist_mechanisms_agree(spark):
+    """The map-side array_intersect path and the broadcast set-join path
+    (the 10k+-term scale mechanism) produce identical per-doc flags,
+    including zero-match docs and docs matching multiple terms."""
+    from etl_online_retail_spark.operators.curation import (
+        blocklist_flags,
+        blocklist_flags_joined,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    bl = ["slow", "dup", "absent_term"]
+    expr_rows = {r.doc_id: (r.n_bad_terms, r.flagged)
+                 for r in blocklist_flags(docs, bl).collect()}
+    join_rows = {r.doc_id: (r.n_bad_terms, r.flagged)
+                 for r in blocklist_flags_joined(docs, bl).collect()}
+    assert expr_rows == join_rows
+    assert len(expr_rows) == docs.count()
+    counts = {v[0] for v in expr_rows.values()}
+    assert 0 in counts and max(counts) >= 2, \
+        "fixture should include zero- and multi-term matches"
