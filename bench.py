@@ -63,6 +63,7 @@ HEADLINE = [
     "decontamination_overlap",
     "dsir_importance_select",
     "blocklist_filter_stats",
+    "curriculum_order",
     "repetition_scores",
     "events_asof_orders",
     "events_pairs_within",

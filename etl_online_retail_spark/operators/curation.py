@@ -580,3 +580,49 @@ def blocklist_flags_joined(docs: DataFrame, blocklist: list[str],
                  .cast("int").alias("n_bad_terms")))
     return hits.select(id_col, strata_col, "n_bad_terms",
                        (F.col("n_bad_terms") > 0).alias("flagged"))
+
+
+def curriculum_order(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     strata_col: str = "source") -> DataFrame:
+    """Deterministic curriculum ordering: rank docs easy->hard per source
+    (quality DESC — the standard proxy: cleanest data first), then
+    round-robin INTERLEAVE the sources so no training window clumps on
+    one domain. position = (src_rank - 1) * n_sources + source_index is
+    a strict total order; sorting by it yields the curriculum. Positions
+    are sparse once short sources exhaust — they are sort keys, not
+    dense ids (a dense re-number would need a global pass the consumer's
+    writer does anyway).
+
+    Scale shape: per-source ranks via distributed_rank_by (range-sharded
+    exact ranks — no per-source single-partition window); the source
+    dimension is BOUNDED by construction, so its row_number window and
+    broadcast join are dimension-sized; everything else is map-side
+    integer arithmetic. Quality is the shared oracle-exact formula, so
+    the ordering is cross-engine deterministic (ties by doc id).
+    """
+    from pyspark.sql import Window
+
+    from etl_online_retail_spark.operators.windows import (
+        distributed_rank_by,
+    )
+
+    base = docs.select(
+        F.col(id_col), F.col(strata_col),
+        quality_expr(text_col).alias("_q"))
+    ranked = distributed_rank_by(
+        base, [strata_col],
+        order=[F.col("_q").desc(), F.col(id_col).asc()],
+        shard_by=-F.col("_q"), n_shards=32, alias="src_rank")
+    # bounded source dimension: index + count ride one broadcast each
+    dim = (base.select(strata_col).distinct()
+           .withColumn("_sidx",
+                       F.row_number().over(Window.orderBy(strata_col))
+                       .cast("bigint") - 1))
+    nsrc = dim.agg(F.count(F.lit(1)).alias("_nsrc"))
+    return (ranked.join(F.broadcast(dim), strata_col)
+            .crossJoin(F.broadcast(nsrc))
+            .select(id_col, strata_col,
+                    F.col("src_rank").cast("bigint").alias("src_rank"),
+                    ((F.col("src_rank") - 1) * F.col("_nsrc")
+                     + F.col("_sidx")).cast("bigint").alias("position")))

@@ -1036,6 +1036,37 @@ def q_blocklist_filter_stats(spark, sf_dir):
                 / F.count(F.lit(1)).cast("double"), 6).alias("flag_rate")))
 
 
+# curation: deterministic curriculum ordering — easy->hard (quality
+# DESC) per source, round-robin interleaved across sources so no
+# training window clumps on one domain. The oracle states the naive
+# per-source window; Spark runs distributed_rank_by (range-sharded
+# exact ranks, no per-source single-partition sort). position is a
+# strict total order; ties in quality resolve by doc_id on both
+# engines.
+@register(
+    "curriculum_order",
+    f"""WITH q AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents),
+s AS (SELECT source,
+             CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT)
+               AS sidx
+      FROM (SELECT DISTINCT source FROM q)),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nsrc FROM s),
+r AS (SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY quality DESC, doc_id) AS BIGINT) AS src_rank
+      FROM q)
+SELECT r.doc_id, r.source, r.src_rank,
+       CAST((r.src_rank - 1) * n.nsrc + s.sidx AS BIGINT) AS position
+FROM r JOIN s ON r.source = s.source CROSS JOIN n""",
+    "M6-curation-curriculum",
+)
+def q_curriculum_order(spark, sf_dir):
+    from etl_online_retail_spark.operators.curation import curriculum_order
+
+    return curriculum_order(_t(spark, sf_dir, "documents"))
+
+
 # curation: DSIR-style importance-weighted selection (Xie et al. 2023)
 # over hashed bigram features — target = English docs, raw pool = the
 # rest; keep the top-K most target-like raw docs per source. The

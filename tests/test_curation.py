@@ -258,3 +258,33 @@ def test_blocklist_mechanisms_agree(spark):
     counts = {v[0] for v in expr_rows.values()}
     assert 0 in counts and max(counts) >= 2, \
         "fixture should include zero- and multi-term matches"
+
+
+def test_curriculum_order_interleaves_sources_easy_first(spark):
+    """Positions form a strict total order; the first n_sources slots of
+    the curriculum are each source's single best (src_rank 1) doc — no
+    domain clumping; within a source, ascending position follows
+    descending quality with doc_id tiebreak."""
+    from etl_online_retail_spark.operators.curation import (
+        curriculum_order,
+        quality_scores,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    out = curriculum_order(docs).collect()
+    positions = [r.position for r in out]
+    assert len(positions) == len(set(positions)) == docs.count()
+    n_src = docs.select("source").distinct().count()
+    head = sorted(out, key=lambda r: r.position)[:n_src]
+    assert {r.source for r in head} == \
+        {r.source for r in docs.select("source").distinct().collect()}
+    assert all(r.src_rank == 1 for r in head)
+    # within-source: position order == (quality desc, doc_id) order
+    q = {r.doc_id: r.quality for r in quality_scores(docs).collect()}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.position)
+        keys = [(-q[r.doc_id], r.doc_id) for r in rows]
+        assert keys == sorted(keys), src
