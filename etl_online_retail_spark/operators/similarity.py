@@ -833,3 +833,126 @@ def pca_project(corpus: DataFrame, mean: list, components: list,
                f"__id long, proj array<double>, recon_err double, "
                f"var_ratio double"))
     return out.withColumnRenamed("__id", id_col)
+
+
+def train_pq_codebooks_distributed(corpus: DataFrame, m_subspaces: int = 8,
+                                   n_codes: int = 16, n_iters: int = 8,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   mean_scale: int = 12) -> list:
+    """Distributed Lloyd's over the FULL corpus for all M subspaces at
+    once — the scale-up of train_pq_codebooks when the training set no
+    longer fits one process (the documented driver-side asymmetry ends
+    here; FAISS-style sample training remains the cheap default).
+
+    One aggregation per iteration trains every subspace simultaneously:
+    explode each vector into its m sub-vectors, assign each to its
+    nearest current centroid in an Arrow-batched mapInPandas (BLAS
+    argmin — the hot loop stays vectorized), then posexplode dimensions
+    and fold per-(subspace, code, dim) sums AS DECIMAL(38,12) with the
+    row count. Decimal sums are order-independent, so the updated
+    centroids — mean = sum/count rounded to `mean_scale` dp — are
+    IDENTICAL under any partitioning/arrival order, unlike float means
+    (tested under repartition). Each iteration collects only the
+    m*k*d_sub centroid table (bounded), so lineage never grows — the
+    PageRank discipline for iterative jobs.
+
+    Init is the deterministic hash-order rank: per subspace, the
+    sub-vectors of the n_codes rows with the smallest portable affine
+    hash of the id (distributed_rank_by — range-sharded, no global
+    sort). Empty clusters keep their previous centroid. Shuffle volume
+    per iteration is d values per vector (tiny tuples, map-side
+    combined to m*k*d_sub partials per task).
+    """
+    import numpy as np
+
+    from etl_online_retail_spark.operators.sampling import _bucket
+    from etl_online_retail_spark.operators.windows import (
+        distributed_rank_by,
+    )
+
+    first = corpus.select(as_double(vec_col).alias("_v")).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    n_dims = len(first["_v"])
+    if n_dims % m_subspaces:
+        raise ValueError(f"{n_dims} dims not divisible by {m_subspaces}")
+    d_sub = n_dims // m_subspaces
+
+    subs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).cast("int").alias("s"),
+                     F.slice(as_double(vec_col), s * d_sub + 1, d_sub)
+                     .alias("v"))
+            for s in range(m_subspaces)])).alias("_e")
+    ).select("_id", F.col("_e.s").alias("_s"), F.col("_e.v").alias("_v"))
+    subs = subs.cache()
+
+    seeds = distributed_rank_by(
+        subs.withColumn("_h", _bucket(F.col("_id"))), ["_s"],
+        order=[F.col("_h").asc(), F.col("_id").asc()],
+        shard_by=F.col("_h"), n_shards=32, alias="_r")
+    init_rows = (seeds.filter(F.col("_r") <= n_codes)
+                 .select("_s", "_r", "_v").collect())
+    cent = np.zeros((m_subspaces, n_codes, d_sub), dtype=np.float64)
+    seen: dict[int, int] = {}
+    for r in init_rows:
+        cent[r["_s"], r["_r"] - 1] = r["_v"]
+        seen[r["_s"]] = max(seen.get(r["_s"], 0), r["_r"])
+    for s, got in seen.items():
+        for j in range(got, n_codes):  # corpus smaller than the codebook
+            cent[s, j] = cent[s, got - 1]
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    assign_schema = T.StructType([
+        T.StructField("_s", T.IntegerType()),
+        T.StructField("_code", T.IntegerType()),
+        T.StructField("_v", T.ArrayType(T.DoubleType())),
+    ])
+
+    for _ in range(n_iters):
+        c = cent.copy()  # pinned per-iteration closure copy
+
+        def assign(batches, _c=c):
+            for pdf in batches:
+                out_s, out_code, out_v = [], [], []
+                for s in range(m_subspaces):
+                    part = pdf[pdf["_s"] == s]
+                    if not len(part):
+                        continue
+                    mat = np.array(list(part["_v"]), dtype=np.float64)
+                    cb = _c[s]
+                    d2 = (-2.0 * mat @ cb.T) + (cb * cb).sum(axis=1)
+                    codes = d2.argmin(axis=1)  # ties -> lowest code
+                    out_s.extend([s] * len(part))
+                    out_code.extend(int(x) for x in codes)
+                    out_v.extend(part["_v"])
+                yield pd.DataFrame(
+                    {"_s": pd.Series(out_s, dtype="int32"),
+                     "_code": pd.Series(out_code, dtype="int32"),
+                     "_v": out_v})
+
+        assigned = subs.select("_s", "_v").mapInPandas(assign,
+                                                       assign_schema)
+        sums = (assigned
+                .select("_s", "_code",
+                        F.posexplode("_v").alias("_pos", "_x"))
+                .groupBy("_s", "_code", "_pos")
+                .agg(F.sum(F.col("_x").cast("decimal(38,12)"))
+                     .alias("_sum"),
+                     F.count(F.lit(1)).alias("_n"))
+                .collect())
+        new = cent.copy()  # empty clusters keep their previous centroid
+        counted: dict[tuple, int] = {}
+        for r in sums:
+            counted[(r["_s"], r["_code"], r["_pos"])] = \
+                float(round(r["_sum"] / r["_n"], mean_scale))
+        for (s, code, pos), v in counted.items():
+            new[s, code, pos] = v
+        cent = new
+    subs.unpersist()
+    return [[[float(x) for x in code] for code in cent[s]]
+            for s in range(m_subspaces)]

@@ -282,3 +282,67 @@ def test_pq_codes_are_compact_and_deterministic(spark):
     assert a == b  # encoding is deterministic run-to-run
     assert all(len(c) == 16 and all(0 <= x < 16 for x in c)
                for c in a.values())  # one 4-bit code per subspace
+
+
+def test_distributed_pq_trainer_partition_invariant_and_usable(spark):
+    """train_pq_codebooks_distributed: decimal-sum centroid updates make
+    the codebooks IDENTICAL under any input partitioning (the whole
+    point of the distributed path — float means would drift with task
+    order), and the books it produces drive the same encode/ADC/refine
+    search as the driver-trained ones at comparable recall."""
+    import math
+
+    import numpy as np
+
+    from etl_online_retail_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_refined,
+        train_pq_codebooks_distributed,
+    )
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    books = train_pq_codebooks_distributed(
+        emb, m_subspaces=16, n_codes=16, n_iters=4)
+    assert len(books) == 16
+    assert all(len(b) == 16 and len(b[0]) == 4 for b in books)
+    assert all(math.isfinite(x) for b in books for c in b for x in c)
+
+    # bit-identical books from a differently-partitioned input
+    rebooks = train_pq_codebooks_distributed(
+        emb.repartition(7), m_subspaces=16, n_codes=16, n_iters=4)
+    assert books == rebooks
+
+    # the books are USABLE: ADC + refine recall vs exact L2, same
+    # harness and bound as the driver-trained test above
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    codes = pq_encode(emb, books)
+    approx = {(r.query_id, r.neighbour_id)
+              for r in pq_topk_refined(codes, emb, queries, books,
+                                       k=5, refine=10).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    exact = set()
+    for r in [x for x in rows if x.vec_id % 50 == 0]:
+        d2 = ((mat - np.asarray(r.embedding, dtype=np.float64)) ** 2).sum(1)
+        order = [i for i in np.lexsort((ids, d2)) if ids[i] != r.vec_id][:5]
+        exact |= {(r.vec_id, int(ids[i])) for i in order}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"distributed-PQ recall too low: {recall:.2f}"
+
+
+def test_distributed_pq_trainer_pads_small_corpus(spark):
+    """Fewer distinct rows than n_codes: the seeding pads with the last
+    seen centroid (same contract as the driver trainer) instead of
+    leaving zero rows — every code word stays a valid centroid."""
+    from etl_online_retail_spark.operators.similarity import (
+        train_pq_codebooks_distributed,
+    )
+
+    emb = load_table(spark, "embeddings", SF).filter(F.col("vec_id") < 6)
+    books = train_pq_codebooks_distributed(
+        emb, m_subspaces=4, n_codes=16, n_iters=2)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    for b in books:
+        # padded tail codes repeat a real centroid, not zeros
+        assert b[-1] == b[5] or any(x != 0.0 for x in b[-1])
