@@ -675,7 +675,8 @@ def q_top_supplier_of_quarter(spark, sf_dir):
     srev = (li.filter((F.col("l_shipdate") >= Q15_QUARTER[0])
                       & (F.col("l_shipdate") < Q15_QUARTER[1]))
             .groupBy("l_suppkey")
-            .agg(money.sum_money(money.net_revenue(), "total_rev")))
+            .agg(money.sum_money(money.net_revenue(), "total_rev"))
+            .cache())  # feeds its own max AND the equality probe (rule 7)
     mx = srev.agg(F.max("total_rev").alias("_m"))
     return (srev.crossJoin(F.broadcast(mx))
             .filter(F.col("total_rev") == F.col("_m"))
@@ -705,17 +706,26 @@ def q_small_quantity_revenue(spark, sf_dir):
     """Q17: revenue locked in small-quantity orders of one brand — each
     line compared against ITS PART's average quantity (the correlated
     scalar subquery, decorrelated into one grouped relation joined
-    back). avg is exact-sum / count, one IEEE division."""
+    back). avg is exact-sum / count, one IEEE division.
+
+    Scale shape: partkey determines brand, so the per-part averages are
+    computed AFTER the brand semi-join — over ~1/|brands| of the fact,
+    identical values for every surviving group. The full-fact aggregate
+    (and the fact-sized shuffle join against it) in the naive
+    decorrelation never happens; pavg shrinks to brand-part-count rows
+    and broadcasts back onto the cached brand slice."""
     li = _t(spark, sf_dir, "lineitem")
     p = (_t(spark, sf_dir, "part")
          .filter(F.col("p_brand") == Q17_BRAND)
          .select("p_partkey"))
-    pavg = (li.groupBy(F.col("l_partkey").alias("_pk"))
+    lines = (li.select("l_partkey", "l_quantity", "l_extendedprice")
+             .join(joins.size_guarded_broadcast(p),
+                   F.col("l_partkey") == p.p_partkey, "left_semi")
+             .cache())  # feeds pavg AND the probe side (rule 7)
+    pavg = (lines.groupBy("l_partkey")
             .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                   .cast("double") / F.count(F.lit(1))).alias("avg_qty")))
-    return (li.join(joins.size_guarded_broadcast(p),
-                    li.l_partkey == p.p_partkey)
-            .join(pavg, li.l_partkey == F.col("_pk"))
+    return (lines.join(joins.size_guarded_broadcast(pavg), "l_partkey")
             .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
             .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                   .cast("double") / F.lit(7.0)).alias("avg_yearly"),
