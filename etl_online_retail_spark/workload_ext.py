@@ -923,6 +923,54 @@ def q_bpe_vocab_merges(spark, sf_dir):
         "rank int, left string, right string")
 
 
+# Unigram-LM (SentencePiece) tokenizer training: the prune-down
+# counterpart to BPE's merge-up (Kudo 2018). Iterative driver-coordinated
+# hard-EM -> no SQL oracle (same class as bpe_vocab_merges); equality of
+# the distributed trainer vs the in-memory sequential reference is
+# pytest-asserted in tests/test_unigram.py. NOT benched: training runs at
+# plan construction (the part_copurchase_hops rule).
+
+UNIGRAM_Q_VOCAB = 64
+UNIGRAM_Q_SEED = 256
+
+
+@register("unigram_vocab", None, "M6-unigram-train")
+def q_unigram_vocab(spark, sf_dir):
+    from etl_online_retail_spark.operators.unigram_lm import unigram_train
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_train(docs, vocab_size=UNIGRAM_Q_VOCAB,
+                          n_seed=UNIGRAM_Q_SEED)
+    return spark.createDataFrame(
+        [(i, p, round(lp, 6)) for i, (p, lp) in enumerate(vocab)],
+        "rank int, piece string, logp double")
+
+
+@register("unigram_token_stats", None, "M6-unigram-apply")
+def q_unigram_token_stats(spark, sf_dir):
+    """Per-source compression scorecard of the trained inventory:
+    subword pieces per whitespace token (the metric a tokenizer swap is
+    judged by)."""
+    from etl_online_retail_spark.operators.unigram_lm import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_train(docs, vocab_size=UNIGRAM_Q_VOCAB,
+                          n_seed=UNIGRAM_Q_SEED)
+    toked = unigram_tokenize(docs, vocab).drop("pieces")
+    src = docs.select("doc_id", "source")
+    return (toked.join(src, "doc_id")
+            .groupBy("source")
+            .agg(F.sum("n_ws_tokens").alias("total_ws_tokens"),
+                 F.sum("n_pieces").alias("total_pieces"),
+                 F.round(F.sum("n_pieces").cast("double")
+                         / F.sum("n_ws_tokens").cast("double"), 6)
+                 .alias("pieces_per_token"))
+            .orderBy("source"))
+
+
 # sketch path for percentiles: approx_percentile (KLL-style) — the 100 TB
 # twin of length_percentiles_by_source's exact interpolation. Approximate
 # by contract -> rows-only driver check; the error bound vs the exact

@@ -19,7 +19,12 @@ EXPECTED_ROWS_ONLY = {"approx_customers_by_nation", "knn_ivf",
                       # from the SQL fold at ulp level (6dp hash could flip
                       # on boundary pairs); pair-set/score agreement vs the
                       # oracle-exact fold is tolerance-tested
-                      "embedding_near_dups_vectorized"}
+                      "embedding_near_dups_vectorized",
+                      # Unigram-LM tokenizer: iterative driver-coordinated
+                      # EM (the bpe_vocab_merges class); distributed ==
+                      # sequential reference + partition invariance are
+                      # pytest-asserted in tests/test_unigram.py
+                      "unigram_vocab", "unigram_token_stats"}
 # (r5) part_copurchase_rank / part_copurchase_ppr left this set: the
 # registered queries now run the FIXED-POINT int64 power iteration
 # (graph.PR_FP_SCALE) and hash-verify against unrolled SQL oracles.
