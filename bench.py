@@ -137,6 +137,7 @@ HEADLINE = [
     "source_length_psi",
     "contrastive_negatives",
     "l_diversity_report",
+    "t_closeness_report",
     "embedding_pca",
     "user_value_holt",
     "part_copurchase_rules",

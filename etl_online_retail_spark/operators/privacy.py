@@ -66,6 +66,69 @@ def l_diversity_report(df: DataFrame, qi_cols: Sequence[str],
             .withColumn("diverse", F.col("n_sensitive") >= l))
 
 
+def t_closeness_report(df: DataFrame, qi_cols: Sequence[str],
+                       sensitive_col: str, t_num: int = 1,
+                       t_den: int = 4) -> DataFrame:
+    """Distinct t-closeness audit (Li et al., ICDE 2007) — the third leg
+    of the release triad: l-diversity stops the homogeneity attack, but
+    a group can satisfy it and still LEAK by skew (e.g. 90% of one
+    sensitive value where the population has 10% — the skewness
+    attack). A QI group is t-close when the total-variation distance
+    between its sensitive-value distribution and the GLOBAL one is <= t.
+
+    All statistics are exact integers: with group size g, global size N,
+    group value counts n_v and global value counts N_v,
+
+        TVD = ( g*N + Σ_{v in group} (|n_v*N - N_v*g| - N_v*g) )
+              / (2*g*N)
+
+    (the absent-value tail Σ N_v*g collapses into g*N because global
+    value counts sum to N — no group x value-domain cross join). The
+    threshold test cross-multiplies: TVD <= t_num/t_den iff
+    t_den*numerator <= t_num*(2*g*N) — integer comparison, no float
+    anywhere in the verdict. Counts are DECIMAL(18,0) operands so every
+    product stays inside DECIMAL(38,0) while surviving count ranges
+    where BIGINT products overflow; the reported tvd double is one IEEE
+    division of exact integers (cross-engine identical below the 2^53
+    decimal-cast boundary — workload.py's documented rule).
+
+    Output: (*qi_cols, n_rows BIGINT, tvd DOUBLE, t_close BOOLEAN).
+    Scale shape: one hash agg over (QI, sensitive), one over QI, one
+    global-value broadcast + scalar N broadcast, one fold per group —
+    map-side combinable throughout, no window, no sort.
+    """
+    if t_num < 0 or t_den <= 0:
+        raise ValueError("t must be a non-negative rational")
+    d18 = "decimal(18,0)"
+    gv = (df.groupBy(*qi_cols, sensitive_col)
+          .agg(F.count(F.lit(1)).alias("_ngv")))
+    glob_v = (df.groupBy(sensitive_col)
+              .agg(F.count(F.lit(1)).alias("_nv")))
+    n_tot = df.agg(F.count(F.lit(1)).alias("_n"))
+    term = (F.abs(F.col("_ngv").cast(d18) * F.col("_n").cast(d18)
+                  - F.col("_nv").cast(d18) * F.col("_g").cast(d18))
+            - F.col("_nv").cast(d18) * F.col("_g").cast(d18))
+    g_sizes = (df.groupBy(*qi_cols)
+               .agg(F.count(F.lit(1)).alias("_g")))
+    folded = (gv
+              .join(g_sizes, list(qi_cols))
+              .join(F.broadcast(glob_v), sensitive_col)
+              .crossJoin(F.broadcast(n_tot))
+              .groupBy(*qi_cols)
+              .agg(F.first("_g").alias("_g"), F.first("_n").alias("_n"),
+                   F.sum(term).alias("_tail")))
+    num = F.col("_g").cast(d18) * F.col("_n").cast(d18) + F.col("_tail")
+    den = F.lit(2).cast(d18) * F.col("_g").cast(d18) \
+        * F.col("_n").cast(d18)
+    small = "decimal(2,0)"
+    return (folded.select(
+        *qi_cols,
+        F.col("_g").alias("n_rows"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("tvd"),
+        (F.lit(t_den).cast(small) * num
+         <= F.lit(t_num).cast(small) * den).alias("t_close")))
+
+
 def k_anonymize(df: DataFrame, qi_cols: Sequence[str],
                 k: int = 5, broadcast: bool = True) -> DataFrame:
     """Suppression release: rows of df whose QI group has >= k members.

@@ -222,6 +222,52 @@ def q_l_diversity_report(spark, sf_dir):
         ["c_nationkey", "bal_band"], "c_mktsegment", l=L_DIVERSITY)
 
 
+# t-closeness (Li et al. 2007): the skewness-attack audit completing the
+# k-anon/l-div triad. TVD vs the global sensitive distribution in EXACT
+# integer arithmetic — one fold over present values (the absent-value
+# tail collapses into g*N), threshold by cross-multiplication so the
+# boolean never touches a float. t = 1/4.
+
+T_CLOSE_NUM, T_CLOSE_DEN = 1, 4
+
+_TCLOSE_ORACLE = f"""
+WITH base AS (
+  SELECT c_nationkey, {_BAL_BAND} AS bal_band, c_mktsegment FROM customer),
+gv AS (SELECT c_nationkey, bal_band, c_mktsegment, COUNT(*) AS ngv
+       FROM base GROUP BY 1, 2, 3),
+gs AS (SELECT c_nationkey, bal_band, COUNT(*) AS g
+       FROM base GROUP BY 1, 2),
+v AS (SELECT c_mktsegment, COUNT(*) AS nv FROM base GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM base),
+f AS (
+  SELECT gv.c_nationkey, gv.bal_band, gs.g, n.n,
+    SUM(ABS(ngv::DECIMAL(18,0) * n::DECIMAL(18,0)
+            - nv::DECIMAL(18,0) * g::DECIMAL(18,0))
+        - nv::DECIMAL(18,0) * g::DECIMAL(18,0)) AS tail
+  FROM gv JOIN gs USING (c_nationkey, bal_band)
+  JOIN v USING (c_mktsegment) CROSS JOIN n
+  GROUP BY 1, 2, 3, 4)
+SELECT c_nationkey, bal_band, g AS n_rows,
+  ROUND(CAST(g::DECIMAL(18,0) * n::DECIMAL(18,0) + tail AS DOUBLE)
+        / CAST(2::DECIMAL(18,0) * g::DECIMAL(18,0) * n::DECIMAL(18,0)
+               AS DOUBLE), 6) AS tvd,
+  ({T_CLOSE_DEN}::DECIMAL(2,0)
+     * (g::DECIMAL(18,0) * n::DECIMAL(18,0) + tail)
+   <= {T_CLOSE_NUM}::DECIMAL(2,0)
+     * (2::DECIMAL(18,0) * g::DECIMAL(18,0) * n::DECIMAL(18,0)))
+  AS t_close
+FROM f
+"""
+
+
+@register("t_closeness_report", _TCLOSE_ORACLE, "M6-privacy-tcloseness")
+def q_t_closeness_report(spark, sf_dir):
+    return privacy.t_closeness_report(
+        _customer_banded(spark, sf_dir),
+        ["c_nationkey", "bal_band"], "c_mktsegment",
+        t_num=T_CLOSE_NUM, t_den=T_CLOSE_DEN)
+
+
 # PCA projection audit: rows-only for the driver (BLAS reduction order,
 # like knn_pq) — orthonormality/energy/determinism invariants are
 # pytest-asserted (tests/test_serving_privacy.py).

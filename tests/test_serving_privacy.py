@@ -692,3 +692,43 @@ def test_pricing_summary_plan_is_one_scan_one_exchange(spark):
     assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
     assert plan.count("Exchange") == 1, plan[:2000]
     assert "partial_sum" in plan          # map-side combine engaged
+
+
+def test_t_closeness_report_exact_tvd(spark):
+    """Handcrafted distributions: global sensitive mix is 50/50 (8
+    rows); group g1 mirrors it exactly (TVD 0), group g2 is fully
+    one-sided (4 rows of 's1' -> TVD = |1-0.5|/... = 0.5)."""
+    from etl_online_retail_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    rows = ([("g1", "s1")] * 2 + [("g1", "s2")] * 2
+            + [("g2", "s1")] * 4)
+    # global: s1 6/8, s2 2/8; g1: s1 2/4 s2 2/4; g2: s1 4/4
+    df = spark.createDataFrame(rows, "grp STRING, sens STRING")
+    rep = {r.grp: (r.n_rows, r.tvd, r.t_close)
+           for r in t_closeness_report(df, ["grp"], "sens",
+                                       t_num=1, t_den=4).collect()}
+    # g1: |2/4-6/8| + |2/4-2/8| = 0.25+0.25 -> TVD 0.25 <= 1/4 (close)
+    assert rep["g1"] == (4, 0.25, True)
+    # g2: |4/4-6/8| + |0-2/8| = 0.25+0.25 -> TVD 0.25, boundary EXACTLY
+    # at t: the integer cross-multiplication keeps <= true
+    assert rep["g2"] == (4, 0.25, True)
+    # tighten t to 1/5: both groups now fail via the same exact compare
+    rep5 = {r.grp: r.t_close
+            for r in t_closeness_report(df, ["grp"], "sens",
+                                        t_num=1, t_den=5).collect()}
+    assert rep5 == {"g1": False, "g2": False}
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    from etl_online_retail_spark.operators.privacy import (
+        t_closeness_report,
+    )
+
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "grp STRING, sens STRING")
+    rep = {r.grp: (r.tvd, r.t_close)
+           for r in t_closeness_report(df, ["grp"], "sens",
+                                       t_num=0, t_den=1).collect()}
+    assert rep == {"a": (0.0, True), "b": (0.0, True)}
