@@ -92,10 +92,17 @@ def _attestation_recency() -> dict[str, int]:
     from every file are absent from the dict (= never attested)."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(path: str) -> int:
+        # numeric, not lexicographic: "r99" must sort before "r100"
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
     files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
-                   reverse=True)
+                   key=round_no, reverse=True)
     recency: dict[str, int] = {}
     for age, path in enumerate(files):
         try:

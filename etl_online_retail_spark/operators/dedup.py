@@ -587,13 +587,22 @@ def banded_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def near_dups_between(probe: DataFrame, index: DataFrame, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      cache: bool = True) -> DataFrame:
     """Verified near-dup pairs BETWEEN two banded_signatures relations:
     candidates from per-band bucket joins, exact-Jaccard verify on the
-    stored shingles. Returns (new_id, corpus_id, jaccard)."""
+    stored shingles. Returns (new_id, corpus_id, jaccard).
+
+    cache=True pins both inputs for the bands+1 joins each side feeds
+    (rule 7) — right for one-shot batch calls, but the caller owns no
+    handle to unpersist, so a LOOP caller (the streaming dedup path
+    reads a fresh, ever-growing index every micro-batch) must pass
+    cache=False and manage its own persistence, or executor storage
+    accumulates one dead cached relation per batch."""
     # both sides feed `bands` candidate joins + one verify join each
-    probe = probe.cache()
-    index = index.cache()
+    if cache:
+        probe = probe.cache()
+        index = index.cache()
     cands = None
     for i in range(bands):
         a = probe.select(F.col("_id").alias("new_id"),

@@ -437,8 +437,12 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
     the 2048-row block x bucket width; the group itself (c x dims
     doubles) is the applyInPandas ceiling — a 500k-row bucket is 256 MB,
     the signal to add planes. Duplicate pairs across probe families are
-    dropped AFTER scoring (scores are bitwise-identical per pair, so
-    distinct() dedups).
+    dropped AFTER scoring, keyed on (id_a, id_b) alone: the same pair's
+    score is NOT guaranteed bitwise-identical across families (the GEMM
+    blocks are shaped by bucket membership, so summation order can
+    differ at ulp level, and np.round is half-to-even where the fold
+    path's F.round is HALF_UP on doubles) — a full-row distinct() could
+    let ulp-twin rows survive.
     """
     if n_planes is None:
         n_planes = auto_n_planes(vectors.count())
@@ -523,7 +527,10 @@ def lsh_near_duplicates(vectors: DataFrame, threshold: float = 0.95,
         scored = make(p)
         out = scored if out is None else out.unionByName(scored)
     if probes > 1:
-        out = out.distinct()
+        # key-only dedup: scores for the same pair can differ at ulp
+        # level across probe families (see docstring), so full-row
+        # distinct() would keep both twins
+        out = out.dropDuplicates(["id_a", "id_b"])
     return out
 
 

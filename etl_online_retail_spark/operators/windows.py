@@ -50,9 +50,28 @@ def with_lag(df: DataFrame, partition: Sequence[str], order: Sequence[Column],
     return df.withColumn(alias, F.lag(col, offset).over(w))
 
 
+def _shard_expr(bounds: list[float], nulls: str) -> Column:
+    """Shard index from `_sv` against the boundary list. NULL `_sv`
+    rows get their OWN dedicated shard — strict '>' against a bound
+    evaluates to NULL for them, which would otherwise land them in a
+    NULL shard and crash the driver-side `sorted(counts)` fold.
+    nulls="first" shards them below everything (Spark's asc default,
+    NULLS FIRST); nulls="last" above everything (desc default)."""
+    if nulls not in ("first", "last"):
+        raise ValueError(f"nulls must be 'first' or 'last', got {nulls!r}")
+    shard = F.lit(0)
+    for b in bounds:
+        # strict '>' sends boundary-valued rows to the LOWER shard —
+        # equal shard_by values always share a shard (contiguity)
+        shard = shard + (F.col("_sv") > F.lit(b)).cast("int")
+    null_shard = -1 if nulls == "first" else len(bounds) + 1
+    return F.when(F.col("_sv").isNull(), F.lit(null_shard)).otherwise(shard)
+
+
 def distributed_rank(df: DataFrame, order: Sequence[Column],
                      shard_by: Column, n_shards: int = 64,
-                     alias: str = "grank") -> tuple[DataFrame, int]:
+                     alias: str = "grank",
+                     nulls: str = "first") -> tuple[DataFrame, int]:
     """EXACT global row_number over a total order, without the
     single-partition sort that `Window.orderBy(...)` (no PARTITION BY)
     compiles to — the classic 100 TB cliff, since WindowExec moves the
@@ -75,6 +94,11 @@ def distributed_rank(df: DataFrame, order: Sequence[Column],
       3. row_number PARTITIONED by shard (each reducer sorts ~1/n_shards
          of the data) + the shard's offset = the exact global rank.
 
+    NULL `shard_by` values (a NULL quality score, a NULL logprob) get
+    a dedicated shard placed per `nulls` ("first" = below everything,
+    Spark's asc-order default; "last" = above) — pick the side matching
+    `order`'s null placement so ranks stay exact.
+
     Returns (df + alias column, total_rows). The input is cached — it
     feeds the boundary job, the count job and the final plan (rule 7).
     """
@@ -85,12 +109,8 @@ def distributed_rank(df: DataFrame, order: Sequence[Column],
         F.percentile_approx("_sv", fracs, 10_000).alias("_b")).first()
     bounds = sorted({float(b) for b in (bounds_row["_b"] or [])
                      if b is not None})
-    shard = F.lit(0)
-    for b in bounds:
-        # strict '>' sends boundary-valued rows to the LOWER shard —
-        # equal shard_by values always share a shard (contiguity)
-        shard = shard + (F.col("_sv") > F.lit(b)).cast("int")
-    sharded = work.withColumn("_shard", shard).drop("_sv").cache()
+    sharded = (work.withColumn("_shard", _shard_expr(bounds, nulls))
+               .drop("_sv").cache())
     counts = {r["_shard"]: r["n"] for r in
               (sharded.groupBy("_shard")
                .agg(F.count(F.lit(1)).alias("n")).collect())}
@@ -112,7 +132,8 @@ def distributed_rank(df: DataFrame, order: Sequence[Column],
 def distributed_rank_by(df: DataFrame, part_cols: Sequence[str],
                         order: Sequence[Column], shard_by: Column,
                         n_shards: int = 64, alias: str = "grank",
-                        total_alias: str | None = None) -> DataFrame:
+                        total_alias: str | None = None,
+                        nulls: str = "first") -> DataFrame:
     """EXACT per-group row_number over a total order WITHIN each group —
     distributed_rank's partitioned sibling, for the case where the
     groups themselves are huge (a per-source window over a 100 TB corpus
@@ -127,8 +148,10 @@ def distributed_rank_by(df: DataFrame, part_cols: Sequence[str],
     BOUNDED (dimension-sized: source, language, shard-date...), never a
     key column. `shard_by` must be monotone non-decreasing along
     `order`. NULLs in part_cols are joined null-safely (their own
-    group). Adds `alias` (per-group rank) and, when total_alias is
-    given, the group's total row count.
+    group); NULL `shard_by` values get a dedicated shard per `nulls`
+    ("first"/"last" — match the order's null placement). Adds `alias`
+    (per-group rank) and, when total_alias is given, the group's total
+    row count.
     """
     sv = shard_by.cast("double")
     work = df.withColumn("_sv", sv).cache()
@@ -137,10 +160,8 @@ def distributed_rank_by(df: DataFrame, part_cols: Sequence[str],
         F.percentile_approx("_sv", fracs, 10_000).alias("_b")).first()
     bounds = sorted({float(b) for b in (bounds_row["_b"] or [])
                      if b is not None})
-    shard = F.lit(0)
-    for b in bounds:
-        shard = shard + (F.col("_sv") > F.lit(b)).cast("int")
-    sharded = work.withColumn("_shard", shard).drop("_sv").cache()
+    sharded = (work.withColumn("_shard", _shard_expr(bounds, nulls))
+               .drop("_sv").cache())
     counts = (sharded.groupBy(*part_cols, "_shard")
               .agg(F.count(F.lit(1)).alias("_n")).collect())
     per_part: dict[tuple, dict[int, int]] = {}

@@ -20,31 +20,80 @@ from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_ENFORCED_LIMIT = 100_000
 
-# A Join node in the ANALYZED plan with no condition prints as a bare
-# "Join Inner" / "Join LeftOuter" line (with a condition it prints
-# "Join Inner, (cond)"). Explicit "Join Cross" is the user saying
-# CROSS JOIN and stays allowed.
-_IMPLICIT_CARTESIAN = re.compile(
-    r"\bJoin (Inner|LeftOuter|RightOuter|FullOuter)\s*$")
+# Postgres's grammar requires a join specification (ON/USING) after
+# every qualified JOIN; CROSS JOIN and NATURAL ... JOIN carry none by
+# definition, and comma-style FROM lists ("FROM a, b WHERE a.id = b.id")
+# are legal without one. Detect the failure class SYNTACTICALLY on the
+# statement text — an analyzed-plan scan cannot tell the two apart,
+# because a comma list also analyzes to a condition-less Join Inner
+# (its WHERE predicate pushes into the join only at optimization).
+_STRIP_SQL = re.compile(
+    r"'(?:[^']|'')*'"        # string literals ('' = escaped quote)
+    r"|\"[^\"]*\"|`[^`]*`"   # quoted identifiers
+    r"|--[^\n]*|/\*.*?\*/",  # comments
+    re.S)
+_SQL_TOKEN = re.compile(r"[A-Za-z_][A-Za-z_0-9$]*|\(|\)|;")
+_JOIN_MODIFIERS = {"LEFT", "RIGHT", "FULL", "INNER", "OUTER", "SEMI", "ANTI"}
+_CLAUSE_BOUNDARY = {
+    "JOIN", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+    "EXCEPT", "INTERSECT", "MINUS", "WINDOW", "QUALIFY", "LATERAL", ";"}
 
 
-def _reject_implicit_cartesian(df: DataFrame, sql_text: str) -> None:
+def _join_without_on(sql_text: str) -> bool:
+    """True iff the statement contains a qualified JOIN (not CROSS, not
+    NATURAL) with no ON/USING specification before the next same-depth
+    clause boundary — the shape Postgres rejects at parse time."""
+    toks: list[tuple[str, int]] = []   # (UPPER token, paren depth)
+    depth = 0
+    for m in _SQL_TOKEN.finditer(_STRIP_SQL.sub(" ", sql_text)):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+            continue
+        if t == ")":
+            depth -= 1
+            continue
+        toks.append((t.upper(), depth))
+    for i, (tok, d) in enumerate(toks):
+        if tok != "JOIN":
+            continue
+        j = i - 1                       # skip LEFT/FULL OUTER/... back to
+        while j >= 0 and toks[j][0] in _JOIN_MODIFIERS:   # the qualifier
+            j -= 1
+        if j >= 0 and toks[j][0] in ("CROSS", "NATURAL"):
+            continue                    # no ON by definition — legal
+        satisfied = False
+        for tok2, d2 in toks[i + 1:]:
+            if d2 < d:                  # left the subexpression
+                break
+            if d2 != d:
+                continue                # inside a subquery operand
+            if tok2 in ("ON", "USING"):
+                satisfied = True
+                break
+            if tok2 in _CLAUSE_BOUNDARY:
+                break
+        if not satisfied:
+            return True
+    return False
+
+
+def _reject_implicit_cartesian(sql_text: str) -> None:
     """The reference's SQL Lab (Postgres) rejects `a JOIN b WHERE ...`
     — JOIN without ON/USING is a syntax error there
     (superset.db#query[56-61]). Spark's grammar parses it as an
     unconditioned inner join (an implicit cartesian product), which on
     a warehouse fact table is a silent combinatorial explosion instead
-    of an error. Surface the reference's failure class at analysis
-    time: scan the analyzed plan for a condition-less non-cross Join."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    for line in plan.splitlines():
-        if _IMPLICIT_CARTESIAN.search(line.strip()):
-            raise AnalysisException(
-                "[IMPLICIT_CARTESIAN_PRODUCT] JOIN without an ON/USING "
-                "condition is not allowed in the SQL Lab surface (the "
-                "reference's Postgres rejects it as a syntax error). "
-                "Write an explicit CROSS JOIN if a cartesian product is "
-                f"intended. Statement: {sql_text.strip()[:200]}")
+    of an error. Surface the reference's failure class here. Comma
+    lists with WHERE predicates, CROSS JOIN and NATURAL JOIN all stay
+    allowed — Postgres accepts every one of those."""
+    if _join_without_on(sql_text):
+        raise AnalysisException(
+            "[IMPLICIT_CARTESIAN_PRODUCT] JOIN without an ON/USING "
+            "condition is not allowed in the SQL Lab surface (the "
+            "reference's Postgres rejects it as a syntax error). "
+            "Write an explicit CROSS JOIN if a cartesian product is "
+            f"intended. Statement: {sql_text.strip()[:200]}")
 
 
 def run_sql(spark: SparkSession, sql_text: str,
@@ -57,7 +106,7 @@ def run_sql(spark: SparkSession, sql_text: str,
     (Postgres rejects it; Spark alone would run the cartesian).
     """
     df = spark.sql(sql_text)
-    _reject_implicit_cartesian(df, sql_text)
+    _reject_implicit_cartesian(sql_text)
     if enforced_limit is not None:
         df = df.limit(enforced_limit)
     return df

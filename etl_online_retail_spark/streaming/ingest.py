@@ -849,26 +849,39 @@ def minhash_index_batch_write(batch_df: DataFrame, batch_id: int,
     spark = batch_df.sparkSession
     probe = banded_signatures(batch_df, text_col, id_col, n, k, bands,
                               seed=seed).localCheckpoint(eager=True)
-    if os.path.isdir(index_dir):
-        index = (spark.read.parquet(index_dir)
-                 .filter(F.col("_batch_id") < batch_id)
-                 .drop("_batch_id"))
-        hits = near_dups_between(probe, index, bands, threshold)
-    else:
-        hits = (probe.limit(0)
-                .select(F.col("_id").alias("new_id"),
-                        F.col("_id").alias("corpus_id"),
-                        F.lit(0.0).alias("jaccard")))
-    (hits.withColumn("_batch_id", F.lit(batch_id))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id")
-     .parquet(dups_dir))
-    (probe.withColumn("_batch_id", F.lit(batch_id))
-     .write.mode("overwrite")
-     .option("partitionOverwriteMode", "dynamic")
-     .partitionBy("_batch_id")
-     .parquet(index_dir))
+    # cache the per-batch index view OURSELVES (cache=False below) so it
+    # can be unpersisted once the batch's two writes land — the default
+    # caching inside near_dups_between has no unpersist handle, and a
+    # long-running stream would pin one dead, ever-larger relation per
+    # micro-batch in executor storage (ADVICE r6). The probe needs no
+    # cache: localCheckpoint already materialized it.
+    index = None
+    try:
+        if os.path.isdir(index_dir):
+            index = (spark.read.parquet(index_dir)
+                     .filter(F.col("_batch_id") < batch_id)
+                     .drop("_batch_id")
+                     .cache())
+            hits = near_dups_between(probe, index, bands, threshold,
+                                     cache=False)
+        else:
+            hits = (probe.limit(0)
+                    .select(F.col("_id").alias("new_id"),
+                            F.col("_id").alias("corpus_id"),
+                            F.lit(0.0).alias("jaccard")))
+        (hits.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(dups_dir))
+        (probe.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(index_dir))
+    finally:
+        if index is not None:
+            index.unpersist()
 
 
 def incremental_minhash_dedup(stream_df: DataFrame, index_dir: str,

@@ -60,8 +60,14 @@ def test_rotation_prefix_prefers_unattested_queries():
     import json
     import os
 
+    import re
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    files = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        # numeric, not lexicographic (r99 < r100) — matches
+        # __spark_entry__._attestation_recency
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
     if not files:
         return
     last = set(json.load(open(files[-1])))

@@ -118,6 +118,58 @@ def test_distributed_rank_constant_key_single_shard_still_exact(spark):
     assert sorted(r["r"] for r in got.collect()) == list(range(1, 51))
 
 
+def test_distributed_rank_null_shard_values_nulls_first(spark):
+    """NULL shard_by rows crashed the driver-side offset fold (ADVICE
+    r6: NULL _shard vs int in sorted()); they must instead land in a
+    dedicated shard matching the order's null placement — here Spark's
+    asc default, NULLS FIRST."""
+    rows = [((i * 37) % 101, i) for i in range(200)] + \
+           [(None, 1000 + i) for i in range(13)]
+    df = spark.createDataFrame(rows, "v INT, id INT")
+    got, total = distributed_rank(
+        df, order=[F.asc("v"), F.asc("id")], shard_by=F.col("v"),
+        n_shards=8, alias="r")
+    assert total == 213
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("r", F.row_number().over(w).cast("bigint"))
+    by_id = lambda rows_: sorted(map(tuple, rows_), key=lambda t: t[1])
+    assert by_id(got.collect()) == by_id(want.collect())
+
+
+def test_distributed_rank_null_shard_values_nulls_last(spark):
+    rows = [((i * 37) % 101, i) for i in range(200)] + \
+           [(None, 1000 + i) for i in range(13)]
+    df = spark.createDataFrame(rows, "v INT, id INT")
+    got, _ = distributed_rank(
+        df, order=[F.asc_nulls_last("v"), F.asc("id")], shard_by=F.col("v"),
+        n_shards=8, alias="r", nulls="last")
+    w = Window.orderBy(F.asc_nulls_last("v"), F.asc("id"))
+    want = df.withColumn("r", F.row_number().over(w).cast("bigint"))
+    by_id = lambda rows_: sorted(map(tuple, rows_), key=lambda t: t[1])
+    assert by_id(got.collect()) == by_id(want.collect())
+
+
+def test_distributed_ntile_by_null_shard_values(spark):
+    """Per-group variant with NULL quality scores in one group — the
+    curriculum_order/perplexity_buckets caller shape (ADVICE r6)."""
+    from etl_online_retail_spark.operators.windows import (
+        distributed_ntile_by,
+    )
+
+    rows = ([("a", i if i % 7 else None, i) for i in range(60)]
+            + [("b", i, 100 + i) for i in range(40)])
+    df = spark.createDataFrame(rows, "g string, v int, id int") \
+        .repartition(8)
+    got = {(r.g, r.id): r.bucket for r in
+           distributed_ntile_by(df, ["g"], order=[F.asc("v"), F.asc("id")],
+                                shard_by=F.col("v"), n=3,
+                                n_shards=4).collect()}
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = {(r.g, r.id): r.want for r in
+            df.withColumn("want", F.ntile(3).over(w)).collect()}
+    assert got == want
+
+
 def test_distributed_ntile_by_equals_partitioned_ntile(spark):
     """The partitioned variant must reproduce NTILE(n) OVER (PARTITION BY
     g ORDER BY ...) bit-for-bit, including groups with remainders, groups

@@ -89,6 +89,50 @@ def test_explicit_cross_join_stays_allowed(retail_schema):
     assert out.count() <= 5
 
 
+def test_comma_join_with_where_predicate_stays_allowed(retail_schema):
+    """Postgres accepts comma-style FROM lists — they are not the
+    JOIN-without-ON failure class even though they analyze to the same
+    condition-less Join Inner before optimization (ADVICE r6)."""
+    out = run_sql(
+        retail_schema,
+        "SELECT COUNT(*) AS n "
+        "FROM retail.fct_invoices i, retail.dim_customers c "
+        "WHERE i.customer_dim_id = c.customer_dim_id")
+    assert out.collect()[0].n >= 0
+
+
+def test_join_without_on_in_subquery_still_rejected(retail_schema):
+    from pyspark.errors import AnalysisException as AE
+
+    with pytest.raises(AE, match="IMPLICIT_CARTESIAN_PRODUCT"):
+        run_sql(
+            retail_schema,
+            "SELECT * FROM (SELECT i.quantity FROM retail.fct_invoices i "
+            "JOIN retail.dim_customers c) s").collect()
+
+
+def test_subquery_operand_does_not_satisfy_outer_join(retail_schema):
+    """An ON inside a subquery operand must not count for the outer
+    JOIN that carries the subquery."""
+    from pyspark.errors import AnalysisException as AE
+
+    with pytest.raises(AE, match="IMPLICIT_CARTESIAN_PRODUCT"):
+        run_sql(
+            retail_schema,
+            "SELECT * FROM retail.dim_customers c JOIN "
+            "(SELECT i.customer_dim_id FROM retail.fct_invoices i "
+            "JOIN retail.dim_dates d ON i.invoice_date_dim_id = "
+            "d.date_dim_id) s").collect()
+
+
+def test_join_keyword_inside_string_literal_ignored(retail_schema):
+    out = run_sql(
+        retail_schema,
+        "SELECT 'JOIN without ON' AS note, COUNT(*) AS n "
+        "FROM retail.dim_customers")
+    assert out.collect()[0].note == "JOIN without ON"
+
+
 def test_conditioned_joins_pass_the_cartesian_guard(retail_schema):
     out = run_sql(
         retail_schema,
