@@ -592,8 +592,12 @@ def synthetic_flac_media(docs: DataFrame,
                 m = 8 * (1 + i % 8)
                 reps = 30 + i % 5
                 wave = np.tile(np.arange(m, dtype=np.int64), reps)
+                # 1024-sample blocks: the longer clips (m >= 32) still
+                # span multiple frames, so the frame walk is exercised,
+                # at 1/4 the per-frame overhead of 256 (r7; every output
+                # feature is block-size independent)
                 payloads.append(_flac.encode_flac(wave, 8000,
-                                                  block_size=256))
+                                                  block_size=1024))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([

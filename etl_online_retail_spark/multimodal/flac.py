@@ -81,6 +81,25 @@ class _BitWriter:
         if self._nbits:
             self.write(0, 8 - self._nbits)
 
+    def write_bit_array(self, bits: np.ndarray) -> None:
+        """Append a uint8 0/1 bit vector in one np.packbits pass —
+        the vectorized sibling of a write() loop (r7: the Rice
+        emission hot path runs through here)."""
+        nb = self._nbits
+        if nb:
+            pend = np.empty(nb, dtype=np.uint8)
+            for i in range(nb):
+                pend[i] = (self._acc >> (nb - 1 - i)) & 1
+            bits = np.concatenate([pend, bits])
+            self._acc = 0
+            self._nbits = 0
+        n_full = (len(bits) // 8) * 8
+        if n_full:
+            self._out += np.packbits(bits[:n_full]).tobytes()
+        for b in bits[n_full:]:
+            self._acc = (self._acc << 1) | int(b)
+            self._nbits += 1
+
     def getvalue(self) -> bytes:
         assert self._nbits == 0, "unaligned"
         return bytes(self._out)
@@ -90,6 +109,19 @@ class _BitReader:
     def __init__(self, data: bytes, bitpos: int = 0) -> None:
         self._data = data
         self._pos = bitpos
+        self._np_cache: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+
+    def np_bits(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(bit vector, positions of 1-bits, exclusive prefix-sum of
+        ones) over the whole buffer — built once per payload, shared by
+        every vectorized residual read (r7)."""
+        if self._np_cache is None:
+            bits = np.unpackbits(np.frombuffer(self._data, dtype=np.uint8))
+            ones = np.flatnonzero(bits).astype(np.int64)
+            cum = np.zeros(len(bits) + 1, dtype=np.int64)
+            np.cumsum(bits, out=cum[1:])
+            self._np_cache = (bits, ones, cum)
+        return self._np_cache
 
     @property
     def bitpos(self) -> int:
@@ -227,16 +259,42 @@ def _fixed_residual(s: np.ndarray, order: int) -> np.ndarray:
     return r
 
 
-def _predict_restore(warm: list[int], residual: list[int], coefs: list[int],
+def _predict_restore(warm: list[int], residual, coefs: list[int],
                      shift: int) -> list[int]:
-    out = list(warm)
-    order = len(coefs)
+    """General (LPC) predictor restore — inherently sequential IIR; kept
+    in Python ints so pathological coefficient/width combinations can't
+    silently wrap an int64. Fixed predictors take _restore_fixed."""
+    out = [int(x) for x in warm]
     for res in residual:
         acc = 0
         for j, c in enumerate(coefs):
             acc += c * out[-1 - j]
-        out.append((acc >> shift) + res)
+        out.append((acc >> shift) + int(res))
     return out
+
+
+def _restore_fixed(warm: list[int], residual: np.ndarray,
+                   order: int) -> np.ndarray:
+    """Fixed-predictor restore, vectorized (r7): the order-k fixed
+    predictor's residual IS the k-th finite difference of the signal,
+    so restoring is k cumulative sums, each seeded with the matching
+    difference of the warmup tail — numpy end to end. Intermediate
+    values are genuine j-th differences of real samples, bounded well
+    inside int64 for every legal FLAC bit depth (<= 33-bit samples,
+    order <= 4 -> |d^j| < 2^(33+4))."""
+    res = np.asarray(residual, dtype=np.int64)
+    if order == 0:
+        return np.concatenate([np.asarray(warm, np.int64), res])
+    w = np.asarray(warm, dtype=np.int64)
+    tails = []
+    cur = w
+    for _ in range(order):
+        tails.append(int(cur[-1]))
+        cur = np.diff(cur)
+    arr = res
+    for j in range(order - 1, -1, -1):
+        arr = np.cumsum(arr) + tails[j]
+    return np.concatenate([w, arr])
 
 
 # ---------------------------------------------------------------------------
@@ -250,20 +308,33 @@ _BPS_DECODE = {v: k for k, v in _BPS_CODES.items()}
 
 
 def _zigzag(r: np.ndarray) -> np.ndarray:
-    return np.where(r >= 0, r << 1, (-r << 1) - 1).astype(np.int64)
+    # branch-free: (r << 1) ^ (r >> 63) == 2r for r >= 0, -2r-1 for r < 0
+    r = r.astype(np.int64, copy=False)
+    return (r << 1) ^ (r >> 63)
+
+
+def _bits_of(values: np.ndarray, width: int) -> np.ndarray:
+    """MSB-first uint8 0/1 matrix of each value's low `width` bits,
+    flattened — the vectorized sibling of repeated write_signed()."""
+    if width == 0 or not len(values):
+        return np.zeros(0, dtype=np.uint8)
+    masked = values & ((np.int64(1) << width) - 1)
+    return (((masked[:, None] >> np.arange(width - 1, -1, -1,
+                                           dtype=np.int64)) & 1)
+            .astype(np.uint8).ravel())
 
 
 def _best_rice_param(u: np.ndarray) -> tuple[int, int]:
-    """(param, exact bit cost) minimizing sum(u>>p) + n*(p+1)."""
+    """(param, exact bit cost) minimizing sum(u>>p) + n*(p+1) — all
+    candidate params scored in one (n x P) vector pass (r7)."""
     n = int(u.size)
-    best_p, best_cost = 0, None
-    for p in range(31):
-        cost = int((u >> p).sum()) + n * (p + 1)
-        if best_cost is None or cost < best_cost:
-            best_p, best_cost = p, cost
-        elif cost > best_cost * 2:
-            break
-    return best_p, best_cost
+    if n == 0:
+        return 0, 0
+    pmax = min(31, int(int(u.max()).bit_length() + 1))
+    ps = np.arange(pmax, dtype=np.int64)
+    costs = (u[:, None] >> ps).sum(axis=0) + n * (ps + 1)
+    best_p = int(np.argmin(costs))
+    return best_p, int(costs[best_p])
 
 
 def _write_residual(w: _BitWriter, residual: np.ndarray) -> None:
@@ -271,7 +342,9 @@ def _write_residual(w: _BitWriter, residual: np.ndarray) -> None:
     the spec's escape hatch when raw beats Rice."""
     u = _zigzag(residual.astype(np.int64))
     p, rice_cost = _best_rice_param(u)
-    raw_bits = max((int(x).bit_length() + 1 for x in residual), default=1)
+    # same width rule as the old per-sample scan: bit_length(|x|) + 1
+    mx = int(np.abs(residual).max()) if residual.size else 0
+    raw_bits = max(mx.bit_length() + 1, 1)
     raw_cost = raw_bits * int(u.size) + 5
     method = 0 if p < 15 else 1
     pbits = 4 if method == 0 else 5
@@ -280,14 +353,101 @@ def _write_residual(w: _BitWriter, residual: np.ndarray) -> None:
     if raw_cost < rice_cost:
         w.write((1 << pbits) - 1, pbits)  # escape
         w.write(raw_bits, 5)
-        for x in residual:
-            w.write_signed(int(x), raw_bits)
+        w.write_bit_array(_bits_of(residual.astype(np.int64), raw_bits))
         return
     w.write(p, pbits)
-    for x in u:
-        x = int(x)
-        w.write_unary(x >> p)
-        w.write(x & ((1 << p) - 1), p)
+    # vectorized emission (r7 — this was the encoder's hot loop): lay
+    # every value's [q zeros][1][p fixed bits] into one bit vector
+    q = u >> p
+    lens = q + 1 + p
+    ends = np.cumsum(lens)
+    terms = ends - p - 1
+    bits = np.zeros(int(ends[-1]), dtype=np.uint8)
+    bits[terms] = 1
+    if p:
+        idx = terms[:, None] + 1 + np.arange(p, dtype=np.int64)
+        bits[idx] = ((u[:, None] >> np.arange(p - 1, -1, -1, dtype=np.int64))
+                     & 1).astype(np.uint8)
+    w.write_bit_array(bits)
+
+
+def _take_bits(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """MSB-first unsigned ints of `width` bits at each start position —
+    one gather + one matmul, no per-value Python."""
+    if width == 0:
+        return np.zeros(len(starts), dtype=np.int64)
+    if len(starts) and int(starts[-1]) + width > len(bits):
+        raise ValueError("FLAC bitstream truncated")
+    idx = starts[:, None] + np.arange(width, dtype=np.int64)
+    weights = (np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64))
+    return bits[idx].astype(np.int64) @ weights
+
+
+def _rice_block(r: _BitReader, n: int, param: int) -> np.ndarray:
+    """n Rice(param) values decoded vectorized (r7 — this WAS the
+    decoder's hot loop: per-sample read_unary/read through the bit-by-bit
+    _BitReader; per-sample cost is now a handful of C ops).
+
+    Phase 1 finds each value's unary terminator EXACTLY, without a
+    per-bit loop: the k-th terminator is the first 1-bit at/after
+    pos_k and pos_{k+1} = term_k + 1 + param, so in the index space of
+    the payload's 1-positions the chain is iteration of a FIXED map
+    g(j) = j + 1 + (#ones inside the fixed-bit span after ones[j]) —
+    computable for every j at once from a prefix-sum. The n iterates
+    are then produced by pointer doubling: keep the 2^t-step map (self-
+    composition per round) and double the emitted prefix each round —
+    log2(n) gathers, no convergence question. Phase 2 gathers every
+    value's fixed bits in one matrix op.
+    """
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bits, ones, cum = r.np_bits()
+    pos0 = r._pos
+    m = len(ones)
+    j0 = int(np.searchsorted(ones, pos0))
+    if j0 >= m:
+        raise ValueError("FLAC bitstream truncated")
+    if param == 0:
+        # no fixed bits: terminators are exactly successive 1-positions
+        if j0 + n > m:
+            raise ValueError("FLAC bitstream truncated")
+        terms = ones[j0 + np.arange(n, dtype=np.int64)]
+    elif n == 1:
+        terms = ones[j0:j0 + 1]
+    else:
+        span_hi = np.minimum(ones + 1 + param, len(cum) - 1)
+        step = (np.arange(m, dtype=np.int64) + 1
+                + (cum[span_hi] - cum[ones + 1]))
+        # sentinel m absorbs truncation; np.minimum keeps indices legal
+        g = np.append(np.minimum(step, m), m)
+        J = np.empty(n, dtype=np.int64)
+        J[0] = j0
+        filled = 1
+        S = g
+        while filled < n:
+            take = min(filled, n - filled)
+            J[filled:filled + take] = S[J[:take]]
+            filled += take
+            if filled < n:
+                S = S[S]
+        if int(J.max()) >= m:
+            raise ValueError("FLAC bitstream truncated")
+        terms = ones[J]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = pos0
+    if n > 1:
+        starts[1:] = terms[:-1] + 1 + param
+    q = terms - starts
+    if int(q.max()) > (1 << 24):
+        raise ValueError("runaway unary code (corrupt stream)")
+    end = int(terms[-1]) + 1 + param
+    if end > len(bits):
+        raise ValueError("FLAC bitstream truncated")
+    r._pos = end
+    u = q << param
+    if param:
+        u = u | _take_bits(bits, terms + 1, param)
+    return np.where(u & 1, -((u + 1) >> 1), u >> 1)
 
 
 def _read_residual(r: _BitReader, block_size: int, order: int) -> list[int]:
@@ -300,20 +460,24 @@ def _read_residual(r: _BitReader, block_size: int, order: int) -> list[int]:
     nparts = 1 << porder
     if block_size % nparts or (block_size >> porder) <= order and nparts > 1:
         raise ValueError("invalid residual partition order")
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for part in range(nparts):
         n = (block_size >> porder) - (order if part == 0 else 0)
         param = r.read(pbits)
         if param == escape:
             raw = r.read(5)
-            for _ in range(n):
-                out.append(r.read_signed(raw) if raw else 0)
+            if raw == 0:
+                parts.append(np.zeros(n, dtype=np.int64))
+                continue
+            bits, _, _ = r.np_bits()
+            starts = r._pos + raw * np.arange(n, dtype=np.int64)
+            v = _take_bits(bits, starts, raw)
+            r._pos += raw * n
+            v -= (v >= (np.int64(1) << (raw - 1))).astype(np.int64) << raw
+            parts.append(v)
             continue
-        for _ in range(n):
-            q = r.read_unary()
-            u = (q << param) | r.read(param)
-            out.append((u >> 1) if not (u & 1) else -((u + 1) >> 1))
-    return out
+        parts.append(_rice_block(r, n, param))
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -389,8 +553,7 @@ def _encode_subframe(w: _BitWriter, s: np.ndarray, bps: int,
         w.write(0, 1)
         w.write(0b000001, 6)
         w.write(0, 1)
-        for x in s64:
-            w.write_signed(int(x), bps)
+        w.write_bit_array(_bits_of(s64, bps))
         return
     if force is None and n and int(s64.min()) == int(s64.max()):
         w.write(0, 1)
@@ -416,10 +579,14 @@ def _encode_subframe(w: _BitWriter, s: np.ndarray, bps: int,
         residual = s64[lpc_order:] - (pred >> shift)
         _write_residual(w, residual)
         return
-    # best fixed order by exact Rice cost of the candidate residual
+    # best fixed order by exact Rice cost of the candidate residual;
+    # order-k residual is diff(order-(k-1) residual) — build once
+    # incrementally instead of re-differencing from scratch (r7)
     best = None
+    res = s64
     for order in range(min(4, n - 1) + 1):
-        res = _fixed_residual(s64, order)
+        if order:
+            res = np.diff(res)
         if res.size and (int(res.max()) >= 1 << 62
                          or int(res.min()) <= -(1 << 62)):
             continue
@@ -542,7 +709,7 @@ def encode_flac(samples, sample_rate: int, channels: int = 1,
 # decoder
 
 
-def _decode_subframe(r: _BitReader, bs: int, bps: int) -> list[int]:
+def _decode_subframe(r: _BitReader, bs: int, bps: int) -> np.ndarray:
     if r.read(1):
         raise ValueError("subframe padding bit set")
     stype = r.read(6)
@@ -551,14 +718,19 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> list[int]:
         wasted = r.read_unary() + 1
         bps -= wasted
     if stype == 0b000000:
-        out = [r.read_signed(bps)] * bs
+        out = np.full(bs, r.read_signed(bps), dtype=np.int64)
     elif stype == 0b000001:
-        out = [r.read_signed(bps) for _ in range(bs)]
+        bits, _, _ = r.np_bits()
+        starts = r._pos + bps * np.arange(bs, dtype=np.int64)
+        v = _take_bits(bits, starts, bps)
+        r._pos += bps * bs
+        v -= (v >= (np.int64(1) << (bps - 1))).astype(np.int64) << bps
+        out = v
     elif 0b001000 <= stype <= 0b001100:
         order = stype & 0x07
         warm = [r.read_signed(bps) for _ in range(order)]
         res = _read_residual(r, bs, order)
-        out = _predict_restore(warm, res, _FIXED_COEFS[order], 0)
+        out = _restore_fixed(warm, res, order)
     elif stype & 0b100000:
         order = (stype & 0x1F) + 1
         warm = [r.read_signed(bps) for _ in range(order)]
@@ -570,11 +742,12 @@ def _decode_subframe(r: _BitReader, bs: int, bps: int) -> list[int]:
             raise ValueError("negative LPC shift is forbidden")
         coefs = [r.read_signed(precision) for _ in range(order)]
         res = _read_residual(r, bs, order)
-        out = _predict_restore(warm, res, coefs, shift)
+        out = np.asarray(
+            _predict_restore(warm, res, coefs, shift), dtype=np.int64)
     else:
         raise ValueError(f"reserved subframe type {stype:#08b}")
     if wasted:
-        out = [x << wasted for x in out]
+        out = out << wasted
     return out
 
 
@@ -611,7 +784,7 @@ def decode_flac(payload: bytes) -> FlacClip:
     total = r.read(36)
     md5_expect = streaminfo[18:34]
 
-    chans: list[list[int]] = [[] for _ in range(channels)]
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     fr = _BitReader(payload, pos * 8)
     while fr.remaining() >= 16:
         frame_start = fr.bitpos // 8
@@ -660,16 +833,16 @@ def decode_flac(payload: bytes) -> FlacClip:
             if assignment == 8:    # left/side
                 left = _decode_subframe(fr, bs, bps)
                 side = _decode_subframe(fr, bs, bps + 1)
-                decoded = [left, [l - s for l, s in zip(left, side)]]
+                decoded = [left, left - side]
             elif assignment == 9:  # right/side
                 side = _decode_subframe(fr, bs, bps + 1)
                 right = _decode_subframe(fr, bs, bps)
-                decoded = [[rr + s for rr, s in zip(right, side)], right]
+                decoded = [right + side, right]
             else:                  # mid/side
                 mid = _decode_subframe(fr, bs, bps)
                 side = _decode_subframe(fr, bs, bps + 1)
-                left = [m + ((s + (s & 1)) >> 1) for m, s in zip(mid, side)]
-                decoded = [left, [l - s for l, s in zip(left, side)]]
+                left = mid + ((side + (side & 1)) >> 1)
+                decoded = [left, left - side]
         else:
             raise ValueError("reserved channel assignment")
         fr.align()
@@ -677,13 +850,15 @@ def decode_flac(payload: bytes) -> FlacClip:
         if fr.read(16) != _crc16(payload[frame_start:frame_end]):
             raise ValueError("frame CRC-16 mismatch")
         for c in range(channels):
-            chans[c].extend(decoded[c])
+            chans[c].append(decoded[c])
 
+    full = [np.concatenate(c) if c else np.empty(0, dtype=np.int64)
+            for c in chans]
     if total:
-        chans = [c[:total] for c in chans]
-    inter = np.empty(len(chans[0]) * channels, dtype=np.int64)
+        full = [c[:total] for c in full]
+    inter = np.empty(len(full[0]) * channels, dtype=np.int64)
     for c in range(channels):
-        inter[c::channels] = chans[c]
+        inter[c::channels] = full[c]
     if md5_expect != b"\x00" * 16:
         md5 = hashlib.md5()
         width = (bit_depth + 7) // 8
