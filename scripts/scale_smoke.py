@@ -969,6 +969,75 @@ def main() -> None:
     timed(f"incremental dedup probe @ {factor}x", incremental_dedup)
     timed(f"dedup retention @ {factor}x", retention)
 
+    # round-6 families, smoked per VERDICT r6 item 4. The replicated-doc
+    # mutation (per-copy word suffixes) keeps source counts fixed while
+    # rows/keys scale — exactly the many-rows-per-source regime the
+    # partitioned distributed NTILE exists for.
+    def perplexity_ntile():
+        from etl_online_retail_spark.operators.relevance import (
+            unigram_logprob,
+        )
+        from etl_online_retail_spark.operators.windows import (
+            distributed_ntile_by,
+        )
+
+        lm = (unigram_logprob(docs_mut).drop("n_tokens")
+              .join(docs_mut.select("doc_id", "source"), "doc_id"))
+        (distributed_ntile_by(lm, ["source"],
+                              order=[F.desc("avg_logprob"), F.asc("doc_id")],
+                              shard_by=-F.col("avg_logprob"), n=3,
+                              alias="_b")
+         .write.format("noop").mode("overwrite").save())
+
+    def curriculum():
+        from etl_online_retail_spark.operators.curation import (
+            curriculum_order,
+        )
+
+        (curriculum_order(docs_mut)
+         .write.format("noop").mode("overwrite").save())
+
+    def dsir():
+        from etl_online_retail_spark.operators.curation import (
+            dsir_importance,
+        )
+
+        (dsir_importance(docs_mut, F.col("lang") == "en",
+                         n=2, buckets=256, k=10)
+         .write.format("noop").mode("overwrite").save())
+
+    def unigram():
+        # full distributed train: substring seeding + Viterbi EM rounds
+        # (per-batch piece partials shuffle); the mutated corpus keeps
+        # per-copy vocab diversity growing with the factor
+        from etl_online_retail_spark.operators.unigram_lm import (
+            unigram_train,
+        )
+
+        unigram_train(docs_mut, vocab_size=64, n_seed=2000)
+
+    def demux():
+        # container demux is map-only over Arrow batches; must scale
+        # embarrassingly like the codecs
+        from etl_online_retail_spark.multimodal.binary import (
+            mp4_features,
+            synthetic_mp4_media,
+            synthetic_webm_media,
+            webm_features,
+        )
+
+        (mp4_features(synthetic_mp4_media(docs_mut))
+         .write.format("noop").mode("overwrite").save())
+        (webm_features(synthetic_webm_media(docs_mut))
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"perplexity ntile (partitioned, sharded) @ {factor}x",
+          perplexity_ntile)
+    timed(f"curriculum order @ {factor}x", curriculum)
+    timed(f"dsir importance select @ {factor}x", dsir)
+    timed(f"unigram train (64-piece vocab) @ {factor}x", unigram)
+    timed(f"mp4+webm demux @ {factor}x", demux)
+
 
 if __name__ == "__main__":
     main()
