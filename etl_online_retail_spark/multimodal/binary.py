@@ -130,7 +130,9 @@ def decode_image(content: bytes) -> dict:
         img = _gif.decode_gif(content).frames[0]  # still view: first frame
     elif (content[:4] == _webp.RIFF_MAGIC
           and content[8:12] == _webp.WEBP_MAGIC):
-        img = _webp.decode_webp(content)   # VP8L; VP8/VP8X raise inside
+        # VP8L pure-Python; lossy VP8 / VP8X via the libwebp binding
+        # (multimodal/native.py, r7) when the library is present
+        img = _webp.decode_webp(content)
     else:
         raise NotImplementedError(
             "only PNG, JPEG (baseline + progressive), GIF and lossless "
@@ -227,6 +229,70 @@ def synthetic_webp_media(docs: DataFrame, id_col: str = "doc_id",
         T.StructField("content", T.BinaryType()),
     ])
     return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+
+
+def synthetic_lossy_webp_media(docs: DataFrame, id_col: str = "doc_id",
+                               max_w: int = 16, max_h: int = 8) -> DataFrame:
+    """One deterministic solid-gray LOSSY WebP (VP8) per row, encoded
+    by the libwebp binding at quality 100 (multimodal/native.py, r7).
+    Same dimension contract as synthetic_webp_media; the solid value
+    v = id % 256 survives the lossy path within +-1 intensity step
+    (measured over all 256 v: chroma-subsampled YUV round-trip error),
+    which is exactly the invariant webp_lossy_image_stats asserts."""
+    from etl_online_retail_spark.multimodal import native as _native
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
+                payloads.append(_native.webp_encode_rgb_lossy(
+                    bytes([v]) * (w * h * 3), w, h, quality=100.0))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+
+
+def lossy_webp_roundtrip_features(media: DataFrame) -> DataFrame:
+    """Decode lossy WebP payloads through the ordinary decode_image
+    dispatch and assert the lossy contract against the fixture's known
+    solid value v = media_id % 256: header dims are exact, and every
+    decoded sample sits within one intensity step of v. The bound is
+    the honest lossy oracle — the exact decoded value is a libwebp
+    rounding detail, not a closed form of v."""
+
+    from etl_online_retail_spark.multimodal import webp as _webp
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                img = _webp.decode_webp(bytes(payload))
+                v = int(mid) % 256
+                err = max(abs(b - v) for b in img.pixels) \
+                    if img.pixels else 255
+                rows.append((int(mid), img.width, img.height,
+                             img.channels, bool(err <= 1)))
+            out = pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels", "err_le_1"])
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["channels"] = out["channels"].astype("int32")
+            yield out
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("err_le_1", T.BooleanType()),
+    ])
+    return media.mapInPandas(extract, out_schema)
 
 
 _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type

@@ -2020,6 +2020,36 @@ def q_webp_image_stats(spark, sf_dir):
     return image_features(synthetic_webp_media(docs))
 
 
+# LOSSY WebP (VP8) round trip via the libwebp binding (r7,
+# multimodal/native.py — the container ships libwebp.so.7; a from-spec
+# pure-Python VP8 decoder was rejected: it needs ~3000 exact RFC 6386
+# probability constants unavailable offline, and guessing them would be
+# a silent compliance violation). The fixture is the solid-gray WebP
+# shape encoded at quality 100; header dims survive exactly, and the
+# solid value v = id % 256 survives within +-1 intensity step (chroma-
+# subsampled YUV round-trip, measured over all 256 v) — the bound IS
+# the lossy contract, so the oracle asserts dims + the bound rather
+# than a fake closed form for libwebp's rounding.
+@register(
+    "webp_lossy_image_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "TRUE AS err_le_1 "
+    "FROM documents",
+    "M6-multimodal-codec",
+)
+def q_webp_lossy_image_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        lossy_webp_roundtrip_features,
+        synthetic_lossy_webp_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return lossy_webp_roundtrip_features(synthetic_lossy_webp_media(docs))
+
+
 # real baseline-JPEG codec round-trip (stdlib Huffman+DCT codec,
 # multimodal/jpeg.py): same shape as png_image_stats. Intensity is even
 # (2 * (id % 128)) so the lossy codec is bit-exact on these fixtures and
