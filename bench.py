@@ -185,6 +185,9 @@ HEADLINE = [
     "sole_blame_suppliers",
     "revenue_yoy_growth",
     "pricing_measures_unpivoted",
+    # round-7 wave: synthesized partsupp + lossy WebP via libwebp
+    "partsupp_build",
+    "webp_lossy_image_stats",
     # minhash_calibration is NOT benched: its ground-truth side is the
     # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
     # documented calibrate-on-a-bounded-sample tool, not a steady-state

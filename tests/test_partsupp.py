@@ -61,6 +61,25 @@ def test_build_plan_has_no_shuffle(spark):
         "BroadcastExchange", "")
 
 
+def test_suppkey_formula_distinct_for_any_catalog_shape():
+    """Pure-formula property (no Spark): for every supplier count
+    S >= 4 and any part key, the four assigned suppliers are distinct
+    and in range — the stride S div 4 makes i*(S div 4) pairwise
+    distinct mod S for i in 0..3 (3*(S div 4) < S)."""
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    @given(st.integers(min_value=4, max_value=100_000),
+           st.integers(min_value=0, max_value=10**13))
+    def check(s_cnt, pk):
+        sks = {(pk + pk // s_cnt + i * (s_cnt // 4)) % s_cnt
+               for i in range(4)}
+        assert len(sks) == 4
+        assert all(0 <= sk < s_cnt for sk in sks)
+
+    check()
+
+
 def test_supplycost_is_cents_over_100(spark):
     ps = load_partsupp(spark, SF)
     bad = ps.filter(
