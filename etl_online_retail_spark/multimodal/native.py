@@ -116,6 +116,22 @@ def webp_decode_rgb(content: bytes) -> tuple[int, int, bytes]:
     return w.value, h.value, pixels
 
 
+def webp_decode_rgba(content: bytes) -> tuple[int, int, bytes]:
+    """(width, height, RGBA bytes) via libwebp — for payloads whose
+    VP8X header declares an alpha channel."""
+    lib = _require()
+    w, h = c_int(0), c_int(0)
+    buf = _as_buf(content)
+    ptr = lib.WebPDecodeRGBA(buf, len(content), byref(w), byref(h))
+    if not ptr:
+        raise ValueError("libwebp failed to decode the WebP payload")
+    try:
+        pixels = string_at(ptr, w.value * h.value * 4)
+    finally:
+        lib.WebPFree(ptr)
+    return w.value, h.value, pixels
+
+
 def webp_encode_rgb_lossy(pixels: bytes, width: int, height: int,
                           quality: float = 90.0) -> bytes:
     """Real lossy VP8 inside a WebP container via libwebp."""

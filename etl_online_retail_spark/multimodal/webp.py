@@ -401,6 +401,16 @@ def decode_webp(content: bytes) -> WebpImage:
     if tag in (b"VP8 ", b"VP8X"):
         from etl_online_retail_spark.multimodal import native
 
+        # VP8X flags byte (offset 20): Rsv(2) ICC Alpha EXIF XMP Anim
+        # Rsv — honor the alpha bit so an ALPH-carrying image reports
+        # 4 channels instead of silently dropping alpha (r7 review);
+        # bare lossy VP8 has no alpha channel by format
+        has_alpha = tag == b"VP8X" and len(content) > 20 \
+            and bool(content[20] & 0x10)
+        if has_alpha:
+            w, h, pixels = native.webp_decode_rgba(content)
+            return WebpImage(width=w, height=h, channels=4, bit_depth=8,
+                             pixels=pixels)
         w, h, pixels = native.webp_decode_rgb(content)  # raises
         return WebpImage(width=w, height=h, channels=3, bit_depth=8,
                          pixels=pixels)

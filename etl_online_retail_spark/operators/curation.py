@@ -531,7 +531,7 @@ def dsir_importance(docs: DataFrame, is_target,
         scored, [strata_col],
         order=[F.col("score").desc(), F.col(id_col).asc()],
         shard_by=-F.col("score").cast("double"),
-        n_shards=32, alias="rank")
+        n_shards=32, alias="rank", nulls="last")
     return (ranked.filter(F.col("rank") <= k)
             .select(id_col, strata_col, "n_grams", "score",
                     F.col("rank").cast("int").alias("rank")))
@@ -610,10 +610,13 @@ def curriculum_order(docs: DataFrame, id_col: str = "doc_id",
     base = docs.select(
         F.col(id_col), F.col(strata_col),
         quality_expr(text_col).alias("_q"))
+    # nulls="last": F.desc is desc_nulls_last in Spark, so a NULL
+    # quality (NULL text) must shard ABOVE every real value (r7 review)
     ranked = distributed_rank_by(
         base, [strata_col],
         order=[F.col("_q").desc(), F.col(id_col).asc()],
-        shard_by=-F.col("_q"), n_shards=32, alias="src_rank")
+        shard_by=-F.col("_q"), n_shards=32, alias="src_rank",
+        nulls="last")
     # bounded source dimension: index + count ride one broadcast each
     dim = (base.select(strata_col).distinct()
            .withColumn("_sidx",

@@ -201,16 +201,19 @@ def distributed_rank_by(df: DataFrame, part_cols: Sequence[str],
 def distributed_ntile_by(df: DataFrame, part_cols: Sequence[str],
                          order: Sequence[Column], shard_by: Column,
                          n: int, n_shards: int = 64,
-                         alias: str = "bucket") -> DataFrame:
+                         alias: str = "bucket",
+                         nulls: str = "first") -> DataFrame:
     """EXACT per-group NTILE(n) without per-group single-partition
     sorts: distributed_rank_by + the same closed form as
     distributed_ntile, with the group total N carried as a column (the
     first N % n buckets hold ceil(N/n) rows, the rest floor(N/n)) — all
     integer `div`/`%` arithmetic, bit-equal to the engines' own
-    partitioned NTILE."""
+    partitioned NTILE. `nulls` places NULL shard_by rows ("first" =
+    Spark's asc default; pass "last" for desc-ordered callers, whose
+    window default is desc_nulls_last)."""
     ranked_df = distributed_rank_by(df, part_cols, order, shard_by,
                                     n_shards=n_shards, alias="_gr",
-                                    total_alias="_gn")
+                                    total_alias="_gn", nulls=nulls)
     in_big = F.expr(f"(_gr - 1) div (_gn div {n} + 1) + 1")
     in_small = F.expr(
         f"_gn % {n} + (_gr - (_gn % {n}) * (_gn div {n} + 1) - 1)"
@@ -222,15 +225,18 @@ def distributed_ntile_by(df: DataFrame, part_cols: Sequence[str],
 
 def distributed_ntile(df: DataFrame, order: Sequence[Column],
                       shard_by: Column, n: int, n_shards: int = 64,
-                      alias: str = "bucket") -> DataFrame:
+                      alias: str = "bucket",
+                      nulls: str = "first") -> DataFrame:
     """EXACT NTILE(n) over a total order without a single-partition
     sort: the bucket of a row is a CLOSED FORM of its global rank r and
     the total count N (the first N % n buckets hold ceil(N/n) rows, the
     rest floor(N/n)), so `distributed_rank` + driver-side arithmetic
     reproduces NTILE bit-for-bit — asserted against the oracle engines'
-    own NTILE in the decile/z-order query hashes."""
+    own NTILE in the decile/z-order query hashes. `nulls` places NULL
+    shard_by rows ("first" = asc default; "last" for desc orders)."""
     ranked_df, total = distributed_rank(df, order, shard_by,
-                                        n_shards=n_shards, alias="_gr")
+                                        n_shards=n_shards, alias="_gr",
+                                        nulls=nulls)
     q, rem = divmod(total, n)
     t = rem * (q + 1)
     # `div` = exact integer division (the double `/` rounds near 2^52)

@@ -28,15 +28,22 @@ DEFAULT_ENFORCED_LIMIT = 100_000
 # because a comma list also analyzes to a condition-less Join Inner
 # (its WHERE predicate pushes into the join only at optimization).
 _STRIP_SQL = re.compile(
-    r"'(?:[^']|'')*'"        # string literals ('' = escaped quote)
-    r"|\"[^\"]*\"|`[^`]*`"   # quoted identifiers
-    r"|--[^\n]*|/\*.*?\*/",  # comments
+    r"'(?:[^'\\]|\\.|'')*'"       # string literals ('' and \' escapes —
+                                  # Spark's default escapedStringLiterals
+                                  # =false admits backslash escapes)
+    r"|\"(?:[^\"\\]|\\.)*\""      # double-quoted literals/identifiers
+    r"|`(?:[^`]|``)*`"            # backtick identifiers (`` = escaped)
+    r"|--[^\n]*|/\*.*?\*/",       # comments
     re.S)
 _SQL_TOKEN = re.compile(r"[A-Za-z_][A-Za-z_0-9$]*|\(|\)|;")
 _JOIN_MODIFIERS = {"LEFT", "RIGHT", "FULL", "INNER", "OUTER", "SEMI", "ANTI"}
+# NOTE: LATERAL is deliberately NOT a boundary — "JOIN LATERAL (sub) s
+# ON cond" is Postgres-legal and its ON must stay creditable to the
+# JOIN; an ON between a qualified JOIN and the next boundary can only
+# belong to that JOIN (ON appears nowhere else at the same depth).
 _CLAUSE_BOUNDARY = {
     "JOIN", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
-    "EXCEPT", "INTERSECT", "MINUS", "WINDOW", "QUALIFY", "LATERAL", ";"}
+    "EXCEPT", "INTERSECT", "MINUS", "WINDOW", "QUALIFY", ";"}
 
 
 def _join_without_on(sql_text: str) -> bool:

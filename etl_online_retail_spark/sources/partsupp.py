@@ -27,10 +27,13 @@ over them is order-independent and cross-engine exact:
                                             division — display only,
                                             aggregates use the cents)
 
-Scale: the relation is |part| x 4 rows built map-side (part scan cross
-a broadcast 4-row index and a broadcast 1-row supplier count — no
-shuffle, no materialization); it is dimension-sized by construction,
-so fact joins against it broadcast under the usual size guard.
+Scale: the relation is |part| x 4 rows built map-side — the part scan
+crosses a broadcast 4-row index and a broadcast 1-row supplier count;
+the only exchanges are those broadcasts plus the COUNT's one-row
+partial->final SinglePartition pair (bounded by construction; plan-
+tested). No part-sized data ever shuffles, nothing materializes; the
+result is dimension-sized, so fact joins against it broadcast under
+the usual size guard.
 
 Reference parity: the reference warehouse has no partsupp either
 (init_db.sql:1-42); this exists for the TPC-H decision-support surface.

@@ -447,7 +447,7 @@ def q_customer_spend_deciles(spark, sf_dir):
              .agg(F.sum(money.exact("o_totalprice")).alias("_s")))
     tiled = distributed_ntile(
         spend, order=[F.desc("_s"), F.asc("o_custkey")],
-        shard_by=-F.col("_s"), n=10, alias="decile")
+        shard_by=-F.col("_s"), n=10, alias="decile", nulls="last")
     return (tiled
             .groupBy(F.col("decile").cast("int").alias("decile"))
             .agg(F.count(F.lit(1)).alias("n_customers"),

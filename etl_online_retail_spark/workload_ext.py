@@ -1356,7 +1356,7 @@ def q_perplexity_buckets(spark, sf_dir):
     bucketed = distributed_ntile_by(
         lm, ["source"],
         order=[F.desc("avg_logprob"), F.asc("doc_id")],
-        shard_by=-F.col("avg_logprob"), n=3, alias="_b")
+        shard_by=-F.col("avg_logprob"), n=3, alias="_b", nulls="last")
     name = (F.when(F.col("_b") == 1, "head")
             .when(F.col("_b") == 2, "middle").otherwise("tail"))
     return bucketed.select("doc_id", "source", "avg_logprob",
@@ -2027,27 +2027,36 @@ def q_webp_image_stats(spark, sf_dir):
 # a silent compliance violation). The fixture is the solid-gray WebP
 # shape encoded at quality 100; header dims survive exactly, and the
 # solid value v = id % 256 survives within +-1 intensity step (chroma-
-# subsampled YUV round-trip, measured over all 256 v) — the bound IS
-# the lossy contract, so the oracle asserts dims + the bound rather
-# than a fake closed form for libwebp's rounding.
-@register(
-    "webp_lossy_image_stats",
-    "SELECT doc_id AS media_id, "
-    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
-    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
-    "CAST(3 AS INTEGER) AS channels, "
-    "TRUE AS err_le_1 "
-    "FROM documents",
-    "M6-multimodal-codec",
+# subsampled YUV round-trip, measured over all 256 v on libwebp 7.1.5)
+# — the bound IS the lossy contract, so the oracle asserts dims + the
+# bound rather than a fake closed form for libwebp's rounding.
+# Registration is CONDITIONAL on the library so an environment without
+# libwebp keeps a clean registry instead of a query that can only
+# raise (r7 review) — the suite's lossy tests skipif on the same gate.
+from etl_online_retail_spark.multimodal.native import (  # noqa: E402
+    libwebp_available as _libwebp_available,
 )
-def q_webp_lossy_image_stats(spark, sf_dir):
-    from etl_online_retail_spark.multimodal.binary import (
-        lossy_webp_roundtrip_features,
-        synthetic_lossy_webp_media,
-    )
 
-    docs = _t(spark, sf_dir, "documents")
-    return lossy_webp_roundtrip_features(synthetic_lossy_webp_media(docs))
+if _libwebp_available():
+    @register(
+        "webp_lossy_image_stats",
+        "SELECT doc_id AS media_id, "
+        "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+        "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+        "CAST(3 AS INTEGER) AS channels, "
+        "TRUE AS err_le_1 "
+        "FROM documents",
+        "M6-multimodal-codec",
+    )
+    def q_webp_lossy_image_stats(spark, sf_dir):
+        from etl_online_retail_spark.multimodal.binary import (
+            lossy_webp_roundtrip_features,
+            synthetic_lossy_webp_media,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        return lossy_webp_roundtrip_features(
+            synthetic_lossy_webp_media(docs))
 
 
 # real baseline-JPEG codec round-trip (stdlib Huffman+DCT codec,

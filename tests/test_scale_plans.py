@@ -170,6 +170,31 @@ def test_distributed_ntile_by_null_shard_values(spark):
     assert got == want
 
 
+def test_distributed_ntile_by_desc_order_with_nulls_last(spark):
+    """The perplexity/curriculum caller shape: DESC order (Spark's
+    F.desc = desc_nulls_last) with NULL scores — nulls='last' must
+    reproduce the window's placement exactly (r7 review: the wrappers
+    previously could not express it)."""
+    from etl_online_retail_spark.operators.windows import (
+        distributed_ntile_by,
+    )
+
+    rows = ([("a", None if i % 9 == 0 else float(i * 37 % 101), i)
+             for i in range(80)]
+            + [("b", float(i), 100 + i) for i in range(30)])
+    df = spark.createDataFrame(rows, "g string, v double, id int") \
+        .repartition(8)
+    got = {(r.g, r.id): r.bucket for r in
+           distributed_ntile_by(df, ["g"],
+                                order=[F.desc("v"), F.asc("id")],
+                                shard_by=-F.col("v"), n=3,
+                                n_shards=4, nulls="last").collect()}
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = {(r.g, r.id): r.want for r in
+            df.withColumn("want", F.ntile(3).over(w)).collect()}
+    assert got == want
+
+
 def test_distributed_ntile_by_equals_partitioned_ntile(spark):
     """The partitioned variant must reproduce NTILE(n) OVER (PARTITION BY
     g ORDER BY ...) bit-for-bit, including groups with remainders, groups

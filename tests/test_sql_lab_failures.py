@@ -133,6 +133,28 @@ def test_join_keyword_inside_string_literal_ignored(retail_schema):
     assert out.collect()[0].note == "JOIN without ON"
 
 
+def test_backslash_escaped_quote_in_literal(retail_schema):
+    """Spark's default string literals admit \\' escapes; the stripper
+    must not leak the tail of such a literal into the token stream
+    (review r7: 'O\\'Brien JOIN' false-rejected)."""
+    out = run_sql(
+        retail_schema,
+        "SELECT 'O\\'Brien JOIN' AS s FROM retail.dim_customers LIMIT 1")
+    assert out.collect()[0].s == "O'Brien JOIN"
+
+
+def test_join_lateral_with_on_stays_allowed(retail_schema):
+    """JOIN LATERAL (subquery) alias ON cond is Postgres-legal — the
+    LATERAL keyword must not cut the scan off before the ON
+    (review r7)."""
+    out = run_sql(
+        retail_schema,
+        "SELECT c.customer_dim_id, s.x FROM retail.dim_customers c "
+        "JOIN LATERAL (SELECT c.customer_dim_id AS x) s ON true",
+        enforced_limit=5)
+    assert out.count() <= 5
+
+
 def test_conditioned_joins_pass_the_cartesian_guard(retail_schema):
     out = run_sql(
         retail_schema,
