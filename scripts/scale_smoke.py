@@ -1038,6 +1038,53 @@ def main() -> None:
     timed(f"unigram train (64-piece vocab) @ {factor}x", unigram)
     timed(f"mp4+webm demux @ {factor}x", demux)
 
+    # The standing bucketed-layout claim, measured at the factor where
+    # broadcast genuinely stops fitting: the plain fact-fact join must
+    # shuffle BOTH replicated sides every run, while the co-bucketed
+    # layout pays one ingest-time shuffle and then joins with NO
+    # exchange at all (plan-asserted). The delta is the per-query win a
+    # 100 TB deployment buys with bucketing.
+    # global aggregate on top (partial + one-row merge): the JOIN is the
+    # only hash/range-exchange candidate in either plan, so the shuffle
+    # count isolates the layout's effect
+    def fact_fact_plain():
+        (li.join(o, li.l_orderkey == o.o_orderkey)
+           .agg(money.sum_money(money.net_revenue(), "revenue"),
+                F.count(F.lit(1)).alias("n"))
+           .write.format("noop").mode("overwrite").save())
+
+    _bucketed: dict = {}
+
+    def fact_fact_bucket_ingest():
+        from etl_online_retail_spark.sources.bucketed import (
+            cobucket_fact_tables,
+        )
+
+        bl, bo = cobucket_fact_tables(
+            spark, li, o, n_buckets=16, prefix="smoke_bucketed")
+        _bucketed["li"], _bucketed["o"] = bl, bo
+
+    def fact_fact_bucketed():
+        bl, bo = _bucketed["li"], _bucketed["o"]
+        joined = (bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+                  .agg(money.sum_money(money.net_revenue(), "revenue"),
+                       F.count(F.lit(1)).alias("n")))
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_shuffles = (plan.count("Exchange hashpartitioning")
+                      + plan.count("Exchange rangepartitioning"))
+        print(f"  bucketed-join shuffle exchanges in final plan: "
+              f"{n_shuffles} (must be 0)", flush=True)
+        assert n_shuffles == 0, plan
+
+    timed(f"fact-fact join PLAIN (shuffles both sides) @ {factor}x",
+          fact_fact_plain)
+    timed(f"fact-fact co-bucket ingest (one-time) @ {factor}x",
+          fact_fact_bucket_ingest)
+    if _bucketed:
+        timed(f"fact-fact join BUCKETED (zero exchange) @ {factor}x",
+              fact_fact_bucketed)
+
 
 if __name__ == "__main__":
     main()
