@@ -244,7 +244,18 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
         src = table_path(src_dir, name)
         # size the file count to the data (~1 MB/file at this scale): tiny
         # tables in 32 shards pay more per-task overhead than they save
-        n_files = max(1, min(cpus, os.path.getsize(src) // (1 << 20)))
+        # (measured: 64 KB granularity regressed the suite geomean 1.31x —
+        # events at 31 files added ~0.3-0.5 s of task overhead to every
+        # window query). The CPU-heavy map tables are the one exception:
+        # their work is ~ms/ROW (codecs, shingles, quality batteries), not
+        # ~ns/byte, so byte-proportional sizing serialized them onto 1-2
+        # cores (gopher/embedding rows ran 1-task stages); a moderate
+        # fan-out parallelizes the map stages without fragmenting the
+        # shuffle-heavy document queries into 18 KB files.
+        size = os.path.getsize(src)
+        n_files = max(1, min(cpus, size // (1 << 20)))
+        if name in ("documents", "embeddings") and size > (256 << 10):
+            n_files = max(n_files, min(cpus, 8))
         (spark.read.schema(SCHEMAS[name]).parquet(src)
              .repartition(int(n_files))
              .write.mode("overwrite").parquet(table_path(dst, name)))

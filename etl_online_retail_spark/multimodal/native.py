@@ -71,9 +71,15 @@ def _load() -> ctypes.CDLL | None:
         lib.WebPEncodeRGB.restype = c_size_t
         lib.WebPEncodeRGB.argtypes = [POINTER(c_ubyte), c_int, c_int,
                                       c_int, c_float, POINTER(u8p)]
+        lib.WebPEncodeRGBA.restype = c_size_t
+        lib.WebPEncodeRGBA.argtypes = [POINTER(c_ubyte), c_int, c_int,
+                                       c_int, c_float, POINTER(u8p)]
         lib.WebPEncodeLosslessRGB.restype = c_size_t
         lib.WebPEncodeLosslessRGB.argtypes = [POINTER(c_ubyte), c_int,
                                               c_int, c_int, POINTER(u8p)]
+        lib.WebPEncodeLosslessRGBA.restype = c_size_t
+        lib.WebPEncodeLosslessRGBA.argtypes = [POINTER(c_ubyte), c_int,
+                                               c_int, c_int, POINTER(u8p)]
         lib.WebPFree.restype = None
         lib.WebPFree.argtypes = [ctypes.c_void_p]
         _LIB = lib
@@ -142,6 +148,45 @@ def webp_encode_rgb_lossy(pixels: bytes, width: int, height: int,
     buf = _as_buf(pixels)
     size = lib.WebPEncodeRGB(buf, width, height, width * 3,
                              c_float(quality), byref(out))
+    if not size:
+        raise ValueError("libwebp failed to encode")
+    try:
+        return string_at(out, size)
+    finally:
+        lib.WebPFree(out)
+
+
+def webp_encode_rgba_lossy(pixels: bytes, width: int, height: int,
+                           quality: float = 90.0) -> bytes:
+    """Lossy VP8 + ALPH alpha plane in a VP8X container (libwebp emits
+    VP8X whenever lossy content carries non-trivial alpha)."""
+    lib = _require()
+    if len(pixels) != width * height * 4:
+        raise ValueError("pixels must be width*height*4 RGBA bytes")
+    out = POINTER(c_uint8)()
+    buf = _as_buf(pixels)
+    size = lib.WebPEncodeRGBA(buf, width, height, width * 4,
+                              c_float(quality), byref(out))
+    if not size:
+        raise ValueError("libwebp failed to encode")
+    try:
+        return string_at(out, size)
+    finally:
+        lib.WebPFree(out)
+
+
+def webp_encode_rgba_lossless_native(pixels: bytes, width: int,
+                                     height: int) -> bytes:
+    """libwebp lossless RGBA — emits a VP8X container with the alpha
+    flag when alpha is non-trivial; used to test the VP8X decode
+    branch."""
+    lib = _require()
+    if len(pixels) != width * height * 4:
+        raise ValueError("pixels must be width*height*4 RGBA bytes")
+    out = POINTER(c_uint8)()
+    buf = _as_buf(pixels)
+    size = lib.WebPEncodeLosslessRGBA(buf, width, height, width * 4,
+                                      byref(out))
     if not size:
         raise ValueError("libwebp failed to encode")
     try:

@@ -698,6 +698,25 @@ def test_lossy_webp_decodes_through_dispatch():
 
 
 @pytest.mark.skipif(not _libwebp(), reason="libwebp not in environment")
+def test_vp8x_alpha_decodes_with_four_channels():
+    """Lossy content with non-trivial alpha ships as VP8X + ALPH; the
+    decoder must honor the VP8X alpha flag and report 4 channels with
+    the alpha plane intact (r7 review: alpha was silently dropped)."""
+    from etl_online_retail_spark.multimodal.native import (
+        webp_encode_rgba_lossy,
+    )
+    from etl_online_retail_spark.multimodal.webp import decode_webp
+
+    w, h = 8, 6
+    rgba = bytes([120, 50, 200, 90]) * (w * h)
+    p = webp_encode_rgba_lossy(rgba, w, h, quality=100.0)
+    assert p[12:16] == b"VP8X" and p[20] & 0x10   # alpha flag set
+    img = decode_webp(p)
+    assert (img.width, img.height, img.channels) == (w, h, 4)
+    assert set(img.pixels[3::4]) == {90}          # alpha plane exact
+
+
+@pytest.mark.skipif(not _libwebp(), reason="libwebp not in environment")
 def test_libwebp_lossless_stream_hits_honest_subset_boundary():
     """libwebp's OWN lossless encoder uses transforms/backrefs our
     pure-Python subset decoder deliberately omits — it must raise the
