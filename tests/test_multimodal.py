@@ -979,6 +979,41 @@ def test_flac_roundtrip_every_subframe_and_stereo_path():
         x)
 
 
+def test_flac_rice_residual_roundtrip_fuzz():
+    """Direct residual-level fuzz of the r7 vectorized Rice paths
+    (pointer-doubling terminator scan, matrix fixed-bit gathers,
+    packbits emission, escape partitions): every distribution that
+    steers a different Rice parameter / the raw escape must round-trip
+    exactly through _write_residual -> _read_residual."""
+    import numpy as np
+
+    from etl_online_retail_spark.multimodal.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_residual,
+        _write_residual,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        np.zeros(64, dtype=np.int64),                      # param 0, all q=0
+        np.ones(64, dtype=np.int64),                       # tiny constant
+        rng.integers(-3, 4, 192).astype(np.int64),         # small params
+        rng.integers(-500, 501, 256).astype(np.int64),     # mid params
+        (rng.integers(-2**24, 2**24, 64)).astype(np.int64),  # raw escape
+        np.array([0] * 63 + [2**20], dtype=np.int64),      # one huge outlier
+        np.array([7], dtype=np.int64),                     # single value
+        rng.integers(-1, 2, 320).astype(np.int64),         # dense zeros
+    ]
+    for res in cases:
+        w = _BitWriter()
+        _write_residual(w, res)
+        w.align()
+        r = _BitReader(w.getvalue())
+        got = _read_residual(r, block_size=len(res), order=0)
+        assert np.array_equal(np.asarray(got), res), res[:8]
+
+
 def test_flac_integrity_checks_fail_loudly():
     """Every spec integrity feature is enforced: magic, header CRC-8,
     frame CRC-16, and the STREAMINFO MD5 of the decoded stream."""
