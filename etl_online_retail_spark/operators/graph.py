@@ -67,7 +67,15 @@ def khop_distances(edges: DataFrame, seeds: DataFrame,
         if not frontier.take(1):
             break
         out.append(frontier)
+        prev_settled = settled
         settled = settled.unionByName(frontier).cache()
+        settled.count()          # materialize before releasing the input
+        if i > 1:
+            # only the latest settled union is live; per-hop frontiers
+            # stay cached (they feed the final result union), but the
+            # superseded cumulative unions would otherwise pile up and
+            # LRU-evict the shared edge cache (r7 review)
+            prev_settled.unpersist()
     result = out[0]
     for f in out[1:]:
         result = result.unionByName(f)
@@ -367,6 +375,13 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().cache())
     n = nodes.count()
+    if n == 0:
+        # loud, like personalized_pagerank's no-seed guard — a bare
+        # ZeroDivisionError names nothing (r7 review); an empty edge
+        # relation is one min_orders threshold away
+        raise ValueError(
+            "pagerank: the edge relation is empty (no nodes); "
+            "check the edge-construction thresholds")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
 
     if exact:
@@ -409,4 +424,8 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
                  .select("node", new_rank.alias("rank")))
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
+            # the checkpoint materialized everything downstream of this
+            # round's contrib — release it, or max_iter dead rank-vector
+            # copies accumulate in executor storage (r7 review)
+            contrib.unpersist()
     return ranks

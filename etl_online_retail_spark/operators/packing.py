@@ -81,7 +81,7 @@ def length_bucket_batches(docs: DataFrame, id_col: str, tokens_col: Column,
     Integer arithmetic throughout (capacity from the BIT LENGTH of
     n_tokens - 1, never floating log2) — hash-verifiable cross-engine.
     """
-    from etl_online_retail_spark.operators.sampling import _bucket
+    from etl_online_retail_spark.operators.sampling import _hval
 
     tok = tokens_col.cast("bigint")
     # next power of two >= t: 1 << bit_length(t - 1); t == 1 -> 1
@@ -101,7 +101,7 @@ def length_bucket_batches(docs: DataFrame, id_col: str, tokens_col: Column,
                 if bucketed else F.lit(0).cast("bigint"))
             .drop("_bl"))
     w = (Window.partitionBy("_cap")
-         .orderBy(_bucket(F.col("_id")).asc(), F.col("_id").asc()))
+         .orderBy(_hval(F.col("_id")).asc(), F.col("_id").asc()))
     batched = (base.withColumn("_rn", F.row_number().over(w))
                .withColumn("batch_id",
                            F.expr(f"(_rn - 1) div {int(batch_size)}")

@@ -43,6 +43,24 @@ def _bucket(id_col: Column) -> Column:
     return F.pmod(affine(h, _A, _B), F.lit(SAMPLE_RESOLUTION))
 
 
+def _hval(id_col: Column) -> Column:
+    """Full-resolution deterministic ORDER key in [0, PRIME) — the
+    affine value BEFORE the bucket reduction. Ordering claims (uniform
+    top-k, reservoir semantics, walk order) must use this, not _bucket:
+    10,000 bucket values leave massive tie groups broken by raw id, so
+    a "uniform" sample of k << n/10000 rows degenerates to the lowest
+    ids of one bucket (r7 review). _bucket remains the RATE-cutoff
+    domain (fraction realization needs the coarse resolution)."""
+    h = F.pmod(id_col.cast("bigint"), F.lit(PRIME))
+    return affine(h, _A, _B)
+
+
+def hval_sql(expr: str) -> str:
+    """DuckDB twin of _hval (inlined family constants)."""
+    h = f"((({expr})::BIGINT % {PRIME} + {PRIME}) % {PRIME})"
+    return f"({affine_sql(h, _A, _B)})"
+
+
 def bucket_sql(expr: str) -> str:
     """DuckDB twin of _bucket (inlined family constants)."""
     h = f"((({expr})::BIGINT % {PRIME} + {PRIME}) % {PRIME})"
@@ -88,10 +106,10 @@ def uniform_sample_topk(df: DataFrame, id_col: str, k: int) -> DataFrame:
     full table, no rand(), reproducible across engines and reruns.
     (Plans as TakeOrderedAndProject: per-partition heaps + driver merge.)"""
     return (df
-            .withColumn("_bucket", _bucket(F.col(id_col)))
-            .orderBy(F.asc("_bucket"), F.asc(id_col))
+            .withColumn("_hv", _hval(F.col(id_col)))
+            .orderBy(F.asc("_hv"), F.asc(id_col))
             .limit(k)
-            .drop("_bucket"))
+            .drop("_hv"))
 
 
 def epoch_shuffle(df: DataFrame, id_col: str, epoch: int,
@@ -109,12 +127,17 @@ def epoch_shuffle(df: DataFrame, id_col: str, epoch: int,
     shard size), so the whole thing is one shuffle on the shard key. A
     writer then emits one file per shard sorted by pos.
     """
-    a, b = hash_family(1, seed=1_000_003 + epoch)[0]
+    # TWO independent family members: shard and within-shard key from
+    # the SAME affine value pinned key mod gcd(n_shards, RESOLUTION) per
+    # shard (~625 effective key values -> huge id-ordered tie runs,
+    # identical across epochs — r7 review); the key is also kept at
+    # FULL resolution so tie groups vanish
+    (a0, b0), (a1, b1) = hash_family(2, seed=1_000_003 + epoch)
     h = F.pmod(F.col(id_col).cast("bigint"), F.lit(PRIME))
-    key = F.pmod(affine(h, a, b), F.lit(SAMPLE_RESOLUTION))
+    key = affine(h, a1, b1)
     from pyspark.sql import Window
 
-    shard = F.pmod(affine(h, a, b), F.lit(n_shards)).cast("int")
+    shard = F.pmod(affine(h, a0, b0), F.lit(n_shards)).cast("int")
     w = Window.partitionBy(shard).orderBy(key.asc(), F.col(id_col).asc())
     return (df.withColumn("shard", shard)
               .withColumn("pos", F.row_number().over(w)))
@@ -122,11 +145,11 @@ def epoch_shuffle(df: DataFrame, id_col: str, epoch: int,
 
 def epoch_shuffle_sql(id_expr: str, epoch: int, n_shards: int = 64) -> str:
     """DuckDB twin: (shard, pos) expressions as a SELECT-fragment pair."""
-    a, b = hash_family(1, seed=1_000_003 + epoch)[0]
+    (a0, b0), (a1, b1) = hash_family(2, seed=1_000_003 + epoch)
     h = f"((({id_expr})::BIGINT % {PRIME} + {PRIME}) % {PRIME})"
-    aff = affine_sql(h, a, b)
-    key = f"((({aff}) % {SAMPLE_RESOLUTION} + {SAMPLE_RESOLUTION}) % {SAMPLE_RESOLUTION})"
-    shard = f"CAST((({aff}) % {n_shards} + {n_shards}) % {n_shards} AS INTEGER)"
+    key = f"({affine_sql(h, a1, b1)})"
+    aff0 = affine_sql(h, a0, b0)
+    shard = f"CAST((({aff0}) % {n_shards} + {n_shards}) % {n_shards} AS INTEGER)"
     return (f"{shard} AS shard, CAST(ROW_NUMBER() OVER ("
             f"PARTITION BY {shard} ORDER BY {key} ASC, {id_expr} ASC) "
             f"AS INTEGER) AS pos")
@@ -143,8 +166,8 @@ def ordered_prefix_sum(df: DataFrame, part_col: str, id_col: str,
     `SUM OVER (PARTITION BY part ORDER BY ...)` sorts each part in a
     single reducer — the classic 100 TB cliff when parts are few and
     huge. Instead the ordered domain is range-split into n_shards
-    CONTIGUOUS bucket ranges (hash-ordering makes ranges uniform without
-    sampling — the bucket is already uniform on [0, RESOLUTION)):
+    CONTIGUOUS hash-value ranges (hash-ordering makes ranges uniform
+    without sampling — the order key is uniform on [0, PRIME)):
 
       1. per-(part, shard) totals           — map-side-combinable agg;
       2. exclusive running offsets over the parts x n_shards totals
@@ -157,9 +180,13 @@ def ordered_prefix_sum(df: DataFrame, part_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
-    bucket = _bucket(F.col(id_col))
-    shard = F.floor(bucket * n_shards / F.lit(SAMPLE_RESOLUTION)).cast("int")
-    base = df.withColumn("_b", bucket).withColumn("_sh", shard)
+    # full-resolution walk order (r7 review: 10k-bucket order leaves
+    # id-ordered tie runs); hval is uniform on [0, PRIME) so contiguous
+    # hval ranges still split the order evenly. hval * n_shards < 2^35
+    # — exact in the double division.
+    hv = _hval(F.col(id_col))
+    shard = F.floor(hv * n_shards / F.lit(PRIME)).cast("int")
+    base = df.withColumn("_b", hv).withColumn("_sh", shard)
     totals = base.groupBy(part_col, "_sh").agg(
         F.sum(F.col(value_col)).alias("_tot"))
     w_off = (Window.partitionBy(part_col).orderBy("_sh")
@@ -244,8 +271,11 @@ def rates_from_counts(counts: DataFrame, part_col: str, budget_docs: int,
         raw_w = F.sqrt(n)
     else:
         raw_w = F.pow(n, F.lit(float(alpha)))
+    # stats feeds BOTH the denominator aggregate and the crossJoin
+    # probe side — cache it so a corpus-wide upstream agg cannot
+    # execute twice (rule 7; r7 review)
     stats = counts.withColumn("_w",
-                              F.round(raw_w, 9).cast("decimal(28,9)"))
+                              F.round(raw_w, 9).cast("decimal(28,9)")).cache()
     denom = stats.agg(F.sum("_w").cast("double").alias("_denom"))
     p = F.col("_w").cast("double") / F.col("_denom")
     rate = F.least(F.lit(1.0),
@@ -279,7 +309,7 @@ def stratified_topk_sample(df: DataFrame, stratum_col: str, id_col: str,
     source — eval-set carving, per-domain probes.
 
     Shape: one window pass partitioned by stratum — a single shuffle on
-    the stratum key. Integer-only ordering (bucket, id), so the selected
+    the stratum key. Integer-only ordering (hash value, id), so the selected
     set is engine-portable and oracle-exact. At 100 TB with few, huge
     strata, pre-filter with an approximate per-stratum bucket cutoff
     (k/|stratum| quantile) before the exact rank to avoid sorting whole
@@ -288,7 +318,7 @@ def stratified_topk_sample(df: DataFrame, stratum_col: str, id_col: str,
     from pyspark.sql import Window
 
     w = (Window.partitionBy(stratum_col)
-         .orderBy(_bucket(F.col(id_col)).asc(), F.col(id_col).asc()))
+         .orderBy(_hval(F.col(id_col)).asc(), F.col(id_col).asc()))
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn"))
@@ -319,10 +349,11 @@ def systematic_weighted_sample(df: DataFrame, id_col: str,
     cum = ordered_prefix_sum(work, part, id_col, weight_col,
                              n_shards=n_shards)
 
-    def q(col):  # floor(col / step) in exact integer arithmetic
-        return ((col - F.pmod(col, F.lit(step))) / F.lit(step)).cast("bigint")
-
+    # crossing test in PURE integer arithmetic: floor((x+w)/s) >
+    # floor(x/s) <=> (x mod s) + w >= s. The previous form divided
+    # bigints with `/` (IEEE doubles), lossy past 2^53 cumulative
+    # weight (r7 review).
     picked = cum.filter(
-        q(F.col("cum_before") + F.col(weight_col).cast("bigint"))
-        > q(F.col("cum_before")))
+        F.pmod(F.col("cum_before"), F.lit(step))
+        + F.col(weight_col).cast("bigint") >= F.lit(step))
     return picked.drop(part) if part_col is None else picked

@@ -570,11 +570,11 @@ def train_pq_codebooks(corpus: DataFrame, m_subspaces: int = 8,
     """
     import numpy as np
 
-    from etl_online_retail_spark.operators.sampling import _bucket
+    from etl_online_retail_spark.operators.sampling import _hval
 
     sample = (corpus
               .select(F.col(id_col), as_double(vec_col).alias("_v"))
-              .orderBy(_bucket(F.col(id_col)).asc(), F.col(id_col).asc())
+              .orderBy(_hval(F.col(id_col)).asc(), F.col(id_col).asc())
               .limit(train_rows)
               .collect())
     mat = np.array([r._v for r in sample], dtype=np.float64)
@@ -765,11 +765,11 @@ def train_pca(corpus: DataFrame, k: int = 16, train_rows: int = 20_000,
     """
     import numpy as np
 
-    from etl_online_retail_spark.operators.sampling import _bucket
+    from etl_online_retail_spark.operators.sampling import _hval
 
     sample = (corpus
               .select(F.col(id_col), as_double(vec_col).alias("_v"))
-              .orderBy(_bucket(F.col(id_col)).asc(), F.col(id_col).asc())
+              .orderBy(_hval(F.col(id_col)).asc(), F.col(id_col).asc())
               .limit(train_rows)
               .collect())
     if not sample:
@@ -873,7 +873,7 @@ def train_pq_codebooks_distributed(corpus: DataFrame, m_subspaces: int = 8,
     """
     import numpy as np
 
-    from etl_online_retail_spark.operators.sampling import _bucket
+    from etl_online_retail_spark.operators.sampling import _hval
     from etl_online_retail_spark.operators.windows import (
         distributed_rank_by,
     )
@@ -897,7 +897,7 @@ def train_pq_codebooks_distributed(corpus: DataFrame, m_subspaces: int = 8,
     subs = subs.cache()
 
     seeds = distributed_rank_by(
-        subs.withColumn("_h", _bucket(F.col("_id"))), ["_s"],
+        subs.withColumn("_h", _hval(F.col("_id"))), ["_s"],
         order=[F.col("_h").asc(), F.col("_id").asc()],
         shard_by=F.col("_h"), n_shards=32, alias="_r")
     init_rows = (seeds.filter(F.col("_r") <= n_codes)

@@ -163,11 +163,20 @@ def time_weighted_avg(events: DataFrame, key_col: str, ts_col: str,
     """
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col),
                                             F.col(tiebreak_col))
-    nxt = F.coalesce(F.lead(F.col(ts_col)).over(w), F.col("_end"))
+    # clamp to the horizon BOTH ways (r7 review): an observation at or
+    # after end_ts contributes nothing (ts < _end filter), and the last
+    # in-horizon observation's weight stops AT end_ts even when a later
+    # out-of-horizon observation exists (least(..., _end)) — otherwise a
+    # late event silently extends the previous value's weight past the
+    # averaging window. No-op when end_ts >= max(ts), the registered
+    # query's global-max idiom.
+    nxt = F.least(F.coalesce(F.lead(F.col(ts_col)).over(w), F.col("_end")),
+                  F.col("_end"))
     weighted = (events
                 .select(F.col(key_col), F.col(ts_col), F.col(value_col),
                         F.col(tiebreak_col), end_ts.alias("_end"))
                 .withColumn("_next", nxt)
+                .filter(F.col(ts_col) < F.col("_end"))
                 .withColumn("_gap", F.expr(
                     f"timestampdiff(MILLISECOND, {ts_col}, _next)")
                     .cast("bigint"))

@@ -66,8 +66,14 @@ def _scd2_apply(key: tuple, pdfs: Iterator[pd.DataFrame],
     else:
         last_us, last_eid, seg, ver = -1, -1, None, 0
     out_user, out_ver, out_seg, out_from = [], [], [], []
-    for pdf in pdfs:
-        for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+    # applyInPandasWithState delivers a group's rows as MULTIPLE Arrow
+    # chunks with no intra-group order guarantee — sorting per chunk
+    # would let a later chunk's earlier rows fall behind the cursor and
+    # be dropped as late (r7 review). Concatenate, sort ONCE.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        for r in whole.sort_values(["ts", "event_id"]).itertuples():
             ts_us = r.ts.value // 1000
             if (ts_us, r.event_id) <= (last_us, last_eid):
                 continue  # replay or late arrival behind the cursor
@@ -128,8 +134,12 @@ def _scd2_reorder_apply(key: tuple, pdfs: Iterator[pd.DataFrame],
                 buf.append((r.ts.value // 1000, r.event_id, r.event_type))
     wm_us = state.getCurrentWatermarkMs() * 1000
     buf.sort()
-    ready = [b for b in buf if b[0] <= wm_us]
-    buf = [b for b in buf if b[0] > wm_us]
+    # STRICTLY below the watermark: Spark's stateful late-row filter
+    # only drops ts < wm, so a row timestamped exactly AT wm can still
+    # arrive in a later batch — finalizing ts == wm would put the
+    # cursor past it (r7 review). Rows at wm park until wm advances.
+    ready = [b for b in buf if b[0] < wm_us]
+    buf = [b for b in buf if b[0] >= wm_us]
 
     out_user, out_ver, out_seg, out_from = [], [], [], []
     for ts_us, eid, etype in ready:
@@ -335,8 +345,9 @@ def _attr_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                             r.event_type, r.value))
     wm_us = state.getCurrentWatermarkMs() * 1000
     buf.sort(key=lambda b: (b[0], b[1]))
-    ready = [b for b in buf if b[0] <= wm_us]
-    buf = [b for b in buf if b[0] > wm_us]
+    # strictly below wm — see _scd2_reorder_apply (r7 review)
+    ready = [b for b in buf if b[0] < wm_us]
+    buf = [b for b in buf if b[0] >= wm_us]
 
     out_eid, out_ts, out_type, out_lag, out_val = [], [], [], [], []
     for ts_us, eid, etype, val in ready:
@@ -405,8 +416,9 @@ def _ewma_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                 buf.append((r.ts.value // 1000, r.event_id, r.value))
     wm_us = state.getCurrentWatermarkMs() * 1000
     buf.sort()
-    ready = [b for b in buf if b[0] <= wm_us]
-    buf = [b for b in buf if b[0] > wm_us]
+    # strictly below wm — see _scd2_reorder_apply (r7 review)
+    ready = [b for b in buf if b[0] < wm_us]
+    buf = [b for b in buf if b[0] >= wm_us]
 
     out_ts, out_eid, out_e, out_n = [], [], [], []
     for ts_us, eid, val in ready:
@@ -458,8 +470,9 @@ def _zscore_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                 buf.append((r.ts.value // 1000, r.event_id, r.value))
     wm_us = state.getCurrentWatermarkMs() * 1000
     buf.sort()
-    ready = [b for b in buf if b[0] <= wm_us]
-    buf = [b for b in buf if b[0] > wm_us]
+    # strictly below wm — see _scd2_reorder_apply (r7 review)
+    ready = [b for b in buf if b[0] < wm_us]
+    buf = [b for b in buf if b[0] >= wm_us]
 
     out = {"user_id": [], "event_id": [], "ts": [], "value": [],
            "baseline_n": [], "zscore": []}
@@ -548,8 +561,9 @@ def _holt_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                 buf.append((r.ts.value // 1000, r.event_id, r.value))
     wm_us = state.getCurrentWatermarkMs() * 1000
     buf.sort()
-    ready = [b for b in buf if b[0] <= wm_us]
-    buf = [b for b in buf if b[0] > wm_us]
+    # strictly below wm — see _scd2_reorder_apply (r7 review)
+    ready = [b for b in buf if b[0] < wm_us]
+    buf = [b for b in buf if b[0] >= wm_us]
 
     out_ts, out_eid, out_l, out_t, out_n = [], [], [], [], []
     for ts_us, eid, val in ready:

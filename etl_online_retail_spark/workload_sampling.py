@@ -67,7 +67,7 @@ def q_stratified_docs_sample(spark, sf_dir):
 @register(
     "uniform_docs_sample",
     f"SELECT doc_id, lang, n_chars FROM documents "
-    f"ORDER BY ({sampling.bucket_sql('doc_id')}) ASC, doc_id ASC "
+    f"ORDER BY ({sampling.hval_sql('doc_id')}) ASC, doc_id ASC "
     f"LIMIT {UNIFORM_K}",
     "M6-sampling-uniform-topk",
 )
@@ -87,7 +87,7 @@ STRAT_K = 20
     f"SELECT doc_id, lang, source FROM ("
     f"  SELECT doc_id, lang, source, ROW_NUMBER() OVER ("
     f"    PARTITION BY lang "
-    f"    ORDER BY ({sampling.bucket_sql('doc_id')}) ASC, doc_id ASC) AS rn"
+    f"    ORDER BY ({sampling.hval_sql('doc_id')}) ASC, doc_id ASC) AS rn"
     f"  FROM documents) WHERE rn <= {STRAT_K}",
     "M6-sampling-stratified-topk",
 )
@@ -310,7 +310,7 @@ TOKEN_BUDGET_DEFAULT = 400
     "token_budget_mix",
     f"""WITH t AS (
   SELECT doc_id, source, CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
-         {sampling.bucket_sql('doc_id')} AS b
+         {sampling.hval_sql('doc_id')} AS b
   FROM documents),
 c AS (
   SELECT doc_id, source, n_tokens,
@@ -358,7 +358,7 @@ def _wdiv(x: str) -> str:
     "weighted_docs_sample",
     f"""WITH t AS (
   SELECT doc_id, CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
-         {sampling.bucket_sql('doc_id')} AS b
+         {sampling.hval_sql('doc_id')} AS b
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
@@ -546,7 +546,7 @@ _LB_TOKENS = f"({token_count_sql('text')})::BIGINT"
 _LB_BASE = f"""
 base AS (
   SELECT doc_id AS _id, {_LB_TOKENS} AS _t,
-         ({sampling.bucket_sql('doc_id')}) AS _ord
+         ({sampling.hval_sql('doc_id')}) AS _ord
   FROM documents WHERE {_LB_TOKENS} >= 1)"""
 
 

@@ -282,7 +282,7 @@ def _scan_naive(df, part, idc, val):
     """Single-window exclusive cumsum (the semantics oracle)."""
     from pyspark.sql import Window
     w = (Window.partitionBy(part)
-         .orderBy(F.asc(sampling._bucket(F.col(idc))), F.asc(idc))
+         .orderBy(F.asc(sampling._hval(F.col(idc))), F.asc(idc))
          .rowsBetween(Window.unboundedPreceding, -1))
     return df.withColumn(
         "cum_before",

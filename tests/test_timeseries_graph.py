@@ -127,6 +127,24 @@ def test_time_weighted_avg_golden(spark):
     assert r.total_ms == 4000
 
 
+def test_time_weighted_avg_clamps_to_horizon(spark):
+    """An observation BEYOND end_ts must neither contribute nor extend
+    the previous value's weight past the horizon (r7 review): value 10
+    holds from t0 to the Jan-15-style early horizon, the later value 20
+    never enters."""
+    rows = [(1, _ts("2024-01-01T00:00:00"), 10.0, 1),
+            (1, _ts("2024-01-01T00:00:10"), 20.0, 2)]   # after the horizon
+    df = (spark.createDataFrame(
+            rows, "user_id INT, ts TIMESTAMP_NTZ, value DOUBLE, event_id INT")
+          .withColumn("_end", F.lit(_ts("2024-01-01T00:00:02"))
+                      .cast("timestamp_ntz")))
+    [r] = time_weighted_avg(df, "user_id", "ts", "value",
+                            tiebreak_col="event_id",
+                            end_ts=F.col("_end")).collect()
+    assert r.twa == pytest.approx(10.0)
+    assert r.total_ms == 2000
+
+
 def test_time_weighted_avg_drops_sub_ms_updates(spark):
     # two updates inside one millisecond: only the later one holds value
     rows = [(1, _ts("2024-01-01T00:00:00.000100"), 99.0, 1),
