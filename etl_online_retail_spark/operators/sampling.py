@@ -157,7 +157,7 @@ def epoch_shuffle_sql(id_expr: str, epoch: int, n_shards: int = 64) -> str:
 
 def ordered_prefix_sum(df: DataFrame, part_col: str, id_col: str,
                        value_col: str, n_shards: int = 16) -> DataFrame:
-    """Running total over the deterministic order (bucket(id), id) within
+    """Running total over the deterministic order (hval(id), id) within
     each part: adds `cum_before` = sum of value over STRICTLY EARLIER
     rows. Exclusive semantics so a consumer can ask "had the budget been
     exhausted before this row?".
@@ -211,7 +211,7 @@ def token_budget_mix(df: DataFrame, part_col: str, id_col: str,
                      default_budget: int,
                      n_shards: int = 16) -> DataFrame:
     """Deterministic training-mix builder: fill each part's (source's,
-    domain's) TOKEN budget by walking rows in the hash order (bucket(id),
+    domain's) TOKEN budget by walking rows in the hash order (hval(id),
     id) and keeping a row iff the tokens consumed strictly before it are
     under the part's budget — so the kept set overshoots by at most one
     document, is identical on every run/engine/layout, and GROWS
