@@ -115,6 +115,33 @@ def scd2_stream(events: DataFrame) -> DataFrame:
 # arrives for the key. State = cursor + O(delay-window) parked rows per
 # key — bounded by the disorder horizon, not the stream length.
 
+
+def _park_and_split(pdfs: "Iterator[pd.DataFrame]", state: GroupState,
+                    buf: list, row_of) -> tuple[list, list]:
+    """The reorder-buffer mechanics every watermark-delayed applier
+    shares (extracted r7): park this batch's rows (unless the call is a
+    timeout firing), then split the sorted buffer into rows FINALIZED by
+    the watermark and rows still parked. Finalization is STRICTLY below
+    the watermark — Spark's late filter keeps ts == wm, so such a row
+    can still arrive in a later batch (see _scd2_reorder_apply)."""
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                buf.append(row_of(r))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    buf.sort(key=lambda b: (b[0], b[1]))
+    ready = [b for b in buf if b[0] < wm_us]
+    parked = [b for b in buf if b[0] >= wm_us]
+    return ready, parked
+
+
+def _schedule_flush(state: GroupState, parked: list) -> None:
+    """Fire once the watermark passes the earliest parked row (+1 ms:
+    the timeout timestamp must lie strictly beyond the watermark)."""
+    if parked:
+        state.setTimeoutTimestamp(parked[0][0] // 1000 + 1)
+
+
 SCD2_REORDER_STATE_SCHEMA = (
     "last_us bigint, last_eid bigint, seg string, ver int, "
     "buf_us array<bigint>, buf_eid array<bigint>, buf_seg array<string>")
@@ -128,18 +155,9 @@ def _scd2_reorder_apply(key: tuple, pdfs: Iterator[pd.DataFrame],
     else:
         last_us, last_eid, seg, ver = -1, -1, None, 0
         buf = []
-    if not state.hasTimedOut:
-        for pdf in pdfs:
-            for r in pdf.itertuples():
-                buf.append((r.ts.value // 1000, r.event_id, r.event_type))
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    buf.sort()
-    # STRICTLY below the watermark: Spark's stateful late-row filter
-    # only drops ts < wm, so a row timestamped exactly AT wm can still
-    # arrive in a later batch — finalizing ts == wm would put the
-    # cursor past it (r7 review). Rows at wm park until wm advances.
-    ready = [b for b in buf if b[0] < wm_us]
-    buf = [b for b in buf if b[0] >= wm_us]
+    ready, buf = _park_and_split(
+        pdfs, state, buf,
+        lambda r: (r.ts.value // 1000, r.event_id, r.event_type))
 
     out_user, out_ver, out_seg, out_from = [], [], [], []
     for ts_us, eid, etype in ready:
@@ -157,10 +175,7 @@ def _scd2_reorder_apply(key: tuple, pdfs: Iterator[pd.DataFrame],
     state.update((last_us, last_eid, seg, ver,
                   [b[0] for b in buf], [b[1] for b in buf],
                   [b[2] for b in buf]))
-    if buf:
-        # fire once the watermark passes the earliest parked row (+1 ms:
-        # the timeout timestamp must lie strictly beyond the watermark)
-        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    _schedule_flush(state, buf)
     yield pd.DataFrame({"user_id": out_user, "version": out_ver,
                         "segment": out_seg, "effective_from": out_from})
 
@@ -338,16 +353,9 @@ def _attr_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
     else:
         last_us, last_eid, t_us, t_type = -1, -1, -1, None
         buf = []
-    if not state.hasTimedOut:
-        for pdf in pdfs:
-            for r in pdf.itertuples():
-                buf.append((r.ts.value // 1000, r.event_id,
-                            r.event_type, r.value))
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    buf.sort(key=lambda b: (b[0], b[1]))
-    # strictly below wm — see _scd2_reorder_apply (r7 review)
-    ready = [b for b in buf if b[0] < wm_us]
-    buf = [b for b in buf if b[0] >= wm_us]
+    ready, buf = _park_and_split(
+        pdfs, state, buf,
+        lambda r: (r.ts.value // 1000, r.event_id, r.event_type, r.value))
 
     out_eid, out_ts, out_type, out_lag, out_val = [], [], [], [], []
     for ts_us, eid, etype, val in ready:
@@ -367,8 +375,7 @@ def _attr_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
     state.update((last_us, last_eid, t_us, t_type,
                   [b[0] for b in buf], [b[1] for b in buf],
                   [b[2] for b in buf], [b[3] for b in buf]))
-    if buf:
-        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    _schedule_flush(state, buf)
     yield pd.DataFrame({"user_id": [key[0]] * len(out_eid),
                         "event_id": out_eid, "ts": out_ts,
                         "attributed_type": out_type,
@@ -410,15 +417,9 @@ def _ewma_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
     else:
         last_us, last_eid, ewma, n_obs = -1, -1, None, 0
         buf = []
-    if not state.hasTimedOut:
-        for pdf in pdfs:
-            for r in pdf.itertuples():
-                buf.append((r.ts.value // 1000, r.event_id, r.value))
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    buf.sort()
-    # strictly below wm — see _scd2_reorder_apply (r7 review)
-    ready = [b for b in buf if b[0] < wm_us]
-    buf = [b for b in buf if b[0] >= wm_us]
+    ready, buf = _park_and_split(
+        pdfs, state, buf,
+        lambda r: (r.ts.value // 1000, r.event_id, r.value))
 
     out_ts, out_eid, out_e, out_n = [], [], [], []
     for ts_us, eid, val in ready:
@@ -436,8 +437,7 @@ def _ewma_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
     state.update((last_us, last_eid, ewma, n_obs,
                   [b[0] for b in buf], [b[1] for b in buf],
                   [b[2] for b in buf]))
-    if buf:
-        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    _schedule_flush(state, buf)
     yield pd.DataFrame({"user_id": [key[0]] * len(out_ts), "ts": out_ts,
                         "event_id": out_eid, "ewma": out_e,
                         "n_obs": out_n})
@@ -464,15 +464,9 @@ def _zscore_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
     else:
         last_us, last_eid, ring = -1, -1, []
         buf = []
-    if not state.hasTimedOut:
-        for pdf in pdfs:
-            for r in pdf.itertuples():
-                buf.append((r.ts.value // 1000, r.event_id, r.value))
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    buf.sort()
-    # strictly below wm — see _scd2_reorder_apply (r7 review)
-    ready = [b for b in buf if b[0] < wm_us]
-    buf = [b for b in buf if b[0] >= wm_us]
+    ready, buf = _park_and_split(
+        pdfs, state, buf,
+        lambda r: (r.ts.value // 1000, r.event_id, r.value))
 
     out = {"user_id": [], "event_id": [], "ts": [], "value": [],
            "baseline_n": [], "zscore": []}
@@ -509,8 +503,7 @@ def _zscore_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
     state.update((last_us, last_eid, ring,
                   [b[0] for b in buf], [b[1] for b in buf],
                   [b[2] for b in buf]))
-    if buf:
-        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    _schedule_flush(state, buf)
     yield pd.DataFrame(out)
 
 
@@ -555,15 +548,9 @@ def _holt_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
     else:
         last_us, last_eid, level, trend, n_obs = -1, -1, None, 0.0, 0
         buf = []
-    if not state.hasTimedOut:
-        for pdf in pdfs:
-            for r in pdf.itertuples():
-                buf.append((r.ts.value // 1000, r.event_id, r.value))
-    wm_us = state.getCurrentWatermarkMs() * 1000
-    buf.sort()
-    # strictly below wm — see _scd2_reorder_apply (r7 review)
-    ready = [b for b in buf if b[0] < wm_us]
-    buf = [b for b in buf if b[0] >= wm_us]
+    ready, buf = _park_and_split(
+        pdfs, state, buf,
+        lambda r: (r.ts.value // 1000, r.event_id, r.value))
 
     out_ts, out_eid, out_l, out_t, out_n = [], [], [], [], []
     for ts_us, eid, val in ready:
@@ -587,8 +574,7 @@ def _holt_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
     state.update((last_us, last_eid, level, trend, n_obs,
                   [b[0] for b in buf], [b[1] for b in buf],
                   [b[2] for b in buf]))
-    if buf:
-        state.setTimeoutTimestamp(buf[0][0] // 1000 + 1)
+    _schedule_flush(state, buf)
     yield pd.DataFrame({"user_id": [key[0]] * len(out_ts), "ts": out_ts,
                         "event_id": out_eid, "level": out_l,
                         "trend": out_t, "n_obs": out_n})
