@@ -21,6 +21,8 @@ from etl_online_retail_spark.sources.ddl import fk_violations  # noqa: F401  (re
 
 
 def not_null_violations(df: DataFrame, cols: list[str]) -> int:
+    if not cols:
+        return 0   # a schema with no NOT NULL columns is a valid input
     pred = None
     for c in cols:
         p = F.col(c).isNull()
@@ -103,9 +105,13 @@ def fct_row_rules() -> "list[tuple[str, F.Column]]":
     construction needs an active SparkContext)."""
     return [
         ("fct.invoice_id CHAR(6)", _width_flag("invoice_id", 6)),
+        # two separately named rules (r7 review: one label counting
+        # BOTH columns' NULLs sent the steward to the wrong column) —
+        # init_db.sql lines 40-41 are two constraints
         ("fct.unit_price NOT NULL",
-         F.count(F.when(F.col("unit_price").isNull()
-                        | F.col("quantity").isNull(), 1))),
+         F.count(F.when(F.col("unit_price").isNull(), 1))),
+        ("fct.quantity NOT NULL",
+         F.count(F.when(F.col("quantity").isNull(), 1))),
     ]
 
 

@@ -427,8 +427,12 @@ def contrastive_triplets(docs: DataFrame, n: int = 2, k: int = 16,
     contrastive_negatives, one per (anchor, round).
 
     Output: (anchor_id, pos_id, jaccard, neg_round, neg_id, neg_group) —
-    one row per (near-dup pair, negative round). Anchors are the id_a
-    (smaller id) side of each verified pair. All construction is
+    one row per (near-dup pair, negative round) WHOSE ANCHOR FOUND AN
+    ELIGIBLE NEGATIVE: the inner assembly join drops a pair when the
+    anchor's probed bucket holds no different-group document (possible
+    when one source dominates or n_buckets is large next to the
+    corpus; raise the negative rounds or lower n_buckets to recover
+    such anchors — documented r7). All construction is
     hash-deterministic: the same corpus yields the same triplets on any
     engine, run, or layout.
 
@@ -568,6 +572,13 @@ def blocklist_flags_joined(docs: DataFrame, blocklist: list[str],
     itself outgrows executors, then sort-merge on the term). LEFT join
     keeps zero-match docs in the output like the expression path."""
     spark = docs.sparkSession
+    if not blocklist:
+        # same output as the expression path: zero matches everywhere
+        # (createDataFrame([]) cannot infer an empty schema — r7 review)
+        return docs.select(
+            F.col(id_col), F.col(strata_col),
+            F.lit(0).cast("int").alias("n_bad_terms"),
+            F.lit(False).alias("flagged"))
     bl = spark.createDataFrame([(t,) for t in blocklist], ["_term"])
     toks = (docs.select(
         F.col(id_col), F.col(strata_col),

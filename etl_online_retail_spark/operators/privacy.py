@@ -110,9 +110,20 @@ def t_closeness_report(df: DataFrame, qi_cols: Sequence[str],
             - F.col("_nv").cast(d18) * F.col("_g").cast(d18))
     g_sizes = (df.groupBy(*qi_cols)
                .agg(F.count(F.lit(1)).alias("_g")))
+    # NULL-SAFE joins (r7 review): a NULL QI value is its own group and
+    # a NULL sensitive value is a real value of the domain — plain
+    # name-list joins dropped both (an all-NULL group vanished from the
+    # report entirely; mixed groups got a wrong TVD)
+    qi_cond = None
+    for c in qi_cols:
+        e = gv[c].eqNullSafe(g_sizes[c])
+        qi_cond = e if qi_cond is None else (qi_cond & e)
     folded = (gv
-              .join(g_sizes, list(qi_cols))
-              .join(F.broadcast(glob_v), sensitive_col)
+              .join(g_sizes, qi_cond)
+              .drop(*[g_sizes[c] for c in qi_cols])
+              .join(F.broadcast(glob_v),
+                    gv[sensitive_col].eqNullSafe(glob_v[sensitive_col]))
+              .drop(glob_v[sensitive_col])
               .crossJoin(F.broadcast(n_tot))
               .groupBy(*qi_cols)
               .agg(F.first("_g").alias("_g"), F.first("_n").alias("_n"),
@@ -120,7 +131,10 @@ def t_closeness_report(df: DataFrame, qi_cols: Sequence[str],
     num = F.col("_g").cast(d18) * F.col("_n").cast(d18) + F.col("_tail")
     den = F.lit(2).cast(d18) * F.col("_g").cast(d18) \
         * F.col("_n").cast(d18)
-    small = "decimal(2,0)"
+    # decimal(9,0): a (2,0) cast threw NUMERIC_VALUE_OUT_OF_RANGE for
+    # any legitimate threshold component >= 100, e.g. t = 3/100 (r7
+    # review)
+    small = "decimal(9,0)"
     return (folded.select(
         *qi_cols,
         F.col("_g").alias("n_rows"),
@@ -148,7 +162,15 @@ def k_anonymize(df: DataFrame, qi_cols: Sequence[str],
             .select(*qi_cols))
     if broadcast:
         keep = F.broadcast(keep)
-    return df.join(keep, list(qi_cols), "left_semi")
+    # NULL-SAFE semi-join (r7 review): the report treats a NULL QI value
+    # as its own group (groupBy does), so the release must too — the
+    # plain name-list join suppressed every NULL-QI row even when the
+    # report said suppressed=false for its group
+    cond = None
+    for c in qi_cols:
+        e = df[c].eqNullSafe(keep[c])
+        cond = e if cond is None else (cond & e)
+    return df.join(keep, cond, "left_semi")
 
 
 def erasure_scope(tables: dict[str, DataFrame],
@@ -172,8 +194,14 @@ def erasure_scope(tables: dict[str, DataFrame],
     rows from a table it should hit signals a broken key mapping
     BEFORE any data is dropped.
     """
-    outs = []
     subj = subjects.select(F.col(subject_key).alias("_skey")).distinct()
+    if not tables:
+        # empty scope is a valid (if odd) request — return the empty
+        # report instead of IndexError (r7 review)
+        return subjects.sparkSession.createDataFrame(
+            [], "table string, n_rows bigint, n_erased bigint, "
+                "n_retained bigint")
+    outs = []
     for name, df in tables.items():
         key = key_map[name]
         flagged = df.join(

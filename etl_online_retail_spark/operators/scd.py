@@ -47,8 +47,11 @@ def scd2_from_changelog(
     changed: Column = F.lit(False)
     for a in attr_cols:
         changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w_obs))
+    # row_number, not lag(ts).isNull(): a NULL-timestamp predecessor
+    # made its successor look like a first observation and open a
+    # spurious version (r7 review)
     opens = (log
-             .withColumn("_first", F.lag(ts_col).over(w_obs).isNull())
+             .withColumn("_first", F.row_number().over(w_obs) == 1)
              .withColumn("_changed", changed)
              .filter(F.col("_first") | F.col("_changed")))
 
@@ -77,4 +80,11 @@ def scd2_lookup(scd2: DataFrame, facts: DataFrame, key_col: str,
             & (facts[ts_col] >= scd2["effective_from"])
             & (scd2["effective_to"].isNull()
                | (facts[ts_col] < scd2["effective_to"])))
-    return facts.join(scd2, cond, "left").drop(scd2[key_col])
+    out = facts.join(scd2, cond, "left").drop(scd2[key_col])
+    # drop the dimension's columns that collide with fact columns (its
+    # raw log ts/tiebreak survive scd2_from_changelog) — duplicate names
+    # made ANY downstream reference ambiguous (r7 review); the fact's
+    # column wins, the version columns keep the dimension's view
+    for c in set(facts.columns) & set(scd2.columns) - {key_col}:
+        out = out.drop(scd2[c])
+    return out

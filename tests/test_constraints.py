@@ -106,6 +106,7 @@ def test_fact_write_observes_constraint_counts(spark, tmp_path):
     assert wh.load_metrics == {
         "fct.invoice_id CHAR(6)": 0,
         "fct.unit_price NOT NULL": 0,
+        "fct.quantity NOT NULL": 0,
     }
 
 
