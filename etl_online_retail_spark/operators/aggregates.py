@@ -139,12 +139,17 @@ def jackknife_mean(df: DataFrame, id_col: str, cents_col: str,
     cents, rounded to 6dp. Scale shape: one map-combinable hash agg to
     B partial sums, then arithmetic over a B-row relation.
     """
-    from etl_online_retail_spark.functions.hashing import PRIME, hash_family
+    from etl_online_retail_spark.functions.hashing import (
+        PRIME,
+        affine,
+        hash_family,
+    )
 
     a, b = hash_family(1, seed=13)[0]
-    bucket = F.pmod((F.pmod(F.col(id_col).cast("bigint"), F.lit(PRIME))
-                     * F.lit(a) + F.lit(b)) % F.lit(PRIME),
-                    F.lit(n_buckets))
+    # the shared affine helper, not an inline copy (r7 review): same
+    # arithmetic, one source of truth with every other hash consumer
+    h = F.pmod(F.col(id_col).cast("bigint"), F.lit(PRIME))
+    bucket = F.pmod(affine(h, a, b), F.lit(n_buckets))
     per = (df.select(bucket.alias("_b"), F.col(cents_col).alias("_v"))
            .groupBy("_b")
            .agg(F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s")))

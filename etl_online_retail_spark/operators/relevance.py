@@ -106,8 +106,11 @@ def inverted_index(docs: DataFrame, min_df: int = 2,
     exchange format (and what a parquet-backed index scan reads back).
     """
     toks = corpus_terms(docs, id_col, text_col)
+    # tf feeds BOTH the stats aggregate and the ranking window — cache
+    # it or the tokenize+explode+agg lineage executes twice (rule 7;
+    # r7 review)
     tf = (toks.groupBy("term", id_col)
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"))).cache()
     stats = (tf.groupBy("term")
              .agg(F.count(F.lit(1)).alias("df"),
                   F.sum("tf").alias("cf"))
@@ -131,7 +134,9 @@ def bigram_logprob(docs: DataFrame, k_smooth: float = 0.5,
     p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V),  V = unigram vocab size.
     Each document's first token is a context anchor only (no start
     symbol), so a doc scores over (n_tokens - 1) transitions; single-token
-    and empty docs emit avg_logprob NULL. Same float discipline as BM25:
+    and empty docs are ABSENT from the output (no bigrams -> no group
+    row; the oracle matches — r7 review corrected an earlier claim that
+    they emit NULL). Same float discipline as BM25:
     per-(doc,bigram) contributions tf*ln(p) rounded to 9dp, summed as
     DECIMAL, mean rounded to 6dp.
     """
@@ -395,9 +400,12 @@ def tfidf_pair_cosine(docs: DataFrame, pairs: DataFrame,
                       .cast("decimal(18,9)")).cast("double").alias("_num")))
     na = norms.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    # LEFT norm joins (r7 review): a pair whose document has no tokens
+    # must emit tfidf_cos = 0.0 (the zero-vector convention), not vanish
+    # from the output — inner joins silently deleted such pairs
+    cos = F.when(F.col("_na").isNull() | F.col("_nb").isNull(), F.lit(0.0))         .otherwise(F.coalesce(F.col("_num"), F.lit(0.0))
+                   / (F.col("_na") * F.col("_nb")))
     return (pairs.join(num, ["id_a", "id_b"], "left")
-            .join(na, "id_a").join(nb, "id_b")
+            .join(na, "id_a", "left").join(nb, "id_b", "left")
             .select("id_a", "id_b",
-                    F.round(F.coalesce(F.col("_num"), F.lit(0.0))
-                            / (F.col("_na") * F.col("_nb")), 6)
-                     .alias("tfidf_cos")))
+                    F.round(cos, 6).alias("tfidf_cos")))

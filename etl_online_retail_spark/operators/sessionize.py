@@ -21,6 +21,13 @@ def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
 
     The gap test uses timestampdiff on TIMESTAMP_NTZ - pure wall-clock
     arithmetic, no session-timezone dependence (unlike unix_timestamp).
+
+    Boundary rule: a gap of EXACTLY gap_minutes stays in the SAME
+    session (strict >) — Spark's native session_window splits there
+    (half-open [start, prev+gap)); see session_windows_native /
+    streaming.events.session_window_stats for that convention. Pick by
+    the boundary semantics you need; each is oracle-verified under its
+    own rule (r7 review).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
     # Exact microsecond gap test: second-granularity diffs truncate/count

@@ -76,15 +76,21 @@ def cms_sketch(terms: DataFrame, term_col: str = "term",
 def cms_estimate(probe: DataFrame, sketch: DataFrame,
                  term_col: str = "term",
                  width: int = CMS_WIDTH, depth: int = CMS_DEPTH,
-                 seed: int = CMS_SEED) -> DataFrame:
+                 seed: int = CMS_SEED,
+                 numeric_keys: bool = False) -> DataFrame:
     """Attach `n_est` (the count-min estimate) to every probe row: compute
     the probe term's depth buckets, look each up in the broadcast sketch,
     take the min. Missing buckets count 0 (term never hashed there).
 
     Probe rows are tagged with a unique row id before the explode and the
     regroup keys on that id, so duplicate probe rows each keep their own
-    output row and non-groupable probe column types (map, ...) are fine."""
-    h0 = poly_hash(F.col(term_col))
+    output row and non-groupable probe column types (map, ...) are fine.
+
+    `numeric_keys` MUST match the cms_sketch build flag: the sketch's
+    integer fast path hashes pmod(key, PRIME) while the default path
+    poly-hashes the digits — probing with the other convention silently
+    reads unrelated counters (r7 review)."""
+    h0 = _cms_h0(F.col(term_col), numeric_keys)
     rows = F.array(*[
         F.struct(F.lit(j).alias("j"),
                  (affine(h0, a, b) % width).alias("bucket"))
@@ -158,8 +164,12 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
     native BloomFilter, semantics unchanged."""
     if m_bits % 32:
         raise ValueError("m_bits must be a multiple of 32")
-    pos = (keys.select(F.explode(F.array(
-        *_bloom_positions(F.col(key_col), m_bits, k, seed))).alias("p"))
+    pos = (keys.filter(F.col(key_col).isNotNull())   # a NULL key can
+           # never match a probe; unfiltered it NULLs every position and
+           # crashes the driver-side word fold (r7 review)
+           .select(F.explode(F.array(
+               *_bloom_positions(F.col(key_col), m_bits, k, seed)))
+               .alias("p"))
         .distinct().collect())
     words = [0] * (m_bits // 32)
     for r in pos:
@@ -421,6 +431,8 @@ def hdr_quantiles(hist: DataFrame, group_col: str,
     """Quantile estimates from a histogram: for each q, the upper edge of
     the first bucket whose cumulative count reaches ceil(q*N). Works on
     the sketch relation only (tiny); output (group, q, est)."""
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     w_cum = (Window.partitionBy(group_col).orderBy("bucket")
@@ -429,17 +441,30 @@ def hdr_quantiles(hist: DataFrame, group_col: str,
     cum = (hist
            .withColumn("_cum", F.sum("cnt").over(w_cum))
            .withColumn("_n", F.sum("cnt").over(w_all)))
-    q_rel = F.array(*[F.lit(float(q)) for q in qs])
-    hit = (cum.withColumn("q", F.explode(q_rel))
-           .filter(F.col("_cum").cast("double") >=
-                   F.ceil(F.col("q") * F.col("_n").cast("double"))
-                   .cast("double")))
+    # EXACT integer target rank: ceil(q*N) in doubles overshoots by one
+    # rank whenever q*N is an integer the float product exceeds by an
+    # ulp (0.95 * 20 = 19.000000000000004 -> rank 20; r7 review). Each
+    # q becomes an exact fraction and the rank is
+    # (qn*N + qd - 1) div qd — pure int64.
+    fracs = [Fraction(str(q)) for q in qs]
+    q_rel = F.array(*[
+        F.struct(F.lit(float(q)).alias("q"),
+                 F.lit(fr.numerator).alias("qn"),
+                 F.lit(fr.denominator).alias("qd"))
+        for q, fr in zip(qs, fracs)])
+    hit = (cum.withColumn("_qs", F.explode(q_rel))
+           .select("*", F.col("_qs.q").alias("q"),
+                   F.col("_qs.qn").alias("_qn"),
+                   F.col("_qs.qd").alias("_qd"))
+           .filter(F.col("_cum") >=
+                   F.expr("(_qn * _n + _qd - 1) div _qd")))
     best = (hit.groupBy(group_col, "q")
             .agg(F.min_by(F.col("ub"), F.col("bucket")).alias("est")))
     return best.select(group_col, "q", "est")
 
 
-def cms_join_cardinality(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+def cms_join_cardinality(sk_a: DataFrame, sk_b: DataFrame,
+                         depth: int = CMS_DEPTH) -> DataFrame:
     """Equi-join SIZE estimate from two count-min sketches alone:
     |A ⋈ B| on key k is Σ_k fA(k)·fB(k), and the sketch estimate is
     min over hash rows j of Σ_buckets cntA[j,b]·cntB[j,b] (an AMS-style
@@ -450,10 +475,19 @@ def cms_join_cardinality(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
 
     Returns a single row (join_est BIGINT). Build both sketches with the
     SAME width/depth/seed or the row-wise product is meaningless.
+
+    The min ranges over ALL depth rows: a row whose occupied buckets
+    are disjoint has dot product 0 and must participate (the r7 review
+    found the inner-join form excluding such rows — a fully disjoint
+    pair returned NULL instead of 0).
     """
     a = sk_a.select("j", "bucket", F.col("cnt").alias("_ca"))
     b = sk_b.select("j", "bucket", F.col("cnt").alias("_cb"))
-    per_row = (a.join(b, ["j", "bucket"])
-               .groupBy("j")
-               .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot")))
+    prod = (a.join(b, ["j", "bucket"])
+            .groupBy("j")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot")))
+    rows = sk_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("j"))
+    per_row = (rows.join(prod, "j", "left")
+               .select(F.coalesce(F.col("_dot"), F.lit(0)).alias("_dot")))
     return per_row.agg(F.min("_dot").cast("bigint").alias("join_est"))

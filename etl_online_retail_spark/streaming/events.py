@@ -92,8 +92,13 @@ def sliding_value_avg(events: DataFrame, watermark: str = "2 hours") -> DataFram
 
 def session_window_stats(events: DataFrame, gap: str = "30 minutes",
                          watermark: str = "2 hours") -> DataFrame:
-    """Native session windows (gap-based), the streaming twin of
-    operators/sessionize.py."""
+    """Native session windows (gap-based) — the streaming sibling of
+    the BATCH session_window query (workload.session_windows_native),
+    with which it shares Spark's boundary rule: a gap of EXACTLY `gap`
+    STARTS a new session (the window is half-open [start, prev+gap)).
+    operators/sessionize.py deliberately keeps the strict-> rule on
+    both engines instead — the two surfaces differ on boundary-exact
+    gaps (r7 review; also noted on session_windows_native's oracle)."""
     return (events
             .withWatermark("ts", watermark)
             .groupBy("user_id", F.session_window("ts", gap))

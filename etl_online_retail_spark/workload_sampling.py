@@ -176,9 +176,12 @@ def _cms_join_oracle() -> str:
     return f"""
 WITH {side('orders', 'o_orderkey', 'a')},
 {side('lineitem', 'l_orderkey', 'b')},
-dot AS (SELECT sa.j, SUM(sa.cnt * sb.cnt) AS d
-        FROM sa JOIN sb ON sa.j = sb.j AND sa.bucket = sb.bucket
-        GROUP BY sa.j),
+rows AS (SELECT unnest(range(0, {_D})) AS j),
+dot AS (SELECT r.j, COALESCE(SUM(sa.cnt * sb.cnt), 0) AS d
+        FROM rows r
+        LEFT JOIN sa ON sa.j = r.j
+        LEFT JOIN sb ON sb.j = r.j AND sb.bucket = sa.bucket
+        GROUP BY r.j),
 ex AS (SELECT CAST(SUM(ka.c * kb.c) AS BIGINT) AS join_exact
        FROM ka JOIN kb ON ka.term = kb.term)
 SELECT CAST(MIN(d) AS BIGINT) AS join_est, ex.join_exact
@@ -261,8 +264,16 @@ _HDR_V = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
 
 def _hdr_oracle() -> str:
+    from fractions import Fraction
+
     bucket_id, ub = sketches.hdr_bucket_sql("v")
+    fracs = [Fraction(str(q)) for q in _HDR_QS]
     q_list = ", ".join(f"CAST({q} AS DOUBLE)" for q in _HDR_QS)
+    qn_list = ", ".join(str(fr.numerator) for fr in fracs)
+    qd_list = ", ".join(str(fr.denominator) for fr in fracs)
+    # exact integer target rank ceil(q*N) = (qn*N + qd - 1) // qd —
+    # CEIL(q*n) in doubles overshoots one rank when q*n is an integer
+    # the float product exceeds by an ulp (matches the Spark side; r7)
     return f"""
 WITH v AS (SELECT o_orderpriority, {_HDR_V} AS v FROM orders
            WHERE {_HDR_V} >= 1),
@@ -271,12 +282,14 @@ hist AS (SELECT o_orderpriority, bucket, MIN(ub) AS ub, COUNT(*) AS cnt
          FROM b GROUP BY 1, 2),
 cum AS (SELECT o_orderpriority, bucket, ub,
         CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority
-                            ORDER BY bucket) AS DOUBLE) AS cum,
-        CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS n
+                            ORDER BY bucket) AS BIGINT) AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
         FROM hist),
-qq AS (SELECT unnest([{q_list}]) AS q),
+qq AS (SELECT unnest([{q_list}]) AS q, unnest([{qn_list}]) AS qn,
+              unnest([{qd_list}]) AS qd),
 hit AS (SELECT c.o_orderpriority, q.q, c.bucket, c.ub
-        FROM cum c JOIN qq q ON c.cum >= CAST(CEIL(q.q * c.n) AS DOUBLE)),
+        FROM cum c JOIN qq q
+          ON c.cum >= (q.qn * c.n + q.qd - 1) // q.qd),
 sel AS (SELECT o_orderpriority, q, MIN(bucket) AS b FROM hit GROUP BY 1, 2)
 SELECT s.o_orderpriority, s.q, h.ub AS est
 FROM sel s JOIN hist h
