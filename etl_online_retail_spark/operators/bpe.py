@@ -246,7 +246,11 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]],
                     break
                 syms[best:best + 2] = [syms[best] + syms[best + 1]]
             return len(syms)
-        return col.map(lambda txt: sum(encode(w) for w in txt.split()))
+        # NULL text reaches the UDF as None (r7 review): count 0 tokens
+        # instead of crashing the task on None.split()
+        return col.map(
+            lambda txt: 0 if txt is None
+            else sum(encode(w) for w in txt.split()))
 
     norm = normalize(text_col)
     return docs.select(F.col(id_col),

@@ -438,7 +438,14 @@ def repeated_passage_stats(docs: DataFrame, n: int = 3, min_df: int = 3,
         word_shingle_hashes_all_of_tokens,
     )
 
-    toked = docs.select(F.col(id_col), tokens(normalize(text_col)).alias("_t"))
+    # COALESCE before tokenize (r7 review): NULL text made the token
+    # array NULL, the size guard never fired, and posexplode dropped the
+    # doc from the output — violating the one-row-per-input-doc
+    # contract. tokens('') is [''] so a NULL doc yields the documented
+    # single ''-segment row.
+    toked = docs.select(
+        F.col(id_col),
+        tokens(normalize(F.coalesce(F.col(text_col), F.lit("")))).alias("_t"))
     # cache: the exploded shingle relation feeds BOTH the df aggregation
     # and the join-back side; uncached, the tokenize+ngram+hash pipeline
     # runs twice (PERFORMANCE.md rule 7 — measured 2.1 s -> ~1 s at sf0.1)
@@ -447,12 +454,19 @@ def repeated_passage_stats(docs: DataFrame, n: int = 3, min_df: int = 3,
             F.explode(word_shingle_hashes_all_of_tokens(F.col("_t"), n))
              .alias("_h"))
          .cache())
-    df_rel = (e.groupBy("_h")
-              .agg(F.count_distinct(id_col).alias("_df")))
-    joined = e.join(df_rel, "_h")
+    # join back only the df >= min_df TAIL, as the scale note above
+    # prescribes (r7 review: the unfiltered form carried the whole
+    # vocabulary-sized df relation through the shuffle); the left join +
+    # flag is result-identical — occurrences outside the tail simply
+    # count 0 repeated
+    frequent = (e.groupBy("_h")
+                .agg(F.count_distinct(id_col).alias("_df"))
+                .filter(F.col("_df") >= min_df)
+                .select("_h", F.lit(True).alias("_rep")))
+    joined = e.join(F.broadcast(frequent), "_h", "left")
     return (joined.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
+                 F.sum(F.when(F.col("_rep"), 1).otherwise(0))
                   .alias("n_repeated"))
             .withColumn("dup_fraction",
                         F.round(F.col("n_repeated").cast("double")
@@ -484,7 +498,14 @@ def remove_repeated_segments(docs: DataFrame, width: int = 10,
     the segment distribution) joined back BROADCAST-left, so the corpus
     shuffles once — on doc_id for reassembly — and never on segment text.
     """
-    toked = docs.select(F.col(id_col), tokens(normalize(text_col)).alias("_t"))
+    # COALESCE before tokenize (r7 review): NULL text made the token
+    # array NULL, the size guard never fired, and posexplode dropped the
+    # doc from the output — violating the one-row-per-input-doc
+    # contract. tokens('') is [''] so a NULL doc yields the documented
+    # single ''-segment row.
+    toked = docs.select(
+        F.col(id_col),
+        tokens(normalize(F.coalesce(F.col(text_col), F.lit("")))).alias("_t"))
     n_seg = F.ceil(F.size("_t") / F.lit(width)).cast("int")
     # defensive guard BEFORE sequence(): sequence(0, -1) steps DOWN
     # (returns [0, -1]). tokens() never actually returns an empty array
@@ -541,7 +562,14 @@ def dedup_within_doc(docs: DataFrame, width: int = 10,
     """
     from pyspark.sql import Window
 
-    toked = docs.select(F.col(id_col), tokens(normalize(text_col)).alias("_t"))
+    # COALESCE before tokenize (r7 review): NULL text made the token
+    # array NULL, the size guard never fired, and posexplode dropped the
+    # doc from the output — violating the one-row-per-input-doc
+    # contract. tokens('') is [''] so a NULL doc yields the documented
+    # single ''-segment row.
+    toked = docs.select(
+        F.col(id_col),
+        tokens(normalize(F.coalesce(F.col(text_col), F.lit("")))).alias("_t"))
     n_seg = F.ceil(F.size("_t") / F.lit(width)).cast("int")
     segs = F.when(F.size("_t") == 0, F.array().cast("array<string>")) \
             .otherwise(F.transform(

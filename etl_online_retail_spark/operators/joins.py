@@ -96,7 +96,20 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     Prefer AQE skew-join (on by default in session.py) when it applies;
     salting is for the cases AQE cannot split (e.g. aggregations keyed on
     the hot key downstream, or deliberate bucketing of a known-hot key).
+
+    `how` admits the join types the construction is CORRECT for:
+    replicating the right side into salt_buckets copies makes an
+    unmatched right row surface salt_buckets times under right/full
+    outer semantics (r7 review), so those are rejected loudly.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "semi", "leftsemi", "left_semi",
+                   "anti", "leftanti", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join cannot express {how!r}: the right side is "
+            "replicated per salt bucket, so right/full outer joins "
+            "would emit salt_buckets null-extended copies of every "
+            "unmatched right row")
     l_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                     F.lit(salt_buckets)).alias("_salt")
     salted_left = left.select("*", l_salt)
@@ -132,8 +145,13 @@ def as_of_join(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     pay = F.struct(*[F.col(c) for c in payload])
-    r = right.select(F.col(right_on).alias("_k"), F.col(right_ts).alias("_t"),
-                     F.lit(0).alias("_tag"), pay.alias("_p"))
+    # a NULL right timestamp cannot participate in an as-of match: under
+    # asc ordering (backward) NULLs sort FIRST and last(ignorenulls)
+    # would carry that row's payload onto every left row preceding all
+    # real right rows (r7 review) — filter them out of the build side
+    r = (right.filter(F.col(right_ts).isNotNull())
+         .select(F.col(right_on).alias("_k"), F.col(right_ts).alias("_t"),
+                 F.lit(0).alias("_tag"), pay.alias("_p")))
     ptype = r.schema["_p"].dataType
     l = left.select(F.col(left_on).alias("_k"), F.col(left_ts).alias("_t"),
                     F.lit(1).alias("_tag"),

@@ -115,7 +115,11 @@ def seed_candidates(words: DataFrame, n_seed: int = UNIGRAM_N_SEED,
     explosion runs over the DISTINCT-word relation as pure array
     expressions; the ranking is orderBy().limit() — per-partition heaps,
     no global sort."""
-    w, n = F.col("word"), F.length("word")
+    # project the length ONCE (rule 7, r7 review): F.length("word")
+    # referenced inside the nested lambdas would re-evaluate per (i, ln)
+    # cell; a plain column reference is free
+    words = words.withColumn("_len", F.length("word"))
+    w, n = F.col("word"), F.col("_len")
     # sequence(2, 1) descends in Spark, so every (i, ln) cell carries an
     # explicit in-bounds guard; nulls (descending artifacts + would-be
     # truncated substrings at the word tail) are filtered after explode
@@ -271,7 +275,9 @@ def unigram_tokenize(docs: DataFrame, vocab: list[tuple[str, float]],
             for rid, toks in zip(pdf[id_col], pdf["_toks"]):
                 out: list[str] = []
                 nt = 0
-                for w in toks:
+                # NULL text -> NULL token array -> None here (r7
+                # review): emit the empty tokenization, don't crash
+                for w in (toks if toks is not None else ()):
                     if not w:
                         continue
                     nt += 1
@@ -287,6 +293,7 @@ def unigram_tokenize(docs: DataFrame, vocab: list[tuple[str, float]],
             yield pd.DataFrame({id_col: ids, "n_ws_tokens": n_ws,
                                 "n_pieces": n_pieces, "pieces": pieces})
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     return base.mapInPandas(
-        run, f"{id_col} long, n_ws_tokens long, n_pieces long, "
+        run, f"{id_col} {id_type}, n_ws_tokens long, n_pieces long, "
              "pieces array<string>")
