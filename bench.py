@@ -188,14 +188,78 @@ HEADLINE = [
     # round-7 wave: synthesized partsupp + lossy WebP via libwebp
     "partsupp_build",
     "webp_lossy_image_stats",
-    # minhash_calibration is NOT benched: its ground-truth side is the
-    # deliberately-uncapped exact Jaccard join (23-29 s at sf0.1) — the
-    # documented calibrate-on-a-bounded-sample tool, not a steady-state
-    # query. It stays oracle-gated at the driver's sf0.01.
-    # part_copurchase_hops is NOT benched: the BFS loop executes at plan
-    # construction (driver-coordinated iterations + frontier caches), so a
-    # steady-state re-run would time only the final cached-union scan and
-    # report a misleading number. Its cost is recorded in PERFORMANCE.md.
+    # round-8 wave: every remaining registered query that is neither a
+    # documented naive twin nor an iterative build (those go to ITERATIVE)
+    "approx_customers_by_nation",
+    "chart_monthly_revenue",
+    "clean_filter_stats",
+    "conversion_lag_percentiles_exact",
+    "corpus_vocabulary",
+    "customer_order_medians",
+    "customers_without_orders",
+    "date_bounds",
+    "date_spine",
+    "doc_fingerprints",
+    "doc_quality",
+    "events_props_json",
+    "fuzzy_part_matches_qgram",
+    "image_dhash_near_pairs",
+    "image_resize_stats",
+    "k_anonymous_release",
+    "kmv_source_distinct",
+    "knn_bruteforce",
+    "lang_id",
+    "length_percentiles_by_source",
+    "mjpeg_frame_stats",
+    "normalized_embeddings",
+    "packing_summary",
+    "pii_redaction",
+    "png_image_stats",
+    "priority_having",
+    "revenue_cube",
+    "revenue_grouping_sets",
+    "revenue_pivot_by_flag",
+    "segment_set_ops",
+    "session_windows_native",
+    "simhash_signatures",
+    "span_dedup_stats",
+    "token_stats_by_source",
+    "top3_orders_per_priority",
+    "train_val_test_split",
+    "urgent_customers",
+    "wav_audio_stats",
+    # NOT benched, each with a documented reason:
+    # * minhash_calibration — its ground-truth side is the deliberately-
+    #   uncapped exact Jaccard join (23-29 s at sf0.1): the documented
+    #   calibrate-on-a-bounded-sample tool, not a steady-state query. It
+    #   stays oracle-gated at the driver's sf0.01.
+    # * jaccard_near_dups — the same uncapped exact all-pairs join; the
+    #   LSH variants (benched) are its scale path.
+    # * fuzzy_part_matches — the naive blocked join kept as the oracle-
+    #   shared correctness twin; the contracted variant (benched) is the
+    #   default and measured 12x faster, qgram (benched) the exact
+    #   scale path.
+]
+
+# Queries whose ALGORITHM executes at plan-construction time — driver-
+# coordinated iterations with eager localCheckpoint/cache per step
+# (PageRank/PPR power iteration, BFS frontier expansion, connected-
+# components contraction, KMeans/BPE/Unigram training). A steady-state
+# re-run of their final DataFrame would time only the last cached scan
+# and report a fantasy number, so these are timed BUILD-INCLUSIVE: every
+# timed run re-constructs the query from scratch and executes it — what
+# a scheduled production run of an iterative job actually pays.
+ITERATIVE = [
+    "part_copurchase_rank",
+    "part_copurchase_ppr",
+    "part_copurchase_hops",
+    "duplicate_clusters",
+    "duplicate_clusters_star",
+    "knn_ivf",
+    "bpe_vocab_merges",
+    "bpe_token_counts",
+    "unigram_vocab",
+    "unigram_token_stats",
 ]
 
 # Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a
@@ -206,6 +270,9 @@ HEADLINE = [
 MAX_RUNS = 6
 PLATEAU = 2
 TOL = 0.05
+# Iterative builds re-run the whole algorithm per timed run (expensive by
+# definition), so they get a smaller run budget: one warm-up, best of <=3.
+MAX_RUNS_ITER = 3
 
 
 def stage_tables(spark, src_dir: str) -> tuple[str, float]:
@@ -294,28 +361,38 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     bands: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + ITERATIVE:
         build = qs.get(name)
         if build is None:
             continue
+        iterative = name in ITERATIVE
         try:
-            # build once (the prepared-statement regime: Postgres parses a
-            # ~100-char query per run; re-running Python plan construction
-            # + analysis per action would bill Spark ~100 ms of pure
-            # bookkeeping per query that the baseline does not pay)
-            df = build(spark, sf_dir)
+            if iterative:
+                # iterative algorithms execute at plan construction, so a
+                # timed run must rebuild the query from scratch; the noop
+                # sink then executes whatever the build left lazy
+                def run(_b=build) -> None:
+                    (_b(spark, sf_dir)
+                     .write.format("noop").mode("overwrite").save())
+            else:
+                # build once (the prepared-statement regime: Postgres
+                # parses a ~100-char query per run; re-running Python plan
+                # construction + analysis per action would bill Spark
+                # ~100 ms of pure bookkeeping per query that the baseline
+                # does not pay)
+                df = build(spark, sf_dir)
 
-            def run() -> None:
-                # noop sink: full execution without driver-side row
-                # serialization (which would dominate for the queries that
-                # return the whole fact table)
-                df.write.format("noop").mode("overwrite").save()
+                def run(_df=df) -> None:
+                    # noop sink: full execution without driver-side row
+                    # serialization (which would dominate for the queries
+                    # that return the whole fact table)
+                    _df.write.format("noop").mode("overwrite").save()
 
             run()  # warm-up: plan + file/JIT warmup
             best = float("inf")
             stable = 0
             runs: list[float] = []
-            for _ in range(MAX_RUNS):
+            for _ in range(MAX_RUNS_ITER if iterative else MAX_RUNS):
                 t0 = time.perf_counter()
                 run()
                 t = time.perf_counter() - t0

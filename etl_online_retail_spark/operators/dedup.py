@@ -169,6 +169,70 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
                  .filter(F.col("jaccard") >= threshold))
 
 
+def _band_signature(sh: DataFrame, k: int, bands: int, seed: int,
+                    keep_shingles: bool = True) -> DataFrame:
+    """THE band-signature construction every LSH entry point shares:
+    (_id[, _sh, _size], _band0.._band{bands-1}) from a non-empty
+    shingled relation. Each band value is the concat of its k/bands
+    signature slots — two docs collide on band i iff those slots all
+    agree. keep_shingles=False drops (_sh, _size) for candidate-only
+    consumers, halving what the bucket join shuffles."""
+    assert k % bands == 0, "k must divide into equal bands"
+    rows = k // bands
+    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
+    band_cols = [
+        F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")
+                           for j in range(rows)]).alias(f"_band{i}")
+        for i in range(bands)
+    ]
+    keep = ["_id", "_sh", "_size"] if keep_shingles else ["_id"]
+    return sig.select(*keep, *band_cols)
+
+
+def _band_candidates(left: DataFrame, right: DataFrame, bands: int,
+                     left_id: str, right_id: str,
+                     ordered_pairs: bool) -> DataFrame:
+    """Distinct candidate pairs sharing >= 1 band bucket: per-band
+    equi-joins on the band value (the ONLY shuffle proportional to
+    candidate count), unioned. ordered_pairs=True keeps id_a < id_b
+    (self-join halving); False keeps every (probe, index) hit."""
+    cands = None
+    for i in range(bands):
+        a = left.select(F.col("_id").alias(left_id),
+                        F.col(f"_band{i}").alias("_bv"))
+        b = right.select(F.col("_id").alias(right_id),
+                         F.col(f"_band{i}").alias("_bv"))
+        c = a.join(b, "_bv")
+        if ordered_pairs:
+            c = c.filter(F.col(left_id) < F.col(right_id))
+        c = c.select(left_id, right_id)
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.distinct()
+
+
+def _verify_jaccard(cands: DataFrame, left: DataFrame, right: DataFrame,
+                    left_id: str, right_id: str,
+                    threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the stored
+    shingle sets: join both sides' (_id, _sh, _size) back onto the
+    bounded candidate relation, score inter/union, keep >= threshold.
+    Output doubles are exact integer ratios (oracle-hash-exact)."""
+    a = left.select(F.col("_id").alias(left_id), F.col("_sh").alias("_sh_a"),
+                    F.col("_size").alias("size_a"))
+    b = right.select(F.col("_id").alias(right_id),
+                     F.col("_sh").alias("_sh_b"),
+                     F.col("_size").alias("size_b"))
+    return (cands.join(a, left_id).join(b, right_id)
+            .withColumn("n_common",
+                        F.size(F.array_intersect("_sh_a", "_sh_b")))
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double")
+                        / (F.col("size_a") + F.col("size_b")
+                           - F.col("n_common")).cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select(left_id, right_id, "jaccard"))
+
+
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 2, k: int = 16,
                             bands: int = 4, threshold: float = 0.5,
@@ -176,51 +240,25 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
                             shingled: DataFrame | None = None) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
 
-    shingle->minhash (per-row, k affine mins) -> band signatures -> bucket
-    self-join (the ONLY shuffle proportional to candidate count) -> exact
-    Jaccard verify on candidates only. Columns: id_a, id_b, jaccard.
+    shingle->minhash (per-row, k affine mins) -> band signatures
+    (_band_signature) -> bucket self-join (_band_candidates, the ONLY
+    shuffle proportional to candidate count) -> exact Jaccard verify on
+    candidates only (_verify_jaccard). Columns: id_a, id_b, jaccard.
 
     shingled: a precomputed (_id, _sh, _size) relation (operators sharing
     the shingle pipeline, e.g. curation, pass their cached copy here so the
     regex+hash work runs once per corpus instead of once per stage).
     """
-    assert k % bands == 0, "k must divide into equal bands"
-    rows = k // bands
     sh = (shingled if shingled is not None
           else _shingled(docs, text_col, id_col, n, mode))
     sh = sh.filter(F.col("_size") > 0)
-    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
-    band_cols = [
-        F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")
-                           for j in range(rows)]).alias(f"_band{i}")
-        for i in range(bands)
-    ]
     # cache: banded feeds 2 sides x bands candidate joins + 2 verify joins;
     # uncached, every consumer would recompute shingling + k minhash folds.
     # (At 100 TB this becomes persist(DISK) or a staged Parquet write.)
-    banded = sig.select("_id", "_sh", "_size", *band_cols).cache()
-    # candidate pairs: share at least one band bucket
-    cands = None
-    for i in range(bands):
-        a = banded.select(F.col("_id").alias("id_a"), F.col(f"_band{i}").alias("_bv"))
-        b = banded.select(F.col("_id").alias("id_b"), F.col(f"_band{i}").alias("_bv"))
-        c = a.join(b, "_bv").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
-    # exact-verify candidates
-    left = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"),
-                         F.col("_size").alias("size_a"))
-    right = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"),
-                          F.col("_size").alias("size_b"))
-    verified = (cands.join(left, "id_a").join(right, "id_b")
-                .withColumn("n_common",
-                            F.size(F.array_intersect("_sh_a", "_sh_b")))
-                .withColumn("jaccard",
-                            F.col("n_common").cast("double")
-                            / (F.col("size_a") + F.col("size_b")
-                               - F.col("n_common")).cast("double"))
-                .filter(F.col("jaccard") >= threshold))
-    return verified.select("id_a", "id_b", "jaccard")
+    banded = _band_signature(sh, k, bands, seed).cache()
+    cands = _band_candidates(banded, banded, bands, "id_a", "id_b",
+                             ordered_pairs=True)
+    return _verify_jaccard(cands, banded, banded, "id_a", "id_b", threshold)
 
 
 def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
@@ -601,17 +639,8 @@ def banded_signatures(docs: DataFrame, text_col: str = "text",
     (_id, _sh, _size, _band0.._band{bands-1}). Exactly what an
     incremental dedup deployment stages to parquet per load — the bands
     drive candidate joins, the shingles the exact verify."""
-    assert k % bands == 0, "k must divide into equal bands"
-    rows = k // bands
     sh = _shingled(docs, text_col, id_col, n, mode)
-    sh = sh.filter(F.col("_size") > 0)
-    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
-    band_cols = [
-        F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")
-                           for j in range(rows)]).alias(f"_band{i}")
-        for i in range(bands)
-    ]
-    return sig.select("_id", "_sh", "_size", *band_cols)
+    return _band_signature(sh.filter(F.col("_size") > 0), k, bands, seed)
 
 
 def near_dups_between(probe: DataFrame, index: DataFrame, bands: int = 4,
@@ -631,30 +660,10 @@ def near_dups_between(probe: DataFrame, index: DataFrame, bands: int = 4,
     if cache:
         probe = probe.cache()
         index = index.cache()
-    cands = None
-    for i in range(bands):
-        a = probe.select(F.col("_id").alias("new_id"),
-                         F.col(f"_band{i}").alias("_bv"))
-        b = index.select(F.col("_id").alias("corpus_id"),
-                         F.col(f"_band{i}").alias("_bv"))
-        c = a.join(b, "_bv").select("new_id", "corpus_id")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
-    left = probe.select(F.col("_id").alias("new_id"),
-                        F.col("_sh").alias("_sh_a"),
-                        F.col("_size").alias("size_a"))
-    right = index.select(F.col("_id").alias("corpus_id"),
-                         F.col("_sh").alias("_sh_b"),
-                         F.col("_size").alias("size_b"))
-    return (cands.join(left, "new_id").join(right, "corpus_id")
-            .withColumn("n_common",
-                        F.size(F.array_intersect("_sh_a", "_sh_b")))
-            .withColumn("jaccard",
-                        F.col("n_common").cast("double")
-                        / (F.col("size_a") + F.col("size_b")
-                           - F.col("n_common")).cast("double"))
-            .filter(F.col("jaccard") >= threshold)
-            .select("new_id", "corpus_id", "jaccard"))
+    cands = _band_candidates(probe, index, bands, "new_id", "corpus_id",
+                             ordered_pairs=False)
+    return _verify_jaccard(cands, probe, index, "new_id", "corpus_id",
+                           threshold)
 
 
 def incremental_near_duplicates(corpus: DataFrame, new_docs: DataFrame,
@@ -699,26 +708,12 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text",
     verification — the quantity LSH actually controls. Exposed for
     calibration: recall against the exact pair set is the banding
     scheme's miss rate, precision its wasted-verification rate."""
-    assert k % bands == 0, "k must divide into equal bands"
-    rows = k // bands
     sh = _shingled(docs, text_col, id_col, n, mode).filter(F.col("_size") > 0)
-    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), k, seed))
-    band_cols = [
-        F.concat_ws("_", *[F.col("_sig")[i * rows + j].cast("string")
-                           for j in range(rows)]).alias(f"_band{i}")
-        for i in range(bands)
-    ]
-    banded = sig.select("_id", *band_cols).cache()  # 2 sides x bands joins
-    cands = None
-    for i in range(bands):
-        a = banded.select(F.col("_id").alias("id_a"),
-                          F.col(f"_band{i}").alias("_bv"))
-        b = banded.select(F.col("_id").alias("id_b"),
-                          F.col(f"_band{i}").alias("_bv"))
-        c = (a.join(b, "_bv").filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b"))
-        cands = c if cands is None else cands.unionByName(c)
-    return cands.distinct()
+    # keep_shingles=False: candidate-only consumer, no verify join here
+    banded = _band_signature(sh, k, bands, seed,
+                             keep_shingles=False).cache()  # 2 sides x bands
+    return _band_candidates(banded, banded, bands, "id_a", "id_b",
+                            ordered_pairs=True)
 
 
 def minhash_calibration(docs: DataFrame, text_col: str = "text",

@@ -129,6 +129,16 @@ def distributed_rank(df: DataFrame, order: Sequence[Column],
     return ranked_df, total
 
 
+# distributed_rank_by collects a |groups| x n_shards offset relation to
+# the driver; beyond this many rows that collect is a silent driver OOM
+# waiting to happen, so the operator refuses loudly instead. The bound is
+# generous for the contract (BOUNDED part_cols: source, language,
+# shard-date — dimension-sized, never a key): 1M offset rows is ~16k
+# groups at the default 64 shards, far past any dimension and far below
+# driver heap.
+MAX_OFFSET_ROWS = 1_000_000
+
+
 def distributed_rank_by(df: DataFrame, part_cols: Sequence[str],
                         order: Sequence[Column], shard_by: Column,
                         n_shards: int = 64, alias: str = "grank",
@@ -146,7 +156,10 @@ def distributed_rank_by(df: DataFrame, part_cols: Sequence[str],
     partitioned by (group, shard) plus the offset. The offset table is
     |groups| x n_shards rows broadcast back, so `part_cols` must be
     BOUNDED (dimension-sized: source, language, shard-date...), never a
-    key column. `shard_by` must be monotone non-decreasing along
+    key column — a counted guard raises ValueError before the collect if
+    the offset relation exceeds MAX_OFFSET_ROWS rows (misuse on a key
+    column fails loudly instead of OOMing the driver).
+    `shard_by` must be monotone non-decreasing along
     `order`. NULLs in part_cols are joined null-safely (their own
     group); NULL `shard_by` values get a dedicated shard per `nulls`
     ("first"/"last" — match the order's null placement). Adds `alias`
@@ -162,8 +175,21 @@ def distributed_rank_by(df: DataFrame, part_cols: Sequence[str],
                      if b is not None})
     sharded = (work.withColumn("_shard", _shard_expr(bounds, nulls))
                .drop("_sv").cache())
-    counts = (sharded.groupBy(*part_cols, "_shard")
-              .agg(F.count(F.lit(1)).alias("_n")).collect())
+    counts_rel = (sharded.groupBy(*part_cols, "_shard")
+                  .agg(F.count(F.lit(1)).alias("_n")).cache())
+    # guard BEFORE the collect: the count job reads the cached aggregate,
+    # so the extra pass costs one bounded scan, never a driver OOM
+    n_offsets = counts_rel.count()
+    if n_offsets > MAX_OFFSET_ROWS:
+        counts_rel.unpersist()
+        raise ValueError(
+            f"distributed_rank_by: offset relation has {n_offsets} rows "
+            f"(> MAX_OFFSET_ROWS={MAX_OFFSET_ROWS}); part_cols="
+            f"{list(part_cols)} must be bounded dimension columns "
+            f"(source, language, shard-date), never a key — use "
+            f"distributed_rank per group or an ordinary window instead")
+    counts = counts_rel.collect()
+    counts_rel.unpersist()
     per_part: dict[tuple, dict[int, int]] = {}
     for r in counts:
         key = tuple(r[c] for c in part_cols)

@@ -234,3 +234,26 @@ def test_perplexity_buckets_windows_are_all_sharded(spark):
     assert specs, plan
     for spec in specs:
         assert "_shard" in spec, spec
+
+
+def test_distributed_rank_by_offset_cardinality_guard(spark, monkeypatch):
+    """Misusing a KEY column as part_cols must fail loudly (ValueError
+    naming the bound) BEFORE the offset collect — never a silent driver
+    OOM. The bound is monkeypatched down so the test stays tiny."""
+    import pytest
+
+    from etl_online_retail_spark.operators import windows
+    from etl_online_retail_spark.operators.windows import distributed_rank_by
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 97) for i in range(200)], "key INT, v INT")
+    monkeypatch.setattr(windows, "MAX_OFFSET_ROWS", 50)
+    with pytest.raises(ValueError, match="MAX_OFFSET_ROWS"):
+        # part_cols is the 200-value key -> >= 200 offset rows > 50
+        distributed_rank_by(df, ["key"], order=[F.asc("v")],
+                            shard_by=F.col("v"), n_shards=4)
+    # bounded part_cols still work under the same patched bound
+    got = distributed_rank_by(
+        df.withColumn("g", F.col("key") % 2), ["g"],
+        order=[F.asc("v"), F.asc("key")], shard_by=F.col("v"), n_shards=4)
+    assert got.count() == 200
