@@ -318,9 +318,6 @@ def build_mp4(samples: list[bytes], *, major_brand: str = "isom",
     # patch real chunk offsets into stco
     offsets = []
     off = mdat_body_start
-    si = 0
-    for first, spc, _ in stsc_runs:
-        pass
     chunk_sizes = []
     i = 0
     while i < n:

@@ -56,36 +56,43 @@ def _load() -> ctypes.CDLL | None:
                  "libwebp.dylib"):
         try:
             lib = ctypes.CDLL(name)
-        except OSError:
+            _bind(lib)
+        except (OSError, AttributeError):
+            # AttributeError = the library loaded but lacks one of the
+            # entry points (ancient libwebp): treat as unavailable so
+            # callers get the honest NotImplementedError, not a crash
             continue
-        u8p = POINTER(c_uint8)
-        lib.WebPGetInfo.restype = c_int
-        lib.WebPGetInfo.argtypes = [POINTER(c_ubyte), c_size_t,
-                                    POINTER(c_int), POINTER(c_int)]
-        lib.WebPDecodeRGB.restype = u8p
-        lib.WebPDecodeRGB.argtypes = [POINTER(c_ubyte), c_size_t,
-                                      POINTER(c_int), POINTER(c_int)]
-        lib.WebPDecodeRGBA.restype = u8p
-        lib.WebPDecodeRGBA.argtypes = [POINTER(c_ubyte), c_size_t,
-                                       POINTER(c_int), POINTER(c_int)]
-        lib.WebPEncodeRGB.restype = c_size_t
-        lib.WebPEncodeRGB.argtypes = [POINTER(c_ubyte), c_int, c_int,
-                                      c_int, c_float, POINTER(u8p)]
-        lib.WebPEncodeRGBA.restype = c_size_t
-        lib.WebPEncodeRGBA.argtypes = [POINTER(c_ubyte), c_int, c_int,
-                                       c_int, c_float, POINTER(u8p)]
-        lib.WebPEncodeLosslessRGB.restype = c_size_t
-        lib.WebPEncodeLosslessRGB.argtypes = [POINTER(c_ubyte), c_int,
-                                              c_int, c_int, POINTER(u8p)]
-        lib.WebPEncodeLosslessRGBA.restype = c_size_t
-        lib.WebPEncodeLosslessRGBA.argtypes = [POINTER(c_ubyte), c_int,
-                                               c_int, c_int, POINTER(u8p)]
-        lib.WebPFree.restype = None
-        lib.WebPFree.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
     _LOAD_ERR = "libwebp shared library not found"
     return None
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    u8p = POINTER(c_uint8)
+    lib.WebPGetInfo.restype = c_int
+    lib.WebPGetInfo.argtypes = [POINTER(c_ubyte), c_size_t,
+                                POINTER(c_int), POINTER(c_int)]
+    lib.WebPDecodeRGB.restype = u8p
+    lib.WebPDecodeRGB.argtypes = [POINTER(c_ubyte), c_size_t,
+                                  POINTER(c_int), POINTER(c_int)]
+    lib.WebPDecodeRGBA.restype = u8p
+    lib.WebPDecodeRGBA.argtypes = [POINTER(c_ubyte), c_size_t,
+                                   POINTER(c_int), POINTER(c_int)]
+    lib.WebPEncodeRGB.restype = c_size_t
+    lib.WebPEncodeRGB.argtypes = [POINTER(c_ubyte), c_int, c_int,
+                                  c_int, c_float, POINTER(u8p)]
+    lib.WebPEncodeRGBA.restype = c_size_t
+    lib.WebPEncodeRGBA.argtypes = [POINTER(c_ubyte), c_int, c_int,
+                                   c_int, c_float, POINTER(u8p)]
+    lib.WebPEncodeLosslessRGB.restype = c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [POINTER(c_ubyte), c_int,
+                                          c_int, c_int, POINTER(u8p)]
+    lib.WebPEncodeLosslessRGBA.restype = c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [POINTER(c_ubyte), c_int,
+                                           c_int, c_int, POINTER(u8p)]
+    lib.WebPFree.restype = None
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
 
 
 def libwebp_available() -> bool:

@@ -167,6 +167,16 @@ def demux_webm(data: bytes) -> WebmInfo:
                             tn, p = read_varint(data, b3, keep_marker=False)
                             rel = int.from_bytes(data[p:p + 2], "big",
                                                  signed=True)
+                            flags = data[p + 2]
+                            if flags & 0x06:
+                                # laced block: the body is several frames
+                                # plus lace-size headers — slicing it as
+                                # ONE payload would silently hand a
+                                # corrupted frame downstream
+                                raise NotImplementedError(
+                                    "laced SimpleBlocks are not supported"
+                                    " by this demuxer (lacing bits set in"
+                                    f" flags 0x{flags:02X})")
                             payload = data[p + 3:e3e]  # skip flags byte
                             if tn in tracks:
                                 tracks[tn].frames.append(

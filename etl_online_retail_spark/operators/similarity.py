@@ -577,6 +577,9 @@ def train_pq_codebooks(corpus: DataFrame, m_subspaces: int = 8,
               .orderBy(_hval(F.col(id_col)).asc(), F.col(id_col).asc())
               .limit(train_rows)
               .collect())
+    if not sample:
+        raise ValueError(
+            "train_pq_codebooks: empty corpus (nothing to sample)")
     mat = np.array([r._v for r in sample], dtype=np.float64)
     n_dims = mat.shape[1]
     if n_dims % m_subspaces:

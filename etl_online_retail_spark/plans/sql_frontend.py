@@ -111,9 +111,14 @@ def run_sql(spark: SparkSession, sql_text: str,
     the reference behavior (failed rows in the query history with the DB
     error message attached). JOIN-without-ON additionally raises here
     (Postgres rejects it; Spark alone would run the cartesian).
+
+    The cartesian guard runs BEFORE spark.sql(): Postgres rejects the
+    shape at parse time, and spark.sql() eagerly EXECUTES DDL/DML
+    statements — checking after it would let a CTAS/INSERT containing
+    the unconditioned join run the explosion before the rejection.
     """
-    df = spark.sql(sql_text)
     _reject_implicit_cartesian(sql_text)
+    df = spark.sql(sql_text)
     if enforced_limit is not None:
         df = df.limit(enforced_limit)
     return df

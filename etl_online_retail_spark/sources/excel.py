@@ -67,6 +67,7 @@ def _read_xlsx_minimal(xlsx_path: str, sheet: int = 0):
         grid: list[dict[int, object]] = []
         for row_el in root.findall(".//{*}row"):
             row: dict[int, object] = {}
+            last_ix = -1
             for c in row_el.findall(".//{*}c"):
                 ref, ctype = c.get("r", ""), c.get("t", "n")
                 v = c.find("{*}v")
@@ -83,7 +84,11 @@ def _read_xlsx_minimal(xlsx_path: str, sheet: int = 0):
                 else:  # numeric
                     f = float(v.text)
                     val = int(f) if f.is_integer() else f
-                row[_col_index(ref)] = val
+                # cells may legally omit r= (sequential layout): such a
+                # cell follows its predecessor, not column -1
+                ix = _col_index(ref) if ref else last_ix + 1
+                row[ix] = val
+                last_ix = ix
             grid.append(row)
     if not grid:
         return pd.DataFrame()

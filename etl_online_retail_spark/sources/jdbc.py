@@ -29,6 +29,12 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
               .option("url", url)
               .option("dbtable", table))
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC source as the literal "None"
+            # and fail deep inside the scan with an opaque parse error
+            raise ValueError(
+                "read_jdbc: partition_column requires explicit "
+                "lower_bound and upper_bound")
         reader = (reader
                   .option("partitionColumn", partition_column)
                   .option("numPartitions", str(num_partitions))

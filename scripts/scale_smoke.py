@@ -1085,6 +1085,124 @@ def main() -> None:
         timed(f"fact-fact join BUCKETED (zero exchange) @ {factor}x",
               fact_fact_bucketed)
 
+    # round-8: PageRank / PPR power iteration (the iterative-graph
+    # family). Fixed iteration count; per-round cost is ONE contribution
+    # shuffle over the edge relation plus KB-sized dangling/teleport
+    # scalars; the rank relation is truncated with eager localCheckpoint
+    # so the plan never nests. Replication multiplies DISJOINT components
+    # (per-copy key offsets), so edges/nodes scale with the factor while
+    # each round's shuffle stays edge-proportional — the curve must be
+    # ~linear per unit data, never round x round.
+    def pagerank_smoke():
+        from etl_online_retail_spark.operators.graph import (
+            copurchase_edges,
+            pagerank,
+        )
+
+        edges = copurchase_edges(li, min_orders=2)
+        (pagerank(edges, max_iter=5, damping=0.85, exact=True)
+         .write.format("noop").mode("overwrite").save())
+
+    def ppr_smoke():
+        from etl_online_retail_spark.operators.graph import (
+            copurchase_edges,
+            personalized_pagerank,
+        )
+
+        p_rep = replicate(load_table(spark, "part", SF_DIR), factor,
+                          {"p_partkey": 10_000_000})
+        edges = copurchase_edges(li, min_orders=2)
+        seeds = (p_rep.filter(F.pmod(F.col("p_partkey"), F.lit(499)) == 0)
+                 .select(F.col("p_partkey").alias("node")))
+        (personalized_pagerank(edges, seeds, max_iter=5, damping=0.85,
+                               exact=True)
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"pagerank (5 rounds) @ {factor}x", pagerank_smoke)
+    timed(f"personalized pagerank (5 rounds) @ {factor}x", ppr_smoke)
+
+    # round-8 streaming wave: the newest stateful operators under the
+    # scd2_stream_reorder protocol — 8 content-hash shards (arrival
+    # order unrelated to event time), watermark delay covering the whole
+    # span (the reorder-buffer WORST case: every row parks until the
+    # sentinel sweep), noop sink, availableNow trigger.
+    def _stream_smoke(op):
+        import datetime
+
+        from etl_online_retail_spark.catalog import SCHEMAS
+
+        work = tempfile.mkdtemp(prefix="scale_stream_")
+        try:
+            sdir = os.path.join(work, "shards")
+            os.makedirs(sdir)
+            mx = ev.agg(F.max("ts")).collect()[0][0]
+            for b in range(8):
+                (ev.filter(F.crc32(F.col("event_id").cast("string")) % 8
+                           == b)
+                 .write.parquet(os.path.join(sdir, f"s{b}")))
+            sentinels = [
+                (10_000_000 * factor + i,
+                 mx + datetime.timedelta(days=days), -1, "sentinel", 0.0,
+                 "{}")
+                for i, days in enumerate((370, 740))]
+            for i, row in enumerate(sentinels):
+                (spark.createDataFrame([row], schema=SCHEMAS["events"])
+                 .write.parquet(os.path.join(sdir, f"z_sentinel{i}")))
+            stream = (spark.readStream.schema(SCHEMAS["events"])
+                      .option("maxFilesPerTrigger", 4)
+                      .parquet(os.path.join(sdir, "*"))
+                      .withColumn("ts", F.col("ts").cast("timestamp")))
+            (op(stream, delay="365 days")
+             .writeStream.format("noop")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start().awaitTermination())
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    from etl_online_retail_spark.streaming.stateful import (
+        attribution_stream,
+        gapfill_stream,
+        zscore_stream,
+    )
+
+    timed(f"gapfill stream (reorder worst case) @ {factor}x",
+          lambda: _stream_smoke(gapfill_stream))
+    timed(f"attribution stream (reorder worst case) @ {factor}x",
+          lambda: _stream_smoke(attribution_stream))
+    timed(f"zscore stream (reorder worst case) @ {factor}x",
+          lambda: _stream_smoke(zscore_stream))
+
+    # streaming MinHash dedup: 8 micro-batches of mutated docs, each
+    # probed against the band index the stream has accumulated then
+    # appended to it — work per batch must stay |batch| x collisions
+    # (the batch operator's cost model), index growth notwithstanding
+    def minhash_dedup_stream():
+        from etl_online_retail_spark.streaming.ingest import (
+            incremental_minhash_dedup,
+        )
+
+        work = tempfile.mkdtemp(prefix="scale_mh_stream_")
+        try:
+            src = os.path.join(work, "src")
+            for part in range(8):
+                (docs_mut.filter(F.pmod(F.col("doc_id"), F.lit(8)) == part)
+                 .coalesce(4).write.parquet(os.path.join(src, f"p{part}")))
+            stream = (spark.readStream
+                      .schema(load_table(spark, "documents", SF_DIR).schema)
+                      .option("maxFilesPerTrigger", 4)
+                      .parquet(os.path.join(src, "p*")))
+            q = incremental_minhash_dedup(
+                stream, os.path.join(work, "index"),
+                os.path.join(work, "dups"), os.path.join(work, "ckpt"))
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    timed(f"incremental minhash dedup stream (8 batches) @ {factor}x",
+          minhash_dedup_stream)
+
 
 if __name__ == "__main__":
     main()
