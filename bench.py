@@ -388,7 +388,12 @@ def main() -> None:
                     # that return the whole fact table)
                     _df.write.format("noop").mode("overwrite").save()
 
-            run()  # warm-up: plan + file/JIT warmup
+            if not iterative:
+                run()  # warm-up: plan + file/JIT warmup
+            # iterative builds get NO separate warm-up: every run pays
+            # the full algorithm anyway (that IS the quantity measured),
+            # so a discarded execution would only stretch the suite;
+            # best-of-N still absorbs first-run file/JIT noise
             best = float("inf")
             stable = 0
             runs: list[float] = []
