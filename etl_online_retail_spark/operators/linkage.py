@@ -259,8 +259,17 @@ def qgram_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
                        F.col("_n").alias("name_a"), "_blk", "_gram")
     pb = prefix.select(F.col("_k").alias("key_b"),
                        F.col("_n").alias("name_b"), "_blk", "_gram")
+    # name_a != name_b INSIDE the candidate join, not after the distinct:
+    # the output contract excludes identical names anyway, and on
+    # repeat-heavy data equal names share their ENTIRE prefix — the
+    # pushdown keeps every same-name pair out of the distinct (measured
+    # 3.8 -> 3.2 s on the 20k-part / 64-name fixture; the remaining cost
+    # is the honest prefix-collision verify on repeat-heavy data — the
+    # contraction composition, strategy="qgram", is the fix for THAT,
+    # collapsing the input to its 64 distinct names first)
     cands = (pa.join(pb, ["_blk", "_gram"])
-             .filter(F.col("key_a") < F.col("key_b"))
+             .filter((F.col("key_a") < F.col("key_b"))
+                     & (F.col("name_a") != F.col("name_b")))
              .select("key_a", "key_b", "name_a", "name_b")
              .distinct())
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
