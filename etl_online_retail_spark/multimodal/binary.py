@@ -319,19 +319,22 @@ def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
         raise NotImplementedError(
             "resize supports PNG, baseline JPEG and lossless WebP "
             "payloads here")
+    import numpy as np
+
     ch = img.channels
-    src = img.pixels
-    out = bytearray(out_w * out_h * ch)
-    for y in range(out_h):
-        sy = y * img.height // out_h
-        src_row = sy * img.width * ch
-        dst_row = y * out_w * ch
-        for x in range(out_w):
-            sx = x * img.width // out_w
-            s = src_row + sx * ch
-            d = dst_row + x * ch
-            out[d:d + ch] = src[s:s + ch]
-    return _png.encode_png(bytes(out), out_w, out_h,
+    # vectorized nearest-neighbor gather (r8): identical indices to the
+    # old per-pixel loop (sy = y*H//out_h, sx = x*W//out_w), evaluated as
+    # one numpy fancy-index over the (H, W, ch) view. At fixture size the
+    # bench row doesn't move (JPEG Huffman decode dominates), but the
+    # resize stage's own ceiling goes from ~us/PIXEL of Python to a
+    # memory-bandwidth gather — the term that matters on real-resolution
+    # images (10^6 pixels each)
+    src = np.frombuffer(bytes(img.pixels), dtype=np.uint8).reshape(
+        img.height, img.width, ch)
+    sy = (np.arange(out_h, dtype=np.int64) * img.height) // out_h
+    sx = (np.arange(out_w, dtype=np.int64) * img.width) // out_w
+    out = src[sy[:, None], sx[None, :]]
+    return _png.encode_png(out.tobytes(), out_w, out_h,
                            color_type=_PNG_COLOR_TYPE[ch])
 
 
