@@ -595,53 +595,65 @@ def decode_jpeg(data: bytes) -> JpegImage:
     if width is None or not any_scan:
         raise ValueError("JPEG missing SOF or SOS")
 
-    # dequantize + IDCT every (padded) block into the sample planes
-    planes = {c.cid: bytearray(mcus_x * c.h * 8 * mcus_y * c.v * 8)
-              for c in comps}
-    plane_w = {c.cid: mcus_x * c.h * 8 for c in comps}
+    # dequantize + IDCT every (padded) block into the sample planes —
+    # vectorized over ALL blocks at once (r8, the FLAC discipline): the
+    # separable IDCT is two 8x8 matmuls per block, so the whole
+    # component is one (n, 8, 8) einsum pair instead of n Python
+    # _idct2 calls (the decoder's hot tail after the Huffman bit walk).
+    # M[x][u] = alpha_u * cos((2x+1)u*pi/16) is the same basis the
+    # scalar path folds; only the 8-term summation ORDER can differ
+    # (BLAS dot vs sequential loop), which is ulp-level and invisible
+    # to the bit-exact fixtures (DC-only blocks: single-term sums).
+    import numpy as np
+
+    m_basis = np.array([[_ALPHA[u] * _COS[x][u] for u in range(8)]
+                        for x in range(8)], dtype=np.float64)
+    planes: dict[int, "np.ndarray"] = {}
     for c in comps:
-        q = qtables[c.tq]
-        bwf = geom[c.cid][0]
-        pw = plane_w[c.cid]
-        plane = planes[c.cid]
-        for bi, qcoef in enumerate(coefs[c.cid]):
-            px = _idct2([qcoef[i] * q[i] for i in range(64)])
-            x0, y0 = (bi % bwf) * 8, (bi // bwf) * 8
-            for y in range(8):
-                row = (y0 + y) * pw + x0
-                for x in range(8):
-                    v = _round_half_away(px[y * 8 + x] + 128.0)
-                    plane[row + x] = 0 if v < 0 else (255 if v > 255 else v)
+        q = np.array(qtables[c.tq], dtype=np.float64)
+        bwf, bhf = geom[c.cid][0], geom[c.cid][1]
+        x_blocks = (np.array(coefs[c.cid], dtype=np.float64) * q) \
+            .reshape(-1, 8, 8)
+        # tmp[n,v,x] = sum_u coef[n,v,u] * M[x,u]; out[n,y,x] =
+        # 0.25 * sum_v M[y,v] * tmp[n,v,x] — exactly _idct2's algebra
+        tmp = x_blocks @ m_basis.T
+        px = 0.25 * np.einsum("yv,nvx->nyx", m_basis, tmp) + 128.0
+        # _round_half_away, vectorized: floor(x+.5) for x>=0 else
+        # ceil(x-.5), then the 0..255 clamp
+        v = np.where(px >= 0, np.floor(px + 0.5), np.ceil(px - 0.5))
+        v = np.clip(v, 0, 255).astype(np.uint8)
+        planes[c.cid] = (v.reshape(bhf, bwf, 8, 8)
+                         .transpose(0, 2, 1, 3)
+                         .reshape(bhf * 8, bwf * 8))
 
     if len(comps) == 1:
-        c = comps[0]
-        pw = plane_w[c.cid]
-        plane = planes[c.cid]
-        out = bytearray(width * height)
-        for y in range(height):
-            out[y * width:(y + 1) * width] = plane[y * pw:y * pw + width]
-        return JpegImage(width, height, 8, 1, bytes(out))
+        plane = planes[comps[0].cid]
+        return JpegImage(width, height, 8, 1,
+                         plane[:height, :width].tobytes())
     if len(comps) != 3:
         raise ValueError(f"{len(comps)}-component JPEGs unsupported")
 
+    # upsample (nearest-index gather, same sx/sy arithmetic as the old
+    # per-pixel loop) + one vectorized color transform; the per-pixel
+    # float expressions are elementwise, so results are bit-identical
+    # to the scalar path
+    yy = np.arange(height, dtype=np.int64)
+    xx = np.arange(width, dtype=np.int64)
+    sub = {}
+    for c in comps:
+        sy = (yy * c.v) // vmax
+        sx = (xx * c.h) // hmax
+        sub[c.cid] = planes[c.cid][sy[:, None], sx[None, :]] \
+            .astype(np.float64)
     yc, cbc, crc = comps
-    out = bytearray(width * height * 3)
-    for yy in range(height):
-        for xx in range(width):
-            samples = []
-            for c in (yc, cbc, crc):
-                sx = xx * c.h // hmax
-                sy = yy * c.v // vmax
-                samples.append(planes[c.cid][sy * plane_w[c.cid] + sx])
-            lum, cb, cr = samples
-            r = lum + 1.402 * (cr - 128)
-            g = lum - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-            b = lum + 1.772 * (cb - 128)
-            o = (yy * width + xx) * 3
-            for i, val in enumerate((r, g, b)):
-                vi = _round_half_away(val)
-                out[o + i] = 0 if vi < 0 else (255 if vi > 255 else vi)
-    return JpegImage(width, height, 8, 3, bytes(out))
+    lum, cb, cr = sub[yc.cid], sub[cbc.cid], sub[crc.cid]
+    r = lum + 1.402 * (cr - 128)
+    g = lum - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = lum + 1.772 * (cb - 128)
+    rgb = np.stack([r, g, b], axis=-1)
+    rgb = np.where(rgb >= 0, np.floor(rgb + 0.5), np.ceil(rgb - 0.5))
+    out = np.clip(rgb, 0, 255).astype(np.uint8)
+    return JpegImage(width, height, 8, 3, out.tobytes())
 
 
 def split_mjpeg(data: bytes) -> list[bytes]:
