@@ -123,44 +123,26 @@ def _round_half_away(x: float) -> int:
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
-def _idct2(coef: list[float]) -> list[float]:
-    """8x8 inverse DCT (T.81 A.3.3), coef/output in natural raster order."""
-    tmp = [0.0] * 64
-    for v in range(8):
-        base = v * 8
-        for x in range(8):
-            s = 0.0
-            for u in range(8):
-                s += _ALPHA[u] * coef[base + u] * _COS[x][u]
-            tmp[base + x] = s
-    out = [0.0] * 64
-    for x in range(8):
-        for y in range(8):
-            s = 0.0
-            for v in range(8):
-                s += _ALPHA[v] * tmp[v * 8 + x] * _COS[y][v]
-            out[y * 8 + x] = s * 0.25
-    return out
+def _rha_array(x):
+    """_round_half_away over a numpy array (elementwise, same algebra)."""
+    import numpy as np
+
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
 
 
-def _fdct2(block: list[float]) -> list[float]:
-    """8x8 forward DCT, input/output in natural raster order."""
-    tmp = [0.0] * 64
-    for y in range(8):
-        base = y * 8
-        for u in range(8):
-            s = 0.0
-            for x in range(8):
-                s += block[base + x] * _COS[x][u]
-            tmp[base + u] = s
-    out = [0.0] * 64
-    for u in range(8):
-        for v in range(8):
-            s = 0.0
-            for y in range(8):
-                s += tmp[y * 8 + u] * _COS[y][v]
-            out[v * 8 + u] = s * 0.25 * _ALPHA[u] * _ALPHA[v]
-    return out
+def _cos_basis():
+    """M[x][u] = cos((2x+1)u*pi/16) and the alpha normalizers as numpy —
+    the separable-DCT basis both the batched FDCT (encode) and IDCT
+    (decode) contract against (T.81 A.3.3):
+
+        IDCT: out[y,x] = 1/4 * sum_v a_v COS[y][v] sum_u a_u c[v,u] COS[x][u]
+        FDCT: out[v,u] = 1/4 * a_u a_v sum_y COS[y][v] sum_x s[y,x] COS[x][u]
+    """
+    import numpy as np
+
+    cos = np.array(_COS, dtype=np.float64)          # cos[x][u]
+    alpha = np.array(_ALPHA, dtype=np.float64)
+    return cos, alpha
 
 
 # ---------------------------------------------------------------------------
@@ -726,27 +708,47 @@ def _encode_block(bw: _BitWriter, coef: list[int], pred: int,
     return dc
 
 
-def _quantize(block: list[float], q: list[int]) -> list[int]:
-    return [_round_half_away(block[i] / q[i]) for i in range(64)]
+def _quantized_block_grid(plane, pw: int, ph: int, bwf: int, bhf: int,
+                          q: list[int]) -> list[list[int]]:
+    """Quantized FDCT coefficients for EVERY (MCU-padded) block of one
+    component plane, batched (r8 — the encoder twin of the decoder's
+    batched IDCT): edge-replicate the (ph, pw) int plane to the padded
+    block grid, level-shift, run the separable FDCT as two matmuls over
+    all blocks at once, divide by the quantizer and round half away from
+    zero. Output: one length-64 natural-raster-order int list per block,
+    indexed bi = by * bwf + bx — the exact values the old per-block
+    _block_at -> _fdct2 -> _quantize chain produced (elementwise ops are
+    order-identical; only the 8-term DCT summation order can shift at
+    ulp level, which the /q + round step absorbs except exactly at a
+    rounding knife-edge the fixtures avoid by construction)."""
+    import numpy as np
 
-
-def _block_at(plane: list[int], pw: int, ph: int,
-              x0: int, y0: int) -> list[float]:
-    """Level-shifted 8x8 block with edge replication padding."""
-    out = [0.0] * 64
-    for y in range(8):
-        sy = min(y0 + y, ph - 1)
-        for x in range(8):
-            sx = min(x0 + x, pw - 1)
-            out[y * 8 + x] = plane[sy * pw + sx] - 128.0
-    return out
+    cos, alpha = _cos_basis()
+    padded = np.pad(plane.astype(np.float64) - 128.0,
+                    ((0, bhf * 8 - ph), (0, bwf * 8 - pw)), mode="edge")
+    blocks = (padded.reshape(bhf, 8, bwf, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    # tmp[n,y,u] = sum_x s[n,y,x] * COS[x][u]; out[n,v,u] =
+    # 0.25*a_u*a_v * sum_y COS[y][v] * tmp[n,y,u]
+    tmp = blocks @ cos
+    out = 0.25 * np.einsum("yv,nyu->nvu", cos, tmp) \
+        * alpha[None, None, :] * alpha[None, :, None]
+    coef = _rha_array(out / np.array(q, dtype=np.float64).reshape(8, 8))
+    return [[int(x) for x in row] for row in
+            coef.astype(np.int64).reshape(-1, 64)]
 
 
 def _prepare_planes(pixels: bytes, width: int, height: int,
                     channels: int, subsample: bool):
     """Color-convert + (optionally) subsample into per-component planes;
     returns (planes, dims, samp) — shared by the baseline and progressive
-    encoders so their coefficients are identical by construction."""
+    encoders so their coefficients are identical by construction. Planes
+    are (ph, pw) int numpy arrays; the RGB->YCbCr transform and the 2x2
+    chroma box average are vectorized elementwise (r8), bit-identical to
+    the old per-pixel loops (same scalar op order per element; the box
+    sum is exact integer arithmetic)."""
+    import numpy as np
+
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if len(pixels) != width * height * channels:
@@ -754,36 +756,32 @@ def _prepare_planes(pixels: bytes, width: int, height: int,
                          f"{width * height * channels}")
 
     if channels == 1:
-        planes = [list(pixels)]
+        planes = [np.frombuffer(pixels, dtype=np.uint8)
+                  .reshape(height, width).astype(np.int32)]
         dims = [(width, height)]
         samp = [(1, 1)]
     else:
-        luma = [0] * (width * height)
-        cb_full = [0] * (width * height)
-        cr_full = [0] * (width * height)
-        for i in range(width * height):
-            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
-            luma[i] = _round_half_away(0.299 * r + 0.587 * g + 0.114 * b)
-            cb_full[i] = _round_half_away(
-                128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
-            cr_full[i] = _round_half_away(
-                128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        arr = (np.frombuffer(pixels, dtype=np.uint8)
+               .reshape(height, width, 3).astype(np.float64))
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        luma = _rha_array(0.299 * r + 0.587 * g + 0.114 * b) \
+            .astype(np.int32)
+        cb_full = _rha_array(128.0 - 0.168736 * r - 0.331264 * g
+                             + 0.5 * b).astype(np.int32)
+        cr_full = _rha_array(128.0 + 0.5 * r - 0.418688 * g
+                             - 0.081312 * b).astype(np.int32)
         if subsample:
             cw, ch_ = -(-width // 2), -(-height // 2)
 
-            def _avg(src: list[int]) -> list[int]:
-                out = [0] * (cw * ch_)
-                for y in range(ch_):
-                    for x in range(cw):
-                        acc = n = 0
-                        for dy in (0, 1):
-                            for dx in (0, 1):
-                                sy, sx = 2 * y + dy, 2 * x + dx
-                                if sy < height and sx < width:
-                                    acc += src[sy * width + sx]
-                                    n += 1
-                        out[y * cw + x] = _round_half_away(acc / n)
-                return out
+            def _avg(src):
+                acc = np.zeros((ch_, cw), dtype=np.int64)
+                n = np.zeros((ch_, cw), dtype=np.int64)
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        s = src[dy::2, dx::2]
+                        acc[:s.shape[0], :s.shape[1]] += s
+                        n[:s.shape[0], :s.shape[1]] += 1
+                return _rha_array(acc / n).astype(np.int32)
 
             planes = [luma, _avg(cb_full), _avg(cr_full)]
             dims = [(width, height), (cw, ch_), (cw, ch_)]
@@ -817,19 +815,28 @@ def encode_jpeg(pixels: bytes, width: int, height: int,
         dc_enc.append(_huff_encode_table(*_DC_CHROMA))
         ac_enc.append(_huff_encode_table(*_AC_CHROMA))
 
+    # all blocks DCT'd + quantized in one batched pass per component
+    # (r8); the MCU loop below only walks the entropy coder through them
+    # in interleaved order
+    grids = []
+    for ci in range(channels):
+        h, v = samp[ci]
+        pw, ph = dims[ci]
+        grids.append(_quantized_block_grid(
+            planes[ci], pw, ph, mcus_x * h, mcus_y * v,
+            qtabs[0 if ci == 0 else 1]))
+
     bw = _BitWriter()
     pred = [0] * channels
     for mcu in range(mcus_x * mcus_y):
         mx, my = mcu % mcus_x, mcu // mcus_x
         for ci in range(channels):
             h, v = samp[ci]
-            pw, ph = dims[ci]
+            bwf = mcus_x * h
             tq = 0 if ci == 0 else 1
             for by in range(v):
                 for bx in range(h):
-                    block = _block_at(planes[ci], pw, ph,
-                                      (mx * h + bx) * 8, (my * v + by) * 8)
-                    coef = _quantize(_fdct2(block), qtabs[tq])
+                    coef = grids[ci][(my * v + by) * bwf + (mx * h + bx)]
                     pred[ci] = _encode_block(bw, coef, pred[ci],
                                              dc_enc[tq], ac_enc[tq])
     bw.flush()
@@ -877,14 +884,9 @@ def _quantized_grids(planes, dims, samp, width, height, channels):
     for ci in range(channels):
         h, v = samp[ci]
         pw, ph = dims[ci]
-        q = qtabs[0 if ci == 0 else 1]
-        bwf, bhf = mcus_x * h, mcus_y * v
-        grid = []
-        for by in range(bhf):
-            for bx in range(bwf):
-                block = _block_at(planes[ci], pw, ph, bx * 8, by * 8)
-                grid.append(_quantize(_fdct2(block), q))
-        grids.append(grid)
+        grids.append(_quantized_block_grid(
+            planes[ci], pw, ph, mcus_x * h, mcus_y * v,
+            qtabs[0 if ci == 0 else 1]))
     return grids, mcus_x, mcus_y
 
 
