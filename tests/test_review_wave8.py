@@ -157,3 +157,64 @@ def test_native_load_incomplete_library_is_unavailable(monkeypatch):
     # undo the cached failure so later tests see the real library
     monkeypatch.setattr(native, "_LIB", None)
     monkeypatch.setattr(native, "_LOAD_ERR", None)
+
+
+def _scalar_fdct_quant(block, q):
+    """Independent scalar T.81 A.3.3 FDCT + half-away quantize — the
+    in-test reference the batched _quantized_block_grid is pinned to."""
+    import math
+
+    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+           for x in range(8)]
+    alpha = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    tmp = [[sum(block[y][x] * cos[x][u] for x in range(8))
+            for u in range(8)] for y in range(8)]
+    out = [[0.25 * alpha[u] * alpha[v]
+            * sum(tmp[y][u] * cos[y][v] for y in range(8))
+            for u in range(8)] for v in range(8)]
+
+    def rha(x):
+        import math as m
+        return int(m.floor(x + 0.5)) if x >= 0 else int(m.ceil(x - 0.5))
+
+    return [rha(out[v][u] / q[v * 8 + u])
+            for v in range(8) for u in range(8)]
+
+
+def test_batched_fdct_quantize_matches_scalar_reference():
+    """The r8 batched encoder grid equals an independently written
+    scalar FDCT+quantize on seeded random blocks (seeded, so any
+    knife-edge divergence would be deterministic, not flaky)."""
+    import numpy as np
+
+    from etl_online_retail_spark.multimodal.jpeg import (
+        STD_LUMA_Q,
+        _quantized_block_grid,
+    )
+
+    rng = np.random.default_rng(7)
+    plane = rng.integers(0, 256, size=(16, 24), dtype=np.int32)
+    got = _quantized_block_grid(plane, 24, 16, 3, 2, STD_LUMA_Q)
+    assert len(got) == 6
+    for by in range(2):
+        for bx in range(3):
+            blk = [[float(plane[by * 8 + y, bx * 8 + x]) - 128.0
+                    for x in range(8)] for y in range(8)]
+            want = _scalar_fdct_quant(blk, STD_LUMA_Q)
+            assert got[by * 3 + bx] == want, (by, bx)
+
+
+def test_batched_idct_roundtrip_solid_blocks_bit_exact():
+    """The decoder's batched IDCT keeps the documented bit-exact
+    contract: solid even-intensity images decode to exactly v (the
+    fixture invariant every JPEG oracle leans on)."""
+    from etl_online_retail_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for v in (0, 2, 126, 128, 200, 254):
+        img = decode_jpeg(encode_jpeg(bytes([v]) * (11 * 6 * 3), 11, 6,
+                                      channels=3))
+        assert img.width == 11 and img.height == 6
+        assert set(img.pixels) == {v}, v
