@@ -75,7 +75,6 @@ HEADLINE = [
     "bm25_topk",
     "doc_lm_logprob",
     "embedding_quantization",
-    "semantic_dedup",
     "customer_spend_deciles",
     "approx_length_percentiles",
     "funnel_conversion",
@@ -113,7 +112,6 @@ HEADLINE = [
     "events_gapfill_locf",
     "boilerplate_removal",
     "salted_revenue_by_nation",
-    "knn_pq",
     "orders_profile",
     "wav_spectral_stats",
     "user_key_skew",
@@ -138,7 +136,6 @@ HEADLINE = [
     "contrastive_negatives",
     "l_diversity_report",
     "t_closeness_report",
-    "embedding_pca",
     "user_value_holt",
     "part_copurchase_rules",
     "span_excision",
@@ -260,6 +257,13 @@ ITERATIVE = [
     "bpe_token_counts",
     "unigram_vocab",
     "unigram_token_stats",
+    # sample-bounded TRAINING at build time (KMeans fit / codebook /
+    # PCA solve): cheaper than the loop family above, but a steady-state
+    # rerun of the final plan would still omit the train step a
+    # production run pays every time
+    "semantic_dedup",
+    "knn_pq",
+    "embedding_pca",
 ]
 
 # Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a
