@@ -169,7 +169,6 @@ HEADLINE = [
     "erasure_impact_audit",
     "customer_balance_relrank",
     "lateral_top_customers",
-    "orders_footer_stats",
     # round-5 TPC-H completion wave
     "forecast_revenue_change",
     "nation_market_share",
@@ -264,6 +263,9 @@ ITERATIVE = [
     "semantic_dedup",
     "knn_pq",
     "embedding_pca",
+    # driver-side pyarrow footer walk at build time; the final plan is
+    # just a createDataFrame scan of the walked metadata
+    "orders_footer_stats",
 ]
 
 # Adaptive steady-state timing: JIT + code-cache warm-up keeps improving a
