@@ -116,6 +116,18 @@ def scd2_stream(events: DataFrame) -> DataFrame:
 # key — bounded by the disorder horizon, not the stream length.
 
 
+def _buf_rows(*cols) -> list:
+    """Parked-buffer state columns -> row tuples: the LOAD half of the
+    state marshalling every reorder-buffer applier shares (item 52's
+    acknowledged structural duplication, extracted r8)."""
+    return list(zip(*cols))
+
+
+def _buf_cols(buf: list, n: int) -> tuple:
+    """Row tuples -> n column lists for state.update (the STORE half)."""
+    return tuple([row[i] for row in buf] for i in range(n))
+
+
 def _park_and_split(pdfs: "Iterator[pd.DataFrame]", state: GroupState,
                     buf: list, row_of) -> tuple[list, list]:
     """The reorder-buffer mechanics every watermark-delayed applier
@@ -151,7 +163,7 @@ def _scd2_reorder_apply(key: tuple, pdfs: Iterator[pd.DataFrame],
                         state: GroupState) -> Iterator[pd.DataFrame]:
     if state.exists:
         last_us, last_eid, seg, ver, buf_us, buf_eid, buf_seg = state.get
-        buf = list(zip(buf_us, buf_eid, buf_seg))
+        buf = _buf_rows(buf_us, buf_eid, buf_seg)
     else:
         last_us, last_eid, seg, ver = -1, -1, None, 0
         buf = []
@@ -173,8 +185,7 @@ def _scd2_reorder_apply(key: tuple, pdfs: Iterator[pd.DataFrame],
         last_us, last_eid = ts_us, eid
 
     state.update((last_us, last_eid, seg, ver,
-                  [b[0] for b in buf], [b[1] for b in buf],
-                  [b[2] for b in buf]))
+                  *_buf_cols(buf, 3)))
     _schedule_flush(state, buf)
     yield pd.DataFrame({"user_id": out_user, "version": out_ver,
                         "segment": out_seg, "effective_from": out_from})
@@ -228,7 +239,7 @@ def _gapfill_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                    state: GroupState) -> "Iterator[pd.DataFrame]":
     if state.exists:
         cursor_us, cur_val, max_bucket_us, buf_us, buf_eid, buf_val = state.get
-        buf = list(zip(buf_us, buf_eid, buf_val))
+        buf = _buf_rows(buf_us, buf_eid, buf_val)
     else:
         cursor_us, cur_val, max_bucket_us = -1, float("nan"), -1
         buf = []
@@ -271,8 +282,7 @@ def _gapfill_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
             b += HOUR_US
 
     state.update((cursor_us, cur_val, max_bucket_us,
-                  [x[0] for x in buf], [x[1] for x in buf],
-                  [x[2] for x in buf]))
+                  *_buf_cols(buf, 3)))
     if cursor_us < max_bucket_us or buf:
         # more spine to emit (or parked rows): wake when the watermark can
         # have closed the NEXT bucket (+1 ms strictly beyond its end)
@@ -349,7 +359,7 @@ def _attr_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                 state: GroupState) -> "Iterator[pd.DataFrame]":
     if state.exists:
         last_us, last_eid, t_us, t_type, bu, be, bt, bv = state.get
-        buf = list(zip(bu, be, bt, bv))
+        buf = _buf_rows(bu, be, bt, bv)
     else:
         last_us, last_eid, t_us, t_type = -1, -1, -1, None
         buf = []
@@ -373,8 +383,7 @@ def _attr_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
         last_us, last_eid = ts_us, eid
 
     state.update((last_us, last_eid, t_us, t_type,
-                  [b[0] for b in buf], [b[1] for b in buf],
-                  [b[2] for b in buf], [b[3] for b in buf]))
+                  *_buf_cols(buf, 4)))
     _schedule_flush(state, buf)
     yield pd.DataFrame({"user_id": [key[0]] * len(out_eid),
                         "event_id": out_eid, "ts": out_ts,
@@ -413,7 +422,7 @@ def _ewma_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                 state: GroupState) -> "Iterator[pd.DataFrame]":
     if state.exists:
         last_us, last_eid, ewma, n_obs, bu, be, bv = state.get
-        buf = list(zip(bu, be, bv))
+        buf = _buf_rows(bu, be, bv)
     else:
         last_us, last_eid, ewma, n_obs = -1, -1, None, 0
         buf = []
@@ -435,8 +444,7 @@ def _ewma_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
         out_n.append(n_obs)
 
     state.update((last_us, last_eid, ewma, n_obs,
-                  [b[0] for b in buf], [b[1] for b in buf],
-                  [b[2] for b in buf]))
+                  *_buf_cols(buf, 3)))
     _schedule_flush(state, buf)
     yield pd.DataFrame({"user_id": [key[0]] * len(out_ts), "ts": out_ts,
                         "event_id": out_eid, "ewma": out_e,
@@ -460,7 +468,7 @@ def _zscore_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
     if state.exists:
         last_us, last_eid, ring, bu, be, bv = state.get
         ring = list(ring)
-        buf = list(zip(bu, be, bv))
+        buf = _buf_rows(bu, be, bv)
     else:
         last_us, last_eid, ring = -1, -1, []
         buf = []
@@ -501,8 +509,7 @@ def _zscore_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
         last_us, last_eid = ts_us, eid
 
     state.update((last_us, last_eid, ring,
-                  [b[0] for b in buf], [b[1] for b in buf],
-                  [b[2] for b in buf]))
+                  *_buf_cols(buf, 3)))
     _schedule_flush(state, buf)
     yield pd.DataFrame(out)
 
@@ -544,7 +551,7 @@ def _holt_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
                 state: GroupState) -> "Iterator[pd.DataFrame]":
     if state.exists:
         last_us, last_eid, level, trend, n_obs, bu, be, bv = state.get
-        buf = list(zip(bu, be, bv))
+        buf = _buf_rows(bu, be, bv)
     else:
         last_us, last_eid, level, trend, n_obs = -1, -1, None, 0.0, 0
         buf = []
@@ -572,8 +579,7 @@ def _holt_apply(key: tuple, pdfs: "Iterator[pd.DataFrame]",
         out_n.append(n_obs)
 
     state.update((last_us, last_eid, level, trend, n_obs,
-                  [b[0] for b in buf], [b[1] for b in buf],
-                  [b[2] for b in buf]))
+                  *_buf_cols(buf, 3)))
     _schedule_flush(state, buf)
     yield pd.DataFrame({"user_id": [key[0]] * len(out_ts), "ts": out_ts,
                         "event_id": out_eid, "level": out_l,
