@@ -307,20 +307,68 @@ def encode_wav_adpcm(samples, sample_rate: int,
     return WAV_RIFF + struct.pack("<I", len(body)) + body
 
 
+_ADPCM_STEPS_NP = np.array(_ADPCM_STEPS, dtype=np.int64)
+_ADPCM_ADJUST_NP = np.array(_ADPCM_INDEX_ADJUST, dtype=np.int64)
+
+
+def _decode_adpcm_blocks(blocks: np.ndarray) -> np.ndarray:
+    """Vectorized IMA decode of FULL same-size blocks (r8): each block's
+    header carries its own (predictor, step index), so blocks are
+    independent — the feedback loop runs over nibble POSITIONS (2 per
+    payload byte) while every block advances in lockstep as numpy int64
+    lanes. Identical integer algebra to _adpcm_reconstruct (equality
+    asserted against the scalar walk in tests); the scalar one-step
+    helper remains the encoder's (its index chains ACROSS blocks, so
+    encode is genuinely sequential)."""
+    nb, ba = blocks.shape
+    pred = blocks[:, 0].astype(np.int64) | (blocks[:, 1].astype(np.int64)
+                                            << 8)
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # int16 LE
+    index = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    payload = blocks[:, 4:]
+    # low nibble first, then high — interleaved per byte
+    nibs = np.empty((nb, 2 * (ba - 4)), dtype=np.int64)
+    nibs[:, 0::2] = payload & 0x0F
+    nibs[:, 1::2] = payload >> 4
+    out = np.empty((nb, 1 + 2 * (ba - 4)), dtype=np.int32)
+    out[:, 0] = pred
+    for j in range(nibs.shape[1]):
+        nib = nibs[:, j]
+        step = _ADPCM_STEPS_NP[index]
+        diff = (step >> 3)
+        diff = diff + np.where(nib & 1, step >> 2, 0)
+        diff = diff + np.where(nib & 2, step >> 1, 0)
+        diff = diff + np.where(nib & 4, step, 0)
+        diff = np.where(nib & 8, -diff, diff)
+        pred = np.clip(pred + diff, -32768, 32767)
+        index = np.clip(index + _ADPCM_ADJUST_NP[nib & 7], 0, 88)
+        out[:, j + 1] = pred
+    return out.reshape(-1)
+
+
 def _decode_adpcm_data(data: bytes, block_align: int,
                        n_frames: int | None) -> np.ndarray:
-    out: list[int] = []
-    for b0 in range(0, len(data), block_align):
-        block = data[b0:b0 + block_align]
-        if len(block) < 4:
+    n_full = len(data) // block_align
+    parts: list[np.ndarray] = []
+    if n_full:
+        blocks = (np.frombuffer(data, dtype=np.uint8,
+                                count=n_full * block_align)
+                  .reshape(n_full, block_align))
+        parts.append(_decode_adpcm_blocks(blocks))
+    tail = data[n_full * block_align:]
+    if tail:  # short final block: the scalar walk handles any length
+        if len(tail) < 4:
             raise ValueError("truncated ADPCM block header")
-        pred, index, _ = struct.unpack("<hBB", block[:4])
+        pred, index, _ = struct.unpack("<hBB", tail[:4])
         index = max(0, min(88, index))
-        out.append(pred)
-        for byte in block[4:]:
+        out: list[int] = [pred]
+        for byte in tail[4:]:
             for nib in (byte & 0x0F, byte >> 4):
                 pred, index = _adpcm_reconstruct(pred, index, nib)
                 out.append(pred)
+        parts.append(np.array(out, dtype=np.int32))
+    samples = (np.concatenate(parts) if parts
+               else np.empty(0, dtype=np.int32))
     if n_frames is not None:
-        out = out[:n_frames]
-    return np.array(out, dtype=np.int32)
+        samples = samples[:n_frames]
+    return samples.astype(np.int32)

@@ -218,3 +218,48 @@ def test_batched_idct_roundtrip_solid_blocks_bit_exact():
                                       channels=3))
         assert img.width == 11 and img.height == 6
         assert set(img.pixels) == {v}, v
+
+
+def test_adpcm_vectorized_decode_matches_scalar_walk():
+    """The r8 across-blocks vectorized IMA decode equals the scalar
+    per-nibble walk (the encoder's _adpcm_reconstruct) on seeded random
+    clips, including a ragged final block handled by the scalar tail."""
+    import struct as S
+
+    import numpy as np
+
+    from etl_online_retail_spark.multimodal import wav as W
+
+    def scalar_decode(data, ba):
+        out = []
+        for b0 in range(0, len(data), ba):
+            block = data[b0:b0 + ba]
+            pred, index, _ = S.unpack("<hBB", block[:4])
+            index = max(0, min(88, index))
+            out.append(pred)
+            for byte in block[4:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    pred, index = W._adpcm_reconstruct(pred, index, nib)
+                    out.append(pred)
+        return out
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        n = int(rng.integers(5, 900))
+        enc = W.encode_wav_adpcm(rng.integers(-32768, 32768, size=n),
+                                 8000, block_align=36)
+        pos = 12
+        data = b""
+        while pos + 8 <= len(enc):
+            cid = enc[pos:pos + 4]
+            (sz,) = S.unpack("<I", enc[pos + 4:pos + 8])
+            if cid == b"data":
+                data = enc[pos + 8:pos + 8 + sz]
+                break
+            pos += 8 + sz + (sz & 1)
+        got = W._decode_adpcm_data(data, 36, n)
+        assert list(got) == scalar_decode(data, 36)[:n]
+        # ragged tail: chop the stream mid-block and re-decode
+        ragged = data[:len(data) - 7]
+        got2 = W._decode_adpcm_data(ragged, 36, None)
+        assert list(got2) == scalar_decode(ragged, 36)
