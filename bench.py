@@ -224,18 +224,26 @@ HEADLINE = [
     "train_val_test_split",
     "urgent_customers",
     "wav_audio_stats",
-    # NOT benched, each with a documented reason:
-    # * minhash_calibration — its ground-truth side is the deliberately-
-    #   uncapped exact Jaccard join (23-29 s at sf0.1): the documented
-    #   calibrate-on-a-bounded-sample tool, not a steady-state query. It
-    #   stays oracle-gated at the driver's sf0.01.
-    # * jaccard_near_dups — the same uncapped exact all-pairs join; the
-    #   LSH variants (benched) are its scale path.
-    # * fuzzy_part_matches — the naive blocked join kept as the oracle-
-    #   shared correctness twin; the contracted variant (benched) is the
-    #   default and measured 12x faster, qgram (benched) the exact
-    #   scale path.
 ]
+
+# NOT benched, each with a documented reason. This dict is load-bearing:
+# tests/test_registry.py asserts every registered query is in
+# HEADLINE | ITERATIVE | EXCLUDED, so a new query cannot silently skip
+# the bench — it either gets timed or gets a written reason here.
+EXCLUDED = {
+    "minhash_calibration":
+        "its ground-truth side is the deliberately-uncapped exact Jaccard "
+        "join (23-29 s at sf0.1): the documented calibrate-on-a-bounded-"
+        "sample tool, not a steady-state query; stays oracle-gated at the "
+        "driver's sf0.01",
+    "jaccard_near_dups":
+        "the same uncapped exact all-pairs join; the LSH variants "
+        "(benched) are its scale path",
+    "fuzzy_part_matches":
+        "the naive blocked join kept as the oracle-shared correctness "
+        "twin; the contracted variant (benched) is the default and "
+        "measured 12x faster, qgram (benched) the exact scale path",
+}
 
 # Queries whose ALGORITHM executes at plan-construction time — driver-
 # coordinated iterations with eager localCheckpoint/cache per step

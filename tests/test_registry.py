@@ -44,6 +44,31 @@ def test_oracle_coverage_is_complete_except_documented():
         f"here: {sorted(qs - oracles)}")
 
 
+def test_bench_coverage_is_structural():
+    """Every registered query must be benched (HEADLINE or ITERATIVE) or
+    carry a written exclusion reason in bench.EXCLUDED — the "bench
+    everything" policy enforced structurally, not by convention
+    (round-8 verdict #8). The three sets must also be disjoint and
+    contain no stale (unregistered) names."""
+    import bench
+
+    qs = set(entrymod.queries())
+    headline, iterative, excluded = (
+        set(bench.HEADLINE), set(bench.ITERATIVE), set(bench.EXCLUDED))
+    assert headline.isdisjoint(iterative)
+    assert excluded.isdisjoint(headline | iterative)
+    unbenched = qs - headline - iterative - excluded
+    assert not unbenched, (
+        "registered queries neither benched nor documented-excluded: "
+        f"{sorted(unbenched)} — add to bench.HEADLINE (steady-state), "
+        "bench.ITERATIVE (algorithm runs at plan build) or bench.EXCLUDED "
+        "(with a reason) at registration time")
+    stale = (headline | iterative | excluded) - qs
+    assert not stale, f"bench lists name unregistered queries: {sorted(stale)}"
+    for name, reason in bench.EXCLUDED.items():
+        assert reason.strip(), f"EXCLUDED[{name!r}] needs a written reason"
+
+
 def test_front_extensions_all_exist_in_registry():
     """The hand-maintained interleave list is load-bearing for the
     driver's prefix sample: a typo'd or renamed query here would
