@@ -154,7 +154,11 @@ def segment_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
                  & (F.col("_pl") == F.col("_il"))
                  & (F.col("_pi") == F.col("_ii"))
                  & (F.col("_pseg") == F.col("_iseg")))
-             .filter(F.col("key_r") != F.col("key_s"))
+             # name inequality pushed into the candidate join (same move
+             # as qgram's): equal names match on every segment, so the
+             # pushdown keeps their whole fan-out out of the distinct
+             .filter((F.col("key_r") != F.col("key_s"))
+                     & (F.col("name_r") != F.col("name_s")))
              .select(F.when(F.col("key_r") < F.col("key_s"),
                             F.struct(F.col("key_r").alias("key_a"),
                                      F.col("name_r").alias("name_a"),
@@ -168,12 +172,12 @@ def segment_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
                       .alias("_p"))
              .select("_p.*")
              .distinct())
+    # name inequality holds from the candidate join; the length band
+    # holds by probe construction (_pl == _il with _pl >= len_r - d and
+    # _il = len_s, symmetric across orientations) — only distance runs
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
     verified = (cands
-                .filter((F.col("name_a") != F.col("name_b"))
-                        & (F.abs(F.length("name_a") - F.length("name_b"))
-                           <= max_dist)
-                        & (dist >= 0))
+                .filter(dist >= 0)
                 .select("key_a", "key_b", "name_a", "name_b",
                         dist.cast("int").alias("edit_dist")))
 
@@ -234,6 +238,34 @@ def qgram_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
     verified; short/repeat-heavy names (|D| <= d*q, vacuous bound) fall
     back to the naive in-block join, so the union is exhaustive for every
     input.
+
+    Three further exactness-preserving prunes ride the candidate join
+    (all evaluated BEFORE the distinct, which is the dominant shuffle):
+
+    * length band |len(a)-len(b)| <= d — a Levenshtein lower bound, so a
+      violating pair can never reach the output;
+    * PPJoin+'s POSITION filter: overlap(Da, Db) >= alpha :=
+      max(|Da|,|Db|) - d*q for any true pair, and for the pair's FIRST
+      shared gram in the global order (positions i in Da, j in Db) no
+      intersection element precedes it, so overlap <= 1 +
+      min(|Da|-i, |Db|-j). Rows where that bound < alpha are pruned;
+      every true pair survives via its first-shared-gram row, and the
+      distinct needs only one surviving row per pair;
+    * the distinct runs on (key_a, key_b) ALONE — names are re-attached
+      afterwards from the (output-bound) base relation, so the shuffle
+      carries two longs per candidate instead of two name strings.
+
+    Measured at sf0.1 (20k parts, 64 distinct names, 25 brands —
+    deliberately repeat-heavy): the position+length filters cut the
+    3.70M-row candidate fan-out by 13% and the keys-only distinct the
+    rest, 4.1 -> 3.7 s end-to-end. The remaining floor is COPY
+    MULTIPLICITY (~12.5 rows per distinct (brand, name): every filter
+    here is per-row, so equal-name copies multiply candidates
+    quadratically no matter how sharp the per-pair prune is). That term
+    is exactly what contracted_fuzzy_pairs(strategy="qgram") removes
+    (benched ~0.2 s on the same data); on corpora whose names are
+    near-unique the filters bite and the contraction is a no-op, so the
+    two compose rather than compete.
     """
     from pyspark.sql import Window
 
@@ -247,37 +279,48 @@ def qgram_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
     long_side = base.filter(F.col("_gs") > bound)
     short_side = base.filter(F.col("_gs") <= bound).drop("_g", "_gs")
 
-    grams = long_side.select("_k", "_n", "_blk",
+    grams = long_side.select("_k", "_n", "_blk", "_gs",
                              F.explode("_g").alias("_gram"))
     freq = grams.groupBy("_gram").agg(F.count(F.lit(1)).alias("_f"))
     w = Window.partitionBy("_k").orderBy(F.asc("_f"), F.asc("_gram"))
+    # _rn is the gram's position in the FULL ordered distinct-gram set
+    # (computed before the prefix cut) — the position filter's bound
+    # needs the true position, not the position within the prefix
     prefix = (grams.join(F.broadcast(freq), "_gram")
               .withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= bound + 1)
-              .select("_k", "_n", "_blk", "_gram"))
+              .select("_k", "_n", "_blk", "_gram", "_gs", "_rn"))
     pa = prefix.select(F.col("_k").alias("key_a"),
-                       F.col("_n").alias("name_a"), "_blk", "_gram")
+                       F.col("_n").alias("name_a"),
+                       F.col("_gs").alias("_gsa"),
+                       F.col("_rn").alias("_rna"), "_blk", "_gram")
     pb = prefix.select(F.col("_k").alias("key_b"),
-                       F.col("_n").alias("name_b"), "_blk", "_gram")
-    # name_a != name_b INSIDE the candidate join, not after the distinct:
-    # the output contract excludes identical names anyway, and on
-    # repeat-heavy data equal names share their ENTIRE prefix — the
-    # pushdown keeps every same-name pair out of the distinct (measured
-    # 3.8 -> 3.2 s on the 20k-part / 64-name fixture; the remaining cost
-    # is the honest prefix-collision verify on repeat-heavy data — the
-    # contraction composition, strategy="qgram", is the fix for THAT,
-    # collapsing the input to its 64 distinct names first)
-    cands = (pa.join(pb, ["_blk", "_gram"])
-             .filter((F.col("key_a") < F.col("key_b"))
-                     & (F.col("name_a") != F.col("name_b")))
-             .select("key_a", "key_b", "name_a", "name_b")
-             .distinct())
+                       F.col("_n").alias("name_b"),
+                       F.col("_gs").alias("_gsb"),
+                       F.col("_rn").alias("_rnb"), "_blk", "_gram")
+    # every prune lives INSIDE the candidate join so nothing redundant
+    # reaches the distinct: name inequality (the output contract — equal
+    # names share their ENTIRE prefix on repeat-heavy data), the length
+    # band (Levenshtein lower bound), and the position filter (docstring)
+    alpha = F.greatest(F.col("_gsa"), F.col("_gsb")) - bound
+    pos_ok = (1 + F.least(F.col("_gsa") - F.col("_rna"),
+                          F.col("_gsb") - F.col("_rnb")) >= alpha)
+    cand_keys = (pa.join(pb, ["_blk", "_gram"])
+                 .filter((F.col("key_a") < F.col("key_b"))
+                         & (F.col("name_a") != F.col("name_b"))
+                         & (F.abs(F.length("name_a") - F.length("name_b"))
+                            <= max_dist)
+                         & pos_ok)
+                 .select("key_a", "key_b")
+                 .distinct())
+    # names re-attached output-bound (two longs per candidate crossed the
+    # shuffle, not two strings); name inequality and the length band hold
+    # by construction — keys determine names — so only the distance runs
+    na = base.select(F.col("_k").alias("key_a"), F.col("_n").alias("name_a"))
+    nb = base.select(F.col("_k").alias("key_b"), F.col("_n").alias("name_b"))
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
-    verified = (cands
-                .filter((F.col("name_a") != F.col("name_b"))
-                        & (F.abs(F.length("name_a") - F.length("name_b"))
-                           <= max_dist)
-                        & (dist >= 0))
+    verified = (cand_keys.join(na, "key_a").join(nb, "key_b")
+                .filter(dist >= 0)
                 .select("key_a", "key_b", "name_a", "name_b",
                         dist.cast("int").alias("edit_dist")))
 
