@@ -184,6 +184,8 @@ HEADLINE = [
     # round-7 wave: synthesized partsupp + lossy WebP via libwebp
     "partsupp_build",
     "webp_lossy_image_stats",
+    # round-9: AVIF (AV1) via libheif
+    "avif_image_stats",
     # round-8 wave: every remaining registered query that is neither a
     # documented naive twin nor an iterative build (those go to ITERATIVE)
     "approx_customers_by_nation",
@@ -225,6 +227,15 @@ HEADLINE = [
     "urgent_customers",
     "wav_audio_stats",
 ]
+
+# Queries whose registration is CONDITIONAL on a native library: they
+# belong in HEADLINE (benched wherever they exist) but may legitimately
+# be absent from the registry in a container without the library — the
+# structural coverage test exempts exactly these from its stale check.
+CONDITIONAL = {
+    "webp_lossy_image_stats",  # libwebp (multimodal/native.py)
+    "avif_image_stats",        # libheif (multimodal/heif.py)
+}
 
 # NOT benched, each with a documented reason. This dict is load-bearing:
 # tests/test_registry.py asserts every registered query is in

