@@ -336,9 +336,11 @@ _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG color type
 
 def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbor resize of a decodable payload (PNG, baseline
-    JPEG or lossless WebP in), re-encoded as PNG (lossless out —
-    resizing shouldn't add a second lossy generation). Pure stdlib,
-    same per-payload shape a PIL-backed body would keep."""
+    JPEG, lossless WebP or — when libheif is present — AVIF/HEIC in),
+    re-encoded as PNG (lossless out — resizing shouldn't add a second
+    lossy generation). Pure stdlib plus the dlopen-gated bindings, same
+    per-payload shape a PIL-backed body would keep."""
+    from etl_online_retail_spark.multimodal import heif as _heif
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
     from etl_online_retail_spark.multimodal import png as _png
     from etl_online_retail_spark.multimodal import webp as _webp
@@ -351,10 +353,12 @@ def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
     elif (content[:4] == _webp.RIFF_MAGIC
           and content[8:12] == _webp.WEBP_MAGIC):
         img = _webp.decode_webp(content)
+    elif _heif.is_heif(content):
+        img = _heif.decode_heif(content)
     else:
         raise NotImplementedError(
-            "resize supports PNG, baseline JPEG and lossless WebP "
-            "payloads here")
+            "resize supports PNG, baseline JPEG, lossless WebP and "
+            "(via libheif) AVIF/HEIC payloads here")
     import numpy as np
 
     ch = img.channels

@@ -128,6 +128,13 @@ def _bind(lib: ctypes.CDLL) -> None:
         "heif_context_write_to_file": (e, [c_void_p, c_char_p]),
         "heif_have_decoder_for_format": (c_int, [c_int]),
         "heif_have_encoder_for_format": (c_int, [c_int]),
+        # multi-image files (HEIC bursts / image sequences): top-level
+        # image enumeration beside the primary-image path
+        "heif_context_get_number_of_top_level_images": (c_int, [c_void_p]),
+        "heif_context_get_list_of_top_level_image_IDs":
+            (c_int, [c_void_p, POINTER(ctypes.c_uint32), c_int]),
+        "heif_context_get_image_handle":
+            (e, [c_void_p, ctypes.c_uint32, POINTER(c_void_p)]),
     }
     for name, (restype, argtypes) in protos.items():
         fn = getattr(lib, name)  # AttributeError -> unavailable
@@ -197,57 +204,94 @@ class HeifImage:
         return sum(self.pixels) / len(self.pixels)
 
 
-def decode_heif(content: bytes) -> HeifImage:
-    """Decode an AVIF or HEIC payload to interleaved 8-bit RGB(A)."""
-    lib = _require()
-    content = bytes(content)
-    ctx = lib.heif_context_alloc()
-    if not ctx:
-        raise MemoryError("heif_context_alloc returned NULL")
+def _decode_handle(lib: ctypes.CDLL, handle: c_void_p) -> HeifImage:
+    """Decode one image handle to interleaved 8-bit RGB(A)."""
+    alpha = bool(lib.heif_image_handle_has_alpha_channel(handle))
+    chroma = (_CHROMA_INTERLEAVED_RGBA if alpha
+              else _CHROMA_INTERLEAVED_RGB)
+    img = c_void_p()
+    _check(lib.heif_decode_image(handle, byref(img), _COLORSPACE_RGB,
+                                 chroma, None), "decode_image")
     try:
-        buf = ctypes.create_string_buffer(content, len(content))
-        _check(lib.heif_context_read_from_memory_without_copy(
-            ctx, buf, len(content), None), "read_from_memory")
-        handle = c_void_p()
-        _check(lib.heif_context_get_primary_image_handle(
-            ctx, byref(handle)), "get_primary_image_handle")
-        try:
-            alpha = bool(lib.heif_image_handle_has_alpha_channel(handle))
-            chroma = (_CHROMA_INTERLEAVED_RGBA if alpha
-                      else _CHROMA_INTERLEAVED_RGB)
-            img = c_void_p()
-            _check(lib.heif_decode_image(handle, byref(img), _COLORSPACE_RGB,
-                                         chroma, None), "decode_image")
-            try:
-                w = lib.heif_image_handle_get_width(handle)
-                h = lib.heif_image_handle_get_height(handle)
-                nch = 4 if alpha else 3
-                stride = c_int(0)
-                plane = lib.heif_image_get_plane_readonly(
-                    img, _CHANNEL_INTERLEAVED, byref(stride))
-                if not plane:
-                    raise ValueError("libheif returned no interleaved plane")
-                base = ctypes.addressof(plane.contents)
-                pixels = b"".join(
-                    string_at(base + r * stride.value, w * nch)
-                    for r in range(h))
-            finally:
-                lib.heif_image_release(img)
-        finally:
-            lib.heif_image_handle_release(handle)
+        w = lib.heif_image_handle_get_width(handle)
+        h = lib.heif_image_handle_get_height(handle)
+        nch = 4 if alpha else 3
+        stride = c_int(0)
+        plane = lib.heif_image_get_plane_readonly(
+            img, _CHANNEL_INTERLEAVED, byref(stride))
+        if not plane:
+            raise ValueError("libheif returned no interleaved plane")
+        base = ctypes.addressof(plane.contents)
+        pixels = b"".join(
+            string_at(base + r * stride.value, w * nch)
+            for r in range(h))
     finally:
-        lib.heif_context_free(ctx)
+        lib.heif_image_release(img)
     return HeifImage(width=w, height=h, bit_depth=8, channels=nch,
                      pixels=pixels)
 
 
-def _encode(fmt: int, pixels: bytes, width: int, height: int,
-            quality: int, channels: int = 3) -> bytes:
+def _read_context(lib: ctypes.CDLL, content: bytes):
+    ctx = lib.heif_context_alloc()
+    if not ctx:
+        raise MemoryError("heif_context_alloc returned NULL")
+    buf = ctypes.create_string_buffer(content, len(content))
+    try:
+        _check(lib.heif_context_read_from_memory_without_copy(
+            ctx, buf, len(content), None), "read_from_memory")
+    except ValueError:
+        lib.heif_context_free(ctx)
+        raise
+    # the string buffer must outlive the context (without_copy semantics)
+    return ctx, buf
+
+
+def decode_heif(content: bytes) -> HeifImage:
+    """Decode an AVIF or HEIC payload's PRIMARY image."""
     lib = _require()
-    if not lib.heif_have_encoder_for_format(fmt):
-        raise NotImplementedError(
-            "this libheif build has no encoder plugin for format "
-            f"{fmt} (AV1 needs aom/rav1e/SvtAv1, HEVC needs x265)")
+    ctx, _buf = _read_context(lib, bytes(content))
+    try:
+        handle = c_void_p()
+        _check(lib.heif_context_get_primary_image_handle(
+            ctx, byref(handle)), "get_primary_image_handle")
+        try:
+            return _decode_handle(lib, handle)
+        finally:
+            lib.heif_image_handle_release(handle)
+    finally:
+        lib.heif_context_free(ctx)
+
+
+def decode_heif_all(content: bytes) -> list[HeifImage]:
+    """Decode EVERY top-level image of a multi-image HEIF (HEIC burst /
+    multi-frame AVIF still file) in the container's ID order — the
+    gif_frame_stats analogue for the HEIF family. Single-image payloads
+    return a one-element list whose member equals decode_heif's."""
+    lib = _require()
+    ctx, _buf = _read_context(lib, bytes(content))
+    try:
+        n = lib.heif_context_get_number_of_top_level_images(ctx)
+        if n <= 0:
+            raise ValueError("HEIF payload lists no top-level images")
+        ids = (ctypes.c_uint32 * n)()
+        got = lib.heif_context_get_list_of_top_level_image_IDs(ctx, ids, n)
+        out: list[HeifImage] = []
+        for i in range(min(n, got)):
+            handle = c_void_p()
+            _check(lib.heif_context_get_image_handle(ctx, ids[i],
+                                                     byref(handle)),
+                   "get_image_handle")
+            try:
+                out.append(_decode_handle(lib, handle))
+            finally:
+                lib.heif_image_handle_release(handle)
+        return out
+    finally:
+        lib.heif_context_free(ctx)
+
+
+def _make_image(lib: ctypes.CDLL, pixels: bytes, width: int, height: int,
+                channels: int) -> c_void_p:
     if channels not in (3, 4):
         raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
     if len(pixels) != width * height * channels:
@@ -273,36 +317,72 @@ def _encode(fmt: int, pixels: bytes, width: int, height: int,
             ctypes.memmove(base + r * stride.value,
                            pixels[r * row_bytes:(r + 1) * row_bytes],
                            row_bytes)
-        ctx = lib.heif_context_alloc()
-        if not ctx:
-            raise MemoryError("heif_context_alloc returned NULL")
-        try:
-            enc = c_void_p()
-            _check(lib.heif_context_get_encoder_for_format(
-                ctx, fmt, byref(enc)), "get_encoder_for_format")
-            try:
-                _check(lib.heif_encoder_set_lossy_quality(enc, quality),
-                       "set_lossy_quality")
-                _check(lib.heif_context_encode_image(ctx, img, enc, None,
-                                                     None), "encode_image")
-            finally:
-                lib.heif_encoder_release(enc)
-            # ctypes callbacks cannot return heif_error by value, so the
-            # heif_writer memory sink is unusable; a worker-local tempfile
-            # is the portable byte path (see module docstring)
-            fd, path = tempfile.mkstemp(suffix=".heif")
-            os.close(fd)
-            try:
-                _check(lib.heif_context_write_to_file(ctx, path.encode()),
-                       "write_to_file")
-                with open(path, "rb") as fh:
-                    return fh.read()
-            finally:
-                os.unlink(path)
-        finally:
-            lib.heif_context_free(ctx)
-    finally:
+    except Exception:
         lib.heif_image_release(img)
+        raise
+    return img
+
+
+def _write_context(lib: ctypes.CDLL, ctx: c_void_p) -> bytes:
+    # ctypes callbacks cannot return heif_error by value, so the
+    # heif_writer memory sink is unusable; a worker-local tempfile
+    # is the portable byte path (see module docstring)
+    fd, path = tempfile.mkstemp(suffix=".heif")
+    os.close(fd)
+    try:
+        _check(lib.heif_context_write_to_file(ctx, path.encode()),
+               "write_to_file")
+        with open(path, "rb") as fh:
+            return fh.read()
+    finally:
+        os.unlink(path)
+
+
+def _encode_frames(fmt: int, frames: list[tuple[bytes, int, int]],
+                   quality: int, channels: int = 3) -> bytes:
+    """Encode one or more (pixels, width, height) frames as top-level
+    images of a single HEIF file (one = ordinary still; several = a
+    burst/multi-image file, the HEIF shape camera bursts ship in)."""
+    lib = _require()
+    if not lib.heif_have_encoder_for_format(fmt):
+        raise NotImplementedError(
+            "this libheif build has no encoder plugin for format "
+            f"{fmt} (AV1 needs aom/rav1e/SvtAv1, HEVC needs x265)")
+    if not frames:
+        raise ValueError("at least one frame is required")
+    ctx = lib.heif_context_alloc()
+    if not ctx:
+        raise MemoryError("heif_context_alloc returned NULL")
+    try:
+        enc = c_void_p()
+        _check(lib.heif_context_get_encoder_for_format(
+            ctx, fmt, byref(enc)), "get_encoder_for_format")
+        try:
+            _check(lib.heif_encoder_set_lossy_quality(enc, quality),
+                   "set_lossy_quality")
+            for pixels, width, height in frames:
+                img = _make_image(lib, pixels, width, height, channels)
+                try:
+                    _check(lib.heif_context_encode_image(
+                        ctx, img, enc, None, None), "encode_image")
+                finally:
+                    lib.heif_image_release(img)
+        finally:
+            lib.heif_encoder_release(enc)
+        return _write_context(lib, ctx)
+    finally:
+        lib.heif_context_free(ctx)
+
+
+def _encode(fmt: int, pixels: bytes, width: int, height: int,
+            quality: int, channels: int = 3) -> bytes:
+    return _encode_frames(fmt, [(pixels, width, height)], quality, channels)
+
+
+def avif_encode_burst(frames: list[tuple[bytes, int, int]],
+                      quality: int = 100) -> bytes:
+    """Multi-image AVIF: every frame a top-level image in one file."""
+    return _encode_frames(COMPRESSION_AV1, frames, quality)
 
 
 def avif_encode_rgb(pixels: bytes, width: int, height: int,

@@ -134,6 +134,37 @@ def test_encode_validates_buffer_length():
 
 
 @needs_avif
+def test_multi_image_heif_burst_roundtrip():
+    """HEIC-burst shape: several top-level images in ONE file; decode_all
+    walks them in container order, decode_heif still picks the primary
+    (the first encoded image)."""
+    frames = [(bytes([v]) * (6 * 4 * 3), 6, 4) for v in (10, 150, 240)]
+    payload = heif.avif_encode_burst(frames, quality=100)
+    imgs = heif.decode_heif_all(payload)
+    assert [set(i.pixels) for i in imgs] == [{10}, {150}, {240}]
+    assert all((i.width, i.height, i.channels) == (6, 4, 3) for i in imgs)
+    primary = heif.decode_heif(payload)
+    assert set(primary.pixels) == {10}
+    # single-image payloads: decode_all == [decode]
+    single = heif.avif_encode_rgb(bytes([77]) * (3 * 3 * 3), 3, 3)
+    only, = heif.decode_heif_all(single)
+    assert only == heif.decode_heif(single)
+
+
+@needs_avif
+def test_avif_resizes_to_png():
+    from etl_online_retail_spark.multimodal import png
+    from etl_online_retail_spark.multimodal.binary import resize_image
+
+    v = 77
+    payload = heif.avif_encode_rgb(bytes([v]) * (12 * 8 * 3), 12, 8,
+                                   quality=100)
+    out = png.decode_png(resize_image(payload, 4, 4))
+    assert (out.width, out.height) == (4, 4)
+    assert set(out.pixels) == {v}
+
+
+@needs_avif
 def test_avif_spark_stage_matches_closed_form(spark):
     from etl_online_retail_spark.multimodal.binary import (
         image_features,
