@@ -115,13 +115,71 @@ def _attestation_recency() -> dict[str, int]:
     return recency
 
 
+# Names whose IMPLEMENTATION changed materially in a given round — the
+# one case attestation recency cannot see (a driver row OLDER than the
+# rewrite attests code that no longer exists). Maps name -> the round
+# whose rewrite invalidated earlier rows; a name is STALE while its
+# most recent attestation round is < that round, and self-cleans the
+# moment a newer CORRECTNESS file carries it (the driver runs at round
+# end, so attestation round N covers code rewritten in round N).
+# Current content: the round-8 consolidation/vectorization families
+# (banded LSH/dedup, the medians mapInPandas rewrite, the JPEG codec
+# paths — several were last attested r01-r06) and the round-9 sharpened
+# qgram join (whose r08 rows predate the rewrite) — exactly the
+# re-attestation VERDICT r8 item 1 asks for.
+_REATTEST_FIRST = {
+    "minhash_near_dups": 8, "simhash_near_dups": 8,
+    "simhash_signatures": 8, "incremental_near_dups": 8,
+    "minhash_calibration": 8, "jaccard_near_dups": 8,
+    "dedup_retention": 8, "duplicate_clusters": 8,
+    "duplicate_clusters_star": 8, "customer_order_medians": 8,
+    "jpeg_image_stats": 8, "progressive_jpeg_stats": 8,
+    "image_resize_stats": 9,   # r9: AVIF input branch in resize_image
+    "mjpeg_frame_stats": 8, "image_dhash_groups": 8,
+    "image_dhash_near_pairs": 8, "adpcm_audio_stats": 8,
+    "fuzzy_part_matches": 9, "fuzzy_part_matches_qgram": 9,
+    "fuzzy_part_matches_contracted": 9,
+}
+
+
+def _attestation_last_round() -> dict[str, int]:
+    """name -> the highest round number whose committed CORRECTNESS file
+    sampled it (absent = never attested)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                sampled = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in sampled:
+            last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
 def _rotated(names: list[str]) -> list[str]:
     """Least-recently-attested first (never-attested before everything),
-    interleave order as the stable tie-break within equal recency."""
+    interleave order as the stable tie-break within equal recency;
+    _REATTEST_FIRST names whose newest driver row predates their rewrite
+    jump ahead of everything."""
     base = _interleaved(names)
     recency = _attestation_recency()
+    last_round = _attestation_last_round()
     never = len(recency) + 10_000
-    return sorted(base, key=lambda n: -recency.get(n, never))
+    stale = {n for n, rewrite in _REATTEST_FIRST.items()
+             if last_round.get(n, -1) < rewrite}
+    return sorted(base,
+                  key=lambda n: (0 if n in stale else 1,
+                                 -recency.get(n, never)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -77,6 +77,23 @@ def test_front_extensions_all_exist_in_registry():
     assert not missing, f"_FRONT_EXTENSIONS names not registered: {missing}"
 
 
+def test_reattest_names_registered_and_lead_rotation():
+    """_REATTEST_FIRST entries must name real queries, and every entry
+    whose newest committed driver row predates its rewrite round must
+    land in the driver's 50-query prefix — that's the mechanism's whole
+    point (VERDICT r8 item 1: re-attest code rewritten after its last
+    attestation). Entries already attested at-or-after their rewrite
+    round self-clean out of the jump set."""
+    missing = [n for n in entrymod._REATTEST_FIRST if n not in _REGISTRY]
+    assert not missing, f"_REATTEST_FIRST names not registered: {missing}"
+    last = entrymod._attestation_last_round()
+    stale = {n for n, rw in entrymod._REATTEST_FIRST.items()
+             if last.get(n, -1) < rw}
+    prefix = set(list(entrymod.queries())[:50])
+    assert stale <= prefix, f"stale rewrites missing from the driver "\
+                            f"prefix: {sorted(stale - prefix)}"
+
+
 def test_rotation_prefix_prefers_unattested_queries():
     """The driver samples a 50-query prefix; the rotation must surface
     >=20 names absent from the most recent committed CORRECTNESS file
