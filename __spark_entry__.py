@@ -144,7 +144,9 @@ _REATTEST_FIRST = {
 
 def _attestation_last_round() -> dict[str, int]:
     """name -> the highest round number whose committed CORRECTNESS file
-    sampled it (absent = never attested)."""
+    sampled it SUCCESSFULLY (absent = never attested). A row that
+    recorded an error does not count: a stale rewrite must stay in the
+    jump set until a post-rewrite run actually succeeds."""
     import glob
     import json
     import re
@@ -161,7 +163,9 @@ def _attestation_last_round() -> dict[str, int]:
                 sampled = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in sampled:
+        for name, row in sampled.items():
+            if isinstance(row, dict) and row.get("err"):
+                continue
             last[name] = max(last.get(name, -1), rnd)
     return last
 

@@ -142,11 +142,21 @@ def _bind(lib: ctypes.CDLL) -> None:
         fn.argtypes = argtypes
 
 
+# heif_error_code values that mean "this build can't handle the format",
+# not "the payload is corrupt": Unsupported_filetype=3, Unsupported_feature=4
+_UNSUPPORTED_CODES = (3, 4)
+
+
 def _check(err: _HeifError, what: str) -> None:
     if err.code != 0:
         msg = (err.message or b"").decode("utf-8", "replace")
-        raise ValueError(f"libheif {what} failed (code {err.code}/"
-                         f"{err.subcode}): {msg}")
+        text = (f"libheif {what} failed (code {err.code}/"
+                f"{err.subcode}): {msg}")
+        if err.code in _UNSUPPORTED_CODES:
+            # the repo's honest-boundary convention: capability gaps are
+            # NotImplementedError, corrupt input is ValueError
+            raise NotImplementedError(text)
+        raise ValueError(text)
 
 
 def heif_available() -> bool:
