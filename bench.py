@@ -184,8 +184,9 @@ HEADLINE = [
     # round-7 wave: synthesized partsupp + lossy WebP via libwebp
     "partsupp_build",
     "webp_lossy_image_stats",
-    # round-9: AVIF (AV1) via libheif
+    # round-9: AVIF (AV1) via libheif + LAION-shape pair curation
     "avif_image_stats",
+    "image_caption_filter",
     # round-8 wave: every remaining registered query that is neither a
     # documented naive twin nor an iterative build (those go to ITERATIVE)
     "approx_customers_by_nation",

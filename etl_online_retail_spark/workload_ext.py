@@ -2127,6 +2127,56 @@ if _avif_available():
         return image_features(synthetic_avif_media(docs))
 
 
+# LAION-shape image-text pair curation (r9): the canonical multimodal
+# TRAINING-PAIR prep step — join genuinely-decoded image features with
+# caption statistics and apply the standard keep rules (min dims, aspect
+# bound, caption token/char bounds), emitting the FIRST failing rule as
+# the reject reason (reason order is part of the contract, like
+# constraint quarantine). The image leg really renders + decodes PNG
+# (closed-form dims keep the oracle exact); the caption leg reuses the
+# repo's token_count twins. At 100 TB this is one equi-join on the
+# media key plus map-only feature stages — no extra shuffle beyond the
+# join.
+@register(
+    "image_caption_filter",
+    "SELECT media_id, width, height, caption_chars, caption_tokens, "
+    "reason, reason IS NULL AS kept FROM ("
+    "SELECT doc_id AS media_id, "
+    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+    "CAST(len(trim(text)) AS INTEGER) AS caption_chars, "
+    f"{token_count_sql('text')} AS caption_tokens, "
+    "CASE WHEN 1 + doc_id % 16 < 4 THEN 'image_too_narrow' "
+    "WHEN 1 + doc_id % 8 < 3 THEN 'image_too_short' "
+    "WHEN 1 + doc_id % 16 > 3 * (1 + doc_id % 8) THEN 'bad_aspect' "
+    f"WHEN {token_count_sql('text')} < 20 THEN 'caption_too_short' "
+    "WHEN len(trim(text)) > 400 THEN 'caption_too_long' "
+    "END AS reason FROM documents)",
+    "M6-multimodal-pairs",
+)
+def q_image_caption_filter(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        synthetic_png_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = image_features(synthetic_png_media(docs)).select(
+        "media_id", "width", "height")
+    caps = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.length(F.trim("text")).cast("int").alias("caption_chars"),
+        token_count("text").alias("caption_tokens"))
+    j = feats.join(caps, "media_id")
+    reason = (F.when(F.col("width") < 4, "image_too_narrow")
+              .when(F.col("height") < 3, "image_too_short")
+              .when(F.col("width") > 3 * F.col("height"), "bad_aspect")
+              .when(F.col("caption_tokens") < 20, "caption_too_short")
+              .when(F.col("caption_chars") > 400, "caption_too_long"))
+    return j.select("media_id", "width", "height", "caption_chars",
+                    "caption_tokens", reason.alias("reason"),
+                    reason.isNull().alias("kept"))
+
+
 # real baseline-JPEG codec round-trip (stdlib Huffman+DCT codec,
 # multimodal/jpeg.py): same shape as png_image_stats. Intensity is even
 # (2 * (id % 128)) so the lossy codec is bit-exact on these fixtures and
