@@ -182,116 +182,92 @@ def image_features(media: DataFrame) -> DataFrame:
         extract, IMAGE_FEATURE_SCHEMA)
 
 
+def _solid_media(docs: DataFrame, id_col: str, max_w: int, max_h: int,
+                 encode, value=lambda i: i % 256) -> DataFrame:
+    """THE closed-form fixture contract every synthetic-media oracle
+    depends on, in one place: width = 1 + id % max_w, height =
+    1 + id % max_h, every RGB sample = value(id) (default id % 256;
+    the JPEG family passes 2 * (id % 128) for its even-intensity
+    bit-exactness argument). `encode(pixels, w, h) -> bytes` supplies
+    the codec; everything else — the id partitioning, the Arrow batch
+    shape, the (media_id, content) schema — is shared, so a change to
+    the contract cannot silently diverge between codecs."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"]
+            payloads = []
+            for i in ids:
+                w, h = 1 + int(i) % max_w, 1 + int(i) % max_h
+                v = value(int(i))
+                payloads.append(encode(bytes([v]) * (w * h * 3), w, h))
+            yield pd.DataFrame({"media_id": ids, "content": payloads})
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+
+
 def synthetic_png_media(docs: DataFrame, id_col: str = "doc_id",
                         max_w: int = 16, max_h: int = 8) -> DataFrame:
     """Render one deterministic solid-gray PNG per row (real encoder).
 
-    Dimensions and intensity are closed-form in the id — width =
-    1 + id % max_w, height = 1 + id % max_h, every RGB sample = id % 256 —
+    Dimensions and intensity are closed-form in the id (_solid_media),
     so a SQL oracle can verify the decoded features exactly while the
     Spark side genuinely encodes and decodes PNG bytes. Encoding runs in
     the same Arrow-batched boundary as decoding.
     """
     from etl_online_retail_spark.multimodal import png as _png
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["media_id"]
-            payloads = []
-            for i in ids:
-                w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
-                payloads.append(_png.encode_png(
-                    bytes([v]) * (w * h * 3), w, h, color_type=2))
-            yield pd.DataFrame({"media_id": ids, "content": payloads})
-
-    out_schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("content", T.BinaryType()),
-    ])
-    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+    return _solid_media(
+        docs, id_col, max_w, max_h,
+        lambda pix, w, h: _png.encode_png(pix, w, h, color_type=2))
 
 
 def synthetic_webp_media(docs: DataFrame, id_col: str = "doc_id",
                          max_w: int = 16, max_h: int = 8) -> DataFrame:
     """Render one deterministic solid-gray lossless WebP per row (real
-    VP8L encoder, multimodal/webp.py) — the synthetic_png_media pattern:
-    width = 1 + id % max_w, height = 1 + id % max_h, every RGB sample =
-    id % 256, so the SQL oracle verifies the decoded features in closed
-    form while the Spark side genuinely encodes and decodes WebP
-    bytes."""
+    VP8L encoder, multimodal/webp.py) — the _solid_media contract, so
+    the SQL oracle verifies the decoded features in closed form while
+    the Spark side genuinely encodes and decodes WebP bytes."""
     from etl_online_retail_spark.multimodal import webp as _webp
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["media_id"]
-            payloads = []
-            for i in ids:
-                w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
-                payloads.append(_webp.encode_webp_lossless(
-                    bytes([v]) * (w * h * 3), w, h, channels=3))
-            yield pd.DataFrame({"media_id": ids, "content": payloads})
-
-    out_schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("content", T.BinaryType()),
-    ])
-    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+    return _solid_media(
+        docs, id_col, max_w, max_h,
+        lambda pix, w, h: _webp.encode_webp_lossless(pix, w, h, channels=3))
 
 
 def synthetic_lossy_webp_media(docs: DataFrame, id_col: str = "doc_id",
                                max_w: int = 16, max_h: int = 8) -> DataFrame:
     """One deterministic solid-gray LOSSY WebP (VP8) per row, encoded
     by the libwebp binding at quality 100 (multimodal/native.py, r7).
-    Same dimension contract as synthetic_webp_media; the solid value
-    v = id % 256 survives the lossy path within +-1 intensity step
-    (measured over all 256 v: chroma-subsampled YUV round-trip error),
-    which is exactly the invariant webp_lossy_image_stats asserts."""
+    _solid_media contract; the solid value v = id % 256 survives the
+    lossy path within +-1 intensity step (measured over all 256 v:
+    chroma-subsampled YUV round-trip error), which is exactly the
+    invariant webp_lossy_image_stats asserts."""
     from etl_online_retail_spark.multimodal import native as _native
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["media_id"]
-            payloads = []
-            for i in ids:
-                w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
-                payloads.append(_native.webp_encode_rgb_lossy(
-                    bytes([v]) * (w * h * 3), w, h, quality=100.0))
-            yield pd.DataFrame({"media_id": ids, "content": payloads})
-
-    out_schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("content", T.BinaryType()),
-    ])
-    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+    return _solid_media(
+        docs, id_col, max_w, max_h,
+        lambda pix, w, h: _native.webp_encode_rgb_lossy(pix, w, h,
+                                                        quality=100.0))
 
 
 def synthetic_avif_media(docs: DataFrame, id_col: str = "doc_id",
                          max_w: int = 16, max_h: int = 8) -> DataFrame:
     """One deterministic solid-gray AVIF (real AV1 via libheif+aom) per
-    row, quality 100. Same dimension contract as synthetic_png_media
-    (width = 1 + id % max_w, height = 1 + id % max_h, every sample =
-    id % 256). Solid frames round-trip BIT-EXACTLY at quality 100
-    (constant Y = v, Cb = Cr = 128 — measured over all 512 (v, dims)
-    combinations on libheif 1.15.1 + aom/dav1d), so the decoded
-    features keep the exact closed-form oracle the lossless codecs use,
-    no tolerance band needed."""
+    row, quality 100 (_solid_media contract). Solid frames round-trip
+    BIT-EXACTLY at quality 100 (constant Y = v, Cb = Cr = 128 — measured
+    over all 512 (v, dims) combinations on libheif 1.15.1 + aom/dav1d),
+    so the decoded features keep the exact closed-form oracle the
+    lossless codecs use, no tolerance band needed."""
     from etl_online_retail_spark.multimodal import heif as _heif
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["media_id"]
-            payloads = []
-            for i in ids:
-                w, h, v = 1 + int(i) % max_w, 1 + int(i) % max_h, int(i) % 256
-                payloads.append(_heif.avif_encode_rgb(
-                    bytes([v]) * (w * h * 3), w, h, quality=100))
-            yield pd.DataFrame({"media_id": ids, "content": payloads})
-
-    out_schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("content", T.BinaryType()),
-    ])
-    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+    return _solid_media(
+        docs, id_col, max_w, max_h,
+        lambda pix, w, h: _heif.avif_encode_rgb(pix, w, h, quality=100))
 
 
 def lossy_webp_roundtrip_features(media: DataFrame) -> DataFrame:
@@ -412,22 +388,10 @@ def synthetic_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
     """
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["media_id"]
-            payloads = []
-            for i in ids:
-                w, h = 1 + int(i) % max_w, 1 + int(i) % max_h
-                v = 2 * (int(i) % 128)
-                payloads.append(_jpeg.encode_jpeg(
-                    bytes([v]) * (w * h * 3), w, h, channels=3))
-            yield pd.DataFrame({"media_id": ids, "content": payloads})
-
-    out_schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("content", T.BinaryType()),
-    ])
-    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+    return _solid_media(
+        docs, id_col, max_w, max_h,
+        lambda pix, w, h: _jpeg.encode_jpeg(pix, w, h, channels=3),
+        value=lambda i: 2 * (i % 128))
 
 
 def synthetic_progressive_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
@@ -443,23 +407,11 @@ def synthetic_progressive_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
     """
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["media_id"]
-            payloads = []
-            for i in ids:
-                w, h = 1 + int(i) % max_w, 1 + int(i) % max_h
-                v = 2 * (int(i) % 128)
-                payloads.append(_jpeg.encode_progressive_jpeg(
-                    bytes([v]) * (w * h * 3), w, h, channels=3,
-                    successive=True))
-            yield pd.DataFrame({"media_id": ids, "content": payloads})
-
-    out_schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("content", T.BinaryType()),
-    ])
-    return _id_partitions(docs, id_col).mapInPandas(render, out_schema)
+    return _solid_media(
+        docs, id_col, max_w, max_h,
+        lambda pix, w, h: _jpeg.encode_progressive_jpeg(
+            pix, w, h, channels=3, successive=True),
+        value=lambda i: 2 * (i % 128))
 
 
 def frame_sample(content: bytes, every_n: int = 30) -> list[tuple[int, bytes]]:

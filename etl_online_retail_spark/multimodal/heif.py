@@ -242,18 +242,24 @@ def _decode_handle(lib: ctypes.CDLL, handle: c_void_p) -> HeifImage:
 
 
 def _read_context(lib: ctypes.CDLL, content: bytes):
+    """Parse `content` (bytes) into a heif_context. The caller must keep
+    the RETURNED BYTES OBJECT alive as long as the context (without_copy
+    semantics) — ctypes passes the bytes' internal buffer straight to
+    libheif, no Python-side copy."""
     ctx = lib.heif_context_alloc()
     if not ctx:
         raise MemoryError("heif_context_alloc returned NULL")
-    buf = ctypes.create_string_buffer(content, len(content))
     try:
         _check(lib.heif_context_read_from_memory_without_copy(
-            ctx, buf, len(content), None), "read_from_memory")
-    except ValueError:
+            ctx, content, len(content), None), "read_from_memory")
+    except Exception:
+        # _check raises ValueError OR NotImplementedError (unsupported
+        # format); either way the native context must not leak — a
+        # long-lived executor decoding a mixed corpus would otherwise
+        # grow unbounded native memory invisible to the Python GC
         lib.heif_context_free(ctx)
         raise
-    # the string buffer must outlive the context (without_copy semantics)
-    return ctx, buf
+    return ctx, content
 
 
 def decode_heif(content: bytes) -> HeifImage:

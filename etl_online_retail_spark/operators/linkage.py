@@ -255,6 +255,14 @@ def qgram_fuzzy_pairs(df: DataFrame, key_col: str, name_col: str,
       afterwards from the (output-bound) base relation, so the shuffle
       carries two longs per candidate instead of two name strings.
 
+    Precondition (shared with every linkage entry point but load-bearing
+    for the keys-only distinct specifically): `key_col` is a RECORD KEY —
+    unique per row, one name per key. The re-attachment join relies on
+    keys determining names; duplicate keys would fan the join back out
+    (and with conflicting names, attach names the candidate never
+    matched). All call sites pass p_partkey or the contraction's
+    distinct (block, name) struct, both unique by construction.
+
     Measured at sf0.1 (20k parts, 64 distinct names, 25 brands —
     deliberately repeat-heavy): the position+length filters cut the
     3.70M-row candidate fan-out by 13% and the keys-only distinct the
