@@ -180,8 +180,26 @@ def main() -> None:
         (contracted_fuzzy_pairs(p, "p_partkey", "p_name", "p_brand")
          .write.format("noop").mode("overwrite").save())
 
+    def fuzzy_qgram():
+        from etl_online_retail_spark.operators.linkage import (
+            qgram_fuzzy_pairs,
+        )
+
+        # capped like the naive join: replication multiplies COPIES of
+        # each (brand, name), and the qgram candidate join is per-copy —
+        # copy multiplicity is its documented quadratic term (the
+        # position filter prunes pairs, not copies; see the linkage.py
+        # docstring measurement). contracted(strategy="qgram") below is
+        # the uncapped scale path.
+        p = replicate(load_table(spark, "part", SF_DIR), fuzzy_factor,
+                      {"p_partkey": 10_000_000})
+        (qgram_fuzzy_pairs(p, "p_partkey", "p_name", "p_brand")
+         .write.format("noop").mode("overwrite").save())
+
     timed(f"bigram LM @ {factor}x", bigram)
     timed(f"blocked fuzzy (per-block quadratic) @ {fuzzy_factor}x", fuzzy)
+    timed(f"qgram fuzzy (prefix-filtered exact) @ {fuzzy_factor}x",
+          fuzzy_qgram)
     timed(f"contracted fuzzy (cardinality-bound) @ {factor}x",
           fuzzy_contracted)
 
