@@ -66,8 +66,26 @@ def _build_star_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.sum("_rev").alias("revenue")))
 
 
+def _build_ship_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue + row count by ship DATE: the calendar-hierarchy grain.
+
+    One map-side-combined pass over lineitem into ~|distinct ship dates|
+    rows (a few thousand for years of data — independent of fact size).
+    Both measures are composable partials: the DECIMAL revenue sum
+    re-aggregates exactly at any coarser calendar grain (year/month/day
+    are functions of the date), and the row COUNT re-aggregates as a
+    sum of counts — so this one view serves the whole y/m/d hierarchy
+    incl. ROLLUP shapes bit-identically to the base plan.
+    """
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    return (li.groupBy(F.col("l_shipdate").alias("ship_date"))
+              .agg(F.sum(money.net_revenue()).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_rows")))
+
+
 MATVIEWS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "star_month_rollup": _build_star_month_rollup,
+    "ship_day_rollup": _build_ship_day_rollup,
 }
 
 # Navigator metadata: each view's GRAIN (the columns it is grouped by)
@@ -80,6 +98,10 @@ MATVIEW_META: dict[str, dict] = {
     "star_month_rollup": {
         "grain": ("nationkey", "month_start"),
         "measures": {"revenue": "revenue"},
+    },
+    "ship_day_rollup": {
+        "grain": ("ship_date",),
+        "measures": {"revenue": "revenue", "n_rows": "n_rows"},
     },
 }
 

@@ -141,6 +141,23 @@ def q_date_bounds(spark, sf_dir):
     "A1,T2,P6",
 )
 def q_revenue_by_ymd(spark, sf_dir):
+    # Aggregate-navigator rewrite (operators/matview.py): y/m/d are
+    # functions of the ship DATE, so the day-grain rollup's exact
+    # decimal partials re-aggregate bit-identically — a ~2.5k-row scan
+    # instead of the fact table. Base plan below stays the oracle path
+    # (the driver never stages views); equality pinned in
+    # tests/test_matview.py.
+    mv = matview.serve(spark, sf_dir, "ship_day_rollup")
+    if mv is not None:
+        # (year, month, day) is a BIJECTION of the ship date, so the
+        # day-grain view already sits at this query's grain: a pure
+        # projection, no re-aggregation, no exchange — one map stage
+        # over ~2.5k rows
+        return mv.select(
+            F.year("ship_date").cast("int").alias("year"),
+            F.month("ship_date").cast("int").alias("month"),
+            F.dayofmonth("ship_date").cast("int").alias("day"),
+            F.col("revenue").cast("double").alias("revenue"))
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy(
                 F.year("l_shipdate").cast("int").alias("year"),
@@ -160,6 +177,15 @@ def q_revenue_by_ymd(spark, sf_dir):
     "A5",
 )
 def q_revenue_rollup(spark, sf_dir):
+    # Deliberately NOT rewritten onto ship_day_rollup: the ROLLUP over
+    # the day partials is exact (sums of revenue partials + sums of
+    # counts — tests/test_matview.py pins the equality) but measured
+    # SLOWER here (0.289 s vs 0.221 s base at sf0.1: the rollup's
+    # grouping-set expansion pays the same fixed two-stage cost either
+    # way and the cached 600k-row base scan is already cheap). At
+    # cluster scale the navigator substitution wins; the registered
+    # query keeps the measured-faster local plan per the
+    # measure-don't-guess rule.
     li = _t(spark, sf_dir, "lineitem")
     return (li.select(
                 F.year("l_shipdate").cast("int").alias("year"),

@@ -48,6 +48,68 @@ def test_star_rollup_serves_and_matches_base(spark, staged_matview):
     assert served.columns == base.columns
 
 
+def _calendar_rows(df, keycols):
+    # ROLLUP subtotal rows carry NULL keys: sort None-safely
+    return sorted((tuple((r[k] is None, r[k] or 0) for k in keycols),
+                   round(r["revenue"], 6),
+                   r["n_rows"] if "n_rows" in df.columns else None)
+                  for r in df.collect())
+
+
+def test_ship_day_rollup_serves_revenue_by_ymd(spark, staged_matview):
+    """revenue_by_ymd rewrites onto the day-grain view as a PURE
+    PROJECTION ((year, month, day) is a bijection of the ship date —
+    no re-aggregation, no exchange), bit-identical to the base fact
+    scan."""
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    build = _REGISTRY["revenue_by_ymd"].build
+    served = build(spark, SF_SMALL)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # projection-only rewrite: no Exchange ABOVE the cached view scan
+    # (the InMemoryRelation's embedded lineage text still shows the
+    # view's own build exchange, which never executes here)
+    assert "Exchange" not in plan.split("InMemoryRelation")[0]
+    got = _calendar_rows(served, ("year", "month", "day"))
+    spark.conf.unset(matview.MATVIEW_DIR_CONF)
+    try:
+        base = build(spark, SF_SMALL)
+        assert served.columns == base.columns
+        assert [f.dataType for f in served.schema.fields] == \
+               [f.dataType for f in base.schema.fields]
+        assert got == _calendar_rows(base, ("year", "month", "day"))
+    finally:
+        spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
+
+
+def test_ship_day_rollup_composes_under_rollup(spark, staged_matview):
+    """The ROLLUP shape composes from the day partials too (revenue AND
+    the count measure) — pinned against the base plan even though the
+    registered revenue_rollup query deliberately keeps its base plan
+    (measured faster at this scale; see workload.py comment). This is
+    what keeps the navigator substitution sound if a future scale tips
+    the decision the other way."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    mv = matview.serve(spark, SF_SMALL, "ship_day_rollup")
+    assert mv is not None
+    served = (mv.select(F.year("ship_date").cast("int").alias("year"),
+                        F.month("ship_date").cast("int").alias("month"),
+                        "revenue", "n_rows")
+              .rollup("year", "month")
+              .agg(F.sum("revenue").cast("double").alias("revenue"),
+                   F.sum("n_rows").alias("n_rows")))
+    base = _REGISTRY["revenue_rollup"].build(spark, SF_SMALL)
+    assert served.columns == base.columns
+    assert [f.dataType for f in served.schema.fields] == \
+           [f.dataType for f in base.schema.fields]
+    assert _calendar_rows(served, ("year", "month")) == \
+           _calendar_rows(base, ("year", "month"))
+
+
 def test_serve_refuses_other_directory(spark, staged_matview):
     assert matview.serve(spark, "/root/testdata/sf0.01",
                          "star_month_rollup") is None
