@@ -83,9 +83,27 @@ def _build_ship_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count(F.lit(1)).alias("n_rows")))
 
 
+def _build_product_revenue_rollup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Revenue + row count by product NAME: the reference dashboard's
+    top-products chart grain (its Superset slice is GROUP BY p_name).
+    Cardinality = |distinct product names| — a reporting grain, not a
+    fact grain — built with one broadcast dim lookup and one
+    map-side-combined pass over lineitem."""
+    li = catalog.load_table(spark, "lineitem", sf_dir)
+    p = catalog.load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_name")
+    return (li.join(joins.size_guarded_broadcast(p),
+                    li.l_partkey == p.p_partkey)
+              .groupBy("p_name")
+              .agg(F.sum(money.net_revenue()).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_rows")))
+
+
 MATVIEWS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "star_month_rollup": _build_star_month_rollup,
     "ship_day_rollup": _build_ship_day_rollup,
+    "product_revenue_rollup": _build_product_revenue_rollup,
 }
 
 # Navigator metadata: each view's GRAIN (the columns it is grouped by)
@@ -101,6 +119,10 @@ MATVIEW_META: dict[str, dict] = {
     },
     "ship_day_rollup": {
         "grain": ("ship_date",),
+        "measures": {"revenue": "revenue", "n_rows": "n_rows"},
+    },
+    "product_revenue_rollup": {
+        "grain": ("p_name",),
         "measures": {"revenue": "revenue", "n_rows": "n_rows"},
     },
 }

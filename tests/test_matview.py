@@ -83,6 +83,28 @@ def test_ship_day_rollup_serves_revenue_by_ymd(spark, staged_matview):
         spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
 
 
+def test_product_rollup_serves_top_products(spark, staged_matview):
+    """top_products_by_revenue rewrites onto the product-name-grain view
+    (the reference dashboard's chart grain): sort-limit over |distinct
+    names| rows, identical rows AND order-determining values to the
+    base plan."""
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    build = _REGISTRY["top_products_by_revenue"].build
+    served = build(spark, SF_SMALL)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    got = [(r.p_name, round(r.revenue, 6)) for r in served.collect()]
+    spark.conf.unset(matview.MATVIEW_DIR_CONF)
+    try:
+        base = build(spark, SF_SMALL)
+        assert served.columns == base.columns
+        assert got == [(r.p_name, round(r.revenue, 6))
+                       for r in base.collect()]
+    finally:
+        spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
+
+
 def test_ship_day_rollup_composes_under_rollup(spark, staged_matview):
     """The ROLLUP shape composes from the day partials too (revenue AND
     the count measure) — pinned against the base plan even though the
