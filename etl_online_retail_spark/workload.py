@@ -102,6 +102,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "A2,P6",
 )
 def q_total_revenue(spark, sf_dir):
+    # Navigator rewrite: a global aggregate is the coarsest grain of
+    # all, so the ship-day rollup's partials compose trivially (sum of
+    # decimal sums, sum of counts) — ~2.5k rows in place of the fact
+    # scan. Base plan stays the oracle path.
+    mv = matview.serve(spark, sf_dir, "ship_day_rollup")
+    if mv is not None:
+        return mv.agg(
+            F.sum("revenue").cast("double").alias("total_revenue"),
+            F.sum("n_rows").alias("n_rows"),
+        )
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         money.sum_money(money.net_revenue(), "total_revenue"),

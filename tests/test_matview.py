@@ -83,6 +83,26 @@ def test_ship_day_rollup_serves_revenue_by_ymd(spark, staged_matview):
         spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
 
 
+def test_ship_day_rollup_serves_global_aggregate(spark, staged_matview):
+    """total_revenue (a global SUM + COUNT) composes from the day
+    partials — the coarsest-grain case of the navigator's soundness
+    argument, bit-identical to the fact scan."""
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    build = _REGISTRY["total_revenue"].build
+    served = build(spark, SF_SMALL)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    got = served.collect()
+    spark.conf.unset(matview.MATVIEW_DIR_CONF)
+    try:
+        base = build(spark, SF_SMALL)
+        assert served.columns == base.columns
+        assert got == base.collect()
+    finally:
+        spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
+
+
 def test_product_rollup_serves_top_products(spark, staged_matview):
     """top_products_by_revenue rewrites onto the product-name-grain view
     (the reference dashboard's chart grain): sort-limit over |distinct
