@@ -175,6 +175,16 @@ def navigate(spark: SparkSession, sf_dir: str, dims: list[str],
     asserted in tests/test_matview.py. Measures come back still
     DECIMAL; consumers cast at the edge exactly as with the base plan.
 
+    One additional assumption for views BUILT WITH JOINS
+    (star_month_rollup joins orders+customer, product_revenue_rollup
+    joins part): serving a request coarser than the join dimension is
+    only exact when the join loses no fact rows — i.e. FK integrity
+    holds, which this warehouse enforces (operators/constraints.py's
+    check_warehouse FK rules ride every load). A deployment that
+    tolerates orphaned fact rows must register such views with the
+    orphans bucketed (left join + a sentinel key), or restrict them to
+    requests naming the join dimension.
+
     At 100 TB this is the difference between scanning the fact table
     and scanning a ~(25 x months)-row summary the incremental writer
     maintains — the navigator makes that substitution automatic for
