@@ -30,7 +30,29 @@ SUBSET = [
     "media_features",
     "virtual_dataset_window",
     "fact_table_build",
+    # r9: COUNT(DISTINCT pk) rewritten to COUNT(pk) — the oracle keeps
+    # the DISTINCT form, so this row re-proves the uniqueness premise
+    "customers_by_nation",
 ]
+
+
+def test_distinct_elimination_premise_holds(spark):
+    """The constraint-informed rewrite in customers_by_nation rests on
+    c_custkey being unique; assert the premise AND the two literal
+    forms' equality directly (beside the oracle row above)."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import load_table
+
+    c = load_table(spark, "customer", SF)
+    total, distinct = c.agg(
+        F.count("c_custkey"), F.countDistinct("c_custkey")).first()
+    assert total == distinct
+    per_nation = (c.groupBy("c_nationkey")
+                  .agg(F.count("c_custkey").alias("a"),
+                       F.countDistinct("c_custkey").alias("b"))
+                  .filter("a <> b").count())
+    assert per_nation == 0
 
 
 @pytest.fixture(scope="module")
