@@ -142,21 +142,59 @@ def _bind(lib: ctypes.CDLL) -> None:
         fn.argtypes = argtypes
 
 
-# heif_error_code values that mean "this build can't handle the format",
-# not "the payload is corrupt": Unsupported_filetype=3, Unsupported_feature=4
-_UNSUPPORTED_CODES = (3, 4)
+# heif_error_code 4 (Unsupported_feature) always means "this build can't
+# handle the format". Code 3 (Unsupported_filetype) is AMBIGUOUS: libheif
+# also reports structurally-corrupt payloads as 3 depending on where
+# parsing dies, so mapping 3 unconditionally to NotImplementedError would
+# let quarantine flows that treat capability gaps as skippable silently
+# pass over corrupt data (r10 advice). _check therefore maps only 4 by
+# itself; the payload-reading entry points classify 3 via the brand sniff
+# + per-format codec probes (_unsupported_filetype_class).
+_CODE_UNSUPPORTED_FILETYPE = 3
+_CODE_UNSUPPORTED_FEATURE = 4
+
+# ftyp brand -> compression format, for classifying code-3 errors. The
+# structural brands (mif1/msf1) name no codec, so a code-3 on them stays
+# a capability gap (we cannot prove the payload is corrupt rather than
+# carrying a codec this build lacks).
+_BRAND_FORMAT = {b"avif": COMPRESSION_AV1, b"avis": COMPRESSION_AV1,
+                 b"heic": COMPRESSION_HEVC, b"heix": COMPRESSION_HEVC,
+                 b"hevc": COMPRESSION_HEVC, b"hevx": COMPRESSION_HEVC}
 
 
-def _check(err: _HeifError, what: str) -> None:
+def _check(err: _HeifError, what: str,
+           unsupported_filetype: type | None = None) -> None:
+    """Raise on a non-zero heif_error. `unsupported_filetype` is the
+    exception class for code 3 when the caller has classified the payload
+    (corrupt -> ValueError, genuine capability gap ->
+    NotImplementedError); without a classification code 3 defaults to
+    ValueError — the loud, quarantinable surface."""
     if err.code != 0:
         msg = (err.message or b"").decode("utf-8", "replace")
         text = (f"libheif {what} failed (code {err.code}/"
                 f"{err.subcode}): {msg}")
-        if err.code in _UNSUPPORTED_CODES:
-            # the repo's honest-boundary convention: capability gaps are
-            # NotImplementedError, corrupt input is ValueError
+        if err.code == _CODE_UNSUPPORTED_FEATURE:
             raise NotImplementedError(text)
+        if (err.code == _CODE_UNSUPPORTED_FILETYPE
+                and unsupported_filetype is not None):
+            raise unsupported_filetype(text)
         raise ValueError(text)
+
+
+def _unsupported_filetype_class(content: bytes) -> type:
+    """The honest exception class for a code-3 parse failure on `content`:
+    a payload whose sniffed brand's codec IS linked in this build cannot
+    be "unsupported" — it is corrupt (ValueError); a foreign filetype or
+    a brand whose codec this build lacks is a capability gap
+    (NotImplementedError)."""
+    if not is_heif(content):
+        return NotImplementedError
+    fmt = _BRAND_FORMAT.get(content[8:12])
+    lib = _load()
+    if (fmt is not None and lib is not None
+            and bool(lib.heif_have_decoder_for_format(fmt))):
+        return ValueError
+    return NotImplementedError
 
 
 def heif_available() -> bool:
@@ -179,6 +217,44 @@ def avif_available() -> bool:
 def heic_available() -> bool:
     """libheif present AND an HEVC decoder + encoder plugin linked."""
     return _format_available(COMPRESSION_HEVC)
+
+
+_ROUNDTRIP_EXACT: dict[int, bool] = {}
+
+
+def format_roundtrip_exact(fmt: int) -> bool:
+    """One ACTUAL encode+decode of a solid frame, checked bit-exact.
+
+    The avif_image_stats oracle's closed form rests on solid frames
+    surviving quality-100 lossy encoding exactly — measured on this
+    container's libheif 1.15.1 + aom/dav1d, but a build with a different
+    default encoder (rav1e/SvtAv1) or different default params need not
+    preserve it (r10 advice). Gating oracle registration on this probe
+    instead of plugin PRESENCE (avif_available) means such a build
+    degrades to "query unregistered" instead of a hash-red oracle row.
+    Probed once per format per process (~10 ms); any failure — inexact
+    pixels, wrong dims, or an exception — reads as inexact.
+    """
+    if fmt in _ROUNDTRIP_EXACT:
+        return _ROUNDTRIP_EXACT[fmt]
+    ok = False
+    if _format_available(fmt):
+        try:
+            w, h, v = 8, 6, 128
+            px = bytes([v]) * (w * h * 3)
+            img = decode_heif(_encode(fmt, px, w, h, quality=100))
+            ok = (img.width, img.height, img.channels) == (w, h, 3) \
+                and img.pixels == px
+        except Exception:
+            ok = False
+    _ROUNDTRIP_EXACT[fmt] = ok
+    return ok
+
+
+def avif_oracle_exact() -> bool:
+    """avif_available() AND the solid round trip measured bit-exact —
+    the registration gate for avif_image_stats' closed-form oracle."""
+    return format_roundtrip_exact(COMPRESSION_AV1)
 
 
 def _require() -> ctypes.CDLL:
@@ -251,7 +327,8 @@ def _read_context(lib: ctypes.CDLL, content: bytes):
         raise MemoryError("heif_context_alloc returned NULL")
     try:
         _check(lib.heif_context_read_from_memory_without_copy(
-            ctx, content, len(content), None), "read_from_memory")
+            ctx, content, len(content), None), "read_from_memory",
+            unsupported_filetype=_unsupported_filetype_class(content))
     except Exception:
         # _check raises ValueError OR NotImplementedError (unsupported
         # format); either way the native context must not leak — a

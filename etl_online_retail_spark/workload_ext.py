@@ -2101,12 +2101,17 @@ if _libwebp_available():
 # ordinary image_features path, no tolerance column. HEIC (HEVC via
 # x265/de265) shares the binding and is exercised in the pytest suite
 # (x265's ~25 ms/frame setup cost makes it a test fixture, not a bench
-# row). Registration is conditional on the library, like webp_lossy.
+# row). Registration is conditional not just on the library being
+# present (like webp_lossy) but on a MEASURED solid round trip being
+# bit-exact (heif.avif_oracle_exact, r10): a libheif build with a
+# different AV1 encoder/default params need not preserve solid frames
+# at quality 100, and that build should degrade to "unregistered"
+# rather than a hash-red oracle row.
 from etl_online_retail_spark.multimodal.heif import (  # noqa: E402
-    avif_available as _avif_available,
+    avif_oracle_exact as _avif_oracle_exact,
 )
 
-if _avif_available():
+if _avif_oracle_exact():
     @register(
         "avif_image_stats",
         "SELECT doc_id AS media_id, "

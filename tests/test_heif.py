@@ -119,17 +119,54 @@ def test_unavailable_library_raises_honestly(monkeypatch):
 
 
 @needs_avif
-def test_corrupt_payload_raises_loudly():
-    """Garbage after a valid ftyp raises, never returns garbage pixels.
-    libheif reports structural garbage as Unsupported_filetype (mapped
-    to NotImplementedError) or Invalid_input (ValueError) depending on
-    where parsing dies, so either error class is the honest surface —
-    NotImplementedError is pytest's ValueError sibling here, both carry
-    the libheif code/subcode text."""
-    with pytest.raises((ValueError, NotImplementedError), match="libheif"):
+def test_corrupt_payload_raises_valueerror():
+    """Garbage after a valid ftyp raises ValueError SPECIFICALLY — never
+    garbage pixels, and never NotImplementedError: libheif reports
+    structural garbage as code 3 (Unsupported_filetype) depending on
+    where parsing dies, but a brand whose codec IS linked cannot be
+    "unsupported", so the r10 classification maps it to the corrupt-input
+    class. Quarantine flows that skip capability gaps must not skip
+    corrupt data."""
+    with pytest.raises(ValueError, match="libheif"):
         heif.decode_heif(b"\x00\x00\x00\x18ftypavif" + b"\x00" * 64)
-    with pytest.raises((ValueError, NotImplementedError), match="libheif"):
+    with pytest.raises(ValueError, match="libheif"):
         heif.decode_heif(b"\x00\x00\x00\x18ftypavif")  # truncated box
+
+
+def test_foreign_filetype_is_a_capability_gap():
+    """A code-3 parse failure on a structural brand naming NO codec
+    (mif1) stays NotImplementedError under the classification: we cannot
+    prove it corrupt rather than carrying a format this build lacks. A
+    payload that is not HEIF at all never reaches code 3 — libheif
+    reports it as Invalid_input (code 2), which is plain ValueError (the
+    dispatch layer never routes such bytes here anyway)."""
+    if not heif.heif_available():
+        pytest.skip("libheif not in environment")
+    with pytest.raises(NotImplementedError, match="libheif"):
+        heif.decode_heif(b"\x00\x00\x00\x18ftypmif1" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="libheif"):
+        heif.decode_heif(b"GIF89a" + b"\x00" * 32)   # foreign filetype
+
+
+@needs_avif
+def test_avif_oracle_probe_measures_roundtrip():
+    """The registration gate is a MEASURED round trip, not plugin
+    presence: exact in this container; False when the library is gone
+    (and, by construction, when a different encoder build breaks the
+    solid-frame exactness)."""
+    heif._ROUNDTRIP_EXACT.clear()
+    try:
+        assert heif.avif_oracle_exact()
+        assert heif._ROUNDTRIP_EXACT[heif.COMPRESSION_AV1]  # cached
+    finally:
+        heif._ROUNDTRIP_EXACT.clear()
+
+
+def test_avif_oracle_probe_false_without_library(monkeypatch):
+    monkeypatch.setattr(heif, "_LIB", None)
+    monkeypatch.setattr(heif, "_LOAD_ERR", "forced by test")
+    monkeypatch.setattr(heif, "_ROUNDTRIP_EXACT", {})
+    assert not heif.avif_oracle_exact()
 
 
 @needs_avif

@@ -69,7 +69,11 @@ def test_ship_day_rollup_serves_revenue_by_ymd(spark, staged_matview):
     assert "InMemoryTableScan" in plan
     # projection-only rewrite: no Exchange ABOVE the cached view scan
     # (the InMemoryRelation's embedded lineage text still shows the
-    # view's own build exchange, which never executes here)
+    # view's own build exchange, which never executes here). Assert the
+    # token is actually present first, so a Spark plan-rendering change
+    # fails loudly instead of silently checking the whole string (r10
+    # advice).
+    assert "InMemoryRelation" in plan
     assert "Exchange" not in plan.split("InMemoryRelation")[0]
     got = _calendar_rows(served, ("year", "month", "day"))
     spark.conf.unset(matview.MATVIEW_DIR_CONF)
