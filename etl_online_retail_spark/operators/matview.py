@@ -5,31 +5,45 @@ classic warehouse answer for a fixed star-join dashboard query is a
 month-grain summary table maintained alongside the fact load (the
 "aggregate navigator" pattern). This module is the engine-side version:
 
-- A registry of *view definitions* — each a deterministic builder from the
-  base catalog tables, with exact DECIMAL partial sums so any further
-  re-aggregation composes exactly (sum-of-sums; see functions/money.py).
-- A stager (bench.stage_tables, or a user pipeline) calls
-  :func:`materialize` after loading the warehouse; it publishes the layout
-  via ``spark.graft.matview.dir`` exactly like the co-bucketed fact layout
-  (catalog.BUCKETED_DIR_CONF).
-- Queries opt in through :func:`serve`: when the view for the *same*
-  source directory is published they rewrite onto the summary relation,
-  otherwise they run their base-table plan unchanged — so the oracle
-  correctness gate always exercises the base plan, and
-  tests/test_matview.py pins view-plan == base-plan equality.
+- A registry of *view definitions* — each a deterministic aggregation of
+  a per-row FACT INPUT (grain columns + an exact DECIMAL value term), so
+  any further re-aggregation composes exactly (sum-of-sums; see
+  functions/money.py).
+- PERSISTED STORAGE (r10): each view is a managed parquet table in the
+  incremental partial-aggregate layout (streaming/ingest.py —
+  `_batch_id`-partitioned (count, decimal sum) partials), written by
+  :func:`materialize` for a full refresh and maintained under multi-batch
+  loads by :func:`append_batch` / :func:`maintain_incremental` with the
+  ingest writer's replay-safety and crash-safe autocompaction verbatim.
+- :func:`publish` registers the serving relations (the merged effective
+  partials, cached) and announces the layout via ``spark.graft.matview
+  .dir`` exactly like the co-bucketed fact layout (catalog
+  .BUCKETED_DIR_CONF). Because the table is on disk, a new session
+  publishes WITHOUT rebuilding — the cache was the round-9 stopgap, the
+  written table is the warehouse design.
+- Queries opt in through :func:`serve` / :func:`navigate`: when the view
+  for the *same* source directory is published they rewrite onto the
+  summary relation, otherwise they run their base-table plan unchanged —
+  so the driver's oracle gate always exercises the base plan,
+  tests/test_matview.py pins view-plan == base-plan equality (including
+  after multi-batch maintenance with a replayed batch), and
+  `scripts/verify_local.py --staged` hash-checks the SERVED plans
+  directly against DuckDB.
 
-Scale story (100 TB): the rollup's grain is (nation, month) — cardinality
-~25 x months, *independent of fact size* — and it is exactly the shape the
-incremental partial-aggregate writer (streaming/ingest.incremental_append +
-compact_incremental_agg) maintains under continuous loads: append partial
-decimal sums per batch, compact by key. A 1000-executor cluster refreshes
-it with one map-side-combined pass over the day's partition, and the
-dashboard query never touches the fact table.
+Scale story (100 TB): the grains are independent of fact size (ship day:
+~2.5k rows; product name: |distinct names|; (nation, month): ~25 x
+months). A 1000-executor cluster refreshes a view with one map-side-
+combined pass over the day's new partition (append_batch), the nightly
+compaction folds partials (compact), and the dashboard query never
+touches the fact table.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,110 +51,274 @@ from pyspark.sql import functions as F
 
 from etl_online_retail_spark import catalog
 from etl_online_retail_spark.functions import money
-from etl_online_retail_spark.operators import joins
 from etl_online_retail_spark.functions.datetime_fns import month_start
+from etl_online_retail_spark.operators import joins
+from etl_online_retail_spark.streaming import ingest
 
 MATVIEW_DIR_CONF = "spark.graft.matview.dir"
 MATVIEW_PREFIX = "graft_mv"
 
+# net_revenue() is decimal(18,2) * decimal(18,4) = decimal(37,6); its SUM
+# is decimal(38,6). The partial layout must keep that exact scale — the
+# ingest default (money's 2-decimal scale) would round scale-6 terms and
+# break the bit-identical view == base-plan contract.
+_MV_VALUE_TYPE = "decimal(38,6)"
+_MV_SUM_TYPE = "decimal(38,6)"
 
-def _build_star_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue by (customer nation, order month): the star dashboard grain.
 
-    Exact-decimal partial sums at a grain functionally determined by
-    (c_nationkey, month(o_orderdate)) — joining nation for display names
-    is 1:1, so serving queries need no re-aggregation, only a broadcast
-    dim lookup. Revenue stays DECIMAL here; consumers cast at the edge.
-    """
-    li = catalog.load_table(spark, "lineitem", sf_dir)
+def _lineitem(spark: SparkSession, sf_dir: str,
+              batch: DataFrame | None) -> DataFrame:
+    return batch if batch is not None \
+        else catalog.load_table(spark, "lineitem", sf_dir)
+
+
+def _star_month_input(spark: SparkSession, sf_dir: str,
+                      batch: DataFrame | None = None) -> DataFrame:
+    """Fact input at (customer nation, order month): the star dashboard
+    grain. Revenue is pre-aggregated per ORDER below the join — every
+    grain attribute is functionally determined by the orderkey, so the
+    exact decimal sum splits into sum-of-sums and the join probe shrinks
+    ~4x (lineitems per order); on the bucketed staged layout the orderkey
+    groupBy needs no shuffle. Incremental batches join the same
+    orders/customer relations; at cluster scale that lookup prunes to the
+    batch's keys on the co-bucketed orderkey layout."""
+    li = _lineitem(spark, sf_dir, batch)
     o = catalog.load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey", "o_orderdate")
     c = catalog.load_table(spark, "customer", sf_dir).select(
         "c_custkey", "c_nationkey")
     per_order = (li.groupBy("l_orderkey")
-                   .agg(F.sum(money.net_revenue()).alias("_rev")))
+                   .agg(F.sum(money.net_revenue()).alias("_v")))
     return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
               .join(joins.size_guarded_broadcast(c), o.o_custkey == c.c_custkey)
-              .groupBy(F.col("c_nationkey").alias("nationkey"),
-                       month_start("o_orderdate").alias("month_start"))
-              .agg(F.sum("_rev").alias("revenue")))
+              .select(F.col("c_nationkey").alias("nationkey"),
+                      month_start("o_orderdate").alias("month_start"),
+                      "_v"))
 
 
-def _build_ship_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue + row count by ship DATE: the calendar-hierarchy grain.
-
-    One map-side-combined pass over lineitem into ~|distinct ship dates|
-    rows (a few thousand for years of data — independent of fact size).
-    Both measures are composable partials: the DECIMAL revenue sum
-    re-aggregates exactly at any coarser calendar grain (year/month/day
-    are functions of the date), and the row COUNT re-aggregates as a
-    sum of counts — so this one view serves the whole y/m/d hierarchy
-    incl. ROLLUP shapes bit-identically to the base plan.
-    """
-    li = catalog.load_table(spark, "lineitem", sf_dir)
-    return (li.groupBy(F.col("l_shipdate").alias("ship_date"))
-              .agg(F.sum(money.net_revenue()).alias("revenue"),
-                   F.count(F.lit(1)).alias("n_rows")))
+def _ship_day_input(spark: SparkSession, sf_dir: str,
+                    batch: DataFrame | None = None) -> DataFrame:
+    """Fact input at ship DATE: the calendar-hierarchy grain (~|distinct
+    ship dates| keys — a few thousand for years of data, independent of
+    fact size). The row count rides as the partial `_n`, so the one view
+    serves the whole y/m/d hierarchy incl. ROLLUP shapes and the global
+    aggregate bit-identically."""
+    li = _lineitem(spark, sf_dir, batch)
+    return li.select(F.col("l_shipdate").alias("ship_date"),
+                     money.net_revenue().alias("_v"))
 
 
-def _build_product_revenue_rollup(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
-    """Revenue + row count by product NAME: the reference dashboard's
-    top-products chart grain (its Superset slice is GROUP BY p_name).
-    Cardinality = |distinct product names| — a reporting grain, not a
-    fact grain — built with one broadcast dim lookup and one
-    map-side-combined pass over lineitem."""
-    li = catalog.load_table(spark, "lineitem", sf_dir)
+def _product_input(spark: SparkSession, sf_dir: str,
+                   batch: DataFrame | None = None) -> DataFrame:
+    """Fact input at product NAME: the reference dashboard's top-products
+    chart grain (its Superset slice is GROUP BY p_name). One broadcast
+    dim lookup per load/batch."""
+    li = _lineitem(spark, sf_dir, batch)
     p = catalog.load_table(spark, "part", sf_dir).select(
         "p_partkey", "p_name")
     return (li.join(joins.size_guarded_broadcast(p),
                     li.l_partkey == p.p_partkey)
-              .groupBy("p_name")
-              .agg(F.sum(money.net_revenue()).alias("revenue"),
-                   F.count(F.lit(1)).alias("n_rows")))
+              .select("p_name", money.net_revenue().alias("_v")))
 
 
-MATVIEWS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "star_month_rollup": _build_star_month_rollup,
-    "ship_day_rollup": _build_ship_day_rollup,
-    "product_revenue_rollup": _build_product_revenue_rollup,
+# name -> fact-input builder (spark, sf_dir, lineitem_batch|None) ->
+# DataFrame(grain columns + `_v` exact-decimal value term). None = the
+# full catalog lineitem (a full refresh); a DataFrame = one incremental
+# batch of new lineitem rows.
+MATVIEW_INPUTS: dict[str, Callable[..., DataFrame]] = {
+    "star_month_rollup": _star_month_input,
+    "ship_day_rollup": _ship_day_input,
+    "product_revenue_rollup": _product_input,
 }
 
-# Navigator metadata: each view's GRAIN (the columns it is grouped by)
-# and the measures it carries as exact-decimal PARTIAL sums. A measure
-# kept as a decimal partial re-aggregates exactly at any coarser grain
-# (sum-of-sums — the money.py discipline), which is what makes automatic
-# rewrite SOUND: the navigator only ever rolls partials up, never
-# apportions them down.
+# Navigator metadata: each view's GRAIN (the columns it is grouped by),
+# the measures it carries as exact-decimal PARTIAL sums, and how each
+# measure is stored in the partial layout (`_sum` = decimal revenue
+# partial, `_n` = count partial). A measure kept as a decimal partial
+# re-aggregates exactly at any coarser grain (sum-of-sums — the money.py
+# discipline), which is what makes automatic rewrite SOUND: the
+# navigator only ever rolls partials up, never apportions them down.
 MATVIEW_META: dict[str, dict] = {
     "star_month_rollup": {
         "grain": ("nationkey", "month_start"),
         "measures": {"revenue": "revenue"},
+        "storage": {"revenue": "_sum"},
     },
     "ship_day_rollup": {
         "grain": ("ship_date",),
         "measures": {"revenue": "revenue", "n_rows": "n_rows"},
+        "storage": {"revenue": "_sum", "n_rows": "_n"},
     },
     "product_revenue_rollup": {
         "grain": ("p_name",),
         "measures": {"revenue": "revenue", "n_rows": "n_rows"},
+        "storage": {"revenue": "_sum", "n_rows": "_n"},
     },
 }
 
 
-def materialize(spark: SparkSession, sf_dir: str,
-                names: list[str] | None = None) -> None:
-    """Build + cache the registered views for one source directory.
+def _logical_view(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    """The view's one-shot logical definition (input -> grain aggregate)
+    — the recompute-from-base reference the maintained table must equal."""
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        meta = MATVIEW_META[name]
+        inp = MATVIEW_INPUTS[name](spark, sf_dir)
+        aggs = [F.sum("_v").alias("revenue")]
+        if "n_rows" in meta["measures"]:
+            aggs.append(F.count(F.lit(1)).alias("n_rows"))
+        return inp.groupBy(*meta["grain"]).agg(*aggs)
+    return build
 
-    Caching (rather than writing parquet) matches the bench's warm-
-    warehouse regime; a production pipeline would write a managed table
-    and refresh it incrementally (see module docstring).
-    """
-    for name in (names or list(MATVIEWS)):
-        df = MATVIEWS[name](spark, sf_dir)
-        df.createOrReplaceTempView(f"{MATVIEW_PREFIX}_{name}")
+
+MATVIEWS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: _logical_view(name) for name in MATVIEW_INPUTS
+}
+
+# Semantic-layer time dimensions: (dataset, fact time column) -> the
+# registered view grain column it maps onto, so the chart compiler
+# (plans/semantic.py) can route time-grain charts through navigate().
+SEMANTIC_TIME_DIMS: dict[tuple[str, str], str] = {
+    ("lineitem", "l_shipdate"): "ship_date",
+}
+
+
+# ---------------------------------------------------------------------------
+# storage layout
+
+
+def storage_dir_for(sf_dir: str, storage_dir: str | None = None) -> str:
+    """Root directory holding this warehouse's view tables. Keyed by the
+    absolute source path so two warehouses can never serve each other's
+    summaries even if both use the default location."""
+    if storage_dir is not None:
+        return storage_dir
+    key = hashlib.sha1(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "graft_matviews", key)
+
+
+def view_table_dir(sf_dir: str, name: str,
+                   storage_dir: str | None = None) -> str:
+    return os.path.join(storage_dir_for(sf_dir, storage_dir), name)
+
+
+# ---------------------------------------------------------------------------
+# write paths: full refresh, incremental batches, streaming maintenance
+
+
+def write_full(spark: SparkSession, sf_dir: str,
+               names: list[str] | None = None,
+               storage_dir: str | None = None) -> None:
+    """Full refresh: clear each view table and write the whole fact input
+    as the batch-0 partial. One map-side-combined pass per view."""
+    for name in (names or list(MATVIEW_INPUTS)):
+        table_dir = view_table_dir(sf_dir, name, storage_dir)
+        shutil.rmtree(table_dir, ignore_errors=True)
+        ingest.partial_agg_batch_write(
+            MATVIEW_INPUTS[name](spark, sf_dir), 0, table_dir,
+            list(MATVIEW_META[name]["grain"]), "_v",
+            value_type=_MV_VALUE_TYPE, sum_type=_MV_SUM_TYPE)
+
+
+def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
+                 batch_id: int, names: list[str] | None = None,
+                 storage_dir: str | None = None,
+                 max_partials: int | None = 8) -> None:
+    """Maintain the views under one incremental load of new lineitem
+    rows: write each view's partial for this batch (replay-safe — a
+    replayed batch_id overwrites exactly its own partials) and
+    autocompact when the partial count crosses the threshold (crash-safe,
+    ingest.autocompact_incremental_agg). Work is proportional to the
+    BATCH, never the accumulated fact."""
+    for name in (names or list(MATVIEW_INPUTS)):
+        table_dir = view_table_dir(sf_dir, name, storage_dir)
+        keys = list(MATVIEW_META[name]["grain"])
+        ingest.partial_agg_batch_write(
+            MATVIEW_INPUTS[name](spark, sf_dir, batch), batch_id,
+            table_dir, keys, "_v",
+            value_type=_MV_VALUE_TYPE, sum_type=_MV_SUM_TYPE)
+        if max_partials is not None and \
+                len(ingest._effective_partials(table_dir)) > max_partials:
+            ingest.autocompact_incremental_agg(spark, table_dir, keys,
+                                               sum_type=_MV_SUM_TYPE)
+
+
+def maintain_incremental(lineitem_stream: DataFrame, sf_dir: str,
+                         checkpoint_dir: str,
+                         names: list[str] | None = None,
+                         storage_dir: str | None = None,
+                         max_partials: int | None = 8):
+    """Maintain every registered view under a STREAM of new lineitem rows
+    — the production shape of the module docstring's claim: foreachBatch
+    routes each micro-batch through append_batch, inheriting the ingest
+    writer's exactly-once story (partials per `_batch_id`, replay
+    overwrites itself, crash-safe autocompaction). Call publish() after
+    the run (or on a schedule) to refresh the serving relations."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_batch(batch_df.sparkSession, sf_dir, batch_df, batch_id,
+                     names=names, storage_dir=storage_dir,
+                     max_partials=max_partials)
+
+    return (lineitem_stream.writeStream
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def compact(spark: SparkSession, sf_dir: str,
+            names: list[str] | None = None,
+            storage_dir: str | None = None) -> None:
+    """Nightly-compaction shape: fold each view's partials into one."""
+    for name in (names or list(MATVIEW_INPUTS)):
+        ingest.compact_incremental_agg(
+            spark, view_table_dir(sf_dir, name, storage_dir),
+            list(MATVIEW_META[name]["grain"]), sum_type=_MV_SUM_TYPE)
+
+
+# ---------------------------------------------------------------------------
+# serving
+
+
+def _serving_relation(spark: SparkSession, table_dir: str,
+                      name: str) -> DataFrame:
+    """Merge the effective partials into the view's serving schema.
+    Partition-prunes to the consistent read set (ingest's crash-window
+    contract), so in-flight compaction garbage never double-counts."""
+    meta = MATVIEW_META[name]
+    eff = ingest._effective_partials(table_dir)
+    aggs = [F.sum(stored).alias(measure)
+            for measure, stored in meta["storage"].items()]
+    return (spark.read.parquet(table_dir)
+            .filter(F.col("_batch_id").isin(eff))
+            .groupBy(*meta["grain"])
+            .agg(*aggs))
+
+
+def publish(spark: SparkSession, sf_dir: str,
+            names: list[str] | None = None,
+            storage_dir: str | None = None) -> None:
+    """Register (and cache) the serving relations off the WRITTEN tables
+    and announce the layout. Reading disk, not rebuilding: a fresh
+    session serves a warehouse another session maintained."""
+    for name in (names or list(MATVIEW_INPUTS)):
+        view = f"{MATVIEW_PREFIX}_{name}"
+        if spark.catalog.tableExists(view):
+            spark.table(view).unpersist()
+        df = _serving_relation(
+            spark, view_table_dir(sf_dir, name, storage_dir), name)
+        df.createOrReplaceTempView(view)
         df.cache().count()
     spark.conf.set(MATVIEW_DIR_CONF, os.path.abspath(sf_dir))
+
+
+def materialize(spark: SparkSession, sf_dir: str,
+                names: list[str] | None = None,
+                storage_dir: str | None = None) -> None:
+    """Full refresh + publish: the stager's one call (bench.stage_tables,
+    or a user pipeline after loading the warehouse)."""
+    write_full(spark, sf_dir, names=names, storage_dir=storage_dir)
+    publish(spark, sf_dir, names=names, storage_dir=storage_dir)
 
 
 def serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
@@ -187,8 +365,9 @@ def navigate(spark: SparkSession, sf_dir: str, dims: list[str],
 
     At 100 TB this is the difference between scanning the fact table
     and scanning a ~(25 x months)-row summary the incremental writer
-    maintains — the navigator makes that substitution automatic for
-    every dashboard-grain query instead of hand-wired per call site.
+    maintains (append_batch / maintain_incremental) — the navigator
+    makes that substitution automatic for every dashboard-grain query
+    instead of hand-wired per call site.
     """
     want_dims, want_measures = set(dims), set(measures)
     candidates = []

@@ -138,7 +138,9 @@ _PARTIAL_SUM_TYPE = "decimal(28,2)"
 
 def partial_agg_batch_write(batch_df: DataFrame, batch_id: int,
                             table_dir: str, key_cols: list[str],
-                            value_col: str) -> None:
+                            value_col: str,
+                            value_type: str = "decimal(18,2)",
+                            sum_type: str = _PARTIAL_SUM_TYPE) -> None:
     """Materialized-aggregate maintenance, replay-safe by construction.
 
     Summing a replayed batch into a running total double-counts; instead
@@ -148,11 +150,18 @@ def partial_agg_batch_write(batch_df: DataFrame, batch_id: int,
     which is exactly the map-side-combine shape Spark itself uses; the
     merge input is O(batches x keys), compacted by rewriting old batches
     into one partial when it grows.
+
+    value_type/sum_type override the money defaults when the maintained
+    measure carries a different exact scale (the matview layer sums
+    decimal(37,6) revenue terms, so it pins decimal(38,6) — see
+    operators/matview.py). ONE table must use one (value_type, sum_type)
+    pair for its whole life — the schema-pin rationale above the
+    _PARTIAL_SUM_TYPE constant applies to whatever type the table picked.
     """
     part = (batch_df.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("_n"),
-                 F.sum(F.col(value_col).cast("decimal(18,2)"))
-                 .cast(_PARTIAL_SUM_TYPE).alias("_sum")))
+                 F.sum(F.col(value_col).cast(value_type))
+                 .cast(sum_type).alias("_sum")))
     (part.withColumn("_batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -225,7 +234,8 @@ def _effective_partials(table_dir: str) -> list[int]:
 
 
 def autocompact_incremental_agg(spark, table_dir: str,
-                                key_cols: list[str]) -> None:
+                                key_cols: list[str],
+                                sum_type: str = _PARTIAL_SUM_TYPE) -> None:
     """Fold the effective partials into one compact partition, crash-safe
     at every step (safe to call from inside foreachBatch):
 
@@ -253,7 +263,7 @@ def autocompact_incremental_agg(spark, table_dir: str,
               .filter(F.col("_batch_id").isin(effective))
               .groupBy(*key_cols)
               .agg(F.sum("_n").alias("_n"),
-                   F.sum("_sum").cast(_PARTIAL_SUM_TYPE).alias("_sum"))
+                   F.sum("_sum").cast(sum_type).alias("_sum"))
               .withColumn("_batch_id", F.lit(new_id))
               .localCheckpoint(eager=True))  # reads the dir it overwrites
     (merged.write.mode("overwrite")
@@ -279,7 +289,8 @@ def read_incremental_agg(spark, table_dir: str,
 
 
 def compact_incremental_agg(spark, table_dir: str,
-                            key_cols: list[str]) -> None:
+                            key_cols: list[str],
+                            sum_type: str = _PARTIAL_SUM_TYPE) -> None:
     """Fold all per-batch partials into a single `_batch_id=-1` partition.
 
     Run periodically so the read-side merge input stays O(keys), not
@@ -290,7 +301,7 @@ def compact_incremental_agg(spark, table_dir: str,
     merged = (spark.read.parquet(table_dir)
               .groupBy(*key_cols)
               .agg(F.sum("_n").alias("_n"),
-                   F.sum("_sum").cast(_PARTIAL_SUM_TYPE).alias("_sum"))
+                   F.sum("_sum").cast(sum_type).alias("_sum"))
               .withColumn("_batch_id", F.lit(-1))
               .localCheckpoint(eager=True))  # reads the dir it overwrites
     merged.write.mode("overwrite").partitionBy("_batch_id").parquet(table_dir)

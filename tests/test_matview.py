@@ -219,6 +219,149 @@ def test_navigator_declines_uncovered_requests(spark, staged_matview):
         matview.materialize(spark, SF_SMALL)  # restore for fixture teardown
 
 
+def test_materialize_writes_managed_parquet(spark, tmp_path):
+    """materialize() persists each view as parquet in the incremental
+    partial-aggregate layout (not just a session cache): a FRESH publish
+    — no rebuild, simulating a new session over the same warehouse —
+    serves the written tables bit-identically to the base plans."""
+    import os
+
+    store = str(tmp_path / "mv_store")
+    matview.materialize(spark, SF_SMALL, storage_dir=store)
+    try:
+        for name in matview.MATVIEWS:
+            tdir = matview.view_table_dir(SF_SMALL, name, store)
+            assert os.path.isdir(os.path.join(tdir, "_batch_id=0"))
+
+        from etl_online_retail_spark.workload import _REGISTRY
+
+        build = _REGISTRY["star_revenue_by_nation_month"].build
+        got = _rows(build(spark, SF_SMALL))
+
+        # simulate a session restart: drop every serving relation and
+        # the layout conf, then publish FROM DISK only
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        for name in matview.MATVIEWS:
+            view = f"{matview.MATVIEW_PREFIX}_{name}"
+            spark.table(view).unpersist()
+            spark.catalog.dropTempView(view)
+        assert matview.serve(spark, SF_SMALL, "star_month_rollup") is None
+        matview.publish(spark, SF_SMALL, storage_dir=store)
+        assert _rows(build(spark, SF_SMALL)) == got
+
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        base = _rows(build(spark, SF_SMALL))
+        assert got == base
+    finally:
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        for name in matview.MATVIEWS:
+            view = f"{matview.MATVIEW_PREFIX}_{name}"
+            if spark.catalog.tableExists(view):
+                spark.table(view).unpersist()
+                spark.catalog.dropTempView(view)
+
+
+def test_multibatch_maintenance_equals_base_recompute(spark, tmp_path):
+    """The round-10 done-criterion: every registered view maintained
+    through >= 3 appended batches (plus a REPLAYED batch and an inline
+    autocompaction) serves the four rewritten dashboard queries
+    bit-identically to their base-table plans."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+    from etl_online_retail_spark.streaming.ingest import _list_partials
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    store = str(tmp_path / "mv_store")
+    li = catalog.load_table(spark, "lineitem", SF_SMALL)
+    # four disjoint "daily loads" (orders stay whole per batch, though
+    # the partial layout would compose exactly even if they didn't)
+    for b in range(4):
+        matview.append_batch(
+            spark, SF_SMALL,
+            li.filter(F.pmod(F.col("l_orderkey"), F.lit(4)) == b),
+            b, storage_dir=store, max_partials=2)
+    # a replayed load overwrites exactly its own partials
+    matview.append_batch(
+        spark, SF_SMALL,
+        li.filter(F.pmod(F.col("l_orderkey"), F.lit(4)) == 2),
+        2, storage_dir=store, max_partials=2)
+    # autocompaction engaged: partial count stayed bounded
+    for name in matview.MATVIEWS:
+        tdir = matview.view_table_dir(SF_SMALL, name, store)
+        assert len(_list_partials(tdir)) <= 3
+    matview.publish(spark, SF_SMALL, storage_dir=store)
+    try:
+        for qname in ("revenue_by_ymd", "total_revenue",
+                      "star_revenue_by_nation_month",
+                      "top_products_by_revenue"):
+            build = _REGISTRY[qname].build
+            served = build(spark, SF_SMALL)
+            plan = served._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, qname
+            got = sorted(map(tuple, served.collect()))
+            spark.conf.unset(matview.MATVIEW_DIR_CONF)
+            try:
+                base = build(spark, SF_SMALL)
+                assert served.columns == base.columns, qname
+                assert got == sorted(map(tuple, base.collect())), qname
+            finally:
+                spark.conf.set(matview.MATVIEW_DIR_CONF,
+                               os.path.abspath(SF_SMALL))
+    finally:
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        for name in matview.MATVIEWS:
+            view = f"{matview.MATVIEW_PREFIX}_{name}"
+            if spark.catalog.tableExists(view):
+                spark.table(view).unpersist()
+                spark.catalog.dropTempView(view)
+
+
+def test_streaming_maintenance_matches_full_refresh(spark, tmp_path):
+    """maintain_incremental: the views maintained by a multi-micro-batch
+    STREAM of lineitem rows (availableNow, one file per trigger) equal a
+    one-shot write_full of the same data — the production maintenance
+    path of the module docstring."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+    from etl_online_retail_spark.catalog import SCHEMAS
+
+    li = catalog.load_table(spark, "lineitem", SF_SMALL).cache()
+    sdir = str(tmp_path / "stream_src")
+    os.makedirs(sdir)
+    for b in range(3):
+        shard = li.filter(F.pmod(F.col("l_orderkey"), F.lit(3)) == b)
+        scratch = str(tmp_path / f"_s{b}")
+        shard.coalesce(1).write.parquet(scratch)
+        part = next(f for f in os.listdir(scratch)
+                    if f.endswith(".parquet"))
+        os.rename(os.path.join(scratch, part),
+                  os.path.join(sdir, f"s{b}.parquet"))
+
+    stream = (spark.readStream.schema(SCHEMAS["lineitem"])
+              .option("maxFilesPerTrigger", 1).parquet(sdir))
+    streamed = str(tmp_path / "mv_streamed")
+    q = matview.maintain_incremental(
+        stream, SF_SMALL, str(tmp_path / "ckpt"), storage_dir=streamed)
+    q.awaitTermination()
+
+    full = str(tmp_path / "mv_full")
+    matview.write_full(spark, SF_SMALL, storage_dir=full)
+
+    def rows(store, name):
+        tdir = matview.view_table_dir(SF_SMALL, name, store)
+        df = matview._serving_relation(spark, tdir, name)
+        return sorted(map(tuple, df.collect()))
+
+    for name in matview.MATVIEWS:
+        assert rows(streamed, name) == rows(full, name), name
+
+
 def test_navigator_serves_the_incrementally_maintained_rollup(spark, tmp_path):
     """Closes the maintenance loop: the star rollup maintained through
     the incremental partial-aggregate writer (multi-batch, replay-safe,
