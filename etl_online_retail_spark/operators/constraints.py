@@ -20,6 +20,50 @@ from pyspark.sql import functions as F
 from etl_online_retail_spark.sources.ddl import fk_violations  # noqa: F401  (re-export)
 
 
+# Declared single-column keys of the catalog relations — the TPC-H-shaped
+# schema contract mirroring the reference's PRIMARY KEY declarations
+# (init_db.sql:8,16,24). Spark treats constraints as informational, so the
+# engine asserts them on load (unique_key_violations / the integrity_audit
+# query's orphan checks) — and that enforcement is exactly what licenses
+# planner-side rewrites that ASSUME them (count_distinct_or_count below).
+DECLARED_UNIQUE: dict[str, str] = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+}
+
+
+def count_distinct_or_count(relation: str, col: str, alias: str) -> F.Column:
+    """COUNT(DISTINCT col) with the constraint-informed rewrite: when
+    `col` is `relation`'s declared unique key, DISTINCT is an identity
+    and the two-phase distinct expansion (Expand + extra exchange) is
+    dead weight, so the plan gets a plain COUNT. This is the functional-
+    dependency rewrite a constraint-aware planner applies automatically;
+    Catalyst cannot (parquet carries no constraints), so the knowledge
+    lives here, next to the enforcement that justifies it.
+
+    ONLY sound when the relation passed is the base relation (or any
+    1:1/broadcast-dim extension of it that cannot duplicate its rows —
+    customers_by_nation's customer JOIN nation qualifies because
+    c_nationkey -> nation is many-to-one into a unique dim key).
+
+    Round-10 audit of every Spark-side COUNT DISTINCT in the registry:
+    customers_by_nation (c_custkey over customer x broadcast nation) is
+    the ONLY qualifying site. The rest count genuinely repeating values —
+    l_orderkey within lineitem (orders_missing_big_parts, monthly_revenue,
+    conversion funnels), ps_suppkey/ps_partkey within partsupp groups
+    (TPC-H Q16-shape), user_id within events, n-grams and shingle hashes
+    (diversity/decontamination), c_mktsegment within QI groups
+    (l-diversity) — where the rewrite does not apply.
+    """
+    if DECLARED_UNIQUE.get(relation) == col:
+        return F.count(col).alias(alias)
+    return F.countDistinct(col).alias(alias)
+
+
 def not_null_violations(df: DataFrame, cols: list[str]) -> int:
     if not cols:
         return 0   # a schema with no NOT NULL columns is a valid input

@@ -143,16 +143,19 @@ MATVIEW_META: dict[str, dict] = {
         "grain": ("nationkey", "month_start"),
         "measures": {"revenue": "revenue"},
         "storage": {"revenue": "_sum"},
+        "joined": True,    # carries the FK-losslessness assumption
     },
     "ship_day_rollup": {
         "grain": ("ship_date",),
         "measures": {"revenue": "revenue", "n_rows": "n_rows"},
         "storage": {"revenue": "_sum", "n_rows": "_n"},
+        "joined": False,
     },
     "product_revenue_rollup": {
         "grain": ("p_name",),
         "measures": {"revenue": "revenue", "n_rows": "n_rows"},
         "storage": {"revenue": "_sum", "n_rows": "_n"},
+        "joined": True,
     },
 }
 
@@ -374,8 +377,12 @@ def navigate(spark: SparkSession, sf_dir: str, dims: list[str],
     for name, meta in MATVIEW_META.items():
         grain = set(meta["grain"])
         if want_dims <= grain and want_measures <= set(meta["measures"]):
-            candidates.append((len(grain), name, meta))
-    for _, name, meta in sorted(candidates):      # smallest grain first
+            # smallest grain first; at equal grain size prefer a view
+            # built WITHOUT joins (no FK-losslessness assumption to
+            # lean on, and typically the smaller relation)
+            candidates.append(
+                (len(grain), bool(meta.get("joined")), name, meta))
+    for _, _, name, meta in sorted(candidates):
         mv = serve(spark, sf_dir, name)
         if mv is None:
             continue

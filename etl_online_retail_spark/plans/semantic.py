@@ -45,6 +45,11 @@ class Metric:
     agg: str           # key into AGGREGATES
     column: str | Column
     label: str
+    # semantic measure name (operators/matview.py MATVIEW_META key) when
+    # this metric is navigable off a materialized summary: "revenue" for
+    # the exact decimal revenue term, "n_rows" for row counts. None =
+    # the metric only exists on the base relation.
+    measure: str | None = None
 
 
 @dataclass(frozen=True)
@@ -58,6 +63,9 @@ class ChartSpec:
     order_desc: bool = True
     row_limit: int | None = None        # Superset always enforces one
     series_limit: int | None = None     # top-N series via ranking window
+    # logical dataset name ("lineitem", ...) when the chart's source is a
+    # base fact relation the aggregate navigator knows time dims for
+    dataset: str | None = None
 
 
 def chart_query(source: DataFrame, spec: ChartSpec) -> DataFrame:
@@ -93,3 +101,53 @@ def chart_query(source: DataFrame, spec: ChartSpec) -> DataFrame:
         order += [F.asc(g) for g in spec.groupby]
         out = out.orderBy(*order).limit(spec.row_limit)
     return out
+
+
+def _navigated_spec(spark, sf_dir: str, spec: ChartSpec) -> DataFrame | None:
+    """Rewrite a navigable chart onto a materialized summary, or None.
+
+    A chart navigates when (a) it declares its dataset and every metric's
+    semantic measure, (b) every metric is SUM-decomposable over the
+    view's partials (SUM -> sum of decimal partial sums, COUNT -> sum of
+    count partials — both exact, the matview soundness argument), (c) it
+    has no ad-hoc filters or extra groupbys (those would need dimension
+    mappings the registry doesn't carry), and (d) its time column maps to
+    a registered view grain date (matview.SEMANTIC_TIME_DIMS). Any time
+    GRAIN then composes: day/month/year are functions of the view's date
+    column. The rewritten spec runs through the SAME chart_query
+    compiler over the summary relation, so ordering/limit semantics are
+    identical by construction.
+    """
+    from etl_online_retail_spark.operators import matview
+
+    if spec.filters or spec.groupby or spec.dataset is None \
+            or spec.time_column is None:
+        return None
+    date_col = matview.SEMANTIC_TIME_DIMS.get(
+        (spec.dataset, spec.time_column))
+    if date_col is None:
+        return None
+    rewritten = []
+    for m in spec.metrics:
+        if m.measure is None or m.agg not in ("SUM", "COUNT"):
+            return None
+        rewritten.append(Metric("SUM", m.measure, m.label))
+    nav = matview.navigate(spark, sf_dir, [date_col],
+                           [m.column for m in rewritten])
+    if nav is None:
+        return None
+    respec = ChartSpec(metrics=tuple(rewritten),
+                       time_column=date_col, time_grain=spec.time_grain,
+                       order_desc=spec.order_desc,
+                       row_limit=spec.row_limit)
+    return chart_query(nav, respec)
+
+
+def chart_query_navigated(spark, sf_dir: str, source: DataFrame,
+                          spec: ChartSpec) -> DataFrame:
+    """chart_query with automatic aggregate navigation: serve the chart
+    from a materialized summary when one is staged and the spec is
+    navigable, else compile over the base source unchanged (the oracle
+    path — the driver never stages views)."""
+    nav = _navigated_spec(spark, sf_dir, spec)
+    return nav if nav is not None else chart_query(source, spec)

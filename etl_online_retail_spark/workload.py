@@ -103,14 +103,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q_total_revenue(spark, sf_dir):
     # Navigator rewrite: a global aggregate is the coarsest grain of
-    # all, so the ship-day rollup's partials compose trivially (sum of
-    # decimal sums, sum of counts) — ~2.5k rows in place of the fact
-    # scan. Base plan stays the oracle path.
-    mv = matview.serve(spark, sf_dir, "ship_day_rollup")
-    if mv is not None:
-        return mv.agg(
-            F.sum("revenue").cast("double").alias("total_revenue"),
-            F.sum("n_rows").alias("n_rows"),
+    # all (dims = []), so any staged rollup's partials compose trivially
+    # (sum of decimal sums, sum of counts) — a few-thousand-row scan in
+    # place of the fact scan. Base plan stays the oracle path. The
+    # COALESCE matches COUNT semantics on an empty/degenerate warehouse:
+    # SUM over zero partial rows is NULL where the base COUNT returns 0
+    # (total_revenue itself stays NULL on both plans — base SUM over
+    # empty is NULL too).
+    nav = matview.navigate(spark, sf_dir, [], ["revenue", "n_rows"])
+    if nav is not None:
+        return nav.select(
+            F.col("revenue").cast("double").alias("total_revenue"),
+            F.coalesce(F.col("n_rows"), F.lit(0).cast("bigint"))
+             .alias("n_rows"),
         )
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
@@ -151,19 +156,16 @@ def q_date_bounds(spark, sf_dir):
     "A1,T2,P6",
 )
 def q_revenue_by_ymd(spark, sf_dir):
-    # Aggregate-navigator rewrite (operators/matview.py): y/m/d are
-    # functions of the ship DATE, so the day-grain rollup's exact
-    # decimal partials re-aggregate bit-identically — a ~2.5k-row scan
-    # instead of the fact table. Base plan below stays the oracle path
-    # (the driver never stages views); equality pinned in
-    # tests/test_matview.py.
-    mv = matview.serve(spark, sf_dir, "ship_day_rollup")
-    if mv is not None:
-        # (year, month, day) is a BIJECTION of the ship date, so the
-        # day-grain view already sits at this query's grain: a pure
-        # projection, no re-aggregation, no exchange — one map stage
-        # over ~2.5k rows
-        return mv.select(
+    # Aggregate-navigator rewrite (operators/matview.py): (year, month,
+    # day) is a BIJECTION of the ship DATE, so the day-grain request is
+    # exact-grain for the ship-day rollup — navigate() returns a pure
+    # projection (no re-aggregation, no exchange), one map stage over
+    # ~2.5k rows instead of the fact table. Base plan below stays the
+    # oracle path (the driver never stages views); equality pinned in
+    # tests/test_matview.py and hash-checked by verify_local --staged.
+    nav = matview.navigate(spark, sf_dir, ["ship_date"], ["revenue"])
+    if nav is not None:
+        return nav.select(
             F.year("ship_date").cast("int").alias("year"),
             F.month("ship_date").cast("int").alias("month"),
             F.dayofmonth("ship_date").cast("int").alias("day"),
@@ -226,12 +228,13 @@ def q_star_revenue(spark, sf_dir):
     # it — a 25x-months-row scan + broadcast name lookup, no fact-table
     # touch. The base plan below stays the oracle-gated path (the driver
     # never stages views) and tests/test_matview.py pins their equality.
-    mv = matview.serve(spark, sf_dir, "star_month_rollup")
-    if mv is not None:
+    nav = matview.navigate(spark, sf_dir, ["nationkey", "month_start"],
+                           ["revenue"])
+    if nav is not None:
         n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-        return (mv.join(F.broadcast(n), mv.nationkey == n.n_nationkey)
-                  .select(F.col("n_name").alias("nation"), "month_start",
-                          F.col("revenue").cast("double").alias("revenue")))
+        return (nav.join(F.broadcast(n), nav.nationkey == n.n_nationkey)
+                   .select(F.col("n_name").alias("nation"), "month_start",
+                           F.col("revenue").cast("double").alias("revenue")))
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -263,17 +266,17 @@ def q_star_revenue(spark, sf_dir):
     "O1,O2,O3,J3",
 )
 def q_top_products(spark, sf_dir):
-    # Aggregate-navigator rewrite: the view already sits at this chart's
-    # grain (GROUP BY p_name — the reference's Superset slice), so the
-    # top-k is a sort-limit over |distinct names| rows, no fact touch.
-    # Base plan below stays the oracle path; equality pinned in
-    # tests/test_matview.py.
-    mv = matview.serve(spark, sf_dir, "product_revenue_rollup")
-    if mv is not None:
-        return (mv.select("p_name",
-                          F.col("revenue").cast("double").alias("revenue"))
-                  .orderBy(F.desc("revenue"), F.asc("p_name"))
-                  .limit(10))
+    # Aggregate-navigator rewrite: the product-name view already sits at
+    # this chart's grain (GROUP BY p_name — the reference's Superset
+    # slice), so the top-k is a sort-limit over |distinct names| rows,
+    # no fact touch. Base plan below stays the oracle path; equality
+    # pinned in tests/test_matview.py.
+    nav = matview.navigate(spark, sf_dir, ["p_name"], ["revenue"])
+    if nav is not None:
+        return (nav.select("p_name",
+                           F.col("revenue").cast("double").alias("revenue"))
+                   .orderBy(F.desc("revenue"), F.asc("p_name"))
+                   .limit(10))
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     return agg.top_k(
@@ -295,23 +298,30 @@ def q_top_products(spark, sf_dir):
     "A3,J3,O3",
 )
 def q_customers_by_nation(spark, sf_dir):
-    # Constraint-informed DISTINCT elimination: c_custkey is the
-    # customer relation's key (catalog schema contract; the warehouse
-    # constraint layer enforces PK uniqueness on every load —
-    # operators/constraints.py), so COUNT(DISTINCT key) = COUNT(key)
-    # and the two-phase distinct expansion is dead weight. This is the
-    # functional-dependency rewrite a constraint-aware planner applies
-    # automatically; Catalyst cannot (parquet carries no constraints),
-    # so it is expressed here. Measured 0.202 -> 0.129 s at sf0.1;
-    # equality vs the literal DISTINCT form pinned in
-    # tests/test_workload_oracle.py, and the oracle still runs the
-    # DISTINCT form, so the driver hash re-proves the premise per round.
+    # Constraint-informed DISTINCT elimination, now expressed through the
+    # constraint layer's helper (operators/constraints.py
+    # count_distinct_or_count, r10): c_custkey is customer's DECLARED
+    # unique key, enforced on every load, so COUNT(DISTINCT key) =
+    # COUNT(key) and the two-phase distinct expansion is dead weight —
+    # the functional-dependency rewrite a constraint-aware planner
+    # applies automatically; Catalyst cannot (parquet carries no
+    # constraints). The broadcast nation lookup is many-to-one into a
+    # unique dim key, so it cannot duplicate customer rows (the helper's
+    # soundness condition). Measured 0.202 -> 0.129 s at sf0.1; equality
+    # vs the literal DISTINCT form pinned in tests, and the oracle still
+    # runs the DISTINCT form, so the driver hash re-proves the premise
+    # per round.
+    from etl_online_retail_spark.operators.constraints import (
+        count_distinct_or_count,
+    )
+
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return agg.top_k(
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey),
         keys=[F.col("n_name").alias("nation")],
-        aggs=[F.count("c_custkey").alias("n_customers")],
+        aggs=[count_distinct_or_count("customer", "c_custkey",
+                                      "n_customers")],
         order=[F.desc("n_customers"), F.asc("nation")],
         k=10,
     )

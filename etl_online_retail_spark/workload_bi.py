@@ -307,18 +307,26 @@ def q_approx_customers_by_nation(spark, sf_dir):
     "§3.2-semantic-layer,T1",
 )
 def q_chart_monthly_revenue(spark, sf_dir):
+    # The chart declares its dataset + semantic measure, so when the
+    # staged warehouse has the ship-day rollup materialized the compiler
+    # routes it through the aggregate navigator automatically (month is
+    # a function of the view's ship date; the decimal partials
+    # re-aggregate exactly) — otherwise it compiles over the base fact
+    # unchanged, which stays the driver's oracle path.
     from etl_online_retail_spark.plans.semantic import (
         ChartSpec,
         Metric,
-        chart_query,
+        chart_query_navigated,
     )
 
     li = _t(spark, sf_dir, "lineitem")
     spec = ChartSpec(
-        metrics=(Metric("SUM", money.net_revenue(), "revenue"),),
+        metrics=(Metric("SUM", money.net_revenue(), "revenue",
+                        measure="revenue"),),
         time_column="l_shipdate", time_grain="P1M",
+        dataset="lineitem",
     )
-    out = chart_query(li, spec)
+    out = chart_query_navigated(spark, sf_dir, li, spec)
     return out.select("__timestamp", F.col("revenue").cast("double"))
 
 

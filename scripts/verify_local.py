@@ -12,6 +12,7 @@ fetchall path silently re-integered HUGEINTs and masked 4 red rows).
 
 Usage: python scripts/verify_local.py [sf_dir] [query ...]
        python scripts/verify_local.py [sf_dir] --changed-since <git-ref>
+       python scripts/verify_local.py [sf_dir] --staged [query ...]
 
 --changed-since maps the files touched since <git-ref> (committed, staged,
 unstaged, and untracked) to the registered queries they can affect and
@@ -22,6 +23,13 @@ transitive file->module closure, so a touched operator file selects every
 query whose workload module (transitively) imports it. Conservative by
 construction: shared infrastructure (catalog/session/oracle/entry) selects
 everything; tests/docs/scripts select nothing.
+
+--staged materializes the aggregate-navigator views for sf_dir before
+running (operators/matview.py), so the queries that rewrite onto summary
+relations run their SERVED plans — hash-checked directly against DuckDB
+instead of only equality-pinned against the base plans in pytest. The
+driver's own gate never stages views, so this mode is the local
+complement: run it once per round (PERFORMANCE.md records the result).
 """
 
 from __future__ import annotations
@@ -131,6 +139,9 @@ def main():
         i = args.index("--changed-since")
         since = args[i + 1]
         args = args[:i] + args[i + 2:]
+    staged = "--staged" in args
+    if staged:
+        args.remove("--staged")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -157,6 +168,13 @@ def main():
                 return
 
     spark = get_spark("verify-local")
+    if staged:
+        from etl_online_retail_spark.operators import matview
+
+        t0 = time.time()
+        matview.materialize(spark, sf_dir)
+        print(f"STAGED MODE: matviews materialized for {sf_dir} in "
+              f"{time.time()-t0:.1f}s — navigator-served plans active")
     con = duckdb_connection(sf_dir)
 
     oracles = entrymod.oracle_sql()

@@ -126,3 +126,34 @@ def test_observed_rules_counts_violations_during_action(spark):
     out, fetch = observed_rules(df, rules)
     out.write.format("noop").mode("overwrite").save()
     assert fetch() == {"width6": 1, "price_nn": 1}
+
+
+def test_count_distinct_or_count_rewrites_only_declared_keys(spark):
+    """The constraint-informed rewrite (r10): a DECLARED unique key gets
+    a plain COUNT (no two-phase distinct Expand in the plan) while a
+    non-key column keeps the literal COUNT(DISTINCT) — and on the real
+    relation both forms agree, re-proving the enforced premise."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import load_table
+    from etl_online_retail_spark.operators.constraints import (
+        count_distinct_or_count,
+    )
+
+    c = load_table(spark, "customer", "/root/testdata/sf0.001")
+
+    keyed = c.agg(count_distinct_or_count("customer", "c_custkey", "n"))
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan and "distinct" not in plan.lower()
+    want = c.agg(F.countDistinct("c_custkey").alias("n")).collect()[0].n
+    assert keyed.collect()[0].n == want
+
+    nonkey = c.agg(count_distinct_or_count("customer", "c_nationkey", "m"))
+    assert nonkey.collect()[0].m == \
+        c.agg(F.countDistinct("c_nationkey").alias("m")).collect()[0].m
+    assert nonkey.collect()[0].m < want   # genuinely repeating column
+
+    # an undeclared relation never rewrites
+    other = c.agg(count_distinct_or_count("events", "c_custkey", "n"))
+    assert "count(distinct" in \
+        other._jdf.queryExecution().analyzed().toString().lower()

@@ -156,6 +156,63 @@ def test_ship_day_rollup_composes_under_rollup(spark, staged_matview):
            _calendar_rows(base, ("year", "month"))
 
 
+def test_chart_layer_navigates_monthly_revenue(spark, staged_matview):
+    """The semantic layer routes a dataset+measure-declared chart through
+    the navigator automatically: chart_monthly_revenue serves off the
+    ship-day rollup (month is a function of the view's date; decimal
+    partials re-aggregate exactly), bit-identical to the base compile."""
+    import etl_online_retail_spark.workload_bi  # noqa: F401  (registers)
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    build = _REGISTRY["chart_monthly_revenue"].build
+    served = build(spark, SF_SMALL)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    got = sorted((r["__timestamp"], round(r.revenue, 6))
+                 for r in served.collect())
+    spark.conf.unset(matview.MATVIEW_DIR_CONF)
+    try:
+        base = build(spark, SF_SMALL)
+        assert served.columns == base.columns
+        assert got == sorted((r["__timestamp"], round(r.revenue, 6))
+                             for r in base.collect())
+    finally:
+        spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
+
+
+def test_navigator_prefers_join_free_view_at_equal_grain(spark,
+                                                         staged_matview):
+    """dims=[] qualifies both single-column-grain views; the tie-break
+    picks the one built WITHOUT joins (ship_day_rollup) — no
+    FK-losslessness assumption, and the smaller relation."""
+    nav = matview.navigate(spark, SF_SMALL, [], ["revenue", "n_rows"])
+    assert nav is not None
+    plan = nav._jdf.queryExecution().analyzed().toString()
+    assert "ship_date" in plan and "p_name" not in plan
+
+
+def test_total_revenue_empty_view_matches_count_semantics(spark):
+    """r10 advice: SUM over an EMPTY staged rollup must not turn the
+    COUNT measure into NULL — the served plan coalesces n_rows to 0,
+    matching what the base plan's COUNT(*) returns on an empty fact."""
+    import os
+
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    empty = spark.createDataFrame(
+        [], "ship_date date, revenue decimal(38,6), n_rows bigint")
+    view = f"{matview.MATVIEW_PREFIX}_ship_day_rollup"
+    empty.createOrReplaceTempView(view)
+    spark.conf.set(matview.MATVIEW_DIR_CONF, os.path.abspath(SF_SMALL))
+    try:
+        row = _REGISTRY["total_revenue"].build(spark, SF_SMALL).collect()[0]
+        assert row.n_rows == 0
+        assert row.total_revenue is None   # base SUM over empty is NULL too
+    finally:
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        spark.catalog.dropTempView(view)
+
+
 def test_serve_refuses_other_directory(spark, staged_matview):
     assert matview.serve(spark, "/root/testdata/sf0.01",
                          "star_month_rollup") is None
