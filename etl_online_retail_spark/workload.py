@@ -460,6 +460,17 @@ def q_date_spine(spark, sf_dir):
     "T1,A1,A3",
 )
 def q_monthly_revenue(spark, sf_dir):
+    # r10 rewrite attempt, measured and REJECTED as redundant: a manual
+    # two-level aggregate (pre-agg at (ship-month, orderkey), then COUNT
+    # rows per month) was tried to dodge a presumed distinct-expansion
+    # Expand — but Catalyst's single-distinct rewrite ALREADY plans this
+    # exact shape (plan inspected at sf0.1 staged: no Expand, ONE
+    # exchange — the bucketed orderkey partitioning satisfies the
+    # (month, orderkey) clustering, so level one is shuffle-free), and
+    # the manual form measured identical (0.228 vs 0.241 s). The
+    # declarative form stays; the residual ~1.1-1.4x vs Postgres is the
+    # genuine two-level aggregation floor over the fact rows, not a plan
+    # defect. (The fact-sized bridge VIEW stays rejected too, ROADMAP 66.)
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy(month_start("l_shipdate").alias("month_start"))
               .agg(money.sum_money(money.net_revenue(), "revenue"),
