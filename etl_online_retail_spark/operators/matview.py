@@ -32,10 +32,13 @@ month-grain summary table maintained alongside the fact load (the
 
 Scale story (100 TB): the grains are independent of fact size (ship day:
 ~2.5k rows; product name: |distinct names|; (nation, month): ~25 x
-months). A 1000-executor cluster refreshes a view with one map-side-
-combined pass over the day's new partition (append_batch), the nightly
-compaction folds partials (compact), and the dashboard query never
-touches the fact table.
+months; customer nation: ~25 rows). A 1000-executor cluster refreshes a
+view with one map-side-combined pass over the day's new partition
+(append_batch), the nightly compaction folds partials (compact), and the
+dashboard query never touches the fact table. Each view names its SOURCE
+table (MATVIEW_META["source"]); a load of that table's new rows
+maintains exactly the views it feeds — lineitem loads refresh the
+revenue rollups, customer-dim loads the nation rollup.
 """
 
 from __future__ import annotations
@@ -66,10 +69,10 @@ _MV_VALUE_TYPE = "decimal(38,6)"
 _MV_SUM_TYPE = "decimal(38,6)"
 
 
-def _lineitem(spark: SparkSession, sf_dir: str,
-              batch: DataFrame | None) -> DataFrame:
+def _src(spark: SparkSession, sf_dir: str, table: str,
+         batch: DataFrame | None) -> DataFrame:
     return batch if batch is not None \
-        else catalog.load_table(spark, "lineitem", sf_dir)
+        else catalog.load_table(spark, table, sf_dir)
 
 
 def _star_month_input(spark: SparkSession, sf_dir: str,
@@ -82,7 +85,7 @@ def _star_month_input(spark: SparkSession, sf_dir: str,
     groupBy needs no shuffle. Incremental batches join the same
     orders/customer relations; at cluster scale that lookup prunes to the
     batch's keys on the co-bucketed orderkey layout."""
-    li = _lineitem(spark, sf_dir, batch)
+    li = _src(spark, sf_dir, "lineitem", batch)
     o = catalog.load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_custkey", "o_orderdate")
     c = catalog.load_table(spark, "customer", sf_dir).select(
@@ -103,7 +106,7 @@ def _ship_day_input(spark: SparkSession, sf_dir: str,
     fact size). The row count rides as the partial `_n`, so the one view
     serves the whole y/m/d hierarchy incl. ROLLUP shapes and the global
     aggregate bit-identically."""
-    li = _lineitem(spark, sf_dir, batch)
+    li = _src(spark, sf_dir, "lineitem", batch)
     return li.select(F.col("l_shipdate").alias("ship_date"),
                      money.net_revenue().alias("_v"))
 
@@ -113,7 +116,7 @@ def _product_input(spark: SparkSession, sf_dir: str,
     """Fact input at product NAME: the reference dashboard's top-products
     chart grain (its Superset slice is GROUP BY p_name). One broadcast
     dim lookup per load/batch."""
-    li = _lineitem(spark, sf_dir, batch)
+    li = _src(spark, sf_dir, "lineitem", batch)
     p = catalog.load_table(spark, "part", sf_dir).select(
         "p_partkey", "p_name")
     return (li.join(joins.size_guarded_broadcast(p),
@@ -121,14 +124,37 @@ def _product_input(spark: SparkSession, sf_dir: str,
               .select("p_name", money.net_revenue().alias("_v")))
 
 
-# name -> fact-input builder (spark, sf_dir, lineitem_batch|None) ->
-# DataFrame(grain columns + `_v` exact-decimal value term). None = the
-# full catalog lineitem (a full refresh); a DataFrame = one incremental
-# batch of new lineitem rows.
+def _customer_nation_input(spark: SparkSession, sf_dir: str,
+                           batch: DataFrame | None = None) -> DataFrame:
+    """DIM input at customer nation: the reference dashboard's "customer
+    location" slice grain (~25 rows). Source table is CUSTOMER, not
+    lineitem — the view is maintained by customer-dim loads. The count
+    partial `_n` is the slice's measure (customers per nation — exact
+    because c_custkey is the enforced unique key, so one load row = one
+    customer); the account-balance decimal sum rides as a second
+    composable partial. The nation NAME is denormalized into the grain
+    at BUILD time (the Kimball summary shape): n_nationkey is the
+    nation dim's unique key and the customer->nation FK is enforced, so
+    the broadcast lookup is 1:1 and lossless — and the served dashboard
+    plan becomes a pure sort-limit with no join at all."""
+    c = _src(spark, sf_dir, "customer", batch)
+    n = catalog.load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .select(F.col("c_nationkey").alias("nationkey"),
+                     F.col("n_name").alias("nation"),
+                     money.exact("c_acctbal").alias("_v")))
+
+
+# name -> input builder (spark, sf_dir, source_batch|None) -> DataFrame
+# (grain columns + `_v` exact-decimal value term). None = the full
+# catalog source table (a full refresh); a DataFrame = one incremental
+# batch of new rows of the view's SOURCE table (MATVIEW_META["source"]).
 MATVIEW_INPUTS: dict[str, Callable[..., DataFrame]] = {
     "star_month_rollup": _star_month_input,
     "ship_day_rollup": _ship_day_input,
     "product_revenue_rollup": _product_input,
+    "customer_nation_rollup": _customer_nation_input,
 }
 
 # Navigator metadata: each view's GRAIN (the columns it is grouped by),
@@ -144,18 +170,31 @@ MATVIEW_META: dict[str, dict] = {
         "measures": {"revenue": "revenue"},
         "storage": {"revenue": "_sum"},
         "joined": True,    # carries the FK-losslessness assumption
+        "source": "lineitem",
     },
     "ship_day_rollup": {
         "grain": ("ship_date",),
         "measures": {"revenue": "revenue", "n_rows": "n_rows"},
         "storage": {"revenue": "_sum", "n_rows": "_n"},
         "joined": False,
+        "source": "lineitem",
     },
     "product_revenue_rollup": {
         "grain": ("p_name",),
         "measures": {"revenue": "revenue", "n_rows": "n_rows"},
         "storage": {"revenue": "_sum", "n_rows": "_n"},
         "joined": True,
+        "source": "lineitem",
+    },
+    "customer_nation_rollup": {
+        # nation is IN the grain as both key and denormalized name —
+        # 1:1 under the nation PK + enforced FK, so the pair is the
+        # same grain as the key alone
+        "grain": ("nationkey", "nation"),
+        "measures": {"n_customers": "n_customers", "acctbal": "acctbal"},
+        "storage": {"n_customers": "_n", "acctbal": "_sum"},
+        "joined": True,   # the name lookup carries the FK assumption
+        "source": "customer",
     },
 }
 
@@ -166,9 +205,9 @@ def _logical_view(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta = MATVIEW_META[name]
         inp = MATVIEW_INPUTS[name](spark, sf_dir)
-        aggs = [F.sum("_v").alias("revenue")]
-        if "n_rows" in meta["measures"]:
-            aggs.append(F.count(F.lit(1)).alias("n_rows"))
+        aggs = [(F.sum("_v") if stored == "_sum"
+                 else F.count(F.lit(1))).alias(measure)
+                for measure, stored in meta["storage"].items()]
         return inp.groupBy(*meta["grain"]).agg(*aggs)
     return build
 
@@ -226,14 +265,19 @@ def write_full(spark: SparkSession, sf_dir: str,
 def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
                  batch_id: int, names: list[str] | None = None,
                  storage_dir: str | None = None,
-                 max_partials: int | None = 8) -> None:
-    """Maintain the views under one incremental load of new lineitem
-    rows: write each view's partial for this batch (replay-safe — a
-    replayed batch_id overwrites exactly its own partials) and
-    autocompact when the partial count crosses the threshold (crash-safe,
-    ingest.autocompact_incremental_agg). Work is proportional to the
-    BATCH, never the accumulated fact."""
+                 max_partials: int | None = 8,
+                 table: str = "lineitem") -> None:
+    """Maintain the views under one incremental load of new rows of
+    `table`: write each SOURCE-MATCHING view's partial for this batch
+    (replay-safe — a replayed batch_id overwrites exactly its own
+    partials) and autocompact when the partial count crosses the
+    threshold (crash-safe, ingest.autocompact_incremental_agg). Work is
+    proportional to the BATCH, never the accumulated fact; views fed by
+    other source tables are untouched (their batch streams maintain
+    them separately)."""
     for name in (names or list(MATVIEW_INPUTS)):
+        if MATVIEW_META[name]["source"] != table:
+            continue
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         keys = list(MATVIEW_META[name]["grain"])
         ingest.partial_agg_batch_write(
@@ -246,12 +290,13 @@ def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
                                                sum_type=_MV_SUM_TYPE)
 
 
-def maintain_incremental(lineitem_stream: DataFrame, sf_dir: str,
+def maintain_incremental(source_stream: DataFrame, sf_dir: str,
                          checkpoint_dir: str,
                          names: list[str] | None = None,
                          storage_dir: str | None = None,
-                         max_partials: int | None = 8):
-    """Maintain every registered view under a STREAM of new lineitem rows
+                         max_partials: int | None = 8,
+                         table: str = "lineitem"):
+    """Maintain every view fed by `table` under a STREAM of its new rows
     — the production shape of the module docstring's claim: foreachBatch
     routes each micro-batch through append_batch, inheriting the ingest
     writer's exactly-once story (partials per `_batch_id`, replay
@@ -260,9 +305,9 @@ def maintain_incremental(lineitem_stream: DataFrame, sf_dir: str,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         append_batch(batch_df.sparkSession, sf_dir, batch_df, batch_id,
                      names=names, storage_dir=storage_dir,
-                     max_partials=max_partials)
+                     max_partials=max_partials, table=table)
 
-    return (lineitem_stream.writeStream
+    return (source_stream.writeStream
             .foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
@@ -272,10 +317,14 @@ def maintain_incremental(lineitem_stream: DataFrame, sf_dir: str,
 def compact(spark: SparkSession, sf_dir: str,
             names: list[str] | None = None,
             storage_dir: str | None = None) -> None:
-    """Nightly-compaction shape: fold each view's partials into one."""
+    """Nightly-compaction shape: fold each view's partials into one.
+    Views never written are skipped (same contract as publish)."""
     for name in (names or list(MATVIEW_INPUTS)):
+        table_dir = view_table_dir(sf_dir, name, storage_dir)
+        if not ingest._effective_partials(table_dir):
+            continue
         ingest.compact_incremental_agg(
-            spark, view_table_dir(sf_dir, name, storage_dir),
+            spark, table_dir,
             list(MATVIEW_META[name]["grain"]), sum_type=_MV_SUM_TYPE)
 
 
@@ -303,13 +352,21 @@ def publish(spark: SparkSession, sf_dir: str,
             storage_dir: str | None = None) -> None:
     """Register (and cache) the serving relations off the WRITTEN tables
     and announce the layout. Reading disk, not rebuilding: a fresh
-    session serves a warehouse another session maintained."""
+    session serves a warehouse another session maintained. A view whose
+    table was never written (e.g. a deployment maintaining only the
+    lineitem-fed views) is simply not registered — serve() then returns
+    None for it and its queries keep their base plans."""
     for name in (names or list(MATVIEW_INPUTS)):
         view = f"{MATVIEW_PREFIX}_{name}"
+        table_dir = view_table_dir(sf_dir, name, storage_dir)
+        if not ingest._effective_partials(table_dir):
+            if spark.catalog.tableExists(view):
+                spark.table(view).unpersist()
+                spark.catalog.dropTempView(view)
+            continue
         if spark.catalog.tableExists(view):
             spark.table(view).unpersist()
-        df = _serving_relation(
-            spark, view_table_dir(sf_dir, name, storage_dir), name)
+        df = _serving_relation(spark, table_dir, name)
         df.createOrReplaceTempView(view)
         df.cache().count()
     spark.conf.set(MATVIEW_DIR_CONF, os.path.abspath(sf_dir))

@@ -213,6 +213,78 @@ def test_total_revenue_empty_view_matches_count_semantics(spark):
         spark.catalog.dropTempView(view)
 
 
+def test_customer_nation_rollup_serves_customers_by_nation(
+        spark, staged_matview):
+    """customers_by_nation rewrites onto the customer-dim rollup (~25
+    rows — the reference's 'customer location' slice grain): broadcast
+    name lookup + sort-limit, never the customer table; identical rows
+    and order-determining values to the base plan."""
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    build = _REGISTRY["customers_by_nation"].build
+    served = build(spark, SF_SMALL)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    got = [(r.nation, r.n_customers) for r in served.collect()]
+    spark.conf.unset(matview.MATVIEW_DIR_CONF)
+    try:
+        base = build(spark, SF_SMALL)
+        assert served.columns == base.columns
+        assert [f.dataType for f in served.schema.fields] == \
+               [f.dataType for f in base.schema.fields]
+        assert got == [(r.nation, r.n_customers) for r in base.collect()]
+    finally:
+        spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
+
+
+def test_customer_view_maintained_by_customer_batches_only(spark, tmp_path):
+    """Source-aware maintenance: lineitem batches do NOT touch the
+    customer-fed view; customer batches maintain it; publish registers
+    only written views (the others keep their base plans)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    store = str(tmp_path / "mv_store")
+    li = catalog.load_table(spark, "lineitem", SF_SMALL)
+    c = catalog.load_table(spark, "customer", SF_SMALL)
+
+    # a lineitem load: the customer view's table is never created
+    matview.append_batch(spark, SF_SMALL, li, 0, storage_dir=store)
+    assert not os.path.isdir(
+        matview.view_table_dir(SF_SMALL, "customer_nation_rollup", store))
+
+    # two customer-dim loads + a replay
+    for b, m in ((0, 0), (1, 1)):
+        matview.append_batch(
+            spark, SF_SMALL,
+            c.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == m),
+            b, storage_dir=store, table="customer")
+    matview.append_batch(
+        spark, SF_SMALL,
+        c.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == 1),
+        1, storage_dir=store, table="customer")
+
+    matview.publish(spark, SF_SMALL, storage_dir=store)
+    try:
+        build = _REGISTRY["customers_by_nation"].build
+        served = build(spark, SF_SMALL)
+        got = [(r.nation, r.n_customers) for r in served.collect()]
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        base = build(spark, SF_SMALL)
+        assert got == [(r.nation, r.n_customers) for r in base.collect()]
+    finally:
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        for name in matview.MATVIEWS:
+            view = f"{matview.MATVIEW_PREFIX}_{name}"
+            if spark.catalog.tableExists(view):
+                spark.table(view).unpersist()
+                spark.catalog.dropTempView(view)
+
+
 def test_serve_refuses_other_directory(spark, staged_matview):
     assert matview.serve(spark, "/root/testdata/sf0.01",
                          "star_month_rollup") is None
@@ -416,6 +488,8 @@ def test_streaming_maintenance_matches_full_refresh(spark, tmp_path):
         return sorted(map(tuple, df.collect()))
 
     for name in matview.MATVIEWS:
+        if matview.MATVIEW_META[name]["source"] != "lineitem":
+            continue  # fed by another table's stream, untouched here
         assert rows(streamed, name) == rows(full, name), name
 
 
