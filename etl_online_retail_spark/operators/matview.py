@@ -90,11 +90,15 @@ def _star_month_input(spark: SparkSession, sf_dir: str,
         "o_orderkey", "o_custkey", "o_orderdate")
     c = catalog.load_table(spark, "customer", sf_dir).select(
         "c_custkey", "c_nationkey")
+    n = catalog.load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
     per_order = (li.groupBy("l_orderkey")
                    .agg(F.sum(money.net_revenue()).alias("_v")))
     return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
               .join(joins.size_guarded_broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
               .select(F.col("c_nationkey").alias("nationkey"),
+                      F.col("n_name").alias("nation"),
                       month_start("o_orderdate").alias("month_start"),
                       "_v"))
 
@@ -166,7 +170,10 @@ MATVIEW_INPUTS: dict[str, Callable[..., DataFrame]] = {
 # navigator only ever rolls partials up, never apportions them down.
 MATVIEW_META: dict[str, dict] = {
     "star_month_rollup": {
-        "grain": ("nationkey", "month_start"),
+        # the nation NAME is denormalized into the grain at build time
+        # (1:1 under the nation PK + enforced FK — same grain as the
+        # key alone), so dashboard serves need no serve-time join
+        "grain": ("nationkey", "nation", "month_start"),
         "measures": {"revenue": "revenue"},
         "storage": {"revenue": "_sum"},
         "joined": True,    # carries the FK-losslessness assumption
@@ -341,10 +348,16 @@ def _serving_relation(spark: SparkSession, table_dir: str,
     eff = ingest._effective_partials(table_dir)
     aggs = [F.sum(stored).alias(measure)
             for measure, stored in meta["storage"].items()]
+    # serving relations are DASHBOARD-sized by the registry's own
+    # admission rule (a "rollup" approaching fact size is rejected —
+    # ROADMAP 66), so cache them as ONE partition: every served query
+    # then runs single-task stages with no final exchange, instead of
+    # paying a 32-task fan-out + merge for a 25-2.5k-row relation
     return (spark.read.parquet(table_dir)
             .filter(F.col("_batch_id").isin(eff))
             .groupBy(*meta["grain"])
-            .agg(*aggs))
+            .agg(*aggs)
+            .coalesce(1))
 
 
 def publish(spark: SparkSession, sf_dir: str,

@@ -130,30 +130,27 @@ def test_product_rollup_serves_top_products(spark, staged_matview):
 
 
 def test_ship_day_rollup_composes_under_rollup(spark, staged_matview):
-    """The ROLLUP shape composes from the day partials too (revenue AND
-    the count measure) — pinned against the base plan even though the
-    registered revenue_rollup query deliberately keeps its base plan
-    (measured faster at this scale; see workload.py comment). This is
-    what keeps the navigator substitution sound if a future scale tips
-    the decision the other way."""
-    from pyspark.sql import functions as F
-
+    """The ROLLUP shape composes from the day partials (revenue AND the
+    count measure): the REGISTERED revenue_rollup query serves off the
+    view when staged (the r9 keep-base decision flipped on the r10
+    single-partition cache measurement — see workload.py), bit-identical
+    to the base fact-scan plan."""
     from etl_online_retail_spark.workload import _REGISTRY
 
-    mv = matview.serve(spark, SF_SMALL, "ship_day_rollup")
-    assert mv is not None
-    served = (mv.select(F.year("ship_date").cast("int").alias("year"),
-                        F.month("ship_date").cast("int").alias("month"),
-                        "revenue", "n_rows")
-              .rollup("year", "month")
-              .agg(F.sum("revenue").cast("double").alias("revenue"),
-                   F.sum("n_rows").alias("n_rows")))
-    base = _REGISTRY["revenue_rollup"].build(spark, SF_SMALL)
-    assert served.columns == base.columns
-    assert [f.dataType for f in served.schema.fields] == \
-           [f.dataType for f in base.schema.fields]
-    assert _calendar_rows(served, ("year", "month")) == \
-           _calendar_rows(base, ("year", "month"))
+    build = _REGISTRY["revenue_rollup"].build
+    served = build(spark, SF_SMALL)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    got = _calendar_rows(served, ("year", "month"))
+    spark.conf.unset(matview.MATVIEW_DIR_CONF)
+    try:
+        base = build(spark, SF_SMALL)
+        assert served.columns == base.columns
+        assert [f.dataType for f in served.schema.fields] == \
+               [f.dataType for f in base.schema.fields]
+        assert got == _calendar_rows(base, ("year", "month"))
+    finally:
+        spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
 
 
 def test_chart_layer_navigates_monthly_revenue(spark, staged_matview):
