@@ -62,10 +62,12 @@ MATVIEW_DIR_CONF = "spark.graft.matview.dir"
 MATVIEW_PREFIX = "graft_mv"
 
 # net_revenue() is decimal(18,2) * decimal(18,4) = decimal(37,6); its SUM
-# is decimal(38,6). The partial layout must keep that exact scale — the
-# ingest default (money's 2-decimal scale) would round scale-6 terms and
-# break the bit-identical view == base-plan contract.
-_MV_VALUE_TYPE = "decimal(38,6)"
+# is decimal(38,6). The partial layout must keep at least that scale —
+# the ingest default (money's 2-decimal scale) would round scale-6 terms
+# and break the bit-identical view == base-plan contract. A view whose
+# measures need a wider scale pins its own via MATVIEW_META["sum_type"]
+# (flag_day_rollup: scale 10 for the charge term — lower-scale measures
+# widen losslessly).
 _MV_SUM_TYPE = "decimal(38,6)"
 
 
@@ -128,6 +130,32 @@ def _product_input(spark: SparkSession, sf_dir: str,
               .select("p_name", money.net_revenue().alias("_v")))
 
 
+def _flag_day_input(spark: SparkSession, sf_dir: str,
+                    batch: DataFrame | None = None) -> DataFrame:
+    """Fact input at (return flag, line status, ship date): the
+    pricing-summary family's grain (~6 x |ship dates| ≈ 15k rows — a
+    40x compression of the fact that is INDEPENDENT of fact size). The
+    first MULTI-MEASURE view: five exact decimal partials + the count,
+    exactly the summary a TPC-H Q1 dashboard keeps warm — it serves
+    pricing_summary, revenue_cube, revenue_grouping_sets and
+    revenue_pivot_by_flag from one table. Partials are stored at
+    decimal scale 10 (the charge term's scale); every lower-scale
+    measure widens losslessly, so all re-aggregations remain
+    bit-identical to the base plans."""
+    li = _src(spark, sf_dir, "lineitem", batch)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    charge = price * ((F.lit(1.0) - F.col("l_discount"))
+                      * (F.lit(1.0) + F.col("l_tax"))).cast("decimal(18,8)")
+    return li.select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_shipdate").alias("ship_date"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("_v_qty"),
+        price.alias("_v_price"),
+        money.net_revenue().alias("_v_rev"),
+        charge.alias("_v_charge"),
+        F.col("l_discount").cast("decimal(18,2)").alias("_v_disc"))
+
+
 def _customer_nation_input(spark: SparkSession, sf_dir: str,
                            batch: DataFrame | None = None) -> DataFrame:
     """DIM input at customer nation: the reference dashboard's "customer
@@ -159,6 +187,7 @@ MATVIEW_INPUTS: dict[str, Callable[..., DataFrame]] = {
     "ship_day_rollup": _ship_day_input,
     "product_revenue_rollup": _product_input,
     "customer_nation_rollup": _customer_nation_input,
+    "flag_day_rollup": _flag_day_input,
 }
 
 # Navigator metadata: each view's GRAIN (the columns it is grouped by),
@@ -203,6 +232,20 @@ MATVIEW_META: dict[str, dict] = {
         "joined": True,   # the name lookup carries the FK assumption
         "source": "customer",
     },
+    "flag_day_rollup": {
+        "grain": ("l_returnflag", "l_linestatus", "ship_date"),
+        "measures": {"qty": "qty", "base_price": "base_price",
+                     "revenue": "revenue", "charge": "charge",
+                     "disc": "disc", "n_rows": "n_rows"},
+        "storage": {"qty": "_sum_qty", "base_price": "_sum_price",
+                    "revenue": "_sum_rev", "charge": "_sum_charge",
+                    "disc": "_sum_disc", "n_rows": "_n"},
+        "joined": False,
+        "source": "lineitem",
+        # the charge term is decimal(37,10); every other measure's
+        # scale (2 or 6) widens into scale 10 losslessly
+        "sum_type": "decimal(38,10)",
+    },
 }
 
 
@@ -212,8 +255,10 @@ def _logical_view(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta = MATVIEW_META[name]
         inp = MATVIEW_INPUTS[name](spark, sf_dir)
-        aggs = [(F.sum("_v") if stored == "_sum"
-                 else F.count(F.lit(1))).alias(measure)
+        # stored `_sum<sfx>` partials aggregate the input's `_v<sfx>`
+        # value column; `_n` is the row count
+        aggs = [(F.count(F.lit(1)) if stored == "_n"
+                 else F.sum("_v" + stored[len("_sum"):])).alias(measure)
                 for measure, stored in meta["storage"].items()]
         return inp.groupBy(*meta["grain"]).agg(*aggs)
     return build
@@ -263,10 +308,11 @@ def write_full(spark: SparkSession, sf_dir: str,
     for name in (names or list(MATVIEW_INPUTS)):
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         shutil.rmtree(table_dir, ignore_errors=True)
-        ingest.partial_agg_batch_write(
-            MATVIEW_INPUTS[name](spark, sf_dir), 0, table_dir,
-            list(MATVIEW_META[name]["grain"]), "_v",
-            value_type=_MV_VALUE_TYPE, sum_type=_MV_SUM_TYPE)
+        inp = MATVIEW_INPUTS[name](spark, sf_dir)
+        ingest.partial_multi_agg_batch_write(
+            inp, 0, table_dir, list(MATVIEW_META[name]["grain"]),
+            [c for c in inp.columns if c.startswith("_v")],
+            sum_type=MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE))
 
 
 def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
@@ -287,14 +333,16 @@ def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
             continue
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         keys = list(MATVIEW_META[name]["grain"])
-        ingest.partial_agg_batch_write(
-            MATVIEW_INPUTS[name](spark, sf_dir, batch), batch_id,
-            table_dir, keys, "_v",
-            value_type=_MV_VALUE_TYPE, sum_type=_MV_SUM_TYPE)
+        sum_type = MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE)
+        inp = MATVIEW_INPUTS[name](spark, sf_dir, batch)
+        ingest.partial_multi_agg_batch_write(
+            inp, batch_id, table_dir, keys,
+            [c for c in inp.columns if c.startswith("_v")],
+            sum_type=sum_type)
         if max_partials is not None and \
                 len(ingest._effective_partials(table_dir)) > max_partials:
             ingest.autocompact_incremental_agg(spark, table_dir, keys,
-                                               sum_type=_MV_SUM_TYPE)
+                                               sum_type=sum_type)
 
 
 def maintain_incremental(source_stream: DataFrame, sf_dir: str,
@@ -331,8 +379,8 @@ def compact(spark: SparkSession, sf_dir: str,
         if not ingest._effective_partials(table_dir):
             continue
         ingest.compact_incremental_agg(
-            spark, table_dir,
-            list(MATVIEW_META[name]["grain"]), sum_type=_MV_SUM_TYPE)
+            spark, table_dir, list(MATVIEW_META[name]["grain"]),
+            sum_type=MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE))
 
 
 # ---------------------------------------------------------------------------

@@ -169,6 +169,38 @@ def partial_agg_batch_write(batch_df: DataFrame, batch_id: int,
      .parquet(table_dir))
 
 
+def partial_multi_agg_batch_write(batch_df: DataFrame, batch_id: int,
+                                  table_dir: str, key_cols: list[str],
+                                  value_cols: list[str],
+                                  sum_type: str = _PARTIAL_SUM_TYPE) -> None:
+    """partial_agg_batch_write generalized to MANY measures: a real
+    summary table carries several composable partials per grain (TPC-H
+    Q1 keeps five decimal sums + a count). Each value column (already
+    cast to an exact decimal by the caller) becomes a `_sum<suffix>`
+    partial where suffix = the value column's name minus its `_v`
+    prefix (`_v` -> `_sum`, `_v_qty` -> `_sum_qty`); `_n` rides as
+    always. Same replay-safe `_batch_id` layout, same compaction
+    (autocompact/compact discover the sum columns by prefix), same
+    one-type-per-table pin."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for vc in value_cols:
+        if not vc.startswith("_v"):
+            raise ValueError(f"value column {vc!r} must start with '_v'")
+        aggs.append(F.sum(vc).cast(sum_type).alias("_sum" + vc[2:]))
+    part = batch_df.groupBy(*key_cols).agg(*aggs)
+    (part.withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(table_dir))
+
+
+def _sum_columns(df: DataFrame) -> list[str]:
+    """The decimal partial columns of an incremental-agg table (single-
+    measure tables have exactly `_sum`; multi-measure tables `_sum_*`)."""
+    return [c for c in df.columns if c.startswith("_sum")]
+
+
 def incremental_agg(stream_df: DataFrame, table_dir: str,
                     checkpoint_dir: str, key_cols: list[str],
                     value_col: str,
@@ -259,11 +291,12 @@ def autocompact_incremental_agg(spark, table_dir: str,
     if not originals:
         return
     new_id = -max(originals) - 2
-    merged = (spark.read.parquet(table_dir)
-              .filter(F.col("_batch_id").isin(effective))
-              .groupBy(*key_cols)
+    src = (spark.read.parquet(table_dir)
+           .filter(F.col("_batch_id").isin(effective)))
+    merged = (src.groupBy(*key_cols)
               .agg(F.sum("_n").alias("_n"),
-                   F.sum("_sum").cast(sum_type).alias("_sum"))
+                   *[F.sum(c).cast(sum_type).alias(c)
+                     for c in _sum_columns(src)])
               .withColumn("_batch_id", F.lit(new_id))
               .localCheckpoint(eager=True))  # reads the dir it overwrites
     (merged.write.mode("overwrite")
@@ -298,10 +331,11 @@ def compact_incremental_agg(spark, table_dir: str,
     between streaming runs (the fold rewrites the whole table); at
     warehouse scale this is the nightly compaction job.
     """
-    merged = (spark.read.parquet(table_dir)
-              .groupBy(*key_cols)
+    src = spark.read.parquet(table_dir)
+    merged = (src.groupBy(*key_cols)
               .agg(F.sum("_n").alias("_n"),
-                   F.sum("_sum").cast(sum_type).alias("_sum"))
+                   *[F.sum(c).cast(sum_type).alias(c)
+                     for c in _sum_columns(src)])
               .withColumn("_batch_id", F.lit(-1))
               .localCheckpoint(eager=True))  # reads the dir it overwrites
     merged.write.mode("overwrite").partitionBy("_batch_id").parquet(table_dir)

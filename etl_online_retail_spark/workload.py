@@ -1050,6 +1050,18 @@ def q_funnel_conversion(spark, sf_dir):
     "pivot",
 )
 def q_revenue_pivot_by_flag(spark, sf_dir):
+    # Navigator rewrite (r10): (year, returnflag) is coarser than the
+    # flag-day rollup's grain; the pivot's NULL-for-missing-cell
+    # semantics are identical over the re-aggregated partials.
+    nav = matview.navigate(spark, sf_dir, ["l_returnflag", "ship_date"],
+                           ["revenue"])
+    if nav is not None:
+        return (nav.select(F.year("ship_date").cast("int").alias("year"),
+                           "l_returnflag",
+                           F.col("revenue").alias("_rev"))
+                   .groupBy("year")
+                   .pivot("l_returnflag", ["A", "N", "R"])
+                   .agg(F.sum("_rev").cast("double")))
     li = _t(spark, sf_dir, "lineitem")
     return (li.select(F.year("l_shipdate").cast("int").alias("year"),
                       "l_returnflag",
@@ -1275,6 +1287,28 @@ _Q1_CHARGE = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "A1-tpch-q1",
 )
 def q_pricing_summary(spark, sf_dir):
+    # Navigator rewrite (r10): the flag-day rollup is the first
+    # MULTI-MEASURE view — five decimal partials + the count at
+    # (returnflag, linestatus, ship-date) grain — so the whole Q1
+    # battery re-aggregates from ~15k summary rows instead of the fact
+    # scan, every measure bit-identical (exact decimals; the averages
+    # are the same sum/count divisions). Base plan stays the oracle
+    # path.
+    nav = matview.navigate(
+        spark, sf_dir, ["l_returnflag", "l_linestatus"],
+        ["qty", "base_price", "revenue", "charge", "disc", "n_rows"])
+    if nav is not None:
+        n = F.col("n_rows")
+        return nav.select(
+            "l_returnflag", "l_linestatus",
+            F.col("qty").cast("double").alias("sum_qty"),
+            F.col("base_price").cast("double").alias("sum_base_price"),
+            F.col("revenue").cast("double").alias("sum_disc_price"),
+            F.round(F.col("charge"), 2).cast("double").alias("sum_charge"),
+            (F.col("qty").cast("double") / n).alias("avg_qty"),
+            (F.col("base_price").cast("double") / n).alias("avg_price"),
+            (F.col("disc").cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"))
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -1366,6 +1400,21 @@ FROM t GROUP BY ROLLUP(year, month)""",
     "A5-grouping-id",
 )
 def q_revenue_rollup_gid(spark, sf_dir):
+    # Navigator rewrite (r10): same composition as revenue_rollup —
+    # year/month are functions of the ship date, GROUPING() depends only
+    # on the grouping-set shape (not the input relation), and the decimal
+    # partials re-aggregate exactly, so the ROLLUP + gid runs over the
+    # ~2.5k-row day view instead of the fact.
+    nav = matview.navigate(spark, sf_dir, ["ship_date"], ["revenue"])
+    if nav is not None:
+        return (nav.select(F.year("ship_date").cast("int").alias("year"),
+                           F.month("ship_date").cast("int").alias("month"),
+                           F.col("revenue").alias("_rev"))
+                   .rollup("year", "month")
+                   .agg((F.grouping("year") * 2 + F.grouping("month"))
+                        .cast("int").alias("gid"),
+                        F.sum("_rev").cast("double").alias("revenue"))
+                   .select("year", "month", "gid", "revenue"))
     li = _t(spark, sf_dir, "lineitem")
     return (li.select(
                 F.year("l_shipdate").cast("int").alias("year"),

@@ -69,6 +69,19 @@ def q_virtual_dataset(spark, sf_dir):
     "A5-cube",
 )
 def q_revenue_cube(spark, sf_dir):
+    # Navigator rewrite (r10): the CUBE composes from the flag-day
+    # rollup's partials (sums of revenue partials + sums of counts) —
+    # the cube expansion then runs over a handful of summary rows
+    # instead of the fact. Base plan stays the oracle path.
+    from etl_online_retail_spark.operators import matview
+
+    nav = matview.navigate(spark, sf_dir,
+                           ["l_returnflag", "l_linestatus"],
+                           ["revenue", "n_rows"])
+    if nav is not None:
+        return (nav.cube("l_returnflag", "l_linestatus")
+                   .agg(F.sum("revenue").cast("double").alias("revenue"),
+                        F.sum("n_rows").alias("n_rows")))
     li = _t(spark, sf_dir, "lineitem")
     return (li.select("l_returnflag", "l_linestatus",
                       money.net_revenue().alias("_rev"))
@@ -85,6 +98,22 @@ def q_revenue_cube(spark, sf_dir):
     "A5-grouping-sets",
 )
 def q_revenue_grouping_sets(spark, sf_dir):
+    # Navigator rewrite (r10): every grouping set — (returnflag),
+    # (ship year), () — is coarser than the flag-day rollup's grain, so
+    # the expansion runs over the re-aggregated summary partials.
+    from etl_online_retail_spark.operators import matview
+
+    nav = matview.navigate(spark, sf_dir, ["l_returnflag", "ship_date"],
+                           ["revenue"])
+    if nav is not None:
+        pre = nav.select("l_returnflag",
+                         F.year("ship_date").cast("int").alias("year"),
+                         F.col("revenue").alias("_rev"))
+        pre.createOrReplaceTempView("_gs_lineitem_mv")
+        return spark.sql(
+            "SELECT l_returnflag, year, "
+            "CAST(SUM(_rev) AS DOUBLE) AS revenue FROM _gs_lineitem_mv "
+            "GROUP BY GROUPING SETS ((l_returnflag), (year), ())")
     li = (_t(spark, sf_dir, "lineitem")
           .select("l_returnflag",
                   F.year("l_shipdate").cast("int").alias("year"),

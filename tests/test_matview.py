@@ -210,6 +210,40 @@ def test_total_revenue_empty_view_matches_count_semantics(spark):
         spark.catalog.dropTempView(view)
 
 
+def test_flag_day_rollup_serves_pricing_family(spark, staged_matview):
+    """The multi-measure view: pricing_summary (all 9 Q1 measures),
+    revenue_cube, revenue_grouping_sets, revenue_pivot_by_flag and
+    revenue_rollup_gid all serve off summary partials, bit-identical to
+    their base fact-scan plans (incl. NULL subtotal keys and pivot's
+    NULL-for-missing-cell semantics)."""
+    import etl_online_retail_spark.workload_bi  # noqa: F401  (registers)
+    from etl_online_retail_spark.workload import _REGISTRY
+
+    def rows(df):
+        return sorted(
+            tuple((v is None, round(v, 6) if isinstance(v, float) else v)
+                  for v in r)
+            for r in df.collect())
+
+    for qname in ("pricing_summary", "revenue_cube",
+                  "revenue_grouping_sets", "revenue_pivot_by_flag",
+                  "revenue_rollup_gid"):
+        build = _REGISTRY[qname].build
+        served = build(spark, SF_SMALL)
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, qname
+        got = rows(served)
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        try:
+            base = build(spark, SF_SMALL)
+            assert served.columns == base.columns, qname
+            assert [f.dataType for f in served.schema.fields] == \
+                   [f.dataType for f in base.schema.fields], qname
+            assert got == rows(base), qname
+        finally:
+            spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
+
+
 def test_customer_nation_rollup_serves_customers_by_nation(
         spark, staged_matview):
     """customers_by_nation rewrites onto the customer-dim rollup (~25
