@@ -156,6 +156,20 @@ def _flag_day_input(spark: SparkSession, sf_dir: str,
         F.col("l_discount").cast("decimal(18,2)").alias("_v_disc"))
 
 
+def _order_day_input(spark: SparkSession, sf_dir: str,
+                     batch: DataFrame | None = None) -> DataFrame:
+    """Fact input at ORDER date (~2.5k rows): total-price partials +
+    order counts per day. Source table is ORDERS — maintained by order
+    loads. Serves the smart-key range scans (a range filter on the
+    grain column commutes with re-aggregation) and the calendar-bounds
+    probes (MIN/MAX of the grain column itself — every view day has at
+    least one order, and the yyyymmdd smart key is monotonic in the
+    date)."""
+    o = _src(spark, sf_dir, "orders", batch)
+    return o.select(F.col("o_orderdate").alias("order_date"),
+                    money.exact("o_totalprice").alias("_v"))
+
+
 def _customer_nation_input(spark: SparkSession, sf_dir: str,
                            batch: DataFrame | None = None) -> DataFrame:
     """DIM input at customer nation: the reference dashboard's "customer
@@ -188,6 +202,7 @@ MATVIEW_INPUTS: dict[str, Callable[..., DataFrame]] = {
     "product_revenue_rollup": _product_input,
     "customer_nation_rollup": _customer_nation_input,
     "flag_day_rollup": _flag_day_input,
+    "order_day_rollup": _order_day_input,
 }
 
 # Navigator metadata: each view's GRAIN (the columns it is grouped by),
@@ -231,6 +246,13 @@ MATVIEW_META: dict[str, dict] = {
         "storage": {"n_customers": "_n", "acctbal": "_sum"},
         "joined": True,   # the name lookup carries the FK assumption
         "source": "customer",
+    },
+    "order_day_rollup": {
+        "grain": ("order_date",),
+        "measures": {"total_price": "total_price", "n_orders": "n_orders"},
+        "storage": {"total_price": "_sum", "n_orders": "_n"},
+        "joined": False,
+        "source": "orders",
     },
     "flag_day_rollup": {
         "grain": ("l_returnflag", "l_linestatus", "ship_date"),

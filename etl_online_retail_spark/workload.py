@@ -135,6 +135,19 @@ def q_total_revenue(spark, sf_dir):
     "A2,P5",
 )
 def q_date_bounds(spark, sf_dir):
+    # Navigator rewrite (r10): MIN/MAX of the GRAIN column itself — the
+    # order-day rollup has one row per distinct order date (each backed
+    # by >= 1 order), so the bounds over ~2.5k summary rows equal the
+    # bounds over the orders table; the yyyymmdd smart key is monotonic
+    # in the date, so its bounds are the same rows'.
+    nav = matview.navigate(spark, sf_dir, ["order_date"], [])
+    if nav is not None:
+        return nav.agg(
+            F.min(F.col("order_date").cast("date")).alias("min_date"),
+            F.max(F.col("order_date").cast("date")).alias("max_date"),
+            F.min(date_key("order_date")).alias("min_date_key"),
+            F.max(date_key("order_date")).alias("max_date_key"),
+        )
     o = _t(spark, sf_dir, "orders")
     return o.agg(
         F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
@@ -512,6 +525,22 @@ def q_monthly_revenue(spark, sf_dir):
     "F5,P5",
 )
 def q_smart_key_range(spark, sf_dir):
+    # Navigator rewrite (r10): the smart-key range predicate filters the
+    # order-day rollup's GRAIN column, and filtering a grain column
+    # commutes with re-aggregating its partials — so the scan touches
+    # ~2.5k summary rows, not the orders table. COALESCE keeps COUNT
+    # semantics when the range matches nothing (base COUNT returns 0;
+    # SUM over zero partial rows is NULL).
+    nav = matview.navigate(spark, sf_dir, ["order_date"],
+                           ["total_price", "n_orders"])
+    if nav is not None:
+        key = date_key("order_date")
+        return (nav.filter((key >= 19960101) & (key < 19970101))
+                   .agg(F.coalesce(F.sum("n_orders"),
+                                   F.lit(0).cast("bigint"))
+                         .alias("n_orders"),
+                        F.sum("total_price").cast("double")
+                         .alias("total_price")))
     o = _t(spark, sf_dir, "orders")
     key = date_key("o_orderdate")
     return (o.filter((key >= 19960101) & (key < 19970101))

@@ -227,7 +227,10 @@ def test_flag_day_rollup_serves_pricing_family(spark, staged_matview):
 
     for qname in ("pricing_summary", "revenue_cube",
                   "revenue_grouping_sets", "revenue_pivot_by_flag",
-                  "revenue_rollup_gid"):
+                  "revenue_rollup_gid",
+                  # order-day rollup family (same served-vs-base pin):
+                  # grain-column range filter + grain-column MIN/MAX
+                  "smart_key_range", "date_bounds"):
         build = _REGISTRY[qname].build
         served = build(spark, SF_SMALL)
         plan = served._jdf.queryExecution().executedPlan().toString()
