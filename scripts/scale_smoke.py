@@ -310,6 +310,37 @@ def main() -> None:
     timed(f"incremental agg + autocompact (24 micro-batches) @ {factor}x",
           incremental_agg_compaction)
 
+    def matview_batch_append():
+        """The serving-layer maintenance claim, measured: appending one
+        FIXED-size batch onto an accumulated summary table must cost the
+        same whatever the table already holds (work ∝ batch, never the
+        fact) — at 100 TB this is the difference between a daily refresh
+        and a daily rebuild. Seeds the join-free day/flag views with the
+        factor-x fact as batch 0 (untimed here; it is the one full pass
+        a rebuild would pay EVERY load), then times a 1x-fixture batch
+        append; compare the printed figure across factors."""
+        from etl_online_retail_spark.operators import matview
+
+        work = tempfile.mkdtemp(prefix="scale_mv_append_")
+        views = ["ship_day_rollup", "flag_day_rollup"]
+        try:
+            t0 = time.perf_counter()
+            matview.append_batch(spark, SF_DIR, li, 0, names=views,
+                                 storage_dir=work, max_partials=None)
+            seed = time.perf_counter() - t0
+            batch = load_table(spark, "lineitem", SF_DIR)  # fixed 1x
+            t0 = time.perf_counter()
+            matview.append_batch(spark, SF_DIR, batch, 1, names=views,
+                                 storage_dir=work, max_partials=None)
+            dt = time.perf_counter() - t0
+            print(f"  seed ({factor}x fact -> 2 views): {seed:.1f}s; "
+                  f"fixed 1x-batch append onto it: {dt:.1f}s", flush=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    timed(f"matview fixed-batch append onto {factor}x table",
+          matview_batch_append)
+
     # round-4 operators: deterministic sampling (pure filter / top-k /
     # one window pass) and the Bloom-pruned join (bit-array broadcast +
     # exact residual semi-join) — all shapes that must stay linear-ish.
