@@ -44,7 +44,10 @@ def main() -> None:
     store = tempfile.mkdtemp(prefix="demo_matviews_")
     queries = workload.queries()
     dash = ["total_revenue", "revenue_by_ymd",
-            "star_revenue_by_nation_month", "top_products_by_revenue"]
+            "star_revenue_by_nation_month", "top_products_by_revenue",
+            # fed by OTHER source tables: base-planned until act 2b's
+            # dimension loads maintain their views
+            "customers_by_nation", "smart_key_range"]
 
     def run_dashboard(tag: str) -> dict[str, float]:
         out = {}
@@ -96,6 +99,21 @@ def main() -> None:
         want = li.count()
         print(f"  coverage now {total} rows == full fact {want}: "
               f"{'OK' if total == want else 'MISMATCH'}")
+
+        # -- Act 2b: dimension loads (source-aware maintenance) ------
+        print("== act 2b: customer + orders loads (other sources) ==")
+        t0 = time.perf_counter()
+        matview.append_batch(
+            spark, sf_dir, catalog.load_table(spark, "customer", sf_dir),
+            0, storage_dir=store, table="customer")
+        matview.append_batch(
+            spark, sf_dir, catalog.load_table(spark, "orders", sf_dir),
+            0, storage_dir=store, table="orders")
+        matview.publish(spark, sf_dir, storage_dir=store)
+        print(f"  dim/day views maintained + republished in "
+              f"{time.perf_counter()-t0:.2f}s — their queries flip from "
+              f"base plans to view-served")
+        run_dashboard("after dimension loads")
 
         # -- Act 3: replayed load ------------------------------------
         print("== act 3: day-2 load REPLAYED (exactly-once) ==")
