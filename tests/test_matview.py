@@ -319,6 +319,27 @@ def test_customer_view_maintained_by_customer_batches_only(spark, tmp_path):
                 spark.catalog.dropTempView(view)
 
 
+def test_matview_registry_is_structurally_consistent(spark):
+    """Load-bearing registry invariants, so a future view cannot drift:
+    every view has meta and an input builder; storage maps exactly the
+    declared measures onto `_n`/`_sum*` partials; the input builder
+    provides a `_v<sfx>` value column for every `_sum<sfx>` partial and
+    its non-value columns are exactly the grain."""
+    assert set(matview.MATVIEW_INPUTS) == set(matview.MATVIEW_META)
+    for name, meta in matview.MATVIEW_META.items():
+        assert set(meta["storage"]) == set(meta["measures"]), name
+        assert {"grain", "measures", "storage", "joined", "source"} \
+            <= set(meta), name
+        for stored in meta["storage"].values():
+            assert stored == "_n" or stored.startswith("_sum"), name
+        inp = matview.MATVIEW_INPUTS[name](spark, SF_SMALL)
+        value_cols = {c for c in inp.columns if c.startswith("_v")}
+        want = {"_v" + stored[len("_sum"):]
+                for stored in meta["storage"].values() if stored != "_n"}
+        assert value_cols == want, name
+        assert set(inp.columns) - value_cols == set(meta["grain"]), name
+
+
 def test_serve_refuses_other_directory(spark, staged_matview):
     assert matview.serve(spark, "/root/testdata/sf0.01",
                          "star_month_rollup") is None
