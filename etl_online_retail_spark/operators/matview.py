@@ -325,14 +325,22 @@ def view_table_dir(sf_dir: str, name: str,
 def write_full(spark: SparkSession, sf_dir: str,
                names: list[str] | None = None,
                storage_dir: str | None = None) -> None:
-    """Full refresh: clear each view table and write the whole fact input
-    as the batch-0 partial. One map-side-combined pass per view."""
+    """Full refresh: clear each view table and write the whole fact
+    input in one map-side-combined pass per view — stored as the LEGACY
+    FULL-COMPACT partition (`_batch_id=-1`), which the layout reserves
+    for "everything so far folded into one". Non-negative ids stay free
+    for incremental loads: a subsequent maintain_incremental stream's
+    FIRST micro-batch is id 0, and a full refresh written there would be
+    silently overwritten by it (dynamic partition overwrite) — the
+    id -1 slot makes the collision impossible, readers include it
+    alongside streamed originals (ingest.effective_partials), and the
+    first autocompaction folds it like any other history."""
     for name in (names or list(MATVIEW_INPUTS)):
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         shutil.rmtree(table_dir, ignore_errors=True)
         inp = MATVIEW_INPUTS[name](spark, sf_dir)
         ingest.partial_multi_agg_batch_write(
-            inp, 0, table_dir, list(MATVIEW_META[name]["grain"]),
+            inp, -1, table_dir, list(MATVIEW_META[name]["grain"]),
             [c for c in inp.columns if c.startswith("_v")],
             sum_type=MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE))
 
@@ -362,7 +370,7 @@ def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
             [c for c in inp.columns if c.startswith("_v")],
             sum_type=sum_type)
         if max_partials is not None and \
-                len(ingest._effective_partials(table_dir)) > max_partials:
+                len(ingest.effective_partials(table_dir)) > max_partials:
             ingest.autocompact_incremental_agg(spark, table_dir, keys,
                                                sum_type=sum_type)
 
@@ -398,7 +406,7 @@ def compact(spark: SparkSession, sf_dir: str,
     Views never written are skipped (same contract as publish)."""
     for name in (names or list(MATVIEW_INPUTS)):
         table_dir = view_table_dir(sf_dir, name, storage_dir)
-        if not ingest._effective_partials(table_dir):
+        if not ingest.effective_partials(table_dir):
             continue
         ingest.compact_incremental_agg(
             spark, table_dir, list(MATVIEW_META[name]["grain"]),
@@ -415,7 +423,7 @@ def _serving_relation(spark: SparkSession, table_dir: str,
     Partition-prunes to the consistent read set (ingest's crash-window
     contract), so in-flight compaction garbage never double-counts."""
     meta = MATVIEW_META[name]
-    eff = ingest._effective_partials(table_dir)
+    eff = ingest.effective_partials(table_dir)
     aggs = [F.sum(stored).alias(measure)
             for measure, stored in meta["storage"].items()]
     # serving relations are DASHBOARD-sized by the registry's own
@@ -442,7 +450,7 @@ def publish(spark: SparkSession, sf_dir: str,
     for name in (names or list(MATVIEW_INPUTS)):
         view = f"{MATVIEW_PREFIX}_{name}"
         table_dir = view_table_dir(sf_dir, name, storage_dir)
-        if not ingest._effective_partials(table_dir):
+        if not ingest.effective_partials(table_dir):
             if spark.catalog.tableExists(view):
                 spark.table(view).unpersist()
                 spark.catalog.dropTempView(view)

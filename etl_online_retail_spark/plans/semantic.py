@@ -129,7 +129,12 @@ def _navigated_spec(spark, sf_dir: str, spec: ChartSpec) -> DataFrame | None:
         return None
     rewritten = []
     for m in spec.metrics:
-        if m.measure is None or m.agg not in ("SUM", "COUNT"):
+        # SUM only: a COUNT(column) metric skips NULLs, while the view's
+        # count partial counts every row (COUNT(*) semantics) — rewriting
+        # COUNT would silently change results on a nullable column, and
+        # the oracle gate never sees served plans. A chart wanting the
+        # row count declares it as SUM over the "n_rows" measure.
+        if m.measure is None or m.agg != "SUM":
             return None
         rewritten.append(Metric("SUM", m.measure, m.label))
     nav = matview.navigate(spark, sf_dir, [date_col],

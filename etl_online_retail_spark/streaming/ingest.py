@@ -243,8 +243,14 @@ def _list_partials(table_dir: str) -> list[int]:
     return out
 
 
-def _effective_partials(table_dir: str) -> list[int]:
+def effective_partials(table_dir: str) -> list[int]:
     """The consistent read set under crash-interrupted compaction.
+
+    PUBLIC API (r10): the serving layer (operators/matview.py) reads
+    incremental-agg tables directly, so this crash-window contract is
+    load-bearing infrastructure, not an internal — at warehouse scale
+    its directory listing becomes a catalog/manifest lookup behind the
+    same signature.
 
     Partition meanings: b >= 0 is micro-batch b's partial; b <= -2 is a
     compact covering every effective partial with id <= (-b - 2) at its
@@ -263,6 +269,10 @@ def _effective_partials(table_dir: str) -> list[int]:
     widest = min(compacts)  # most-negative id = largest coverage
     covered = -widest - 2
     return [widest] + [b for b in parts if 0 <= b and b > covered]
+
+
+# long-standing in-repo callers/tests use the prior underscore name
+_effective_partials = effective_partials
 
 
 def autocompact_incremental_agg(spark, table_dir: str,

@@ -2106,7 +2106,11 @@ if _libwebp_available():
 # bit-exact (heif.avif_oracle_exact, r10): a libheif build with a
 # different AV1 encoder/default params need not preserve solid frames
 # at quality 100, and that build should degrade to "unregistered"
-# rather than a hash-red oracle row.
+# rather than a hash-red oracle row. The probe runs ONE 8x6 encode+
+# decode at import (~6 ms, cached per process) — a deliberate trade:
+# registration must be decided at import for queries()/oracle_sql()
+# consistency, and the robustness is worth milliseconds of driver
+# startup (it never runs on executors; the decode UDFs load lazily).
 from etl_online_retail_spark.multimodal.heif import (  # noqa: E402
     avif_oracle_exact as _avif_oracle_exact,
 )

@@ -80,7 +80,9 @@ def main() -> None:
             shutil.rmtree(tdir, ignore_errors=True)
         matview.append_batch(spark, sf_dir, day1, 0, storage_dir=store)
         matview.publish(spark, sf_dir, storage_dir=store)
-        print(f"  3 views written + published in "
+        n_views = sum(1 for m in matview.MATVIEW_META.values()
+                      if m["source"] == "lineitem")
+        print(f"  {n_views} lineitem-fed views written + published in "
               f"{time.perf_counter()-t0:.2f}s (storage: {store})")
         run_dashboard("after day-1 load")
         mv = matview.serve(spark, sf_dir, "ship_day_rollup")

@@ -67,12 +67,18 @@ def main() -> None:
                 px_out.append(img.width * img.height)
             yield pd.DataFrame({"px": px_out})
 
+    # warm-up: spin up all 32 python workers and initialize libheif/aom
+    # in each BEFORE any timed leg, so one-time costs (worker startup,
+    # codec init, page cache) land in neither measurement. A tiny 32-way
+    # pass touches every worker at negligible cost.
+    (spark.range(32).repartition(32)
+     .mapInPandas(roundtrip, "px long")
+     .write.format("noop").mode("overwrite").save())
+
     results = {}
     for workers in (1, 32):
         df = (spark.range(n).repartition(workers)
               .mapInPandas(roundtrip, "px long"))
-        # warm-up once at 32 only (JIT/page-cache; a 1-worker warm-up
-        # would double the serial leg's multi-minute cost for nothing)
         t0 = time.perf_counter()
         total_px = df.agg(F.sum("px")).collect()[0][0]
         dt = time.perf_counter() - t0

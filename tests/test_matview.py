@@ -271,6 +271,29 @@ def test_customer_nation_rollup_serves_customers_by_nation(
         spark.conf.set(matview.MATVIEW_DIR_CONF, SF_SMALL)
 
 
+def test_full_refresh_survives_a_subsequent_batch_zero(spark, tmp_path):
+    """Regression (r10 review): a full refresh used to live at
+    _batch_id=0, where a subsequent incremental stream's FIRST
+    micro-batch (structured streaming numbers from 0) silently
+    overwrote it via dynamic partition overwrite. The refresh now
+    occupies the reserved -1 slot, so batch 0 ADDS to it."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    store = str(tmp_path / "mv_store")
+    li = catalog.load_table(spark, "lineitem", SF_SMALL)
+    matview.write_full(spark, SF_SMALL, names=["ship_day_rollup"],
+                       storage_dir=store)
+    slice0 = li.filter(F.pmod(F.col("l_orderkey"), F.lit(4)) == 0)
+    matview.append_batch(spark, SF_SMALL, slice0, 0,
+                         names=["ship_day_rollup"], storage_dir=store)
+    tdir = matview.view_table_dir(SF_SMALL, "ship_day_rollup", store)
+    served = matview._serving_relation(spark, tdir, "ship_day_rollup")
+    total = served.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == li.count() + slice0.count()   # coexist, no overwrite
+
+
 def test_customer_view_maintained_by_customer_batches_only(spark, tmp_path):
     """Source-aware maintenance: lineitem batches do NOT touch the
     customer-fed view; customer batches maintain it; publish registers
@@ -415,7 +438,9 @@ def test_materialize_writes_managed_parquet(spark, tmp_path):
     try:
         for name in matview.MATVIEWS:
             tdir = matview.view_table_dir(SF_SMALL, name, store)
-            assert os.path.isdir(os.path.join(tdir, "_batch_id=0"))
+            # the full refresh occupies the reserved legacy-full-compact
+            # slot, leaving non-negative ids free for incremental loads
+            assert os.path.isdir(os.path.join(tdir, "_batch_id=-1"))
 
         from etl_online_retail_spark.workload import _REGISTRY
 
