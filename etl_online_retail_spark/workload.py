@@ -731,6 +731,21 @@ FROM per_nation""",
 def q_revenue_share_by_nation(spark, sf_dir):
     from pyspark.sql import Window
 
+    # Navigator rewrite (r10): per-nation revenue is the star rollup
+    # re-aggregated to the (denormalized) nation name — ~25 output rows
+    # off a 25x-months summary, then the same percent-of-total window
+    # over the aggregated relation. Decimal partials keep the shares
+    # bit-identical. (salted_revenue_by_nation deliberately keeps its
+    # base plan: it exists to exercise the salted-join operator.)
+    nav = matview.navigate(spark, sf_dir, ["nation"], ["revenue"])
+    if nav is not None:
+        per_nation = (nav.groupBy("nation")
+                         .agg(F.sum("revenue").alias("_rev")))
+        total = F.sum("_rev").over(Window.partitionBy())
+        return per_nation.select(
+            "nation", F.col("_rev").cast("double").alias("revenue"),
+            F.round(F.col("_rev").cast("double") / total.cast("double"), 6)
+             .alias("revenue_share"))
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")

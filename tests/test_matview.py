@@ -230,7 +230,10 @@ def test_flag_day_rollup_serves_pricing_family(spark, staged_matview):
                   "revenue_rollup_gid",
                   # order-day rollup family (same served-vs-base pin):
                   # grain-column range filter + grain-column MIN/MAX
-                  "smart_key_range", "date_bounds"):
+                  "smart_key_range", "date_bounds",
+                  # star rollup re-aggregated to nation + the
+                  # percent-of-total window over the summary rows
+                  "revenue_share_by_nation"):
         build = _REGISTRY[qname].build
         served = build(spark, SF_SMALL)
         plan = served._jdf.queryExecution().executedPlan().toString()
