@@ -402,13 +402,19 @@ def maintain_incremental(source_stream: DataFrame, sf_dir: str,
 def compact(spark: SparkSession, sf_dir: str,
             names: list[str] | None = None,
             storage_dir: str | None = None) -> None:
-    """Nightly-compaction shape: fold each view's partials into one.
-    Views never written are skipped (same contract as publish)."""
+    """Nightly-compaction shape: fold each view's effective partials
+    into one COVERAGE-ENCODED compact (ingest.autocompact_incremental_
+    agg), not the legacy whole-table -1 fold — coverage is what keeps a
+    batch REPLAYED after compaction exactly-once (readers ignore the
+    replayed partition because the compact already covers its id; the
+    r10 property test found the legacy fold double-counting exactly
+    that schedule). Views never written are skipped (same contract as
+    publish)."""
     for name in (names or list(MATVIEW_INPUTS)):
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         if not ingest.effective_partials(table_dir):
             continue
-        ingest.compact_incremental_agg(
+        ingest.autocompact_incremental_agg(
             spark, table_dir, list(MATVIEW_META[name]["grain"]),
             sum_type=MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE))
 

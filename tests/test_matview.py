@@ -653,3 +653,61 @@ def test_navigator_serves_the_incrementally_maintained_rollup(spark, tmp_path):
         spark.conf.unset(matview.MATVIEW_DIR_CONF)
         spark.catalog.dropTempView(
             f"{matview.MATVIEW_PREFIX}_star_month_rollup")
+
+
+def test_maintenance_equivalence_is_a_property(spark, tmp_path):
+    """Property (hypothesis): for ANY load schedule — batch count,
+    replayed batch ids, autocompaction threshold, an optional offline
+    compact, in any interleaving the API allows — the maintained
+    ship-day view serves exactly the one-shot logical aggregate. This is
+    the algebraic claim the whole serving layer rests on (partials are a
+    commutative monoid; replays overwrite only themselves; compaction is
+    identity on the merged value), checked beyond the hand-picked
+    schedules of the example-based tests."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    li = catalog.load_table(spark, "lineitem", SF_SMALL).cache()
+    want = sorted(
+        map(tuple,
+            matview.MATVIEWS["ship_day_rollup"](spark, SF_SMALL).collect()))
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        k = data.draw(st.integers(min_value=1, max_value=5), label="k")
+        replays = data.draw(
+            st.lists(st.integers(min_value=0, max_value=k - 1),
+                     max_size=3), label="replays")
+        max_partials = data.draw(
+            st.sampled_from([None, 1, 2, 8]), label="max_partials")
+        offline_compact_after = data.draw(
+            st.integers(min_value=0, max_value=k), label="compact_after")
+
+        # unique per EXECUTION, not per drawn example: hypothesis
+        # replays a falsifying example with the same draws, and a reused
+        # directory would accumulate partials across replays
+        import tempfile as _tf
+
+        store = _tf.mkdtemp(dir=str(tmp_path))
+        schedule = list(range(k)) + replays
+        for i, b in enumerate(schedule):
+            matview.append_batch(
+                spark, SF_SMALL,
+                li.filter(F.pmod(F.col("l_orderkey"), F.lit(k)) == b),
+                b, names=["ship_day_rollup"], storage_dir=store,
+                max_partials=max_partials)
+            if i + 1 == offline_compact_after:
+                matview.compact(spark, SF_SMALL,
+                                names=["ship_day_rollup"],
+                                storage_dir=store)
+        tdir = matview.view_table_dir(SF_SMALL, "ship_day_rollup", store)
+        got = sorted(map(tuple, matview._serving_relation(
+            spark, tdir, "ship_day_rollup").collect()))
+        assert got == want
+
+    check()
