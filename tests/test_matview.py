@@ -508,7 +508,12 @@ def test_multibatch_maintenance_equals_base_recompute(spark, tmp_path):
     try:
         for qname in ("revenue_by_ymd", "total_revenue",
                       "star_revenue_by_nation_month",
-                      "top_products_by_revenue"):
+                      "top_products_by_revenue",
+                      # the MULTI-MEASURE table under the same
+                      # multi-batch + replay + autocompact schedule: all
+                      # five decimal partials and the count must survive
+                      # the generic _sum*-column compaction
+                      "pricing_summary"):
             build = _REGISTRY[qname].build
             served = build(spark, SF_SMALL)
             plan = served._jdf.queryExecution().executedPlan().toString()
