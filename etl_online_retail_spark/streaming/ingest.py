@@ -340,6 +340,17 @@ def compact_incremental_agg(spark, table_dir: str,
     O(batches x keys). Safe to interleave with an active writer ONLY
     between streaming runs (the fold rewrites the whole table); at
     warehouse scale this is the nightly compaction job.
+
+    REPLAY HAZARD (found by the r10 maintenance property test): the -1
+    compact does not encode which batch ids it folded, so a micro-batch
+    REPLAYED after this fold (stream restarts from a checkpoint older
+    than the fold — a realistic crash schedule) re-appears as an
+    original partition that `effective_partials` cannot prove covered,
+    and the read side double-counts it. `autocompact_incremental_agg`
+    (coverage-encoded compact ids) is immune and is what the matview
+    serving layer uses; prefer it anywhere a writer may ever restart.
+    This -1 shape remains for truly terminated streams and as the
+    read_agg_as_of legacy case.
     """
     src = spark.read.parquet(table_dir)
     merged = (src.groupBy(*key_cols)
@@ -500,8 +511,32 @@ def _as_of_partials(table_dir: str, batch_id: int) -> list[int]:
     # the versions at or after the last partial it precedes (where the
     # answer equals "the -1 compact plus every later partial"). For dated
     # time travel, compact with autocompact_incremental_agg instead.
-    if -1 in parts:
-        newest = max(partial_ids, default=-1)
+    #
+    # -1 counts ONLY when no coverage-encoded compact exists — the same
+    # rule as effective_partials, for the same reason: any coverage
+    # compact folded the -1 it found into itself at creation, so a -1
+    # still on disk beside one is crash-window garbage (autocompact
+    # cleanup interrupted after deleting the originals but before -1) or
+    # a dynamic-overwrite legacy fold that left the compacts in place.
+    # Reading [-1] + surviving partials in that state served a silently
+    # STALE (or double-counted) snapshot for batch_id >= newest — found
+    # by the r10 mixed-compaction repro (tests/test_incremental_ingest
+    # test_read_agg_as_of_survives_interrupted_autocompact_cleanup).
+    if -1 in parts and not any(b <= -2 for b in parts):
+        # With no partial beside it, the fold's last-folded batch is
+        # unknowable from the listing — serving ANY requested version
+        # would claim "version N" for a fold that may include N+1.. .
+        # (Surviving partials all post-date the fold — its whole-table
+        # overwrite removed the ones it ate — so with at least one
+        # partial, versions >= the newest partial ARE reconstructable.)
+        if not partial_ids:
+            raise ValueError(
+                "as-of reads are not reconstructable from an undated "
+                "legacy full compact (_batch_id=-1) with no later "
+                "partials: the fold's last-folded batch id is unknowable."
+                " Use read_incremental_agg for the live total, or compact"
+                " with autocompact_incremental_agg for dated time travel")
+        newest = max(partial_ids)
         if batch_id >= newest:
             return [-1] + sorted(partial_ids)
         raise ValueError(

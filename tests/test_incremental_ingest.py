@@ -954,3 +954,158 @@ def test_incremental_minhash_dedup_stream_equals_batch(spark):
         assert {r._id: r._batch_id for r in
                 (spark.read.parquet(index_dir)
                  .select("_id", "_batch_id").collect())} == batch_of
+
+
+def test_read_agg_as_of_survives_interrupted_autocompact_cleanup(
+        spark, monkeypatch):
+    """MIXED compaction crash window (r10 find): a legacy -1 fold, later
+    batches, then an autocompact whose cleanup crashed after deleting
+    the originals but before deleting -1. The live reader ignores the
+    stale -1 (a coverage compact exists); the as-of reader used to take
+    its legacy branch on seeing -1 and serve a silently STALE snapshot
+    for the newest version. Both must read the coverage compact."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        _list_partials,
+        autocompact_incremental_agg,
+        compact_incremental_agg,
+        partial_agg_batch_write,
+        read_agg_as_of,
+        read_incremental_agg,
+    )
+
+    ev = load_events(spark, SF).cache()
+    with tempfile.TemporaryDirectory() as d:
+        t = f"{d}/agg"
+        for b in range(3):
+            partial_agg_batch_write(ev.filter(F.col("event_id") % 5 == b),
+                                    b, t, ["event_type"], "value")
+        compact_incremental_agg(spark, t, ["event_type"])  # undated -1
+        for b in range(3, 5):
+            partial_agg_batch_write(ev.filter(F.col("event_id") % 5 == b),
+                                    b, t, ["event_type"], "value")
+
+        real_rmtree = shutil.rmtree
+        monkeypatch.setattr(
+            "shutil.rmtree",
+            lambda p, **k: None if str(p).endswith("_batch_id=-1")
+            else real_rmtree(p, **k))
+        autocompact_incremental_agg(spark, t, ["event_type"])
+        monkeypatch.undo()
+        assert sorted(_list_partials(t)) == [-6, -1]  # the crash state
+
+        want = {r.event_type: (r.n, round(r.v, 2)) for r in
+                (ev.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.col("value").cast("decimal(18,2)"))
+                       .cast("double").alias("v")).collect())}
+        live = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+                read_incremental_agg(spark, t, ["event_type"]).collect()}
+        as_of = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+                 read_agg_as_of(spark, t, ["event_type"], 4).collect()}
+        assert live == want
+        assert as_of == want  # was the -1 fold's pre-batch-3 totals
+
+        # versions under the coverage are genuinely undated -> refuse
+        with pytest.raises(ValueError, match="retention"):
+            read_agg_as_of(spark, t, ["event_type"], 2)
+
+        # a bare undated fold with NO later partials refuses every
+        # version (the fold's last-folded id is unknowable)
+        t2 = f"{d}/agg2"
+        for b in range(2):
+            partial_agg_batch_write(ev.filter(F.col("event_id") % 5 == b),
+                                    b, t2, ["event_type"], "value")
+        compact_incremental_agg(spark, t2, ["event_type"])
+        with pytest.raises(ValueError, match="unknowable"):
+            read_agg_as_of(spark, t2, ["event_type"], 1)
+
+
+def test_as_of_never_lies_under_any_maintenance_schedule(spark):
+    """Property (hypothesis): for ANY schedule of appends interleaved
+    with legacy folds, autocompactions, and crash-interrupted
+    autocompaction cleanups, read_agg_as_of at EVERY version either
+    raises ValueError (past retention / undated) or returns exactly the
+    true cumulative totals — never a silently wrong snapshot. The
+    snapshot contract's whole value is in that 'never'."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        autocompact_incremental_agg,
+        compact_incremental_agg,
+        partial_agg_batch_write,
+        read_agg_as_of,
+    )
+
+    rows = [(i, f"t{i % 2}", float(i)) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double").cache()
+    df.count()
+
+    def truth(k, n):  # exact per-type (count, sum) over batches 0..n
+        out = {}
+        for i, ty, v in rows:
+            if i % k <= n:
+                c, s = out.get(ty, (0, 0.0))
+                out[ty] = (c + 1, s + v)
+        return {ty: (c, round(s, 2)) for ty, (c, s) in out.items()}
+
+    ACTIONS = ["none", "legacy", "auto", "crash_keep_all",
+               "crash_keep_legacy"]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        k = data.draw(st.integers(min_value=1, max_value=4), label="k")
+        actions = data.draw(
+            st.lists(st.sampled_from(ACTIONS), min_size=k, max_size=k),
+            label="actions")
+
+        import tempfile as _tf
+
+        t = _tf.mkdtemp() + "/agg"  # fresh per EXECUTION (replay-safe)
+        real_rmtree = shutil.rmtree
+        try:
+            for b in range(k):
+                partial_agg_batch_write(
+                    df.filter(F.col("event_id") % k == b), b, t,
+                    ["event_type"], "value")
+                act = actions[b]
+                if act == "legacy":
+                    compact_incremental_agg(spark, t, ["event_type"])
+                elif act == "auto":
+                    autocompact_incremental_agg(spark, t, ["event_type"])
+                elif act == "crash_keep_all":
+                    shutil.rmtree = lambda p, **kw: None
+                    autocompact_incremental_agg(spark, t, ["event_type"])
+                    shutil.rmtree = real_rmtree
+                elif act == "crash_keep_legacy":
+                    shutil.rmtree = (
+                        lambda p, **kw: None
+                        if str(p).endswith("_batch_id=-1")
+                        else real_rmtree(p, **kw))
+                    autocompact_incremental_agg(spark, t, ["event_type"])
+                    shutil.rmtree = real_rmtree
+            for n in range(k):
+                try:
+                    got = {r.event_type: (r.n_rows, round(r.total, 2))
+                           for r in read_agg_as_of(
+                               spark, t, ["event_type"], n).collect()}
+                except ValueError:
+                    continue  # refusing is always allowed
+                assert got == truth(k, n), \
+                    f"as-of {n} lied (k={k}, actions={actions})"
+        finally:
+            shutil.rmtree = real_rmtree
+            real_rmtree(t.rsplit("/", 1)[0], ignore_errors=True)
+
+    check()
