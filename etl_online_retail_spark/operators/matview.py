@@ -423,25 +423,53 @@ def compact(spark: SparkSession, sf_dir: str,
 # serving
 
 
+def _merge_partials(spark: SparkSession, table_dir: str, name: str,
+                    keep: list[int]) -> DataFrame:
+    """Merge a chosen partition set into the view's serving schema.
+    Serving relations are DASHBOARD-sized by the registry's own
+    admission rule (a "rollup" approaching fact size is rejected —
+    ROADMAP 66), so collapse to ONE partition: every served query then
+    runs single-task stages with no final exchange, instead of paying a
+    32-task fan-out + merge for a 25-2.5k-row relation."""
+    meta = MATVIEW_META[name]
+    aggs = [F.sum(stored).alias(measure)
+            for measure, stored in meta["storage"].items()]
+    return (spark.read.parquet(table_dir)
+            .filter(F.col("_batch_id").isin(keep))
+            .groupBy(*meta["grain"])
+            .agg(*aggs)
+            .coalesce(1))
+
+
 def _serving_relation(spark: SparkSession, table_dir: str,
                       name: str) -> DataFrame:
     """Merge the effective partials into the view's serving schema.
     Partition-prunes to the consistent read set (ingest's crash-window
     contract), so in-flight compaction garbage never double-counts."""
-    meta = MATVIEW_META[name]
-    eff = ingest.effective_partials(table_dir)
-    aggs = [F.sum(stored).alias(measure)
-            for measure, stored in meta["storage"].items()]
-    # serving relations are DASHBOARD-sized by the registry's own
-    # admission rule (a "rollup" approaching fact size is rejected —
-    # ROADMAP 66), so cache them as ONE partition: every served query
-    # then runs single-task stages with no final exchange, instead of
-    # paying a 32-task fan-out + merge for a 25-2.5k-row relation
-    return (spark.read.parquet(table_dir)
-            .filter(F.col("_batch_id").isin(eff))
-            .groupBy(*meta["grain"])
-            .agg(*aggs)
-            .coalesce(1))
+    return _merge_partials(spark, table_dir, name,
+                           ingest.effective_partials(table_dir))
+
+
+def serve_as_of(spark: SparkSession, sf_dir: str, name: str,
+                batch_id: int,
+                storage_dir: str | None = None) -> DataFrame:
+    """The view EXACTLY as it stood after maintenance micro-batch
+    `batch_id` — lakehouse "VERSION AS OF" over the maintenance ledger,
+    with no extra metadata store: `_batch_id` is the version id and
+    coverage-encoded compacts date themselves (ingest.as_of_partials).
+
+    Raises ValueError past the retention horizon (version compacted
+    away) or through an undated full refresh (write_full's -1 fold with
+    no later batches) — never a silently wrong snapshot; the schedule
+    property test in tests/test_incremental_ingest.py pins that "never".
+    Unlike serve(), this reads the ledger directly (no publish step, no
+    cache): time-travel is an audit/debug path, not the hot dashboard
+    path. Retention trade-off is the standard one: every autocompaction
+    advances the horizon past which old versions are gone — compact
+    less often (append_batch max_partials) to keep more history."""
+    table_dir = view_table_dir(sf_dir, name, storage_dir)
+    return _merge_partials(spark, table_dir, name,
+                           ingest.as_of_partials(table_dir, batch_id))
 
 
 def publish(spark: SparkSession, sf_dir: str,

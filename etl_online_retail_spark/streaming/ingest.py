@@ -575,6 +575,12 @@ def _as_of_partials(table_dir: str, batch_id: int) -> list[int]:
     return base + sorted(have)
 
 
+# PUBLIC API (r10): the matview serving layer time-travels its summary
+# tables through this partition arithmetic (operators/matview.serve_as_of),
+# same promotion rationale as effective_partials.
+as_of_partials = _as_of_partials
+
+
 def read_agg_as_of(spark, table_dir: str, key_cols: list[str],
                    batch_id: int) -> DataFrame:
     """TIME-TRAVEL read of the incremental aggregate: per-key

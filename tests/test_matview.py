@@ -716,3 +716,68 @@ def test_maintenance_equivalence_is_a_property(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_serve_as_of_time_travels_the_maintained_view(spark, tmp_path):
+    """VERSION AS OF over the maintenance ledger: after k incremental
+    loads, serve_as_of(n) equals the logical view rebuilt over loads
+    0..n (exact decimals, all measures — incl. the multi-measure
+    layout); once compaction advances the retention horizon the
+    compacted-away versions refuse loudly, the newest stays exact, and
+    an undated full refresh refuses every version."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    store = str(tmp_path / "mv_store")
+    li = catalog.load_table(spark, "lineitem", SF_SMALL).cache()
+    K = 3
+    names = ["ship_day_rollup", "flag_day_rollup"]
+    shard = F.pmod(F.col("l_orderkey"), F.lit(K))
+    for b in range(K):
+        matview.append_batch(spark, SF_SMALL, li.filter(shard == b), b,
+                             names=names, storage_dir=store,
+                             max_partials=None)
+
+    def expected(name, n):
+        # the logical view over loads 0..n — same aggregate shape as
+        # matview._logical_view, applied to the cumulative batch
+        meta = matview.MATVIEW_META[name]
+        inp = matview.MATVIEW_INPUTS[name](
+            spark, SF_SMALL, li.filter(shard <= n))
+        aggs = [(F.count(F.lit(1)) if stored == "_n"
+                 else F.sum("_v" + stored[len("_sum"):])).alias(m)
+                for m, stored in meta["storage"].items()]
+        return sorted(map(tuple,
+                          inp.groupBy(*meta["grain"]).agg(*aggs).collect()))
+
+    def served(name, n):
+        return sorted(map(tuple, matview.serve_as_of(
+            spark, SF_SMALL, name, n, storage_dir=store).collect()))
+
+    for name in names:
+        for n in range(K):
+            assert served(name, n) == expected(name, n), (name, n)
+
+    # compaction advances the retention horizon: versions under the
+    # compact's coverage are gone (loudly), the newest stays exact
+    for name in names:
+        tdir = matview.view_table_dir(SF_SMALL, name, store)
+        from etl_online_retail_spark.streaming import ingest
+        ingest.autocompact_incremental_agg(
+            spark, tdir, list(matview.MATVIEW_META[name]["grain"]),
+            sum_type=matview.MATVIEW_META[name].get(
+                "sum_type", matview._MV_SUM_TYPE))
+        with pytest.raises(ValueError, match="retention"):
+            matview.serve_as_of(spark, SF_SMALL, name, 0,
+                                storage_dir=store).collect()
+        assert served(name, K - 1) == expected(name, K - 1)
+
+    # a full refresh is an UNDATED fold: no version is claimable
+    store2 = str(tmp_path / "mv_store2")
+    matview.write_full(spark, SF_SMALL, names=["ship_day_rollup"],
+                       storage_dir=store2)
+    with pytest.raises(ValueError, match="unknowable"):
+        matview.serve_as_of(spark, SF_SMALL, "ship_day_rollup", 0,
+                            storage_dir=store2).collect()
