@@ -15,6 +15,12 @@ month-grain summary table maintained alongside the fact load (the
   :func:`materialize` for a full refresh and maintained under multi-batch
   loads by :func:`append_batch` / :func:`maintain_incremental` with the
   ingest writer's replay-safety and crash-safe autocompaction verbatim.
+- CDC (r10): :func:`apply_cdc_batch` maintains the same tables under
+  RETRACTIONS (delete images ride the partial layout with weight -1 —
+  the partial algebra is a group, not just a monoid), covering the
+  online-retail cancellation case the reference drops at ingest;
+  :func:`serve_as_of` time-travels any view to its state after
+  maintenance batch N off the `_batch_id` ledger.
 - :func:`publish` registers the serving relations (the merged effective
   partials, cached) and announces the layout via ``spark.graft.matview
   .dir`` exactly like the co-bucketed fact layout (catalog
@@ -358,17 +364,68 @@ def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
     proportional to the BATCH, never the accumulated fact; views fed by
     other source tables are untouched (their batch streams maintain
     them separately)."""
+    apply_cdc_batch(spark, sf_dir, batch_id, inserts=batch, names=names,
+                    storage_dir=storage_dir, max_partials=max_partials,
+                    table=table)
+
+
+def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
+                    inserts: DataFrame | None = None,
+                    deletes: DataFrame | None = None,
+                    names: list[str] | None = None,
+                    storage_dir: str | None = None,
+                    max_partials: int | None = 8,
+                    table: str = "lineitem") -> None:
+    """Maintain the views under one CDC batch of `table`: `inserts` are
+    new fact rows, `deletes` are previously-loaded rows now retracted
+    (the online-retail cancellation case — the reference's source data
+    carries 'C'-prefixed cancellation invoices, reference etl.py:46-269
+    drops them at ingest; a warehouse that must UNWIND them instead
+    needs retraction, not a fact rewrite).
+
+    Retractions ride the exact same partial layout with weight -1
+    (ingest.partial_multi_agg_batch_write weight_col): the partial
+    aggregates form a GROUP under addition, not just a monoid — a
+    deleted row contributes (-1, -value), exact-decimal negation
+    composes exactly, and replay/compaction/time-travel are inherited
+    unchanged (a replayed CDC batch overwrites its own partition; a
+    compact folds signed partials like any others). A grain whose rows
+    all retract nets to count 0 and is dropped at serve time
+    (_merge_partials), matching the base recompute, which would not
+    have the grain at all.
+
+    Contract: `deletes` rows must be rows previously inserted (standard
+    CDC delete images). Work stays proportional to the batch."""
+    if inserts is None and deletes is None:
+        raise ValueError("apply_cdc_batch needs inserts, deletes, or both")
     for name in (names or list(MATVIEW_INPUTS)):
         if MATVIEW_META[name]["source"] != table:
             continue
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         keys = list(MATVIEW_META[name]["grain"])
         sum_type = MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE)
-        inp = MATVIEW_INPUTS[name](spark, sf_dir, batch)
-        ingest.partial_multi_agg_batch_write(
-            inp, batch_id, table_dir, keys,
-            [c for c in inp.columns if c.startswith("_v")],
-            sum_type=sum_type)
+        if deletes is None:
+            # pure-append fast path: identical plan to the pre-CDC
+            # writer (COUNT + unweighted sums), no weight column
+            inp = MATVIEW_INPUTS[name](spark, sf_dir, inserts)
+            ingest.partial_multi_agg_batch_write(
+                inp, batch_id, table_dir, keys,
+                [c for c in inp.columns if c.startswith("_v")],
+                sum_type=sum_type)
+        else:
+            sides = []
+            if inserts is not None:
+                sides.append(MATVIEW_INPUTS[name](spark, sf_dir, inserts)
+                             .withColumn("_w", F.lit(1)))
+            sides.append(MATVIEW_INPUTS[name](spark, sf_dir, deletes)
+                         .withColumn("_w", F.lit(-1)))
+            inp = sides[0]
+            for s in sides[1:]:
+                inp = inp.unionByName(s)
+            ingest.partial_multi_agg_batch_write(
+                inp, batch_id, table_dir, keys,
+                [c for c in inp.columns if c.startswith("_v")],
+                sum_type=sum_type, weight_col="_w")
         if max_partials is not None and \
                 len(ingest.effective_partials(table_dir)) > max_partials:
             ingest.autocompact_incremental_agg(spark, table_dir, keys,
@@ -380,17 +437,40 @@ def maintain_incremental(source_stream: DataFrame, sf_dir: str,
                          names: list[str] | None = None,
                          storage_dir: str | None = None,
                          max_partials: int | None = 8,
-                         table: str = "lineitem"):
+                         table: str = "lineitem",
+                         op_col: str | None = None):
     """Maintain every view fed by `table` under a STREAM of its new rows
     — the production shape of the module docstring's claim: foreachBatch
     routes each micro-batch through append_batch, inheriting the ingest
     writer's exactly-once story (partials per `_batch_id`, replay
     overwrites itself, crash-safe autocompaction). Call publish() after
-    the run (or on a schedule) to refresh the serving relations."""
+    the run (or on a schedule) to refresh the serving relations.
+
+    op_col (r10, CDC): name of a change-op column to interpret the
+    stream as a CHANGE FEED instead of pure appends — 'I' rows are
+    inserted fact rows, 'D' rows are delete images of previously-loaded
+    rows (apply_cdc_batch). An update must arrive as its D(before) +
+    I(after) pair, the standard change-feed encoding; a single 'U' row
+    cannot unwind the before-image and is rejected loudly."""
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        append_batch(batch_df.sparkSession, sf_dir, batch_df, batch_id,
-                     names=names, storage_dir=storage_dir,
-                     max_partials=max_partials, table=table)
+        spark = batch_df.sparkSession
+        if op_col is None:
+            append_batch(spark, sf_dir, batch_df, batch_id,
+                         names=names, storage_dir=storage_dir,
+                         max_partials=max_partials, table=table)
+            return
+        bad = batch_df.filter(~F.col(op_col).isin("I", "D")).limit(1)
+        if bad.count():
+            raise ValueError(
+                f"change feed {op_col} must be 'I' or 'D' (updates are "
+                f"D-before + I-after pairs); got "
+                f"{bad.collect()[0][op_col]!r}")
+        apply_cdc_batch(
+            spark, sf_dir, batch_id,
+            inserts=batch_df.filter(F.col(op_col) == "I").drop(op_col),
+            deletes=batch_df.filter(F.col(op_col) == "D").drop(op_col),
+            names=names, storage_dir=storage_dir,
+            max_partials=max_partials, table=table)
 
     return (source_stream.writeStream
             .foreachBatch(write_batch)
@@ -434,10 +514,16 @@ def _merge_partials(spark: SparkSession, table_dir: str, name: str,
     meta = MATVIEW_META[name]
     aggs = [F.sum(stored).alias(measure)
             for measure, stored in meta["storage"].items()]
+    # CDC retractions (apply_cdc_batch) can net a grain's row count to
+    # zero; the base recompute would not have the grain at all, so the
+    # serving relation drops it. Append-only tables always net >= 1 —
+    # the filter is an exact no-op for them.
     return (spark.read.parquet(table_dir)
             .filter(F.col("_batch_id").isin(keep))
             .groupBy(*meta["grain"])
-            .agg(*aggs)
+            .agg(*aggs, F.sum("_n").alias("_live"))
+            .filter(F.col("_live") > 0)
+            .drop("_live")
             .coalesce(1))
 
 

@@ -172,7 +172,8 @@ def partial_agg_batch_write(batch_df: DataFrame, batch_id: int,
 def partial_multi_agg_batch_write(batch_df: DataFrame, batch_id: int,
                                   table_dir: str, key_cols: list[str],
                                   value_cols: list[str],
-                                  sum_type: str = _PARTIAL_SUM_TYPE) -> None:
+                                  sum_type: str = _PARTIAL_SUM_TYPE,
+                                  weight_col: str | None = None) -> None:
     """partial_agg_batch_write generalized to MANY measures: a real
     summary table carries several composable partials per grain (TPC-H
     Q1 keeps five decimal sums + a count). Each value column (already
@@ -181,12 +182,25 @@ def partial_multi_agg_batch_write(batch_df: DataFrame, batch_id: int,
     prefix (`_v` -> `_sum`, `_v_qty` -> `_sum_qty`); `_n` rides as
     always. Same replay-safe `_batch_id` layout, same compaction
     (autocompact/compact discover the sum columns by prefix), same
-    one-type-per-table pin."""
-    aggs = [F.count(F.lit(1)).alias("_n")]
+    one-type-per-table pin.
+
+    weight_col (r10, CDC): an integer ±1 column turning the partial
+    monoid into the partial GROUP — a retracted row contributes
+    (-1, -value) so `_n` becomes SUM(weight) and each partial
+    SUM(value x weight). Exact-decimal negation composes exactly, so
+    appends and retractions maintain the same table through the same
+    compaction. None (the default) keeps the bit-identical append-only
+    plan (COUNT + plain sums)."""
+    if weight_col is None:
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        terms = {vc: F.col(vc) for vc in value_cols}
+    else:
+        aggs = [F.sum(F.col(weight_col)).cast("bigint").alias("_n")]
+        terms = {vc: F.col(vc) * F.col(weight_col) for vc in value_cols}
     for vc in value_cols:
         if not vc.startswith("_v"):
             raise ValueError(f"value column {vc!r} must start with '_v'")
-        aggs.append(F.sum(vc).cast(sum_type).alias("_sum" + vc[2:]))
+        aggs.append(F.sum(terms[vc]).cast(sum_type).alias("_sum" + vc[2:]))
     part = batch_df.groupBy(*key_cols).agg(*aggs)
     (part.withColumn("_batch_id", F.lit(batch_id))
      .write.mode("overwrite")

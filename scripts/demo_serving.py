@@ -18,6 +18,11 @@ Acts:
   3. Replayed load — the same batch again: exactly-once by layout.
   4. New session   — publish-from-disk, no rebuild (simulated by
                      dropping every serving relation first).
+  5. Cancellations — apply_cdc_batch retracts a returned-lines wave
+                     (delete images as weight -1 partials); coverage
+                     drops by exactly the retraction.
+  6. Time travel   — serve_as_of reconstructs the pre-cancellation
+                     version off the `_batch_id` ledger.
 """
 
 from __future__ import annotations
@@ -148,6 +153,38 @@ def main() -> None:
               f"{'OK' if served == base else 'MISMATCH'} "
               f"(total_revenue {served[0].total_revenue:,.2f}, "
               f"{served[0].n_rows} rows)")
+
+        # -- Act 5: cancellation wave (CDC retraction) ----------------
+        # NOTE: the demo's fact parquet is immutable testdata, so from
+        # here the views deliberately diverge from it (production
+        # applies the same delete feed to the fact table); the checks
+        # below are against the CDC arithmetic, not the frozen fact
+        # the reference's source data carries 'C'-prefixed cancellation
+        # invoices; the warehouse analogue is a retraction batch —
+        # delete images ride the same partial layout with weight -1
+        print("== act 5: cancellation wave (apply_cdc_batch) ==")
+        cancel = li.filter(F.col("l_returnflag") == "R")
+        n_cancel = cancel.count()
+        t0 = time.perf_counter()
+        matview.apply_cdc_batch(spark, sf_dir, 2, deletes=cancel,
+                                storage_dir=store)
+        matview.publish(spark, sf_dir, storage_dir=store)
+        print(f"  {n_cancel} returned lines retracted + republished in "
+              f"{time.perf_counter()-t0:.2f}s (work proportional to the "
+              f"retraction batch)")
+        mv = matview.serve(spark, sf_dir, "ship_day_rollup")
+        total = mv.agg(F.sum("n_rows")).collect()[0][0]
+        print(f"  coverage now {total} rows == fact minus returns "
+              f"{want - n_cancel}: "
+              f"{'OK' if total == want - n_cancel else 'MISMATCH'}")
+
+        # -- Act 6: time travel (VERSION AS OF the ledger) ------------
+        print("== act 6: serve_as_of (pre-cancellation snapshot) ==")
+        asof = matview.serve_as_of(spark, sf_dir, "ship_day_rollup", 1,
+                                   storage_dir=store)
+        pre = asof.agg(F.sum("n_rows")).collect()[0][0]
+        print(f"  version as of batch 1 covers {pre} rows == full fact "
+              f"{want}: {'OK' if pre == want else 'MISMATCH'}")
     finally:
         spark.conf.unset(matview.MATVIEW_DIR_CONF)
         shutil.rmtree(store, ignore_errors=True)

@@ -781,3 +781,238 @@ def test_serve_as_of_time_travels_the_maintained_view(spark, tmp_path):
     with pytest.raises(ValueError, match="unknowable"):
         matview.serve_as_of(spark, SF_SMALL, "ship_day_rollup", 0,
                             storage_dir=store2).collect()
+
+
+def _logical_over(spark, name, rows_df):
+    """The view's logical aggregate over an arbitrary fact-row set —
+    the recompute reference for CDC states (same shape as
+    matview._logical_view, applied to `rows_df`)."""
+    from pyspark.sql import functions as F
+
+    meta = matview.MATVIEW_META[name]
+    inp = matview.MATVIEW_INPUTS[name](spark, SF_SMALL, rows_df)
+    aggs = [(F.count(F.lit(1)) if stored == "_n"
+             else F.sum("_v" + stored[len("_sum"):])).alias(m)
+            for m, stored in meta["storage"].items()]
+    return sorted(map(tuple,
+                      inp.groupBy(*meta["grain"]).agg(*aggs).collect()))
+
+
+def test_cdc_retractions_maintain_views_exactly(spark, tmp_path):
+    """apply_cdc_batch: retractions (delete images of previously-loaded
+    rows) maintain the views exactly — through the multi-measure layout,
+    a JOIN-built view, autocompaction of signed partials, a replayed CDC
+    batch, a full wipe (served relation EMPTY, not zero-rows), and
+    reload after the wipe."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    store = str(tmp_path / "mv_store")
+    li = catalog.load_table(spark, "lineitem", SF_SMALL).cache()
+    shard = F.pmod(F.col("l_orderkey"), F.lit(2))
+    s0, s1 = li.filter(shard == 0), li.filter(shard == 1)
+    names = ["ship_day_rollup", "flag_day_rollup", "star_month_rollup"]
+
+    def served(name):
+        tdir = matview.view_table_dir(SF_SMALL, name, store)
+        return sorted(map(tuple, matview._serving_relation(
+            spark, tdir, name).collect()))
+
+    # load both shards, then retract shard 1 (the cancellation wave)
+    matview.apply_cdc_batch(spark, SF_SMALL, 0, inserts=li,
+                            names=names, storage_dir=store, max_partials=2)
+    matview.apply_cdc_batch(spark, SF_SMALL, 1, deletes=s1,
+                            names=names, storage_dir=store, max_partials=2)
+    for name in names:
+        assert served(name) == _logical_over(spark, name, s0), name
+
+    # replayed CDC batch (at-least-once): overwrites its own partials
+    matview.apply_cdc_batch(spark, SF_SMALL, 1, deletes=s1,
+                            names=names, storage_dir=store, max_partials=2)
+    for name in names:
+        assert served(name) == _logical_over(spark, name, s0), name
+
+    # full wipe: every remaining row retracts -> EMPTY serving relation
+    # (zero-count grains are dropped, matching the base recompute)
+    matview.apply_cdc_batch(spark, SF_SMALL, 2, deletes=s0,
+                            names=names, storage_dir=store, max_partials=2)
+    for name in names:
+        assert served(name) == [], name
+
+    # reload after the wipe, with a mixed insert+delete batch
+    matview.apply_cdc_batch(spark, SF_SMALL, 3, inserts=li, deletes=s1,
+                            names=names, storage_dir=store, max_partials=2)
+    for name in names:
+        assert served(name) == _logical_over(spark, name, s0), name
+
+
+def test_cdc_maintenance_is_a_property(spark, tmp_path):
+    """Property (hypothesis): for ANY CDC schedule — inserts of new
+    shards interleaved with retractions of previously-live shards,
+    autocompaction thresholds, crash-interrupted cleanups — the
+    maintained ship-day view serves exactly the logical aggregate over
+    the LIVE rows. The signed-partial algebra is a group; this checks
+    the group laws end-to-end beyond the hand-picked schedules."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+    from etl_online_retail_spark.streaming import ingest
+
+    li = catalog.load_table(spark, "lineitem", SF_SMALL).cache()
+    li.count()
+    K = 4
+    shard = F.pmod(F.col("l_orderkey"), F.lit(K))
+    name = "ship_day_rollup"
+
+    expected_cache = {}
+
+    def expected(live):
+        key = tuple(sorted(live))
+        if key not in expected_cache:
+            rows = li.filter(shard.isin(list(live)) if live
+                             else F.lit(False))
+            expected_cache[key] = _logical_over(spark, name, rows)
+        return expected_cache[key]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        import tempfile as _tf
+
+        store = _tf.mkdtemp(dir=str(tmp_path))
+        max_partials = data.draw(st.sampled_from([None, 2, 8]),
+                                 label="max_partials")
+        real_rmtree = shutil.rmtree
+        live = set()
+        try:
+            for b in range(K):
+                live.add(b)
+                dels = None
+                if live - {b} and data.draw(st.booleans(),
+                                            label=f"del@{b}"):
+                    victim = data.draw(
+                        st.sampled_from(sorted(live - {b})),
+                        label=f"victim@{b}")
+                    live.discard(victim)
+                    dels = li.filter(shard == victim)
+                matview.apply_cdc_batch(
+                    spark, SF_SMALL, b, inserts=li.filter(shard == b),
+                    deletes=dels, names=[name], storage_dir=store,
+                    max_partials=max_partials)
+                if data.draw(st.booleans(), label=f"crash@{b}"):
+                    tdir = matview.view_table_dir(SF_SMALL, name, store)
+                    shutil.rmtree = lambda p, **kw: None
+                    ingest.autocompact_incremental_agg(
+                        spark, tdir,
+                        list(matview.MATVIEW_META[name]["grain"]),
+                        sum_type=matview._MV_SUM_TYPE)
+                    shutil.rmtree = real_rmtree
+            tdir = matview.view_table_dir(SF_SMALL, name, store)
+            got = sorted(map(tuple, matview._serving_relation(
+                spark, tdir, name).collect()))
+            assert got == expected(live)
+        finally:
+            shutil.rmtree = real_rmtree
+
+    check()
+
+
+def test_streaming_cdc_change_feed_maintains_views(spark, tmp_path):
+    """maintain_incremental(op_col=...): a change feed of 'I' rows and
+    'D' delete images, drained through Structured Streaming, leaves the
+    maintained view equal to the logical aggregate over the net rows;
+    a malformed op (single 'U') fails the stream loudly."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    li = catalog.load_table(spark, "lineitem", SF_SMALL)
+    shard = F.pmod(F.col("l_orderkey"), F.lit(3))
+    feed_dir = str(tmp_path / "feed")
+    # three files: insert shards 0+1, insert shard 2, delete shard 1
+    (li.filter(shard.isin(0, 1)).withColumn("_op", F.lit("I"))
+     .write.parquet(feed_dir))
+    (li.filter(shard == 2).withColumn("_op", F.lit("I"))
+     .write.mode("append").parquet(feed_dir))
+    (li.filter(shard == 1).withColumn("_op", F.lit("D"))
+     .write.mode("append").parquet(feed_dir))
+
+    store = str(tmp_path / "mv_store")
+    name = "ship_day_rollup"
+    stream = (spark.readStream
+              .schema(spark.read.parquet(feed_dir).schema)
+              .parquet(feed_dir))
+    q = matview.maintain_incremental(
+        stream, SF_SMALL, str(tmp_path / "ckpt"), names=[name],
+        storage_dir=store, table="lineitem", op_col="_op")
+    q.awaitTermination()
+
+    tdir = matview.view_table_dir(SF_SMALL, name, store)
+    got = sorted(map(tuple, matview._serving_relation(
+        spark, tdir, name).collect()))
+    want = _logical_over(spark, name, li.filter(shard.isin(0, 2)))
+    assert got == want
+
+    # a lone 'U' is not a valid change image -> the stream fails loudly
+    import pytest
+
+    (li.limit(1).withColumn("_op", F.lit("U"))
+     .write.mode("append").parquet(feed_dir))
+    q2 = matview.maintain_incremental(
+        (spark.readStream
+         .schema(spark.read.parquet(feed_dir).schema).parquet(feed_dir)),
+        SF_SMALL, str(tmp_path / "ckpt2"), names=[name],
+        storage_dir=str(tmp_path / "mv2"), table="lineitem", op_col="_op")
+    with pytest.raises(Exception, match="I.*or.*D|change feed"):
+        q2.awaitTermination()
+
+
+def test_cdc_dimension_update_moves_customer_between_nations(spark,
+                                                             tmp_path):
+    """A dimension UPDATE arrives as its D(before) + I(after) pair in
+    ONE CDC batch: a customer relocating to another nation must move
+    their count and account balance between the customer_nation_rollup
+    grains exactly — the SCD1-on-a-summary case."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    store = str(tmp_path / "mv_store")
+    name = "customer_nation_rollup"
+    cust = catalog.load_table(spark, "customer", SF_SMALL).cache()
+
+    matview.apply_cdc_batch(spark, SF_SMALL, 0, inserts=cust,
+                            names=[name], storage_dir=store,
+                            table="customer")
+
+    # relocate every customer of the smallest nation to another nation:
+    # delete image = the before rows, insert image = same rows with the
+    # destination nationkey
+    keys = [r.c_nationkey for r in
+            cust.groupBy("c_nationkey").count()
+                .orderBy("count", "c_nationkey").limit(2).collect()]
+    src_key, dst_key = keys[0], keys[1]
+    before = cust.filter(F.col("c_nationkey") == src_key)
+    after = before.withColumn(
+        "c_nationkey",
+        F.lit(dst_key).cast(before.schema["c_nationkey"].dataType))
+    matview.apply_cdc_batch(spark, SF_SMALL, 1, inserts=after,
+                            deletes=before, names=[name],
+                            storage_dir=store, table="customer")
+
+    tdir = matview.view_table_dir(SF_SMALL, name, store)
+    got = sorted(map(tuple, matview._serving_relation(
+        spark, tdir, name).collect()))
+    moved = cust.withColumn(
+        "c_nationkey",
+        F.when(F.col("c_nationkey") == src_key, F.lit(dst_key))
+         .otherwise(F.col("c_nationkey")))
+    assert got == _logical_over(spark, name, moved)
+    # the vacated nation's grain is GONE, not a zero row
+    assert src_key not in {r[0] for r in got}
