@@ -186,3 +186,42 @@ def test_ntile_closed_form_matches_definition(total, n):
     for b, s in enumerate(sizes, start=1):
         ref.extend([b] * s)
     assert [closed_form(r) for r in range(1, total + 1)] == ref
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_upsert_is_batch_split_and_replay_order_invariant(spark, tmp_path_factory, data):
+    """Property: the keyed parquet upsert (ingest.upsert_batch_write)
+    converges to keep-last-per-key over ALL rows for ANY split of the
+    rows into batches and ANY at-least-once replay schedule — including
+    OUT-OF-ORDER replays of old batches after newer ones landed (a
+    restarted stream re-delivering history), which the example tests
+    never exercise. Ties on (key, order) across batches are decided by
+    the content tiebreak, so replays cannot flip a winner."""
+    from etl_online_retail_spark.streaming.ingest import upsert_batch_write
+
+    # small key/order spaces to force cross-batch collisions and ties
+    rows = data.draw(
+        st.lists(st.tuples(st.integers(0, 5),            # key
+                           st.integers(0, 3),            # order
+                           st.sampled_from(["x", "y"])), # payload
+                 min_size=1, max_size=16),
+        label="rows")
+    k = data.draw(st.integers(min_value=1, max_value=3), label="k")
+    replays = data.draw(
+        st.lists(st.integers(0, k - 1), max_size=3), label="replays")
+
+    df = spark.createDataFrame(rows, "k long, ord long, v string").cache()
+    batches = [df.filter(F.pmod(F.xxhash64("k", "ord", "v"), F.lit(k)) == b)
+               for b in range(k)]
+    tdir = str(tmp_path_factory.mktemp("upsert")) + "/t"
+    for b in list(range(k)) + replays:      # replays land AFTER everything
+        upsert_batch_write(batches[b], b, tdir, ["k"], "ord")
+
+    got = sorted((r.k, r.ord, r.v) for r in
+                 spark.read.parquet(tdir).drop("_shard").collect())
+    want = sorted((r.k, r.ord, r.v) for r in
+                  keep_last(df, ["k"],
+                            [F.desc("ord"),
+                             F.desc(F.xxhash64("k", "ord", "v"))]).collect())
+    assert got == want, f"k={k} replays={replays}"
