@@ -333,8 +333,18 @@ def main() -> None:
             matview.append_batch(spark, SF_DIR, batch, 1, names=views,
                                  storage_dir=work, max_partials=None)
             dt = time.perf_counter() - t0
+            # the CDC claim, same shape: retracting a FIXED-size
+            # cancellation wave (delete images, weight -1 partials)
+            # must also cost ~the batch, never the accumulated fact
+            t0 = time.perf_counter()
+            matview.apply_cdc_batch(
+                spark, SF_DIR, 2, deletes=batch, names=views,
+                storage_dir=work, max_partials=None)
+            dt_cdc = time.perf_counter() - t0
             print(f"  seed ({factor}x fact -> 2 views): {seed:.1f}s; "
-                  f"fixed 1x-batch append onto it: {dt:.1f}s", flush=True)
+                  f"fixed 1x-batch append onto it: {dt:.1f}s; "
+                  f"fixed 1x-batch CDC retraction: {dt_cdc:.1f}s",
+                  flush=True)
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
