@@ -100,15 +100,22 @@ def _star_month_input(spark: SparkSession, sf_dir: str,
         "c_custkey", "c_nationkey")
     n = catalog.load_table(spark, "nation", sf_dir).select(
         "n_nationkey", "n_name")
+    # `_rows` carries each order-slice's TRUE lineitem count: the
+    # pre-aggregation means COUNT(*) over this input counts order
+    # slices, which is not a liveness signal under PARTIAL retraction
+    # (a CDC delete of some of an order's lines arrives as its own
+    # slice) — the writer's count_col turns `_n` back into a real
+    # signed fact-row count (META "count_col"; r10 review find).
     per_order = (li.groupBy("l_orderkey")
-                   .agg(F.sum(money.net_revenue()).alias("_v")))
+                   .agg(F.sum(money.net_revenue()).alias("_v"),
+                        F.count(F.lit(1)).alias("_rows")))
     return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
               .join(joins.size_guarded_broadcast(c), o.o_custkey == c.c_custkey)
               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
               .select(F.col("c_nationkey").alias("nationkey"),
                       F.col("n_name").alias("nation"),
                       month_start("o_orderdate").alias("month_start"),
-                      "_v"))
+                      "_v", "_rows"))
 
 
 def _ship_day_input(spark: SparkSession, sf_dir: str,
@@ -228,6 +235,9 @@ MATVIEW_META: dict[str, dict] = {
         "storage": {"revenue": "_sum"},
         "joined": True,    # carries the FK-losslessness assumption
         "source": "lineitem",
+        # input is pre-aggregated per order: `_n` must come from the
+        # carried lineitem count, not COUNT(input rows)
+        "count_col": "_rows",
     },
     "ship_day_rollup": {
         "grain": ("ship_date",),
@@ -348,7 +358,8 @@ def write_full(spark: SparkSession, sf_dir: str,
         ingest.partial_multi_agg_batch_write(
             inp, -1, table_dir, list(MATVIEW_META[name]["grain"]),
             [c for c in inp.columns if c.startswith("_v")],
-            sum_type=MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE))
+            sum_type=MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE),
+            count_col=MATVIEW_META[name].get("count_col"))
 
 
 def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
@@ -404,6 +415,7 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         keys = list(MATVIEW_META[name]["grain"])
         sum_type = MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE)
+        count_col = MATVIEW_META[name].get("count_col")
         if deletes is None:
             # pure-append fast path: identical plan to the pre-CDC
             # writer (COUNT + unweighted sums), no weight column
@@ -411,7 +423,7 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
             ingest.partial_multi_agg_batch_write(
                 inp, batch_id, table_dir, keys,
                 [c for c in inp.columns if c.startswith("_v")],
-                sum_type=sum_type)
+                sum_type=sum_type, count_col=count_col)
         else:
             sides = []
             if inserts is not None:
@@ -425,7 +437,7 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
             ingest.partial_multi_agg_batch_write(
                 inp, batch_id, table_dir, keys,
                 [c for c in inp.columns if c.startswith("_v")],
-                sum_type=sum_type, weight_col="_w")
+                sum_type=sum_type, weight_col="_w", count_col=count_col)
         if max_partials is not None and \
                 len(ingest.effective_partials(table_dir)) > max_partials:
             ingest.autocompact_incremental_agg(spark, table_dir, keys,
@@ -459,16 +471,26 @@ def maintain_incremental(source_stream: DataFrame, sf_dir: str,
                          names=names, storage_dir=storage_dir,
                          max_partials=max_partials, table=table)
             return
-        bad = batch_df.filter(~F.col(op_col).isin("I", "D")).limit(1)
-        if bad.count():
+        # ONE tiny pass both validates the ops (NULL included — a bare
+        # ~isin() is NULL for NULL ops and would let the row slip
+        # through, then vanish from both sides) and routes insert-only
+        # micro-batches (the normal retail case) to the append fast
+        # path instead of the weighted union plan (r10 review finds)
+        ops = {r[0]: r[1] for r in
+               batch_df.groupBy(op_col).count().collect()}
+        bad_ops = [op for op in ops if op not in ("I", "D")]
+        if bad_ops:
             raise ValueError(
                 f"change feed {op_col} must be 'I' or 'D' (updates are "
-                f"D-before + I-after pairs); got "
-                f"{bad.collect()[0][op_col]!r}")
+                f"D-before + I-after pairs); got {bad_ops!r}")
+        ins = (batch_df.filter(F.col(op_col) == "I").drop(op_col)
+               if ops.get("I") else None)
+        dels = (batch_df.filter(F.col(op_col) == "D").drop(op_col)
+                if ops.get("D") else None)
+        if ins is None and dels is None:
+            return  # empty micro-batch
         apply_cdc_batch(
-            spark, sf_dir, batch_id,
-            inserts=batch_df.filter(F.col(op_col) == "I").drop(op_col),
-            deletes=batch_df.filter(F.col(op_col) == "D").drop(op_col),
+            spark, sf_dir, batch_id, inserts=ins, deletes=dels,
             names=names, storage_dir=storage_dir,
             max_partials=max_partials, table=table)
 
@@ -554,8 +576,17 @@ def serve_as_of(spark: SparkSession, sf_dir: str, name: str,
     advances the horizon past which old versions are gone — compact
     less often (append_batch max_partials) to keep more history."""
     table_dir = view_table_dir(sf_dir, name, storage_dir)
-    return _merge_partials(spark, table_dir, name,
-                           ingest.as_of_partials(table_dir, batch_id))
+    keep = ingest.as_of_partials(table_dir, batch_id)
+    # refuse loudly (the module contract) rather than leak a parquet
+    # PATH_NOT_FOUND from an unwritten table or serve an empty relation
+    # for a pre-history/negative version (r10 review find)
+    if not keep:
+        raise ValueError(
+            f"matview {name!r} has no ledger at or before batch "
+            f"{batch_id} under {table_dir}: the view was never "
+            f"maintained there, or the version predates the first "
+            f"retained batch")
+    return _merge_partials(spark, table_dir, name, keep)
 
 
 def publish(spark: SparkSession, sf_dir: str,

@@ -173,7 +173,8 @@ def partial_multi_agg_batch_write(batch_df: DataFrame, batch_id: int,
                                   table_dir: str, key_cols: list[str],
                                   value_cols: list[str],
                                   sum_type: str = _PARTIAL_SUM_TYPE,
-                                  weight_col: str | None = None) -> None:
+                                  weight_col: str | None = None,
+                                  count_col: str | None = None) -> None:
     """partial_agg_batch_write generalized to MANY measures: a real
     summary table carries several composable partials per grain (TPC-H
     Q1 keeps five decimal sums + a count). Each value column (already
@@ -184,19 +185,35 @@ def partial_multi_agg_batch_write(batch_df: DataFrame, batch_id: int,
     (autocompact/compact discover the sum columns by prefix), same
     one-type-per-table pin.
 
-    weight_col (r10, CDC): an integer ±1 column turning the partial
-    monoid into the partial GROUP — a retracted row contributes
+    weight_col (r10, CDC): an integer ±1 column (exactly +1 or -1, the
+    insert/retract signs — not a general multiplier) turning the
+    partial monoid into the partial GROUP — a retracted row contributes
     (-1, -value) so `_n` becomes SUM(weight) and each partial
-    SUM(value x weight). Exact-decimal negation composes exactly, so
-    appends and retractions maintain the same table through the same
-    compaction. None (the default) keeps the bit-identical append-only
-    plan (COUNT + plain sums)."""
+    SUM(±value). The sign is applied by NEGATION (CASE WHEN), never by
+    multiplication: decimal x int re-types under Spark's
+    allowPrecisionLoss (decimal(37,10) x int -> decimal(38,6), silently
+    rounding scale-10 partials), while -decimal keeps the exact type.
+    None (the default) keeps the bit-identical append-only plan
+    (COUNT + plain sums).
+
+    count_col (r10, CDC): when the caller PRE-AGGREGATES its input
+    (matview's star input folds lineitems per order before the join),
+    COUNT(*)/SUM(weight) would count pre-aggregated slices, not fact
+    rows — and slice counts are not a liveness signal under partial
+    retraction (a grain can net slice-count 0 with live rows, or +1
+    with none). count_col names an integer column carrying each input
+    row's TRUE fact-row count; `_n` becomes SUM(count x weight), a real
+    signed row count whatever the input granularity."""
     if weight_col is None:
-        aggs = [F.count(F.lit(1)).alias("_n")]
+        aggs = [(F.sum(F.col(count_col)).cast("bigint") if count_col
+                 else F.count(F.lit(1))).alias("_n")]
         terms = {vc: F.col(vc) for vc in value_cols}
     else:
-        aggs = [F.sum(F.col(weight_col)).cast("bigint").alias("_n")]
-        terms = {vc: F.col(vc) * F.col(weight_col) for vc in value_cols}
+        w = F.col(weight_col)
+        n_term = (F.col(count_col) * w) if count_col else w
+        aggs = [F.sum(n_term).cast("bigint").alias("_n")]
+        terms = {vc: F.when(w < 0, -F.col(vc)).otherwise(F.col(vc))
+                 for vc in value_cols}
     for vc in value_cols:
         if not vc.startswith("_v"):
             raise ValueError(f"value column {vc!r} must start with '_v'")
@@ -373,7 +390,15 @@ def compact_incremental_agg(spark, table_dir: str,
                      for c in _sum_columns(src)])
               .withColumn("_batch_id", F.lit(-1))
               .localCheckpoint(eager=True))  # reads the dir it overwrites
-    merged.write.mode("overwrite").partitionBy("_batch_id").parquet(table_dir)
+    # STATIC overwrite pinned explicitly: the -1 fold's whole contract is
+    # "nothing else survives on disk" (every reader's legacy branch
+    # assumes surviving partials post-date the fold). Under a
+    # session-level spark.sql.sources.partitionOverwriteMode=dynamic the
+    # unpinned write would replace only the -1 partition, leaving the
+    # folded originals beside it — a double-count for every reader.
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("_batch_id").parquet(table_dir))
 
 
 # ---------------------------------------------------------------------------

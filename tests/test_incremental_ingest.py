@@ -1109,3 +1109,70 @@ def test_as_of_never_lies_under_any_maintenance_schedule(spark):
             real_rmtree(t.rsplit("/", 1)[0], ignore_errors=True)
 
     check()
+
+
+def test_weighted_partials_preserve_decimal_scale(spark, tmp_path):
+    """r10 review find: the weighted CDC term must NEGATE, not multiply
+    — decimal(37,10) x int re-types to decimal(38,6) under Spark's
+    allowPrecisionLoss and silently rounds scale-10 partials. A +1/-1
+    pair over a value with 10 significant decimals must cancel exactly
+    and the stored partial must keep scale 10."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        partial_multi_agg_batch_write,
+    )
+
+    v = Decimal("1.0123456789")
+    df = spark.createDataFrame(
+        [("a", v, 1), ("a", v, -1), ("b", v, 1)],
+        "k string, _v decimal(37,10), _w int")
+    t = str(tmp_path / "agg")
+    partial_multi_agg_batch_write(df, 0, t, ["k"], ["_v"],
+                                  sum_type="decimal(38,10)",
+                                  weight_col="_w")
+    out = spark.read.parquet(t)
+    assert dict(out.dtypes)["_sum"] == "decimal(38,10)"
+    got = {r.k: r._sum for r in out.collect()}
+    assert got == {"a": Decimal("0.0000000000"), "b": v}
+
+
+def test_legacy_compact_survives_session_dynamic_overwrite_mode(spark):
+    """r10 review find: the -1 fold's whole-table overwrite must be
+    pinned STATIC — under a session-level partitionOverwriteMode=dynamic
+    the unpinned write replaced only the -1 partition, leaving the
+    folded originals beside it (a double count for every reader and the
+    as-of legacy branch's broken precondition)."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        _list_partials,
+        compact_incremental_agg,
+        partial_agg_batch_write,
+        read_incremental_agg,
+    )
+
+    ev = load_events(spark, SF).cache()
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, None)
+    with tempfile.TemporaryDirectory() as d:
+        t = f"{d}/agg"
+        for b in range(3):
+            partial_agg_batch_write(ev.filter(F.col("event_id") % 3 == b),
+                                    b, t, ["event_type"], "value")
+        want = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+                read_incremental_agg(spark, t, ["event_type"]).collect()}
+        try:
+            spark.conf.set(conf_key, "dynamic")
+            compact_incremental_agg(spark, t, ["event_type"])
+        finally:
+            if old is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, old)
+        assert _list_partials(t) == [-1]  # originals really gone
+        got = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+               read_incremental_agg(spark, t, ["event_type"]).collect()}
+        assert got == want

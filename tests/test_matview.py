@@ -350,7 +350,10 @@ def test_matview_registry_is_structurally_consistent(spark):
     every view has meta and an input builder; storage maps exactly the
     declared measures onto `_n`/`_sum*` partials; the input builder
     provides a `_v<sfx>` value column for every `_sum<sfx>` partial and
-    its non-value columns are exactly the grain."""
+    its non-value columns are exactly the grain — plus, for inputs that
+    PRE-AGGREGATE (declared via meta["count_col"]), the integer column
+    carrying each row's true fact-row count (the CDC liveness
+    contract)."""
     assert set(matview.MATVIEW_INPUTS) == set(matview.MATVIEW_META)
     for name, meta in matview.MATVIEW_META.items():
         assert set(meta["storage"]) == set(meta["measures"]), name
@@ -363,7 +366,12 @@ def test_matview_registry_is_structurally_consistent(spark):
         want = {"_v" + stored[len("_sum"):]
                 for stored in meta["storage"].values() if stored != "_n"}
         assert value_cols == want, name
-        assert set(inp.columns) - value_cols == set(meta["grain"]), name
+        extra = {meta["count_col"]} if meta.get("count_col") else set()
+        assert set(inp.columns) - value_cols \
+            == set(meta["grain"]) | extra, name
+        if extra:
+            kind = dict(inp.dtypes)[meta["count_col"]]
+            assert kind in ("int", "bigint"), (name, kind)
 
 
 def test_serve_refuses_other_directory(spark, staged_matview):
@@ -1016,3 +1024,78 @@ def test_cdc_dimension_update_moves_customer_between_nations(spark,
     assert got == _logical_over(spark, name, moved)
     # the vacated nation's grain is GONE, not a zero row
     assert src_key not in {r[0] for r in got}
+
+
+def test_cdc_partial_order_retraction_keeps_star_grains_live(spark,
+                                                             tmp_path):
+    """r10 review find: the star input pre-aggregates per ORDER, so a
+    retraction of SOME of an order's lines arrives as its own order
+    slice — COUNT(input rows) would net a live grain's `_n` to zero
+    (silently dropping it from the served star) or leave +1 for a dead
+    one. The carried `_rows` count keeps `_n` a true signed fact-row
+    count. Exercises both directions: partial retraction (grains must
+    STAY live, demo act 5's shape) and cross-batch insert + one-batch
+    full retraction (grains must GO)."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    li = catalog.load_table(spark, "lineitem", SF_SMALL).cache()
+    names = ["star_month_rollup", "ship_day_rollup", "flag_day_rollup"]
+
+    # direction 1: load everything, retract the returned lines (a
+    # per-order SUBSET -- 'R' lines rarely cover whole orders)
+    store = str(tmp_path / "mv1")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    kept = li.filter(F.col("l_returnflag") != "R")
+    matview.apply_cdc_batch(spark, SF_SMALL, 0, inserts=li,
+                            names=names, storage_dir=store)
+    matview.apply_cdc_batch(spark, SF_SMALL, 1, deletes=returned,
+                            names=names, storage_dir=store)
+    for name in names:
+        tdir = matview.view_table_dir(SF_SMALL, name, store)
+        got = sorted(map(tuple, matview._serving_relation(
+            spark, tdir, name).collect()))
+        assert got == _logical_over(spark, name, kept), name
+
+    # direction 2: one order's lines inserted across TWO batches (two
+    # order slices, +1 each), fully retracted in ONE batch (one slice,
+    # -1): slice-count would leave a phantom +1; row-count nets 0
+    store2 = str(tmp_path / "mv2")
+    odd = li.filter(F.col("l_linenumber") % 2 == 1)
+    even = li.filter(F.col("l_linenumber") % 2 == 0)
+    matview.apply_cdc_batch(spark, SF_SMALL, 0, inserts=odd,
+                            names=names, storage_dir=store2)
+    matview.apply_cdc_batch(spark, SF_SMALL, 1, inserts=even,
+                            names=names, storage_dir=store2)
+    matview.apply_cdc_batch(spark, SF_SMALL, 2, deletes=li,
+                            names=names, storage_dir=store2)
+    for name in names:
+        tdir = matview.view_table_dir(SF_SMALL, name, store2)
+        assert matview._serving_relation(
+            spark, tdir, name).count() == 0, name
+
+
+def test_serve_as_of_refuses_unmaintained_view_and_negative_version(
+        spark, tmp_path):
+    """r10 review find: an unwritten view table must refuse with the
+    module's ValueError contract, not leak a parquet PATH_NOT_FOUND;
+    a negative version must refuse, not serve an empty relation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    store = str(tmp_path / "mv_store")
+    with pytest.raises(ValueError, match="never maintained|no ledger"):
+        matview.serve_as_of(spark, SF_SMALL, "order_day_rollup", 0,
+                            storage_dir=store)
+
+    li = catalog.load_table(spark, "lineitem", SF_SMALL)
+    matview.append_batch(spark, SF_SMALL, li, 0,
+                         names=["ship_day_rollup"], storage_dir=store)
+    with pytest.raises(ValueError, match="no ledger"):
+        matview.serve_as_of(spark, SF_SMALL, "ship_day_rollup", -3,
+                            storage_dir=store)
+    assert matview.serve_as_of(spark, SF_SMALL, "ship_day_rollup", 0,
+                               storage_dir=store).count() > 0
