@@ -392,10 +392,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     bands: dict[str, list[float]] = {}
+    progress = bool(os.environ.get("SPARK_GRAFT_BENCH_PROGRESS"))
     for name in HEADLINE + ITERATIVE:
         build = qs.get(name)
         if build is None:
             continue
+        if progress:  # stderr breadcrumb: find a hung/slow query fast
+            print(f"bench> {time.perf_counter():.1f} {name}",
+                  file=sys.stderr, flush=True)
         iterative = name in ITERATIVE
         try:
             if iterative:
