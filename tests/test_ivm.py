@@ -65,3 +65,156 @@ def test_empty_delta_contributes_nothing(spark):
     empty_b = spark.createDataFrame([], "k INT, pb STRING")
     assert append_join_delta(a_old, empty_a, b_old, empty_b,
                              "k").count() == 0
+
+
+def test_maintained_join_is_a_property(spark):
+    """Property (hypothesis): for ANY multisets A, B (duplicate keys AND
+    duplicate full rows) and ANY split into append batches, the
+    maintained view is the multiset A ⋈ B — the delta algebra's claim
+    checked beyond the hand-built schedules."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        a_rows = data.draw(st.lists(
+            st.tuples(st.integers(0, 3), st.sampled_from("pq")),
+            min_size=1, max_size=10), label="a")
+        b_rows = data.draw(st.lists(
+            st.tuples(st.integers(0, 3), st.sampled_from("xy")),
+            min_size=1, max_size=10), label="b")
+        k = data.draw(st.integers(1, 3), label="k")
+        a = spark.createDataFrame(a_rows, "k long, va string")
+        b = spark.createDataFrame(b_rows, "k long, vb string")
+        batches = [
+            (a.filter(F.pmod(F.xxhash64("k", "va"), F.lit(k)) == i),
+             b.filter(F.pmod(F.xxhash64("k", "vb"), F.lit(k)) == i))
+            for i in range(k)]
+        got = _rows(maintain_join_view(batches, "k"))
+        want = _rows(a.join(b, "k"))
+        assert got == want, (a_rows, b_rows, k)
+
+    check()
+
+
+def test_cdc_join_delta_handles_retractions(spark):
+    """Signed-delta IVM: inserts and retractions on BOTH sides of the
+    join fold to exactly the recompute over the live rows — including a
+    key whose rows fully retract (pairs GONE) and duplicate full rows
+    (multiset multiplicities net correctly)."""
+    from etl_online_retail_spark.operators.ivm import (
+        cdc_join_delta,
+        fold_signed_rows,
+    )
+
+    a0 = spark.createDataFrame(
+        [(1, "p"), (1, "p"), (2, "q"), (3, "r")], "k long, va string")
+    b0 = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (2, "y"), (3, "z")], "k long, vb string")
+    log = a0.join(b0, "k").withColumn("_w", F.lit(1))
+
+    # batch: retract one of the duplicate (1,p) rows and ALL of key 3's
+    # A side; insert a new key-2 row on A and retract one (2,y) on B
+    a_ins = spark.createDataFrame([(2, "s")], "k long, va string")
+    a_del = spark.createDataFrame([(1, "p"), (3, "r")],
+                                  "k long, va string")
+    b_del = spark.createDataFrame([(2, "y")], "k long, vb string")
+    delta = cdc_join_delta(a0, b0, "k", a_ins=a_ins, a_del=a_del,
+                           b_del=b_del)
+    view = fold_signed_rows(log.unionByName(delta))
+
+    a_live = spark.createDataFrame(
+        [(1, "p"), (2, "q"), (2, "s")], "k long, va string")
+    b_live = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, vb string")
+    assert _rows(view) == _rows(a_live.join(b_live, "k"))
+    # key 3 fully gone; key 1 pair multiplicity dropped 2 -> 1
+    got = _rows(view)
+    assert not any(t[0] == 3 for t in got)
+
+
+def test_cdc_join_maintenance_is_a_property(spark):
+    """Property (hypothesis): for ANY schedule of CDC batches — inserts
+    of new rows and retractions of currently-live rows, on either side,
+    multiplicity-aware — folding the signed delta log reproduces the
+    multiset join of the live rows."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_online_retail_spark.operators.ivm import (
+        cdc_join_delta,
+        fold_signed_rows,
+    )
+
+    def df_of(rows, side):
+        schema = f"k long, v{side} string"
+        if not rows:
+            return None
+        return spark.createDataFrame(rows, schema)
+
+    def df_or_empty(rows, side):
+        # old/live relations must be DataFrames even when empty (a side
+        # can be fully retracted mid-schedule); None is only for the
+        # optional ins/del args
+        return (df_of(rows, side)
+                or spark.createDataFrame([], f"k long, v{side} string"))
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.data())
+    def check(data):
+        live = {"a": Counter(), "b": Counter()}
+        # seed rows so the initial view is non-trivial
+        for side, vals in (("a", "pq"), ("b", "xy")):
+            for row in data.draw(st.lists(
+                    st.tuples(st.integers(0, 2), st.sampled_from(vals)),
+                    min_size=1, max_size=6), label=f"seed_{side}"):
+                live[side][row] += 1
+        a = df_or_empty(sorted(live["a"].elements()), "a")
+        b = df_or_empty(sorted(live["b"].elements()), "b")
+        log = a.join(b, "k").withColumn("_w", F.lit(1))
+
+        for step in range(data.draw(st.integers(1, 2), label="steps")):
+            batch = {}
+            for side, vals in (("a", "pq"), ("b", "xy")):
+                ins = data.draw(st.lists(
+                    st.tuples(st.integers(0, 2), st.sampled_from(vals)),
+                    max_size=3), label=f"ins_{side}@{step}")
+                pool = sorted(live[side].elements())
+                n_del = data.draw(
+                    st.integers(0, min(2, len(pool))),
+                    label=f"ndel_{side}@{step}")
+                dels = pool[:n_del]  # deterministic sub-multiset
+                batch[side] = (ins, dels)
+            if not any(batch[s][i] for s in ("a", "b") for i in (0, 1)):
+                continue  # an empty CDC batch is a no-op by contract
+            a_old = df_or_empty(sorted(live["a"].elements()), "a")
+            b_old = df_or_empty(sorted(live["b"].elements()), "b")
+            delta = cdc_join_delta(
+                a_old, b_old, "k",
+                a_ins=df_of(batch["a"][0], "a"),
+                a_del=df_of(batch["a"][1], "a"),
+                b_ins=df_of(batch["b"][0], "b"),
+                b_del=df_of(batch["b"][1], "b"))
+            log = log.unionByName(delta)
+            for side in ("a", "b"):
+                for row in batch[side][0]:
+                    live[side][row] += 1
+                for row in batch[side][1]:
+                    live[side][row] -= 1
+                live[side] += Counter()  # drop zeros
+
+        a_live = df_of(sorted(live["a"].elements()), "a")
+        b_live = df_of(sorted(live["b"].elements()), "b")
+        # (None live side => empty join)
+        got = _rows(fold_signed_rows(log))
+        if a_live is None or b_live is None:
+            assert got == Counter()
+        else:
+            assert got == _rows(a_live.join(b_live, "k"))
+
+    check()
