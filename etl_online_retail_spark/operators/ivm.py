@@ -103,6 +103,17 @@ def cdc_join_delta(a_old: DataFrame, b_old: DataFrame,
     from pyspark.sql import functions as F
 
     keys = [on] if isinstance(on, str) else list(on)
+    # withColumn would silently OVERWRITE a payload column named like
+    # the weight (and the internal rename target weight_col + "b") —
+    # refuse loudly and let the caller pick another weight_col
+    for df in (a_old, b_old, a_ins, a_del, b_ins, b_del):
+        if df is None:
+            continue
+        clash = {weight_col, weight_col + "b"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"payload columns {sorted(clash)} collide with "
+                f"weight_col={weight_col!r}; pass a different weight_col")
 
     def signed(ins, dels):
         parts = []
@@ -148,7 +159,8 @@ def cdc_join_delta(a_old: DataFrame, b_old: DataFrame,
 
 
 def fold_signed_rows(signed_rows: DataFrame,
-                     weight_col: str = "_w") -> DataFrame:
+                     weight_col: str = "_w",
+                     strict: bool = True) -> DataFrame:
     """Realize a view from signed delta rows: net multiplicity per
     distinct row value, rows with net m > 0 re-expanded m times (the
     multiset the full recompute over live inputs produces). The fold is
@@ -156,6 +168,15 @@ def fold_signed_rows(signed_rows: DataFrame,
     periodic compaction of the change table, and consumers that only
     aggregate the view can fold the weights straight into their own
     aggregates instead (SUM(x * _w)), never materializing the expansion.
+
+    strict=True (default) REFUSES a log whose nets go negative — a
+    retraction of a row that was never live (an upstream CDC bug or a
+    replayed delete batch). The fold is the one place the violation is
+    detectable; filtering it away silently would serve a plausible but
+    wrong view (the matview layer's "never a silently wrong snapshot"
+    stance). Costs one extra count over the already-aggregated nets
+    (cached, so the netting work is not repeated); pass strict=False on
+    a log already validated upstream.
     """
     from pyspark.sql import functions as F
 
@@ -169,8 +190,19 @@ def fold_signed_rows(signed_rows: DataFrame,
     # shuffle the fold was paying anyway.
     net = (signed_rows.repartition(*cols)
            .groupBy(*cols)
-           .agg(F.sum(weight_col).cast("int").alias("_m"))
-           .filter(F.col("_m") > 0))
-    return (net.withColumn("_i", F.explode(F.sequence(F.lit(1),
-                                                      F.col("_m"))))
+           .agg(F.sum(weight_col).cast("int").alias("_m")))
+    if strict:
+        net = net.cache()
+        bad = net.filter(F.col("_m") < 0)
+        n_bad = bad.count()
+        if n_bad:
+            sample = bad.limit(3).collect()
+            raise ValueError(
+                f"signed delta log is inconsistent: {n_bad} row value(s) "
+                f"net to NEGATIVE multiplicity (a retraction of a row "
+                f"that was never live — upstream CDC bug or replayed "
+                f"delete batch). Sample: {sample}")
+    live = net.filter(F.col("_m") > 0)
+    return (live.withColumn("_i", F.explode(F.sequence(F.lit(1),
+                                                       F.col("_m"))))
             .drop("_m", "_i"))

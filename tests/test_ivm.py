@@ -86,14 +86,23 @@ def test_maintained_join_is_a_property(spark):
             st.tuples(st.integers(0, 3), st.sampled_from("xy")),
             min_size=1, max_size=10), label="b")
         k = data.draw(st.integers(1, 3), label="k")
-        a = spark.createDataFrame(a_rows, "k long, va string")
-        b = spark.createDataFrame(b_rows, "k long, vb string")
+        # the split is salted with a python-side ordinal so IDENTICAL
+        # duplicate rows can land in DIFFERENT batches — "ANY split"
+        # includes a_old already holding a copy of a delta row
+        a = spark.createDataFrame(
+            [(i,) + r for i, r in enumerate(a_rows)],
+            "i long, k long, va string")
+        b = spark.createDataFrame(
+            [(i,) + r for i, r in enumerate(b_rows)],
+            "i long, k long, vb string")
         batches = [
-            (a.filter(F.pmod(F.xxhash64("k", "va"), F.lit(k)) == i),
-             b.filter(F.pmod(F.xxhash64("k", "vb"), F.lit(k)) == i))
+            (a.filter(F.pmod(F.xxhash64("i", "va"), F.lit(k)) == i)
+              .drop("i"),
+             b.filter(F.pmod(F.xxhash64("i", "vb"), F.lit(k)) == i)
+              .drop("i"))
             for i in range(k)]
         got = _rows(maintain_join_view(batches, "k"))
-        want = _rows(a.join(b, "k"))
+        want = _rows(a.drop("i").join(b.drop("i"), "k"))
         assert got == want, (a_rows, b_rows, k)
 
     check()
@@ -129,9 +138,9 @@ def test_cdc_join_delta_handles_retractions(spark):
         [(1, "p"), (2, "q"), (2, "s")], "k long, va string")
     b_live = spark.createDataFrame(
         [(1, "x"), (2, "y"), (3, "z")], "k long, vb string")
-    assert _rows(view) == _rows(a_live.join(b_live, "k"))
-    # key 3 fully gone; key 1 pair multiplicity dropped 2 -> 1
     got = _rows(view)
+    assert got == _rows(a_live.join(b_live, "k"))
+    # key 3 fully gone; key 1 pair multiplicity dropped 2 -> 1
     assert not any(t[0] == 3 for t in got)
 
 
@@ -218,3 +227,32 @@ def test_cdc_join_maintenance_is_a_property(spark):
             assert got == _rows(a_live.join(b_live, "k"))
 
     check()
+
+
+def test_cdc_join_delta_guards_and_strict_fold(spark):
+    """r10 review finds: a payload column colliding with the weight
+    column refuses loudly (withColumn would silently clobber it), and
+    the strict fold refuses a log whose nets go negative (a retraction
+    of a never-live row) instead of filtering the evidence away."""
+    import pytest
+
+    from etl_online_retail_spark.operators.ivm import (
+        cdc_join_delta,
+        fold_signed_rows,
+    )
+
+    a = spark.createDataFrame([(1, "p")], "k long, va string")
+    b_w = spark.createDataFrame([(1, 2.0)], "k long, _w double")
+    with pytest.raises(ValueError, match="collide"):
+        cdc_join_delta(a, b_w, "k", a_ins=a)
+    # a different weight_col sidesteps the clash
+    delta = cdc_join_delta(a, b_w, "k", a_ins=a, weight_col="_sign")
+    assert "_sign" in delta.columns
+
+    log = spark.createDataFrame(
+        [(1, "p", "x", 1), (1, "p", "x", -1), (1, "p", "y", -1)],
+        "k long, va string, vb string, _w int")
+    with pytest.raises(ValueError, match="NEGATIVE"):
+        fold_signed_rows(log)
+    # non-strict keeps the old filtering behavior for validated logs
+    assert fold_signed_rows(log, strict=False).count() == 0
