@@ -589,6 +589,31 @@ def serve_as_of(spark: SparkSession, sf_dir: str, name: str,
     return _merge_partials(spark, table_dir, name, keep)
 
 
+def check_liveness(spark: SparkSession, table_dir: str,
+                   name: str) -> None:
+    """Refuse a view table whose net row count goes NEGATIVE on any
+    grain — a CDC retraction of rows that were never loaded (upstream
+    bug or a delete feed replayed against the wrong warehouse). The
+    serve-time `_live > 0` filter would hide the evidence and serve a
+    plausible-but-wrong relation; publish is the one refresh-time spot
+    where the violation is cheaply detectable (one aggregation over a
+    dashboard-sized partial table) — same stance as the signed-delta
+    join fold (operators/ivm.fold_signed_rows strict mode)."""
+    meta = MATVIEW_META[name]
+    eff = ingest.effective_partials(table_dir)
+    bad = (spark.read.parquet(table_dir)
+           .filter(F.col("_batch_id").isin(eff))
+           .groupBy(*meta["grain"])
+           .agg(F.sum("_n").alias("_m"))
+           .filter(F.col("_m") < 0))
+    n_bad = bad.count()
+    if n_bad:
+        raise ValueError(
+            f"matview {name!r} is inconsistent: {n_bad} grain(s) net to "
+            f"NEGATIVE row counts (a CDC retraction of rows never "
+            f"loaded). Sample: {bad.limit(3).collect()}")
+
+
 def publish(spark: SparkSession, sf_dir: str,
             names: list[str] | None = None,
             storage_dir: str | None = None) -> None:
@@ -597,7 +622,8 @@ def publish(spark: SparkSession, sf_dir: str,
     session serves a warehouse another session maintained. A view whose
     table was never written (e.g. a deployment maintaining only the
     lineitem-fed views) is simply not registered — serve() then returns
-    None for it and its queries keep their base plans."""
+    None for it and its queries keep their base plans. Refuses a table
+    whose CDC history is inconsistent (check_liveness)."""
     for name in (names or list(MATVIEW_INPUTS)):
         view = f"{MATVIEW_PREFIX}_{name}"
         table_dir = view_table_dir(sf_dir, name, storage_dir)
@@ -606,6 +632,7 @@ def publish(spark: SparkSession, sf_dir: str,
                 spark.table(view).unpersist()
                 spark.catalog.dropTempView(view)
             continue
+        check_liveness(spark, table_dir, name)
         if spark.catalog.tableExists(view):
             spark.table(view).unpersist()
         df = _serving_relation(spark, table_dir, name)

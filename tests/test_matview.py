@@ -1099,3 +1099,40 @@ def test_serve_as_of_refuses_unmaintained_view_and_negative_version(
                             storage_dir=store)
     assert matview.serve_as_of(spark, SF_SMALL, "ship_day_rollup", 0,
                                storage_dir=store).count() > 0
+
+
+def test_publish_refuses_negative_net_grains(spark, tmp_path):
+    """A CDC retraction of rows that were never loaded drives a grain's
+    net row count negative; publish must refuse loudly (check_liveness)
+    rather than let the serve-time liveness filter hide the evidence —
+    the same stance as the signed-delta join fold's strict mode."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    store = str(tmp_path / "mv_store")
+    li = catalog.load_table(spark, "lineitem", SF_SMALL)
+    shard = F.pmod(F.col("l_orderkey"), F.lit(2))
+    name = "ship_day_rollup"
+    matview.apply_cdc_batch(spark, SF_SMALL, 0,
+                            inserts=li.filter(shard == 0),
+                            names=[name], storage_dir=store)
+    # retract EVERYTHING incl. rows never loaded (shard 1)
+    matview.apply_cdc_batch(spark, SF_SMALL, 1, deletes=li,
+                            names=[name], storage_dir=store)
+    with pytest.raises(ValueError, match="NEGATIVE"):
+        matview.publish(spark, SF_SMALL, names=[name], storage_dir=store)
+    # a valid warehouse still publishes
+    matview.apply_cdc_batch(spark, SF_SMALL, 2,
+                            inserts=li.filter(shard == 1),
+                            names=[name], storage_dir=store)
+    try:
+        matview.publish(spark, SF_SMALL, names=[name], storage_dir=store)
+        assert matview.serve(spark, SF_SMALL, name) is not None
+    finally:
+        spark.conf.unset(matview.MATVIEW_DIR_CONF)
+        view = f"{matview.MATVIEW_PREFIX}_{name}"
+        if spark.catalog.tableExists(view):
+            spark.table(view).unpersist()
+            spark.catalog.dropTempView(view)
