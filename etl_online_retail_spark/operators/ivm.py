@@ -175,11 +175,24 @@ def fold_signed_rows(signed_rows: DataFrame,
     detectable; filtering it away silently would serve a plausible but
     wrong view (the matview layer's "never a silently wrong snapshot"
     stance). Costs one extra count over the already-aggregated nets
-    (cached, so the netting work is not repeated); pass strict=False on
-    a log already validated upstream.
+    (eagerly local-checkpointed, so the netting work is not repeated and
+    the blocks free themselves with the plan); pass strict=False on a
+    log already validated upstream.
     """
     from pyspark.sql import functions as F
 
+    # the fold's internal columns: `_m` (net multiplicity) and `_i` (the
+    # re-expansion index). A payload column named `_m` would raise an
+    # ambiguous-column error mid-fold; one named `_i` would be silently
+    # CLOBBERED by the explode index and then dropped from the realized
+    # view — refuse loudly instead (same stance as cdc_join_delta's
+    # weight_col clash check).
+    clash = {"_m", "_i"} & set(signed_rows.columns)
+    if clash:
+        raise ValueError(
+            f"payload columns {sorted(clash)} collide with fold_signed_rows'"
+            f" internal columns ('_m' net multiplicity, '_i' expansion "
+            f"index); rename them before folding")
     cols = [c for c in signed_rows.columns if c != weight_col]
     # explicit hash repartition on the group keys: a delta log is a
     # UNION of joins that share children, whose PartitioningCollection
@@ -192,7 +205,13 @@ def fold_signed_rows(signed_rows: DataFrame,
            .groupBy(*cols)
            .agg(F.sum(weight_col).cast("int").alias("_m")))
     if strict:
-        net = net.cache()
+        # localCheckpoint, not cache(): the netting work is materialized
+        # ONCE (the validation count + the returned expansion both read
+        # it), and the blocks are reference-tracked — dropped when the
+        # returned plan is garbage-collected, instead of pinning a dead
+        # relation in executor storage for the session's lifetime the
+        # way an un-unpersisted cache() would (r10 advice).
+        net = net.localCheckpoint(eager=True)
         bad = net.filter(F.col("_m") < 0)
         n_bad = bad.count()
         if n_bad:

@@ -67,6 +67,51 @@ from etl_online_retail_spark.streaming import ingest
 MATVIEW_DIR_CONF = "spark.graft.matview.dir"
 MATVIEW_PREFIX = "graft_mv"
 
+# Partial-LAYOUT versions: bumped whenever a view's stored partial
+# SEMANTICS change incompatibly (not on additive code changes). A
+# persistent table written under one version must never be appended to /
+# retracted against / served by code expecting another — the mix is
+# silently wrong in exactly the way no runtime check can reconstruct.
+# star_month_rollup is v2: its `_n` changed from order-slice count to
+# carried lineitem count (count_col="_rows", r10); a v1 table's `_n`
+# would skew the CDC `_live > 0` grain-drop and trip liveness at
+# publish. Tables default to v1; every write/serve path stamps or
+# checks `_LAYOUT` in the table dir (underscore-prefixed, so Spark's
+# partition discovery ignores it) and refuses mismatches, requiring a
+# write_full rebuild (r10 advice).
+LAYOUT_VERSIONS: dict[str, int] = {"star_month_rollup": 2}
+
+
+def _layout_stamp(name: str) -> str:
+    return f"{name}=v{LAYOUT_VERSIONS.get(name, 1)}"
+
+
+def _check_or_stamp_layout(table_dir: str, name: str) -> None:
+    """Refuse a table whose on-disk layout version mismatches the code's
+    (or predates versioning); stamp new/empty tables with the current
+    version. Call before every maintenance write and before serving."""
+    path = os.path.join(table_dir, "_LAYOUT")
+    want = _layout_stamp(name)
+    if os.path.exists(path):
+        with open(path) as f:
+            got = f.read().strip()
+        if got != want:
+            raise ValueError(
+                f"matview table {table_dir} was written under layout "
+                f"{got!r} but this code maintains {want!r}: mixing the "
+                f"two semantics in one table is silently wrong — rebuild "
+                f"with write_full()")
+        return
+    if ingest.effective_partials(table_dir):
+        raise ValueError(
+            f"matview table {table_dir} has partials but no _LAYOUT "
+            f"stamp (written by pre-versioning code, whose "
+            f"star_month_rollup `_n` semantics differ): rebuild with "
+            f"write_full()")
+    os.makedirs(table_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(want + "\n")
+
 # net_revenue() is decimal(18,2) * decimal(18,4) = decimal(37,6); its SUM
 # is decimal(38,6). The partial layout must keep at least that scale —
 # the ingest default (money's 2-decimal scale) would round scale-6 terms
@@ -354,6 +399,7 @@ def write_full(spark: SparkSession, sf_dir: str,
     for name in (names or list(MATVIEW_INPUTS)):
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         shutil.rmtree(table_dir, ignore_errors=True)
+        _check_or_stamp_layout(table_dir, name)
         inp = MATVIEW_INPUTS[name](spark, sf_dir)
         ingest.partial_multi_agg_batch_write(
             inp, -1, table_dir, list(MATVIEW_META[name]["grain"]),
@@ -413,6 +459,7 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
         if MATVIEW_META[name]["source"] != table:
             continue
         table_dir = view_table_dir(sf_dir, name, storage_dir)
+        _check_or_stamp_layout(table_dir, name)
         keys = list(MATVIEW_META[name]["grain"])
         sum_type = MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE)
         count_col = MATVIEW_META[name].get("count_col")
@@ -516,6 +563,7 @@ def compact(spark: SparkSession, sf_dir: str,
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         if not ingest.effective_partials(table_dir):
             continue
+        _check_or_stamp_layout(table_dir, name)
         ingest.autocompact_incremental_agg(
             spark, table_dir, list(MATVIEW_META[name]["grain"]),
             sum_type=MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE))
@@ -576,6 +624,8 @@ def serve_as_of(spark: SparkSession, sf_dir: str, name: str,
     advances the horizon past which old versions are gone — compact
     less often (append_batch max_partials) to keep more history."""
     table_dir = view_table_dir(sf_dir, name, storage_dir)
+    if ingest.effective_partials(table_dir):
+        _check_or_stamp_layout(table_dir, name)
     keep = ingest.as_of_partials(table_dir, batch_id)
     # refuse loudly (the module contract) rather than leak a parquet
     # PATH_NOT_FOUND from an unwritten table or serve an empty relation
@@ -632,6 +682,7 @@ def publish(spark: SparkSession, sf_dir: str,
                 spark.table(view).unpersist()
                 spark.catalog.dropTempView(view)
             continue
+        _check_or_stamp_layout(table_dir, name)
         check_liveness(spark, table_dir, name)
         if spark.catalog.tableExists(view):
             spark.table(view).unpersist()

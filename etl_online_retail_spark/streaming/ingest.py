@@ -214,11 +214,29 @@ def partial_multi_agg_batch_write(batch_df: DataFrame, batch_id: int,
         aggs = [F.sum(n_term).cast("bigint").alias("_n")]
         terms = {vc: F.when(w < 0, -F.col(vc)).otherwise(F.col(vc))
                  for vc in value_cols}
+        # ±1 is a CONTRACT, so enforce it: a caller bug feeding 0/±2 (or
+        # NULL) would scale `_n` by w while negating each value only
+        # once — silently inconsistent partials that can net positive
+        # and slip past liveness checks. The violation count rides the
+        # SAME aggregation pass as the partials (no second batch scan);
+        # NULL weights fall into the otherwise-branch because the ==
+        # comparison is NULL for them (r10 advice).
+        aggs.append(F.sum(F.when(F.abs(w) == 1, 0).otherwise(1))
+                    .cast("bigint").alias("_bad_w"))
     for vc in value_cols:
         if not vc.startswith("_v"):
             raise ValueError(f"value column {vc!r} must start with '_v'")
         aggs.append(F.sum(terms[vc]).cast(sum_type).alias("_sum" + vc[2:]))
     part = batch_df.groupBy(*key_cols).agg(*aggs)
+    if weight_col is not None:
+        part = part.localCheckpoint(eager=True)
+        n_bad = (part.agg(F.sum("_bad_w")).collect()[0][0] or 0)
+        if n_bad:
+            raise ValueError(
+                f"weight column {weight_col!r} must be exactly +1 or -1 "
+                f"(insert/retract signs, not a general multiplier); "
+                f"{n_bad} row(s) violate that — nothing was written")
+        part = part.drop("_bad_w")
     (part.withColumn("_batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")

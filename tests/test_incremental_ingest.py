@@ -1176,3 +1176,38 @@ def test_legacy_compact_survives_session_dynamic_overwrite_mode(spark):
         got = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
                read_incremental_agg(spark, t, ["event_type"]).collect()}
         assert got == want
+
+
+def test_weighted_write_refuses_non_unit_weights(spark, tmp_path):
+    """r10 advice: the ±1 weight contract is enforced, not just
+    documented — a 0/±2/NULL weight would scale `_n` by w while negating
+    each value only once (silently inconsistent partials that can net
+    positive and slip past liveness). The violating batch writes
+    NOTHING."""
+    import os
+    from decimal import Decimal
+
+    import pytest
+
+    from etl_online_retail_spark.streaming.ingest import (
+        partial_multi_agg_batch_write,
+    )
+
+    t = str(tmp_path / "agg")
+    for w in (2, 0, -3, None):
+        df = spark.createDataFrame(
+            [("a", Decimal("1.00"), 1), ("b", Decimal("2.00"), w)],
+            "k string, _v decimal(18,2), _w int")
+        with pytest.raises(ValueError, match="exactly \\+1 or -1"):
+            partial_multi_agg_batch_write(df, 0, t, ["k"], ["_v"],
+                                          weight_col="_w")
+        assert not os.path.isdir(t)  # nothing was written
+    # the valid signs still write (and carry no _bad_w column)
+    ok = spark.createDataFrame(
+        [("a", Decimal("1.00"), 1), ("a", Decimal("1.00"), -1)],
+        "k string, _v decimal(18,2), _w int")
+    partial_multi_agg_batch_write(ok, 0, t, ["k"], ["_v"],
+                                  weight_col="_w")
+    out = spark.read.parquet(t)
+    assert "_bad_w" not in out.columns
+    assert [(r.k, r._n) for r in out.collect()] == [("a", 0)]

@@ -256,3 +256,19 @@ def test_cdc_join_delta_guards_and_strict_fold(spark):
         fold_signed_rows(log)
     # non-strict keeps the old filtering behavior for validated logs
     assert fold_signed_rows(log, strict=False).count() == 0
+
+
+def test_fold_refuses_internal_column_clash(spark):
+    """r10 advice: a payload column named `_i` would be silently
+    clobbered by the fold's explode index (and dropped from the realized
+    view — silent data loss); one named `_m` dies mid-fold with an
+    ambiguous-column error. Both refuse loudly up front instead."""
+    import pytest
+
+    from etl_online_retail_spark.operators.ivm import fold_signed_rows
+
+    for bad in ("_m", "_i"):
+        log = spark.createDataFrame([(1, "x", 1)],
+                                    f"k long, {bad} string, _w int")
+        with pytest.raises(ValueError, match="collide"):
+            fold_signed_rows(log)

@@ -1136,3 +1136,53 @@ def test_publish_refuses_negative_net_grains(spark, tmp_path):
         if spark.catalog.tableExists(view):
             spark.table(view).unpersist()
             spark.catalog.dropTempView(view)
+
+
+def test_layout_version_guard_refuses_mismatched_tables(spark, tmp_path):
+    """r10 advice: star_month_rollup's `_n` semantics changed (v2 —
+    carried lineitem count, not order-slice count); a persistent table
+    written under different semantics must be REFUSED at the next
+    maintenance/serve, not silently mixed. Pre-versioning tables (no
+    _LAYOUT stamp) are refused the same way; write_full rebuilds and
+    restamps."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    store = str(tmp_path / "mv")
+    li = catalog.load_table(spark, "lineitem", SF_SMALL).limit(50)
+    matview.append_batch(spark, SF_SMALL, li, 0,
+                         names=["star_month_rollup"], storage_dir=store)
+    tdir = matview.view_table_dir(SF_SMALL, "star_month_rollup", store)
+    stamp = os.path.join(tdir, "_LAYOUT")
+    assert open(stamp).read().strip() == "star_month_rollup=v2"
+
+    # a stamp from another layout version refuses every path
+    with open(stamp, "w") as f:
+        f.write("star_month_rollup=v1\n")
+    with pytest.raises(ValueError, match="rebuild"):
+        matview.append_batch(spark, SF_SMALL, li, 1,
+                             names=["star_month_rollup"],
+                             storage_dir=store)
+    with pytest.raises(ValueError, match="rebuild"):
+        matview.publish(spark, SF_SMALL, names=["star_month_rollup"],
+                        storage_dir=store)
+    with pytest.raises(ValueError, match="rebuild"):
+        matview.serve_as_of(spark, SF_SMALL, "star_month_rollup", 0,
+                            storage_dir=store)
+
+    # a PRE-VERSIONING table (partials, no stamp) is refused too
+    os.remove(stamp)
+    with pytest.raises(ValueError, match="pre-versioning"):
+        matview.append_batch(spark, SF_SMALL, li, 1,
+                             names=["star_month_rollup"],
+                             storage_dir=store)
+
+    # write_full rebuilds and restamps; maintenance works again
+    matview.write_full(spark, SF_SMALL, names=["star_month_rollup"],
+                       storage_dir=store)
+    assert open(stamp).read().strip() == "star_month_rollup=v2"
+    matview.append_batch(spark, SF_SMALL, li, 1,
+                         names=["star_month_rollup"], storage_dir=store)
