@@ -41,7 +41,12 @@ Scale story (100 TB): the grains are independent of fact size (ship day:
 months; customer nation: ~25 rows). A 1000-executor cluster refreshes a
 view with one map-side-combined pass over the day's new partition
 (append_batch), the nightly compaction folds partials (compact), and the
-dashboard query never touches the fact table. Each view names its SOURCE
+dashboard query never touches the fact table. Maintenance reads each
+source ONCE per call (r11): same-source views share one persisted scan,
+pruned to the union of the columns their builders touch — the day's
+100 TB partition is read off storage once, not once per fed view (and
+an already-cache-backed source, e.g. the bench's staged tables, is fed
+through the existing cache without a second copy). Each view names its SOURCE
 table (MATVIEW_META["source"]); a load of that table's new rows
 maintains exactly the views it feeds — lineitem loads refresh the
 revenue rollups, customer-dim loads the nation rollup.
@@ -270,6 +275,9 @@ MATVIEW_INPUTS: dict[str, Callable[..., DataFrame]] = {
 # re-aggregates exactly at any coarser grain (sum-of-sums — the money.py
 # discipline), which is what makes automatic rewrite SOUND: the
 # navigator only ever rolls partials up, never apportions them down.
+# `source_cols` lists the SOURCE-table columns the view's input builder
+# reads, so maintenance can prune the shared source scan to the union
+# of what its views actually touch (_shared_source below).
 MATVIEW_META: dict[str, dict] = {
     "star_month_rollup": {
         # the nation NAME is denormalized into the grain at build time
@@ -280,6 +288,7 @@ MATVIEW_META: dict[str, dict] = {
         "storage": {"revenue": "_sum"},
         "joined": True,    # carries the FK-losslessness assumption
         "source": "lineitem",
+        "source_cols": ("l_orderkey", "l_extendedprice", "l_discount"),
         # input is pre-aggregated per order: `_n` must come from the
         # carried lineitem count, not COUNT(input rows)
         "count_col": "_rows",
@@ -290,6 +299,7 @@ MATVIEW_META: dict[str, dict] = {
         "storage": {"revenue": "_sum", "n_rows": "_n"},
         "joined": False,
         "source": "lineitem",
+        "source_cols": ("l_shipdate", "l_extendedprice", "l_discount"),
     },
     "product_revenue_rollup": {
         "grain": ("p_name",),
@@ -297,6 +307,7 @@ MATVIEW_META: dict[str, dict] = {
         "storage": {"revenue": "_sum", "n_rows": "_n"},
         "joined": True,
         "source": "lineitem",
+        "source_cols": ("l_partkey", "l_extendedprice", "l_discount"),
     },
     "customer_nation_rollup": {
         # nation is IN the grain as both key and denormalized name —
@@ -307,6 +318,7 @@ MATVIEW_META: dict[str, dict] = {
         "storage": {"n_customers": "_n", "acctbal": "_sum"},
         "joined": True,   # the name lookup carries the FK assumption
         "source": "customer",
+        "source_cols": ("c_nationkey", "c_acctbal"),
     },
     "order_day_rollup": {
         "grain": ("order_date",),
@@ -314,6 +326,7 @@ MATVIEW_META: dict[str, dict] = {
         "storage": {"total_price": "_sum", "n_orders": "_n"},
         "joined": False,
         "source": "orders",
+        "source_cols": ("o_orderdate", "o_totalprice"),
     },
     "flag_day_rollup": {
         "grain": ("l_returnflag", "l_linestatus", "ship_date"),
@@ -325,6 +338,9 @@ MATVIEW_META: dict[str, dict] = {
                     "disc": "_sum_disc", "n_rows": "_n"},
         "joined": False,
         "source": "lineitem",
+        "source_cols": ("l_returnflag", "l_linestatus", "l_shipdate",
+                        "l_quantity", "l_extendedprice", "l_discount",
+                        "l_tax"),
         # the charge term is decimal(37,10); every other measure's
         # scale (2 or 6) widens into scale 10 losslessly
         "sum_type": "decimal(38,10)",
@@ -383,6 +399,45 @@ def view_table_dir(sf_dir: str, name: str,
 # write paths: full refresh, incremental batches, streaming maintenance
 
 
+def _shared_source(df: DataFrame, group: list[str]) -> DataFrame:
+    """Prune a shared source relation to the union of the columns the
+    group's input builders read (MATVIEW_META["source_cols"]) — the
+    persisted shared scan then holds only the hot columns, not the whole
+    fact row. Falls back to the unpruned relation when any view in the
+    group lacks the metadata or the relation doesn't carry the declared
+    columns (e.g. a test feeding a pre-projected batch)."""
+    cols: set[str] = set()
+    for name in group:
+        declared = MATVIEW_META[name].get("source_cols")
+        if not declared:
+            return df
+        cols |= set(declared)
+    if not cols <= set(df.columns):
+        return df
+    return df.select(*sorted(cols))
+
+
+def _by_source(names: list[str]) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for name in names:
+        out.setdefault(MATVIEW_META[name]["source"], []).append(name)
+    return out
+
+
+def _cache_backed(df: DataFrame) -> bool:
+    """True when the relation already reads from Spark's cache manager
+    (e.g. the bench stages base tables with .cache() before
+    materializing views). Persisting a SECOND copy of an
+    already-in-memory relation costs a redundant cache build and doubles
+    the memory hold — the shared-scan persist skips it; the
+    scanned-once property already holds through the existing cache."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    return "InMemoryRelation" in plan
+
+
 def write_full(spark: SparkSession, sf_dir: str,
                names: list[str] | None = None,
                storage_dir: str | None = None) -> None:
@@ -395,17 +450,37 @@ def write_full(spark: SparkSession, sf_dir: str,
     silently overwritten by it (dynamic partition overwrite) — the
     id -1 slot makes the collision impossible, readers include it
     alongside streamed originals (ingest.effective_partials), and the
-    first autocompaction folds it like any other history."""
-    for name in (names or list(MATVIEW_INPUTS)):
-        table_dir = view_table_dir(sf_dir, name, storage_dir)
-        shutil.rmtree(table_dir, ignore_errors=True)
-        _check_or_stamp_layout(table_dir, name)
-        inp = MATVIEW_INPUTS[name](spark, sf_dir)
-        ingest.partial_multi_agg_batch_write(
-            inp, -1, table_dir, list(MATVIEW_META[name]["grain"]),
-            [c for c in inp.columns if c.startswith("_v")],
-            sum_type=MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE),
-            count_col=MATVIEW_META[name].get("count_col"))
+    first autocompaction folds it like any other history.
+
+    ONE SCAN PER SOURCE (r11): views are grouped by their source table
+    and each source is scanned once — pruned to the union of the
+    columns the group's builders read, persisted (memory, disk
+    spill-over), and fed to every same-source view — instead of once
+    per view (four lineitem scans for the four lineitem-fed views). At
+    100 TB the day's partition is read off disk exactly once per
+    maintenance pass; sources feeding a single view skip the persist
+    (the cache write would cost more than the one scan it saves)."""
+    for source, group in _by_source(list(names or MATVIEW_INPUTS)).items():
+        shared = _shared_source(
+            catalog.load_table(spark, source, sf_dir), group)
+        persisted = len(group) > 1 and not _cache_backed(shared)
+        if persisted:
+            shared = shared.persist()
+        try:
+            for name in group:
+                table_dir = view_table_dir(sf_dir, name, storage_dir)
+                shutil.rmtree(table_dir, ignore_errors=True)
+                _check_or_stamp_layout(table_dir, name)
+                inp = MATVIEW_INPUTS[name](spark, sf_dir, shared)
+                ingest.partial_multi_agg_batch_write(
+                    inp, -1, table_dir, list(MATVIEW_META[name]["grain"]),
+                    [c for c in inp.columns if c.startswith("_v")],
+                    sum_type=MATVIEW_META[name].get("sum_type",
+                                                    _MV_SUM_TYPE),
+                    count_col=MATVIEW_META[name].get("count_col"))
+        finally:
+            if persisted:
+                shared.unpersist()
 
 
 def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
@@ -452,43 +527,69 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
     have the grain at all.
 
     Contract: `deletes` rows must be rows previously inserted (standard
-    CDC delete images). Work stays proportional to the batch."""
+    CDC delete images). Work stays proportional to the batch — and the
+    batch is SCANNED ONCE (r11): when several views share the source,
+    the insert/delete relations are pruned to the union of the group's
+    source columns and persisted around the loop, so each view derives
+    its input from the cached batch instead of re-reading the feed."""
     if inserts is None and deletes is None:
         raise ValueError("apply_cdc_batch needs inserts, deletes, or both")
-    for name in (names or list(MATVIEW_INPUTS)):
-        if MATVIEW_META[name]["source"] != table:
-            continue
-        table_dir = view_table_dir(sf_dir, name, storage_dir)
-        _check_or_stamp_layout(table_dir, name)
-        keys = list(MATVIEW_META[name]["grain"])
-        sum_type = MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE)
-        count_col = MATVIEW_META[name].get("count_col")
-        if deletes is None:
-            # pure-append fast path: identical plan to the pre-CDC
-            # writer (COUNT + unweighted sums), no weight column
-            inp = MATVIEW_INPUTS[name](spark, sf_dir, inserts)
-            ingest.partial_multi_agg_batch_write(
-                inp, batch_id, table_dir, keys,
-                [c for c in inp.columns if c.startswith("_v")],
-                sum_type=sum_type, count_col=count_col)
-        else:
-            sides = []
-            if inserts is not None:
-                sides.append(MATVIEW_INPUTS[name](spark, sf_dir, inserts)
-                             .withColumn("_w", F.lit(1)))
-            sides.append(MATVIEW_INPUTS[name](spark, sf_dir, deletes)
-                         .withColumn("_w", F.lit(-1)))
-            inp = sides[0]
-            for s in sides[1:]:
-                inp = inp.unionByName(s)
-            ingest.partial_multi_agg_batch_write(
-                inp, batch_id, table_dir, keys,
-                [c for c in inp.columns if c.startswith("_v")],
-                sum_type=sum_type, weight_col="_w", count_col=count_col)
-        if max_partials is not None and \
-                len(ingest.effective_partials(table_dir)) > max_partials:
-            ingest.autocompact_incremental_agg(spark, table_dir, keys,
-                                               sum_type=sum_type)
+    group = [n for n in (names or list(MATVIEW_INPUTS))
+             if MATVIEW_META[n]["source"] == table]
+    if not group:
+        return
+    ins_persisted = del_persisted = False
+    if len(group) > 1:
+        if inserts is not None:
+            inserts = _shared_source(inserts, group)
+            if not _cache_backed(inserts):
+                inserts = inserts.persist()
+                ins_persisted = True
+        if deletes is not None:
+            deletes = _shared_source(deletes, group)
+            if not _cache_backed(deletes):
+                deletes = deletes.persist()
+                del_persisted = True
+    try:
+        for name in group:
+            table_dir = view_table_dir(sf_dir, name, storage_dir)
+            _check_or_stamp_layout(table_dir, name)
+            keys = list(MATVIEW_META[name]["grain"])
+            sum_type = MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE)
+            count_col = MATVIEW_META[name].get("count_col")
+            if deletes is None:
+                # pure-append fast path: identical plan to the pre-CDC
+                # writer (COUNT + unweighted sums), no weight column
+                inp = MATVIEW_INPUTS[name](spark, sf_dir, inserts)
+                ingest.partial_multi_agg_batch_write(
+                    inp, batch_id, table_dir, keys,
+                    [c for c in inp.columns if c.startswith("_v")],
+                    sum_type=sum_type, count_col=count_col)
+            else:
+                sides = []
+                if inserts is not None:
+                    sides.append(
+                        MATVIEW_INPUTS[name](spark, sf_dir, inserts)
+                        .withColumn("_w", F.lit(1)))
+                sides.append(MATVIEW_INPUTS[name](spark, sf_dir, deletes)
+                             .withColumn("_w", F.lit(-1)))
+                inp = sides[0]
+                for s in sides[1:]:
+                    inp = inp.unionByName(s)
+                ingest.partial_multi_agg_batch_write(
+                    inp, batch_id, table_dir, keys,
+                    [c for c in inp.columns if c.startswith("_v")],
+                    sum_type=sum_type, weight_col="_w",
+                    count_col=count_col)
+            if max_partials is not None and \
+                    len(ingest.effective_partials(table_dir)) > max_partials:
+                ingest.autocompact_incremental_agg(spark, table_dir, keys,
+                                                   sum_type=sum_type)
+    finally:
+        if ins_persisted:
+            inserts.unpersist()
+        if del_persisted:
+            deletes.unpersist()
 
 
 def maintain_incremental(source_stream: DataFrame, sf_dir: str,

@@ -1186,3 +1186,71 @@ def test_layout_version_guard_refuses_mismatched_tables(spark, tmp_path):
     assert open(stamp).read().strip() == "star_month_rollup=v2"
     matview.append_batch(spark, SF_SMALL, li, 1,
                          names=["star_month_rollup"], storage_dir=store)
+
+
+def test_maintenance_scans_each_source_once(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 1: a lineitem load must be scanned ONCE per
+    maintenance call, not once per lineitem-fed view. Asserted two ways:
+    (a) the source table is LOADED exactly once per source group, and
+    (b) every builder in a multi-view group receives a PERSISTED shared
+    relation (so the one materializing scan feeds all sibling views),
+    while single-view sources skip the persist overhead."""
+    import collections
+
+    from etl_online_retail_spark import catalog
+
+    counts = collections.Counter()
+    real = catalog.load_table
+
+    def counting(spark, name, sf_dir):
+        counts[name] += 1
+        return real(spark, name, sf_dir)
+
+    monkeypatch.setattr(catalog, "load_table", counting)
+
+    # a shared scan is "one materializing read" either because the
+    # maintenance call persisted it, or because the relation was already
+    # cache-backed (another test/bench staged the table) and the
+    # persist was correctly SKIPPED — accept both; require the explicit
+    # persist to be absent for single-view sources
+    got_cached, got_persisted = {}, {}
+    for vname, builder in list(matview.MATVIEW_INPUTS.items()):
+        def wrap(b, n):
+            def inner(spark, sf_dir, batch=None):
+                lvl = batch.storageLevel if batch is not None else None
+                persisted = bool(lvl and (lvl.useMemory or lvl.useDisk))
+                got_persisted[n] = persisted
+                got_cached[n] = persisted or (
+                    batch is not None and matview._cache_backed(batch))
+                return b(spark, sf_dir, batch)
+            return inner
+        monkeypatch.setitem(matview.MATVIEW_INPUTS, vname,
+                            wrap(builder, vname))
+
+    store = str(tmp_path / "mv")
+    matview.write_full(spark, SF_SMALL, storage_dir=store)
+    # four lineitem-fed views, ONE lineitem load (dims still load per
+    # view that needs them: orders = 1 star lookup + 1 as the order-day
+    # source; part = 1)
+    assert counts["lineitem"] == 1
+    assert counts["part"] == 1
+    for n in ("star_month_rollup", "ship_day_rollup",
+              "product_revenue_rollup", "flag_day_rollup"):
+        assert got_cached[n], f"{n} did not get the shared persisted scan"
+    assert not got_persisted["order_day_rollup"]
+    assert not got_persisted["customer_nation_rollup"]
+
+    # the CDC/append path: one mixed insert+retraction batch feeds all
+    # four lineitem views off ONE persisted insert + ONE persisted
+    # delete relation, and never re-loads the source table
+    counts.clear()
+    got_cached.clear()
+    li = real(spark, "lineitem", SF_SMALL)
+    ins = li.limit(40)
+    dels = li.limit(10)
+    matview.apply_cdc_batch(spark, SF_SMALL, 0, inserts=ins, deletes=dels,
+                            storage_dir=store)
+    assert counts["lineitem"] == 0
+    for n in ("star_month_rollup", "ship_day_rollup",
+              "product_revenue_rollup", "flag_day_rollup"):
+        assert got_cached[n], n
