@@ -348,6 +348,38 @@ MATVIEW_META: dict[str, dict] = {
 }
 
 
+def _validate_meta(meta_by_name: dict[str, dict] | None = None) -> None:
+    """Refuse view registrations whose stored partials are not a GROUP
+    under addition. The maintenance paths assume every partial can be
+    RETRACTED exactly (apply_cdc_batch writes delete images as negated
+    partials): counts (`_n`) and decimal sums (`_sum*`) have exact
+    inverses, but a MIN/MAX-style partial is a monoid — there is no
+    "un-min" — so a CDC retraction would silently corrupt it while
+    liveness checks stay green. Grain-column bounds remain available
+    soundly through navigate(grain_aggs=...), which computes them from
+    the grain values themselves (group-maintained liveness), never from
+    stored extremum partials. Runs at import over MATVIEW_META so a bad
+    registration fails the whole module load, not the first retraction
+    months later."""
+    metas = MATVIEW_META if meta_by_name is None else meta_by_name
+    for name, meta in metas.items():
+        if not meta.get("grain"):
+            raise ValueError(f"matview {name!r}: empty grain")
+        if set(meta["measures"]) != set(meta["storage"]):
+            raise ValueError(
+                f"matview {name!r}: measures/storage keys differ")
+        for measure, stored in meta["storage"].items():
+            if stored != "_n" and not stored.startswith("_sum"):
+                raise ValueError(
+                    f"matview {name!r} stores measure {measure!r} as "
+                    f"{stored!r}: only group-algebra partials are "
+                    f"maintainable (`_n` counts, `_sum*` decimal sums). "
+                    f"MIN/MAX-style measure partials form a monoid, not "
+                    f"a group — CDC retraction would silently corrupt "
+                    f"them. Compute bounds from GRAIN columns via "
+                    f"navigate(grain_aggs=...) instead")
+
+
 def _logical_view(name: str) -> Callable[[SparkSession, str], DataFrame]:
     """The view's one-shot logical definition (input -> grain aggregate)
     — the recompute-from-base reference the maintained table must equal."""
@@ -362,6 +394,11 @@ def _logical_view(name: str) -> Callable[[SparkSession, str], DataFrame]:
         return inp.groupBy(*meta["grain"]).agg(*aggs)
     return build
 
+
+if set(MATVIEW_INPUTS) != set(MATVIEW_META):
+    raise ValueError("MATVIEW_INPUTS and MATVIEW_META must register the "
+                     "same view names")
+_validate_meta()
 
 MATVIEWS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _logical_view(name) for name in MATVIEW_INPUTS
@@ -765,16 +802,31 @@ def check_liveness(spark: SparkSession, table_dir: str,
             f"loaded). Sample: {bad.limit(3).collect()}")
 
 
+# Serving relations collapse to ONE partition (_merge_partials) and are
+# cached whole: sound only for dashboard-sized summaries. The registry's
+# admission rule ("a rollup approaching fact size is rejected", ROADMAP
+# 66 / PERFORMANCE.md addendum 2) was prose until r11 — publish() now
+# enforces it with this bound. Generous for every registered grain
+# (largest today: flag_day at ~6 x |ship days| ≈ 15k rows at any SF;
+# they're independent of fact size), tripped immediately by a
+# fact-proportional "rollup" at bench scale.
+MAX_SERVE_ROWS = 200_000
+
+
 def publish(spark: SparkSession, sf_dir: str,
             names: list[str] | None = None,
-            storage_dir: str | None = None) -> None:
+            storage_dir: str | None = None,
+            max_serve_rows: int | None = MAX_SERVE_ROWS) -> None:
     """Register (and cache) the serving relations off the WRITTEN tables
     and announce the layout. Reading disk, not rebuilding: a fresh
     session serves a warehouse another session maintained. A view whose
     table was never written (e.g. a deployment maintaining only the
     lineitem-fed views) is simply not registered — serve() then returns
     None for it and its queries keep their base plans. Refuses a table
-    whose CDC history is inconsistent (check_liveness)."""
+    whose CDC history is inconsistent (check_liveness) and one whose
+    serving relation exceeds the dashboard-size admission bound
+    (max_serve_rows; None disables — a deployment with a catalog-backed
+    distributed serving tier instead of single-partition caches)."""
     for name in (names or list(MATVIEW_INPUTS)):
         view = f"{MATVIEW_PREFIX}_{name}"
         table_dir = view_table_dir(sf_dir, name, storage_dir)
@@ -789,7 +841,17 @@ def publish(spark: SparkSession, sf_dir: str,
             spark.table(view).unpersist()
         df = _serving_relation(spark, table_dir, name)
         df.createOrReplaceTempView(view)
-        df.cache().count()
+        n = df.cache().count()
+        if max_serve_rows is not None and n > max_serve_rows:
+            df.unpersist()
+            spark.catalog.dropTempView(view)
+            raise ValueError(
+                f"matview {name!r} serving relation has {n} rows — over "
+                f"the dashboard-size admission bound ({max_serve_rows}). "
+                f"A fact-proportional 'rollup' must not be served off a "
+                f"single-partition cache; narrow the view's grain (or "
+                f"pass max_serve_rows=None for a distributed serving "
+                f"tier)")
     spark.conf.set(MATVIEW_DIR_CONF, os.path.abspath(sf_dir))
 
 
@@ -817,8 +879,34 @@ def serve(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
     return spark.table(view)
 
 
+def _resolves_on_grain(mv: DataFrame, meta: dict, what: str,
+                       check) -> None:
+    """Structural soundness guard for grain_filter / grain_aggs: the
+    caller's expression must RESOLVE against the view's grain columns
+    ALONE. An expression referencing a measure partial would silently
+    break the rewrite algebra (filtering on a partial apportions it;
+    MIN/MAX over a partial is a monoid, not a group) — refuse it loudly
+    instead of serving a plausible-but-wrong relation.
+
+    The probe is a DETACHED empty relation carrying only the grain
+    schema: resolving against `mv.select(grain)` would not do — Spark's
+    hidden-output resolution lets a filter see THROUGH a Project to the
+    child's dropped columns, which is exactly the leak being guarded."""
+    probe = mv.sparkSession.createDataFrame(
+        [], mv.select(*meta["grain"]).schema)
+    try:
+        check(probe)
+    except Exception as e:
+        raise ValueError(
+            f"navigate {what} must reference only the view's grain "
+            f"columns {meta['grain']} — filtering or aggregating a "
+            f"measure PARTIAL does not commute with re-aggregation "
+            f"(resolution failed: {e})") from None
+
+
 def navigate(spark: SparkSession, sf_dir: str, dims: list[str],
-             measures: list[str]) -> DataFrame | None:
+             measures: list[str],
+             grain_filter=None, grain_aggs=None) -> DataFrame | None:
     """Aggregate navigator (the Kimball "aggregate navigator" / Oracle
     query-rewrite pattern): given the DIMENSIONS a query groups by and
     the MEASURES it sums, return a relation answering it from the
@@ -833,6 +921,28 @@ def navigate(spark: SparkSession, sf_dir: str, dims: list[str],
     so view-served results are bit-identical to the base plan —
     asserted in tests/test_matview.py. Measures come back still
     DECIMAL; consumers cast at the edge exactly as with the base plan.
+
+    grain_filter (r11): a callable receiving {grain column -> Column}
+    and returning a boolean Column — applied to the view BEFORE
+    re-aggregation. Sound because a deterministic predicate over grain
+    columns (or any expression of them, e.g. the yyyymmdd smart key) is
+    constant within each grain group, so filtering the view's partials
+    equals filtering the base rows. A view lacking a referenced grain
+    column raises KeyError inside the callable and simply doesn't
+    qualify; an expression referencing anything BEYOND the grain
+    (a measure partial) raises ValueError — that rewrite would be
+    unsound, not merely unavailable.
+
+    grain_aggs (r11): a callable receiving the same mapping and
+    returning aliased AGGREGATE Columns over grain columns (MIN/MAX
+    bounds and the like), appended to the measure sums under
+    groupBy(dims). Sound because a grain value appears in the view iff
+    at least one live base row carries it — append-only trivially, and
+    under CDC because the serving relation drops grains whose net row
+    count reaches zero (_merge_partials' `_live > 0`). Note this is
+    exactly why MIN/MAX are allowed over GRAIN columns but refused as
+    stored MEASURE partials (_validate_meta): grain liveness is
+    group-maintained, a measure extremum is not.
 
     One additional assumption for views BUILT WITH JOINS
     (star_month_rollup joins orders+customer, product_revenue_rollup
@@ -854,23 +964,44 @@ def navigate(spark: SparkSession, sf_dir: str, dims: list[str],
     candidates = []
     for name, meta in MATVIEW_META.items():
         grain = set(meta["grain"])
-        if want_dims <= grain and want_measures <= set(meta["measures"]):
-            # smallest grain first; at equal grain size prefer a view
-            # built WITHOUT joins (no FK-losslessness assumption to
-            # lean on, and typically the smaller relation)
-            candidates.append(
-                (len(grain), bool(meta.get("joined")), name, meta))
-    for _, _, name, meta in sorted(candidates):
+        if not (want_dims <= grain
+                and want_measures <= set(meta["measures"])):
+            continue
+        # build the caller's grain expressions against THIS view's
+        # grain mapping: a KeyError means the request names a grain
+        # column the view doesn't have — it simply doesn't qualify
+        g = {c: F.col(c) for c in meta["grain"]}
+        try:
+            pred = grain_filter(g) if grain_filter is not None else None
+            extra = (list(grain_aggs(g))
+                     if grain_aggs is not None else None)
+        except KeyError:
+            continue
+        # smallest grain first; at equal grain size prefer a view
+        # built WITHOUT joins (no FK-losslessness assumption to
+        # lean on, and typically the smaller relation)
+        candidates.append((len(grain), bool(meta.get("joined")),
+                           name, meta, pred, extra))
+    for _, _, name, meta, pred, extra in sorted(
+            candidates, key=lambda t: t[:3]):
         mv = serve(spark, sf_dir, name)
         if mv is None:
             continue
+        if pred is not None:
+            _resolves_on_grain(mv, meta, "grain_filter",
+                               lambda probe: probe.filter(pred))
+            mv = mv.filter(pred)
         # measures come back under their REQUESTED names (the mapping's
         # whole point): a view whose internal column is `_sum` must
         # still serve `revenue`, or the rewrite changes the schema
         pairs = [(m, meta["measures"][m]) for m in measures]
+        sums = [F.sum(c).alias(m) for m, c in pairs]
+        if extra is not None:
+            _resolves_on_grain(mv, meta, "grain_aggs",
+                               lambda probe: probe.groupBy().agg(*extra))
+            return mv.groupBy(*dims).agg(*extra, *sums)
         if want_dims == set(meta["grain"]):
             return mv.select(*dims,
                              *[F.col(c).alias(m) for m, c in pairs])
-        return (mv.groupBy(*dims)
-                .agg(*[F.sum(c).alias(m) for m, c in pairs]))
+        return mv.groupBy(*dims).agg(*sums)
     return None

@@ -135,19 +135,23 @@ def q_total_revenue(spark, sf_dir):
     "A2,P5",
 )
 def q_date_bounds(spark, sf_dir):
-    # Navigator rewrite (r10): MIN/MAX of the GRAIN column itself — the
-    # order-day rollup has one row per distinct order date (each backed
-    # by >= 1 order), so the bounds over ~2.5k summary rows equal the
-    # bounds over the orders table; the yyyymmdd smart key is monotonic
-    # in the date, so its bounds are the same rows'.
-    nav = matview.navigate(spark, sf_dir, ["order_date"], [])
+    # Navigator rewrite, fully routed (r11): MIN/MAX of the GRAIN column
+    # itself is a navigate(grain_aggs=...) request — sound because a
+    # grain value appears in the view iff >= 1 live order carries it,
+    # and the yyyymmdd smart key is monotonic in the date. The navigator
+    # picks the order-day rollup itself (the only registered view whose
+    # grain has order_date — other views drop out via KeyError), so the
+    # call site no longer hand-wires aggregates around serve().
+    nav = matview.navigate(
+        spark, sf_dir, [], [],
+        grain_aggs=lambda g: [
+            F.min(g["order_date"].cast("date")).alias("min_date"),
+            F.max(g["order_date"].cast("date")).alias("max_date"),
+            F.min(date_key(g["order_date"])).alias("min_date_key"),
+            F.max(date_key(g["order_date"])).alias("max_date_key"),
+        ])
     if nav is not None:
-        return nav.agg(
-            F.min(F.col("order_date").cast("date")).alias("min_date"),
-            F.max(F.col("order_date").cast("date")).alias("max_date"),
-            F.min(date_key("order_date")).alias("min_date_key"),
-            F.max(date_key("order_date")).alias("max_date_key"),
-        )
+        return nav
     o = _t(spark, sf_dir, "orders")
     return o.agg(
         F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
@@ -525,22 +529,23 @@ def q_monthly_revenue(spark, sf_dir):
     "F5,P5",
 )
 def q_smart_key_range(spark, sf_dir):
-    # Navigator rewrite (r10): the smart-key range predicate filters the
-    # order-day rollup's GRAIN column, and filtering a grain column
-    # commutes with re-aggregating its partials — so the scan touches
-    # ~2.5k summary rows, not the orders table. COALESCE keeps COUNT
-    # semantics when the range matches nothing (base COUNT returns 0;
-    # SUM over zero partial rows is NULL).
-    nav = matview.navigate(spark, sf_dir, ["order_date"],
-                           ["total_price", "n_orders"])
+    # Navigator rewrite, fully routed (r11): the smart-key range is a
+    # navigate(grain_filter=...) request — a predicate over a grain
+    # column (here a monotonic function of it) commutes with
+    # re-aggregating the partials, so the navigator applies it before
+    # the rollup and the scan touches ~2.5k summary rows, not the
+    # orders table. COALESCE keeps COUNT semantics when the range
+    # matches nothing (base COUNT returns 0; SUM over zero partial rows
+    # is NULL).
+    nav = matview.navigate(
+        spark, sf_dir, [], ["n_orders", "total_price"],
+        grain_filter=lambda g: (date_key(g["order_date"]) >= 19960101)
+                               & (date_key(g["order_date"]) < 19970101))
     if nav is not None:
-        key = date_key("order_date")
-        return (nav.filter((key >= 19960101) & (key < 19970101))
-                   .agg(F.coalesce(F.sum("n_orders"),
-                                   F.lit(0).cast("bigint"))
-                         .alias("n_orders"),
-                        F.sum("total_price").cast("double")
-                         .alias("total_price")))
+        return nav.select(
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint"))
+             .alias("n_orders"),
+            F.col("total_price").cast("double").alias("total_price"))
     o = _t(spark, sf_dir, "orders")
     key = date_key("o_orderdate")
     return (o.filter((key >= 19960101) & (key < 19970101))

@@ -1254,3 +1254,76 @@ def test_maintenance_scans_each_source_once(spark, tmp_path, monkeypatch):
     for n in ("star_month_rollup", "ship_day_rollup",
               "product_revenue_rollup", "flag_day_rollup"):
         assert got_cached[n], n
+
+
+def test_navigate_grain_filter_and_aggs_guards(spark, staged_matview):
+    """r11: grain_filter/grain_aggs qualification and soundness. A
+    request naming a grain column only one view has routes to that view
+    (others drop out via KeyError); an expression reaching BEYOND the
+    grain — a measure partial — is refused loudly (filtering a partial
+    does not commute with re-aggregation), never silently served."""
+    from pyspark.sql import functions as F
+
+    # routes to order_day_rollup: the only view with an order_date grain
+    nav = matview.navigate(
+        spark, SF_SMALL, [], ["n_orders"],
+        grain_filter=lambda g: g["order_date"].isNotNull())
+    assert nav is not None
+    assert "order_day" in nav._jdf.queryExecution().analyzed().toString() \
+        or nav.collect()[0].n_orders > 0
+
+    # a filter that references a MEASURE column is unsound -> ValueError
+    with pytest.raises(ValueError, match="grain"):
+        matview.navigate(spark, SF_SMALL, [], ["n_orders"],
+                         grain_filter=lambda g: F.col("n_orders") > 0)
+    # same for grain_aggs
+    with pytest.raises(ValueError, match="grain"):
+        matview.navigate(spark, SF_SMALL, [], [],
+                         grain_aggs=lambda g: [
+                             F.max(F.col("total_price")).alias("m"),
+                             F.max(g["order_date"]).alias("d")])
+    # a grain column NO view carries -> no candidate, base plan fallback
+    assert matview.navigate(
+        spark, SF_SMALL, [], [],
+        grain_filter=lambda g: g["no_such_grain"] > 0) is None
+
+
+def test_validate_meta_refuses_monoid_measure_partials():
+    """r11 guard: a view registering a MIN/MAX-style stored measure
+    partial must fail at registration — the partial algebra is a
+    monoid, not a group, and a CDC retraction would silently corrupt it
+    while liveness stays green."""
+    with pytest.raises(ValueError, match="monoid"):
+        matview._validate_meta({
+            "bad_view": {
+                "grain": ("d",),
+                "measures": {"low": "low"},
+                "storage": {"low": "_min"},
+                "source": "orders",
+            }})
+    # the real registry passes (and does at import, or nothing loads)
+    matview._validate_meta()
+
+
+def test_publish_enforces_dashboard_size_admission(spark, tmp_path):
+    """r11 guard: the 'serving relations are dashboard-sized' admission
+    rule is enforced at publish — a relation over the bound is refused
+    and NOT left registered (it would otherwise be cached
+    single-partition)."""
+    from etl_online_retail_spark import catalog
+
+    store = str(tmp_path / "mv")
+    matview.write_full(spark, SF_SMALL, names=["ship_day_rollup"],
+                       storage_dir=store)
+    with pytest.raises(ValueError, match="admission"):
+        matview.publish(spark, SF_SMALL, names=["ship_day_rollup"],
+                        storage_dir=store, max_serve_rows=5)
+    view = f"{matview.MATVIEW_PREFIX}_ship_day_rollup"
+    assert not spark.catalog.tableExists(view)
+    # within the bound (and with the default bound) it registers
+    matview.publish(spark, SF_SMALL, names=["ship_day_rollup"],
+                    storage_dir=store)
+    assert spark.catalog.tableExists(view)
+    spark.table(view).unpersist()
+    spark.catalog.dropTempView(view)
+    spark.conf.unset(matview.MATVIEW_DIR_CONF)
