@@ -66,7 +66,7 @@ from pyspark.sql import functions as F
 from etl_online_retail_spark import catalog
 from etl_online_retail_spark.functions import money
 from etl_online_retail_spark.functions.datetime_fns import month_start
-from etl_online_retail_spark.operators import joins
+from etl_online_retail_spark.operators import ivm, joins
 from etl_online_retail_spark.streaming import ingest
 
 MATVIEW_DIR_CONF = "spark.graft.matview.dir"
@@ -627,6 +627,85 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
             inserts.unpersist()
         if del_persisted:
             deletes.unpersist()
+
+
+def apply_star_cdc_join(spark: SparkSession, sf_dir: str, batch_id: int,
+                        li_old: DataFrame, o_old: DataFrame,
+                        li_ins: DataFrame | None = None,
+                        li_del: DataFrame | None = None,
+                        o_ins: DataFrame | None = None,
+                        o_del: DataFrame | None = None,
+                        storage_dir: str | None = None,
+                        max_partials: int | None = 8) -> None:
+    """Maintain star_month_rollup through the RETRACTABLE JOIN algebra
+    (operators/ivm.cdc_join_delta) — the production consumer for join
+    IVM, and the only maintenance path that expresses ORDERS-side
+    change. The per-batch path (apply_cdc_batch) joins each lineitem
+    batch to the CURRENT orders table, so a late-arriving order whose
+    lineitems loaded in an earlier batch contributes nothing until a
+    full refresh (the inner join dropped those lineitems when they
+    arrived), and an order retraction can only be expressed by
+    re-feeding every affected lineitem. Here both sides are first-class
+    CDC participants: ΔV = Δli ⋈ O_old ∪ li_new ⋈ ΔO with signs
+    multiplying across the join, so the late order's pairs materialize
+    from the li_old leg and an orders-side delete retracts all its
+    pairs in one signed batch.
+
+    li_old / o_old: the LIVE accumulated relations as of BEFORE this
+    batch (empty relations with the table schema for the first batch).
+    At warehouse scale these are the bucketed fact layout —
+    cdc_join_delta semi-join-prunes both history legs to the delta's
+    orderkeys, so history is probed (partition-pruned on the bucketed
+    orderkey), never shuffled. Delete images must be rows live on their
+    side (standard CDC).
+
+    The signed (lineitem x order) delta rows are enriched through the
+    customer/nation broadcast dims (a 1:1 FK lookup leaves signs
+    untouched) and land as ONE weighted partial batch in the exact
+    table/layout the other maintenance paths write — each signed pair
+    is one true lineitem row, matching the v2 `_n` semantics — so
+    replay safety, autocompaction, liveness checks, serving and time
+    travel are all inherited unchanged."""
+    name = "star_month_rollup"
+    table_dir = view_table_dir(sf_dir, name, storage_dir)
+    _check_or_stamp_layout(table_dir, name)
+
+    def li_proj(df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
+        return df.select("l_orderkey", money.net_revenue().alias("_v"))
+
+    def o_proj(df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
+        return df.select(F.col("o_orderkey").alias("l_orderkey"),
+                         "o_custkey", "o_orderdate")
+
+    delta = ivm.cdc_join_delta(
+        li_proj(li_old), o_proj(o_old), "l_orderkey",
+        a_ins=li_proj(li_ins), a_del=li_proj(li_del),
+        b_ins=o_proj(o_ins), b_del=o_proj(o_del), weight_col="_w")
+    c = catalog.load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey")
+    n = catalog.load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name")
+    inp = (delta
+           .join(joins.size_guarded_broadcast(c),
+                 delta.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .select(F.col("c_nationkey").alias("nationkey"),
+                   F.col("n_name").alias("nation"),
+                   month_start("o_orderdate").alias("month_start"),
+                   "_v", "_w"))
+    keys = list(MATVIEW_META[name]["grain"])
+    sum_type = MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE)
+    ingest.partial_multi_agg_batch_write(
+        inp, batch_id, table_dir, keys, ["_v"],
+        sum_type=sum_type, weight_col="_w")
+    if max_partials is not None and \
+            len(ingest.effective_partials(table_dir)) > max_partials:
+        ingest.autocompact_incremental_agg(spark, table_dir, keys,
+                                           sum_type=sum_type)
 
 
 def maintain_incremental(source_stream: DataFrame, sf_dir: str,
