@@ -11,7 +11,7 @@ import pytest
 
 from etl_online_retail_spark.operators import matview
 
-from conftest import SF_SMALL
+from conftest import SF_SMALL, assert_no_exchange_above_cache
 
 
 def _rows(df):
@@ -65,16 +65,13 @@ def test_ship_day_rollup_serves_revenue_by_ymd(spark, staged_matview):
 
     build = _REGISTRY["revenue_by_ymd"].build
     served = build(spark, SF_SMALL)
-    plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
-    # projection-only rewrite: no Exchange ABOVE the cached view scan
-    # (the InMemoryRelation's embedded lineage text still shows the
-    # view's own build exchange, which never executes here). Assert the
-    # token is actually present first, so a Spark plan-rendering change
-    # fails loudly instead of silently checking the whole string (r10
-    # advice).
-    assert "InMemoryRelation" in plan
-    assert "Exchange" not in plan.split("InMemoryRelation")[0]
+    # projection-only rewrite: the executed plan reads the cached view
+    # with no Exchange above the scan — asserted STRUCTURALLY by
+    # walking the plan tree (the cached relation's embedded build plan,
+    # which carries its own never-executed exchange, is excluded by
+    # construction; a Spark plan-RENDERING change can't silently
+    # neutralize the check the way the old string-split could).
+    assert_no_exchange_above_cache(served)
     got = _calendar_rows(served, ("year", "month", "day"))
     spark.conf.unset(matview.MATVIEW_DIR_CONF)
     try:
@@ -1420,3 +1417,21 @@ def test_star_cdc_join_maintains_under_two_sided_change(spark, tmp_path):
                   for r in asof.collect()) == expected(both_li, both_o)
     li.unpersist()
     o.unpersist()
+
+
+def test_plan_walker_detects_exchange_and_missing_cache(spark):
+    """The structural walker must FAIL on plans that violate what it
+    asserts (r10 advice: prove the assertion is still meaningful by
+    mutating the plan): an Exchange above a cached scan trips it, a
+    plan with no cached scan at all trips it, and a clean
+    projection-over-cache passes."""
+    cached = spark.range(100).cache()
+    cached.count()
+    try:
+        assert_no_exchange_above_cache(cached.selectExpr("id + 1 AS x"))
+        with pytest.raises(AssertionError, match="Exchange"):
+            assert_no_exchange_above_cache(cached.repartition(4))
+        with pytest.raises(AssertionError, match="cached"):
+            assert_no_exchange_above_cache(spark.range(10))
+    finally:
+        cached.unpersist()
