@@ -328,12 +328,20 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
     from etl_online_retail_spark.session import default_parallelism
     from etl_online_retail_spark.sources.bucketed import write_bucketed
 
+    from concurrent.futures import ThreadPoolExecutor
+
     dst = os.path.join(tempfile.gettempdir(),
                        f"bench_staged_{os.path.basename(src_dir.rstrip('/'))}")
     shutil.rmtree(dst, ignore_errors=True)
     t0 = time.perf_counter()
     cpus = default_parallelism()
-    for name in SCHEMAS:
+
+    # each staging phase fans its per-table jobs across a thread pool
+    # (r11): a single small-table write/cache job leaves most of the 32
+    # cores idle, and Spark schedules concurrent jobs safely — phase
+    # BOUNDARIES stay sequential (bucketing reads the restaged files;
+    # caching reads the bucketed layout; views read the cached tables)
+    def restage(name: str) -> None:
         src = table_path(src_dir, name)
         # size the file count to the data (~1 MB/file at this scale): tiny
         # tables in 32 shards pay more per-task overhead than they save
@@ -352,20 +360,32 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
         (spark.read.schema(SCHEMAS[name]).parquet(src)
              .repartition(int(n_files))
              .write.mode("overwrite").parquet(table_path(dst, name)))
+
+    with ThreadPoolExecutor(max_workers=len(SCHEMAS)) as pool:
+        list(pool.map(restage, list(SCHEMAS)))
     # one bucket count for BOTH fact tables (co-location requires it);
     # bucket-pruned scans parallelize one-task-per-bucket, so size to the
     # CPU budget here — a real cluster sizes for 128-256 MB per bucket
     n_buckets = min(cpus, 16)
-    for name, key in catalog.BUCKETED_TABLES.items():
+
+    def bucket(item: tuple[str, str]) -> None:
+        name, key = item
         staged = spark.read.schema(SCHEMAS[name]).parquet(table_path(dst, name))
         write_bucketed(staged, f"{catalog.BUCKETED_PREFIX}_{name}", key,
                        int(n_buckets))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(bucket, list(catalog.BUCKETED_TABLES.items())))
     spark.conf.set(catalog.BUCKETED_DIR_CONF, dst)
-    for name in SCHEMAS:
+
+    def warm(name: str) -> None:
         # bucketed tables are cached off their table scan (load_table
         # serves spark.table(...) for them), so the in-memory relation
         # keeps the bucket partitioning AND the agg-only queries scan RAM
         catalog.load_table(spark, name, dst).cache().count()
+
+    with ThreadPoolExecutor(max_workers=len(SCHEMAS)) as pool:
+        list(pool.map(warm, list(SCHEMAS)))
     # summary tables last (they read the cached/bucketed base layout):
     # the dashboard queries rewrite onto the summary grains via the
     # aggregate navigator. materialize WRITES the views as managed

@@ -496,28 +496,50 @@ def write_full(spark: SparkSession, sf_dir: str,
     per view (four lineitem scans for the four lineitem-fed views). At
     100 TB the day's partition is read off disk exactly once per
     maintenance pass; sources feeding a single view skip the persist
-    (the cache write would cost more than the one scan it saves)."""
-    for source, group in _by_source(list(names or MATVIEW_INPUTS)).items():
+    (the cache write would cost more than the one scan it saves).
+
+    CONCURRENT VIEW WRITES (r11): the per-view write jobs run from a
+    thread pool — each view's aggregate underutilizes the session's
+    cores on its tail stages, and Spark's scheduler interleaves
+    concurrent jobs safely (the shared persisted scan is computed once;
+    the block manager locks per partition). Distinct views write
+    distinct table dirs, so there is no write-path overlap."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    groups = _by_source(list(names or MATVIEW_INPUTS))
+    shared_by_source: dict[str, DataFrame] = {}
+    persisted: list[DataFrame] = []
+    for source, group in groups.items():
         shared = _shared_source(
             catalog.load_table(spark, source, sf_dir), group)
-        persisted = len(group) > 1 and not _cache_backed(shared)
-        if persisted:
+        if len(group) > 1 and not _cache_backed(shared):
             shared = shared.persist()
-        try:
-            for name in group:
-                table_dir = view_table_dir(sf_dir, name, storage_dir)
-                shutil.rmtree(table_dir, ignore_errors=True)
-                _check_or_stamp_layout(table_dir, name)
-                inp = MATVIEW_INPUTS[name](spark, sf_dir, shared)
-                ingest.partial_multi_agg_batch_write(
-                    inp, -1, table_dir, list(MATVIEW_META[name]["grain"]),
-                    [c for c in inp.columns if c.startswith("_v")],
-                    sum_type=MATVIEW_META[name].get("sum_type",
-                                                    _MV_SUM_TYPE),
-                    count_col=MATVIEW_META[name].get("count_col"))
-        finally:
-            if persisted:
-                shared.unpersist()
+            persisted.append(shared)
+        shared_by_source[source] = shared
+
+    def write_one(task: tuple[str, str]) -> None:
+        source, name = task
+        table_dir = view_table_dir(sf_dir, name, storage_dir)
+        shutil.rmtree(table_dir, ignore_errors=True)
+        _check_or_stamp_layout(table_dir, name)
+        inp = MATVIEW_INPUTS[name](spark, sf_dir, shared_by_source[source])
+        ingest.partial_multi_agg_batch_write(
+            inp, -1, table_dir, list(MATVIEW_META[name]["grain"]),
+            [c for c in inp.columns if c.startswith("_v")],
+            sum_type=MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE),
+            count_col=MATVIEW_META[name].get("count_col"))
+
+    tasks = [(source, name)
+             for source, group in groups.items() for name in group]
+    try:
+        if len(tasks) == 1:
+            write_one(tasks[0])
+        else:
+            with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+                list(pool.map(write_one, tasks))
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def append_batch(spark: SparkSession, sf_dir: str, batch: DataFrame,
@@ -905,15 +927,25 @@ def publish(spark: SparkSession, sf_dir: str,
     whose CDC history is inconsistent (check_liveness) and one whose
     serving relation exceeds the dashboard-size admission bound
     (max_serve_rows; None disables — a deployment with a catalog-backed
-    distributed serving tier instead of single-partition caches)."""
-    for name in (names or list(MATVIEW_INPUTS)):
+    distributed serving tier instead of single-partition caches).
+
+    Per-view refreshes run from a thread pool (r11): each view's
+    liveness check + serving-cache build is a pair of small jobs over a
+    dashboard-sized partial table, so concurrency collapses the
+    per-job scheduling overhead; the layout conf is announced only
+    after EVERY view published (fail closed — an admission or liveness
+    refusal leaves the warehouse unstaged, exactly like the sequential
+    path)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def publish_one(name: str) -> None:
         view = f"{MATVIEW_PREFIX}_{name}"
         table_dir = view_table_dir(sf_dir, name, storage_dir)
         if not ingest.effective_partials(table_dir):
             if spark.catalog.tableExists(view):
                 spark.table(view).unpersist()
                 spark.catalog.dropTempView(view)
-            continue
+            return
         _check_or_stamp_layout(table_dir, name)
         check_liveness(spark, table_dir, name)
         if spark.catalog.tableExists(view):
@@ -931,6 +963,13 @@ def publish(spark: SparkSession, sf_dir: str,
                 f"single-partition cache; narrow the view's grain (or "
                 f"pass max_serve_rows=None for a distributed serving "
                 f"tier)")
+
+    todo = list(names or MATVIEW_INPUTS)
+    if len(todo) == 1:
+        publish_one(todo[0])
+    else:
+        with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+            list(pool.map(publish_one, todo))
     spark.conf.set(MATVIEW_DIR_CONF, os.path.abspath(sf_dir))
 
 
