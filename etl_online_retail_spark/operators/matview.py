@@ -597,6 +597,8 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
              if MATVIEW_META[n]["source"] == table]
     if not group:
         return
+    from concurrent.futures import ThreadPoolExecutor
+
     ins_persisted = del_persisted = False
     if len(group) > 1:
         if inserts is not None:
@@ -609,41 +611,54 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
             if not _cache_backed(deletes):
                 deletes = deletes.persist()
                 del_persisted = True
+
+    def maintain_one(name: str) -> None:
+        table_dir = view_table_dir(sf_dir, name, storage_dir)
+        _check_or_stamp_layout(table_dir, name)
+        keys = list(MATVIEW_META[name]["grain"])
+        sum_type = MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE)
+        count_col = MATVIEW_META[name].get("count_col")
+        if deletes is None:
+            # pure-append fast path: identical plan to the pre-CDC
+            # writer (COUNT + unweighted sums), no weight column
+            inp = MATVIEW_INPUTS[name](spark, sf_dir, inserts)
+            ingest.partial_multi_agg_batch_write(
+                inp, batch_id, table_dir, keys,
+                [c for c in inp.columns if c.startswith("_v")],
+                sum_type=sum_type, count_col=count_col)
+        else:
+            sides = []
+            if inserts is not None:
+                sides.append(
+                    MATVIEW_INPUTS[name](spark, sf_dir, inserts)
+                    .withColumn("_w", F.lit(1)))
+            sides.append(MATVIEW_INPUTS[name](spark, sf_dir, deletes)
+                         .withColumn("_w", F.lit(-1)))
+            inp = sides[0]
+            for s in sides[1:]:
+                inp = inp.unionByName(s)
+            ingest.partial_multi_agg_batch_write(
+                inp, batch_id, table_dir, keys,
+                [c for c in inp.columns if c.startswith("_v")],
+                sum_type=sum_type, weight_col="_w",
+                count_col=count_col)
+        if max_partials is not None and \
+                len(ingest.effective_partials(table_dir)) > max_partials:
+            ingest.autocompact_incremental_agg(spark, table_dir, keys,
+                                               sum_type=sum_type)
+
+    # same-source views maintain CONCURRENTLY (r11): each view's write
+    # + possible autocompaction touches only its own table dir, the
+    # shared batch is persisted above, and Spark schedules the
+    # concurrent jobs safely — per-micro-batch latency drops to the
+    # slowest single view instead of the sum (measured in
+    # scripts/cdc_stream_sf01.py / PERFORMANCE.md)
     try:
-        for name in group:
-            table_dir = view_table_dir(sf_dir, name, storage_dir)
-            _check_or_stamp_layout(table_dir, name)
-            keys = list(MATVIEW_META[name]["grain"])
-            sum_type = MATVIEW_META[name].get("sum_type", _MV_SUM_TYPE)
-            count_col = MATVIEW_META[name].get("count_col")
-            if deletes is None:
-                # pure-append fast path: identical plan to the pre-CDC
-                # writer (COUNT + unweighted sums), no weight column
-                inp = MATVIEW_INPUTS[name](spark, sf_dir, inserts)
-                ingest.partial_multi_agg_batch_write(
-                    inp, batch_id, table_dir, keys,
-                    [c for c in inp.columns if c.startswith("_v")],
-                    sum_type=sum_type, count_col=count_col)
-            else:
-                sides = []
-                if inserts is not None:
-                    sides.append(
-                        MATVIEW_INPUTS[name](spark, sf_dir, inserts)
-                        .withColumn("_w", F.lit(1)))
-                sides.append(MATVIEW_INPUTS[name](spark, sf_dir, deletes)
-                             .withColumn("_w", F.lit(-1)))
-                inp = sides[0]
-                for s in sides[1:]:
-                    inp = inp.unionByName(s)
-                ingest.partial_multi_agg_batch_write(
-                    inp, batch_id, table_dir, keys,
-                    [c for c in inp.columns if c.startswith("_v")],
-                    sum_type=sum_type, weight_col="_w",
-                    count_col=count_col)
-            if max_partials is not None and \
-                    len(ingest.effective_partials(table_dir)) > max_partials:
-                ingest.autocompact_incremental_agg(spark, table_dir, keys,
-                                                   sum_type=sum_type)
+        if len(group) == 1:
+            maintain_one(group[0])
+        else:
+            with ThreadPoolExecutor(max_workers=len(group)) as pool:
+                list(pool.map(maintain_one, group))
     finally:
         if ins_persisted:
             inserts.unpersist()
