@@ -1435,3 +1435,130 @@ def test_plan_walker_detects_exchange_and_missing_cache(spark):
             assert_no_exchange_above_cache(spark.range(10))
     finally:
         cached.unpersist()
+
+
+def test_star_cdc_join_schedule_property(spark, tmp_path_factory):
+    """Hypothesis schedule property for the join-IVM consumer: under ANY
+    assignment of insert batches (either side, any order — late-arriving
+    orders included) and later-batch retractions, the maintained star
+    table serves exactly the direct recompute over the live
+    lineitem x orders join. Complements the deterministic four-batch
+    test with the adversarial interleavings only a search finds."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark import catalog
+
+    custkeys = [r.c_custkey for r in
+                catalog.load_table(spark, "customer", SF_SMALL)
+                .select("c_custkey").limit(3).collect()]
+    dates = [datetime.date(1996, 1, 15), datetime.date(1996, 2, 15),
+             datetime.date(1996, 2, 20), datetime.date(1996, 3, 2)]
+    c = catalog.load_table(spark, "customer", SF_SMALL).select(
+        "c_custkey", "c_nationkey")
+    n = catalog.load_table(spark, "nation", SF_SMALL).select(
+        "n_nationkey", "n_name")
+
+    LI_SCHEMA = "l_orderkey long, l_extendedprice double, l_discount double"
+    O_SCHEMA = "o_orderkey long, o_custkey long, o_orderdate date"
+
+    def li_df(rows):
+        return spark.createDataFrame(
+            [(ok, p, 0.05) for ok, p in sorted(rows)], LI_SCHEMA)
+
+    def o_df(rows):
+        return spark.createDataFrame(sorted(rows), O_SCHEMA)
+
+    @st.composite
+    def schedule(draw):
+        n_batches = draw(st.integers(2, 3))
+        n_orders = draw(st.integers(2, 4))
+        li_pool, o_pool = [], []
+        for ok in range(1, n_orders + 1):
+            o_pool.append((ok, custkeys[draw(st.integers(0, 2))],
+                           dates[draw(st.integers(0, 3))]))
+            for j in range(draw(st.integers(1, 2))):
+                li_pool.append((ok, float(100 * ok + j)))
+        # each pool row gets an insert batch (or never) and, if
+        # inserted, an optional STRICTLY LATER delete batch (CDC
+        # contract: delete images must be live)
+        events = []
+        for pool, side in ((li_pool, "li"), (o_pool, "o")):
+            for row in pool:
+                ins = draw(st.one_of(st.none(),
+                                     st.integers(0, n_batches - 1)))
+                dele = None
+                if ins is not None and ins < n_batches - 1:
+                    dele = draw(st.one_of(
+                        st.none(), st.integers(ins + 1, n_batches - 1)))
+                events.append((side, row, ins, dele))
+        return n_batches, events
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(schedule())
+    def check(sched):
+        n_batches, events = sched
+        store = str(tmp_path_factory.mktemp("star_ivm"))
+        tdir = matview.view_table_dir(SF_SMALL, "star_month_rollup",
+                                      store)
+        live_li, live_o = set(), set()
+        ran = False
+        for b in range(n_batches):
+            li_ins = {r for s, r, i, _ in events
+                      if s == "li" and i == b}
+            li_del = {r for s, r, _, d in events
+                      if s == "li" and d == b}
+            o_ins = {r for s, r, i, _ in events if s == "o" and i == b}
+            o_del = {r for s, r, _, d in events if s == "o" and d == b}
+            if not (li_ins or li_del or o_ins or o_del):
+                continue
+            matview.apply_star_cdc_join(
+                spark, SF_SMALL, b,
+                li_df(live_li), o_df(live_o),
+                li_ins=li_df(li_ins) if li_ins else None,
+                li_del=li_df(li_del) if li_del else None,
+                o_ins=o_df(o_ins) if o_ins else None,
+                o_del=o_df(o_del) if o_del else None,
+                storage_dir=store, max_partials=2)
+            ran = True
+            live_li = (live_li | li_ins) - li_del
+            live_o = (live_o | o_ins) - o_del
+        if not ran:
+            return
+        from etl_online_retail_spark.streaming import ingest
+
+        if not ingest.effective_partials(tdir):
+            # every batch's join delta was empty (e.g. lineitems whose
+            # orders never arrived): no partition was ever written —
+            # publish would skip the view; the live join must be empty
+            served = []
+        else:
+            served = sorted(
+                (r.nationkey, r.nation, r.month_start, r.revenue)
+                for r in matview._serving_relation(
+                    spark, tdir, "star_month_rollup").collect())
+        want_df = (li_df(live_li).join(
+                       o_df(live_o),
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+                   .join(c, F.col("o_custkey") == c.c_custkey)
+                   .join(n, c.c_nationkey == n.n_nationkey)
+                   .groupBy(F.col("c_nationkey").alias("nationkey"),
+                            F.col("n_name").alias("nation"),
+                            F.date_trunc("month", "o_orderdate")
+                            .cast("date").alias("month_start"))
+                   .agg(F.sum(F.col("l_extendedprice")
+                              .cast("decimal(18,2)")
+                              * F.lit(0.95).cast("decimal(18,4)"))
+                        .cast("decimal(38,6)").alias("revenue")))
+        want = sorted((r.nationkey, r.nation, r.month_start, r.revenue)
+                      for r in want_df.collect())
+        assert served == want, \
+            f"schedule diverged: served {served} want {want}"
+        if ingest.effective_partials(tdir):
+            matview.check_liveness(spark, tdir, "star_month_rollup")
+
+    check()
