@@ -92,9 +92,16 @@ def _layout_stamp(name: str) -> str:
 
 
 def _check_or_stamp_layout(table_dir: str, name: str) -> None:
-    """Refuse a table whose on-disk layout version mismatches the code's
-    (or predates versioning); stamp new/empty tables with the current
-    version. Call before every maintenance write and before serving."""
+    """Refuse a table whose on-disk layout version mismatches the code's;
+    stamp new/empty tables with the current version. Call before every
+    maintenance write and before serving.
+
+    An UNSTAMPED table with partials (written by pre-versioning code)
+    is refused only when the view's current version is > 1 — v1 IS the
+    pre-versioning semantics by definition, so v1 views are stamped in
+    place and keep their history (time travel included); forcing a
+    rebuild of an unchanged-layout table would throw away its ledger
+    for nothing (r11 review find)."""
     path = os.path.join(table_dir, "_LAYOUT")
     want = _layout_stamp(name)
     if os.path.exists(path):
@@ -107,12 +114,13 @@ def _check_or_stamp_layout(table_dir: str, name: str) -> None:
                 f"two semantics in one table is silently wrong — rebuild "
                 f"with write_full()")
         return
-    if ingest.effective_partials(table_dir):
+    if LAYOUT_VERSIONS.get(name, 1) > 1 and \
+            ingest.effective_partials(table_dir):
         raise ValueError(
             f"matview table {table_dir} has partials but no _LAYOUT "
-            f"stamp (written by pre-versioning code, whose "
-            f"star_month_rollup `_n` semantics differ): rebuild with "
-            f"write_full()")
+            f"stamp (written by pre-versioning code) and {name!r}'s "
+            f"current layout is {want!r} with changed partial "
+            f"semantics: rebuild with write_full()")
     os.makedirs(table_dir, exist_ok=True)
     with open(path, "w") as f:
         f.write(want + "\n")
@@ -475,6 +483,24 @@ def _cache_backed(df: DataFrame) -> bool:
     return "InMemoryRelation" in plan
 
 
+def _run_concurrently(fn, items) -> None:
+    """Run independent per-view maintenance actions from a thread pool:
+    each action touches only its own table dir / temp view, and Spark
+    schedules concurrent jobs safely, so a maintenance pass costs the
+    slowest view instead of the sum (the single jobs underutilize the
+    session's cores on their tail stages). Single-item calls stay
+    inline — identical semantics, no pool overhead. First exception
+    propagates after scheduled actions finish (pool shutdown joins)."""
+    items = list(items)
+    if len(items) == 1:
+        fn(items[0])
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        list(pool.map(fn, items))
+
+
 def write_full(spark: SparkSession, sf_dir: str,
                names: list[str] | None = None,
                storage_dir: str | None = None) -> None:
@@ -498,14 +524,10 @@ def write_full(spark: SparkSession, sf_dir: str,
     maintenance pass; sources feeding a single view skip the persist
     (the cache write would cost more than the one scan it saves).
 
-    CONCURRENT VIEW WRITES (r11): the per-view write jobs run from a
-    thread pool — each view's aggregate underutilizes the session's
-    cores on its tail stages, and Spark's scheduler interleaves
-    concurrent jobs safely (the shared persisted scan is computed once;
-    the block manager locks per partition). Distinct views write
-    distinct table dirs, so there is no write-path overlap."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    CONCURRENT VIEW WRITES (r11): the per-view write jobs run through
+    _run_concurrently (the shared persisted scan is computed once; the
+    block manager locks per partition; distinct views write distinct
+    table dirs, so there is no write-path overlap)."""
     groups = _by_source(list(names or MATVIEW_INPUTS))
     shared_by_source: dict[str, DataFrame] = {}
     persisted: list[DataFrame] = []
@@ -532,11 +554,7 @@ def write_full(spark: SparkSession, sf_dir: str,
     tasks = [(source, name)
              for source, group in groups.items() for name in group]
     try:
-        if len(tasks) == 1:
-            write_one(tasks[0])
-        else:
-            with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
-                list(pool.map(write_one, tasks))
+        _run_concurrently(write_one, tasks)
     finally:
         for df in persisted:
             df.unpersist()
@@ -597,8 +615,6 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
              if MATVIEW_META[n]["source"] == table]
     if not group:
         return
-    from concurrent.futures import ThreadPoolExecutor
-
     ins_persisted = del_persisted = False
     if len(group) > 1:
         if inserts is not None:
@@ -648,17 +664,12 @@ def apply_cdc_batch(spark: SparkSession, sf_dir: str, batch_id: int,
                                                sum_type=sum_type)
 
     # same-source views maintain CONCURRENTLY (r11): each view's write
-    # + possible autocompaction touches only its own table dir, the
-    # shared batch is persisted above, and Spark schedules the
-    # concurrent jobs safely — per-micro-batch latency drops to the
-    # slowest single view instead of the sum (measured in
+    # + possible autocompaction touches only its own table dir and the
+    # shared batch is persisted above — per-micro-batch latency drops
+    # to the slowest single view instead of the sum (measured in
     # scripts/cdc_stream_sf01.py / PERFORMANCE.md)
     try:
-        if len(group) == 1:
-            maintain_one(group[0])
-        else:
-            with ThreadPoolExecutor(max_workers=len(group)) as pool:
-                list(pool.map(maintain_one, group))
+        _run_concurrently(maintain_one, group)
     finally:
         if ins_persisted:
             inserts.unpersist()
@@ -767,33 +778,44 @@ def maintain_incremental(source_stream: DataFrame, sf_dir: str,
     cannot unwind the before-image and is rejected loudly."""
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if op_col is None:
-            append_batch(spark, sf_dir, batch_df, batch_id,
-                         names=names, storage_dir=storage_dir,
-                         max_partials=max_partials, table=table)
-            return
-        # ONE tiny pass both validates the ops (NULL included — a bare
-        # ~isin() is NULL for NULL ops and would let the row slip
-        # through, then vanish from both sides) and routes insert-only
-        # micro-batches (the normal retail case) to the append fast
-        # path instead of the weighted union plan (r10 review finds)
-        ops = {r[0]: r[1] for r in
-               batch_df.groupBy(op_col).count().collect()}
-        bad_ops = [op for op in ops if op not in ("I", "D")]
-        if bad_ops:
-            raise ValueError(
-                f"change feed {op_col} must be 'I' or 'D' (updates are "
-                f"D-before + I-after pairs); got {bad_ops!r}")
-        ins = (batch_df.filter(F.col(op_col) == "I").drop(op_col)
-               if ops.get("I") else None)
-        dels = (batch_df.filter(F.col(op_col) == "D").drop(op_col)
-                if ops.get("D") else None)
-        if ins is None and dels is None:
-            return  # empty micro-batch
-        apply_cdc_batch(
-            spark, sf_dir, batch_id, inserts=ins, deletes=dels,
-            names=names, storage_dir=storage_dir,
-            max_partials=max_partials, table=table)
+        # ONE materializing read of the feed per micro-batch (r11
+        # review find): the op-count validation, the I/D splits, and
+        # every fed view's input derive from this cached copy —
+        # previously the feed file was re-read by the ops pass and by
+        # each side's persist build (apply_cdc_batch sees the splits as
+        # cache-backed and skips its own persist).
+        batch_df = batch_df.persist()
+        try:
+            if op_col is None:
+                append_batch(spark, sf_dir, batch_df, batch_id,
+                             names=names, storage_dir=storage_dir,
+                             max_partials=max_partials, table=table)
+                return
+            # ONE tiny pass both validates the ops (NULL included — a
+            # bare ~isin() is NULL for NULL ops and would let the row
+            # slip through, then vanish from both sides) and routes
+            # insert-only micro-batches (the normal retail case) to the
+            # append fast path instead of the weighted union plan (r10
+            # review finds)
+            ops = {r[0]: r[1] for r in
+                   batch_df.groupBy(op_col).count().collect()}
+            bad_ops = [op for op in ops if op not in ("I", "D")]
+            if bad_ops:
+                raise ValueError(
+                    f"change feed {op_col} must be 'I' or 'D' (updates "
+                    f"are D-before + I-after pairs); got {bad_ops!r}")
+            ins = (batch_df.filter(F.col(op_col) == "I").drop(op_col)
+                   if ops.get("I") else None)
+            dels = (batch_df.filter(F.col(op_col) == "D").drop(op_col)
+                    if ops.get("D") else None)
+            if ins is None and dels is None:
+                return  # empty micro-batch
+            apply_cdc_batch(
+                spark, sf_dir, batch_id, inserts=ins, deletes=dels,
+                names=names, storage_dir=storage_dir,
+                max_partials=max_partials, table=table)
+        finally:
+            batch_df.unpersist()
 
     return (source_stream.writeStream
             .foreachBatch(write_batch)
@@ -951,8 +973,6 @@ def publish(spark: SparkSession, sf_dir: str,
     after EVERY view published (fail closed — an admission or liveness
     refusal leaves the warehouse unstaged, exactly like the sequential
     path)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     def publish_one(name: str) -> None:
         view = f"{MATVIEW_PREFIX}_{name}"
         table_dir = view_table_dir(sf_dir, name, storage_dir)
@@ -966,25 +986,27 @@ def publish(spark: SparkSession, sf_dir: str,
         if spark.catalog.tableExists(view):
             spark.table(view).unpersist()
         df = _serving_relation(spark, table_dir, name)
+        if max_serve_rows is not None:
+            # admit BEFORE building the cache: the over-bound case is
+            # exactly the one whose single-partition cache build would
+            # pin a pathological block (or OOM) before the refusal
+            # could fire — a streamed uncached count holds nothing
+            # (r11 review find). Costs one extra dashboard-sized
+            # aggregation per publish, run concurrently across views.
+            n = df.count()
+            if n > max_serve_rows:
+                raise ValueError(
+                    f"matview {name!r} serving relation has {n} rows — "
+                    f"over the dashboard-size admission bound "
+                    f"({max_serve_rows}). A fact-proportional 'rollup' "
+                    f"must not be served off a single-partition cache; "
+                    f"narrow the view's grain (or pass "
+                    f"max_serve_rows=None for a distributed serving "
+                    f"tier)")
         df.createOrReplaceTempView(view)
-        n = df.cache().count()
-        if max_serve_rows is not None and n > max_serve_rows:
-            df.unpersist()
-            spark.catalog.dropTempView(view)
-            raise ValueError(
-                f"matview {name!r} serving relation has {n} rows — over "
-                f"the dashboard-size admission bound ({max_serve_rows}). "
-                f"A fact-proportional 'rollup' must not be served off a "
-                f"single-partition cache; narrow the view's grain (or "
-                f"pass max_serve_rows=None for a distributed serving "
-                f"tier)")
+        df.cache().count()
 
-    todo = list(names or MATVIEW_INPUTS)
-    if len(todo) == 1:
-        publish_one(todo[0])
-    else:
-        with ThreadPoolExecutor(max_workers=len(todo)) as pool:
-            list(pool.map(publish_one, todo))
+    _run_concurrently(publish_one, list(names or MATVIEW_INPUTS))
     spark.conf.set(MATVIEW_DIR_CONF, os.path.abspath(sf_dir))
 
 

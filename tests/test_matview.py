@@ -1184,6 +1184,18 @@ def test_layout_version_guard_refuses_mismatched_tables(spark, tmp_path):
     matview.append_batch(spark, SF_SMALL, li, 1,
                          names=["star_month_rollup"], storage_dir=store)
 
+    # a V1 view (unchanged semantics) whose table predates versioning
+    # is stamped IN PLACE — no rebuild, history (time travel) kept
+    # (r11 review find: only changed-layout views warrant the refusal)
+    matview.append_batch(spark, SF_SMALL, li, 0,
+                         names=["ship_day_rollup"], storage_dir=store)
+    v1dir = matview.view_table_dir(SF_SMALL, "ship_day_rollup", store)
+    v1stamp = os.path.join(v1dir, "_LAYOUT")
+    os.remove(v1stamp)
+    matview.append_batch(spark, SF_SMALL, li, 1,
+                         names=["ship_day_rollup"], storage_dir=store)
+    assert open(v1stamp).read().strip() == "ship_day_rollup=v1"
+
 
 def test_maintenance_scans_each_source_once(spark, tmp_path, monkeypatch):
     """VERDICT r10 item 1: a lineitem load must be scanned ONCE per
