@@ -351,6 +351,41 @@ def main() -> None:
     timed(f"matview fixed-batch append onto {factor}x table",
           matview_batch_append)
 
+    def star_join_ivm_batch():
+        """The retractable join-IVM claim, measured (r11): a FIXED 1x
+        mixed CDC batch maintained against a factor-x accumulated JOIN
+        history must cost ~the batch — ivm.cdc_join_delta semi-join-
+        prunes BOTH history legs to the delta's orderkeys before
+        probing, so the factor-x history contributes a key-pruned scan,
+        never a full-history shuffle. The batch exercises both legs:
+        lineitem inserts+deletes probe the factor-x orders, and an
+        orders-side retraction probes the factor-x lineitem history.
+        Compare the printed figure across factors."""
+        from etl_online_retail_spark.operators import matview
+
+        work = tempfile.mkdtemp(prefix="scale_star_ivm_")
+        try:
+            li1 = load_table(spark, "lineitem", SF_DIR)
+            o1 = load_table(spark, "orders", SF_DIR)
+            # copy-0 of the replicated history IS the original table, so
+            # these are legal delete images / enrichable inserts
+            ins = li1.filter(F.col("l_orderkey") % 5 == 0)
+            dels = li1.filter(F.col("l_orderkey") % 5 == 1)
+            o_dels = o1.filter(F.col("o_orderkey") % 7 == 3)
+            t0 = time.perf_counter()
+            matview.apply_star_cdc_join(
+                spark, SF_DIR, 0, li, o,
+                li_ins=ins, li_del=dels, o_del=o_dels,
+                storage_dir=work, max_partials=None)
+            dt = time.perf_counter() - t0
+            print(f"  fixed 1x two-sided CDC batch against {factor}x "
+                  f"join history: {dt:.1f}s", flush=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    timed(f"star join-IVM fixed batch vs {factor}x history",
+          star_join_ivm_batch)
+
     # round-4 operators: deterministic sampling (pure filter / top-k /
     # one window pass) and the Bloom-pruned join (bit-array broadcast +
     # exact residual semi-join) — all shapes that must stay linear-ish.
