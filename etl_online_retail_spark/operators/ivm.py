@@ -30,21 +30,34 @@ from pyspark.sql import DataFrame
 
 def append_join_delta(a_old: DataFrame, a_delta: DataFrame,
                       b_old: DataFrame, b_delta: DataFrame,
-                      on: str | list[str]) -> DataFrame:
+                      on: str | list[str],
+                      broadcast_delta: bool = True) -> DataFrame:
     """ΔV for V = A ⋈_on B under append-only deltas (see module doc).
 
     Column contract: the equi-join key(s) `on` plus disjoint payload
     columns on each side (the plain `df.join(other, on)` shape). Returns
     the delta ROWS to append to the materialized view.
-    """
+
+    broadcast_delta=True (default) pins the PRODUCTION plan shape with
+    explicit hints: the delta legs and the semi-join key sets broadcast,
+    so the pruned HISTORY sides stream with NO exchange above their
+    scans — plan-asserted over a bucketed layout in tests/test_ivm.py.
+    Without the hints Spark's static size estimate of a filtered delta
+    can pick a sort-merge join and shuffle the history (observed; AQE
+    did not undo it). Pass False only for a backfill-sized delta that
+    cannot broadcast — then a co-partitioned/bucketed layout carries
+    the join."""
+    from pyspark.sql import functions as F
+
+    hint = F.broadcast if broadcast_delta else (lambda df: df)
     keys = [on] if isinstance(on, str) else list(on)
-    a_pruned = a_old.join(b_delta.select(*keys).distinct(), keys,
+    a_pruned = a_old.join(hint(b_delta.select(*keys).distinct()), keys,
                           "left_semi")
-    b_pruned = b_old.join(a_delta.select(*keys).distinct(), keys,
+    b_pruned = b_old.join(hint(a_delta.select(*keys).distinct()), keys,
                           "left_semi")
-    return (a_delta.join(b_pruned, keys)
-            .unionByName(a_pruned.join(b_delta, keys))
-            .unionByName(a_delta.join(b_delta, keys)))
+    return (hint(a_delta).join(b_pruned, keys)
+            .unionByName(a_pruned.join(hint(b_delta), keys))
+            .unionByName(a_delta.join(hint(b_delta), keys)))
 
 
 def maintain_join_view(batches: "list[tuple[DataFrame, DataFrame]]",
@@ -73,7 +86,8 @@ def cdc_join_delta(a_old: DataFrame, b_old: DataFrame,
                    a_del: DataFrame | None = None,
                    b_ins: DataFrame | None = None,
                    b_del: DataFrame | None = None,
-                   weight_col: str = "_w") -> DataFrame:
+                   weight_col: str = "_w",
+                   broadcast_delta: bool = True) -> DataFrame:
     """ΔV for V = A ⋈_on B under a GENERAL CDC batch (inserts AND
     retractions on either side), as SIGNED delta rows — the classic
     change-table construction (Blakeley et al. deletions; the signed
@@ -99,9 +113,16 @@ def cdc_join_delta(a_old: DataFrame, b_old: DataFrame,
     scan at a bucketed layout, never a full-history shuffle). With no
     deletes this degenerates to exactly the append algebra's three
     terms, +1-weighted.
+
+    broadcast_delta (default True): pin the delta legs and semi-join
+    key sets as broadcasts so the pruned history sides stream with no
+    exchange above their scans — see append_join_delta; the history
+    shuffle this prevents was observed under static SMJ planning and
+    survived AQE. False only for backfill-sized deltas.
     """
     from pyspark.sql import functions as F
 
+    hint = F.broadcast if broadcast_delta else (lambda df: df)
     keys = [on] if isinstance(on, str) else list(on)
     # withColumn would silently OVERWRITE a payload column named like
     # the weight (and the internal rename target weight_col + "b") —
@@ -136,19 +157,20 @@ def cdc_join_delta(a_old: DataFrame, b_old: DataFrame,
     legs = []
     if da is not None:
         # ΔA ⋈ B_old: prune the B history to the delta's keys
-        b_pruned = b_old.join(da.select(*keys).distinct(), keys,
+        b_pruned = b_old.join(hint(da.select(*keys).distinct()), keys,
                               "left_semi")
-        legs.append(da.join(b_pruned, keys))
+        legs.append(hint(da).join(b_pruned, keys))
     if db is not None:
         # A_new ⋈ ΔB, with A_new the SIGNED multiset A_old ∪ ΔA —
         # signs multiply across the join
         a_new = a_old.withColumn(weight_col, F.lit(1))
         if da is not None:
             a_new = a_new.unionByName(da)
-        a_pruned = a_new.join(db.select(*keys).distinct(), keys,
+        a_pruned = a_new.join(hint(db.select(*keys).distinct()), keys,
                               "left_semi")
         joined = a_pruned.join(
-            db.withColumnRenamed(weight_col, weight_col + "b"), keys)
+            hint(db.withColumnRenamed(weight_col, weight_col + "b")),
+            keys)
         legs.append(joined.withColumn(
             weight_col, F.col(weight_col) * F.col(weight_col + "b"))
             .drop(weight_col + "b"))

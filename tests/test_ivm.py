@@ -272,3 +272,73 @@ def test_fold_refuses_internal_column_clash(spark):
                                     f"k long, {bad} string, _w int")
         with pytest.raises(ValueError, match="collide"):
             fold_signed_rows(log)
+
+
+def test_cdc_join_history_legs_never_shuffle(spark):
+    """r11 plan find: with static size estimates Spark planned the
+    delta joins as sort-merge and SHUFFLED the history side (AQE did
+    not undo it) — the exact failure mode the module docstring's 100 TB
+    shape forbids. The broadcast_delta hints pin the production plan:
+    over a bucketed history layout, every history scan streams with NO
+    exchange above it (the deltas broadcast). Asserted by walking the
+    EXECUTED adaptive plan."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import load_table
+    from etl_online_retail_spark.functions import money
+    from etl_online_retail_spark.operators.ivm import cdc_join_delta
+    from etl_online_retail_spark.sources.bucketed import (
+        cobucket_fact_tables,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, "lineitem", sf)
+    o = load_table(spark, "orders", sf)
+    spark.sql("DROP TABLE IF EXISTS t_ivmbkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS t_ivmbkt_orders")
+    bl, bo = cobucket_fact_tables(spark, li, o, n_buckets=4,
+                                  prefix="t_ivmbkt")
+    try:
+        a_old = bl.select("l_orderkey", money.net_revenue().alias("_v"))
+        b_old = bo.select(F.col("o_orderkey").alias("l_orderkey"),
+                          "o_custkey", "o_orderdate")
+        ins = (li.filter(F.col("l_orderkey") % 50 == 0)
+               .select("l_orderkey", money.net_revenue().alias("_v")))
+        dels = (li.filter(F.col("l_orderkey") % 50 == 1)
+                .select("l_orderkey", money.net_revenue().alias("_v")))
+        o_del = (o.filter(F.col("o_orderkey") % 70 == 3)
+                 .select(F.col("o_orderkey").alias("l_orderkey"),
+                         "o_custkey", "o_orderdate"))
+        delta = cdc_join_delta(a_old, b_old, "l_orderkey",
+                               a_ins=ins, a_del=dels, b_del=o_del)
+        delta._jdf.count()  # materialize THIS dataset's adaptive plan
+
+        scans, shuffled = [], []
+
+        def walk(node, exch_above):
+            cls = node.getClass().getSimpleName()
+            if cls.startswith("AdaptiveSparkPlanExec"):
+                walk(node.executedPlan(), exch_above)
+                return
+            if cls.endswith("QueryStageExec"):
+                walk(node.plan(),
+                     exch_above or cls.startswith("ShuffleQueryStage"))
+                return
+            if "ShuffleExchange" in cls or cls.startswith("ReusedExchange"):
+                exch_above = True
+            if "FileSourceScan" in cls or "BatchScan" in cls:
+                if "t_ivmbkt" in node.toString():
+                    scans.append(cls)
+                    if exch_above:
+                        shuffled.append(node.toString()[:120])
+            kids = node.children()
+            for i in range(kids.size()):
+                walk(kids.apply(i), exch_above)
+
+        walk(delta._jdf.queryExecution().executedPlan(), False)
+        assert scans, "no bucketed history scan found in the plan"
+        assert not shuffled, \
+            f"history scan(s) under a shuffle exchange: {shuffled}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivmbkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS t_ivmbkt_orders")
