@@ -215,6 +215,9 @@ HEADLINE = [
     "pii_redaction",
     "png_image_stats",
     "priority_having",
+    # round-11 codecs: TIFF (LZW strips) + BMP
+    "tiff_image_stats",
+    "bmp_image_stats",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

@@ -116,10 +116,12 @@ def decode_image(content: bytes) -> dict:
     signature a PIL-backed body would keep. Routing is by magic bytes,
     the same dispatch a production decoder pool uses.
     """
+    from etl_online_retail_spark.multimodal import bmp as _bmp
     from etl_online_retail_spark.multimodal import gif as _gif
     from etl_online_retail_spark.multimodal import heif as _heif
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
     from etl_online_retail_spark.multimodal import png as _png
+    from etl_online_retail_spark.multimodal import tiff as _tiff
     from etl_online_retail_spark.multimodal import webp as _webp
 
     content = bytes(content)
@@ -129,6 +131,12 @@ def decode_image(content: bytes) -> dict:
         img = _jpeg.decode_jpeg(content)
     elif content[:6] in _gif.GIF_MAGICS:
         img = _gif.decode_gif(content).frames[0]  # still view: first frame
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF 6.0 (r11, multimodal/tiff.py): either byte order,
+        # uncompressed or TIFF-LZW strips
+        img = _tiff.decode_tiff(content)
+    elif content[:2] == b"BM":
+        img = _bmp.decode_bmp(content)
     elif (content[:4] == _webp.RIFF_MAGIC
           and content[8:12] == _webp.WEBP_MAGIC):
         # VP8L pure-Python; lossy VP8 / VP8X via the libwebp binding
@@ -141,7 +149,8 @@ def decode_image(content: bytes) -> dict:
         img = _heif.decode_heif(content)
     else:
         raise NotImplementedError(
-            "only PNG, JPEG (baseline + progressive), GIF, lossless "
+            "only PNG, JPEG (baseline + progressive), GIF, TIFF "
+            "(none/LZW), BMP (24-bit BI_RGB), lossless "
             "WebP (plus lossy WebP via libwebp and AVIF/HEIC via "
             "libheif when those libraries are present) decode in "
             "this environment; other formats require "
@@ -237,6 +246,31 @@ def synthetic_webp_media(docs: DataFrame, id_col: str = "doc_id",
     return _solid_media(
         docs, id_col, max_w, max_h,
         lambda pix, w, h: _webp.encode_webp_lossless(pix, w, h, channels=3))
+
+
+def synthetic_tiff_media(docs: DataFrame, id_col: str = "doc_id",
+                         max_w: int = 16, max_h: int = 8) -> DataFrame:
+    """Render one deterministic solid-gray TIFF per row — LZW-compressed
+    strips, so the query genuinely exercises the from-spec TIFF-LZW
+    encoder AND decoder (multimodal/tiff.py) under the _solid_media
+    closed-form oracle contract."""
+    from etl_online_retail_spark.multimodal import tiff as _tiff
+
+    return _solid_media(
+        docs, id_col, max_w, max_h,
+        lambda pix, w, h: _tiff.encode_tiff(pix, w, h, channels=3,
+                                            compression="lzw"))
+
+
+def synthetic_bmp_media(docs: DataFrame, id_col: str = "doc_id",
+                        max_w: int = 16, max_h: int = 8) -> DataFrame:
+    """One deterministic solid-gray 24-bit BMP per row (bottom-up BGR
+    storage, multimodal/bmp.py) under the _solid_media contract."""
+    from etl_online_retail_spark.multimodal import bmp as _bmp
+
+    return _solid_media(
+        docs, id_col, max_w, max_h,
+        lambda pix, w, h: _bmp.encode_bmp(pix, w, h))
 
 
 def synthetic_lossy_webp_media(docs: DataFrame, id_col: str = "doc_id",

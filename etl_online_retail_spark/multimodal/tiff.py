@@ -1,0 +1,292 @@
+"""Baseline TIFF 6.0 codec (pure stdlib) — the scanned-document format.
+
+TIFF is the one raster format a document-scan corpus ships that the
+multimodal surface did not yet decode. This implements the baseline
+RGB/grayscale profile from the PUBLIC TIFF 6.0 specification (Adobe,
+1992): header + first IFD walk under either byte order ("II" little /
+"MM" big endian), 8-bit samples, chunky planar configuration, single or
+multi strip, and Compression values 1 (none) and 5 (TIFF-LZW).
+
+The LZW variant is TIFF's own (spec §13), NOT the GIF one the repo
+already ships (multimodal/gif.py): codes pack MSB-first (GIF packs
+LSB-first), symbols are always 8-bit with Clear=256 / EOI=257, code
+width grows 9→12 bits with the spec's EarlyChange convention (the
+width bumps one code EARLY — when the next table index reaches
+2^width - 1, not 2^width), and the table resets via an explicit Clear
+once index 4094 is reached. Encoder and decoder both live here and are
+round-trip + reset-path tested (tests/test_multimodal.py).
+
+Feature surface matches the other codecs (PngImage shape): width,
+height, channels, bit_depth, pixels (row-major, top-down, interleaved),
+mean_pixel().
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+CLEAR = 256
+EOI = 257
+FIRST = 258
+MAX_CODE = 4094  # spec: emit Clear when the next index would be 4094
+
+
+@dataclass
+class TiffImage:
+    width: int
+    height: int
+    bit_depth: int
+    channels: int
+    pixels: bytes  # row-major top-down, channels interleaved
+
+    def mean_pixel(self) -> float:
+        if not self.pixels:
+            return 0.0
+        return sum(self.pixels) / len(self.pixels)
+
+
+# ---------------------------------------------------------------------------
+# TIFF-LZW (spec §13): MSB-first variable-width codes with EarlyChange
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = FIRST
+    width = 9
+    put(CLEAR, width)
+    omega = b""
+    for byte in data:
+        k = bytes([byte])
+        if omega + k in table:
+            omega += k
+            continue
+        put(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        omega = k
+        # spec §13 width rule: the COMPRESSOR bumps when the code value
+        # it just ADDED is 511/1023/2047 (added value = next_code - 1,
+        # so the test reads next_code == 2^width); the DECOMPRESSOR
+        # bumps one value earlier (510/1022/2046) because its table
+        # runs one entry behind — see lzw_decode. At 4094 the table
+        # resets via an explicit Clear (12-bit codes until then).
+        if next_code == MAX_CODE:
+            put(table[omega], width)
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = FIRST
+            width = 9
+            omega = b""
+        elif next_code == (1 << width) and width < 12:
+            width += 1
+    if omega:
+        put(table[omega], width)
+        # the decoder ADDS an entry for this final code (value
+        # next_code - 1) and applies its 510/1022/2046 rule before
+        # reading EOI — mirror that bump so EOI lands at the width the
+        # decoder will read it with
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    put(EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos = 0  # bit position
+
+    def get(width: int) -> int:
+        nonlocal pos
+        end = pos + width
+        if end > len(data) * 8:
+            return EOI  # truncated stream: stop cleanly
+        code = 0
+        p = pos
+        while p < end:
+            byte = data[p >> 3]
+            take = min(8 - (p & 7), end - p)
+            shift = 8 - (p & 7) - take
+            code = (code << take) | ((byte >> shift) & ((1 << take) - 1))
+            p += take
+        pos = end
+        return code
+
+    table: list[bytes] = []
+
+    def reset() -> None:
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    width = 9
+    old: bytes | None = None
+    while True:
+        code = get(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            width = 9
+            code = get(width)
+            if code == EOI:
+                break
+            if code >= len(table):
+                raise ValueError("TIFF-LZW: bad code after Clear")
+            out += table[code]
+            old = table[code]
+            continue
+        if old is None:
+            raise ValueError("TIFF-LZW: stream must start with Clear")
+        if code < len(table):
+            entry = table[code]
+            table.append(old + entry[:1])
+        elif code == len(table):
+            entry = old + old[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF-LZW: code {code} beyond table")
+        out += entry
+        old = entry
+        # EarlyChange on the decode side: grow when the NEXT entry to
+        # be created would need the wider code
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# container
+
+
+def encode_tiff(pixels: bytes, width: int, height: int, channels: int = 3,
+                compression: str = "lzw") -> bytes:
+    """One-strip chunky little-endian ("II") baseline TIFF."""
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    comp = {"none": 1, "lzw": 5}[compression]
+    strip = pixels if comp == 1 else lzw_encode(pixels)
+    photometric = 2 if channels >= 3 else 1
+
+    # layout: header(8) | IFD | BitsPerSample values | strip
+    tags = []  # (tag, type, count, value_or_offset)
+    n_tags = 9
+    ifd_size = 2 + n_tags * 12 + 4
+    bits_off = 8 + ifd_size
+    bits_extra = 2 * channels if channels > 2 else 0
+    strip_off = bits_off + bits_extra
+
+    def short_val(v: int) -> int:
+        return v  # SHORT value left-justified? TIFF 'II' stores value
+        # in the low bytes of the 4-byte field — plain int works
+
+    if channels > 2:
+        bps: tuple[int, int] = (3, bits_off)  # SHORT x channels, offset
+    else:
+        bps = (3, 8)
+    tags = [
+        (256, 3, 1, width),            # ImageWidth
+        (257, 3, 1, height),           # ImageLength
+        (258, 3, channels, bps[1] if channels > 2 else 8),  # BitsPerSample
+        (259, 3, 1, comp),             # Compression
+        (262, 3, 1, photometric),      # PhotometricInterpretation
+        (273, 4, 1, strip_off),        # StripOffsets
+        (277, 3, 1, channels),         # SamplesPerPixel
+        (278, 3, 1, height),           # RowsPerStrip (single strip)
+        (279, 4, 1, len(strip)),       # StripByteCounts
+    ]
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, 8)
+    out += struct.pack("<H", n_tags)
+    for tag, typ, count, val in tags:
+        out += struct.pack("<HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            out += struct.pack("<HH", val, 0)  # SHORT packs low bytes
+        else:
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)  # next IFD
+    if channels > 2:
+        out += struct.pack(f"<{channels}H", *([8] * channels))
+    out += strip
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> TiffImage:
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u16(off: int) -> int:
+        try:
+            return struct.unpack_from(e + "H", data, off)[0]
+        except struct.error:
+            raise ValueError("truncated or corrupt TIFF") from None
+
+    def u32(off: int) -> int:
+        try:
+            return struct.unpack_from(e + "I", data, off)[0]
+        except struct.error:
+            raise ValueError("truncated or corrupt TIFF") from None
+
+    ifd = u32(4)
+    n = u16(ifd)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n):
+        off = ifd + 2 + i * 12
+        tag, typ, count = u16(off), u16(off + 2), u32(off + 4)
+        tags[tag] = (typ, count, off + 8)
+
+    def values(tag: int, default: list[int] | None = None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        typ, count, voff = tags[tag]
+        size = {3: 2, 4: 4}[typ]
+        read = u16 if typ == 3 else u32
+        if size * count > 4:
+            voff = u32(voff)
+        return [read(voff + i * size) for i in range(count)]
+
+    width = values(256)[0]
+    height = values(257)[0]
+    channels = values(277, [1])[0]
+    bits = values(258, [8] * channels)
+    if set(bits) != {8}:
+        raise NotImplementedError("only 8-bit TIFF samples supported")
+    comp = values(259, [1])[0]
+    if values(284, [1])[0] != 1:
+        raise NotImplementedError("only chunky planar TIFF supported")
+    offsets = values(273)
+    counts = values(279)
+    raw = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
+    if comp == 1:
+        pixels = raw
+    elif comp == 5:
+        # per spec LZW applies per strip; decode each strip separately
+        pixels = b"".join(
+            lzw_decode(data[o:o + c]) for o, c in zip(offsets, counts))
+    else:
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+    want = width * height * channels
+    if len(pixels) < want:
+        raise ValueError("TIFF strip data shorter than image")
+    return TiffImage(width=width, height=height, bit_depth=8,
+                     channels=channels, pixels=pixels[:want])

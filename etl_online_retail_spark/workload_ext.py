@@ -2025,6 +2025,56 @@ def q_png_image_stats(spark, sf_dir):
     return image_features(synthetic_png_media(docs))
 
 
+# real TIFF 6.0 codec round-trip (r11, multimodal/tiff.py — the
+# scanned-document format): LZW-COMPRESSED strips, so both the from-spec
+# TIFF-LZW encoder (MSB-first variable-width codes, EarlyChange, table
+# resets) and its decoder run inside the Arrow batches; same closed-form
+# oracle discipline as png_image_stats.
+@register(
+    "tiff_image_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST(8 AS INTEGER) AS bit_depth, "
+    "CAST(doc_id % 256 AS DOUBLE) AS mean_pixel "
+    "FROM documents",
+    "M6-multimodal-codec",
+)
+def q_tiff_image_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        synthetic_tiff_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(synthetic_tiff_media(docs))
+
+
+# Windows BMP round-trip (r11, multimodal/bmp.py): 24-bit BI_RGB with
+# bottom-up BGR rows and 4-byte padding — the decoder's row/channel
+# reordering is what the round-trip proves (a solid image would pass a
+# broken reorder, so the codec unit tests pin pattern images; the query
+# pins the Arrow-batch plumbing + closed-form features).
+@register(
+    "bmp_image_stats",
+    "SELECT doc_id AS media_id, "
+    "CAST(1 + doc_id % 16 AS INTEGER) AS width, "
+    "CAST(1 + doc_id % 8 AS INTEGER) AS height, "
+    "CAST(3 AS INTEGER) AS channels, "
+    "CAST(8 AS INTEGER) AS bit_depth, "
+    "CAST(doc_id % 256 AS DOUBLE) AS mean_pixel "
+    "FROM documents",
+    "M6-multimodal-codec",
+)
+def q_bmp_image_stats(spark, sf_dir):
+    from etl_online_retail_spark.multimodal.binary import (
+        synthetic_bmp_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return image_features(synthetic_bmp_media(docs))
+
+
 # real lossless-WebP codec round-trip (stdlib VP8L prefix-coding codec,
 # multimodal/webp.py — the round-5 verdict's top codec gap: WebP is the
 # first format a web crawl hits among the former stubs): same shape and

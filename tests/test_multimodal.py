@@ -53,8 +53,12 @@ def test_codec_stubs_raise_clearly():
     lossy_exc = ValueError if libwebp_available() else NotImplementedError
     with pytest.raises(lossy_exc):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # lossy WebP
+    # TIFF decodes for real since r11 — a corrupt payload is a loud
+    # ValueError, not a missing-library stub
+    with pytest.raises(ValueError, match="TIFF"):
+        decode_image(b"II*\x00strange")
     with pytest.raises(NotImplementedError, match="libraries"):
-        decode_image(b"II*\x00strange")                   # TIFF-ish
+        decode_image(b"\x00\x00\x00\x0cjP  \r\n\x87\n")   # JPEG 2000
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         frame_sample_stub(b"\x00\x00\x00 ftypmp4")
 
@@ -1069,3 +1073,100 @@ def test_flac_audio_features_spark_stage(spark):
             (8000, 1, n), i
         assert r["duration_ms"] == n / 8
         assert r["mean_abs"] == (m - 1) / 2
+
+
+def test_tiff_codec_round_trip_and_spec_edges():
+    """TIFF 6.0 (r11, multimodal/tiff.py): container round-trip under
+    both compressions with PATTERN pixels (a solid image would pass a
+    broken sample order), big-endian (MM) decode from a hand-built
+    fixture, and the LZW stream exercised through width growth AND the
+    4094-entry table reset."""
+    import random
+    import struct
+
+    import pytest
+
+    from etl_online_retail_spark.multimodal import tiff
+
+    rnd = random.Random(11)
+    for n in (0, 1, 300, 1000, 20000):  # 20k forces table resets
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        assert tiff.lzw_decode(tiff.lzw_encode(data)) == data, n
+    rep = (b"abcabcabz" * 1200)[:9000]  # deep strings, width growth
+    assert tiff.lzw_decode(tiff.lzw_encode(rep)) == rep
+
+    for w, h in ((1, 1), (3, 2), (16, 8), (7, 5)):
+        pix = bytes((i * 17 + 3) % 256 for i in range(w * h * 3))
+        for comp in ("none", "lzw"):
+            img = tiff.decode_tiff(tiff.encode_tiff(pix, w, h,
+                                                    compression=comp))
+            assert (img.width, img.height, img.channels,
+                    img.bit_depth) == (w, h, 3, 8)
+            assert img.pixels == pix, (w, h, comp)
+
+    # hand-built big-endian (MM) 2x1 RGB uncompressed fixture
+    px = bytes([10, 20, 30, 40, 50, 60])
+    tags = sorted([(256, 3, 1, 2), (257, 3, 1, 1), (259, 3, 1, 1),
+                   (262, 3, 1, 2), (273, 4, 1, 0), (277, 3, 1, 3),
+                   (278, 3, 1, 1), (279, 4, 1, 6), (258, 3, 3, 0)])
+    n = len(tags)
+    bits_off = 8 + 2 + n * 12 + 4
+    strip_off = bits_off + 6
+    out = bytearray(b"MM\x00*" + struct.pack(">I", 8))
+    out += struct.pack(">H", n)
+    for tag, typ, cnt, val in tags:
+        val = {273: strip_off, 258: bits_off}.get(tag, val)
+        out += struct.pack(">HHI", tag, typ, cnt)
+        out += (struct.pack(">HH", val, 0) if (typ == 3 and cnt == 1)
+                else struct.pack(">I", val))
+    out += struct.pack(">I", 0) + struct.pack(">3H", 8, 8, 8) + px
+    img = tiff.decode_tiff(bytes(out))
+    assert (img.width, img.height, img.pixels) == (2, 1, px)
+
+    with pytest.raises(ValueError):
+        tiff.decode_tiff(b"IX*\x00garbage")
+    with pytest.raises(NotImplementedError):
+        # compression 7 (JPEG-in-TIFF) is out of profile: loud, not wrong
+        bad = tiff.encode_tiff(b"\x00" * 3, 1, 1, compression="none")
+        tiff.decode_tiff(bad.replace(
+            struct.pack("<HHIHH", 259, 3, 1, 1, 0),
+            struct.pack("<HHIHH", 259, 3, 1, 7, 0)))
+
+
+def test_bmp_codec_round_trip_and_variants():
+    """BMP (r11, multimodal/bmp.py): pattern round-trip pins the BGR
+    sample order and bottom-up row order + 4-byte padding; the top-down
+    (negative height) variant decodes to the same top-down pixel
+    contract; non-24-bit payloads refuse loudly."""
+    import struct
+
+    import pytest
+
+    from etl_online_retail_spark.multimodal import bmp
+
+    for w, h in ((1, 1), (3, 2), (16, 8), (5, 3)):
+        pix = bytes((i * 31 + 7) % 256 for i in range(w * h * 3))
+        img = bmp.decode_bmp(bmp.encode_bmp(pix, w, h))
+        assert (img.width, img.height, img.channels) == (w, h, 3)
+        assert img.pixels == pix, (w, h)
+
+    # top-down variant: flip the stored rows and negate biHeight — the
+    # decoder must produce the identical top-down pixel buffer
+    w, h = 3, 2
+    pix = bytes(range(w * h * 3))
+    enc = bytearray(bmp.encode_bmp(pix, w, h))
+    stride = (w * 3 + 3) & ~3
+    off = 14 + 40
+    rows = [bytes(enc[off + r * stride: off + (r + 1) * stride])
+            for r in range(h)]
+    enc[off:off + h * stride] = b"".join(reversed(rows))
+    struct.pack_into("<i", enc, 14 + 8, -h)
+    img = bmp.decode_bmp(bytes(enc))
+    assert img.pixels == pix
+
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(b"XX" + b"\x00" * 60)
+    bad = bytearray(bmp.encode_bmp(pix, w, h))
+    struct.pack_into("<H", bad, 14 + 14, 8)  # claim 8bpp
+    with pytest.raises(NotImplementedError):
+        bmp.decode_bmp(bytes(bad))
