@@ -350,9 +350,11 @@ def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
     re-encoded as PNG (lossless out — resizing shouldn't add a second
     lossy generation). Pure stdlib plus the dlopen-gated bindings, same
     per-payload shape a PIL-backed body would keep."""
+    from etl_online_retail_spark.multimodal import bmp as _bmp
     from etl_online_retail_spark.multimodal import heif as _heif
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
     from etl_online_retail_spark.multimodal import png as _png
+    from etl_online_retail_spark.multimodal import tiff as _tiff
     from etl_online_retail_spark.multimodal import webp as _webp
 
     content = bytes(content)
@@ -363,12 +365,16 @@ def resize_image(content: bytes, out_w: int, out_h: int) -> bytes:
     elif (content[:4] == _webp.RIFF_MAGIC
           and content[8:12] == _webp.WEBP_MAGIC):
         img = _webp.decode_webp(content)
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        img = _tiff.decode_tiff(content)
+    elif content[:2] == b"BM":
+        img = _bmp.decode_bmp(content)
     elif _heif.is_heif(content):
         img = _heif.decode_heif(content)
     else:
         raise NotImplementedError(
-            "resize supports PNG, baseline JPEG, lossless WebP and "
-            "(via libheif) AVIF/HEIC payloads here")
+            "resize supports PNG, baseline JPEG, lossless WebP, TIFF, "
+            "BMP and (via libheif) AVIF/HEIC payloads here")
     import numpy as np
 
     ch = img.channels

@@ -219,3 +219,156 @@ def webp_encode_rgb_lossless_native(pixels: bytes, width: int,
         return string_at(out, size)
     finally:
         lib.WebPFree(out)
+
+
+# ---------------------------------------------------------------------------
+# libtiff (r11): third-party COMPLIANCE oracle for the from-spec TIFF
+# codec (multimodal/tiff.py). The pure-Python TIFF-LZW pair is derived
+# in lockstep from spec §13, so round-trip tests alone carry an
+# own-encoder correlation; libtiff (present here as libtiff.so.6) is
+# the canonical implementation — our encoder's streams decoded by
+# libtiff must reproduce our pixels, and libtiff-written LZW files must
+# decode under our decoder. libtiff's API is file-handle based, so the
+# binding round-trips through a temp file (test-path only — the query
+# path stays pure-Python inside Arrow batches).
+
+_TIFF_LIB: "ctypes.CDLL | None" = None
+_TIFF_ERR: str | None = None
+
+_TIFFTAG = {
+    "width": 256, "length": 257, "bits": 258, "compression": 259,
+    "photometric": 262, "spp": 277, "rowsperstrip": 278, "planar": 284,
+}
+
+
+def _load_tiff() -> "ctypes.CDLL | None":
+    global _TIFF_LIB, _TIFF_ERR
+    if _TIFF_LIB is not None or _TIFF_ERR is not None:
+        return _TIFF_LIB
+    for name in ("libtiff.so.6", "libtiff.so.5", "libtiff.so",
+                 "libtiff.dylib"):
+        try:
+            lib = ctypes.CDLL(name)
+            lib.TIFFOpen.restype = ctypes.c_void_p
+            lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+            lib.TIFFGetField.restype = c_int
+            lib.TIFFSetField.restype = c_int
+            lib.TIFFNumberOfStrips.restype = ctypes.c_uint32
+            lib.TIFFNumberOfStrips.argtypes = [ctypes.c_void_p]
+            lib.TIFFStripSize.restype = ctypes.c_ssize_t
+            lib.TIFFStripSize.argtypes = [ctypes.c_void_p]
+            lib.TIFFReadEncodedStrip.restype = ctypes.c_ssize_t
+            lib.TIFFReadEncodedStrip.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p,
+                ctypes.c_ssize_t]
+            lib.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
+            lib.TIFFWriteEncodedStrip.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p,
+                ctypes.c_ssize_t]
+            lib.TIFFClose.argtypes = [ctypes.c_void_p]
+            # silence libtiff's stderr chatter in tests
+            handler = ctypes.c_void_p(None)
+            lib.TIFFSetErrorHandler(handler)
+            lib.TIFFSetWarningHandler(handler)
+            _TIFF_LIB = lib
+            return lib
+        except (OSError, AttributeError) as e:  # try next name
+            last = f"{type(e).__name__}: {e}"
+    _TIFF_ERR = last
+    return None
+
+
+def libtiff_available() -> bool:
+    return _load_tiff() is not None
+
+
+def tiff_decode_native(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a TIFF payload with libtiff: (width, height, spp, pixels
+    as concatenated decoded strips). Raises if the library is absent or
+    libtiff rejects the stream — i.e., a compliance failure."""
+    import os
+    import tempfile
+
+    lib = _load_tiff()
+    if lib is None:
+        raise NotImplementedError(f"libtiff unavailable: {_TIFF_ERR}")
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(content)
+        tif = lib.TIFFOpen(path.encode(), b"r")
+        if not tif:
+            raise ValueError("libtiff rejected the stream")
+        try:
+            w = ctypes.c_uint32(0)
+            h = ctypes.c_uint32(0)
+            spp = ctypes.c_uint16(0)
+            lib.TIFFGetField(ctypes.c_void_p(tif),
+                             ctypes.c_uint32(_TIFFTAG["width"]), byref(w))
+            lib.TIFFGetField(ctypes.c_void_p(tif),
+                             ctypes.c_uint32(_TIFFTAG["length"]), byref(h))
+            lib.TIFFGetField(ctypes.c_void_p(tif),
+                             ctypes.c_uint32(_TIFFTAG["spp"]), byref(spp))
+            n_strips = lib.TIFFNumberOfStrips(ctypes.c_void_p(tif))
+            strip_cap = lib.TIFFStripSize(ctypes.c_void_p(tif))
+            out = bytearray()
+            buf = ctypes.create_string_buffer(int(strip_cap))
+            for s in range(int(n_strips)):
+                n = lib.TIFFReadEncodedStrip(
+                    ctypes.c_void_p(tif), ctypes.c_uint32(s), buf,
+                    ctypes.c_ssize_t(-1))
+                if n < 0:
+                    raise ValueError(f"libtiff failed to decode strip {s}")
+                out += buf.raw[:n]
+            return int(w.value), int(h.value), int(spp.value), bytes(out)
+        finally:
+            lib.TIFFClose(ctypes.c_void_p(tif))
+    finally:
+        os.unlink(path)
+
+
+def tiff_encode_native(pixels: bytes, width: int, height: int,
+                       channels: int = 3, lzw: bool = True) -> bytes:
+    """Encode with libtiff (one strip, chunky, 8-bit, LZW or none) —
+    the reverse compliance direction: canonical streams our decoder
+    must read."""
+    import os
+    import tempfile
+
+    lib = _load_tiff()
+    if lib is None:
+        raise NotImplementedError(f"libtiff unavailable: {_TIFF_ERR}")
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    os.close(fd)
+    try:
+        tif = lib.TIFFOpen(path.encode(), b"w")
+        if not tif:
+            raise ValueError("libtiff could not open for write")
+        try:
+            t = ctypes.c_void_p(tif)
+
+            def setf(tag: str, val: int, short: bool = True) -> None:
+                ctyp = ctypes.c_uint16 if short else ctypes.c_uint32
+                if not lib.TIFFSetField(t, ctypes.c_uint32(_TIFFTAG[tag]),
+                                        ctyp(val)):
+                    raise ValueError(f"TIFFSetField {tag} failed")
+
+            setf("width", width, short=False)
+            setf("length", height, short=False)
+            setf("bits", 8)
+            setf("spp", channels)
+            setf("compression", 5 if lzw else 1)
+            setf("photometric", 2 if channels >= 3 else 1)
+            setf("planar", 1)
+            setf("rowsperstrip", height, short=False)
+            n = lib.TIFFWriteEncodedStrip(
+                t, ctypes.c_uint32(0), pixels,
+                ctypes.c_ssize_t(len(pixels)))
+            if n < 0:
+                raise ValueError("libtiff failed to encode strip")
+        finally:
+            lib.TIFFClose(ctypes.c_void_p(tif))
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)

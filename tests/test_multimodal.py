@@ -168,7 +168,17 @@ def test_resize_nearest_neighbor_and_formats():
     lossy_exc = ValueError if libwebp_available() else NotImplementedError
     with pytest.raises(lossy_exc):
         resize_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 2, 2)
-    with pytest.raises(NotImplementedError):
+    # TIFF and BMP resize for real since r11; corrupt payloads are loud
+    from etl_online_retail_spark.multimodal import bmp as _bmp
+    from etl_online_retail_spark.multimodal import tiff as _tiff
+
+    out = png.decode_png(resize_image(
+        _tiff.encode_tiff(bytes([50]) * (4 * 2 * 3), 4, 2), 2, 1))
+    assert (out.width, out.height) == (2, 1) and out.mean_pixel() == 50.0
+    out = png.decode_png(resize_image(
+        _bmp.encode_bmp(bytes([60]) * (4 * 2 * 3), 4, 2), 2, 1))
+    assert (out.width, out.height) == (2, 1) and out.mean_pixel() == 60.0
+    with pytest.raises(ValueError):
         resize_image(b"II*\x00strange", 2, 2)
 
 
@@ -1170,3 +1180,33 @@ def test_bmp_codec_round_trip_and_variants():
     struct.pack_into("<H", bad, 14 + 14, 8)  # claim 8bpp
     with pytest.raises(NotImplementedError):
         bmp.decode_bmp(bytes(bad))
+
+
+def test_tiff_lzw_complies_with_libtiff():
+    """Third-party compliance for the from-spec TIFF codec (r11): the
+    pure-Python encoder/decoder pair is derived in lockstep, so
+    round-trips alone carry an own-encoder correlation — libtiff (the
+    canonical implementation, bound dlopen-gated in multimodal/native)
+    breaks it in BOTH directions: our LZW streams decode bit-exactly
+    under libtiff (incl. a 20k-sample image that exercises width growth
+    and the 4094 table reset), and libtiff-written LZW files decode
+    bit-exactly under our decoder."""
+    import random
+
+    from etl_online_retail_spark.multimodal import native, tiff
+
+    if not native.libtiff_available():
+        pytest.skip("libtiff not present in this environment")
+    rnd = random.Random(3)
+    for w, h in ((7, 5), (128, 53)):
+        pix = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        for comp in ("lzw", "none"):
+            dw, dh, spp, out = native.tiff_decode_native(
+                tiff.encode_tiff(pix, w, h, compression=comp))
+            assert (dw, dh, spp) == (w, h, 3)
+            assert out == pix, ("ours->libtiff", w, h, comp)
+        for lzw in (True, False):
+            img = tiff.decode_tiff(
+                native.tiff_encode_native(pix, w, h, lzw=lzw))
+            assert (img.width, img.height, img.channels) == (w, h, 3)
+            assert img.pixels == pix, ("libtiff->ours", w, h, lzw)
