@@ -21,10 +21,13 @@ What it unlocks:
     encoder's streams decoded by libwebp must reproduce our pixels —
     breaking the own-encoder correlation that round-trip tests carry.
 
-libjpeg/libpng/libgif also ship here but expose struct-heavy APIs
-(jmp_buf error handling, version-dependent struct layouts) that ctypes
-cannot bind robustly; the stdlib implementations remain the only path
-for those formats.
+libjpeg also ships here but exposes a jmp_buf error protocol ctypes
+cannot bind robustly; the stdlib implementation remains the only JPEG
+path. libpng (1.6 simplified API: the fixed, versioned png_image
+struct), giflib 5 (slurp structs, soname-pinned) and libtiff ARE
+bindable and are bound below (r11) — as TEST-PATH compliance oracles
+only: the query path stays pure-Python, the bindings exist to break
+the own-encoder correlation of the from-spec codec pairs.
 
 Scale note: same contract as every codec module — runs only inside
 Arrow-batched mapInPandas, one payload at a time.
@@ -372,3 +375,178 @@ def tiff_encode_native(pixels: bytes, width: int, height: int,
             return f.read()
     finally:
         os.unlink(path)
+
+
+# ---------------------------------------------------------------------------
+# giflib + libpng (r11): two more third-party compliance oracles. The
+# module header's original claim that libgif/libpng "cannot bind
+# robustly" was too broad — it holds for libjpeg's jmp_buf error
+# protocol, but giflib 5's slurp structs and libpng 1.6's SIMPLIFIED
+# API (png_image — a fixed, versioned, documented-stable struct) are
+# exactly the plain-buffer shapes ctypes binds fine. Both are
+# test-path-only oracles (the query path stays pure-Python): they break
+# the own-encoder correlation for the from-spec GIF LZW and PNG codecs
+# the same way libwebp does for VP8L and libtiff for TIFF-LZW.
+
+_GIF_LIB = None
+_GIF_ERR: str | None = None
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [("Left", c_int), ("Top", c_int), ("Width", c_int),
+                ("Height", c_int), ("Interlace", ctypes.c_bool),
+                ("ColorMap", ctypes.c_void_p)]
+
+
+class _GifSavedImage(ctypes.Structure):
+    _fields_ = [("ImageDesc", _GifImageDesc),
+                ("RasterBits", POINTER(c_ubyte)),
+                ("ExtensionBlockCount", c_int),
+                ("ExtensionBlocks", ctypes.c_void_p)]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [("SWidth", c_int), ("SHeight", c_int),
+                ("SColorResolution", c_int), ("SBackGroundColor", c_int),
+                ("AspectByte", c_ubyte), ("SColorMap", ctypes.c_void_p),
+                ("ImageCount", c_int), ("Image", _GifImageDesc),
+                ("SavedImages", POINTER(_GifSavedImage)),
+                ("ExtensionBlockCount", c_int),
+                ("ExtensionBlocks", ctypes.c_void_p),
+                ("Error", c_int), ("UserData", ctypes.c_void_p),
+                ("Private", ctypes.c_void_p)]
+
+
+def _load_gif():
+    global _GIF_LIB, _GIF_ERR
+    if _GIF_LIB is not None or _GIF_ERR is not None:
+        return _GIF_LIB
+    # soname-pinned: the struct layout above is giflib 5's (soname 7);
+    # refusing other sonames keeps a future ABI from silently misreading
+    try:
+        lib = ctypes.CDLL("libgif.so.7")
+        lib.DGifOpenFileName.restype = POINTER(_GifFileType)
+        lib.DGifOpenFileName.argtypes = [ctypes.c_char_p, POINTER(c_int)]
+        lib.DGifSlurp.restype = c_int
+        lib.DGifSlurp.argtypes = [POINTER(_GifFileType)]
+        lib.DGifCloseFile.argtypes = [POINTER(_GifFileType), POINTER(c_int)]
+        _GIF_LIB = lib
+    except (OSError, AttributeError) as e:
+        _GIF_ERR = f"{type(e).__name__}: {e}"
+    return _GIF_LIB
+
+
+def giflib_available() -> bool:
+    return _load_gif() is not None
+
+
+def gif_decode_frames_native(content: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a GIF with giflib's DGifSlurp: (screen width, screen
+    height, per-frame palette-index rasters)."""
+    import os
+    import tempfile
+
+    lib = _load_gif()
+    if lib is None:
+        raise NotImplementedError(f"giflib unavailable: {_GIF_ERR}")
+    fd, path = tempfile.mkstemp(suffix=".gif")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(content)
+        err = c_int(0)
+        gft = lib.DGifOpenFileName(path.encode(), byref(err))
+        if not gft:
+            raise ValueError(f"giflib rejected the stream (err {err.value})")
+        try:
+            if lib.DGifSlurp(gft) != 1:
+                raise ValueError(
+                    f"giflib failed to decode (err {gft.contents.Error})")
+            g = gft.contents
+            frames = []
+            for i in range(g.ImageCount):
+                si = g.SavedImages[i]
+                n = si.ImageDesc.Width * si.ImageDesc.Height
+                frames.append(bytes(ctypes.cast(
+                    si.RasterBits, POINTER(c_ubyte * n)).contents))
+            return int(g.SWidth), int(g.SHeight), frames
+        finally:
+            lib.DGifCloseFile(gft, byref(err))
+    finally:
+        os.unlink(path)
+
+
+_PNG_LIB = None
+_PNG_ERR: str | None = None
+_PNG_FORMAT_RGB = 2  # PNG_FORMAT_FLAG_COLOR
+
+
+class _PngImage(ctypes.Structure):
+    # libpng 1.6 simplified-API control struct (versioned: version=1)
+    _fields_ = [("opaque", ctypes.c_void_p), ("version", ctypes.c_uint32),
+                ("width", ctypes.c_uint32), ("height", ctypes.c_uint32),
+                ("format", ctypes.c_uint32), ("flags", ctypes.c_uint32),
+                ("colormap_entries", ctypes.c_uint32),
+                ("warning_or_error", ctypes.c_uint32),
+                ("message", ctypes.c_char * 64)]
+
+
+def _load_png():
+    global _PNG_LIB, _PNG_ERR
+    if _PNG_LIB is not None or _PNG_ERR is not None:
+        return _PNG_LIB
+    try:
+        lib = ctypes.CDLL("libpng16.so.16")
+        lib.png_image_begin_read_from_memory.restype = c_int
+        lib.png_image_begin_read_from_memory.argtypes = [
+            POINTER(_PngImage), ctypes.c_void_p, c_size_t]
+        lib.png_image_finish_read.restype = c_int
+        lib.png_image_finish_read.argtypes = [
+            POINTER(_PngImage), ctypes.c_void_p, ctypes.c_void_p, c_int,
+            ctypes.c_void_p]
+        lib.png_image_write_to_memory.restype = c_int
+        lib.png_image_write_to_memory.argtypes = [
+            POINTER(_PngImage), ctypes.c_void_p, POINTER(c_size_t), c_int,
+            ctypes.c_void_p, c_int, ctypes.c_void_p]
+        _PNG_LIB = lib
+    except (OSError, AttributeError) as e:
+        _PNG_ERR = f"{type(e).__name__}: {e}"
+    return _PNG_LIB
+
+
+def libpng_available() -> bool:
+    return _load_png() is not None
+
+
+def png_decode_rgb_native(content: bytes) -> tuple[int, int, bytes]:
+    lib = _load_png()
+    if lib is None:
+        raise NotImplementedError(f"libpng unavailable: {_PNG_ERR}")
+    img = _PngImage()
+    img.version = 1
+    if not lib.png_image_begin_read_from_memory(byref(img), content,
+                                                len(content)):
+        raise ValueError(f"libpng rejected the stream: {img.message!r}")
+    w, h = int(img.width), int(img.height)
+    img.format = _PNG_FORMAT_RGB
+    buf = ctypes.create_string_buffer(w * h * 3)
+    if not lib.png_image_finish_read(byref(img), None, buf, 0, None):
+        raise ValueError(f"libpng failed to decode: {img.message!r}")
+    return w, h, buf.raw
+
+
+def png_encode_rgb_native(pixels: bytes, width: int, height: int) -> bytes:
+    lib = _load_png()
+    if lib is None:
+        raise NotImplementedError(f"libpng unavailable: {_PNG_ERR}")
+    img = _PngImage()
+    img.version = 1
+    img.width, img.height, img.format = width, height, _PNG_FORMAT_RGB
+    size = c_size_t(0)
+    if not lib.png_image_write_to_memory(byref(img), None, byref(size), 0,
+                                         pixels, 0, None):
+        raise ValueError(f"libpng sizing failed: {img.message!r}")
+    out = ctypes.create_string_buffer(size.value)
+    if not lib.png_image_write_to_memory(byref(img), out, byref(size), 0,
+                                         pixels, 0, None):
+        raise ValueError(f"libpng encode failed: {img.message!r}")
+    return out.raw[:size.value]

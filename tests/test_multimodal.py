@@ -1210,3 +1210,52 @@ def test_tiff_lzw_complies_with_libtiff():
                 native.tiff_encode_native(pix, w, h, lzw=lzw))
             assert (img.width, img.height, img.channels) == (w, h, 3)
             assert img.pixels == pix, ("libtiff->ours", w, h, lzw)
+
+
+def test_gif_lzw_complies_with_giflib():
+    """Third-party compliance for the from-spec GIF codec (r11): our
+    GIF89a streams — single AND multi-frame, random 3k-pixel rasters
+    that exercise LZW width growth and table saturation — decode
+    bit-exactly under giflib (the canonical implementation), breaking
+    the own-encoder correlation of the lockstep-derived LZW pair. Our
+    decoder is transitively validated: it round-trips exactly these
+    canonical-equivalent streams (test_gif_* above)."""
+    import random
+
+    from etl_online_retail_spark.multimodal import gif, native
+
+    if not native.giflib_available():
+        pytest.skip("giflib not present in this environment")
+    rnd = random.Random(5)
+    for w, h, nframes in ((4, 3, 1), (16, 8, 1), (13, 7, 3), (64, 48, 1)):
+        frames = [bytes(rnd.randrange(256) for _ in range(w * h))
+                  for _ in range(nframes)]
+        sw, sh, rasters = native.gif_decode_frames_native(
+            gif.encode_gif(frames, w, h))
+        assert (sw, sh, len(rasters)) == (w, h, nframes)
+        for idx, raster in zip(frames, rasters):
+            assert raster == idx
+
+
+def test_png_codec_complies_with_libpng():
+    """Third-party compliance for the PNG codec (r11), both directions
+    via libpng's simplified API: our encoder's streams decode
+    bit-exactly under libpng, and libpng-written streams decode
+    bit-exactly under our decoder (random pixels, odd dimensions — the
+    filter/IHDR paths, not just zlib)."""
+    import random
+
+    from etl_online_retail_spark.multimodal import native
+    from etl_online_retail_spark.multimodal import png as mypng
+
+    if not native.libpng_available():
+        pytest.skip("libpng not present in this environment")
+    rnd = random.Random(9)
+    for w, h in ((1, 1), (13, 7), (64, 48)):
+        pix = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        dw, dh, out = native.png_decode_rgb_native(
+            mypng.encode_png(pix, w, h, color_type=2))
+        assert (dw, dh) == (w, h) and out == pix, ("ours->libpng", w, h)
+        dec = mypng.decode_png(native.png_encode_rgb_native(pix, w, h))
+        assert (dec.width, dec.height, dec.channels) == (w, h, 3)
+        assert bytes(dec.pixels) == pix, ("libpng->ours", w, h)
