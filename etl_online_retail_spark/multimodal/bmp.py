@@ -67,13 +67,24 @@ def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
 def decode_bmp(data: bytes) -> BmpImage:
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
-    pixel_off = struct.unpack_from("<I", data, 10)[0]
-    info_size = struct.unpack_from("<I", data, FILE_HEADER)[0]
-    if info_size < INFO_HEADER:
-        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
-    width, height_raw = struct.unpack_from("<ii", data, FILE_HEADER + 4)
-    planes, bpp = struct.unpack_from("<HH", data, FILE_HEADER + 12)
-    compression = struct.unpack_from("<I", data, FILE_HEADER + 16)[0]
+    try:
+        pixel_off = struct.unpack_from("<I", data, 10)[0]
+        info_size = struct.unpack_from("<I", data, FILE_HEADER)[0]
+        if info_size < INFO_HEADER:
+            raise NotImplementedError(
+                "BITMAPCOREHEADER BMPs not supported")
+        width, height_raw = struct.unpack_from("<ii", data,
+                                               FILE_HEADER + 4)
+        planes, bpp = struct.unpack_from("<HH", data, FILE_HEADER + 12)
+        compression = struct.unpack_from("<I", data, FILE_HEADER + 16)[0]
+    except struct.error:
+        raise ValueError("truncated or corrupt BMP header") from None
+    # adversarial-header guard: dimensions drive the output allocation
+    if not (0 < width <= (1 << 20)
+            and 0 < abs(height_raw) <= (1 << 20)) or \
+            width * abs(height_raw) > (1 << 26):
+        raise ValueError(
+            f"implausible BMP dimensions {width}x{height_raw}")
     if bpp != 24 or compression != 0:
         raise NotImplementedError(
             f"only 24-bit BI_RGB BMPs supported (bpp={bpp}, "

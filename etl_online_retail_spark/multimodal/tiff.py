@@ -259,6 +259,9 @@ def decode_tiff(data: bytes) -> TiffImage:
                 raise ValueError(f"TIFF missing required tag {tag}")
             return default
         typ, count, voff = tags[tag]
+        if typ not in (3, 4):
+            raise ValueError(
+                f"TIFF tag {tag} has unsupported field type {typ}")
         size = {3: 2, 4: 4}[typ]
         read = u16 if typ == 3 else u32
         if size * count > 4:
@@ -267,6 +270,13 @@ def decode_tiff(data: bytes) -> TiffImage:
 
     width = values(256)[0]
     height = values(257)[0]
+    # adversarial-header guard: dimensions drive the output allocation,
+    # so refuse absurd claims before touching pixel data (the fixture
+    # ceiling is generous; a real decoder pool sizes this to its
+    # per-payload memory budget)
+    if not (0 < width <= (1 << 20) and 0 < height <= (1 << 20)) or \
+            width * height > (1 << 26):
+        raise ValueError(f"implausible TIFF dimensions {width}x{height}")
     channels = values(277, [1])[0]
     bits = values(258, [8] * channels)
     if set(bits) != {8}:

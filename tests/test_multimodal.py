@@ -1259,3 +1259,44 @@ def test_png_codec_complies_with_libpng():
         dec = mypng.decode_png(native.png_encode_rgb_native(pix, w, h))
         assert (dec.width, dec.height, dec.channels) == (w, h, 3)
         assert bytes(dec.pixels) == pix, ("libpng->ours", w, h)
+
+
+def test_tiff_bmp_fuzz_error_contract():
+    """Adversarial payloads with valid magics must fail LOUDLY with
+    ValueError/NotImplementedError — never a stray struct.error /
+    KeyError / MemoryError (the decoder-pool contract: a bad payload is
+    a routable error row, not a worker crash). Implausible header
+    dimensions are refused before any allocation."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_online_retail_spark.multimodal import bmp, tiff
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200),
+           st.sampled_from([b"II*\x00", b"MM\x00*", b"BM"]))
+    def fuzz(tail, magic):
+        payload = magic + tail
+        try:
+            if magic == b"BM":
+                bmp.decode_bmp(payload)
+            else:
+                tiff.decode_tiff(payload)
+        except (ValueError, NotImplementedError):
+            pass  # the contract
+
+    fuzz()
+
+    # structured adversarial case: a well-formed TIFF claiming absurd
+    # dimensions (LONG-typed width far past the sanity bound) must
+    # refuse before allocating anything
+    good = bytearray(tiff.encode_tiff(b"\x05" * 3, 1, 1,
+                                      compression="none"))
+    import struct as _s
+    w_field = _s.pack("<HHIHH", 256, 3, 1, 1, 0)
+    i = good.find(w_field)
+    good[i:i + 12] = _s.pack("<HHII", 256, 4, 1, 0x7FFFFFFF)
+    with pytest.raises(ValueError, match="implausible"):
+        tiff.decode_tiff(bytes(good))
