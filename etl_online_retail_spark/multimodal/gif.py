@@ -11,12 +11,14 @@ variable-width LSB-first LZW, implemented from the specification
 Scope (documented line in the sand, like the other codecs): 87a/89a,
 global and local color tables, multiple image descriptors (animation),
 extension blocks skipped (graphic-control delays surfaced per frame).
-Interlaced images raise NotImplementedError rather than silently
-mis-order rows.
+Interlaced images deinterlace for real (r11 — the appendix-E four-pass
+row order; previously rejected loudly).
 
 Encoder exists to render deterministic fixtures the oracle can verify in
 closed form (the synthetic_png_media pattern) — it always writes a
-256-entry grayscale global table, no interlace.
+256-entry grayscale global table; interlace=True writes pass-ordered
+rows with the descriptor flag, giving the decoder's deinterlace a
+round-trip partner (and giflib a compliance view of the same streams).
 
 LZW convention notes (the classic off-by-one pair, derived in lockstep):
 the encoder grows its code width after defining entry 2^width (next_code
@@ -218,8 +220,7 @@ def decode_gif(data: bytes) -> GifImage:
         fw, fh = _u16(data, pos + 4), _u16(data, pos + 6)
         fpacked = data[pos + 8]
         pos += 9
-        if fpacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
+        interlaced = bool(fpacked & 0x40)
         palette = gct
         if fpacked & 0x80:                # local color table
             n = 2 << (fpacked & 0x07)
@@ -244,6 +245,8 @@ def decode_gif(data: bytes) -> GifImage:
         indices = lzw_decode(bytes(lzw), min_code_size)[:fw * fh]
         if len(indices) < fw * fh:
             raise ValueError("truncated GIF image data")
+        if interlaced:
+            indices = _deinterlace(indices, fw, fh)
         frames.append(GifFrame(fw, fh, indices, palette, delay_cs))
         delay_cs = 0
     if not frames:
@@ -251,15 +254,43 @@ def decode_gif(data: bytes) -> GifImage:
     return GifImage(sw, sh, frames)
 
 
+def _interlace_order(height: int) -> list[int]:
+    """GIF89a appendix E interlace: rows are stored in four passes —
+    every 8th row from 0, every 8th from 4, every 4th from 2, every
+    2nd from 1. Returns storage order -> actual row index."""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def _deinterlace(indices: bytes, width: int, height: int) -> bytes:
+    out = bytearray(width * height)
+    for stored, actual in enumerate(_interlace_order(height)):
+        out[actual * width:(actual + 1) * width] = \
+            indices[stored * width:(stored + 1) * width]
+    return bytes(out)
+
+
+def _interlace(indices: bytes, width: int, height: int) -> bytes:
+    out = bytearray(width * height)
+    for stored, actual in enumerate(_interlace_order(height)):
+        out[stored * width:(stored + 1) * width] = \
+            indices[actual * width:(actual + 1) * width]
+    return bytes(out)
+
+
 GRAYSCALE_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
 
 
 def encode_gif(frames: list[bytes], width: int, height: int,
                palette: bytes = GRAYSCALE_PALETTE,
-               delay_cs: int = 10) -> bytes:
+               delay_cs: int = 10, interlace: bool = False) -> bytes:
     """GIF89a with a 256-entry global table; each element of `frames` is
     width*height palette indices. Multi-frame inputs get per-frame
-    graphic-control extensions (animation)."""
+    graphic-control extensions (animation). interlace=True stores rows
+    in the appendix-E four-pass order with the descriptor flag set
+    (r11 — decode_gif reverses it; previously rejected loudly)."""
     if len(palette) != 256 * 3:
         raise ValueError("encoder expects a 256-entry palette")
     out = bytearray(b"GIF89a")
@@ -274,9 +305,11 @@ def encode_gif(frames: list[bytes], width: int, height: int,
                           delay_cs & 0xFF, delay_cs >> 8, 0, 0))
         out += bytes((0x2C, 0, 0, 0, 0,
                       width & 0xFF, width >> 8,
-                      height & 0xFF, height >> 8, 0))
+                      height & 0xFF, height >> 8,
+                      0x40 if interlace else 0))
         out.append(_MIN_CODE_SIZE)
-        lzw = lzw_encode(idx)
+        lzw = lzw_encode(_interlace(idx, width, height)
+                         if interlace else idx)
         for off in range(0, len(lzw), 255):
             chunk = lzw[off:off + 255]
             out.append(len(chunk))

@@ -435,18 +435,47 @@ def test_gif_roundtrip_still_and_animated():
     assert [fr.delay_cs for fr in im2.frames] == [7, 7, 7]
 
 
-def test_gif_decoder_rejects_interlace_and_non_gif():
+def test_gif_interlace_round_trip_and_non_gif():
+    """r11: interlaced GIFs decode for real — the encoder writes
+    appendix-E pass-ordered rows with the descriptor flag and the
+    decoder reverses the permutation, so a pattern image round-trips
+    identically with interlace on or off (heights below, at, and above
+    the 8-row pass period; the flag is verified actually SET so the
+    deinterlace path is what ran)."""
     from etl_online_retail_spark.multimodal.gif import decode_gif, encode_gif
 
-    payload = bytearray(encode_gif([bytes(6)], 3, 2))
-    # image descriptor sits right after header+LSD+GCT; set interlace bit
-    desc = 6 + 7 + 768
-    assert payload[desc] == 0x2C
-    payload[desc + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(payload))
+    for w, h in ((3, 2), (4, 8), (5, 13), (7, 29)):
+        idx = bytes((i * 7 + 1) % 256 for i in range(w * h))
+        plain = encode_gif([idx], w, h)
+        inter = encode_gif([idx], w, h, interlace=True)
+        desc = 6 + 7 + 768
+        assert plain[desc] == inter[desc] == 0x2C
+        assert inter[desc + 9] & 0x40 and not plain[desc + 9] & 0x40
+        assert inter != plain or h == 1
+        for payload in (plain, inter):
+            fr = decode_gif(payload).frames[0]
+            assert fr.indices == idx, (w, h)
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"NOTAGIF!")
+
+
+def test_gif_interlace_matches_spec_via_giflib():
+    """Canonical witness for the interlace path: giflib's DGifSlurp
+    DEINTERLACES itself, so feeding it our encoder's interlaced stream
+    and getting the ORIGINAL image back proves the four-pass storage
+    permutation, the descriptor flag, and the LZW layer all match the
+    canonical implementation — not just our own decoder."""
+    from etl_online_retail_spark.multimodal import native
+    from etl_online_retail_spark.multimodal.gif import encode_gif
+
+    if not native.giflib_available():
+        pytest.skip("giflib not present in this environment")
+    for w, h in ((5, 13), (7, 29), (4, 8)):
+        idx = bytes((i * 11 + 2) % 256 for i in range(w * h))
+        sw, sh, rasters = native.gif_decode_frames_native(
+            encode_gif([idx], w, h, interlace=True))
+        assert (sw, sh, len(rasters)) == (w, h, 1)
+        assert rasters[0] == idx, (w, h)
 
 
 def test_gif_decoder_truncation_raises_valueerror_not_indexerror():
