@@ -1,9 +1,9 @@
 """Minimal pure-stdlib PNG codec (zlib inflate + scanline unfilter).
 
 Closes the "codec is a stub" gap for one real format without adding any
-dependency: struct + zlib + binascii are enough for non-interlaced 8-bit
-PNGs (gray / RGB / RGBA), which covers the fixture and synthetic-media
-paths this engine tests. The encoder exists so tests and queries can
+dependency: struct + zlib + binascii are enough for 8-bit PNGs
+(gray / RGB / RGBA; sequential AND Adam7-interlaced since r11), which
+covers the fixture and synthetic-media paths this engine tests. The encoder exists so tests and queries can
 fabricate valid PNGs deterministically (the container has no imaging
 library to make fixtures with); it can apply any of the five PNG filter
 types per row, which makes round-trip tests exercise every unfilter
@@ -106,13 +106,15 @@ def _unfilter_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> None:
 
 
 def encode_png(pixels: bytes, width: int, height: int, color_type: int = 2,
-               filter_type: int = 0) -> bytes:
-    """Encode raw 8-bit samples as a valid non-interlaced PNG.
+               filter_type: int = 0, interlace: bool = False) -> bytes:
+    """Encode raw 8-bit samples as a valid PNG.
 
     `pixels` is row-major interleaved samples, len == width * height *
     channels. `filter_type` applies that filter to every scanline — the
     compression is usually worse than an adaptive encoder, but the output
     is spec-valid and exercises the matching decoder branch.
+    interlace=True serializes the seven Adam7 passes (r11 — decode_png
+    reverses them; previously rejected loudly).
     """
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
@@ -121,15 +123,19 @@ def encode_png(pixels: bytes, width: int, height: int, color_type: int = 2,
     if len(pixels) != expected:
         raise ValueError(f"pixel buffer is {len(pixels)} bytes, "
                          f"expected {expected}")
-    stride = width * ch
-    prev = bytes(stride)
-    raw = bytearray()
-    for y in range(height):
-        row = pixels[y * stride:(y + 1) * stride]
-        raw.append(filter_type)
-        raw += _filter_row(filter_type, row, prev, ch)
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if interlace:
+        raw = bytearray(_encode_adam7(pixels, width, height, ch))
+    else:
+        stride = width * ch
+        prev = bytes(stride)
+        raw = bytearray()
+        for y in range(height):
+            row = pixels[y * stride:(y + 1) * stride]
+            raw.append(filter_type)
+            raw += _filter_row(filter_type, row, prev, ch)
+            prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (PNG_SIGNATURE
             + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -137,7 +143,7 @@ def encode_png(pixels: bytes, width: int, height: int, color_type: int = 2,
 
 
 def decode_png(data: bytes) -> PngImage:
-    """Parse + inflate + unfilter a non-interlaced 8-bit PNG."""
+    """Parse + inflate + unfilter an 8-bit PNG (sequential or Adam7)."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -165,8 +171,9 @@ def decode_png(data: bytes) -> PngImage:
                 raise ValueError(f"unsupported color type {color_type}")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
-            if interlace != 0:
-                raise ValueError("interlaced (Adam7) PNGs not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
+            adam7 = interlace == 1
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -176,6 +183,10 @@ def decode_png(data: bytes) -> PngImage:
     ch = _CHANNELS[color_type]
     stride = width * ch
     raw = zlib.decompress(bytes(idat))
+    if adam7:
+        return PngImage(width=width, height=height, bit_depth=8,
+                        color_type=color_type, channels=ch,
+                        pixels=_decode_adam7(raw, width, height, ch))
     if len(raw) != (stride + 1) * height:
         raise ValueError(f"IDAT decodes to {len(raw)} bytes, "
                          f"expected {(stride + 1) * height}")
@@ -189,3 +200,58 @@ def decode_png(data: bytes) -> PngImage:
         prev = bytes(row)
     return PngImage(width=width, height=height, bit_depth=8,
                     color_type=color_type, channels=ch, pixels=bytes(out))
+
+
+# Adam7 (PNG spec §8.2): seven sub-images, each independently filtered —
+# (x start, x step, y start, y step) per pass; empty passes (a dimension
+# smaller than the pass offset) contribute no scanlines at all.
+_ADAM7 = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+
+def _decode_adam7(raw: bytes, width: int, height: int, ch: int) -> bytes:
+    out = bytearray(width * height * ch)
+    pos = 0
+    for x0, xs, y0, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * ch
+        prev = bytes(stride)
+        for j in range(ph):
+            if pos + 1 + stride > len(raw):
+                raise ValueError("IDAT too short for the Adam7 passes")
+            ftype = raw[pos]
+            row = bytearray(raw[pos + 1:pos + 1 + stride])
+            pos += 1 + stride
+            _unfilter_row(ftype, row, prev, ch)
+            prev = bytes(row)
+            y = y0 + j * ys
+            base = y * width * ch
+            for i in range(pw):
+                off = base + (x0 + i * xs) * ch
+                out[off:off + ch] = row[i * ch:(i + 1) * ch]
+    if pos != len(raw):
+        raise ValueError("IDAT length does not match the Adam7 passes")
+    return bytes(out)
+
+
+def _encode_adam7(pixels: bytes, width: int, height: int, ch: int) -> bytes:
+    """Pass-serialized scanlines (filter 0 per row — valid PNG; the
+    encoder's job here is a correct round-trip/witness partner, not
+    ratio)."""
+    raw = bytearray()
+    for x0, xs, y0, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            y = y0 + j * ys
+            raw.append(0)
+            base = y * width * ch
+            for i in range(pw):
+                off = base + (x0 + i * xs) * ch
+                raw += pixels[off:off + ch]
+    return bytes(raw)
