@@ -241,6 +241,7 @@ _TIFF_ERR: str | None = None
 _TIFFTAG = {
     "width": 256, "length": 257, "bits": 258, "compression": 259,
     "photometric": 262, "spp": 277, "rowsperstrip": 278, "planar": 284,
+    "predictor": 317,
 }
 
 
@@ -331,10 +332,11 @@ def tiff_decode_native(content: bytes) -> tuple[int, int, int, bytes]:
 
 
 def tiff_encode_native(pixels: bytes, width: int, height: int,
-                       channels: int = 3, lzw: bool = True) -> bytes:
-    """Encode with libtiff (one strip, chunky, 8-bit, LZW or none) —
-    the reverse compliance direction: canonical streams our decoder
-    must read."""
+                       channels: int = 3, compression: str = "lzw",
+                       predictor: int = 1) -> bytes:
+    """Encode with libtiff (one strip, chunky, 8-bit; none/lzw/packbits,
+    optional horizontal-differencing predictor) — the reverse compliance
+    direction: canonical streams our decoder must read."""
     import os
     import tempfile
 
@@ -360,7 +362,10 @@ def tiff_encode_native(pixels: bytes, width: int, height: int,
             setf("length", height, short=False)
             setf("bits", 8)
             setf("spp", channels)
-            setf("compression", 5 if lzw else 1)
+            setf("compression",
+                 {"none": 1, "lzw": 5, "packbits": 32773}[compression])
+            if predictor != 1:
+                setf("predictor", predictor)
             setf("photometric", 2 if channels >= 3 else 1)
             setf("planar", 1)
             setf("rowsperstrip", height, short=False)

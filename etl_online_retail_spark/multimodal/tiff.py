@@ -5,7 +5,10 @@ multimodal surface did not yet decode. This implements the baseline
 RGB/grayscale profile from the PUBLIC TIFF 6.0 specification (Adobe,
 1992): header + first IFD walk under either byte order ("II" little /
 "MM" big endian), 8-bit samples, chunky planar configuration, single or
-multi strip, and Compression values 1 (none) and 5 (TIFF-LZW).
+multi strip, Compression values 1 (none), 5 (TIFF-LZW) and 32773
+(PackBits RLE — the fax/scan pipeline staple), and Predictor 2
+(horizontal differencing, §14 — the companion that makes LZW bite on
+photographic data; real LZW TIFFs ship with it).
 
 The LZW variant is TIFF's own (spec §13), NOT the GIF one the repo
 already ships (multimodal/gif.py): codes pack MSB-first (GIF packs
@@ -173,42 +176,128 @@ def lzw_decode(data: bytes) -> bytes:
 # container
 
 
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): runs of 2-128 equal bytes as
+    (257-n, byte); literal spans of 1-128 as (n-1, bytes)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure the run starting here
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal span: until the next >=3 run (2-runs inside a literal
+        # are cheaper kept literal) or 128 bytes
+        start = i
+        i += 1
+        while i < n and i - start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3 or (run == 2 and i + 2 >= n):
+                break
+            i += 1
+        out.append(i - start - 1)
+        out += data[start:i]
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        h = data[i]
+        i += 1
+        if h < 128:                      # literal of h+1 bytes
+            if i + h + 1 > len(data):
+                raise ValueError("truncated PackBits literal")
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:                    # run of 257-h copies
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op, per spec
+    return bytes(out)
+
+
+def _predict2_encode(pixels: bytes, width: int, height: int,
+                     channels: int) -> bytes:
+    """Horizontal differencing (TIFF 6.0 §14, Predictor=2): each sample
+    minus its left neighbor in the same channel — what makes LZW bite
+    on photographic data, and how real LZW TIFFs ship."""
+    out = bytearray(pixels)
+    stride = width * channels
+    for y in range(height):
+        base = y * stride
+        for i in range(stride - 1, channels - 1, -1):
+            out[base + i] = (pixels[base + i]
+                             - pixels[base + i - channels]) & 0xFF
+    return bytes(out)
+
+
+def _predict2_decode(diff: bytes, width: int, height: int,
+                     channels: int) -> bytes:
+    out = bytearray(diff)
+    stride = width * channels
+    for y in range(height):
+        base = y * stride
+        for i in range(channels, stride):
+            out[base + i] = (out[base + i]
+                             + out[base + i - channels]) & 0xFF
+    return bytes(out)
+
+
 def encode_tiff(pixels: bytes, width: int, height: int, channels: int = 3,
-                compression: str = "lzw") -> bytes:
-    """One-strip chunky little-endian ("II") baseline TIFF."""
+                compression: str = "lzw", predictor: int = 1) -> bytes:
+    """One-strip chunky little-endian ("II") baseline TIFF.
+
+    compression: "none" (1), "lzw" (5) or "packbits" (32773);
+    predictor 2 (horizontal differencing) composes with lzw — the
+    combination real LZW TIFFs ship."""
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
-    comp = {"none": 1, "lzw": 5}[compression]
-    strip = pixels if comp == 1 else lzw_encode(pixels)
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    comp = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    payload = (_predict2_encode(pixels, width, height, channels)
+               if predictor == 2 else pixels)
+    if comp == 1:
+        strip = payload
+    elif comp == 5:
+        strip = lzw_encode(payload)
+    else:
+        strip = packbits_encode(payload)
     photometric = 2 if channels >= 3 else 1
 
     # layout: header(8) | IFD | BitsPerSample values | strip
-    tags = []  # (tag, type, count, value_or_offset)
-    n_tags = 9
-    ifd_size = 2 + n_tags * 12 + 4
-    bits_off = 8 + ifd_size
-    bits_extra = 2 * channels if channels > 2 else 0
-    strip_off = bits_off + bits_extra
-
-    def short_val(v: int) -> int:
-        return v  # SHORT value left-justified? TIFF 'II' stores value
-        # in the low bytes of the 4-byte field — plain int works
-
-    if channels > 2:
-        bps: tuple[int, int] = (3, bits_off)  # SHORT x channels, offset
-    else:
-        bps = (3, 8)
-    tags = [
+    base_tags = [
         (256, 3, 1, width),            # ImageWidth
         (257, 3, 1, height),           # ImageLength
-        (258, 3, channels, bps[1] if channels > 2 else 8),  # BitsPerSample
         (259, 3, 1, comp),             # Compression
         (262, 3, 1, photometric),      # PhotometricInterpretation
-        (273, 4, 1, strip_off),        # StripOffsets
         (277, 3, 1, channels),         # SamplesPerPixel
         (278, 3, 1, height),           # RowsPerStrip (single strip)
         (279, 4, 1, len(strip)),       # StripByteCounts
     ]
+    if predictor == 2:
+        base_tags.append((317, 3, 1, 2))   # Predictor
+    n_tags = len(base_tags) + 2            # + BitsPerSample, StripOffsets
+    ifd_size = 2 + n_tags * 12 + 4
+    bits_off = 8 + ifd_size
+    bits_extra = 2 * channels if channels > 2 else 0
+    strip_off = bits_off + bits_extra
+    tags = sorted(base_tags + [
+        (258, 3, channels, bits_off if channels > 2 else 8),
+        (273, 4, 1, strip_off),        # StripOffsets
+    ])
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, 8)
     out += struct.pack("<H", n_tags)
@@ -286,17 +375,27 @@ def decode_tiff(data: bytes) -> TiffImage:
         raise NotImplementedError("only chunky planar TIFF supported")
     offsets = values(273)
     counts = values(279)
-    raw = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
     if comp == 1:
-        pixels = raw
+        pixels = b"".join(data[o:o + c] for o, c in zip(offsets, counts))
     elif comp == 5:
         # per spec LZW applies per strip; decode each strip separately
         pixels = b"".join(
             lzw_decode(data[o:o + c]) for o, c in zip(offsets, counts))
+    elif comp == 32773:
+        pixels = b"".join(
+            packbits_decode(data[o:o + c]) for o, c in zip(offsets, counts))
     else:
         raise NotImplementedError(f"TIFF compression {comp} not supported")
     want = width * height * channels
     if len(pixels) < want:
         raise ValueError("TIFF strip data shorter than image")
+    pixels = pixels[:want]
+    pred = values(317, [1])[0]
+    if pred == 2:
+        # horizontal differencing is row-local, so undoing it over the
+        # assembled image is strip-layout-independent
+        pixels = _predict2_decode(pixels, width, height, channels)
+    elif pred != 1:
+        raise NotImplementedError(f"TIFF predictor {pred} not supported")
     return TiffImage(width=width, height=height, bit_depth=8,
-                     channels=channels, pixels=pixels[:want])
+                     channels=channels, pixels=pixels)

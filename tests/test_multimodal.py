@@ -1134,14 +1134,25 @@ def test_tiff_codec_round_trip_and_spec_edges():
     rep = (b"abcabcabz" * 1200)[:9000]  # deep strings, width growth
     assert tiff.lzw_decode(tiff.lzw_encode(rep)) == rep
 
+    # PackBits RLE round-trips incl. pathological run/literal shapes
+    for data in (b"", b"a", b"ab", b"a" * 300, b"ab" * 200,
+                 b"aab" * 100, b"\x00" * 128 + b"xy" + b"\xff" * 129,
+                 bytes(rnd.randrange(256) for _ in range(5000))):
+        assert tiff.packbits_decode(tiff.packbits_encode(data)) == data
+
     for w, h in ((1, 1), (3, 2), (16, 8), (7, 5)):
         pix = bytes((i * 17 + 3) % 256 for i in range(w * h * 3))
-        for comp in ("none", "lzw"):
+        for comp in ("none", "lzw", "packbits"):
             img = tiff.decode_tiff(tiff.encode_tiff(pix, w, h,
                                                     compression=comp))
             assert (img.width, img.height, img.channels,
                     img.bit_depth) == (w, h, 3, 8)
             assert img.pixels == pix, (w, h, comp)
+        # predictor 2 (horizontal differencing) composes with LZW
+        img = tiff.decode_tiff(tiff.encode_tiff(pix, w, h,
+                                                compression="lzw",
+                                                predictor=2))
+        assert img.pixels == pix, (w, h, "lzw+pred2")
 
     # hand-built big-endian (MM) 2x1 RGB uncompressed fixture
     px = bytes([10, 20, 30, 40, 50, 60])
@@ -1227,18 +1238,20 @@ def test_tiff_lzw_complies_with_libtiff():
     if not native.libtiff_available():
         pytest.skip("libtiff not present in this environment")
     rnd = random.Random(3)
+    variants = [dict(compression="lzw"), dict(compression="none"),
+                dict(compression="packbits"),
+                dict(compression="lzw", predictor=2)]
     for w, h in ((7, 5), (128, 53)):
         pix = bytes(rnd.randrange(256) for _ in range(w * h * 3))
-        for comp in ("lzw", "none"):
+        for kw in variants:
             dw, dh, spp, out = native.tiff_decode_native(
-                tiff.encode_tiff(pix, w, h, compression=comp))
+                tiff.encode_tiff(pix, w, h, **kw))
             assert (dw, dh, spp) == (w, h, 3)
-            assert out == pix, ("ours->libtiff", w, h, comp)
-        for lzw in (True, False):
+            assert out == pix, ("ours->libtiff", w, h, kw)
             img = tiff.decode_tiff(
-                native.tiff_encode_native(pix, w, h, lzw=lzw))
+                native.tiff_encode_native(pix, w, h, **kw))
             assert (img.width, img.height, img.channels) == (w, h, 3)
-            assert img.pixels == pix, ("libtiff->ours", w, h, lzw)
+            assert img.pixels == pix, ("libtiff->ours", w, h, kw)
 
 
 def test_gif_lzw_complies_with_giflib():
