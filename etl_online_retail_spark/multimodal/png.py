@@ -28,8 +28,9 @@ from dataclasses import dataclass
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> samples per pixel IN THE SCANLINES (palette images
+# carry one index per pixel on the wire; decode expands to RGB)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 @dataclass(frozen=True)
@@ -106,7 +107,8 @@ def _unfilter_row(ftype: int, row: bytearray, prev: bytes, bpp: int) -> None:
 
 
 def encode_png(pixels: bytes, width: int, height: int, color_type: int = 2,
-               filter_type: int = 0, interlace: bool = False) -> bytes:
+               filter_type: int = 0, interlace: bool = False,
+               palette: bytes | None = None) -> bytes:
     """Encode raw 8-bit samples as a valid PNG.
 
     `pixels` is row-major interleaved samples, len == width * height *
@@ -115,6 +117,10 @@ def encode_png(pixels: bytes, width: int, height: int, color_type: int = 2,
     is spec-valid and exercises the matching decoder branch.
     interlace=True serializes the seven Adam7 passes (r11 — decode_png
     reverses them; previously rejected loudly).
+
+    color_type=3 (r11): `pixels` is width*height PALETTE INDICES and
+    `palette` the 3*n RGB table written as the PLTE chunk — the indexed
+    form small web graphics actually ship.
     """
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported color type {color_type}")
@@ -123,6 +129,13 @@ def encode_png(pixels: bytes, width: int, height: int, color_type: int = 2,
     if len(pixels) != expected:
         raise ValueError(f"pixel buffer is {len(pixels)} bytes, "
                          f"expected {expected}")
+    if color_type == 3:
+        if palette is None or len(palette) % 3 or not palette:
+            raise ValueError("color_type=3 needs a 3*n-byte palette")
+        if max(pixels) >= len(palette) // 3:
+            raise ValueError("palette index out of range")
+    elif palette is not None:
+        raise ValueError("palette is only meaningful for color_type=3")
     if interlace:
         raw = bytearray(_encode_adam7(pixels, width, height, ch))
     else:
@@ -136,8 +149,10 @@ def encode_png(pixels: bytes, width: int, height: int, color_type: int = 2,
             prev = row
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
                        1 if interlace else 0)
+    plte = _chunk(b"PLTE", palette) if color_type == 3 else b""
     return (PNG_SIGNATURE
             + _chunk(b"IHDR", ihdr)
+            + plte
             + _chunk(b"IDAT", zlib.compress(bytes(raw)))
             + _chunk(b"IEND", b""))
 
@@ -150,6 +165,7 @@ def decode_png(data: bytes) -> PngImage:
     width = height = None
     color_type = bit_depth = None
     idat = bytearray()
+    plte = b""
     while pos < len(data):
         if pos + 8 > len(data):
             raise ValueError("truncated PNG chunk header")
@@ -174,6 +190,8 @@ def decode_png(data: bytes) -> PngImage:
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
             adam7 = interlace == 1
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -184,22 +202,36 @@ def decode_png(data: bytes) -> PngImage:
     stride = width * ch
     raw = zlib.decompress(bytes(idat))
     if adam7:
+        pix = _decode_adam7(raw, width, height, ch)
+    else:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(f"IDAT decodes to {len(raw)} bytes, "
+                             f"expected {(stride + 1) * height}")
+        out = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            ftype = raw[y * (stride + 1)]
+            row = bytearray(
+                raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+            _unfilter_row(ftype, row, prev, ch)
+            out += row
+            prev = bytes(row)
+        pix = bytes(out)
+    if color_type == 3:
+        # indexed color (r11): expand through the PLTE table to RGB —
+        # the same palette-mapped feature view the GIF decoder gives
+        # (tRNS transparency is ignored, like GIF's; documented)
+        if not plte or len(plte) % 3:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        lut = [plte[3 * i:3 * i + 3] for i in range(len(plte) // 3)]
+        try:
+            pix = b"".join(lut[i] for i in pix)
+        except IndexError:
+            raise ValueError("PNG palette index out of range") from None
         return PngImage(width=width, height=height, bit_depth=8,
-                        color_type=color_type, channels=ch,
-                        pixels=_decode_adam7(raw, width, height, ch))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(f"IDAT decodes to {len(raw)} bytes, "
-                         f"expected {(stride + 1) * height}")
-    out = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        _unfilter_row(ftype, row, prev, ch)
-        out += row
-        prev = bytes(row)
+                        color_type=3, channels=3, pixels=pix)
     return PngImage(width=width, height=height, bit_depth=8,
-                    color_type=color_type, channels=ch, pixels=bytes(out))
+                    color_type=color_type, channels=ch, pixels=pix)
 
 
 # Adam7 (PNG spec §8.2): seven sub-images, each independently filtered —
