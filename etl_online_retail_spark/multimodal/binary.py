@@ -132,8 +132,9 @@ def decode_image(content: bytes) -> dict:
     elif content[:6] in _gif.GIF_MAGICS:
         img = _gif.decode_gif(content).frames[0]  # still view: first frame
     elif content[:4] in (b"II*\x00", b"MM\x00*"):
-        # TIFF 6.0 (r11, multimodal/tiff.py): either byte order,
-        # uncompressed or TIFF-LZW strips
+        # TIFF 6.0 (r11, multimodal/tiff.py): either byte order;
+        # uncompressed, TIFF-LZW or PackBits strips, optional
+        # horizontal-differencing predictor
         img = _tiff.decode_tiff(content)
     elif content[:2] == b"BM":
         img = _bmp.decode_bmp(content)
@@ -150,7 +151,7 @@ def decode_image(content: bytes) -> dict:
     else:
         raise NotImplementedError(
             "only PNG, JPEG (baseline + progressive), GIF, TIFF "
-            "(none/LZW), BMP (24-bit BI_RGB), lossless "
+            "(none/LZW/PackBits), BMP (24-bit BI_RGB), lossless "
             "WebP (plus lossy WebP via libwebp and AVIF/HEIC via "
             "libheif when those libraries are present) decode in "
             "this environment; other formats require "

@@ -353,7 +353,11 @@ def tiff_encode_native(pixels: bytes, width: int, height: int,
             t = ctypes.c_void_p(tif)
 
             def setf(tag: str, val: int, short: bool = True) -> None:
-                ctyp = ctypes.c_uint16 if short else ctypes.c_uint32
+                # variadic C ABI: SHORT tag values must arrive DEFAULT-
+                # PROMOTED to int (libtiff va_args them as int); passing
+                # a raw c_uint16 through a variadic call is undefined
+                # and corrupts registers on some ABIs (r11 review find)
+                ctyp = ctypes.c_int if short else ctypes.c_uint32
                 if not lib.TIFFSetField(t, ctypes.c_uint32(_TIFFTAG[tag]),
                                         ctyp(val)):
                     raise ValueError(f"TIFFSetField {tag} failed")

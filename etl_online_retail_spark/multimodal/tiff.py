@@ -294,8 +294,18 @@ def encode_tiff(pixels: bytes, width: int, height: int, channels: int = 3,
     bits_off = 8 + ifd_size
     bits_extra = 2 * channels if channels > 2 else 0
     strip_off = bits_off + bits_extra
+    # BitsPerSample inline rules: one SHORT fits the value field as-is;
+    # TWO SHORTs pack side by side ("<HH", 8, 8 == the LONG 0x00080008
+    # little-endian — the count==1 fallback wrote [8, 0] for gray+alpha,
+    # an invalid file; r11 review find); more than two go via offset.
+    if channels == 1:
+        bps_val = 8
+    elif channels == 2:
+        bps_val = 0x0008_0008
+    else:
+        bps_val = bits_off
     tags = sorted(base_tags + [
-        (258, 3, channels, bits_off if channels > 2 else 8),
+        (258, 3, channels, bps_val),
         (273, 4, 1, strip_off),        # StripOffsets
     ])
     out = bytearray()
@@ -397,5 +407,16 @@ def decode_tiff(data: bytes) -> TiffImage:
         pixels = _predict2_decode(pixels, width, height, channels)
     elif pred != 1:
         raise NotImplementedError(f"TIFF predictor {pred} not supported")
+    photo = values(262, [1])[0]
+    if photo == 0:
+        # WhiteIsZero (the fax/scan default for bilevel-descended
+        # grayscale): 0 means WHITE, so intensity is the complement —
+        # decoding it as-is would serve silently inverted features
+        # (r11 review find). Inverting IS the correct decode.
+        pixels = bytes(255 - b for b in pixels)
+    elif photo not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} not supported (palette/CMYK/"
+            f"YCbCr need their own decode paths)")
     return TiffImage(width=width, height=height, bit_depth=8,
                      channels=channels, pixels=pixels)

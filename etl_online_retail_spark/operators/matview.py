@@ -684,7 +684,8 @@ def apply_star_cdc_join(spark: SparkSession, sf_dir: str, batch_id: int,
                         o_ins: DataFrame | None = None,
                         o_del: DataFrame | None = None,
                         storage_dir: str | None = None,
-                        max_partials: int | None = 8) -> None:
+                        max_partials: int | None = 8,
+                        broadcast_delta: bool = True) -> None:
     """Maintain star_month_rollup through the RETRACTABLE JOIN algebra
     (operators/ivm.cdc_join_delta) — the production consumer for join
     IVM, and the only maintenance path that expresses ORDERS-side
@@ -729,10 +730,15 @@ def apply_star_cdc_join(spark: SparkSession, sf_dir: str, batch_id: int,
         return df.select(F.col("o_orderkey").alias("l_orderkey"),
                          "o_custkey", "o_orderdate")
 
+    # broadcast_delta passes through to the algebra: True is the daily
+    # batch shape; a BACKFILL-sized delta must opt out or the forced
+    # broadcast of the full delta leg can exceed the broadcast ceiling
+    # (r11 review find — the opt-out was unreachable from here)
     delta = ivm.cdc_join_delta(
         li_proj(li_old), o_proj(o_old), "l_orderkey",
         a_ins=li_proj(li_ins), a_del=li_proj(li_del),
-        b_ins=o_proj(o_ins), b_del=o_proj(o_del), weight_col="_w")
+        b_ins=o_proj(o_ins), b_del=o_proj(o_del), weight_col="_w",
+        broadcast_delta=broadcast_delta)
     c = catalog.load_table(spark, "customer", sf_dir).select(
         "c_custkey", "c_nationkey")
     n = catalog.load_table(spark, "nation", sf_dir).select(

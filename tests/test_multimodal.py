@@ -1434,3 +1434,39 @@ def test_png_palette_decode_and_libpng_witness():
     del data[i:i + 12 + ln]
     with pytest.raises(ValueError, match="PLTE"):
         mypng.decode_png(bytes(data))
+
+
+def test_tiff_photometric_and_two_channel_fixes():
+    """r11 second review pass, both confirmed by execution: (a) a
+    WhiteIsZero (photometric=0) grayscale TIFF — the fax/scan default —
+    must decode with COMPLEMENTED intensities, not silently inverted
+    features; unsupported photometrics refuse loudly. (b) channels=2
+    (gray+alpha) used the count==1 inline SHORT fallback and wrote
+    BitsPerSample [8, 0] — an invalid file; two SHORTs now pack side by
+    side in the value field and the round-trip holds."""
+    import struct as _s
+
+    from etl_online_retail_spark.multimodal import tiff
+
+    # (a) build a gray TIFF, then flip its photometric tag 1 -> 0
+    pix = bytes([0, 64, 191, 255])
+    data = bytearray(tiff.encode_tiff(pix, 2, 2, channels=1,
+                                      compression="none"))
+    f1 = _s.pack("<HHIHH", 262, 3, 1, 1, 0)
+    i = data.find(f1)
+    assert i > 0
+    data[i:i + 12] = _s.pack("<HHIHH", 262, 3, 1, 0, 0)
+    img = tiff.decode_tiff(bytes(data))
+    assert img.pixels == bytes(255 - b for b in pix)
+    # photometric 6 (YCbCr) refuses loudly
+    data[i:i + 12] = _s.pack("<HHIHH", 262, 3, 1, 6, 0)
+    with pytest.raises(NotImplementedError, match="photometric"):
+        tiff.decode_tiff(bytes(data))
+
+    # (b) gray+alpha round-trips with a valid inline BitsPerSample
+    pix2 = bytes((i * 13 + 5) % 256 for i in range(5 * 3 * 2))
+    for comp in ("none", "lzw"):
+        img = tiff.decode_tiff(tiff.encode_tiff(pix2, 5, 3, channels=2,
+                                                compression=comp))
+        assert (img.width, img.height, img.channels) == (5, 3, 2)
+        assert img.pixels == pix2, comp
