@@ -400,8 +400,19 @@ def compact_incremental_agg(spark, table_dir: str,
     serving layer uses; prefer it anywhere a writer may ever restart.
     This -1 shape remains for truly terminated streams and as the
     read_agg_as_of legacy case.
+
+    CRASH-WINDOW HAZARD (r11 verdict; falsified the r10 "as-of never
+    lies" property at schedule crash_keep_all -> legacy): the fold MUST
+    source only `effective_partials`, never the raw directory. A
+    crash-interrupted autocompaction legitimately leaves both a coverage
+    compact AND the originals it covers on disk (that window is exactly
+    what effective_partials exists for); an unfiltered fold sums both —
+    every covered batch counted twice — and the static -1 overwrite then
+    makes the corruption the only partition left, permanently wrong for
+    every later reader, live and as-of.
     """
-    src = spark.read.parquet(table_dir)
+    src = (spark.read.parquet(table_dir)
+           .filter(F.col("_batch_id").isin(_effective_partials(table_dir))))
     merged = (src.groupBy(*key_cols)
               .agg(F.sum("_n").alias("_n"),
                    *[F.sum(c).cast(sum_type).alias(c)

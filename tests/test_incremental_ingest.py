@@ -1061,7 +1061,12 @@ def test_as_of_never_lies_under_any_maintenance_schedule(spark):
     ACTIONS = ["none", "legacy", "auto", "crash_keep_all",
                "crash_keep_legacy"]
 
-    @settings(max_examples=5, deadline=None,
+    # max_examples raised 5 -> 30 (r11 verdict): the crash->legacy
+    # double-count survived three rounds because 5 examples explore
+    # ~nothing of the 5^k schedule space; ~2 s/example keeps 30 in CI
+    # budget. The found schedule is also pinned deterministically below
+    # (test_legacy_fold_after_crashed_autocompact_does_not_double_count).
+    @settings(max_examples=30, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(st.data())
     def check(data):
@@ -1109,6 +1114,92 @@ def test_as_of_never_lies_under_any_maintenance_schedule(spark):
             real_rmtree(t.rsplit("/", 1)[0], ignore_errors=True)
 
     check()
+
+
+def test_legacy_fold_after_crashed_autocompact_does_not_double_count(
+        spark, tmp_path, monkeypatch):
+    """Deterministic pin of the r11 falsifying schedule (hypothesis drew
+    k=3, actions=['crash_keep_all', 'legacy', 'none']): an autocompaction
+    writes its coverage compact but crashes before cleanup, so the
+    compact AND its covered originals both sit on disk — the exact
+    window effective_partials exists for. The legacy -1 fold used to sum
+    the raw directory (compact + covered originals = batch 0 twice,
+    16 rows/168.0 where truth is 12/144.0) and its static overwrite made
+    the corruption the only partition, permanently wrong for every later
+    reader, live and as-of. The fold must source only effective
+    partials. Both crash flavors are pinned: cleanup skipped entirely
+    (crash_keep_all) and cleanup that only left the stale -1 behind
+    (crash_keep_legacy, which needs a prior -1 to keep)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.streaming.ingest import (
+        autocompact_incremental_agg,
+        compact_incremental_agg,
+        partial_agg_batch_write,
+        read_agg_as_of,
+        read_incremental_agg,
+    )
+
+    rows = [(i, f"t{i % 2}", float(i)) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double").cache()
+    df.count()
+
+    def truth(k, n):
+        out = {}
+        for i, ty, v in rows:
+            if i % k <= n:
+                c, s = out.get(ty, (0, 0.0))
+                out[ty] = (c + 1, s + v)
+        return {ty: (c, round(s, 2)) for ty, (c, s) in out.items()}
+
+    real_rmtree = shutil.rmtree
+
+    def run(schedule, table_dir):
+        for b, act in enumerate(schedule):
+            partial_agg_batch_write(
+                df.filter(F.col("event_id") % len(schedule) == b), b,
+                table_dir, ["event_type"], "value")
+            if act == "legacy":
+                compact_incremental_agg(spark, table_dir, ["event_type"])
+            elif act == "crash_keep_all":
+                monkeypatch.setattr(shutil, "rmtree",
+                                    lambda p, **kw: None)
+                autocompact_incremental_agg(spark, table_dir,
+                                            ["event_type"])
+                monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+            elif act == "crash_keep_legacy":
+                monkeypatch.setattr(
+                    shutil, "rmtree",
+                    lambda p, **kw: None
+                    if str(p).endswith("_batch_id=-1")
+                    else real_rmtree(p, **kw))
+                autocompact_incremental_agg(spark, table_dir,
+                                            ["event_type"])
+                monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    schedules = [
+        ["crash_keep_all", "legacy", "none"],     # the found example
+        ["legacy", "crash_keep_legacy", "legacy", "none"],
+    ]
+    for si, schedule in enumerate(schedules):
+        t = str(tmp_path / f"agg{si}")
+        run(schedule, t)
+        k = len(schedule)
+        live = {r.event_type: (r.n_rows, round(r.total, 2)) for r in
+                read_incremental_agg(spark, t, ["event_type"]).collect()}
+        assert live == truth(k, k - 1), f"live reader lied: {schedule}"
+        for n in range(k):
+            try:
+                got = {r.event_type: (r.n_rows, round(r.total, 2))
+                       for r in read_agg_as_of(
+                           spark, t, ["event_type"], n).collect()}
+            except ValueError:
+                continue  # refusing is always allowed
+            assert got == truth(k, n), \
+                f"as-of {n} lied under schedule {schedule}"
 
 
 def test_weighted_partials_preserve_decimal_scale(spark, tmp_path):
