@@ -328,10 +328,11 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
 
     from etl_online_retail_spark import catalog
     from etl_online_retail_spark.catalog import SCHEMAS, table_path
-    from etl_online_retail_spark.session import default_parallelism
+    from etl_online_retail_spark.session import (
+        default_parallelism,
+        run_concurrently,
+    )
     from etl_online_retail_spark.sources.bucketed import write_bucketed
-
-    from etl_online_retail_spark.operators.matview import _run_concurrently
 
     dst = os.path.join(tempfile.gettempdir(),
                        f"bench_staged_{os.path.basename(src_dir.rstrip('/'))}")
@@ -364,7 +365,7 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
              .repartition(int(n_files))
              .write.mode("overwrite").parquet(table_path(dst, name)))
 
-    _run_concurrently(restage, list(SCHEMAS))
+    run_concurrently(restage, list(SCHEMAS))
     # one bucket count for BOTH fact tables (co-location requires it);
     # bucket-pruned scans parallelize one-task-per-bucket, so size to the
     # CPU budget here — a real cluster sizes for 128-256 MB per bucket
@@ -376,7 +377,7 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
         write_bucketed(staged, f"{catalog.BUCKETED_PREFIX}_{name}", key,
                        int(n_buckets))
 
-    _run_concurrently(bucket, list(catalog.BUCKETED_TABLES.items()))
+    run_concurrently(bucket, list(catalog.BUCKETED_TABLES.items()))
     spark.conf.set(catalog.BUCKETED_DIR_CONF, dst)
 
     def warm(name: str) -> None:
@@ -385,7 +386,7 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
         # keeps the bucket partitioning AND the agg-only queries scan RAM
         catalog.load_table(spark, name, dst).cache().count()
 
-    _run_concurrently(warm, list(SCHEMAS))
+    run_concurrently(warm, list(SCHEMAS))
     # summary tables last (they read the cached/bucketed base layout):
     # the dashboard queries rewrite onto the summary grains via the
     # aggregate navigator. materialize WRITES the views as managed

@@ -233,6 +233,15 @@ def fold_signed_rows(signed_rows: DataFrame,
         # returned plan is garbage-collected, instead of pinning a dead
         # relation in executor storage for the session's lifetime the
         # way an un-unpersisted cache() would (r10 advice).
+        # CLUSTER CAVEAT (r11 advice): localCheckpoint blocks are
+        # non-replicated and carry no lineage, so on a multi-executor
+        # deployment an executor loss (or dynamic-allocation
+        # decommission) mid-fold FAILS the maintenance job instead of
+        # recomputing — the caller retries the batch (idempotent: the
+        # fold is deterministic and the downstream partial write is
+        # replay-safe). A deployment where retry is costlier than
+        # storage should swap in reliable checkpointing
+        # (spark.sparkContext.setCheckpointDir + .checkpoint()).
         net = net.localCheckpoint(eager=True)
         bad = net.filter(F.col("_m") < 0)
         n_bad = bad.count()

@@ -84,6 +84,29 @@ def get_spark(app_name: str = "etl-online-retail-spark",
     return spark
 
 
+def run_concurrently(fn, items) -> None:
+    """Run independent per-item Spark actions from a thread pool: each
+    action schedules its own jobs, so a pass costs the slowest item
+    instead of the sum (single jobs underutilize the session's cores on
+    their tail stages). Shared utility (promoted from matview's private
+    helper, r11 advice): matview maintenance/publish and bench staging
+    both use it. Single-item calls stay inline — identical semantics, no
+    pool overhead. Workers capped at 2x CPU count: the actions are
+    job-submission threads (the JVM does the work), but an unbounded
+    pool over a growing registry would thrash the scheduler. First
+    exception propagates after scheduled actions finish (pool shutdown
+    joins)."""
+    items = list(items)
+    if len(items) == 1:
+        fn(items[0])
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(len(items), 2 * (os.cpu_count() or 4))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(fn, items))
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Apply this package's runtime-settable confs to an existing session.
 

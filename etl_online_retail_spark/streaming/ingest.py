@@ -13,6 +13,17 @@ Checkpointed skip + idempotent replay = effectively exactly-once.
 foreachBatch remains the escape hatch for sinks without native streaming
 support (JDBC warehouses, MERGE upserts) - those need their own
 idempotence key, and _batch_id is it.
+
+localCheckpoint durability (r11 advice, applies to every
+`.localCheckpoint(eager=True)` in this module): the blocks are
+non-replicated and lineage-free, so on a multi-executor cluster an
+executor loss mid-write fails THAT maintenance job rather than
+recomputing. That trade is deliberate here — every checkpointed write in
+this module is an idempotent batch (replay rewrites its own partitions),
+so the recovery story is "retry the batch", and the blocks free
+themselves with the plan instead of pinning executor storage the way an
+un-unpersisted cache() would. Deployments where a retry is costlier than
+reliable storage should set a checkpoint dir and use .checkpoint().
 """
 
 from __future__ import annotations

@@ -1338,6 +1338,42 @@ def test_publish_enforces_dashboard_size_admission(spark, tmp_path):
     spark.conf.unset(matview.MATVIEW_DIR_CONF)
 
 
+def test_publish_failure_rolls_back_sibling_views(spark, tmp_path):
+    """r11 advice: fail-closed must include STORAGE under concurrency.
+    When one view's admission check refuses, sibling threads may already
+    have registered and cached their serving relations; serve() would
+    never use them (the layout conf stays unset), but the
+    single-partition caches would stay pinned in executor storage.
+    publish() must unpersist and drop everything the failed pass
+    registered before propagating."""
+    store = str(tmp_path / "mv")
+    names = ["customer_nation_rollup", "ship_day_rollup"]
+    matview.write_full(spark, SF_SMALL, names=names, storage_dir=store)
+    # customer_nation_rollup (~25 nations) fits under 100;
+    # ship_day_rollup (~2k ship days) refuses — the sibling must not
+    # survive the pass.
+    with pytest.raises(ValueError, match="admission"):
+        matview.publish(spark, SF_SMALL, names=names, storage_dir=store,
+                        max_serve_rows=100)
+    for n in names:
+        assert not spark.catalog.tableExists(f"{matview.MATVIEW_PREFIX}_{n}")
+    # the sibling's serving relation is no longer cache-backed anywhere
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    surviving = matview._serving_relation(
+        spark, matview.view_table_dir(SF_SMALL, "customer_nation_rollup",
+                                      store),
+        "customer_nation_rollup")
+    assert not cm.lookupCachedData(surviving._jdf).isDefined()
+    # a clean pass afterwards still publishes both
+    matview.publish(spark, SF_SMALL, names=names, storage_dir=store)
+    for n in names:
+        view = f"{matview.MATVIEW_PREFIX}_{n}"
+        assert spark.catalog.tableExists(view)
+        spark.table(view).unpersist()
+        spark.catalog.dropTempView(view)
+    spark.conf.unset(matview.MATVIEW_DIR_CONF)
+
+
 def test_star_cdc_join_maintains_under_two_sided_change(spark, tmp_path):
     """r11 (VERDICT item 3): the join-IVM star maintenance path. A
     four-batch schedule exercises exactly what the per-batch path
