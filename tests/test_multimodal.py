@@ -1140,6 +1140,47 @@ def test_tiff_codec_round_trip_and_spec_edges():
                  bytes(rnd.randrange(256) for _ in range(5000))):
         assert tiff.packbits_decode(tiff.packbits_encode(data)) == data
 
+    # the r12 run-walk encoder must be TOKEN-identical to the spec's
+    # per-byte policy (runs >= 2 at a token start; 2-runs inside a
+    # literal stay literal except a trailing 2-run; 128 caps split runs)
+    def packbits_per_byte(data: bytes) -> bytes:
+        out, i, n = bytearray(), 0, len(data)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 2:
+                out.append(257 - run)
+                out.append(data[i])
+                i += run
+                continue
+            start = i
+            i += 1
+            while i < n and i - start < 128:
+                run = 1
+                while (i + run < n and run < 3
+                       and data[i + run] == data[i]):
+                    run += 1
+                if run >= 3 or (run == 2 and i + 2 >= n):
+                    break
+                i += 1
+            out.append(i - start - 1)
+            out += data[start:i]
+        return bytes(out)
+
+    for trial in range(400):
+        size = rnd.randrange(0, 300)
+        if trial % 3 == 0:
+            data = bytes(rnd.randrange(256) for _ in range(size))
+        elif trial % 3 == 1:
+            data = b"".join(bytes([rnd.randrange(3)])
+                            * rnd.randrange(1, 200)
+                            for _ in range(max(1, size // 40)))
+        else:
+            data = bytes(rnd.randrange(2) for _ in range(size))
+        assert tiff.packbits_encode(data) == packbits_per_byte(data), \
+            data[:48].hex()
+
     for w, h in ((1, 1), (3, 2), (16, 8), (7, 5)):
         pix = bytes((i * 17 + 3) % 256 for i in range(w * h * 3))
         for comp in ("none", "lzw", "packbits"):
