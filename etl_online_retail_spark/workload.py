@@ -744,8 +744,11 @@ def q_revenue_share_by_nation(spark, sf_dir):
     # base plan: it exists to exercise the salted-join operator.)
     nav = matview.navigate(spark, sf_dir, ["nation"], ["revenue"])
     if nav is not None:
-        per_nation = (nav.groupBy("nation")
-                         .agg(F.sum("revenue").alias("_rev")))
+        # navigate() already re-aggregated to the requested [nation]
+        # grain — one row per nation by construction (r12 audit: the
+        # second groupBy this branch used to run was a redundant 25-row
+        # shuffle)
+        per_nation = nav.select("nation", F.col("revenue").alias("_rev"))
         total = F.sum("_rev").over(Window.partitionBy())
         return per_nation.select(
             "nation", F.col("_rev").cast("double").alias("revenue"),
