@@ -1,0 +1,98 @@
+"""HTML -> text extraction (stdlib html.parser) — the step between a
+crawl's raw responses (sources/warc.py) and every text-curation
+operator (quality, lang-id, dedup): markup is stripped, script/style
+subtrees are dropped whole, and character/entity references decode to
+their characters.
+
+Per-document Python is unavoidable here (HTML is a stateful grammar,
+not a columnar expression), so the column-level wrapper follows the
+multimodal codec contract: Arrow-batched mapInPandas, map-only, no
+shuffle — the per-core ceiling is stated in PERFORMANCE.md and the
+swap-in for a C extractor keeps the same signature.
+
+Whitespace policy is the caller's: collapse=True (the curation default)
+normalizes every inter-text gap to single spaces — tag boundaries count
+as gaps, so `<p>a</p><p>b</p>` is "a b" — while collapse=False
+concatenates text nodes verbatim (what the round-trip oracle uses:
+escape(text) embedded in a single element extracts back bit-equal).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# subtrees whose character data is code/markup, never document text
+_DROP = {"script", "style", "template", "noscript"}
+# void elements never close, so they must not push drop/nesting state
+_VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input",
+         "link", "meta", "param", "source", "track", "wbr"}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        # convert_charrefs=True (the default) decodes &amp; / &#x27; /
+        # &quot; into characters inside handle_data — entity decoding
+        # comes from the stdlib table, not a hand-rolled subset
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._drop_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP and tag not in _VOID:
+            self._drop_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _DROP and self._drop_depth > 0:
+            self._drop_depth -= 1
+
+    def handle_data(self, data):
+        if self._drop_depth == 0 and data:
+            self.parts.append(data)
+
+
+def html_to_text(html: str, collapse: bool = True) -> str:
+    """Visible text of an HTML document (script/style dropped,
+    entities decoded). collapse=True joins on single spaces."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    if collapse:
+        # text-NODE boundaries count as gaps (join with a space before
+        # splitting): <p>a</p><p>b</p> is "a b", never "ab"
+        return " ".join(" ".join(p.parts).split())
+    return "".join(p.parts)
+
+
+HTML_TEXT_SCHEMA_SUFFIX = [T.StructField("text", T.StringType())]
+
+
+def extract_html_text(df: DataFrame, html_col: str, id_col: str,
+                      collapse: bool = True) -> DataFrame:
+    """(id_col, text): extracted visible text per row, Arrow-batched.
+
+    html_col may be STRING (markup) or BINARY (a crawl response body —
+    decoded as UTF-8 with replacement, the crawl-curation convention:
+    a mojibake document should flow to the quality filter and get
+    scored down, not kill the job)."""
+    import pandas as pd
+
+    is_binary = dict(df.dtypes)[html_col] == "binary"
+    out_schema = T.StructType(
+        [df.schema[id_col]] + HTML_TEXT_SCHEMA_SUFFIX)
+
+    def run(batches):
+        for pdf in batches:
+            htmls = pdf[html_col]
+            if is_binary:
+                htmls = htmls.map(
+                    lambda b: bytes(b).decode("utf-8", "replace"))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "text": htmls.map(
+                    lambda h: html_to_text(h, collapse=collapse)),
+            })
+
+    return df.select(id_col, html_col).mapInPandas(run, out_schema)

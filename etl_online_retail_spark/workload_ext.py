@@ -2689,3 +2689,105 @@ def q_orders_footer_stats(spark, sf_dir):
 
     return parquet_layout_stats(
         spark, f"{sf_dir}/orders.parquet", list(_FOOTER_COLS))
+
+
+# ---------------------------------------------------------------------------
+# WARC crawl ingest (r12, sources/warc.py): the raw-input end of the
+# training-data pipeline. Archives are built closed-form from documents
+# rows (two records each — warcinfo + HTTP response; odd ids as
+# per-record gzip members, even ids plain), so the oracle verifies the
+# full build -> member-split -> record-walk -> HTTP-parse path without
+# touching a byte of WARC, exactly the multimodal codec discipline.
+
+
+@register(
+    "warc_record_stats",
+    "SELECT doc_id AS archive_id, CAST(2 AS INTEGER) AS n_records, "
+    "CAST(200 AS INTEGER) AS http_status, "
+    "'text/plain; charset=utf-8' AS content_type, "
+    "CAST(length(text) AS BIGINT) AS body_chars "
+    "FROM documents",
+    "M7-warc-ingest",
+)
+def q_warc_record_stats(spark, sf_dir):
+    from etl_online_retail_spark.sources.warc import (
+        synthetic_crawl_archives,
+        warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(synthetic_crawl_archives(docs, html=False))
+    is_resp = F.col("warc_type") == "response"
+    return (recs.groupBy("archive_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_records"),
+                 F.max(F.when(is_resp, F.col("http_status")))
+                  .alias("http_status"),
+                 F.max(F.when(is_resp, F.col("content_type")))
+                  .alias("content_type"),
+                 F.max(F.when(is_resp,
+                              F.length(F.decode(F.col("body"), "UTF-8"))))
+                  .cast("bigint").alias("body_chars")))
+
+
+# HTML -> text extraction round trip (functions/html_text.py): the
+# response bodies are full HTML pages (escaped text inside the one <p>;
+# script/style subtrees that must be DROPPED; entities that must decode)
+# and the query returns the EXTRACTED TEXT ITSELF — the driver's value
+# hash against the raw documents table is then a bit-exact proof that
+# gzip-member split + record walk + HTTP parse + tag strip + entity
+# decode compose losslessly.
+
+
+@register(
+    "warc_html_extract",
+    "SELECT doc_id, text FROM documents",
+    "M7-warc-html-extract",
+)
+def q_warc_html_extract(spark, sf_dir):
+    from etl_online_retail_spark.functions.html_text import (
+        extract_html_text,
+    )
+    from etl_online_retail_spark.sources.warc import (
+        synthetic_crawl_archives,
+        warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(synthetic_crawl_archives(docs, html=True))
+    responses = (recs.filter(F.col("warc_type") == "response")
+                 .select(F.col("archive_id").alias("doc_id"), "body"))
+    return extract_html_text(responses, "body", "doc_id", collapse=False)
+
+
+# the crawl chain composed with curation: quality-score the text
+# EXTRACTED from the HTML crawl (not the table column) — the oracle runs
+# the quality battery on documents directly, so a pass proves the
+# crawl leg is transparent to the downstream scorer.
+
+
+@register(
+    "warc_corpus_quality",
+    f"SELECT doc_id, {token_count_sql('text')} AS n_tokens, "
+    f"ROUND({_QUALITY_SQL}, 6) AS quality "
+    "FROM documents",
+    "M7-warc-curation-chain",
+)
+def q_warc_corpus_quality(spark, sf_dir):
+    from etl_online_retail_spark.functions.html_text import (
+        extract_html_text,
+    )
+    from etl_online_retail_spark.operators.curation import quality_expr
+    from etl_online_retail_spark.sources.warc import (
+        synthetic_crawl_archives,
+        warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(synthetic_crawl_archives(docs, html=True))
+    responses = (recs.filter(F.col("warc_type") == "response")
+                 .select(F.col("archive_id").alias("doc_id"), "body"))
+    extracted = extract_html_text(responses, "body", "doc_id",
+                                  collapse=False)
+    return extracted.select(
+        "doc_id", token_count("text").alias("n_tokens"),
+        F.round(quality_expr("text"), 6).alias("quality"))

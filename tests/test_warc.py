@@ -1,0 +1,127 @@
+"""WARC crawl-ingest source (sources/warc.py) + HTML text extraction
+(functions/html_text.py): record grammar, gzip-member splitting, HTTP
+payload parsing, extractor semantics, Spark plumbing. The composed
+crawl -> text -> quality chain is oracle-verified end-to-end by the
+registry queries (warc_record_stats / warc_html_extract /
+warc_corpus_quality); these tests pin the pure layers and the error
+contracts the oracle never exercises."""
+
+from __future__ import annotations
+
+import gzip
+import html as H
+
+import pytest
+
+from etl_online_retail_spark.functions.html_text import html_to_text
+from etl_online_retail_spark.sources import warc
+
+
+def _two_records(body: bytes) -> list[tuple[str, dict, bytes]]:
+    payload = warc.http_response(
+        200, "OK", {"Content-Type": "text/html; charset=utf-8"}, body)
+    return [
+        ("warcinfo", {"Content-Type": "application/warc-fields"},
+         b"software: test\r\n"),
+        ("response", {"WARC-Target-URI": "http://s/doc/1",
+                      "Content-Type": "application/http;msgtype=response"},
+         payload),
+    ]
+
+
+def test_warc_round_trip_plain_and_gzip_members():
+    body = b"<p>hello</p>"
+    recs = _two_records(body)
+    for gz in (False, True):
+        blob = warc.build_warc(recs, per_record_gzip=gz)
+        parsed = warc.parse_warc(blob)
+        assert [r.warc_type for r in parsed] == ["warcinfo", "response"]
+        status, headers, got = warc.parse_http_response(parsed[1].payload)
+        assert (status, got) == (200, body)
+        assert headers["Content-Type"] == "text/html; charset=utf-8"
+        # ISO 28500: field names are case-insensitive
+        assert parsed[1].header("warc-target-uri") == "http://s/doc/1"
+        assert parsed[1].header("WARC-TARGET-URI") == "http://s/doc/1"
+        assert parsed[0].header("absent") is None
+
+    # each record is its OWN gzip member: a reader landing on the second
+    # member's boundary decodes it with no knowledge of the first — the
+    # splittability contract a distributed .warc.gz scan relies on
+    blob = warc.build_warc(recs, per_record_gzip=True)
+    first_len = len(gzip.compress(
+        warc.format_warc_record(*recs[0]), mtime=0))
+    tail = warc.parse_warc(blob[first_len:])
+    assert [r.warc_type for r in tail] == ["response"]
+
+
+def test_warc_error_contracts():
+    with pytest.raises(ValueError, match="not a WARC record"):
+        warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")
+    ok = warc.build_warc(_two_records(b"x"))
+    with pytest.raises(ValueError):
+        warc.parse_warc(ok[:-2])  # missing final two-CRLF separator
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc.parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="serializer-owned"):
+        warc.format_warc_record("response", {"content-length": "4"}, b"x")
+    with pytest.raises(ValueError, match="not an HTTP response"):
+        warc.parse_http_response(b"GET / HTTP/1.1\r\n\r\n")
+
+
+def test_html_to_text_semantics():
+    # script/style/template/noscript subtrees drop WHOLE; entities
+    # decode; void elements (<br>, <meta>) must not corrupt drop state
+    page = ('<html><head><title>T</title><style>p{color:red}</style>'
+            '</head><body><p>a &amp; b</p><br><script>var x = "<p>";'
+            '</script><div>c&#33;</div><noscript>no</noscript>'
+            '</body></html>')
+    assert html_to_text(page) == "T a & b c!"
+    # HTML5 CDATA semantics (what browsers do, and what the stdlib
+    # parser implements): script content ends at the FIRST </script> —
+    # the inner <script> is raw text, "c" is visible body text, and the
+    # stray trailing </script> must not corrupt drop state
+    nested = "<script>a<script>b</script>c</script><p>keep</p>"
+    assert html_to_text(nested) == "c keep"
+    # a DIV-class drop tag (non-CDATA) does nest
+    assert html_to_text(
+        "<noscript>a<noscript>b</noscript>c</noscript><p>keep</p>"
+    ) == "keep"
+    # collapse=False keeps text nodes verbatim (the round-trip contract)
+    text = 'x < y & "z"\n\ttabbed'
+    page = warc.CRAWL_HTML_PREFIX + H.escape(text) + warc.CRAWL_HTML_SUFFIX
+    assert html_to_text(page, collapse=False) == text
+    assert html_to_text(page) == " ".join(text.split())
+
+
+def test_warc_records_and_extract_spark(spark):
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.functions.html_text import (
+        extract_html_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "site-a", "alpha & beta"), (2, "site-b", "<gamma>")],
+        "doc_id long, source string, text string")
+    recs = warc.warc_records(warc.synthetic_crawl_archives(docs, html=True))
+    rows = {(r.archive_id, r.rec_seq): r for r in recs.collect()}
+    assert len(rows) == 4  # 2 archives x (warcinfo + response)
+    assert rows[(1, 0)].warc_type == "warcinfo"
+    resp = rows[(2, 1)]
+    assert resp.http_status == 200
+    assert resp.target_uri == "http://site-b/doc/2"
+    assert resp.content_type == "text/html; charset=utf-8"
+
+    extracted = extract_html_text(
+        recs.filter(F.col("warc_type") == "response")
+            .select(F.col("archive_id").alias("doc_id"), "body"),
+        "body", "doc_id", collapse=False)
+    got = {r.doc_id: r.text for r in extracted.collect()}
+    assert got == {1: "alpha & beta", 2: "<gamma>"}
+
+    # plain-text (WET-style) flavor carries the raw text as the body
+    recs_txt = warc.warc_records(
+        warc.synthetic_crawl_archives(docs, html=False))
+    body = {r.archive_id: bytes(r.body) for r in
+            recs_txt.filter(F.col("warc_type") == "response").collect()}
+    assert body == {1: b"alpha & beta", 2: b"<gamma>"}
