@@ -2791,3 +2791,54 @@ def q_warc_corpus_quality(spark, sf_dir):
     return extracted.select(
         "doc_id", token_count("text").alias("n_tokens"),
         F.round(quality_expr("text"), 6).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (r12, functions/url.py): the crawl-dedup key.
+# Spark builds five messy spellings of each page URL closed-form in
+# doc_id (scheme/host case, explicit default port, fragment, trailing
+# slash, tracking params, parameter order) and canonicalizes them
+# JVM-side; the oracle computes the expected canonical DIRECTLY from the
+# row — so a hash match proves every normalization step, not that two
+# engines share a bug. Pure whole-stage-codegen string algebra: the only
+# shuffle is the final dedup groupBy.
+
+
+@register(
+    "url_canonical_dedup",
+    "SELECT source, CAST(doc_id % 50 AS BIGINT) AS page, "
+    "'http://' || source || '/p/' || CAST(doc_id % 50 AS VARCHAR) "
+    "|| '?a=' || CAST(doc_id % 50 AS VARCHAR) "
+    "|| '&id=' || CAST(doc_id % 50 AS VARCHAR) AS canonical_url, "
+    "COUNT(*) AS n_urls "
+    "FROM documents GROUP BY 1, 2, 3",
+    "M7-url-canonicalization",
+)
+def q_url_canonical_dedup(spark, sf_dir):
+    from etl_online_retail_spark.functions.url import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.col("doc_id") % 50
+    p = page.cast("string")
+    src = F.col("source")
+    v = F.col("doc_id") % 5
+    base_q = F.concat(F.lit("?a="), p, F.lit("&id="), p)
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("http://"), src, F.lit("/p/"), p, base_q))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://"), F.upper(src), F.lit(":80/p/"), p, base_q,
+            F.lit("#sec-2")))
+        .when(v == 2, F.concat(
+            F.lit("http://"), src, F.lit("/p/"), p,
+            F.lit("/?utm_source=feed&a="), p, F.lit("&id="), p))
+        .when(v == 3, F.concat(
+            F.lit("http://"), src, F.lit("/p/"), p, F.lit("?id="), p,
+            F.lit("&a="), p, F.lit("&gclid=x1")))
+        .otherwise(F.concat(
+            F.lit("http://"), src, F.lit(":80/p/"), p, F.lit("/?id="),
+            p, F.lit("&utm_campaign=z&a="), p)))
+    return (docs.select("source", page.cast("bigint").alias("page"),
+                        canonical_url(url).alias("canonical_url"))
+            .groupBy("source", "page", "canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_urls")))
