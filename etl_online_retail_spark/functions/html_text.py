@@ -25,10 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 # subtrees whose character data is code/markup, never document text
+# (none are void elements, so every start tag legitimately pushes depth)
 _DROP = {"script", "style", "template", "noscript"}
-# void elements never close, so they must not push drop/nesting state
-_VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input",
-         "link", "meta", "param", "source", "track", "wbr"}
 
 
 class _TextExtractor(HTMLParser):
@@ -41,7 +39,7 @@ class _TextExtractor(HTMLParser):
         self._drop_depth = 0
 
     def handle_starttag(self, tag, attrs):
-        if tag in _DROP and tag not in _VOID:
+        if tag in _DROP:
             self._drop_depth += 1
 
     def handle_endtag(self, tag):
@@ -87,12 +85,16 @@ def extract_html_text(df: DataFrame, html_col: str, id_col: str,
         for pdf in batches:
             htmls = pdf[html_col]
             if is_binary:
+                # null-safe: one null cell must not kill the job — the
+                # operator is total, null in -> null out (r12 review)
                 htmls = htmls.map(
-                    lambda b: bytes(b).decode("utf-8", "replace"))
+                    lambda b: None if b is None
+                    else bytes(b).decode("utf-8", "replace"))
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "text": htmls.map(
-                    lambda h: html_to_text(h, collapse=collapse)),
+                    lambda h: None if h is None
+                    else html_to_text(h, collapse=collapse)),
             })
 
     return df.select(id_col, html_col).mapInPandas(run, out_schema)

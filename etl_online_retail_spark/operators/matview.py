@@ -484,18 +484,23 @@ def _cache_backed(df: DataFrame) -> bool:
     silently flip this to False (r11 verdict note — the miss would only
     cost a redundant persist, but the string check was the one
     rendered-plan match left in package code)."""
+    # the whole check degrades to False on ANY failure (the contract:
+    # a miss only costs a redundant persist, never a failed
+    # materialization), and the walk is iterative — a recursive walk
+    # over a deep optimized plan could hit the Python recursion limit
+    # (r12 review)
     try:
-        plan = df._jdf.queryExecution().optimizedPlan()
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName().startswith(
+                    "InMemoryRelation"):
+                return True
+            kids = node.children()
+            stack.extend(kids.apply(i) for i in range(kids.size()))
     except Exception:
-        return False
-
-    def walk(node) -> bool:
-        if node.getClass().getSimpleName().startswith("InMemoryRelation"):
-            return True
-        kids = node.children()
-        return any(walk(kids.apply(i)) for i in range(kids.size()))
-
-    return walk(plan)
+        pass
+    return False
 
 
 # Promoted to a shared public utility with a worker cap (r11 advice);
@@ -1023,9 +1028,14 @@ def publish(spark: SparkSession, sf_dir: str,
                     f"max_serve_rows=None for a distributed serving "
                     f"tier)")
         df.createOrReplaceTempView(view)
-        df.cache().count()
+        # register BEFORE the cache build: a failure inside
+        # cache().count() (executor OOM mid-materialization) leaves the
+        # temp view and a partially-built cache entry behind — exactly
+        # what the rollback must clean; appending after the build would
+        # exempt the one view whose failure triggered it (r12 review)
         with reg_lock:
             registered.append(view)
+        df.cache().count()
 
     try:
         _run_concurrently(publish_one, list(names or MATVIEW_INPUTS))

@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 
 _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
+_GZ_CHUNK = 1 << 20  # bounded decompressor feed (see parse_warc)
 
 
 @dataclass
@@ -116,17 +117,33 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
     proving the member-boundary split a distributed reader relies on;
     plain archives walk Content-Length frames directly."""
     if data[:2] == b"\x1f\x8b":
+        # feed each member BOUNDED chunks off a zero-copy memoryview:
+        # handing the decompressor the whole remaining tail would make
+        # it copy the tail into unused_data after every member — O(M^2)
+        # bytes copied over a real crawl shard's tens of thousands of
+        # members (r12 review). This walk is linear: per member, copies
+        # are the decompressed output plus at most one chunk.
         records: list[WarcRecord] = []
-        rest = data
-        while rest:
+        mv = memoryview(data)
+        n = len(data)
+        offset = 0
+        while offset < n:
             d = zlib.decompressobj(wbits=31)  # one gzip member
-            raw = d.decompress(rest)
+            raw = bytearray()
+            pos = offset
+            while not d.eof and pos < n:
+                chunk = mv[pos:pos + _GZ_CHUNK]
+                raw += d.decompress(chunk)
+                pos += len(chunk)
+            if not d.eof:
+                raise ValueError("truncated gzip member in WARC archive")
             raw += d.flush()
-            pos = 0
-            while pos < len(raw):
-                rec, pos = _parse_one(raw, pos)
+            offset = pos - len(d.unused_data)
+            raw = bytes(raw)
+            p = 0
+            while p < len(raw):
+                rec, p = _parse_one(raw, p)
                 records.append(rec)
-            rest = d.unused_data
         return records
     records = []
     pos = 0

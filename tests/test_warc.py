@@ -54,6 +54,20 @@ def test_warc_round_trip_plain_and_gzip_members():
     assert [r.warc_type for r in tail] == ["response"]
 
 
+def test_warc_gzip_member_walk_is_chunked(monkeypatch):
+    """The .warc.gz walk feeds the decompressor BOUNDED chunks (linear
+    in archive size, not O(members^2) tail copies — r12 review): force
+    a tiny chunk so every member spans many feeds and member boundaries
+    land mid-chunk, and the walk must still recover every record."""
+    recs = _two_records(b"x" * 3000)
+    blob = warc.build_warc(recs * 3, per_record_gzip=True)
+    monkeypatch.setattr(warc, "_GZ_CHUNK", 7)
+    parsed = warc.parse_warc(blob)
+    assert [r.warc_type for r in parsed] == ["warcinfo", "response"] * 3
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        warc.parse_warc(blob[:-40])
+
+
 def test_warc_error_contracts():
     with pytest.raises(ValueError, match="not a WARC record"):
         warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")
@@ -125,3 +139,16 @@ def test_warc_records_and_extract_spark(spark):
     body = {r.archive_id: bytes(r.body) for r in
             recs_txt.filter(F.col("warc_type") == "response").collect()}
     assert body == {1: b"alpha & beta", 2: b"<gamma>"}
+
+    # null bodies flow through as null text, never a worker crash
+    # (r12 review) — both binary and string input flavors
+    nullable = spark.createDataFrame(
+        [(1, b"<p>ok</p>"), (2, None)], "doc_id long, body binary")
+    got = {r.doc_id: r.text for r in
+           extract_html_text(nullable, "body", "doc_id").collect()}
+    assert got == {1: "ok", 2: None}
+    nullable_s = spark.createDataFrame(
+        [(1, "<p>ok</p>"), (2, None)], "doc_id long, page string")
+    got = {r.doc_id: r.text for r in
+           extract_html_text(nullable_s, "page", "doc_id").collect()}
+    assert got == {1: "ok", 2: None}
