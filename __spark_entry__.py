@@ -139,6 +139,10 @@ _REATTEST_FIRST = {
     "image_dhash_near_pairs": 8, "adpcm_audio_stats": 8,
     "fuzzy_part_matches": 9, "fuzzy_part_matches_qgram": 9,
     "fuzzy_part_matches_contracted": 9,
+    # r12: PackBits encoder run-walked + Predictor 2 vectorized (their
+    # r11 rows attest the per-byte code paths), and the served
+    # revenue_share_by_nation plan dropped its redundant re-aggregation
+    "tiff_image_stats": 12, "revenue_share_by_nation": 12,
 }
 
 
