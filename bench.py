@@ -218,6 +218,12 @@ HEADLINE = [
     # round-11 codecs: TIFF (LZW strips) + BMP
     "tiff_image_stats",
     "bmp_image_stats",
+    # round-12 crawl ingest: WARC record walk, HTML extraction chain,
+    # URL canonicalization
+    "warc_record_stats",
+    "warc_html_extract",
+    "warc_corpus_quality",
+    "url_canonical_dedup",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

@@ -28,6 +28,11 @@ Conventions that make Spark-vs-DuckDB hash comparison exact:
     exact sum to a coarse scale first. And that ROUND must be ROUND —
     DuckDB TRUNCATES on decimal->decimal downscale CASTs while Spark
     rounds HALF_UP (pricing_summary's sum_charge hit both).
+  * Round-12 addition: DuckDB's array_to_string([]) / list_aggregate on
+    an EMPTY list returns NULL where Spark's array_join([]) returns ''
+    — any oracle twin that joins a possibly-empty filtered list must
+    COALESCE(..., '') or the concatenation it feeds nulls out
+    (functions/url.py's canonical_url_sql hit it).
 
 Each builder takes (spark, sf_dir) and returns a lazy DataFrame.
 """
