@@ -224,6 +224,7 @@ HEADLINE = [
     "warc_html_extract",
     "warc_corpus_quality",
     "url_canonical_dedup",
+    "robots_url_filter",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

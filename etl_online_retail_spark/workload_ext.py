@@ -2842,3 +2842,72 @@ def q_url_canonical_dedup(spark, sf_dir):
                         canonical_url(url).alias("canonical_url"))
             .groupBy("source", "page", "canonical_url")
             .agg(F.count(F.lit(1)).alias("n_urls")))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt URL filtering (r12, functions/robots.py): RFC 9309
+# longest-match compliance as a broadcast join + one max_by. Every host
+# (source) publishes the same fixture robots.txt exercising the spec's
+# decision rules — longest prefix wins, Allow beats Disallow on exact
+# ties, unmatched paths default to allowed — and each doc's URL path is
+# chosen closed-form by doc_id % 6, so the oracle STATES the expected
+# decision per variant instead of re-implementing the matcher.
+
+ROBOTS_FIXTURE = """\
+# crawl policy fixture
+User-agent: *
+Disallow: /private/
+Allow: /private/pub/
+Disallow: /p/tmp
+Allow: /p/tmp          # exact tie with the Disallow: Allow wins
+Disallow:
+
+User-agent: special-bot
+Disallow: /
+"""
+
+_ROBOTS_PATHS = [
+    "/p/{i}",            # 0: no rule matches -> allowed
+    "/private/{i}",      # 1: Disallow /private/ -> denied
+    "/private/pub/{i}",  # 2: longer Allow overrides -> allowed
+    "/p/tmp{i}",         # 3: equal-length Allow/Disallow tie -> allowed
+    "/P/tmp{i}",         # 4: prefixes are case-sensitive -> allowed
+    "/private",          # 5: '/private' misses 'Disallow: /private/'
+]
+
+
+@register(
+    "robots_url_filter",
+    "SELECT doc_id, source AS host, "
+    "CASE doc_id % 6 "
+    "  WHEN 0 THEN '/p/' || CAST(doc_id % 50 AS VARCHAR) "
+    "  WHEN 1 THEN '/private/' || CAST(doc_id % 50 AS VARCHAR) "
+    "  WHEN 2 THEN '/private/pub/' || CAST(doc_id % 50 AS VARCHAR) "
+    "  WHEN 3 THEN '/p/tmp' || CAST(doc_id % 50 AS VARCHAR) "
+    "  WHEN 4 THEN '/P/tmp' || CAST(doc_id % 50 AS VARCHAR) "
+    "  ELSE '/private' END AS path, "
+    "(doc_id % 6) NOT IN (1) AS allowed "
+    "FROM documents",
+    "M7-robots-compliance",
+)
+def q_robots_url_filter(spark, sf_dir):
+    from etl_online_retail_spark.functions.robots import (
+        robots_decisions,
+        robots_rules,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(F.col("source").alias("host")).distinct() \
+        .withColumn("robots_txt", F.lit(ROBOTS_FIXTURE))
+    rules = robots_rules(hosts)
+    i = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 6
+    path = (F.when(v == 0, F.concat(F.lit("/p/"), i))
+            .when(v == 1, F.concat(F.lit("/private/"), i))
+            .when(v == 2, F.concat(F.lit("/private/pub/"), i))
+            .when(v == 3, F.concat(F.lit("/p/tmp"), i))
+            .when(v == 4, F.concat(F.lit("/P/tmp"), i))
+            .otherwise(F.lit("/private")))
+    urls = docs.select("doc_id", F.col("source").alias("host"),
+                       path.alias("path"))
+    return robots_decisions(urls, rules)
