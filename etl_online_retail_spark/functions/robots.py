@@ -101,7 +101,9 @@ def robots_decisions(urls: DataFrame, rules: DataFrame,
     prefix wins, Allow beats Disallow on ties, no match means allowed.
     Group keys are the URL row's columns — BIT-IDENTICAL duplicate rows
     collapse to one; carry a row id column (as the registry query does)
-    when multiplicity matters."""
+    when multiplicity matters. Scale note: every urls column rides the
+    decision aggregation's shuffle, so pass (id, host, path) and join
+    payload columns back afterwards — never the fetched bodies."""
     r = F.broadcast(rules).alias("_r")
     u = urls.alias("_u")
     joined = u.join(

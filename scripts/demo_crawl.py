@@ -56,10 +56,12 @@ def run_crawl_pipeline(spark, sf_dir: str) -> dict:
     parts = F.regexp_extract("target_uri", r"^https?://([^/]+)(/.*)$", 1)
     path = F.regexp_extract("target_uri", r"^https?://([^/]+)(/.*)$", 2)
     urls = responses.select("doc_id", parts.alias("host"),
-                            path.alias("path"), "target_uri", "body")
+                            path.alias("path"))
 
     # 3. robots compliance: every host publishes the fixture policy,
-    # plus one host that bans crawling outright
+    # plus one host that bans crawling outright. Decisions run over the
+    # KEY columns only (the docstring's scale rule: bodies must not
+    # ride the decision shuffle); payloads join back after.
     hosts = (docs.select(F.col("source").alias("host")).distinct()
              .withColumn("robots_txt",
                          F.when(F.col("host") == "src0",
@@ -71,7 +73,9 @@ def run_crawl_pipeline(spark, sf_dir: str) -> dict:
     # 4. URL canonicalization: dedup re-fetches of the same page under
     # different spellings (here: the doc's URI vs a tracking-params +
     # default-port variant of it)
-    allowed = decisions.filter("allowed")
+    allowed = (decisions.filter("allowed")
+               .join(responses, "doc_id")
+               .select("doc_id", "host", "target_uri", "body"))
     variants = allowed.select("doc_id", "host", "body",
                               F.col("target_uri").alias("url")).unionByName(
         allowed.select(
