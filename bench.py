@@ -225,6 +225,7 @@ HEADLINE = [
     "warc_corpus_quality",
     "url_canonical_dedup",
     "robots_url_filter",
+    "main_content_extract",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

@@ -64,12 +64,93 @@ def html_to_text(html: str, collapse: bool = True) -> str:
     return "".join(p.parts)
 
 
+# block-level elements: entering or leaving one ends the current text
+# block (the segmentation unit the link-density heuristic scores)
+_BLOCKS = {"p", "div", "li", "ul", "ol", "td", "th", "tr", "table",
+           "h1", "h2", "h3", "h4", "h5", "h6", "article", "section",
+           "header", "footer", "nav", "aside", "blockquote", "pre",
+           "figure", "figcaption", "main", "form", "body"}
+
+
+class _BlockSegmenter(HTMLParser):
+    """Text blocks with per-block link-character counts — the
+    readability/jusText-class signal: boilerplate (navigation, related
+    links, footers) is text that lives mostly inside anchors."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int]] = []  # (text, link_chars)
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._drop_depth = 0
+        self._anchor_depth = 0
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._parts).split())
+        if text:
+            self.blocks.append((text, self._link_chars))
+        self._parts = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP:
+            self._drop_depth += 1
+        elif tag in _BLOCKS:
+            self._flush()
+        elif tag == "a":
+            self._anchor_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _DROP:
+            if self._drop_depth > 0:
+                self._drop_depth -= 1
+        elif tag in _BLOCKS:
+            self._flush()
+        elif tag == "a" and self._anchor_depth > 0:
+            self._anchor_depth -= 1
+
+    def handle_data(self, data):
+        if self._drop_depth == 0 and data:
+            self._parts.append(data)
+            if self._anchor_depth > 0:
+                self._link_chars += len(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def text_blocks(html: str) -> list[tuple[str, float]]:
+    """(block_text, link_density) per block, whitespace-collapsed.
+    link_density = anchor characters / block characters (whitespace
+    normalization shifts totals slightly; the RAW character counts are
+    used, matching jusText's definition closely enough for the 0.5-class
+    thresholds in use)."""
+    p = _BlockSegmenter()
+    p.feed(html)
+    p.close()
+    return [(t, lc / len(t) if t else 0.0) for t, lc in p.blocks]
+
+
+def extract_main_content(html: str,
+                         max_link_density: float = 0.5) -> str:
+    """Visible MAIN text: blocks whose link density is below the
+    threshold, joined with newlines. Navigation bars, related-link
+    lists and footers are text that lives (almost) entirely inside
+    anchors, so they score ~1.0 and drop; prose with inline links
+    scores low and survives — the standard first-order main-content
+    heuristic (jusText / readability), which is how a crawl pipeline
+    extracts TRAINING text rather than site chrome."""
+    return "\n".join(t for t, d in text_blocks(html)
+                     if d < max_link_density)
+
+
 HTML_TEXT_SCHEMA_SUFFIX = [T.StructField("text", T.StringType())]
 
 
-def extract_html_text(df: DataFrame, html_col: str, id_col: str,
-                      collapse: bool = True) -> DataFrame:
-    """(id_col, text): extracted visible text per row, Arrow-batched.
+def _extract_df(df: DataFrame, html_col: str, id_col: str,
+                fn) -> DataFrame:
+    """(id_col, text) via an html->text callable, Arrow-batched.
 
     html_col may be STRING (markup) or BINARY (a crawl response body —
     decoded as UTF-8 with replacement, the crawl-curation convention:
@@ -93,8 +174,24 @@ def extract_html_text(df: DataFrame, html_col: str, id_col: str,
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "text": htmls.map(
-                    lambda h: None if h is None
-                    else html_to_text(h, collapse=collapse)),
+                    lambda h: None if h is None else fn(h)),
             })
 
     return df.select(id_col, html_col).mapInPandas(run, out_schema)
+
+
+def extract_html_text(df: DataFrame, html_col: str, id_col: str,
+                      collapse: bool = True) -> DataFrame:
+    """(id_col, text): ALL visible text per row (see html_to_text)."""
+    return _extract_df(df, html_col, id_col,
+                       lambda h: html_to_text(h, collapse=collapse))
+
+
+def extract_main_text(df: DataFrame, html_col: str, id_col: str,
+                      max_link_density: float = 0.5) -> DataFrame:
+    """(id_col, text): MAIN-content text per row — site chrome dropped
+    by block link density (see extract_main_content)."""
+    return _extract_df(
+        df, html_col, id_col,
+        lambda h: extract_main_content(
+            h, max_link_density=max_link_density))

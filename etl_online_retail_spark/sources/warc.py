@@ -264,10 +264,27 @@ CRAWL_HTML_PREFIX = ('<html><head><meta charset="utf-8">'
                      '</head><body><p>')
 CRAWL_HTML_SUFFIX = "</p><script>done()</script></body></html>"
 
+# the chrome=True page: the same payload <p> (its first 10 chars wrapped
+# in an inline anchor — link density ~0.2, KEPT) surrounded by the site
+# chrome a real crawl fights: a nav bar, a related-links list and a
+# footer, each ~100% link density — the main-content extractor must
+# drop every chrome block and return the document text alone
+CHROME_HTML_PREFIX = (
+    '<html><head><style>nav{color:red}</style>'
+    '<script>var m = "<p>";</script></head><body>'
+    '<nav><a href="/">Home</a> <a href="/cat">Products</a> '
+    '<a href="/about">About</a></nav>'
+    '<ul><li><a href="/r/1">Related page one</a></li>'
+    '<li><a href="/r/2">Related page two</a></li></ul><p>')
+CHROME_HTML_SUFFIX = (
+    '</p><footer><a href="/terms">Terms of use</a> | '
+    '<a href="/privacy">Privacy policy</a></footer></body></html>')
+
 _WARCINFO = b"software: etl-online-retail-spark\r\n"
 
 
 def synthetic_crawl_archives(docs: DataFrame, html: bool = False,
+                             chrome: bool = False,
                              id_col: str = "doc_id",
                              source_col: str = "source",
                              text_col: str = "text") -> DataFrame:
@@ -296,7 +313,15 @@ def synthetic_crawl_archives(docs: DataFrame, html: bool = False,
             out_ids, out_blobs = [], []
             for aid, source, text in zip(pdf["archive_id"], pdf["_src"],
                                          pdf["_text"]):
-                if html:
+                if chrome:
+                    # escape() is per-character, so escaping the two
+                    # slices separately equals escaping the whole text
+                    body = (CHROME_HTML_PREFIX
+                            + '<a href="/self">' + _html.escape(text[:10])
+                            + "</a>" + _html.escape(text[10:])
+                            + CHROME_HTML_SUFFIX).encode("utf-8")
+                    ctype = "text/html; charset=utf-8"
+                elif html:
                     body = (CRAWL_HTML_PREFIX + _html.escape(text)
                             + CRAWL_HTML_SUFFIX).encode("utf-8")
                     ctype = "text/html; charset=utf-8"

@@ -2911,3 +2911,35 @@ def q_robots_url_filter(spark, sf_dir):
     urls = docs.select("doc_id", F.col("source").alias("host"),
                        path.alias("path"))
     return robots_decisions(urls, rules)
+
+
+# main-content extraction (r12, functions/html_text.py text_blocks /
+# extract_main_content): the readability/jusText-class block
+# link-density heuristic — how a crawl pipeline extracts TRAINING text
+# rather than site chrome. The chrome fixture surrounds each document's
+# payload <p> (first 10 chars inside an inline anchor: density ~0.2,
+# must be KEPT) with a nav bar, a related-links list and a footer, each
+# ~100% link density (must be DROPPED) — so returning the raw document
+# text bit-exactly proves both the keep and the drop side of the
+# threshold, through the full WARC -> HTTP -> block-segmentation path.
+
+
+@register(
+    "main_content_extract",
+    "SELECT doc_id, text FROM documents",
+    "M7-main-content-extraction",
+)
+def q_main_content_extract(spark, sf_dir):
+    from etl_online_retail_spark.functions.html_text import (
+        extract_main_text,
+    )
+    from etl_online_retail_spark.sources.warc import (
+        synthetic_crawl_archives,
+        warc_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    recs = warc_records(synthetic_crawl_archives(docs, chrome=True))
+    responses = (recs.filter(F.col("warc_type") == "response")
+                 .select(F.col("archive_id").alias("doc_id"), "body"))
+    return extract_main_text(responses, "body", "doc_id")

@@ -107,6 +107,39 @@ def test_html_to_text_semantics():
     assert html_to_text(page) == " ".join(text.split())
 
 
+def test_main_content_block_semantics():
+    from etl_online_retail_spark.functions.html_text import (
+        extract_main_content,
+        text_blocks,
+    )
+
+    page = ('<body><nav><a href="/">Home</a> <a href="/b">About</a></nav>'
+            '<p>Real prose with an <a href="/x">inline link</a> inside '
+            'a much longer paragraph of actual content text.</p>'
+            '<footer><a href="/t">Terms</a></footer></body>')
+    blocks = text_blocks(page)
+    texts = [t for t, _ in blocks]
+    assert texts == ["Home About",
+                     "Real prose with an inline link inside a much "
+                     "longer paragraph of actual content text.",
+                     "Terms"]
+    dens = {t: d for t, d in blocks}
+    assert dens["Home About"] > 0.8         # pure-link nav
+    assert dens["Terms"] == 1.0             # pure-link footer
+    assert 0.0 < dens[texts[1]] < 0.2       # prose with one inline link
+    assert extract_main_content(page) == texts[1]
+
+    # nested blocks flush separately; li rows are their own blocks
+    lst = "<ul><li><a href='/1'>one</a></li><li>plain text row</li></ul>"
+    assert extract_main_content(lst) == "plain text row"
+    # script/style CDATA stays dropped inside block segmentation
+    assert text_blocks("<p>a</p><script>var x='<p>b</p>';</script>") == \
+        [("a", 0.0)]
+    # a page that is ALL chrome extracts to empty, not garbage
+    assert extract_main_content(
+        "<nav><a href='/'>Home</a></nav>") == ""
+
+
 def test_warc_records_and_extract_spark(spark):
     from pyspark.sql import functions as F
 
