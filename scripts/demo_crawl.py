@@ -4,13 +4,13 @@ end to end — the ingest half of a pretraining-data pipeline.
     WARC ingest        (ISO 28500 record walk, per-record gzip members)
     robots compliance  (RFC 9309 longest-match filtering per host)
     URL dedup          (canonicalization collapses spelling variants)
-    HTML -> text       (tag strip, CDATA drop, entity decode)
+    main-content       (block link-density drops nav/related/footer chrome)
     quality + lang     (the oracle-checked scoring battery)
     near-dup removal   (MinHash+LSH -> curated survivors)
 
 Every stage is a first-class operator with an oracle-verified query
 twin (warc_record_stats, robots_url_filter, url_canonical_dedup,
-warc_html_extract, warc_corpus_quality, minhash_near_dups).
+main_content_extract, warc_corpus_quality, minhash_near_dups).
 Run: python scripts/demo_crawl.py [sf_dir]
 """
 
@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from etl_online_retail_spark.catalog import load_table
-from etl_online_retail_spark.functions.html_text import extract_html_text
+from etl_online_retail_spark.functions.html_text import extract_main_text
 from etl_online_retail_spark.functions.robots import (
     robots_decisions,
     robots_rules,
@@ -43,7 +43,7 @@ def run_crawl_pipeline(spark, sf_dir: str) -> dict:
     n_docs = docs.count()
 
     # 1. the crawl lands: one archive per page, half of them .warc.gz
-    archives = synthetic_crawl_archives(docs, html=True)
+    archives = synthetic_crawl_archives(docs, chrome=True)
     records = warc_records(archives).cache()
     by_type = {r.warc_type: r.n for r in
                (records.groupBy("warc_type")
@@ -88,10 +88,10 @@ def run_crawl_pipeline(spark, sf_dir: str) -> dict:
         F.min("doc_id").alias("doc_id"), F.first("body").alias("body"))
     n_pages = deduped.count()
 
-    # 5. HTML -> text, then the curation battery over EXTRACTED text
-    extracted = extract_html_text(
-        deduped.select("doc_id", "body"), "body", "doc_id",
-        collapse=False).cache()
+    # 5. main-content extraction (chrome blocks dropped by link
+    # density), then the curation battery over the EXTRACTED text
+    extracted = extract_main_text(
+        deduped.select("doc_id", "body"), "body", "doc_id").cache()
     curated = curate_corpus(extracted).cache()
     n_curated = curated.count()
     sample = (curated.join(extracted, "doc_id")
@@ -122,7 +122,7 @@ def main() -> None:
     print(f"  {out['n_fetches']} fetches collapse to {out['n_pages']} "
           f"canonical pages (tracking params, scheme case, fragments)")
 
-    print("== extraction + curation ==")
+    print("== main-content extraction + curation ==")
     print(f"  {out['n_curated']}/{out['n_pages']} pages survive quality "
           f"+ exact-dup + near-dup removal")
     s = out["sample"]
