@@ -1297,6 +1297,51 @@ def main() -> None:
     timed(f"incremental minhash dedup stream (8 batches) @ {factor}x",
           minhash_dedup_stream)
 
+    # crawl-ingest chain (r12): chrome archives -> WARC record walk ->
+    # main-content extraction, plus robots decisions + canonical-URL
+    # dedup over the derived URLs. Every stage is map-only or a
+    # dashboard-sized broadcast/agg, so the expectation is LINEAR in
+    # the factor — the smoke exists to catch that ever changing.
+    def crawl_chain():
+        from etl_online_retail_spark.functions.html_text import (
+            extract_main_text,
+        )
+        from etl_online_retail_spark.sources.warc import (
+            synthetic_crawl_archives,
+            warc_records,
+        )
+
+        recs = warc_records(synthetic_crawl_archives(docs, chrome=True))
+        responses = (recs.filter(F.col("warc_type") == "response")
+                     .select(F.col("archive_id").alias("doc_id"), "body"))
+        (extract_main_text(responses, "body", "doc_id")
+         .write.format("noop").mode("overwrite").save())
+
+    def robots_urls():
+        from etl_online_retail_spark.functions.robots import (
+            robots_decisions,
+            robots_rules,
+        )
+        from etl_online_retail_spark.functions.url import canonical_url
+        from etl_online_retail_spark.workload_ext import ROBOTS_FIXTURE
+
+        hosts = (docs.select(F.col("source").alias("host")).distinct()
+                 .withColumn("robots_txt", F.lit(ROBOTS_FIXTURE)))
+        i = (F.col("doc_id") % 50).cast("string")
+        urls = docs.select(
+            "doc_id", F.col("source").alias("host"),
+            F.concat(F.lit("/p/"), i).alias("path"))
+        decided = robots_decisions(urls, robots_rules(hosts))
+        (decided.filter("allowed")
+         .withColumn("canonical", canonical_url(F.concat(
+             F.lit("HTTP://"), F.upper("host"), F.lit(":80"),
+             F.col("path"), F.lit("?utm_source=x&id="), i)))
+         .groupBy("canonical").count()
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"crawl chain (WARC -> main content) @ {factor}x", crawl_chain)
+    timed(f"robots + canonical-url dedup @ {factor}x", robots_urls)
+
 
 if __name__ == "__main__":
     main()
