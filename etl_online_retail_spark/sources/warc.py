@@ -36,6 +36,7 @@ import zlib
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _CRLF = b"\r\n"
@@ -300,7 +301,6 @@ def synthetic_crawl_archives(docs: DataFrame, html: bool = False,
     import html as _html
 
     import pandas as pd
-    from pyspark.sql import functions as F
 
     n = max(1, docs.sparkSession.sparkContext.defaultParallelism)
     src = (docs.select(F.col(id_col).cast("long").alias("archive_id"),
@@ -350,3 +350,66 @@ def synthetic_crawl_archives(docs: DataFrame, html: bool = False,
                                 "content": out_blobs})
 
     return src.mapInPandas(render, ARCHIVE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WARC shard EXPORT: the write side of the interchange — a curated
+# corpus handed back to crawl-ecosystem tooling as standard .warc.gz
+# shard files (conversion records, the WET shape). Same discipline as
+# the WebDataset exporter (multimodal/wds.py): deterministic hash-bucket
+# shard assignment, records sorted by id within a shard, one
+# applyInPandas group task assembles each shard file, nothing
+# driver-side touches payload bytes, reruns are byte-identical (gzip
+# mtime pinned to 0).
+
+_EXPORT_MANIFEST_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("n_records", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def write_warc_shards(docs: DataFrame, out_dir: str, n_shards: int = 8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text",
+                      uri_col: str | None = None) -> DataFrame:
+    """Export (id, text[, uri]) rows as `shard-%05d.warc.gz` files of
+    `conversion` records (one per-record gzip member each — the
+    splittable convention parse_warc reads back). Returns the manifest
+    (shard, path, n_records, n_bytes) — assert/commit on it."""
+    import os
+
+    from etl_online_retail_spark.operators.sampling import _bucket
+
+    os.makedirs(out_dir, exist_ok=True)
+    shard = F.pmod(_bucket(F.col(id_col)), F.lit(n_shards)).cast("int")
+    cols = [F.col(id_col), F.col(text_col).alias("_text")]
+    if uri_col is not None:
+        cols.append(F.col(uri_col).alias("_uri"))
+    work = docs.select(*cols).withColumn("_shard", shard)
+
+    def pack(pdf):
+        import pandas as pd
+
+        sh = int(pdf["_shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{sh:05d}.warc.gz")
+        records = []
+        for _, row in pdf.sort_values(id_col).iterrows():
+            headers = {"WARC-Date": "2026-08-16T00:00:00Z",
+                       "Content-Type": "text/plain; charset=utf-8",
+                       "WARC-Record-ID":
+                           f"<urn:doc:{int(row[id_col])}>"}
+            if "_uri" in pdf.columns:
+                headers["WARC-Target-URI"] = str(row["_uri"])
+            records.append(("conversion", headers,
+                            str(row["_text"]).encode("utf-8")))
+        data = build_warc(records, per_record_gzip=True)
+        with open(path, "wb") as f:
+            f.write(data)
+        return pd.DataFrame({"shard": [sh], "path": [path],
+                             "n_records": [len(records)],
+                             "n_bytes": [len(data)]})
+
+    return (work.groupBy("_shard")
+            .applyInPandas(pack, schema=_EXPORT_MANIFEST_SCHEMA))
