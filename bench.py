@@ -226,6 +226,7 @@ HEADLINE = [
     "url_canonical_dedup",
     "robots_url_filter",
     "main_content_extract",
+    "chat_sft_prep",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

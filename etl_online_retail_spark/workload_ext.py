@@ -2943,3 +2943,55 @@ def q_main_content_extract(spark, sf_dir):
     responses = (recs.filter(F.col("warc_type") == "response")
                  .select(F.col("archive_id").alias("doc_id"), "body"))
     return extract_main_text(responses, "body", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SFT/chat conversation prep (r12, operators/conversations.py): parse ->
+# validate -> flatten, the instruction-tuning analogue of the crawl
+# chain. Each document becomes a 3-turn JSON conversation closed-form in
+# (doc_id, text) — every 7th with its user/assistant turns SWAPPED, the
+# classic scraped-SFT corruption the validator must flag — built with
+# to_json and re-parsed with from_json (a real round trip on the Spark
+# side), while the oracle states the expected n_turns / validity / flat
+# training string directly from text slices. Flat-string hash equality
+# proves the template render byte-for-byte.
+
+SFT_SYSTEM = "You are a helpful assistant."
+
+
+@register(
+    "chat_sft_prep",
+    "SELECT doc_id, CAST(3 AS INTEGER) AS n_turns, "
+    "doc_id % 7 <> 0 AS alternation_ok, "
+    "CASE WHEN doc_id % 7 <> 0 THEN "
+    f"'<|system|>{SFT_SYSTEM}<|user|>' "
+    "|| substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER)) "
+    "|| '<|assistant|>' "
+    "|| substr(text, CAST(floor(length(text) / 2) AS INTEGER) + 1) "
+    "ELSE "
+    f"'<|system|>{SFT_SYSTEM}<|assistant|>' "
+    "|| substr(text, CAST(floor(length(text) / 2) AS INTEGER) + 1) "
+    "|| '<|user|>' "
+    "|| substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER)) "
+    "END AS flat "
+    "FROM documents",
+    "M7-sft-conversation-prep",
+)
+def q_chat_sft_prep(spark, sf_dir):
+    from etl_online_retail_spark.operators.conversations import sft_prep
+
+    docs = _t(spark, sf_dir, "documents")
+    half = F.floor(F.length("text") / 2).cast("int")
+    user = F.substring(F.col("text"), F.lit(1), half)
+    assistant = F.substring(F.col("text"), half + F.lit(1),
+                            F.length("text"))
+    sys_turn = F.struct(F.lit("system").alias("role"),
+                        F.lit(SFT_SYSTEM).alias("content"))
+    u_turn = F.struct(F.lit("user").alias("role"), user.alias("content"))
+    a_turn = F.struct(F.lit("assistant").alias("role"),
+                      assistant.alias("content"))
+    turns = F.when(F.col("doc_id") % 7 != 0,
+                   F.array(sys_turn, u_turn, a_turn)) \
+             .otherwise(F.array(sys_turn, a_turn, u_turn))
+    convo = docs.select("doc_id", F.to_json(turns).alias("raw_json"))
+    return sft_prep(convo, "raw_json")
