@@ -227,6 +227,7 @@ HEADLINE = [
     "robots_url_filter",
     "main_content_extract",
     "chat_sft_prep",
+    "sft_loss_spans",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

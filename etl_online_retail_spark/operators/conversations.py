@@ -74,6 +74,37 @@ def flatten_chat(turns: Column | str,
             F.lit(lo), x["role"], F.lit(hi), x["content"])), "")
 
 
+def loss_spans(turns: Column | str,
+               template: tuple[str, str] = DEFAULT_TEMPLATE) -> Column:
+    """[(start, end)) char offsets of ASSISTANT contents within
+    flatten_chat's output — the spans a trainer computes loss on (all
+    other characters are prompt/template and get masked). One
+    sequential F.aggregate fold over the turns: the accumulator carries
+    the running offset and the spans collected so far, so offsets are
+    exact whatever the roles' order or multiplicity."""
+    t = F.col(turns) if isinstance(turns, str) else turns
+    lo, hi = template
+    tag_extra = len(lo) + len(hi)
+    init = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.expr("CAST(array() AS array<struct<start:int,end:int>>)")
+         .alias("spans"))
+
+    def step(acc, x):
+        content_start = (acc["pos"] + F.length(x["role"])
+                         + F.lit(tag_extra)).cast("int")
+        content_end = (content_start + F.length(x["content"])).cast("int")
+        span = F.struct(content_start.alias("start"),
+                        content_end.alias("end"))
+        return F.struct(
+            content_end.alias("pos"),
+            F.when(x["role"] == "assistant",
+                   F.concat(acc["spans"], F.array(span)))
+             .otherwise(acc["spans"]).alias("spans"))
+
+    return F.aggregate(t, init, step, lambda acc: acc["spans"])
+
+
 def sft_prep(df: DataFrame, json_col: str, id_col: str = "doc_id",
              template: tuple[str, str] = DEFAULT_TEMPLATE) -> DataFrame:
     """The composed stage: parse -> validate -> flatten.

@@ -2995,3 +2995,55 @@ def q_chat_sft_prep(spark, sf_dir):
              .otherwise(F.array(sys_turn, a_turn, u_turn))
     convo = docs.select("doc_id", F.to_json(turns).alias("raw_json"))
     return sft_prep(convo, "raw_json")
+
+
+# loss spans: the char ranges of the flat training string a trainer
+# computes loss on (assistant completions; everything else masks). The
+# sequential F.aggregate fold carries a running offset, so the oracle —
+# pure tag-length arithmetic over the same text slices — verifies the
+# fold's offsets exactly. Tag lengths: <|system|>=10, <|user|>=8,
+# <|assistant|>=13; half = floor(len/2).
+
+
+@register(
+    "sft_loss_spans",
+    "WITH h AS (SELECT doc_id, length(text) AS n, "
+    "CAST(floor(length(text) / 2) AS INTEGER) AS half FROM documents) "
+    "SELECT doc_id, CAST(1 AS INTEGER) AS n_spans, "
+    "CASE WHEN doc_id % 7 <> 0 "
+    f"THEN 10 + {len(SFT_SYSTEM)} + 8 + half + 13 "
+    f"ELSE 10 + {len(SFT_SYSTEM)} + 13 END AS span_start, "
+    "CASE WHEN doc_id % 7 <> 0 "
+    f"THEN 10 + {len(SFT_SYSTEM)} + 8 + half + 13 + (n - half) "
+    f"ELSE 10 + {len(SFT_SYSTEM)} + 13 + (n - half) END AS span_end "
+    "FROM h",
+    "M7-sft-loss-masking",
+)
+def q_sft_loss_spans(spark, sf_dir):
+    from etl_online_retail_spark.operators.conversations import (
+        loss_spans,
+        parse_conversations,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    half = F.floor(F.length("text") / 2).cast("int")
+    user = F.substring(F.col("text"), F.lit(1), half)
+    assistant = F.substring(F.col("text"), half + F.lit(1),
+                            F.length("text"))
+    sys_turn = F.struct(F.lit("system").alias("role"),
+                        F.lit(SFT_SYSTEM).alias("content"))
+    u_turn = F.struct(F.lit("user").alias("role"), user.alias("content"))
+    a_turn = F.struct(F.lit("assistant").alias("role"),
+                      assistant.alias("content"))
+    turns = F.when(F.col("doc_id") % 7 != 0,
+                   F.array(sys_turn, u_turn, a_turn)) \
+             .otherwise(F.array(sys_turn, a_turn, u_turn))
+    parsed = parse_conversations(
+        docs.select("doc_id", F.to_json(turns).alias("raw_json")),
+        "raw_json")
+    spans = parsed.select("doc_id", loss_spans("turns").alias("_s"))
+    first = F.element_at("_s", 1)
+    return spans.select(
+        "doc_id", F.size("_s").alias("n_spans"),
+        first["start"].cast("bigint").alias("span_start"),
+        first["end"].cast("bigint").alias("span_end"))

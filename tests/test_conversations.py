@@ -49,6 +49,29 @@ def test_alternation_protocol_edges(spark):
     assert got == want
 
 
+def test_loss_spans_slice_exactly_the_assistant_contents(spark):
+    from etl_online_retail_spark.operators.conversations import loss_spans
+
+    convo = [{"role": "system", "content": "sys"},
+             {"role": "user", "content": "question one"},
+             {"role": "assistant", "content": "answer one"},
+             {"role": "user", "content": "q2"},
+             {"role": "assistant", "content": "the second answer"}]
+    df = spark.createDataFrame([(1, json.dumps(convo))],
+                               "doc_id long, raw_json string")
+    parsed = parse_conversations(df, "raw_json")
+    row = parsed.select(flatten_chat("turns").alias("flat"),
+                        loss_spans("turns").alias("spans")).collect()[0]
+    got = [row.flat[s.start:s.end] for s in row.spans]
+    assert got == ["answer one", "the second answer"]
+    # custom template shifts every offset; slices must still be exact
+    row2 = (parsed.select(
+        flatten_chat("turns", ("<<", ">>>")).alias("flat"),
+        loss_spans("turns", ("<<", ">>>")).alias("spans"))
+        .collect()[0])
+    assert [row2.flat[s.start:s.end] for s in row2.spans] == got
+
+
 def test_flatten_renders_in_stored_order(spark):
     df = spark.createDataFrame(
         [(1, json.dumps([{"role": "user", "content": "hi & <bye>"},
