@@ -91,6 +91,14 @@ class _BlockSegmenter(HTMLParser):
             self.blocks.append((text, self._link_chars))
         self._parts = []
         self._link_chars = 0
+        # clamp anchor state at every block boundary (r12 review): one
+        # unclosed <a> — ubiquitous in real crawl markup — would
+        # otherwise mark EVERY later block ~100% link density and the
+        # extractor would drop the whole page. Trade-off: an anchor
+        # legitimately wrapping block content (HTML5 card links) loses
+        # its link-ness for the inner blocks; per-block scoring is the
+        # jusText convention and unclosed anchors are far more common.
+        self._anchor_depth = 0
 
     def handle_starttag(self, tag, attrs):
         if tag in _DROP:

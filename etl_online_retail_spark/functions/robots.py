@@ -64,12 +64,18 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
         if key not in ("allow", "disallow"):
             continue
         in_rules = True
+        # the named group EXISTS the moment it carries any allow/
+        # disallow line — including the canonical empty "Disallow:"
+        # allow-all idiom. Marking existence only for non-empty values
+        # made such an agent fall back to (and be denied by) the '*'
+        # group (r12 review, RFC 9309 group-override violation).
+        if a in group_agents:
+            found_named = True
         if not value:
             continue
         rule = (key == "allow", value)
         if a in group_agents:
             named.append(rule)
-            found_named = True
         if "*" in group_agents:
             star.append(rule)
     return named if found_named else star

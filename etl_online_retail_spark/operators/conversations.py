@@ -55,10 +55,16 @@ def alternation_ok(turns: Column | str) -> Column:
         F.transform(body, lambda x, i: x["role"] == F.when(
             i % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))),
         lambda ok: ok)
+    # NULL contents are invalid too (r12 review): flatten_chat's concat
+    # nulls a turn with missing content and array_join then SKIPS it —
+    # the training string silently loses the turn and the loss spans go
+    # NULL, exactly the corruption this validator exists to catch
+    contents = F.forall(t, lambda x: x["content"].isNotNull())
     # a NULL role nulls its comparison and forall propagates it —
     # coalesce to invalid rather than unknown
     return (t.isNotNull() & (F.size(t) >= 2) & (F.size(body) >= 2)
             & F.coalesce(parity, F.lit(False))
+            & F.coalesce(contents, F.lit(False))
             & F.coalesce(F.element_at(t, -1)["role"] == "assistant",
                          F.lit(False))).alias("alternation_ok")
 

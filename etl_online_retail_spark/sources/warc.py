@@ -315,10 +315,18 @@ def synthetic_crawl_archives(docs: DataFrame, html: bool = False,
                                          pdf["_text"]):
                 if chrome:
                     # escape() is per-character, so escaping the two
-                    # slices separately equals escaping the whole text
+                    # slices separately equals escaping the whole text.
+                    # The inline anchor covers at most a QUARTER of the
+                    # text (capped at 10 chars), so the payload block's
+                    # link density stays <= 0.25 for EVERY text length —
+                    # a fixed 10-char anchor would cross the extractor's
+                    # 0.5 threshold for texts of <= 20 chars and the
+                    # oracle would mismatch at whatever SF first ships
+                    # one (r12 review).
+                    k = min(10, len(text) // 4)
                     body = (CHROME_HTML_PREFIX
-                            + '<a href="/self">' + _html.escape(text[:10])
-                            + "</a>" + _html.escape(text[10:])
+                            + '<a href="/self">' + _html.escape(text[:k])
+                            + "</a>" + _html.escape(text[k:])
                             + CHROME_HTML_SUFFIX).encode("utf-8")
                     ctype = "text/html; charset=utf-8"
                 elif html:

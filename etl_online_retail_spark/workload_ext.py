@@ -2959,6 +2959,29 @@ def q_main_content_extract(spark, sf_dir):
 SFT_SYSTEM = "You are a helpful assistant."
 
 
+def _sft_conversations(spark, sf_dir):
+    """The shared SFT fixture relation (doc_id, raw_json): one 3-turn
+    conversation per document, halves of the text as the user/assistant
+    contents, every 7th with the turns SWAPPED (the corruption the
+    validator must flag). Defined ONCE so chat_sft_prep and
+    sft_loss_spans — and their oracles' arithmetic — can never
+    desynchronize (r12 review)."""
+    docs = _t(spark, sf_dir, "documents")
+    half = F.floor(F.length("text") / 2).cast("int")
+    user = F.substring(F.col("text"), F.lit(1), half)
+    assistant = F.substring(F.col("text"), half + F.lit(1),
+                            F.length("text"))
+    sys_turn = F.struct(F.lit("system").alias("role"),
+                        F.lit(SFT_SYSTEM).alias("content"))
+    u_turn = F.struct(F.lit("user").alias("role"), user.alias("content"))
+    a_turn = F.struct(F.lit("assistant").alias("role"),
+                      assistant.alias("content"))
+    turns = F.when(F.col("doc_id") % 7 != 0,
+                   F.array(sys_turn, u_turn, a_turn)) \
+             .otherwise(F.array(sys_turn, a_turn, u_turn))
+    return docs.select("doc_id", F.to_json(turns).alias("raw_json"))
+
+
 @register(
     "chat_sft_prep",
     "SELECT doc_id, CAST(3 AS INTEGER) AS n_turns, "
@@ -2980,21 +3003,7 @@ SFT_SYSTEM = "You are a helpful assistant."
 def q_chat_sft_prep(spark, sf_dir):
     from etl_online_retail_spark.operators.conversations import sft_prep
 
-    docs = _t(spark, sf_dir, "documents")
-    half = F.floor(F.length("text") / 2).cast("int")
-    user = F.substring(F.col("text"), F.lit(1), half)
-    assistant = F.substring(F.col("text"), half + F.lit(1),
-                            F.length("text"))
-    sys_turn = F.struct(F.lit("system").alias("role"),
-                        F.lit(SFT_SYSTEM).alias("content"))
-    u_turn = F.struct(F.lit("user").alias("role"), user.alias("content"))
-    a_turn = F.struct(F.lit("assistant").alias("role"),
-                      assistant.alias("content"))
-    turns = F.when(F.col("doc_id") % 7 != 0,
-                   F.array(sys_turn, u_turn, a_turn)) \
-             .otherwise(F.array(sys_turn, a_turn, u_turn))
-    convo = docs.select("doc_id", F.to_json(turns).alias("raw_json"))
-    return sft_prep(convo, "raw_json")
+    return sft_prep(_sft_conversations(spark, sf_dir), "raw_json")
 
 
 # loss spans: the char ranges of the flat training string a trainer
@@ -3025,22 +3034,8 @@ def q_sft_loss_spans(spark, sf_dir):
         parse_conversations,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    half = F.floor(F.length("text") / 2).cast("int")
-    user = F.substring(F.col("text"), F.lit(1), half)
-    assistant = F.substring(F.col("text"), half + F.lit(1),
-                            F.length("text"))
-    sys_turn = F.struct(F.lit("system").alias("role"),
-                        F.lit(SFT_SYSTEM).alias("content"))
-    u_turn = F.struct(F.lit("user").alias("role"), user.alias("content"))
-    a_turn = F.struct(F.lit("assistant").alias("role"),
-                      assistant.alias("content"))
-    turns = F.when(F.col("doc_id") % 7 != 0,
-                   F.array(sys_turn, u_turn, a_turn)) \
-             .otherwise(F.array(sys_turn, a_turn, u_turn))
-    parsed = parse_conversations(
-        docs.select("doc_id", F.to_json(turns).alias("raw_json")),
-        "raw_json")
+    parsed = parse_conversations(_sft_conversations(spark, sf_dir),
+                                 "raw_json")
     spans = parsed.select("doc_id", loss_spans("turns").alias("_s"))
     first = F.element_at("_s", 1)
     return spans.select(

@@ -72,20 +72,24 @@ def run_crawl_pipeline(spark, sf_dir: str) -> dict:
 
     # 4. URL canonicalization: dedup re-fetches of the same page under
     # different spellings (here: the doc's URI vs a tracking-params +
-    # default-port variant of it)
+    # default-port variant of it). Same shuffle rule as step 3: the
+    # dedup groupBy carries only (url, id) keys — the fetched bodies
+    # join back AFTER the surviving ids are known, instead of riding
+    # the union + shuffle twice (r12 review).
     allowed = (decisions.filter("allowed")
-               .join(responses, "doc_id")
-               .select("doc_id", "host", "target_uri", "body"))
-    variants = allowed.select("doc_id", "host", "body",
+               .join(responses.drop("body"), "doc_id")
+               .select("doc_id", "target_uri"))
+    variants = allowed.select("doc_id",
                               F.col("target_uri").alias("url")).unionByName(
         allowed.select(
-            "doc_id", "host", "body",
+            "doc_id",
             F.concat(F.regexp_replace("target_uri", "^http://", "HTTP://"),
                      F.lit("?utm_source=feed#top")).alias("url")))
     canon = variants.withColumn("canonical", canonical_url("url"))
     n_fetches = canon.count()
-    deduped = canon.groupBy("canonical").agg(
-        F.min("doc_id").alias("doc_id"), F.first("body").alias("body"))
+    deduped = (canon.groupBy("canonical")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .join(responses.select("doc_id", "body"), "doc_id"))
     n_pages = deduped.count()
 
     # 5. main-content extraction (chrome blocks dropped by link

@@ -33,6 +33,10 @@ CASES = [
     ([("user", "u")], False),                             # lone turn
     ([], False),
     ([("system", "s"), ("user", "u"), (None, "x")], False),  # null role
+    # NULL content (r12 review): flatten would silently DROP the turn
+    # and loss spans would go null — must be invalid, not just ugly
+    ([("user", None), ("assistant", "a")], False),
+    ([("user", "u"), ("assistant", None)], False),
 ]
 
 

@@ -44,6 +44,13 @@ def test_parse_robots_group_selection():
     two = "User-agent: *\nDisallow: /x\nUser-agent: c\nDisallow: /y\n"
     assert parse_robots(two) == [(False, "/x")]
     assert parse_robots(two, agent="c") == [(False, "/y")]
+    # the canonical allow-all idiom: a named group whose ONLY line is
+    # an empty Disallow still EXISTS and overrides '*' — goodbot gets
+    # everything, not the '*' group's blanket denial (r12 review)
+    allow_all = ("User-agent: goodbot\nDisallow:\n\n"
+                 "User-agent: *\nDisallow: /\n")
+    assert parse_robots(allow_all, agent="goodbot") == []
+    assert parse_robots(allow_all) == [(False, "/")]
 
 
 def test_robots_decisions_semantics(spark):

@@ -169,6 +169,15 @@ def test_main_content_block_semantics():
     # a page that is ALL chrome extracts to empty, not garbage
     assert extract_main_content(
         "<nav><a href='/'>Home</a></nav>") == ""
+    # one UNCLOSED <a> (ubiquitous in real crawl markup) must not
+    # poison every later block's link density — anchor state clamps at
+    # block boundaries (r12 review: this used to drop the whole page)
+    sloppy = ("<nav><a href='/'>Home</nav>"
+              "<p>Real prose content of the page, a long paragraph "
+              "of actual text.</p>")
+    assert extract_main_content(sloppy) == (
+        "Real prose content of the page, a long paragraph of actual "
+        "text.")
 
 
 def test_warc_records_and_extract_spark(spark):
