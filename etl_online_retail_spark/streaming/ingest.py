@@ -1108,3 +1108,75 @@ def read_mix_rates(spark, table_dir: str, part_col: str,
               .groupBy(part_col)
               .agg(F.sum("_n").alias("n_total")))
     return rates_from_counts(counts, part_col, budget_docs, alpha)
+
+
+# ---------------------------------------------------------------------------
+# streaming crawl ingest (r12): a CONTINUOUS crawl — WARC archives
+# arriving as a stream — maintained into quality telemetry with bounded
+# state. Each micro-batch of archives walks its records, extracts
+# main-content text, scores it with the oracle-checked quality formula,
+# and folds per-(source-host, quality-decile) (count, sum) partials via
+# the standard replay-safe partial layout. State per batch is
+# O(hosts x 10) whatever the crawl volume; the read side merges
+# partials with one tiny aggregation. Over the complete stream the
+# telemetry equals the batch computation over the union of all
+# archives, bit-for-bit (partial sums are exact decimals), which the
+# test asserts.
+
+
+def crawl_quality_batch_write(batch_df: DataFrame, batch_id: int,
+                              table_dir: str,
+                              max_link_density: float = 0.5) -> None:
+    from etl_online_retail_spark.functions.html_text import (
+        extract_main_text,
+    )
+    from etl_online_retail_spark.operators.curation import quality_expr
+    from etl_online_retail_spark.sources.warc import (
+        parse_http_response,
+        warc_records,
+    )
+
+    recs = warc_records(batch_df, id_col="archive_id",
+                        content_col="content")
+    responses = (recs.filter(F.col("warc_type") == "response")
+                 .select("archive_id",
+                         F.regexp_extract("target_uri",
+                                          r"^https?://([^/?#]+)", 1)
+                          .alias("host"),
+                         "body"))
+    texts = extract_main_text(
+        responses.withColumn("_k", F.struct("archive_id", "host")),
+        "body", "_k", max_link_density=max_link_density)
+    scored = texts.select(
+        F.col("_k")["host"].alias("host"),
+        F.least(F.floor(quality_expr("text") * 10), F.lit(9))
+         .cast("int").alias("q_decile"),
+        quality_expr("text").cast("decimal(18,9)").alias("_v"))
+    partial_agg_batch_write(scored, batch_id, table_dir,
+                            ["host", "q_decile"], "_v",
+                            value_type="decimal(18,9)",
+                            sum_type="decimal(38,9)")
+
+
+def incremental_crawl_quality(stream_df: DataFrame, table_dir: str,
+                              checkpoint_dir: str) -> StreamingQuery:
+    """Maintain per-(host, quality-decile) crawl telemetry over a
+    stream of (archive_id, content) WARC archives. The whole crawl ->
+    text -> quality chain runs inside each micro-batch; the stored
+    state is the dashboard-sized partial table."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: crawl_quality_batch_write(
+                df, bid, table_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_crawl_quality(spark, table_dir: str) -> DataFrame:
+    """(host, q_decile, n_pages, quality_sum) merged over every batch
+    partial — bit-equal to the batch computation over all archives."""
+    return (spark.read.parquet(table_dir)
+            .filter(F.col("_batch_id").isin(_effective_partials(table_dir)))
+            .groupBy("host", "q_decile")
+            .agg(F.sum("_n").alias("n_pages"),
+                 F.sum("_sum").cast("decimal(38,9)").alias("quality_sum")))

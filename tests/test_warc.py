@@ -138,6 +138,63 @@ def test_write_warc_shards_round_trip_and_determinism(spark, tmp_path):
         assert open(p1, "rb").read() == open(m2[sh], "rb").read()
 
 
+def test_incremental_crawl_quality_equals_batch(spark, tmp_path):
+    """Streaming crawl ingest (r12): WARC archives streamed in three
+    micro-batches maintain per-(host, quality-decile) telemetry with
+    bounded state; over the complete stream the merged partials equal
+    the batch computation over ALL archives bit-for-bit (exact decimal
+    partial sums)."""
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import load_table
+    from etl_online_retail_spark.functions.html_text import (
+        extract_main_text,
+    )
+    from etl_online_retail_spark.operators.curation import quality_expr
+    from etl_online_retail_spark.streaming.ingest import (
+        incremental_crawl_quality,
+        read_crawl_quality,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001") \
+        .limit(120).cache()
+    archives = warc.synthetic_crawl_archives(docs, chrome=True).cache()
+    src = str(tmp_path / "src")
+    for part in range(3):
+        (archives.filter(F.col("archive_id") % 3 == part)
+         .coalesce(1).write.parquet(f"{src}/p{part}"))
+    stream = (spark.readStream.schema(archives.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/p*"))
+    table = str(tmp_path / "agg")
+    q = incremental_crawl_quality(stream, table,
+                                  str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = {(r.host, r.q_decile): (r.n_pages, r.quality_sum) for r in
+           read_crawl_quality(spark, table).collect()}
+
+    # the batch twin over ALL archives at once
+    recs = warc.warc_records(archives)
+    responses = (recs.filter(F.col("warc_type") == "response")
+                 .select("archive_id",
+                         F.regexp_extract("target_uri",
+                                          r"^https?://([^/?#]+)", 1)
+                          .alias("host"), "body"))
+    texts = extract_main_text(
+        responses.withColumn("_k", F.struct("archive_id", "host")),
+        "body", "_k")
+    want = {(r.host, r.q_decile): (r.n_pages, r.quality_sum) for r in
+            (texts.select(
+                F.col("_k")["host"].alias("host"),
+                F.least(F.floor(quality_expr("text") * 10), F.lit(9))
+                 .cast("int").alias("q_decile"),
+                quality_expr("text").cast("decimal(18,9)").alias("_v"))
+             .groupBy("host", "q_decile")
+             .agg(F.count(F.lit(1)).alias("n_pages"),
+                  F.sum("_v").cast("decimal(38,9)")
+                   .alias("quality_sum"))).collect()}
+    assert got == want and len(got) > 3
+
+
 def test_main_content_block_semantics():
     from etl_online_retail_spark.functions.html_text import (
         extract_main_content,
