@@ -6,11 +6,16 @@ user-agent group, the rule with the LONGEST matching path prefix wins;
 on an exact length tie, Allow beats Disallow; a URL matching no rule is
 allowed; an empty Disallow value matches nothing.
 
-Shape at scale: robots files are a per-HOST dimension (tiny — one row
-per rule), so the decision is a broadcast join from URLs to their
-host's rules followed by one max_by aggregation picking the winning
-rule per URL — all JVM-side; the only Python is the one-time robots.txt
-parse, which runs over the host dimension, never the URL fact.
+Shape at scale: robots files are a per-HOST dimension, but a real
+crawl's host dimension is NOT small — Common Crawl sees tens of
+millions of distinct hosts — so the parse runs distributed (an
+Arrow-batched mapInPandas over host partitions; parse_robots is a pure
+function) and the URL-side decision is a size-GUARDED broadcast join
+followed by one max_by aggregation picking the winning rule per URL:
+while the rule relation fits the broadcast bound it ships to executors,
+past it the join degrades to an ordinary host-partitioned shuffle
+instead of an OOM (r12 verdict finding 1). The only Python is the
+per-host parse, which never touches the URL fact.
 
 Scope: the '*' user-agent group plus an optionally named agent whose
 group overrides '*' entirely (RFC 9309 §2.2.1: the crawler obeys the
@@ -85,15 +90,32 @@ def robots_rules(robots: DataFrame, host_col: str = "host",
                  text_col: str = "robots_txt",
                  agent: str = "*") -> DataFrame:
     """(host, allow, prefix) — one row per governing rule per host.
-    Driver-side parse over the collected host dimension: robots files
-    are per-host metadata (thousands of rows at crawl scale, not
-    billions), and parsing here keeps every per-URL operation JVM-side."""
-    spark = robots.sparkSession
-    rows = []
-    for r in robots.select(host_col, text_col).collect():
-        for allow, prefix in parse_robots(r[text_col], agent=agent):
-            rows.append((r[host_col], allow, prefix))
-    return spark.createDataFrame(rows, RULE_SCHEMA)
+
+    The parse runs INSIDE an Arrow-batched mapInPandas over however the
+    host dimension is partitioned: a map-only stage, no shuffle, no
+    driver materialization — tens of millions of hosts cost exactly one
+    pass over their partitions. (The r12 shape collected every
+    (host, robots_txt) row to the driver, which dies at real crawl host
+    counts.) parse_robots stays the single parser for both scales."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            hosts: list = []
+            allows: list = []
+            prefixes: list = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                for allow, prefix in parse_robots(text or "", agent=agent):
+                    hosts.append(host)
+                    allows.append(allow)
+                    prefixes.append(prefix)
+            yield pd.DataFrame({
+                "host": pd.Series(hosts, dtype="object"),
+                "allow": pd.Series(allows, dtype="bool"),
+                "prefix": pd.Series(prefixes, dtype="object"),
+            })
+
+    return robots.select(host_col, text_col).mapInPandas(gen, RULE_SCHEMA)
 
 
 def robots_decisions(urls: DataFrame, rules: DataFrame,
@@ -101,16 +123,23 @@ def robots_decisions(urls: DataFrame, rules: DataFrame,
                      path_col: str = "path") -> DataFrame:
     """urls + an `allowed` column, RFC 9309 longest-match semantics.
 
-    Left-join URLs to their host's rules on prefix match (broadcast —
-    the rule relation is host-dimension-sized), then pick the winning
-    rule per URL with one max_by over (prefix length, allow): longest
-    prefix wins, Allow beats Disallow on ties, no match means allowed.
+    Left-join URLs to their host's rules on prefix match — broadcast
+    while the rule relation's size estimate fits the bound, an ordinary
+    host-keyed join past it (size_guarded_broadcast: a crawl-scale rule
+    relation must degrade to a shuffle, not OOM the executors) — then
+    pick the winning rule per URL with one max_by over (prefix length,
+    allow): longest prefix wins, Allow beats Disallow on ties, no match
+    means allowed.
     Group keys are the URL row's columns — BIT-IDENTICAL duplicate rows
     collapse to one; carry a row id column (as the registry query does)
     when multiplicity matters. Scale note: every urls column rides the
     decision aggregation's shuffle, so pass (id, host, path) and join
     payload columns back afterwards — never the fetched bodies."""
-    r = F.broadcast(rules).alias("_r")
+    from etl_online_retail_spark.operators.joins import (
+        size_guarded_broadcast,
+    )
+
+    r = size_guarded_broadcast(rules).alias("_r")
     u = urls.alias("_u")
     joined = u.join(
         r, (F.col(f"_u.{host_col}") == F.col("_r.host"))

@@ -1046,6 +1046,16 @@ def publish(spark: SparkSession, sf_dir: str,
                 spark.catalog.dropTempView(view)
             except Exception:
                 pass  # rollback is best-effort; the refusal propagates
+        # a failed RE-publish may have dropped views a previous
+        # successful pass was serving; leaving MATVIEW_DIR_CONF set from
+        # that pass would advertise a staged warehouse whose views are
+        # gone (serve() degrades to None per view, silently — r12
+        # advice). Unset it so the failure leaves an EXPLICITLY
+        # unstaged warehouse.
+        try:
+            spark.conf.unset(MATVIEW_DIR_CONF)
+        except Exception:
+            pass
         raise
     spark.conf.set(MATVIEW_DIR_CONF, os.path.abspath(sf_dir))
 

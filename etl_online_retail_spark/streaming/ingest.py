@@ -1131,10 +1131,7 @@ def crawl_quality_batch_write(batch_df: DataFrame, batch_id: int,
         extract_main_text,
     )
     from etl_online_retail_spark.operators.curation import quality_expr
-    from etl_online_retail_spark.sources.warc import (
-        parse_http_response,
-        warc_records,
-    )
+    from etl_online_retail_spark.sources.warc import warc_records
 
     recs = warc_records(batch_df, id_col="archive_id",
                         content_col="content")

@@ -2922,6 +2922,16 @@ def q_robots_url_filter(spark, sf_dir):
 # ~100% link density (must be DROPPED) — so returning the raw document
 # text bit-exactly proves both the keep and the drop side of the
 # threshold, through the full WARC -> HTTP -> block-segmentation path.
+#
+# ORACLE ASSUMPTION (r12 advice): the `SELECT doc_id, text` twin holds
+# because fixture text is strictly SINGLE-SPACED. _BlockSegmenter
+# whitespace-COLLAPSES block text, and link density divides raw anchor
+# chars by the collapsed length — so a documents-datagen change that
+# introduces runs of whitespace would (a) hash-mismatch here (collapsed
+# vs raw text) and (b) could push the payload block past the 0.5
+# density threshold. If this query starts failing after a testdata
+# refresh, check the fixture's whitespace before suspecting the
+# extractor.
 
 
 @register(

@@ -1342,6 +1342,69 @@ def main() -> None:
     timed(f"crawl chain (WARC -> main content) @ {factor}x", crawl_chain)
     timed(f"robots + canonical-url dedup @ {factor}x", robots_urls)
 
+    # robots HOST-DIMENSION smoke (r13, verdict finding 1): the r12
+    # shape collected every (host, robots_txt) row to the driver and
+    # force-broadcast the rule relation — both die at real crawl host
+    # counts. This row runs the distributed parse (mapInPandas) and the
+    # size-guarded decision join over factor x 200k synthetic hosts
+    # (2M at 10x; 4 governing rules each -> 8M rules) with 2 URLs per
+    # host, checking the whole host dimension stays executor-side and
+    # the join degrades to a host-keyed shuffle when the rules outgrow
+    # the broadcast bound. Expectation: LINEAR in the factor.
+    def robots_host_dimension():
+        from etl_online_retail_spark.functions.robots import (
+            robots_decisions,
+            robots_rules,
+        )
+        from etl_online_retail_spark.workload_ext import ROBOTS_FIXTURE
+
+        n_hosts = factor * 200_000
+        hosts = (spark.range(n_hosts)
+                 .select(F.concat(F.lit("h"), F.col("id")).alias("host"),
+                         F.lit(ROBOTS_FIXTURE).alias("robots_txt")))
+        urls = (spark.range(n_hosts)
+                .select(F.concat(F.lit("h"), F.col("id")).alias("host"),
+                        F.explode(F.array(
+                            F.lit("/p/1"), F.lit("/private/x")))
+                        .alias("path")))
+        (robots_decisions(urls, robots_rules(hosts))
+         .groupBy("allowed").count()
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"robots host dimension ({factor * 200_000} hosts) @ {factor}x",
+          robots_host_dimension)
+
+    # SFT prep + loss spans (r13, verdict task 6): pure JVM Column
+    # algebra (to_json/from_json round trip, HOF folds) — the
+    # expectation is boringly linear, which is exactly why the row is
+    # cheap insurance against a Python boundary sneaking in.
+    def sft_chain():
+        from etl_online_retail_spark.operators.conversations import (
+            loss_spans,
+            parse_conversations,
+            sft_prep,
+        )
+
+        half = F.floor(F.length("text") / 2).cast("int")
+        turns = F.array(
+            F.struct(F.lit("system").alias("role"),
+                     F.lit("You are a helpful assistant.").alias("content")),
+            F.struct(F.lit("user").alias("role"),
+                     F.substring(F.col("text"), F.lit(1), half)
+                     .alias("content")),
+            F.struct(F.lit("assistant").alias("role"),
+                     F.substring(F.col("text"), half + F.lit(1),
+                                 F.length("text")).alias("content")))
+        convs = docs.select("doc_id", F.to_json(turns).alias("raw_json"))
+        sft_prep(convs, "raw_json") \
+            .write.format("noop").mode("overwrite").save()
+        (parse_conversations(convs, "raw_json")
+         .select("doc_id", loss_spans("turns").alias("spans"))
+         .select("doc_id", F.explode("spans").alias("s"))
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"sft prep + loss spans @ {factor}x", sft_chain)
+
 
 if __name__ == "__main__":
     main()
