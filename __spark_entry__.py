@@ -143,6 +143,9 @@ _REATTEST_FIRST = {
     # r11 rows attest the per-byte code paths), and the served
     # revenue_share_by_nation plan dropped its redundant re-aggregation
     "tiff_image_stats": 12, "revenue_share_by_nation": 12,
+    # r13: robots_rules parse moved into mapInPandas + the decision
+    # join's broadcast became size-guarded
+    "robots_url_filter": 13,
 }
 
 

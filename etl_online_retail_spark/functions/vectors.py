@@ -58,3 +58,28 @@ def norm_sql(a: str) -> str:
 def cosine_sql(a: str, b: str) -> str:
     return (f"(CASE WHEN {norm_sql(a)} * {norm_sql(b)} = 0.0 THEN 0.0 "
             f"ELSE {dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}) END)")
+
+
+# Integer-lattice (exact-mode) twins — r13. floor(x * scale) on the
+# double-cast component is one IEEE multiply + floor, bit-identical in
+# Spark, numpy and DuckDB; the folds below then run entirely in BIGINT,
+# so the results are order-independent exact integers (inside double's
+# 2^53 range too, so DuckDB's list arithmetic cannot round). See
+# operators/similarity.py's exact-mode ANN section for the overflow
+# budget.
+def int_vec_sql(a: str, scale: int = 1000) -> str:
+    return (f"list_transform({a}, "
+            f"x -> CAST(floor(x::DOUBLE * {scale}) AS BIGINT))")
+
+
+def int_dot_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+            f"(acc, x) -> acc + x)")
+
+
+def int_l2_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+            f"(acc, x) -> acc + x)")

@@ -966,3 +966,243 @@ def train_pq_codebooks_distributed(corpus: DataFrame, m_subspaces: int = 8,
     subs.unpersist()
     return [[[float(x) for x in code] for code in cent[s]]
             for s in range(m_subspaces)]
+
+
+# ---------------------------------------------------------------------------
+# Exact-mode ANN twins (r13): integer-quantized arithmetic makes every
+# score an exact int64, so the SAME index-and-probe plans the float paths
+# run become driver-HASHABLE — the PPR fixed-point precedent
+# (operators/graph.py ppr exact mode) applied to similarity search.
+#
+# Two things buy the exactness:
+#   * quantization is floor(x * scale) on the double-cast component —
+#     one IEEE multiply + floor, bit-identical in Spark, numpy and
+#     DuckDB — and every reduction thereafter is an INTEGER fold/matmul,
+#     order-independent by construction (no BLAS summation-order caveat);
+#   * the index "training" is pinned instead of iterated: IVF centroids /
+#     PQ codebook entries are the quantized vectors of the n smallest-id
+#     corpus rows, a deterministic rule a SQL oracle can state. The
+#     float paths keep their KMeans training (recall-optimal); the exact
+#     twins verify the probe/ADC SEARCH machinery end-to-end.
+#
+# Overflow budget: |component| <= scale (unit-ish embeddings), so a dot
+# is <= dims * scale^2 (64 * 1e6 = 6.4e7 at the defaults) and an L2 is
+# <= 4x that — far inside int64 AND inside double's 2^53 integer range,
+# so DuckDB list arithmetic stays exact too.
+#
+# What stays rows-only and why: knn_vectorized / embedding_near_dups_
+# vectorized / embedding_pca score in float (BLAS summation order);
+# knn_ivf / knn_pq / semantic_dedup keep their iteratively-trained
+# KMeans structures; BPE / unigram training is a driver-coordinated
+# loop. Each of those now has either an exact twin here or a documented
+# invariant-test regime.
+
+
+def quantize_expr(vec: Column, scale: int = 1000) -> Column:
+    """array<bigint>: floor(component * scale) — the exact-mode lattice."""
+    return F.transform(as_double(vec),
+                       lambda x: F.floor(x * scale).cast("bigint"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two array<bigint> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def int_l2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance of two array<bigint> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def brute_force_topk_int(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                         scale: int = 1000, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Exact-mode twin of brute_force_topk_vectorized: the same
+    numpy-batched mapInPandas scoring shape (one matmul per Arrow
+    batch; the corpus never shuffles), but over int64-quantized vectors
+    — integer matmul is exact whatever the accumulation order, so the
+    vectorized SCALE PATH itself becomes hash-attestable, not just its
+    interpreted fold sibling. Output: (query_id, neighbour_id, dot_q,
+    rank) ranked by dot descending, id ascending."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.floor(np.array([r[1] for r in q_rows], dtype=np.float64)
+                     * scale).astype(np.int64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.floor(np.array(list(pdf[vec_col]), dtype=np.float64)
+                           * scale).astype(np.int64)
+            dots = mat @ q_mat.T  # (batch, |Q|) int64: EXACT
+            n_b, n_q = dots.shape
+            yield pd.DataFrame({
+                "query_id": np.repeat(q_ids, n_b),
+                "neighbour_id": np.tile(ids, n_q),
+                "dot_q": dots.T.ravel(),
+            })
+
+    scored = (corpus.select(id_col, vec_col)
+              .mapInPandas(score,
+                           "query_id bigint, neighbour_id bigint, "
+                           "dot_q bigint")
+              .filter(F.col("query_id") != F.col("neighbour_id")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"),
+                                               F.asc("neighbour_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def _seed_rows(corpus: DataFrame, n: int, id_col: str,
+               vec_col: str) -> list:
+    """The n smallest-id corpus rows — the pinned 'training set' of the
+    exact-mode indexes (a TakeOrdered of n rows, bounded by contract)."""
+    return (corpus.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc()).limit(n).collect())
+
+
+def ivf_topk_int(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_clusters: int = 16, n_probe: int = 4,
+                 scale: int = 1000, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Exact-mode twin of ivf_topk: identical inverted-file search shape
+    (assign every vector to its nearest centroid; each query probes its
+    n_probe nearest lists; only probed lists are scored) with pinned
+    seed centroids and int64 arithmetic, so assignment, probe selection
+    and ranking are all exactly reproducible by a SQL oracle. Ties break
+    on the lower centroid / neighbour id. Output: (query_id,
+    neighbour_id, dot_q, rank).
+
+    Scale shape: the centroid table is BOUNDED (n_clusters rows), so it
+    rides into the plan as a LITERAL array and assignment is a pure
+    map stage over the corpus — zero shuffle, exactly like the float
+    path's model.transform; the only shuffle anywhere is the final
+    per-query ranking over candidate rows. Rule-7 note: the transform
+    lambda reads only the row's own `_q` attribute (a slot read, not a
+    recomputed expression) and its own lambda variable."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    seeds = _seed_rows(corpus, n_clusters, id_col, vec_col)
+    cents = [(i, [int(x) for x in
+                  np.floor(np.asarray(r[1], dtype=np.float64)
+                           * scale).astype(np.int64)])
+             for i, r in enumerate(seeds)]
+    cent_lit = F.array(*[
+        F.struct(
+            F.array(*[F.lit(v).cast("bigint") for v in cv]).alias("cv"),
+            F.lit(i).cast("int").alias("cid"))
+        for i, cv in cents])
+
+    def dists(vec_attr: str) -> Column:
+        # (l2, cid) per centroid; struct order = distance then id, so
+        # array_min/array_sort break ties to the lowest centroid id
+        return F.transform(
+            cent_lit,
+            lambda s: F.struct(int_l2(F.col(vec_attr), s["cv"]).alias("l2"),
+                               s["cid"].alias("cid")))
+
+    c = (corpus.select(F.col(id_col).alias("neighbour_id"),
+                       quantize_expr(F.col(vec_col), scale).alias("_q")))
+    assigned = (c.withColumn("_cid", F.array_min(dists("_q"))["cid"])
+                .select("neighbour_id", "_q", "_cid"))
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       quantize_expr(F.col(vec_col), scale).alias("_qv"))
+    probes = (q.withColumn("_p", F.explode(
+                  F.slice(F.array_sort(dists("_qv")), 1, n_probe)))
+              .select("query_id", "_qv", F.col("_p")["cid"].alias("_cid")))
+
+    scored = (assigned.join(F.broadcast(probes), "_cid")
+              .filter(F.col("query_id") != F.col("neighbour_id"))
+              .withColumn("dot_q", int_dot(F.col("_qv"), F.col("_q"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"),
+                                               F.asc("neighbour_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbour_id", "dot_q", "rank"))
+
+
+def pq_topk_int(corpus: DataFrame, queries: DataFrame,
+                m_subspaces: int = 8, n_codes: int = 16, k: int = 5,
+                scale: int = 1000, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                exclude_self: bool = True) -> DataFrame:
+    """Exact-mode twin of pq_topk: the same ADC machinery — numpy argmin
+    ENCODE per Arrow batch, per-query distance tables built driver-side
+    from the (bounded) codebook, scan-side score = one
+    zip_with/element_at fold over the codes column — but with pinned
+    smallest-id codebooks and int64 lattice arithmetic, so code
+    assignment and every ADC distance are exact integers a SQL oracle
+    reproduces. Ties in encode break to the LOWEST code (numpy argmin
+    first-occurrence == ORDER BY l2, code). Output: (query_id,
+    neighbour_id, adc_q, rank) ranked by ADC ascending."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    seeds = _seed_rows(corpus, n_codes, id_col, vec_col)
+    seed_mat = np.floor(np.array([r[1] for r in seeds], dtype=np.float64)
+                        * scale).astype(np.int64)
+    n_dims = seed_mat.shape[1]
+    if n_dims % m_subspaces:
+        raise ValueError(f"{n_dims} dims not divisible by {m_subspaces}")
+    d_sub = n_dims // m_subspaces
+    books = [seed_mat[:, m * d_sub:(m + 1) * d_sub]
+             for m in range(m_subspaces)]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.floor(np.array(pdf[vec_col].tolist(),
+                                     dtype=np.float64)
+                            * scale).astype(np.int64)
+            codes = np.empty((len(pdf), m_subspaces), dtype=np.int32)
+            for m, book in enumerate(books):
+                sub = vecs[:, m * d_sub:(m + 1) * d_sub]
+                # exact int64 ||x - c||^2 per code; argmin takes the
+                # first (lowest-code) minimum
+                d2 = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    encoded = (corpus.select(id_col, vec_col)
+               .mapInPandas(encode, f"{id_col} bigint, codes array<int>"))
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    table_rows = []
+    for r in q_rows:
+        qv = np.floor(np.asarray(r[1], dtype=np.float64)
+                      * scale).astype(np.int64)
+        tables = []
+        for m, book in enumerate(books):
+            sub = qv[m * d_sub:(m + 1) * d_sub]
+            tables.append([int(x) for x in
+                           ((book - sub) ** 2).sum(axis=1)])
+        table_rows.append((int(r[0]), tables))
+    probes = corpus.sparkSession.createDataFrame(
+        table_rows, "query_id bigint, _tables array<array<bigint>>")
+
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("_tables"),
+                   lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    scored = encoded.join(F.broadcast(probes))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
+    scored = scored.withColumn("adc_q", adc)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_q"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col(id_col).alias("neighbour_id"),
+                          "adc_q", "rank"))

@@ -33,7 +33,12 @@ from etl_online_retail_spark.functions.text import (
     word_shingle_hashes_all_sql,
     word_shingle_hashes_sql,
 )
-from etl_online_retail_spark.functions.vectors import cosine_sql
+from etl_online_retail_spark.functions.vectors import (
+    cosine_sql,
+    int_dot_sql,
+    int_l2_sql,
+    int_vec_sql,
+)
 from etl_online_retail_spark.multimodal.binary import (
     binary_features,
     image_features,
@@ -1497,6 +1502,141 @@ def q_knn_vectorized(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
     return similarity.brute_force_topk_vectorized(emb, queries_df, k=KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Exact-mode ANN twins (r13, verdict task 2): integer-quantized vectors
+# (floor(x * 1000), bit-identical in Spark/numpy/DuckDB) make every
+# score an exact int64, so the SAME search machinery the float paths
+# run — numpy-batched matmul scoring, IVF probe pruning, PQ ADC table
+# lookups — becomes driver-HASHABLE (the PPR fixed-point precedent).
+# The float variants stay registered (recall-optimal KMeans training /
+# BLAS float scores; rows-only with pytest recall assertions); these
+# twins pin the index seeds to the smallest-id corpus rows — a rule a
+# SQL oracle can state — and verify the probe/encode/ADC/rank machinery
+# end-to-end, hash-exact.
+
+KNN_INT_SCALE = 1000
+IVF_EXACT_CLUSTERS = 16
+IVF_EXACT_PROBE = 4
+PQ_EXACT_M = 8
+PQ_EXACT_CODES = 16
+_PQ_D_SUB = EMB_DIMS // PQ_EXACT_M
+
+_KNN_INT_ORACLE = f"""
+WITH e AS (SELECT vec_id, {int_vec_sql('embedding', KNN_INT_SCALE)} AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % {KNN_QUERY_MOD} = 0),
+s AS (SELECT q.query_id, e.vec_id AS neighbour_id,
+             CAST({int_dot_sql('q.qv', 'e.v')} AS BIGINT) AS dot_q
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbour_id, dot_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, neighbour_id) AS rn
+      FROM s)
+SELECT query_id, neighbour_id, dot_q, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {KNN_K}
+"""
+
+
+@register("knn_vectorized_exact", _KNN_INT_ORACLE,
+          "M6-similarity-bruteforce-scale-exact")
+def q_knn_vectorized_exact(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return similarity.brute_force_topk_int(emb, queries_df, k=KNN_K,
+                                           scale=KNN_INT_SCALE)
+
+
+_IVF_INT_ORACLE = f"""
+WITH e AS (SELECT vec_id, {int_vec_sql('embedding', KNN_INT_SCALE)} AS v
+           FROM embeddings),
+c AS (SELECT v AS cv,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+      FROM e ORDER BY vec_id LIMIT {IVF_EXACT_CLUSTERS}),
+a AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {int_l2_sql('e.v', 'c.cv')}, c.cid) AS rn
+        FROM e CROSS JOIN c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id % {KNN_QUERY_MOD} = 0),
+p AS (SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY {int_l2_sql('q.qv', 'c.cv')}, c.cid) AS rn
+        FROM q CROSS JOIN c) WHERE rn <= {IVF_EXACT_PROBE}),
+s AS (SELECT p.query_id, a.vec_id AS neighbour_id,
+             CAST({int_dot_sql('q.qv', 'e.v')} AS BIGINT) AS dot_q
+      FROM p JOIN a USING (cid)
+      JOIN q ON q.query_id = p.query_id
+      JOIN e ON e.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbour_id, dot_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, neighbour_id) AS rn
+      FROM s)
+SELECT query_id, neighbour_id, dot_q, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {KNN_K}
+"""
+
+
+@register("knn_ivf_exact", _IVF_INT_ORACLE, "M6-similarity-ivf-exact")
+def q_knn_ivf_exact(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return similarity.ivf_topk_int(emb, queries_df, k=KNN_K,
+                                   n_clusters=IVF_EXACT_CLUSTERS,
+                                   n_probe=IVF_EXACT_PROBE,
+                                   scale=KNN_INT_SCALE)
+
+
+_PQ_INT_ORACLE = f"""
+WITH e AS (SELECT vec_id, {int_vec_sql('embedding', KNN_INT_SCALE)} AS v
+           FROM embeddings),
+sub AS (SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+               list_slice(v, t.m * {_PQ_D_SUB} + 1,
+                          (t.m + 1) * {_PQ_D_SUB}) AS sv
+        FROM e, range({PQ_EXACT_M}) t(m)),
+seeds AS (SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS code
+          FROM e ORDER BY vec_id LIMIT {PQ_EXACT_CODES}),
+book AS (SELECT sub.m, seeds.code, sub.sv AS cv
+         FROM sub JOIN seeds USING (vec_id)),
+enc AS (SELECT vec_id, m, code FROM (
+          SELECT sub.vec_id, sub.m, book.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                     ORDER BY {int_l2_sql('sub.sv', 'book.cv')},
+                              book.code) AS rn
+          FROM sub JOIN book USING (m)) WHERE rn = 1),
+qt AS (SELECT sub.vec_id AS query_id, sub.m, book.code,
+              CAST({int_l2_sql('sub.sv', 'book.cv')} AS BIGINT) AS qd
+       FROM sub JOIN book USING (m)
+       WHERE sub.vec_id % {KNN_QUERY_MOD} = 0),
+adc AS (SELECT qt.query_id, enc.vec_id AS neighbour_id,
+               CAST(SUM(qt.qd) AS BIGINT) AS adc_q
+        FROM enc JOIN qt ON enc.m = qt.m AND enc.code = qt.code
+        WHERE enc.vec_id <> qt.query_id
+        GROUP BY qt.query_id, enc.vec_id),
+r AS (SELECT query_id, neighbour_id, adc_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_q, neighbour_id) AS rn
+      FROM adc)
+SELECT query_id, neighbour_id, adc_q, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {KNN_K}
+"""
+
+
+@register("knn_pq_exact", _PQ_INT_ORACLE, "M6-similarity-pq-adc-exact")
+def q_knn_pq_exact(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    return similarity.pq_topk_int(emb, queries_df,
+                                  m_subspaces=PQ_EXACT_M,
+                                  n_codes=PQ_EXACT_CODES, k=KNN_K,
+                                  scale=KNN_INT_SCALE)
 
 
 # hybrid retrieval: reciprocal-rank fusion of the lexical BM25 top-50

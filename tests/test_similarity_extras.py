@@ -346,3 +346,60 @@ def test_distributed_pq_trainer_pads_small_corpus(spark):
     for b in books:
         # padded tail codes repeat a real centroid, not zeros
         assert b[-1] == b[5] or any(x != 0.0 for x in b[-1])
+
+
+def test_ivf_int_full_probe_equals_bruteforce_int(spark):
+    """Probing EVERY list makes exact-mode IVF a partition of exact-mode
+    brute force: identical (query, rank) -> (neighbour, dot) tables —
+    the strongest internal check on the assignment/probe machinery
+    (the oracle gate checks it against DuckDB independently)."""
+    from etl_online_retail_spark.operators.similarity import (
+        brute_force_topk_int,
+        ivf_topk_int,
+    )
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = {(r.query_id, r.rank): (r.neighbour_id, r.dot_q)
+             for r in brute_force_topk_int(emb, queries, k=5).collect()}
+    full = {(r.query_id, r.rank): (r.neighbour_id, r.dot_q)
+            for r in ivf_topk_int(emb, queries, k=5, n_clusters=8,
+                                  n_probe=8).collect()}
+    assert brute == full
+
+
+def test_exact_twins_are_integer_and_deterministic(spark):
+    """Exact-mode scores are int64 and bit-stable under repartitioning
+    (the order-independence the float paths cannot promise)."""
+    from etl_online_retail_spark.operators.similarity import (
+        pq_topk_int,
+    )
+
+    emb = load_table(spark, "embeddings", SF).cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    one = sorted((r.query_id, r.rank, r.neighbour_id, r.adc_q)
+                 for r in pq_topk_int(emb, queries, k=5).collect())
+    two = sorted(
+        (r.query_id, r.rank, r.neighbour_id, r.adc_q)
+        for r in pq_topk_int(emb.repartition(7), queries, k=5).collect())
+    assert one == two
+    assert all(isinstance(t[3], int) for t in one)
+
+
+def test_pq_int_encode_ties_take_lowest_code(spark):
+    """Two identical codebook entries (duplicate seed vectors) must
+    encode to the LOWER code — numpy argmin first-occurrence == the
+    oracle's ORDER BY l2, code."""
+    from etl_online_retail_spark.operators.similarity import pq_topk_int
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),   # the two seeds/codes
+            (2, [0.5, 0.5]),                     # EQUIDISTANT from both
+            (3, [1.0, 0.0])]                     # the query (== seed 0)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = pq_topk_int(df, df.filter("vec_id = 3"), m_subspaces=1,
+                      n_codes=2, k=3)
+    got = {(r.neighbour_id, r.adc_q) for r in out.collect()}
+    # vec 2 quantizes to (500, 500): L2 500_000 to BOTH codes — the tie
+    # must resolve to code 0, whose query-table distance is 0 (code 1's
+    # is 2e6, so a wrong tie-break is observable in the ADC score)
+    assert got == {(0, 0), (1, 2_000_000), (2, 0)}
