@@ -233,6 +233,8 @@ HEADLINE = [
     "main_content_extract",
     "chat_sft_prep",
     "sft_loss_spans",
+    # round-13: loss spans re-based into packed-sequence coordinates
+    "sft_packed_spans",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

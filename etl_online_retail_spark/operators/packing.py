@@ -139,3 +139,64 @@ def chunk_offsets(docs: DataFrame, window: int = 64, stride: int = 48,
                     F.least(F.lit(window),
                             F.col("_n") - (F.col("_i") - 1) * stride)
                      .cast("int").alias("chunk_len")))
+
+
+def pack_loss_spans(docs: DataFrame, budget: int,
+                    len_col: Column | str, spans_col: Column | str,
+                    id_col: str = "doc_id",
+                    group_col: str = "source") -> DataFrame:
+    """Pack SFT training strings under a token budget and RE-BASE their
+    loss spans into packed-sequence coordinates — the layout a trainer
+    actually consumes (r13, verdict task 4).
+
+    `pack_sequences` places whole documents; this places their LOSS
+    SPANS: each doc occupies [start_offset, start_offset + len) in its
+    group's concatenated stream (same windowed running sum, same
+    deterministic id order), a span [s, e) within the doc re-bases to
+    global [start_offset + s, start_offset + e) and then SPLITS at
+    every budget-multiple cut it straddles. Output: one row per
+    (doc, span, sequence) piece —
+      group_col, id_col, span_idx   which span of which doc
+      seq_id                        the packed sequence holding the piece
+      local_start, local_end        [start, end) INSIDE that sequence
+
+    so sum(local_end - local_start) over a doc's rows == its total loss
+    chars, and every piece lies in [0, budget). Empty spans vanish.
+    Integer arithmetic throughout (exact BIGINTs past 2^53 tokens, like
+    pack_sequences); `spans_col` is the array<struct<start,end>> that
+    operators/conversations.loss_spans emits.
+
+    Scale shape: the running sum is one hash-partitioned window per
+    group (no global sort), the split is a per-row sequence explode
+    bounded by ceil(span_len / budget) + 1 — map-only after the window.
+    """
+    b = int(budget)
+    n = (F.col(len_col) if isinstance(len_col, str)
+         else len_col).cast("bigint")
+    spans = F.col(spans_col) if isinstance(spans_col, str) \
+        else spans_col
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = (docs
+            .withColumn("_len", n)
+            .withColumn("_off",
+                        (F.sum("_len").over(w) - F.col("_len"))
+                        .cast("bigint"))
+            .select(group_col, id_col, "_off",
+                    F.posexplode(spans).alias("span_idx", "_s")))
+    placed = (base
+              .withColumn("_gs", F.col("_off")
+                          + F.col("_s")["start"].cast("bigint"))
+              .withColumn("_ge", F.col("_off")
+                          + F.col("_s")["end"].cast("bigint"))
+              .filter(F.col("_ge") > F.col("_gs"))
+              .withColumn("seq_id", F.explode(F.sequence(
+                  F.expr(f"_gs div {b}"), F.expr(f"(_ge - 1) div {b}")))))
+    cut = F.col("seq_id") * b
+    return placed.select(
+        group_col, id_col, F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        (F.greatest(F.col("_gs"), cut) - cut).cast("bigint")
+        .alias("local_start"),
+        (F.least(F.col("_ge"), cut + b) - cut).cast("bigint")
+        .alias("local_end"))

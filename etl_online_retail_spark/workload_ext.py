@@ -3192,3 +3192,76 @@ def q_sft_loss_spans(spark, sf_dir):
         "doc_id", F.size("_s").alias("n_spans"),
         first["start"].cast("bigint").alias("span_start"),
         first["end"].cast("bigint").alias("span_end"))
+
+
+# SFT packing with loss-span re-basing (r13, operators/packing.py
+# pack_loss_spans): what a trainer actually consumes — documents'
+# training strings concatenated per source and cut every
+# SFT_PACK_BUDGET chars, with each assistant loss span re-based into
+# PACKED-sequence coordinates and split at every cut it straddles.
+# The Spark side composes the real chain (parse -> flatten -> spans ->
+# window offsets -> explode); the oracle restates it as pure tag-length
+# arithmetic: flat length is ALWAYS 59 + n (the three tags + system
+# prompt cost 59 chars whatever the turn order), the span is the
+# sft_loss_spans oracle's, the offset a window SUM per source, and the
+# split a correlated generate_series — so every local offset is
+# integer-hash-verified across engines, including pieces that cross
+# pack boundaries.
+
+SFT_PACK_BUDGET = 512
+_SFT_TAGS = 10 + 8 + 13      # <|system|> + <|user|> + <|assistant|>
+_SFT_FLAT_EXTRA = _SFT_TAGS + len(SFT_SYSTEM)          # 59
+_SFT_SWAP_START = 10 + len(SFT_SYSTEM) + 13            # swapped: sys+asst tags
+
+_SFT_PACK_ORACLE = f"""
+WITH h AS (SELECT doc_id, source, length(text) AS n,
+                  CAST(floor(length(text) / 2) AS INTEGER) AS half
+           FROM documents),
+f AS (SELECT doc_id, source,
+             CAST({_SFT_FLAT_EXTRA} + n AS BIGINT) AS flen,
+             CAST(CASE WHEN doc_id % 7 <> 0
+                  THEN {10 + len(SFT_SYSTEM) + 8} + half + 13
+                  ELSE {_SFT_SWAP_START} END AS BIGINT) AS ss,
+             CAST(CASE WHEN doc_id % 7 <> 0
+                  THEN {_SFT_FLAT_EXTRA} + n
+                  ELSE {_SFT_SWAP_START} + (n - half) END AS BIGINT) AS se
+      FROM h),
+o AS (SELECT *, CAST(SUM(flen) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - flen
+          AS BIGINT) AS off
+      FROM f),
+g AS (SELECT doc_id, source, off + ss AS gs, off + se AS ge
+      FROM o WHERE se > ss),
+x AS (SELECT doc_id, source, gs, ge,
+             unnest(range(gs // {SFT_PACK_BUDGET},
+                          (ge - 1) // {SFT_PACK_BUDGET} + 1)) AS sq
+      FROM g)
+SELECT source, doc_id, CAST(0 AS INTEGER) AS span_idx,
+       CAST(sq AS BIGINT) AS seq_id,
+       CAST(GREATEST(gs, sq * {SFT_PACK_BUDGET})
+            - sq * {SFT_PACK_BUDGET} AS BIGINT) AS local_start,
+       CAST(LEAST(ge, (sq + 1) * {SFT_PACK_BUDGET})
+            - sq * {SFT_PACK_BUDGET} AS BIGINT) AS local_end
+FROM x
+"""
+
+
+@register("sft_packed_spans", _SFT_PACK_ORACLE, "M7-sft-packed-spans")
+def q_sft_packed_spans(spark, sf_dir):
+    from etl_online_retail_spark.operators.conversations import (
+        flatten_chat,
+        loss_spans,
+        parse_conversations,
+    )
+    from etl_online_retail_spark.operators.packing import pack_loss_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    parsed = parse_conversations(_sft_conversations(spark, sf_dir),
+                                 "raw_json")
+    sft = parsed.select(
+        "doc_id",
+        F.length(flatten_chat("turns")).alias("flat_len"),
+        loss_spans("turns").alias("spans"))
+    with_src = sft.join(docs.select("doc_id", "source"), "doc_id")
+    return pack_loss_spans(with_src, SFT_PACK_BUDGET, "flat_len",
+                           "spans", id_col="doc_id", group_col="source")

@@ -1405,6 +1405,41 @@ def main() -> None:
 
     timed(f"sft prep + loss spans @ {factor}x", sft_chain)
 
+    # ... and the r13 packed-span re-basing on top: one window per
+    # source + a bounded explode — the only addition over the chain
+    # above is the hash-partitioned running sum
+    def sft_packed():
+        from etl_online_retail_spark.operators.conversations import (
+            flatten_chat,
+            loss_spans,
+            parse_conversations,
+        )
+        from etl_online_retail_spark.operators.packing import (
+            pack_loss_spans,
+        )
+
+        half = F.floor(F.length("text") / 2).cast("int")
+        turns = F.array(
+            F.struct(F.lit("system").alias("role"),
+                     F.lit("You are a helpful assistant.").alias("content")),
+            F.struct(F.lit("user").alias("role"),
+                     F.substring(F.col("text"), F.lit(1), half)
+                     .alias("content")),
+            F.struct(F.lit("assistant").alias("role"),
+                     F.substring(F.col("text"), half + F.lit(1),
+                                 F.length("text")).alias("content")))
+        parsed = parse_conversations(
+            docs.select("doc_id", "source",
+                        F.to_json(turns).alias("raw_json")), "raw_json")
+        sft = parsed.select(
+            "doc_id", "source",
+            F.length(flatten_chat("turns")).alias("flat_len"),
+            loss_spans("turns").alias("spans"))
+        (pack_loss_spans(sft, 512, "flat_len", "spans")
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"sft packed loss spans @ {factor}x", sft_packed)
+
 
 if __name__ == "__main__":
     main()
