@@ -288,7 +288,8 @@ def synthetic_crawl_archives(docs: DataFrame, html: bool = False,
                              chrome: bool = False,
                              id_col: str = "doc_id",
                              source_col: str = "source",
-                             text_col: str = "text") -> DataFrame:
+                             text_col: str = "text",
+                             uri_col: str | None = None) -> DataFrame:
     """One two-record archive per document — a `warcinfo` record then a
     `response` whose HTTP body is the document text (html=False, the
     WET-style plain-text shape) or an HTML page embedding the escaped
@@ -297,22 +298,33 @@ def synthetic_crawl_archives(docs: DataFrame, html: bool = False,
     archive flavors flow through every downstream query. Repartitioned
     to the session's parallelism before the render loop — same rule as
     the multimodal generators (an unpartitioned source serializes the
-    corpus through one task)."""
+    corpus through one task).
+
+    uri_col (r13) overrides the default per-archive Target-URI
+    (http://{source}/doc/{archive_id}) — the dedup-gated ingest stream
+    needs DISTINCT fetches (archive ids) of the SAME URL, which the
+    default's embedded archive_id can never produce."""
     import html as _html
 
     import pandas as pd
 
     n = max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    uri = (F.col(uri_col) if uri_col is not None
+           else F.concat(F.lit("http://"), F.col(source_col),
+                         F.lit("/doc/"), F.col(id_col).cast("long")))
     src = (docs.select(F.col(id_col).cast("long").alias("archive_id"),
                        F.col(source_col).alias("_src"),
-                       F.col(text_col).alias("_text"))
+                       F.col(text_col).alias("_text"),
+                       uri.alias("_uri"))
            .repartition(n))
 
     def render(batches):
         for pdf in batches:
             out_ids, out_blobs = [], []
-            for aid, source, text in zip(pdf["archive_id"], pdf["_src"],
-                                         pdf["_text"]):
+            for aid, source, text, turi in zip(pdf["archive_id"],
+                                               pdf["_src"],
+                                               pdf["_text"],
+                                               pdf["_uri"]):
                 if chrome:
                     # escape() is per-character, so escaping the two
                     # slices separately equals escaping the whole text.
@@ -344,8 +356,7 @@ def synthetic_crawl_archives(docs: DataFrame, html: bool = False,
                       "WARC-Date": "2026-08-16T00:00:00Z"},
                      _WARCINFO),
                     ("response",
-                     {"WARC-Target-URI":
-                          f"http://{source}/doc/{aid}",
+                     {"WARC-Target-URI": str(turi),
                       "WARC-Date": "2026-08-16T00:00:00Z",
                       "Content-Type":
                           "application/http;msgtype=response"},

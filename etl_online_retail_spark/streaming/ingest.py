@@ -1177,3 +1177,155 @@ def read_crawl_quality(spark, table_dir: str) -> DataFrame:
             .groupBy("host", "q_decile")
             .agg(F.sum("_n").alias("n_pages"),
                  F.sum("_sum").cast("decimal(38,9)").alias("quality_sum")))
+
+
+# ---------------------------------------------------------------------------
+# DEDUP-GATED crawl ingest (r13): the continuous-crawl composition the
+# r12 telemetry stream assumed away — a real crawler re-fetches pages,
+# so ingest must gate each micro-batch against everything the stream
+# has already accepted, in TWO stages ordered cheap-to-expensive:
+#
+#   1. canonical-URL dedup: within-batch keep-first (min archive_id per
+#      canonical URL), then an anti-join against the accumulated
+#      canonical-URL index — so re-crawled pages are dropped BEFORE the
+#      expensive text extraction runs;
+#   2. near-duplicate text gate: the surviving (first-seen-URL) pages'
+#      main content is probed against the accumulated MinHash band
+#      index (the incremental_minhash_dedup machinery, reused verbatim)
+#      — pages near-duplicating any EARLIER batch are rejected.
+#
+# Accepted pages land in an audit table and fold into the same
+# per-(host, quality-decile) telemetry partials as the ungated stream.
+# Replay-safe like everything here: every probe reads only partitions
+# with `_batch_id < batch_id`, and every write rewrites this batch's
+# own partitions whole (dynamic partition overwrite), so a crashed
+# batch heals on replay seeing exactly the view its first attempt saw.
+#
+# Scale notes: the URL index is only ever ANTI-JOINED on its single
+# string column (column-pruned scan; a production layout hash-buckets
+# it on canonical so the probe is co-partitioned — same note as the
+# band index); the MinHash probe is |batch| x bucket collisions — the
+# batch operator's cost model. Within-batch keep-first shuffles only
+# (canonical, archive_id) pairs and joins bodies back batch-side —
+# fetched payloads never ride a corpus-sized shuffle (the
+# robots_decisions discipline). Near-dup-REJECTED pages still enter
+# the band index (their first-seen representative is in it too), so a
+# later page similar to a rejected one is rejected as well —
+# cluster-transitive gating, the SemDeDup stance.
+
+
+def crawl_dedup_batch_write(batch_df: DataFrame, batch_id: int,
+                            url_index_dir: str, accepted_dir: str,
+                            quality_dir: str, mh_index_dir: str,
+                            mh_dups_dir: str,
+                            max_link_density: float = 0.5,
+                            n: int = 2, k: int = 16, bands: int = 4,
+                            threshold: float = 0.5,
+                            seed: int = 42) -> None:
+    import os
+
+    from etl_online_retail_spark.functions.html_text import (
+        extract_main_text,
+    )
+    from etl_online_retail_spark.functions.url import canonical_url
+    from etl_online_retail_spark.operators.curation import quality_expr
+    from etl_online_retail_spark.sources.warc import warc_records
+
+    spark = batch_df.sparkSession
+    recs = warc_records(batch_df, id_col="archive_id",
+                        content_col="content")
+    responses = (recs.filter(F.col("warc_type") == "response")
+                 .select("archive_id",
+                         F.regexp_extract("target_uri",
+                                          r"^https?://([^/?#]+)", 1)
+                          .alias("host"),
+                         canonical_url(F.col("target_uri"))
+                         .alias("canonical"),
+                         "body"))
+    # within-batch keep-first: shuffle (canonical, archive_id) only,
+    # then fetch bodies back with a batch-sized equi-join
+    firsts = (responses.groupBy("canonical")
+              .agg(F.min("archive_id").alias("archive_id")))
+    batch_pages = responses.join(firsts, ["canonical", "archive_id"])
+    if os.path.isdir(url_index_dir):
+        seen = (spark.read.parquet(url_index_dir)
+                .filter(F.col("_batch_id") < batch_id)
+                .select("canonical"))
+        fresh = batch_pages.join(seen, "canonical", "left_anti")
+    else:
+        fresh = batch_pages
+    fresh = fresh.localCheckpoint(eager=True)
+
+    # (1) extend the canonical-URL index with this batch's first-seens
+    (fresh.select("canonical").withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(url_index_dir))
+
+    # (2) extract main content ONCE for the URL-fresh pages only, then
+    # probe + extend the band index (writes this batch's hits + rows)
+    keyed = fresh.withColumn(
+        "_k", F.struct("archive_id", "host", "canonical"))
+    docs = (extract_main_text(keyed, "body", "_k",
+                              max_link_density=max_link_density)
+            .select(F.col("_k")["archive_id"].alias("doc_id"),
+                    F.col("_k")["host"].alias("host"),
+                    F.col("_k")["canonical"].alias("canonical"),
+                    "text")
+            .localCheckpoint(eager=True))
+    minhash_index_batch_write(docs, batch_id, mh_index_dir, mh_dups_dir,
+                              "text", "doc_id", n, k, bands, threshold,
+                              seed)
+    # explicit schema: an all-empty hits table has a _SUCCESS marker but
+    # no parquet footer to infer from (batch 0 always starts that way)
+    rejected = (spark.read
+                .schema("new_id bigint, corpus_id bigint, "
+                        "jaccard double, _batch_id int")
+                .parquet(mh_dups_dir)
+                .filter(F.col("_batch_id") == batch_id)
+                .select(F.col("new_id").alias("doc_id")).distinct())
+    accepted = docs.join(rejected, "doc_id", "left_anti")
+
+    # (3) audit table + telemetry partials over ACCEPTED pages only
+    (accepted.select("doc_id", "host", "canonical")
+     .withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(accepted_dir))
+    scored = accepted.select(
+        "host",
+        F.least(F.floor(quality_expr("text") * 10), F.lit(9))
+         .cast("int").alias("q_decile"),
+        quality_expr("text").cast("decimal(18,9)").alias("_v"))
+    partial_agg_batch_write(scored, batch_id, quality_dir,
+                            ["host", "q_decile"], "_v",
+                            value_type="decimal(18,9)",
+                            sum_type="decimal(38,9)")
+
+
+def incremental_crawl_dedup_ingest(stream_df: DataFrame, url_index_dir: str,
+                                   accepted_dir: str, quality_dir: str,
+                                   mh_index_dir: str, mh_dups_dir: str,
+                                   checkpoint_dir: str,
+                                   **kwargs) -> StreamingQuery:
+    """Maintain dedup-gated crawl ingest over a stream of (archive_id,
+    content) WARC archives: canonical-URL dedup, then MinHash near-dup
+    gating, both against the stream's own accumulated indexes; accepted
+    pages feed the audit table + quality telemetry. Over the complete
+    stream: accepted == pages whose canonical URL is first seen (min
+    archive_id within the batch, earliest batch across batches) and
+    whose text near-duplicates no EARLIER batch's page — which the
+    stream-equals-batch test states directly."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: crawl_dedup_batch_write(
+                df, bid, url_index_dir, accepted_dir, quality_dir,
+                mh_index_dir, mh_dups_dir, **kwargs))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_accepted_pages(spark, accepted_dir: str) -> DataFrame:
+    """(doc_id, host, canonical, _batch_id) for every page the gated
+    stream accepted, across all batches."""
+    return spark.read.parquet(accepted_dir)

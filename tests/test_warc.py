@@ -282,3 +282,106 @@ def test_warc_records_and_extract_spark(spark):
     got = {r.doc_id: r.text for r in
            extract_html_text(nullable_s, "page", "doc_id").collect()}
     assert got == {1: "ok", 2: None}
+
+
+def test_crawl_dedup_gated_ingest_stream(spark, tmp_path):
+    """Dedup-gated crawl ingest (r13): three micro-batches with
+    re-crawled URLs (tracking-param variants), a within-batch URL
+    duplicate, and exact-copy texts under new URLs. The stream must
+    accept exactly the first-seen-URL, non-near-duplicate pages, and
+    the accepted pages' telemetry must equal the batch chain over that
+    set bit-for-bit."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.operators.curation import quality_expr
+    from etl_online_retail_spark.functions.html_text import (
+        extract_main_text,
+    )
+    from etl_online_retail_spark.streaming.ingest import (
+        incremental_crawl_dedup_ingest,
+        read_accepted_pages,
+        read_crawl_quality,
+    )
+
+    def text(i: int) -> str:
+        return (f"alpha{i} bravo{i} charlie{i} delta{i} "
+                f"echo{i} foxtrot{i} golf{i} hotel{i}")
+
+    rows = []
+    for i in range(20):                     # batch 0: 20 originals
+        rows.append((i, f"h{i % 4}", text(i), f"http://h{i % 4}/p/{i}"))
+    for i in range(20, 30):                 # batch 1: re-crawls of 0-9
+        j = i - 20                          # (new fetch id, same page,
+        rows.append((i, f"h{j % 4}", text(j),   # tracking-param variant)
+                     f"http://h{j % 4}/p/{j}?utm_source=re"))
+    for i in range(30, 40):                 # batch 1: 10 fresh pages
+        rows.append((i, f"h{i % 4}", text(i), f"http://h{i % 4}/p/{i}"))
+    rows.append((60, "h2", text(30),        # batch 1: WITHIN-batch URL
+                 "http://h2/p/30"))         # dup of fetch 30 (min id wins)
+    for i in range(40, 50):                 # batch 2: exact-copy TEXTS of
+        rows.append((i, f"h{i % 4}", text(i - 40),  # 0-9 under NEW urls
+                     f"http://h{i % 4}/p/{i}"))     # -> near-dup rejected
+    for i in range(50, 60):                 # batch 2: 10 fresh pages
+        rows.append((i, f"h{i % 4}", text(i), f"http://h{i % 4}/p/{i}"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, uri string")
+    archives = warc.synthetic_crawl_archives(docs, chrome=True,
+                                             uri_col="uri").cache()
+    src = str(tmp_path / "src")
+    batches = [list(range(0, 20)),
+               list(range(20, 40)) + [60],
+               list(range(40, 60))]
+    for b, ids in enumerate(batches):
+        (archives.filter(F.col("archive_id").isin(ids))
+         .coalesce(1).write.parquet(f"{src}/p{b}"))
+        _time.sleep(1.1)   # the file source orders batches by mtime
+
+    stream = (spark.readStream.schema(archives.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/p*"))
+    d = {n: str(tmp_path / n) for n in
+         ("url_idx", "accepted", "quality", "mh_idx", "mh_dups", "ckpt")}
+    q = incremental_crawl_dedup_ingest(
+        stream, d["url_idx"], d["accepted"], d["quality"],
+        d["mh_idx"], d["mh_dups"], d["ckpt"])
+    q.awaitTermination()
+
+    acc = read_accepted_pages(spark, d["accepted"]).cache()
+    got_ids = {r.doc_id for r in acc.collect()}
+    assert got_ids == (set(range(0, 20)) | set(range(30, 40))
+                       | set(range(50, 60)))
+    per_batch = {r._batch_id: r.cnt for r in
+                 acc.groupBy("_batch_id")
+                    .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per_batch == {0: 20, 1: 10, 2: 10}
+    # the near-dup gate rejected exactly the copy-text pages
+    rejected = {r.new_id for r in
+                spark.read.parquet(d["mh_dups"]).collect()}
+    assert rejected == set(range(40, 50))
+
+    # telemetry == the batch chain over exactly the accepted pages
+    got = {(r.host, r.q_decile): (r.n_pages, r.quality_sum) for r in
+           read_crawl_quality(spark, d["quality"]).collect()}
+    kept = docs.filter(F.col("doc_id").isin(sorted(got_ids)))
+    recs = warc.warc_records(
+        warc.synthetic_crawl_archives(kept, chrome=True, uri_col="uri"))
+    responses = (recs.filter(F.col("warc_type") == "response")
+                 .select("archive_id",
+                         F.regexp_extract("target_uri",
+                                          r"^https?://([^/?#]+)", 1)
+                          .alias("host"), "body"))
+    texts = extract_main_text(
+        responses.withColumn("_k", F.struct("archive_id", "host")),
+        "body", "_k")
+    want = {(r.host, r.q_decile): (r.n_pages, r.quality_sum) for r in
+            (texts.select(
+                F.col("_k")["host"].alias("host"),
+                F.least(F.floor(quality_expr("text") * 10), F.lit(9))
+                 .cast("int").alias("q_decile"),
+                quality_expr("text").cast("decimal(18,9)").alias("_v"))
+             .groupBy("host", "q_decile")
+             .agg(F.count(F.lit(1)).alias("n_pages"),
+                  F.sum("_v").cast("decimal(38,9)")
+                   .alias("quality_sum"))).collect()}
+    assert got == want and len(got) >= 4
