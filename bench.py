@@ -235,6 +235,10 @@ HEADLINE = [
     "sft_loss_spans",
     # round-13: loss spans re-based into packed-sequence coordinates
     "sft_packed_spans",
+    # round-13 preference-pair (DPO) prep: validate/render/dedup/audit
+    "dpo_pair_prep",
+    "preference_pair_stats",
+    "prompt_dedup_pairs",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

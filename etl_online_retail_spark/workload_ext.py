@@ -3265,3 +3265,145 @@ def q_sft_packed_spans(spark, sf_dir):
     with_src = sft.join(docs.select("doc_id", "source"), "doc_id")
     return pack_loss_spans(with_src, SFT_PACK_BUDGET, "flat_len",
                            "spans", id_col="doc_id", group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair (DPO / reward-model) prep (r13, operators/
+# preferences.py): the stage after SFT — validate (prompt, chosen,
+# rejected) triples, render both branches through the SAME chat
+# template with response-only loss spans, dedup prompts keep-first,
+# and audit length margins. The fixture derives pairs closed-form from
+# documents: prompt/chosen are the text halves, rejected is
+# reverse(chosen) — same length, margin 0 — except every 11th pair
+# (empty rejected: the corrupt-side case) and every 7th (rejected ==
+# chosen: the zero-signal case the validator must flag). ASCII fixture
+# text, so reverse() agrees across engines character-for-character.
+# Everything is concat + length arithmetic: fully hash-verified.
+
+_DPO_PAIRS_CTE = f"""
+h AS (SELECT doc_id, source, text,
+             CAST(floor(length(text) / 2) AS INTEGER) AS half
+      FROM documents),
+pr AS (SELECT doc_id, source,
+              substr(text, 1, half) AS prompt,
+              substr(text, half + 1) AS chosen,
+              CASE WHEN doc_id % 11 = 0 THEN ''
+                   WHEN doc_id % 7 = 0 THEN substr(text, half + 1)
+                   ELSE reverse(substr(text, half + 1)) END AS rejected
+       FROM h)
+"""
+
+_DPO_REASON_SQL = """
+CASE WHEN prompt IS NULL OR length(prompt) = 0 THEN 'empty_prompt'
+     WHEN chosen IS NULL OR length(chosen) = 0 THEN 'empty_chosen'
+     WHEN rejected IS NULL OR length(rejected) = 0 THEN 'empty_rejected'
+     WHEN chosen = rejected THEN 'zero_signal'
+     ELSE 'ok' END
+"""
+
+_DPO_PREP_ORACLE = f"""
+WITH {_DPO_PAIRS_CTE}
+SELECT doc_id, {_DPO_REASON_SQL} AS reason,
+       '<|user|>' || prompt || '<|assistant|>' || chosen AS flat_chosen,
+       CAST(21 + length(prompt) AS INTEGER) AS chosen_start,
+       CAST(21 + length(prompt) + length(chosen) AS INTEGER) AS chosen_end,
+       '<|user|>' || prompt || '<|assistant|>' || rejected
+           AS flat_rejected,
+       CAST(21 + length(prompt) AS INTEGER) AS rejected_start,
+       CAST(21 + length(prompt) + length(rejected) AS INTEGER)
+           AS rejected_end
+FROM pr
+"""
+
+
+def _dpo_pairs(spark, sf_dir):
+    """The shared DPO fixture relation (doc_id, source, prompt, chosen,
+    rejected) — defined once so all three preference queries and their
+    oracles derive from the same arithmetic (the _sft_conversations
+    convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    half = F.floor(F.length("text") / 2).cast("int")
+    chosen = F.substring(F.col("text"), half + F.lit(1),
+                         F.length("text"))
+    return docs.select(
+        "doc_id", "source",
+        F.substring(F.col("text"), F.lit(1), half).alias("prompt"),
+        chosen.alias("chosen"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+         .when(F.col("doc_id") % 7 == 0, chosen)
+         .otherwise(F.reverse(chosen)).alias("rejected"))
+
+
+@register("dpo_pair_prep", _DPO_PREP_ORACLE, "M7-dpo-pair-prep")
+def q_dpo_pair_prep(spark, sf_dir):
+    from etl_online_retail_spark.operators.preferences import dpo_prep
+
+    pairs = _dpo_pairs(spark, sf_dir)
+    return dpo_prep(pairs).select(
+        "doc_id", "reason", "flat_chosen", "chosen_start", "chosen_end",
+        "flat_rejected", "rejected_start", "rejected_end")
+
+
+_DPO_STATS_ORACLE = f"""
+WITH {_DPO_PAIRS_CTE},
+v AS (SELECT source, prompt, chosen, rejected,
+             {_DPO_REASON_SQL} AS reason,
+             CAST(length(chosen) AS BIGINT)
+                 - CAST(length(rejected) AS BIGINT) AS margin
+      FROM pr)
+SELECT source,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid,
+       CAST(SUM(CASE WHEN reason = 'zero_signal' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_signal,
+       COUNT(DISTINCT prompt) AS n_prompts,
+       CAST(SUM(CASE WHEN reason = 'ok' THEN margin ELSE 0 END)
+            AS BIGINT) AS margin_sum,
+       CAST(SUM(CASE WHEN reason = 'ok' THEN abs(margin) ELSE 0 END)
+            AS BIGINT) AS abs_margin_sum
+FROM v GROUP BY source
+"""
+
+
+@register("preference_pair_stats", _DPO_STATS_ORACLE,
+          "M7-preference-pair-stats")
+def q_preference_pair_stats(spark, sf_dir):
+    from etl_online_retail_spark.operators.preferences import pair_stats
+
+    return pair_stats(_dpo_pairs(spark, sf_dir))
+
+
+# prompt dedup: collide prompts on (source, doc_id % 10) so keep-first
+# actually has work to do — the datagen assigns source by doc_id
+# modulus, so the buckets collapse hard (sf0.01: 500 pairs -> 20
+# surviving prompts, each the minimum doc_id of its group), payload
+# column verified intact through the semi-join.
+_PROMPT_DEDUP_ORACLE = """
+WITH p AS (SELECT doc_id,
+                  source || '#' || CAST(doc_id % 10 AS VARCHAR) AS prompt,
+                  length(text) AS chosen_len
+           FROM documents),
+r AS (SELECT doc_id, prompt, chosen_len,
+             ROW_NUMBER() OVER (PARTITION BY prompt ORDER BY doc_id)
+                 AS rn
+      FROM p)
+SELECT prompt, doc_id AS pair_id, CAST(chosen_len AS BIGINT) AS chosen_len
+FROM r WHERE rn = 1
+"""
+
+
+@register("prompt_dedup_pairs", _PROMPT_DEDUP_ORACLE,
+          "M7-prompt-dedup-keep-first")
+def q_prompt_dedup_pairs(spark, sf_dir):
+    from etl_online_retail_spark.operators.preferences import (
+        dedup_prompts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.concat("source", F.lit("#"),
+                 (F.col("doc_id") % 10).cast("string")).alias("prompt"),
+        F.length("text").cast("bigint").alias("chosen_len"))
+    return dedup_prompts(pairs).select("prompt", "pair_id", "chosen_len")

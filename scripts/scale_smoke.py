@@ -1440,6 +1440,35 @@ def main() -> None:
 
     timed(f"sft packed loss spans @ {factor}x", sft_packed)
 
+    # DPO preference-pair prep (r13): validate + render both branches
+    # (one codegen'd map stage), the per-source margin audit (one hash
+    # agg) and the keep-first prompt dedup (one hash agg + semi-join —
+    # the replication makes doc_ids collide, so the dedup does real
+    # work). Expectation: linear map + agg, like the SFT chain.
+    def dpo_chain():
+        from etl_online_retail_spark.operators.preferences import (
+            dedup_prompts,
+            dpo_prep,
+            pair_stats,
+        )
+
+        half = F.floor(F.length("text") / 2).cast("int")
+        chosen = F.substring(F.col("text"), half + F.lit(1),
+                             F.length("text"))
+        pairs = docs.select(
+            F.col("doc_id").alias("pair_id"), "source",
+            F.substring(F.col("text"), F.lit(1), half).alias("prompt"),
+            chosen.alias("chosen"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+             .when(F.col("doc_id") % 7 == 0, chosen)
+             .otherwise(F.reverse(chosen)).alias("rejected"))
+        dpo_prep(pairs).write.format("noop").mode("overwrite").save()
+        pair_stats(pairs).write.format("noop").mode("overwrite").save()
+        (dedup_prompts(pairs, id_col="pair_id")
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"dpo pair prep + stats + prompt dedup @ {factor}x", dpo_chain)
+
 
 if __name__ == "__main__":
     main()
