@@ -239,6 +239,9 @@ HEADLINE = [
     "dpo_pair_prep",
     "preference_pair_stats",
     "prompt_dedup_pairs",
+    # round-13 eval scoring: exact match + multiset token F1
+    "eval_token_f1",
+    "eval_summary_by_source",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

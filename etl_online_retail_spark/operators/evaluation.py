@@ -1,0 +1,87 @@
+"""Model-evaluation data ops: exact match + multiset token overlap/F1.
+
+The evaluation side of a training pipeline scores prediction columns
+against references at corpus scale: normalized EXACT MATCH and
+token-level F1 (SQuAD-style — multiset token overlap, so a repeated
+token only counts as many times as both sides contain it).
+
+Scale shape: exact match is a pure map stage. Token overlap avoids the
+per-row quadratic HOF (filter-per-distinct-token is O(tokens^2) inside
+one row) AND the double self-join: both sides' tokens go through ONE
+union tagged by side, ONE count per (id, token) and ONE sum of
+per-token minimums per id — two hash aggregations co-partitioned on
+the id, with only (id, token, count) triples ever riding the shuffle.
+Counts are exact BIGINTs; precision/recall/F1 are single IEEE
+divisions over them (bit-exact cross-engine, the gopher_quality_flags
+convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_answer(col: Column | str) -> Column:
+    """trim + lowercase + whitespace collapse — the normalization both
+    exact match and tokenization share (article stripping is
+    benchmark-specific and stays out)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_match(pred: Column | str, ref: Column | str) -> Column:
+    return (normalize_answer(pred) == normalize_answer(ref)) \
+        .alias("exact_match")
+
+
+def token_overlap(df: DataFrame, pred_col: str, ref_col: str,
+                  id_col: str = "doc_id") -> DataFrame:
+    """id_col, n_pred, n_ref (token counts), n_overlap (MULTISET
+    intersection size), f1 — 2*overlap/(n_pred+n_ref), the SQuAD token
+    F1. Rows with zero overlap keep f1 = 0.0; token counts come from
+    the normalized strings."""
+    p_toks = F.split(normalize_answer(pred_col), " ")
+    r_toks = F.split(normalize_answer(ref_col), " ")
+    base = df.select(F.col(id_col),
+                     F.size(p_toks).cast("bigint").alias("n_pred"),
+                     F.size(r_toks).cast("bigint").alias("n_ref"))
+
+    def side(toks: Column, p: int) -> DataFrame:
+        return df.select(F.col(id_col),
+                         F.explode(toks).alias("_tok"),
+                         F.lit(p).alias("_p"),
+                         F.lit(1 - p).alias("_r"))
+
+    counts = (side(p_toks, 1).unionAll(side(r_toks, 0))
+              .groupBy(id_col, "_tok")
+              .agg(F.sum("_p").alias("_pc"), F.sum("_r").alias("_rc")))
+    overlap = (counts
+               .groupBy(id_col)
+               .agg(F.sum(F.least("_pc", "_rc")).cast("bigint")
+                     .alias("n_overlap")))
+    return (base.join(overlap, id_col, "left")
+            .withColumn("n_overlap",
+                        F.coalesce(F.col("n_overlap"), F.lit(0))
+                        .cast("bigint"))
+            .withColumn("f1",
+                        F.lit(2.0) * F.col("n_overlap")
+                        / (F.col("n_pred") + F.col("n_ref"))))
+
+
+def eval_summary(df: DataFrame, pred_col: str, ref_col: str,
+                 id_col: str = "doc_id",
+                 group_col: str = "source") -> DataFrame:
+    """Per-group scorecard: example count, exact matches, and the exact
+    integer overlap/token sums macro-F1 is computed from (the sums are
+    hash-stable; the division happens once per group)."""
+    ov = token_overlap(df, pred_col, ref_col, id_col)
+    em = df.select(F.col(id_col), F.col(group_col),
+                   exact_match(pred_col, ref_col).alias("_em"))
+    return (ov.join(em, id_col)
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_examples"),
+                 F.sum(F.col("_em").cast("bigint")).alias("n_exact"),
+                 F.sum("n_overlap").cast("bigint").alias("overlap_sum"),
+                 F.sum("n_pred").cast("bigint").alias("pred_tok_sum"),
+                 F.sum("n_ref").cast("bigint").alias("ref_tok_sum")))

@@ -3407,3 +3407,106 @@ def q_prompt_dedup_pairs(spark, sf_dir):
                  (F.col("doc_id") % 10).cast("string")).alias("prompt"),
         F.length("text").cast("bigint").alias("chosen_len"))
     return dedup_prompts(pairs).select("prompt", "pair_id", "chosen_len")
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation scoring (r13, operators/evaluation.py): normalized
+# exact match + SQuAD-style multiset token F1 at corpus scale. The
+# fixture derives (pred, ref) closed-form from documents: pred is the
+# UPPER-CASED first-12-word slice (exercising the normalization), ref
+# is words 5..16, so the true multiset overlap is the words-5..12
+# window plus any coincidental repeats — which is exactly what both
+# engines count independently; every 9th doc has pred == ref == text
+# (the exact-match branch). Counts are exact BIGINTs; f1 is one IEEE
+# division (the gopher_quality_flags convention). Documents have >= 10
+# words (TESTDATA), so no slice is ever empty and the ['']-token edge
+# never arises.
+
+_EVAL_PAIRS_CTE = """
+w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws
+      FROM documents),
+px AS (SELECT doc_id, source,
+              lower(regexp_replace(trim(CASE WHEN doc_id % 9 = 0 THEN text
+                   ELSE upper(array_to_string(list_slice(ws, 1, 12), ' '))
+                   END), '\\s+', ' ', 'g')) AS np,
+              lower(regexp_replace(trim(CASE WHEN doc_id % 9 = 0 THEN text
+                   ELSE array_to_string(list_slice(ws, 5, 16), ' ')
+                   END), '\\s+', ' ', 'g')) AS nr
+       FROM w),
+tok AS (SELECT doc_id, tok,
+               CAST(SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pc,
+               CAST(SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rc
+        FROM (SELECT doc_id, unnest(string_split(np, ' ')) AS tok,
+                     'p' AS side FROM px
+              UNION ALL
+              SELECT doc_id, unnest(string_split(nr, ' ')), 'r' FROM px)
+        GROUP BY doc_id, tok),
+ov AS (SELECT doc_id, CAST(SUM(LEAST(pc, rc)) AS BIGINT) AS n_overlap
+       FROM tok GROUP BY doc_id),
+sc AS (SELECT px.doc_id, px.source,
+              CAST(len(string_split(np, ' ')) AS BIGINT) AS n_pred,
+              CAST(len(string_split(nr, ' ')) AS BIGINT) AS n_ref,
+              COALESCE(ov.n_overlap, 0) AS n_overlap,
+              np = nr AS exact_match
+       FROM px LEFT JOIN ov USING (doc_id))
+"""
+
+_EVAL_F1_ORACLE = f"""
+WITH {_EVAL_PAIRS_CTE}
+SELECT doc_id, n_pred, n_ref, n_overlap,
+       2.0::DOUBLE * n_overlap / (n_pred + n_ref) AS f1,
+       exact_match
+FROM sc
+"""
+
+
+def _eval_pairs(spark, sf_dir):
+    """(doc_id, source, pred, ref) — the shared eval fixture."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    is_em = F.col("doc_id") % 9 == 0
+    return docs.select(
+        "doc_id", "source",
+        F.when(is_em, F.col("text"))
+         .otherwise(F.upper(F.array_join(F.slice(ws, 1, 12), " ")))
+         .alias("pred"),
+        F.when(is_em, F.col("text"))
+         .otherwise(F.array_join(F.slice(ws, 5, 12), " ")).alias("ref"))
+
+
+@register("eval_token_f1", _EVAL_F1_ORACLE, "M7-eval-token-f1")
+def q_eval_token_f1(spark, sf_dir):
+    from etl_online_retail_spark.operators.evaluation import (
+        exact_match,
+        token_overlap,
+    )
+
+    pairs = _eval_pairs(spark, sf_dir)
+    ov = token_overlap(pairs, "pred", "ref")
+    em = pairs.select("doc_id", exact_match("pred", "ref"))
+    return (ov.join(em, "doc_id")
+            .select("doc_id", "n_pred", "n_ref", "n_overlap", "f1",
+                    "exact_match"))
+
+
+_EVAL_SUMMARY_ORACLE = f"""
+WITH {_EVAL_PAIRS_CTE}
+SELECT source,
+       COUNT(*) AS n_examples,
+       CAST(SUM(CASE WHEN exact_match THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+       CAST(SUM(n_overlap) AS BIGINT) AS overlap_sum,
+       CAST(SUM(n_pred) AS BIGINT) AS pred_tok_sum,
+       CAST(SUM(n_ref) AS BIGINT) AS ref_tok_sum
+FROM sc GROUP BY source
+"""
+
+
+@register("eval_summary_by_source", _EVAL_SUMMARY_ORACLE,
+          "M7-eval-summary")
+def q_eval_summary_by_source(spark, sf_dir):
+    from etl_online_retail_spark.operators.evaluation import eval_summary
+
+    return eval_summary(_eval_pairs(spark, sf_dir), "pred", "ref")

@@ -1469,6 +1469,24 @@ def main() -> None:
 
     timed(f"dpo pair prep + stats + prompt dedup @ {factor}x", dpo_chain)
 
+    # eval token F1 (r13): the multiset-overlap shape is one union +
+    # two hash aggs on (id, token) / (id) — linear in corpus tokens,
+    # co-partitioned shuffles, no quadratic row-local work.
+    def eval_f1():
+        from etl_online_retail_spark.operators.evaluation import (
+            token_overlap,
+        )
+
+        ws = F.split(F.col("text"), " ")
+        pairs = docs.select(
+            "doc_id",
+            F.upper(F.array_join(F.slice(ws, 1, 12), " ")).alias("pred"),
+            F.array_join(F.slice(ws, 5, 12), " ").alias("ref"))
+        (token_overlap(pairs, "pred", "ref")
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"eval token f1 @ {factor}x", eval_f1)
+
 
 if __name__ == "__main__":
     main()
