@@ -218,13 +218,13 @@ HEADLINE = [
     # round-11 codecs: TIFF (LZW strips) + BMP
     "tiff_image_stats",
     "bmp_image_stats",
-    # round-12 crawl ingest: WARC record walk, HTML extraction chain,
-    # URL canonicalization
     # round-13 exact-mode ANN twins: integer-lattice scoring through the
     # same vectorized/IVF/ADC machinery as the float paths
     "knn_vectorized_exact",
     "knn_ivf_exact",
     "knn_pq_exact",
+    # round-12 crawl ingest: WARC record walk, HTML extraction chain,
+    # URL canonicalization
     "warc_record_stats",
     "warc_html_extract",
     "warc_corpus_quality",

@@ -23,16 +23,30 @@ from pyspark.sql import functions as F
 
 
 def normalize_answer(col: Column | str) -> Column:
-    """trim + lowercase + whitespace collapse — the normalization both
+    """Whitespace collapse + trim + lowercase — the normalization both
     exact match and tokenization share (article stripping is
-    benchmark-specific and stays out)."""
+    benchmark-specific and stays out). COLLAPSE runs before TRIM:
+    F.trim strips only 0x20 spaces, so trimming first would leave edge
+    tabs/newlines to become phantom ' ' -> empty tokens (review r13)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
 def exact_match(pred: Column | str, ref: Column | str) -> Column:
-    return (normalize_answer(pred) == normalize_answer(ref)) \
-        .alias("exact_match")
+    """NULL on either side scores False (a missing answer is wrong,
+    not unknowable — NULL metrics would silently drop out of sums)."""
+    return F.coalesce(normalize_answer(pred) == normalize_answer(ref),
+                      F.lit(False)).alias("exact_match")
+
+
+def _tokens(col: str) -> Column:
+    """Normalized token array; NULL and whitespace-only answers are
+    ZERO tokens (not NULL, not ['']) so every metric scores them 0
+    instead of going NULL and vanishing from aggregates (review r13)."""
+    norm = normalize_answer(col)
+    return F.when(norm.isNotNull() & (F.length(norm) > 0),
+                  F.split(norm, " ")) \
+            .otherwise(F.expr("CAST(array() AS array<string>)"))
 
 
 def token_overlap(df: DataFrame, pred_col: str, ref_col: str,
@@ -40,9 +54,10 @@ def token_overlap(df: DataFrame, pred_col: str, ref_col: str,
     """id_col, n_pred, n_ref (token counts), n_overlap (MULTISET
     intersection size), f1 — 2*overlap/(n_pred+n_ref), the SQuAD token
     F1. Rows with zero overlap keep f1 = 0.0; token counts come from
-    the normalized strings."""
-    p_toks = F.split(normalize_answer(pred_col), " ")
-    r_toks = F.split(normalize_answer(ref_col), " ")
+    the normalized strings; a row where BOTH sides are empty/NULL has
+    f1 = 0.0 by the 0/0 guard."""
+    p_toks = _tokens(pred_col)
+    r_toks = _tokens(ref_col)
     base = df.select(F.col(id_col),
                      F.size(p_toks).cast("bigint").alias("n_pred"),
                      F.size(r_toks).cast("bigint").alias("n_ref"))
@@ -65,8 +80,10 @@ def token_overlap(df: DataFrame, pred_col: str, ref_col: str,
                         F.coalesce(F.col("n_overlap"), F.lit(0))
                         .cast("bigint"))
             .withColumn("f1",
-                        F.lit(2.0) * F.col("n_overlap")
-                        / (F.col("n_pred") + F.col("n_ref"))))
+                        F.when(F.col("n_pred") + F.col("n_ref") > 0,
+                               F.lit(2.0) * F.col("n_overlap")
+                               / (F.col("n_pred") + F.col("n_ref")))
+                        .otherwise(F.lit(0.0))))
 
 
 def eval_summary(df: DataFrame, pred_col: str, ref_col: str,

@@ -98,10 +98,20 @@ def dedup_prompts(pairs: DataFrame, prompt_col: str = "prompt",
     replay-stable), the mirror of dedup.keep_last. One hash aggregation
     on the prompt key, then a self-semi-join on (prompt, id) to fetch
     the surviving rows, so response payloads never ride the shuffle —
-    the same payload discipline as robots_decisions."""
+    the same payload discipline as robots_decisions. The join key is
+    NULL-SAFE: groupBy treats NULL prompts as one group, so a plain
+    equi-join would silently drop every NULL-prompt pair instead of
+    keeping its first row for pair_reason to flag downstream (r13
+    review)."""
     firsts = (pairs.groupBy(prompt_col)
               .agg(F.min(id_col).alias(id_col)))
-    return pairs.join(firsts, [prompt_col, id_col])
+    f = firsts.alias("_f")
+    p = pairs.alias("_p")
+    return (p.join(f,
+                   F.col(f"_p.{prompt_col}").eqNullSafe(
+                       F.col(f"_f.{prompt_col}"))
+                   & (F.col(f"_p.{id_col}") == F.col(f"_f.{id_col}")),
+                   "left_semi"))
 
 
 def pair_stats(pairs: DataFrame, group_col: str = "source",

@@ -1130,7 +1130,6 @@ def crawl_quality_batch_write(batch_df: DataFrame, batch_id: int,
     from etl_online_retail_spark.functions.html_text import (
         extract_main_text,
     )
-    from etl_online_retail_spark.operators.curation import quality_expr
     from etl_online_retail_spark.sources.warc import warc_records
 
     recs = warc_records(batch_df, id_col="archive_id",
@@ -1144,8 +1143,21 @@ def crawl_quality_batch_write(batch_df: DataFrame, batch_id: int,
     texts = extract_main_text(
         responses.withColumn("_k", F.struct("archive_id", "host")),
         "body", "_k", max_link_density=max_link_density)
-    scored = texts.select(
-        F.col("_k")["host"].alias("host"),
+    _quality_partials(texts.select(F.col("_k")["host"].alias("host"),
+                                   "text"), batch_id, table_dir)
+
+
+def _quality_partials(pages: DataFrame, batch_id: int,
+                      table_dir: str) -> None:
+    """The shared telemetry fold: (host, text) pages -> per-(host,
+    quality-decile) (count, sum) partials in the replay-safe layout.
+    ONE definition for both the gated and ungated crawl writers, so
+    the decile bucketing and the decimal pins of the two tables
+    read_crawl_quality merges can never desynchronize (r13 review)."""
+    from etl_online_retail_spark.operators.curation import quality_expr
+
+    scored = pages.select(
+        "host",
         F.least(F.floor(quality_expr("text") * 10), F.lit(9))
          .cast("int").alias("q_decile"),
         quality_expr("text").cast("decimal(18,9)").alias("_v"))
@@ -1228,7 +1240,6 @@ def crawl_dedup_batch_write(batch_df: DataFrame, batch_id: int,
         extract_main_text,
     )
     from etl_online_retail_spark.functions.url import canonical_url
-    from etl_online_retail_spark.operators.curation import quality_expr
     from etl_online_retail_spark.sources.warc import warc_records
 
     spark = batch_df.sparkSession
@@ -1241,7 +1252,11 @@ def crawl_dedup_batch_write(batch_df: DataFrame, batch_id: int,
                           .alias("host"),
                          canonical_url(F.col("target_uri"))
                          .alias("canonical"),
-                         "body"))
+                         "body")
+                 # feeds a self-join (keep-first below) — checkpoint so
+                 # the Python WARC walk + gunzip run ONCE per batch,
+                 # not once per join leg (rule 7 / r13 review)
+                 .localCheckpoint(eager=True))
     # within-batch keep-first: shuffle (canonical, archive_id) only,
     # then fetch bodies back with a batch-sized equi-join
     firsts = (responses.groupBy("canonical")
@@ -1292,15 +1307,8 @@ def crawl_dedup_batch_write(batch_df: DataFrame, batch_id: int,
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id").parquet(accepted_dir))
-    scored = accepted.select(
-        "host",
-        F.least(F.floor(quality_expr("text") * 10), F.lit(9))
-         .cast("int").alias("q_decile"),
-        quality_expr("text").cast("decimal(18,9)").alias("_v"))
-    partial_agg_batch_write(scored, batch_id, quality_dir,
-                            ["host", "q_decile"], "_v",
-                            value_type="decimal(18,9)",
-                            sum_type="decimal(38,9)")
+    _quality_partials(accepted.select("host", "text"), batch_id,
+                      quality_dir)
 
 
 def incremental_crawl_dedup_ingest(stream_df: DataFrame, url_index_dir: str,

@@ -3419,19 +3419,23 @@ def q_prompt_dedup_pairs(spark, sf_dir):
 # engines count independently; every 9th doc has pred == ref == text
 # (the exact-match branch). Counts are exact BIGINTs; f1 is one IEEE
 # division (the gopher_quality_flags convention). Documents have >= 10
-# words (TESTDATA), so no slice is ever empty and the ['']-token edge
-# never arises.
+# words (TESTDATA), so no slice is ever empty — the operator's
+# NULL/empty-answer guards (zero tokens, exact_match false, f1 0.0)
+# never fire on this fixture and deliberately have no SQL twin; the
+# unit tests pin them instead. Normalization is collapse THEN trim on
+# both sides (trim-first would leave edge tabs/newlines as phantom
+# empty tokens — r13 review).
 
 _EVAL_PAIRS_CTE = """
 w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws
       FROM documents),
 px AS (SELECT doc_id, source,
-              lower(regexp_replace(trim(CASE WHEN doc_id % 9 = 0 THEN text
+              lower(trim(regexp_replace(CASE WHEN doc_id % 9 = 0 THEN text
                    ELSE upper(array_to_string(list_slice(ws, 1, 12), ' '))
-                   END), '\\s+', ' ', 'g')) AS np,
-              lower(regexp_replace(trim(CASE WHEN doc_id % 9 = 0 THEN text
+                   END, '\\s+', ' ', 'g'))) AS np,
+              lower(trim(regexp_replace(CASE WHEN doc_id % 9 = 0 THEN text
                    ELSE array_to_string(list_slice(ws, 5, 16), ' ')
-                   END), '\\s+', ' ', 'g')) AS nr
+                   END, '\\s+', ' ', 'g'))) AS nr
        FROM w),
 tok AS (SELECT doc_id, tok,
                CAST(SUM(CASE WHEN side = 'p' THEN 1 ELSE 0 END) AS BIGINT)

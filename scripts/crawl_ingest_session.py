@@ -199,13 +199,17 @@ def main() -> None:
              .parquet(d["mh_dups"]).select("new_id").distinct().count())
     n_tel = int(read_crawl_quality(spark, d["quality"])
                 .agg(F.sum("n_pages")).collect()[0][0])
+    # per.get(b, 0): a batch accepting ZERO pages has no _batch_id
+    # partition — exactly the deviation this script exists to report,
+    # so it must reach the FAIL print, not die on a KeyError
     ok = (n_acc == want_acc
-          and per[0] == BATCH_SIZE
-          and all(per[b] == FRESH for b in range(1, N_BATCHES))
+          and per.get(0, 0) == BATCH_SIZE
+          and all(per.get(b, 0) == FRESH for b in range(1, N_BATCHES))
           and n_rej == (N_BATCHES - 1) * COPY
           and n_tel == n_acc)
     print(f"accepted {n_acc} (want {want_acc}); per-batch accepts "
-          f"{per[0]} then {sorted(set(per[b] for b in range(1, N_BATCHES)))}"
+          f"{per.get(0, 0)} then "
+          f"{sorted(set(per.get(b, 0) for b in range(1, N_BATCHES)))}"
           f"; near-dup rejections {n_rej} "
           f"(want {(N_BATCHES - 1) * COPY}); telemetry n_pages {n_tel}",
           flush=True)

@@ -1378,15 +1378,12 @@ def main() -> None:
     # algebra (to_json/from_json round trip, HOF folds) — the
     # expectation is boringly linear, which is exactly why the row is
     # cheap insurance against a Python boundary sneaking in.
-    def sft_chain():
-        from etl_online_retail_spark.operators.conversations import (
-            loss_spans,
-            parse_conversations,
-            sft_prep,
-        )
-
+    def _sft_turns():
+        """The shared 3-turn fixture expression — ONE definition so the
+        two SFT smoke rows measure the same chain, differing only by
+        pack_loss_spans (r13 review)."""
         half = F.floor(F.length("text") / 2).cast("int")
-        turns = F.array(
+        return F.array(
             F.struct(F.lit("system").alias("role"),
                      F.lit("You are a helpful assistant.").alias("content")),
             F.struct(F.lit("user").alias("role"),
@@ -1395,7 +1392,16 @@ def main() -> None:
             F.struct(F.lit("assistant").alias("role"),
                      F.substring(F.col("text"), half + F.lit(1),
                                  F.length("text")).alias("content")))
-        convs = docs.select("doc_id", F.to_json(turns).alias("raw_json"))
+
+    def sft_chain():
+        from etl_online_retail_spark.operators.conversations import (
+            loss_spans,
+            parse_conversations,
+            sft_prep,
+        )
+
+        convs = docs.select("doc_id",
+                            F.to_json(_sft_turns()).alias("raw_json"))
         sft_prep(convs, "raw_json") \
             .write.format("noop").mode("overwrite").save()
         (parse_conversations(convs, "raw_json")
@@ -1418,19 +1424,10 @@ def main() -> None:
             pack_loss_spans,
         )
 
-        half = F.floor(F.length("text") / 2).cast("int")
-        turns = F.array(
-            F.struct(F.lit("system").alias("role"),
-                     F.lit("You are a helpful assistant.").alias("content")),
-            F.struct(F.lit("user").alias("role"),
-                     F.substring(F.col("text"), F.lit(1), half)
-                     .alias("content")),
-            F.struct(F.lit("assistant").alias("role"),
-                     F.substring(F.col("text"), half + F.lit(1),
-                                 F.length("text")).alias("content")))
         parsed = parse_conversations(
             docs.select("doc_id", "source",
-                        F.to_json(turns).alias("raw_json")), "raw_json")
+                        F.to_json(_sft_turns()).alias("raw_json")),
+            "raw_json")
         sft = parsed.select(
             "doc_id", "source",
             F.length(flatten_chat("turns")).alias("flat_len"),

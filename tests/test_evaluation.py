@@ -75,3 +75,36 @@ def test_registry_fixture_has_both_branches(spark):
     # (words 1..10), so equality with n_ref is legitimate
     assert all(0 < r.n_overlap <= r.n_ref for r in part)
     assert any(r.n_overlap < r.n_ref for r in part)
+
+
+def test_exact_match_edge_whitespace_kinds(spark):
+    """Collapse-then-trim: edge tabs/newlines must not become phantom
+    tokens (r13 review — trim only strips 0x20)."""
+    rows = [(1, "s", "the cat\n", "the cat"),
+            (2, "s", "\tthe  cat ", "the cat")]
+    got = {r.doc_id: r.exact_match for r in
+           _df(spark, rows)
+           .select("doc_id", exact_match("pred", "ref")).collect()}
+    assert got == {1: True, 2: True}
+    r = token_overlap(_df(spark, rows), "pred", "ref").collect()
+    assert all(x.n_pred == 2 and x.f1 == 1.0 for x in r)
+
+
+def test_null_and_empty_answers_score_zero(spark):
+    """NULL/empty answers score 0 (never NULL): a model returning
+    nothing must not beat one returning wrong answers in the sums."""
+    rows = [(1, "s", None, "a b"), (2, "s", "", "a b"),
+            (3, "s", "  ", "a b"), (4, "s", None, None)]
+    got = {r.doc_id: (r.n_pred, r.n_ref, r.n_overlap, r.f1) for r in
+           token_overlap(_df(spark, rows), "pred", "ref").collect()}
+    assert got[1] == (0, 2, 0, 0.0)
+    assert got[2] == (0, 2, 0, 0.0)
+    assert got[3] == (0, 2, 0, 0.0)
+    assert got[4] == (0, 0, 0, 0.0)
+    em = {r.doc_id: r.exact_match for r in
+          _df(spark, rows)
+          .select("doc_id", exact_match("pred", "ref")).collect()}
+    assert em == {1: False, 2: False, 3: False, 4: False}
+    s = eval_summary(_df(spark, rows), "pred", "ref").collect()[0]
+    assert (s.n_examples, s.n_exact, s.overlap_sum, s.pred_tok_sum,
+            s.ref_tok_sum) == (4, 0, 0, 0, 6)

@@ -89,3 +89,14 @@ def test_registry_fixture_reason_mix(spark):
            .collect()}
     assert set(got) == {"ok", "zero_signal", "empty_rejected"}
     assert got["ok"] > got["zero_signal"] > 0 and got["empty_rejected"] > 0
+
+
+def test_dedup_prompts_null_prompt_group_survives(spark):
+    """NULL prompts form one group and keep-first retains its min-id
+    row (a plain equi-join would drop them all — r13 review); the
+    validator flags it downstream."""
+    rows = [(7, "s", None, "c7", "r"), (4, "s", None, "c4", "r"),
+            (1, "s", "P", "c1", "r")]
+    got = {(r.prompt, r.pair_id) for r in
+           dedup_prompts(_pairs(spark, rows)).collect()}
+    assert got == {(None, 4), ("P", 1)}
