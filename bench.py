@@ -242,6 +242,8 @@ HEADLINE = [
     # round-13 eval scoring: exact match + multiset token F1
     "eval_token_f1",
     "eval_summary_by_source",
+    # round-13 best-of-n preference synthesis
+    "best_of_n_pairs",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

@@ -114,6 +114,36 @@ def dedup_prompts(pairs: DataFrame, prompt_col: str = "prompt",
                    "left_semi"))
 
 
+def pairs_from_scores(candidates: DataFrame, prompt_col: str = "prompt",
+                      cand_col: str = "candidate",
+                      score_col: str = "score",
+                      id_col: str = "cand_id") -> DataFrame:
+    """Best-of-n preference synthesis: given N scored candidates per
+    prompt (rejection sampling / reward-model outputs), emit one
+    (prompt, chosen, rejected) pair — chosen is the max-score
+    candidate, rejected the min-score one, ties broken to the LOWER
+    candidate id on both sides (deterministic, replay-stable). Prompts
+    whose best and worst coincide (a single candidate) yield
+    chosen == rejected and fall to pair_reason's zero_signal check
+    downstream — synthesis never invents signal.
+
+    One hash aggregation: max_by/min_by over a (score, -id) ordering
+    struct — no window, no self-join, candidates ride the shuffle once."""
+    # higher score wins; within a score, lower id wins -> order by
+    # (score asc, id desc) for max_by and flip for min_by
+    up = F.struct(F.col(score_col).alias("s"),
+                  (-F.col(id_col)).alias("i"))
+    down = F.struct((-F.col(score_col)).alias("s"),
+                    (-F.col(id_col)).alias("i"))
+    return (candidates.groupBy(prompt_col)
+            .agg(F.max_by(F.col(cand_col), up).alias("chosen"),
+                 F.max_by(F.col(id_col), up).alias("chosen_id"),
+                 F.max_by(F.col(cand_col), down).alias("rejected"),
+                 F.max_by(F.col(id_col), down).alias("rejected_id"),
+                 F.max(score_col).alias("chosen_score"),
+                 F.min(score_col).alias("rejected_score")))
+
+
 def pair_stats(pairs: DataFrame, group_col: str = "source",
                prompt_col: str = "prompt", chosen_col: str = "chosen",
                rejected_col: str = "rejected") -> DataFrame:

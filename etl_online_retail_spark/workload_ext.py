@@ -3514,3 +3514,49 @@ def q_eval_summary_by_source(spark, sf_dir):
     from etl_online_retail_spark.operators.evaluation import eval_summary
 
     return eval_summary(_eval_pairs(spark, sf_dir), "pred", "ref")
+
+
+# best-of-n preference synthesis (r13, operators/preferences.py
+# pairs_from_scores): N scored candidates per prompt collapse to one
+# (chosen=argmax, rejected=argmin) pair in ONE max_by/min_by hash agg —
+# no window, no self-join. Fixture: prompts collide on
+# (source, doc_id % 25) (5 candidates per prompt at the datagen's
+# modulus layout), score = length(text) % 97 (deterministic, with real
+# ties the id tie-break must resolve identically cross-engine).
+_BON_ORACLE = """
+WITH c AS (SELECT source || '#' || CAST(doc_id % 25 AS VARCHAR) AS prompt,
+                  text AS candidate,
+                  CAST(length(text) % 97 AS BIGINT) AS score,
+                  doc_id AS cand_id
+           FROM documents),
+r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY prompt
+                 ORDER BY score DESC, cand_id) AS rn_up,
+             ROW_NUMBER() OVER (PARTITION BY prompt
+                 ORDER BY score ASC, cand_id) AS rn_dn
+      FROM c)
+SELECT prompt,
+       MAX(CASE WHEN rn_up = 1 THEN candidate END) AS chosen,
+       MAX(CASE WHEN rn_up = 1 THEN cand_id END) AS chosen_id,
+       MAX(CASE WHEN rn_dn = 1 THEN candidate END) AS rejected,
+       MAX(CASE WHEN rn_dn = 1 THEN cand_id END) AS rejected_id,
+       MAX(score) AS chosen_score,
+       MIN(score) AS rejected_score
+FROM r GROUP BY prompt
+"""
+
+
+@register("best_of_n_pairs", _BON_ORACLE, "M7-best-of-n-pairs")
+def q_best_of_n_pairs(spark, sf_dir):
+    from etl_online_retail_spark.operators.preferences import (
+        pairs_from_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = docs.select(
+        F.concat("source", F.lit("#"),
+                 (F.col("doc_id") % 25).cast("string")).alias("prompt"),
+        F.col("text").alias("candidate"),
+        (F.length("text") % 97).cast("bigint").alias("score"),
+        F.col("doc_id").alias("cand_id"))
+    return pairs_from_scores(cands)

@@ -100,3 +100,31 @@ def test_dedup_prompts_null_prompt_group_survives(spark):
     got = {(r.prompt, r.pair_id) for r in
            dedup_prompts(_pairs(spark, rows)).collect()}
     assert got == {(None, 4), ("P", 1)}
+
+
+def test_pairs_from_scores_tiebreaks_and_singletons(spark):
+    """argmax/argmin with lower-id tie-break on both sides; a
+    single-candidate prompt yields chosen == rejected (zero_signal
+    downstream — synthesis never invents signal)."""
+    from etl_online_retail_spark.operators.preferences import (
+        pairs_from_scores,
+    )
+
+    rows = [
+        ("P1", "c10", 10, 1), ("P1", "c30", 30, 2), ("P1", "c5", 5, 3),
+        # P2: all-tied scores -> chosen AND rejected both take id 4
+        ("P2", "t4", 7, 4), ("P2", "t9", 7, 9),
+        ("P3", "only", 1, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt string, candidate string, score long, cand_id long")
+    got = {r.prompt: r for r in pairs_from_scores(df).collect()}
+    p1 = got["P1"]
+    assert (p1.chosen, p1.chosen_id, p1.rejected, p1.rejected_id) == \
+        ("c30", 2, "c5", 3)
+    assert (p1.chosen_score, p1.rejected_score) == (30, 5)
+    p2 = got["P2"]
+    assert (p2.chosen_id, p2.rejected_id) == (4, 4)
+    assert p2.chosen == p2.rejected == "t4"
+    p3 = got["P3"]
+    assert p3.chosen == p3.rejected == "only"
