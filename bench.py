@@ -244,6 +244,10 @@ HEADLINE = [
     "eval_summary_by_source",
     # round-13 best-of-n preference synthesis
     "best_of_n_pairs",
+    # round-13 pairwise-judgment analytics + annotator agreement
+    "judge_pairwise_matrix",
+    "judge_bt_scores",
+    "annotator_kappa_by_source",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

@@ -3560,3 +3560,165 @@ def q_best_of_n_pairs(spark, sf_dir):
         (F.length("text") % 97).cast("bigint").alias("score"),
         F.col("doc_id").alias("cand_id"))
     return pairs_from_scores(cands)
+
+
+# ---------------------------------------------------------------------------
+# pairwise-judgment analytics (r13, operators/arena.py): arena-style
+# model comparison — win/tie matrix, per-model records, Bradley-Terry
+# strengths in fixed-point int64 (the PPR precedent: truncating integer
+# divides make a fixed iteration count hash-exact against an unrolled
+# CTE oracle). Battles fixture from orders: two "models" from key
+# residues, outcome from a deterministic integer residue — all exact
+# arithmetic both engines.
+_BATTLES_BODY = """
+SELECT 'M' || CAST(o_orderkey % 7 AS VARCHAR) AS model_a,
+       'M' || CAST(o_custkey % 7 AS VARCHAR) AS model_b,
+       CASE (CAST(o_orderkey AS BIGINT) * 31 + o_custkey) % 3
+            WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'tie' END AS outcome
+FROM orders
+WHERE o_orderkey % 7 <> o_custkey % 7
+"""
+
+
+def _battles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    r = (F.col("o_orderkey").cast("bigint") * 31 + F.col("o_custkey")) % 3
+    return (o.filter((F.col("o_orderkey") % 7) != (F.col("o_custkey") % 7))
+            .select(
+        F.concat(F.lit("M"),
+                 (F.col("o_orderkey") % 7).cast("string")).alias("model_a"),
+        F.concat(F.lit("M"),
+                 (F.col("o_custkey") % 7).cast("string")).alias("model_b"),
+        F.when(r == 0, F.lit("a")).when(r == 1, F.lit("b"))
+         .otherwise(F.lit("tie")).alias("outcome")))
+
+
+_PAIRWISE_ORACLE = f"""
+WITH b AS ({_BATTLES_BODY})
+SELECT LEAST(model_a, model_b) AS m1,
+       GREATEST(model_a, model_b) AS m2,
+       SUM(CASE WHEN (model_a < model_b AND outcome = 'a')
+                  OR (model_b < model_a AND outcome = 'b')
+                THEN 1 ELSE 0 END)::BIGINT AS m1_wins,
+       SUM(CASE WHEN (model_a < model_b AND outcome = 'b')
+                  OR (model_b < model_a AND outcome = 'a')
+                THEN 1 ELSE 0 END)::BIGINT AS m2_wins,
+       SUM(CASE WHEN outcome = 'tie' THEN 1 ELSE 0 END)::BIGINT AS ties,
+       COUNT(*) AS n_battles
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("judge_pairwise_matrix", _PAIRWISE_ORACLE, "M8-judge-arena")
+def q_judge_pairwise_matrix(spark, sf_dir):
+    from etl_online_retail_spark.operators.arena import pairwise_matrix
+
+    return pairwise_matrix(_battles(spark, sf_dir))
+
+
+_RECORDS_ORACLE = f"""
+WITH b AS ({_BATTLES_BODY}),
+s AS (SELECT model_a AS model,
+             CASE WHEN outcome = 'a' THEN 1 ELSE 0 END AS w,
+             CASE WHEN outcome = 'b' THEN 1 ELSE 0 END AS l,
+             CASE WHEN outcome = 'tie' THEN 1 ELSE 0 END AS t
+      FROM b
+      UNION ALL
+      SELECT model_b,
+             CASE WHEN outcome = 'b' THEN 1 ELSE 0 END,
+             CASE WHEN outcome = 'a' THEN 1 ELSE 0 END,
+             CASE WHEN outcome = 'tie' THEN 1 ELSE 0 END
+      FROM b)
+SELECT model, SUM(w)::BIGINT AS wins, SUM(l)::BIGINT AS losses,
+       SUM(t)::BIGINT AS ties, COUNT(*) AS n_battles,
+       CAST(2 * SUM(w) + SUM(t) AS DOUBLE) / (2 * COUNT(*)) AS win_rate
+FROM s GROUP BY model
+"""
+
+
+@register("judge_model_records", _RECORDS_ORACLE, "M8-judge-arena")
+def q_judge_model_records(spark, sf_dir):
+    from etl_online_retail_spark.operators.arena import model_records
+
+    return model_records(_battles(spark, sf_dir))
+
+
+def _bt_oracle():
+    from etl_online_retail_spark.operators.arena import bradley_terry_oracle
+
+    return bradley_terry_oracle(_BATTLES_BODY, iters=3)
+
+
+@register("judge_bt_scores", _bt_oracle(), "M8-judge-arena")
+def q_judge_bt_scores(spark, sf_dir):
+    from etl_online_retail_spark.operators.arena import bradley_terry
+
+    return bradley_terry(_battles(spark, sf_dir), iters=3)
+
+
+# annotator agreement (r13, operators/agreement.py): two synthetic
+# annotators label every document from deterministic length/key
+# residues; Cohen's kappa is the exact-integer identity
+# (n*n_agree - pe_num) / (n^2 - pe_num) — BIGINT counting + ONE IEEE
+# division, NULL when pe = 1 (degenerate marginals). Fixture
+# assumption, verified at all three SFs: documents.text is never NULL
+# — the operator treats NULL as one more label (NULL-safe equality)
+# while this SQL twin uses plain equality, so a datagen change that
+# introduced NULL text would surface as a loud hash mismatch here.
+_ANNOT_BODY = """
+SELECT source AS src,
+       'L' || CAST(length(text) % 5 AS VARCHAR) AS label_a,
+       'L' || CAST((length(text) + doc_id) % 5 AS VARCHAR) AS label_b
+FROM documents
+"""
+
+
+def _annot_labels(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("source").alias("src"),
+        F.concat(F.lit("L"),
+                 (F.length("text") % 5).cast("string")).alias("label_a"),
+        F.concat(F.lit("L"), ((F.length("text") + F.col("doc_id")) % 5)
+                 .cast("string")).alias("label_b"))
+
+
+_CONFUSION_ORACLE = f"""
+WITH l AS ({_ANNOT_BODY})
+SELECT label_a, label_b, COUNT(*) AS n FROM l GROUP BY 1, 2
+"""
+
+
+@register("annotator_confusion", _CONFUSION_ORACLE,
+          "M8-annotator-agreement")
+def q_annotator_confusion(spark, sf_dir):
+    from etl_online_retail_spark.operators.agreement import confusion_matrix
+
+    return confusion_matrix(_annot_labels(spark, sf_dir))
+
+
+_KAPPA_ORACLE = f"""
+WITH l AS ({_ANNOT_BODY}),
+t AS (SELECT src, COUNT(*) AS n,
+             SUM(CASE WHEN label_a = label_b THEN 1 ELSE 0 END)::BIGINT
+                 AS n_agree
+      FROM l GROUP BY src),
+ma AS (SELECT src, label_a AS lab, COUNT(*) AS n_a FROM l GROUP BY 1, 2),
+mb AS (SELECT src, label_b AS lab, COUNT(*) AS n_b FROM l GROUP BY 1, 2),
+p AS (SELECT ma.src, SUM(ma.n_a * mb.n_b)::BIGINT AS pe_num
+      FROM ma JOIN mb ON ma.src = mb.src AND ma.lab = mb.lab
+      GROUP BY ma.src)
+SELECT t.src, t.n, t.n_agree, p.pe_num,
+       CASE WHEN t.n * t.n - p.pe_num <> 0
+            THEN CAST(t.n * t.n_agree - p.pe_num AS DOUBLE)
+                 / (t.n * t.n - p.pe_num) END AS kappa
+FROM t JOIN p ON t.src = p.src
+"""
+
+
+@register("annotator_kappa_by_source", _KAPPA_ORACLE,
+          "M8-annotator-agreement")
+def q_annotator_kappa_by_source(spark, sf_dir):
+    from etl_online_retail_spark.operators.agreement import cohens_kappa
+
+    return cohens_kappa(_annot_labels(spark, sf_dir), group_col="src")

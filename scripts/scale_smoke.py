@@ -1484,6 +1484,57 @@ def main() -> None:
 
     timed(f"eval token f1 @ {factor}x", eval_f1)
 
+    # pairwise-judgment analytics (r13): battle volume AND roster both
+    # grow with the factor (7 * factor models), so the pair grain the
+    # Bradley-Terry iteration runs on grows too — the battle table is
+    # read by exactly ONE hash aggregation, iterations touch only the
+    # pair-grain relation. Expectation: linear in battles, the
+    # iteration cost invisible next to the scan.
+    def bt_chain():
+        from etl_online_retail_spark.operators.arena import (
+            bradley_terry,
+            model_records,
+        )
+
+        roster = 7 * factor
+        r = (F.col("o_orderkey").cast("bigint") * 31
+             + F.col("o_custkey")) % 3
+        battles = (o.filter((F.col("o_orderkey") % roster)
+                            != (F.col("o_custkey") % roster))
+                   .select(
+            F.concat(F.lit("M"), (F.col("o_orderkey") % roster)
+                     .cast("string")).alias("model_a"),
+            F.concat(F.lit("M"), (F.col("o_custkey") % roster)
+                     .cast("string")).alias("model_b"),
+            F.when(r == 0, F.lit("a")).when(r == 1, F.lit("b"))
+             .otherwise(F.lit("tie")).alias("outcome")))
+        (model_records(battles)
+         .write.format("noop").mode("overwrite").save())
+        (bradley_terry(battles, iters=3)
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"bradley-terry ({7 * factor} models) @ {factor}x", bt_chain)
+
+    # annotator agreement (r13): kappa is three co-partitioned hash
+    # aggs at the (group, label) grain + roster-sized joins — linear
+    # scan cost, constant-size shuffle.
+    def kappa():
+        from etl_online_retail_spark.operators.agreement import (
+            cohens_kappa,
+        )
+
+        labels = docs.select(
+            "source",
+            F.concat(F.lit("L"), (F.length("text") % 5).cast("string"))
+             .alias("label_a"),
+            F.concat(F.lit("L"),
+                     ((F.length("text") + F.col("doc_id")) % 5)
+                     .cast("string")).alias("label_b"))
+        (cohens_kappa(labels, group_col="source")
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"cohens kappa by source @ {factor}x", kappa)
+
 
 if __name__ == "__main__":
     main()
