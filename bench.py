@@ -248,6 +248,7 @@ HEADLINE = [
     "judge_pairwise_matrix",
     "judge_bt_scores",
     "annotator_kappa_by_source",
+    "annotator_fleiss_by_source",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

@@ -77,3 +77,63 @@ def cohens_kappa(labels: DataFrame, a_col: str = "label_a",
     if group_col:
         return out.withColumnRenamed(_GRP, group_col)
     return out.drop(_GRP)
+
+
+def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
+                 label_col: str = "label", n_raters: int = 3,
+                 group_col: str | None = None) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement for a FIXED number of
+    raters per item, from long-format (item, label) rating rows.
+
+        P_o = A / (N * n * (n-1)),  A = sum_i sum_c n_ic * (n_ic - 1)
+        P_e = B / (N * n)^2,        B = sum_c (sum_i n_ic)^2
+        kappa = (P_o - P_e) / (1 - P_e)
+
+    Items that do not have EXACTLY n_raters ratings are dropped from
+    the statistic and counted in n_dropped (Fleiss is undefined for
+    ragged panels — use pairwise cohens_kappa or alpha-family metrics
+    there). A and B are exact BIGINT sums; po/pe/kappa are the
+    identical short chain of IEEE divisions on both engines (pe runs
+    B / (Nn) / (Nn), never materializing (Nn)^2, so the integer side
+    stays in int64 headroom for any N). kappa is NULL when pe = 1.
+    NULL is one more label, as in cohens_kappa.
+
+    Output: (group?, n_items, n_dropped, a_num, b_num, po, pe, kappa).
+    Scale shape: two hash aggregations stepping down the grain
+    ((group, item, label) -> (group, item)), a group-item semi-join to
+    restrict label totals to valid items, then group-grain joins —
+    rating rows never ride a shuffle wider than group + item + label."""
+    if n_raters < 2:
+        raise ValueError("fleiss_kappa needs n_raters >= 2 "
+                         "(agreement is pairwise)")
+    g = F.col(group_col) if group_col else F.lit(0)
+    base = ratings.select(g.alias(_GRP), F.col(item_col).alias("_item"),
+                          F.col(label_col).alias("_lab"))
+    il = (base.groupBy(_GRP, "_item", "_lab")
+          .agg(F.count(F.lit(1)).alias("_c")))
+    im = (il.groupBy(_GRP, "_item")
+          .agg(F.sum("_c").alias("_m"),
+               F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_ai")))
+    valid = im.filter(F.col("_m") == n_raters)
+    gstats = valid.groupBy(_GRP).agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum("_ai").alias("a_num"))
+    dropped = im.groupBy(_GRP).agg(
+        F.sum(F.when(F.col("_m") != n_raters, F.lit(1).cast("long"))
+               .otherwise(F.lit(0).cast("long"))).alias("n_dropped"))
+    lt = (il.join(valid.select(_GRP, "_item"), [_GRP, "_item"],
+                  "left_semi")
+          .groupBy(_GRP, "_lab").agg(F.sum("_c").alias("_t")))
+    bstats = lt.groupBy(_GRP).agg(
+        F.sum(F.col("_t") * F.col("_t")).alias("b_num"))
+    nn = F.col("n_items") * n_raters
+    out = (gstats.join(dropped, _GRP).join(bstats, _GRP)
+           .withColumn("po", F.col("a_num").cast("double")
+                       / (nn * (n_raters - 1)))
+           .withColumn("pe", F.col("b_num").cast("double") / nn / nn)
+           .withColumn("kappa",
+                       F.when(F.lit(1.0) - F.col("pe") != 0,
+                              (F.col("po") - F.col("pe"))
+                              / (F.lit(1.0) - F.col("pe")))))
+    if group_col:
+        return out.withColumnRenamed(_GRP, group_col)
+    return out.drop(_GRP)

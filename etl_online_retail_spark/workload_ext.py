@@ -3722,3 +3722,62 @@ def q_annotator_kappa_by_source(spark, sf_dir):
     from etl_online_retail_spark.operators.agreement import cohens_kappa
 
     return cohens_kappa(_annot_labels(spark, sf_dir), group_col="src")
+
+
+# Fleiss' kappa (r13, operators/agreement.py): multi-rater agreement —
+# three synthetic raters per document, with rater 2 withheld on
+# doc_id % 13 == 0 so the exactly-n validity filter does real work
+# (ragged items counted in n_dropped, never entering A/B). A and B are
+# exact BIGINTs; po/pe/kappa are the IDENTICAL short chain of IEEE
+# divisions on both engines (pe = B/(Nn)/(Nn), never (Nn)^2).
+_FLEISS_ORACLE = """
+WITH r AS (SELECT source AS src, doc_id,
+                  'L' || CAST((length(text) + u.rater * doc_id) % 4
+                              AS VARCHAR) AS label
+           FROM documents
+           CROSS JOIN (VALUES (1), (2), (3)) AS u(rater)
+           WHERE NOT (u.rater = 2 AND doc_id % 13 = 0)),
+il AS (SELECT src, doc_id, label, COUNT(*) AS c FROM r GROUP BY 1, 2, 3),
+im AS (SELECT src, doc_id, SUM(c) AS m,
+              SUM(c * (c - 1))::BIGINT AS a_i
+       FROM il GROUP BY 1, 2),
+valid AS (SELECT src, doc_id, a_i FROM im WHERE m = 3),
+g AS (SELECT src, COUNT(*) AS n_items, SUM(a_i)::BIGINT AS a_num
+      FROM valid GROUP BY src),
+dr AS (SELECT src, SUM(CASE WHEN m <> 3 THEN 1 ELSE 0 END)::BIGINT
+              AS n_dropped
+       FROM im GROUP BY src),
+lt AS (SELECT il.src, il.label, SUM(il.c) AS t
+       FROM il JOIN valid ON il.src = valid.src
+                         AND il.doc_id = valid.doc_id
+       GROUP BY 1, 2),
+bq AS (SELECT src, SUM(t * t)::BIGINT AS b_num FROM lt GROUP BY src),
+k AS (SELECT g.src, g.n_items, dr.n_dropped, g.a_num, bq.b_num,
+             CAST(g.a_num AS DOUBLE) / (g.n_items * 3 * 2) AS po,
+             CAST(bq.b_num AS DOUBLE) / (g.n_items * 3)
+                 / (g.n_items * 3) AS pe
+      FROM g JOIN dr ON g.src = dr.src JOIN bq ON g.src = bq.src)
+SELECT src, n_items, n_dropped, a_num, b_num, po, pe,
+       CASE WHEN 1 - pe <> 0 THEN (po - pe) / (1 - pe) END AS kappa
+FROM k
+"""
+
+
+@register("annotator_fleiss_by_source", _FLEISS_ORACLE,
+          "M8-annotator-agreement")
+def q_annotator_fleiss_by_source(spark, sf_dir):
+    from etl_online_retail_spark.operators.agreement import fleiss_kappa
+
+    d = _t(spark, sf_dir, "documents")
+    ratings = (d.select("source", "doc_id", "text",
+                        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                        .alias("rater"))
+               .filter(~((F.col("rater") == 2)
+                         & (F.col("doc_id") % 13 == 0)))
+               .select(
+        F.col("source").alias("src"), F.col("doc_id").alias("item_id"),
+        F.concat(F.lit("L"),
+                 ((F.length("text") + F.col("rater") * F.col("doc_id"))
+                  % 4).cast("string")).alias("label")))
+    return fleiss_kappa(ratings, item_col="item_id", label_col="label",
+                        n_raters=3, group_col="src")

@@ -54,3 +54,44 @@ def test_kappa_grouped_and_degenerate(spark):
     assert (g1.n, g1.n_agree, g1.pe_num) == (8, 4, 4 * 4 + 4 * 4)
     assert g1.kappa == 0.0
     assert got["g2"].kappa is None
+
+
+def test_fleiss_kappa_zero_and_identity(spark):
+    """3 items x 3 raters where observed agreement exactly equals
+    chance: A=10, D1=18, B=45, (Nn)^2=81 -> po = pe = 5/9, kappa = 0.
+    A 2-rating item is dropped and counted, never entering A/B."""
+    from etl_online_retail_spark.operators.agreement import fleiss_kappa
+
+    rows = [(1, "a"), (1, "a"), (1, "a"),
+            (2, "a"), (2, "a"), (2, "b"),
+            (3, "b"), (3, "b"), (3, "a"),
+            (4, "a"), (4, "a")]            # ragged -> dropped
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    r = fleiss_kappa(df, n_raters=3).collect()[0]
+    assert (r.n_items, r.n_dropped, r.a_num, r.b_num) == (3, 1, 10, 45)
+    assert r.po == 10 / 18 and r.pe == 45 / 9 / 9
+    assert r.kappa == 0.0
+
+
+def test_fleiss_kappa_perfect_and_grouped(spark):
+    """Per-group: g1 has unanimous raters on every item (po = 1,
+    kappa = 1); g2 is all-items-one-label (pe = 1 -> NULL kappa)."""
+    from etl_online_retail_spark.operators.agreement import fleiss_kappa
+
+    rows = ([("g1", 1, "a")] * 2 + [("g1", 2, "b")] * 2
+            + [("g2", 1, "x")] * 2 + [("g2", 2, "x")] * 2)
+    df = spark.createDataFrame(rows, "src string, item_id long, label string")
+    got = {r.src: r for r in
+           fleiss_kappa(df, n_raters=2, group_col="src").collect()}
+    assert got["g1"].po == 1.0 and got["g1"].kappa == 1.0
+    assert got["g2"].pe == 1.0 and got["g2"].kappa is None
+
+
+def test_fleiss_kappa_rejects_single_rater(spark):
+    import pytest
+
+    from etl_online_retail_spark.operators.agreement import fleiss_kappa
+
+    df = spark.createDataFrame([(1, "a")], "item_id long, label string")
+    with pytest.raises(ValueError):
+        fleiss_kappa(df, n_raters=1)
