@@ -249,6 +249,8 @@ HEADLINE = [
     "judge_bt_scores",
     "annotator_kappa_by_source",
     "annotator_fleiss_by_source",
+    "judge_records_wilson",
+    "eval_pass_at_k",
     "revenue_cube",
     "revenue_grouping_sets",
     "revenue_pivot_by_flag",

@@ -111,6 +111,43 @@ def model_records(battles: DataFrame, a_col: str = "model_a",
         / (2 * F.col("n_battles")))
 
 
+def with_wilson_interval(records: DataFrame, z: float = 1.96,
+                         rate_col: str = "win_rate",
+                         n_col: str = "n_battles") -> DataFrame:
+    """Wilson score interval columns (wilson_lo, wilson_hi) on a
+    records relation — the leaderboard's error bars, so a 10-battle
+    fluke never outranks a 10,000-battle grind. Pure map stage; the
+    expression tree is mirrored operation-for-operation in the SQL
+    twin (IEEE divisions/multiplies/sqrt are correctly rounded, so an
+    identical tree is bit-exact cross-engine). Rows with n = 0 get
+    NULL bounds."""
+    p, n = F.col(rate_col), F.col(n_col).cast("double")
+    z2 = z * z
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (2 * n)) / denom
+    half = (F.lit(z) / denom) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(z2) / (4 * n * n))
+    nz = F.col(n_col) > 0
+    return (records
+            .withColumn("wilson_lo", F.when(nz, center - half))
+            .withColumn("wilson_hi", F.when(nz, center + half)))
+
+
+def wilson_sql(z: float = 1.96, rate_expr: str = "win_rate",
+               n_expr: str = "n_battles") -> tuple[str, str]:
+    """The (wilson_lo, wilson_hi) SQL twins — SAME expression tree as
+    with_wilson_interval, generated from the same z."""
+    z2 = z * z
+    n = f"CAST({n_expr} AS DOUBLE)"
+    denom = f"(1.0 + {z2} / {n})"
+    center = f"(({rate_expr} + {z2} / (2 * {n})) / {denom})"
+    half = (f"(({z} / {denom}) * SQRT({rate_expr} * (1.0 - {rate_expr})"
+            f" / {n} + {z2} / (4 * {n} * {n})))")
+    guard = f"CASE WHEN {n_expr} > 0 THEN {{expr}} END"
+    return (guard.format(expr=f"{center} - {half}"),
+            guard.format(expr=f"{center} + {half}"))
+
+
 def directed_pair_stats(battles: DataFrame, a_col: str = "model_a",
                         b_col: str = "model_b",
                         outcome_col: str = "outcome") -> DataFrame:

@@ -102,3 +102,48 @@ def eval_summary(df: DataFrame, pred_col: str, ref_col: str,
                  F.sum("n_overlap").cast("bigint").alias("overlap_sum"),
                  F.sum("n_pred").cast("bigint").alias("pred_tok_sum"),
                  F.sum("n_ref").cast("bigint").alias("ref_tok_sum")))
+
+
+def pass_at_k(df: DataFrame, task_col: str = "task_id",
+              passed_col: str = "passed",
+              ks: tuple[int, ...] = (1, 3)) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    Models Trained on Code" eq. 1): per task with n sampled candidates
+    of which c pass,
+
+        pass@k = 1 - C(n-c, k) / C(n, k)
+               = 1 - prod_{i=0}^{k-1} (n - c - i) / (n - i)
+
+    computed as that UNROLLED left-to-right product (k is a literal, so
+    no HOF and no lambda — the product is a fixed expression tree,
+    bit-exact cross-engine; pass_at_k_sql emits the identical tree).
+    When n - c < k one factor is exactly 0.0 and pass@k is exactly 1;
+    when n < k the estimator is undefined -> NULL. One hash
+    aggregation per task, then a pure map stage.
+
+    Output: (task, n, c, pass_at_<k>...) — per-task grain only; a
+    corpus mean of IEEE doubles is order-dependent, so averaging is
+    left to callers who don't need hash-stable output."""
+    per = (df.groupBy(F.col(task_col).alias("task"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(passed_col).cast("long")).alias("c")))
+    nd = F.col("n").cast("double")
+    ncd = (F.col("n") - F.col("c")).cast("double")
+    for k in ks:
+        prod = F.lit(1.0)
+        for i in range(k):
+            prod = prod * ((ncd - i) / (nd - i))
+        per = per.withColumn(
+            f"pass_at_{k}",
+            F.when(F.col("n") >= k, F.lit(1.0) - prod))
+    return per
+
+
+def pass_at_k_sql(k: int, n_expr: str = "n", c_expr: str = "c") -> str:
+    """The pass@k SQL twin — the SAME unrolled product tree as
+    pass_at_k, generated from the same loop so the two cannot drift."""
+    prod = "1.0"
+    for i in range(k):
+        prod = (f"({prod} * ((CAST({n_expr} - {c_expr} AS DOUBLE) - {i})"
+                f" / (CAST({n_expr} AS DOUBLE) - {i})))")
+    return f"CASE WHEN {n_expr} >= {k} THEN 1.0 - {prod} END"

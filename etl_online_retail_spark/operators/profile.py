@@ -350,3 +350,68 @@ def observed_load(df: DataFrame, cols: list[str] | None = None):
         return dict(obs.get)
 
     return out, fetch
+
+
+def pearson_exact(df: DataFrame, x_col: str, y_col: str,
+                  group_col: str | None = None) -> DataFrame:
+    """Pearson correlation over INTEGER-valued columns via the
+    exact-sum identity:
+
+        r = (n*Sxy - Sx*Sy)
+            / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    The five sums are exact BIGINTs out of ONE hash aggregation (map-
+    side combinable — the whole statistic is one scan however wide the
+    table); the tail is a short fixed IEEE chain (division, multiply,
+    correctly-rounded sqrt), bit-exact cross-engine when mirrored.
+    Note |r| may pass 1.0 by an ulp on perfectly-collinear data:
+    sqrt(vx) * sqrt(vy) is two roundings of sqrt(vx * vy).
+    r is NULL when either variance is zero (constant column) or n < 2.
+    NULL x or y drops the ROW (both columns must be observed — pairwise
+    deletion, the standard for correlation).
+
+    Integer-exactness is the caller's contract: pass integer-valued
+    columns (counts, lengths, scores, fixed-point encodings). Headroom:
+    n * Sxy and Sx * Sy must fit int64.
+
+    The audit this was built for: reward-model LENGTH BIAS — correlate
+    candidate score with response length over best-of-n pools; r > 0
+    means the judge pays for verbosity (the classic RLHF failure).
+
+    Output: (group?, n, sx, sy, sxy, sxx, syy, r)."""
+    g = F.col(group_col) if group_col else F.lit(0)
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    base = (df.filter(F.col(x_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+            .select(g.alias("_pg"), x.alias("_x"), y.alias("_y")))
+    agg = base.groupBy("_pg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"))
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    out = agg.withColumn(
+        "r",
+        F.when((n >= 2) & (vx > 0) & (vy > 0),
+               (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+               .cast("double")
+               / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))))
+    if group_col:
+        return out.withColumnRenamed("_pg", group_col)
+    return out.drop("_pg")
+
+
+def pearson_exact_sql(n: str = "n", sx: str = "sx", sy: str = "sy",
+                      sxy: str = "sxy", sxx: str = "sxx",
+                      syy: str = "syy") -> str:
+    """The r SQL twin over already-aggregated exact sums — the SAME
+    guard and IEEE tree as pearson_exact."""
+    vx = f"({n} * {sxx} - {sx} * {sx})"
+    vy = f"({n} * {syy} - {sy} * {sy})"
+    return (f"CASE WHEN {n} >= 2 AND {vx} > 0 AND {vy} > 0 THEN "
+            f"CAST({n} * {sxy} - {sx} * {sy} AS DOUBLE)"
+            f" / (SQRT(CAST({vx} AS DOUBLE)) * SQRT(CAST({vy} AS DOUBLE)))"
+            f" END")

@@ -81,3 +81,32 @@ def test_bradley_terry_ordering_tracks_strength(spark):
     re = {r.model: r.bt_fp
           for r in bradley_terry(df.repartition(7), iters=3).collect()}
     assert re == got
+
+
+def test_wilson_interval_matches_reference_formula(spark):
+    """Bounds equal the same IEEE tree computed in Python; n = 0 rows
+    get NULL bounds (no battles, no information)."""
+    from etl_online_retail_spark.operators.arena import (
+        with_wilson_interval,
+    )
+
+    rows = [("A", 0.5, 100), ("B", 1.0, 3), ("C", 0.5, 0)]
+    df = spark.createDataFrame(
+        rows, "model string, win_rate double, n_battles long")
+    got = {r.model: r for r in with_wilson_interval(df).collect()}
+
+    def wilson(p, n, z=1.96):
+        z2 = z * z
+        denom = 1.0 + z2 / n
+        center = (p + z2 / (2 * n)) / denom
+        half = (z / denom) * ((p * (1.0 - p) / n
+                               + z2 / (4 * n * n)) ** 0.5)
+        return center - half, center + half
+
+    lo, hi = wilson(0.5, 100.0)
+    assert (got["A"].wilson_lo, got["A"].wilson_hi) == (lo, hi)
+    assert got["A"].wilson_lo < 0.5 < got["A"].wilson_hi
+    # a 3-battle perfect record has a wide, honest interval
+    lo3, _ = wilson(1.0, 3.0)
+    assert got["B"].wilson_lo == lo3 and lo3 < 0.5
+    assert got["C"].wilson_lo is None and got["C"].wilson_hi is None

@@ -108,3 +108,25 @@ def test_null_and_empty_answers_score_zero(spark):
     s = eval_summary(_df(spark, rows), "pred", "ref").collect()[0]
     assert (s.n_examples, s.n_exact, s.overlap_sum, s.pred_tok_sum,
             s.ref_tok_sum) == (4, 0, 0, 0, 6)
+
+
+def test_pass_at_k_hand_values(spark):
+    """n=5, c=2, k=3: 1 - C(3,3)/C(5,3) = 0.9 (product (3/5)(2/4)(1/3)
+    = 0.1). c=0 -> 0.0; n-c < k -> exactly 1.0; n < k -> NULL."""
+    from etl_online_retail_spark.operators.evaluation import pass_at_k
+
+    rows = ([("t1", b) for b in
+             (True, True, False, False, False)]       # n=5, c=2
+            + [("t2", False)] * 5                     # c=0
+            + [("t3", True)] * 4 + [("t3", False)]    # n-c=1 < 3
+            + [("t4", True), ("t4", False)])          # n=2 < 3
+    df = spark.createDataFrame(rows, "task_id string, passed boolean")
+    got = {r.task: r for r in pass_at_k(df, ks=(1, 3)).collect()}
+    t1 = got["t1"]
+    assert (t1.n, t1.c) == (5, 2)
+    assert abs(t1.pass_at_3 - 0.9) < 1e-12
+    assert t1.pass_at_1 == 1.0 - (3 / 5)
+    assert got["t2"].pass_at_3 == 0.0 and got["t2"].pass_at_1 == 0.0
+    assert got["t3"].pass_at_3 == 1.0
+    assert got["t4"].pass_at_3 is None
+    assert got["t4"].pass_at_1 == 0.5
