@@ -67,7 +67,13 @@ def cohens_kappa(labels: DataFrame, a_col: str = "label_a",
                   & F.col("_a").eqNullSafe(F.col("_b")))
           .groupBy(F.col("_ga").alias(_GRP))
           .agg(F.sum(F.col("_na") * F.col("_nb")).alias("pe_num")))
-    out = (totals.join(pe, _GRP)
+    # LEFT join + coalesce: two annotators with fully DISJOINT label
+    # sets produce no marginal-product row at all — that group must
+    # report pe_num = 0, kappa = po, not silently vanish (review r13)
+    out = (totals.join(pe, _GRP, "left")
+           .withColumn("pe_num",
+                       F.coalesce(F.col("pe_num"),
+                                  F.lit(0).cast("long")))
            .withColumn(
                "kappa",
                F.when(F.col("n") * F.col("n") - F.col("pe_num") != 0,
@@ -126,14 +132,29 @@ def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
     bstats = lt.groupBy(_GRP).agg(
         F.sum(F.col("_t") * F.col("_t")).alias("b_num"))
     nn = F.col("n_items") * n_raters
-    out = (gstats.join(dropped, _GRP).join(bstats, _GRP)
-           .withColumn("po", F.col("a_num").cast("double")
-                       / (nn * (n_raters - 1)))
-           .withColumn("pe", F.col("b_num").cast("double") / nn / nn)
+    zl = F.lit(0).cast("long")
+    # `dropped` covers EVERY group (it aggregates all items); gstats/
+    # bstats only groups with >= 1 valid item. Driving the output from
+    # dropped with left joins keeps an all-ragged group visible as
+    # (n_items=0, n_dropped=K, kappa NULL) instead of losing it — the
+    # docstring's "dropped AND counted" promise (review r13).
+    out = (dropped.join(gstats, _GRP, "left").join(bstats, _GRP, "left")
+           .withColumn("n_items", F.coalesce(F.col("n_items"), zl))
+           .withColumn("a_num", F.coalesce(F.col("a_num"), zl))
+           .withColumn("b_num", F.coalesce(F.col("b_num"), zl))
+           .withColumn("po",
+                       F.when(F.col("n_items") > 0,
+                              F.col("a_num").cast("double")
+                              / (nn * (n_raters - 1))))
+           .withColumn("pe",
+                       F.when(F.col("n_items") > 0,
+                              F.col("b_num").cast("double") / nn / nn))
            .withColumn("kappa",
                        F.when(F.lit(1.0) - F.col("pe") != 0,
                               (F.col("po") - F.col("pe"))
-                              / (F.lit(1.0) - F.col("pe")))))
+                              / (F.lit(1.0) - F.col("pe"))))
+           .select(_GRP, "n_items", "n_dropped", "a_num", "b_num",
+                   "po", "pe", "kappa"))
     if group_col:
         return out.withColumnRenamed(_GRP, group_col)
     return out.drop(_GRP)

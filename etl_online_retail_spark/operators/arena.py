@@ -186,9 +186,9 @@ def bradley_terry(battles: DataFrame, iters: int = 3,
     the battle table is read exactly once."""
     d = directed_pair_stats(battles, a_col, b_col, outcome_col).cache()
     w = d.groupBy("model").agg(F.sum("w2").alias("w2")).cache()
-    s2 = F.lit(_S2).cast("long")
     scores = w.select("model",
                       F.lit(BT_FP_SCALE).cast("long").alias("bt_fp"))
+    prev = None
     for _ in range(iters):
         sc = joins.size_guarded_broadcast(scores)
         t = (d.join(sc.select(F.col("model"), F.col("bt_fp").alias("_pi")),
@@ -204,6 +204,16 @@ def bradley_terry(battles: DataFrame, iters: int = 3,
                               F.expr(f"w2 * {_S2}L div _d"))
                           .alias("bt_fp"))
                   .cache())
+        # materialize, then release the superseded iteration — without
+        # this every call pins iters+2 dead relations in executor
+        # storage for the session (the minhash-index precedent,
+        # streaming/ingest.py; review r13)
+        scores.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = scores
+    d.unpersist()
+    w.unpersist()
     return scores.withColumn(
         "bt_score", F.col("bt_fp").cast("double") / F.lit(BT_FP_SCALE))
 

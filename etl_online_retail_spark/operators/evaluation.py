@@ -56,26 +56,34 @@ def token_overlap(df: DataFrame, pred_col: str, ref_col: str,
     F1. Rows with zero overlap keep f1 = 0.0; token counts come from
     the normalized strings; a row where BOTH sides are empty/NULL has
     f1 = 0.0 by the 0/0 guard."""
+    # ONE scan of df (review r13: the previous base + two explode legs
+    # re-evaluated the upstream three times): both sides' tokens are
+    # tagged inside ONE array (the transform lambdas touch only their
+    # own argument — rule-7 safe), explode_outer keeps token-less rows
+    # alive, and the per-row counts ride the explode to be recovered
+    # by max() (constant within the id). Two hash aggregations, no
+    # join. id_col must be unique per example — duplicate ids now
+    # merge into one multiset (previously an inconsistent half-merge).
     p_toks = _tokens(pred_col)
     r_toks = _tokens(ref_col)
-    base = df.select(F.col(id_col),
-                     F.size(p_toks).cast("bigint").alias("n_pred"),
-                     F.size(r_toks).cast("bigint").alias("n_ref"))
-
-    def side(toks: Column, p: int) -> DataFrame:
-        return df.select(F.col(id_col),
-                         F.explode(toks).alias("_tok"),
-                         F.lit(p).alias("_p"),
-                         F.lit(1 - p).alias("_r"))
-
-    counts = (side(p_toks, 1).unionAll(side(r_toks, 0))
-              .groupBy(id_col, "_tok")
-              .agg(F.sum("_p").alias("_pc"), F.sum("_r").alias("_rc")))
-    overlap = (counts
-               .groupBy(id_col)
-               .agg(F.sum(F.least("_pc", "_rc")).cast("bigint")
-                     .alias("n_overlap")))
-    return (base.join(overlap, id_col, "left")
+    pairs = F.concat(
+        F.transform(p_toks, lambda t: F.struct(
+            t.alias("t"), F.lit(1).alias("p"), F.lit(0).alias("r"))),
+        F.transform(r_toks, lambda t: F.struct(
+            t.alias("t"), F.lit(0).alias("p"), F.lit(1).alias("r"))))
+    ex = df.select(F.col(id_col),
+                   F.size(p_toks).cast("bigint").alias("_np"),
+                   F.size(r_toks).cast("bigint").alias("_nr"),
+                   F.explode_outer(pairs).alias("_e"))
+    per_tok = (ex.groupBy(id_col, F.col("_e.t").alias("_tok"))
+               .agg(F.max("_np").alias("_np"),
+                    F.max("_nr").alias("_nr"),
+                    F.sum("_e.p").alias("_pc"),
+                    F.sum("_e.r").alias("_rc")))
+    return (per_tok.groupBy(id_col)
+            .agg(F.max("_np").alias("n_pred"),
+                 F.max("_nr").alias("n_ref"),
+                 F.sum(F.least("_pc", "_rc")).alias("n_overlap"))
             .withColumn("n_overlap",
                         F.coalesce(F.col("n_overlap"), F.lit(0))
                         .cast("bigint"))
@@ -119,14 +127,20 @@ def pass_at_k(df: DataFrame, task_col: str = "task_id",
     bit-exact cross-engine; pass_at_k_sql emits the identical tree).
     When n - c < k one factor is exactly 0.0 and pass@k is exactly 1;
     when n < k the estimator is undefined -> NULL. One hash
-    aggregation per task, then a pure map stage.
+    aggregation per task, then a pure map stage. A NULL passed value
+    counts as a FAILING sample (coalesced to false EXPLICITLY — a
+    crashed harness run is a fail in code-eval convention; callers who
+    mean "unscored, exclude it" must filter first). Review r13: the
+    previous implicit behavior (NULL in n but not in c) had the same
+    value with no stated policy.
 
     Output: (task, n, c, pass_at_<k>...) — per-task grain only; a
     corpus mean of IEEE doubles is order-dependent, so averaging is
     left to callers who don't need hash-stable output."""
     per = (df.groupBy(F.col(task_col).alias("task"))
            .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col(passed_col).cast("long")).alias("c")))
+                F.sum(F.coalesce(F.col(passed_col), F.lit(False))
+                       .cast("long")).alias("c")))
     nd = F.col("n").cast("double")
     ncd = (F.col("n") - F.col("c")).cast("double")
     for k in ks:

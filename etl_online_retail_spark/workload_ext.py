@@ -3707,12 +3707,15 @@ ma AS (SELECT src, label_a AS lab, COUNT(*) AS n_a FROM l GROUP BY 1, 2),
 mb AS (SELECT src, label_b AS lab, COUNT(*) AS n_b FROM l GROUP BY 1, 2),
 p AS (SELECT ma.src, SUM(ma.n_a * mb.n_b)::BIGINT AS pe_num
       FROM ma JOIN mb ON ma.src = mb.src AND ma.lab = mb.lab
-      GROUP BY ma.src)
-SELECT t.src, t.n, t.n_agree, p.pe_num,
-       CASE WHEN t.n * t.n - p.pe_num <> 0
-            THEN CAST(t.n * t.n_agree - p.pe_num AS DOUBLE)
-                 / (t.n * t.n - p.pe_num) END AS kappa
-FROM t JOIN p ON t.src = p.src
+      GROUP BY ma.src),
+q AS (SELECT t.src, t.n, t.n_agree,
+             COALESCE(p.pe_num, 0)::BIGINT AS pe_num
+      FROM t LEFT JOIN p ON t.src = p.src)
+SELECT src, n, n_agree, pe_num,
+       CASE WHEN n * n - pe_num <> 0
+            THEN CAST(n * n_agree - pe_num AS DOUBLE)
+                 / (n * n - pe_num) END AS kappa
+FROM q
 """
 
 
@@ -3752,11 +3755,18 @@ lt AS (SELECT il.src, il.label, SUM(il.c) AS t
                          AND il.doc_id = valid.doc_id
        GROUP BY 1, 2),
 bq AS (SELECT src, SUM(t * t)::BIGINT AS b_num FROM lt GROUP BY src),
-k AS (SELECT g.src, g.n_items, dr.n_dropped, g.a_num, bq.b_num,
-             CAST(g.a_num AS DOUBLE) / (g.n_items * 3 * 2) AS po,
-             CAST(bq.b_num AS DOUBLE) / (g.n_items * 3)
-                 / (g.n_items * 3) AS pe
-      FROM g JOIN dr ON g.src = dr.src JOIN bq ON g.src = bq.src)
+j AS (SELECT dr.src, COALESCE(g.n_items, 0) AS n_items, dr.n_dropped,
+             COALESCE(g.a_num, 0)::BIGINT AS a_num,
+             COALESCE(bq.b_num, 0)::BIGINT AS b_num
+      FROM dr LEFT JOIN g ON dr.src = g.src
+              LEFT JOIN bq ON dr.src = bq.src),
+k AS (SELECT src, n_items, n_dropped, a_num, b_num,
+             CASE WHEN n_items > 0 THEN
+                  CAST(a_num AS DOUBLE) / (n_items * 3 * 2) END AS po,
+             CASE WHEN n_items > 0 THEN
+                  CAST(b_num AS DOUBLE) / (n_items * 3)
+                  / (n_items * 3) END AS pe
+      FROM j)
 SELECT src, n_items, n_dropped, a_num, b_num, po, pe,
        CASE WHEN 1 - pe <> 0 THEN (po - pe) / (1 - pe) END AS kappa
 FROM k

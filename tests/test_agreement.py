@@ -95,3 +95,38 @@ def test_fleiss_kappa_rejects_single_rater(spark):
     df = spark.createDataFrame([(1, "a")], "item_id long, label string")
     with pytest.raises(ValueError):
         fleiss_kappa(df, n_raters=1)
+
+
+def test_kappa_disjoint_marginals_group_survives(spark):
+    """Annotators with fully disjoint label sets share no marginal
+    product: the group must report pe_num = 0, kappa = po, not vanish
+    (review r13)."""
+    rows = [("d", "x", "y"), ("d", "x", "y"), ("ok", "y", "y")]
+    got = {r.src: r for r in
+           cohens_kappa(_labels(spark, rows, True),
+                        group_col="src").collect()}
+    d = got["d"]
+    assert (d.n, d.n_agree, d.pe_num) == (2, 0, 0)
+    assert d.kappa == 0.0                 # (2*0 - 0) / (4 - 0)
+    assert got["ok"].kappa is None        # degenerate pe = 1
+
+
+def test_fleiss_all_ragged_group_still_reported(spark):
+    """A group in which EVERY item is ragged keeps its row:
+    (n_items=0, n_dropped=K, NULL po/pe/kappa) — dropped means
+    counted, not lost (review r13)."""
+    from etl_online_retail_spark.operators.agreement import fleiss_kappa
+
+    rows = ([("good", 1, "a")] * 3 + [("good", 2, "b")] * 3
+            + [("bad", 1, "a")] * 2 + [("bad", 2, "b")])
+    df = spark.createDataFrame(
+        rows, "src string, item_id long, label string")
+    got = {r.src: r for r in
+           fleiss_kappa(df, n_raters=3, group_col="src").collect()}
+    bad = got["bad"]
+    assert (bad.n_items, bad.n_dropped, bad.a_num, bad.b_num) == \
+        (0, 2, 0, 0)
+    assert bad.po is None and bad.pe is None and bad.kappa is None
+    good = got["good"]
+    assert (good.n_items, good.n_dropped) == (2, 0)
+    assert good.po == 1.0
