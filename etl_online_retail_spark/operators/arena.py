@@ -148,20 +148,53 @@ def wilson_sql(z: float = 1.96, rate_expr: str = "win_rate",
             guard.format(expr=f"{center} + {half}"))
 
 
+def directed_from_matrix(matrix: DataFrame) -> DataFrame:
+    """Both directions of a pairwise matrix, in half-point units:
+    (model, opp, n2 = 2*battles, w2 = 2*wins + ties). The pair-grain
+    relation every Bradley-Terry iteration re-reads. `matrix` is any
+    relation with pairwise_matrix's schema — the live one, or a merged
+    incremental one (streaming/ingest.py read_battle_matrix)."""
+    fwd = matrix.select(
+        F.col("m1").alias("model"), F.col("m2").alias("opp"),
+        (2 * F.col("n_battles")).alias("n2"),
+        (2 * F.col("m1_wins") + F.col("ties")).alias("w2"))
+    rev = matrix.select(
+        F.col("m2").alias("model"), F.col("m1").alias("opp"),
+        (2 * F.col("n_battles")).alias("n2"),
+        (2 * F.col("m2_wins") + F.col("ties")).alias("w2"))
+    return fwd.unionByName(rev)
+
+
+def records_from_matrix(matrix: DataFrame) -> DataFrame:
+    """model_records recomputed from the PAIR-grain matrix instead of
+    raw battles — same output schema and values. This is the serving
+    path: a streamed matrix (dashboard-sized) feeds the leaderboard
+    without ever re-reading the battle log."""
+    w_f = matrix.select(F.col("m1").alias("model"),
+                        F.col("m1_wins").alias("wins"),
+                        F.col("m2_wins").alias("losses"),
+                        "ties", "n_battles")
+    w_r = matrix.select(F.col("m2").alias("model"),
+                        F.col("m2_wins").alias("wins"),
+                        F.col("m1_wins").alias("losses"),
+                        "ties", "n_battles")
+    agg = (w_f.unionByName(w_r).groupBy("model")
+           .agg(F.sum("wins").alias("wins"),
+                F.sum("losses").alias("losses"),
+                F.sum("ties").alias("ties"),
+                F.sum("n_battles").alias("n_battles")))
+    return agg.withColumn(
+        "win_rate",
+        (2 * F.col("wins") + F.col("ties")).cast("double")
+        / (2 * F.col("n_battles")))
+
+
 def directed_pair_stats(battles: DataFrame, a_col: str = "model_a",
                         b_col: str = "model_b",
                         outcome_col: str = "outcome") -> DataFrame:
-    """Both directions of the pair matrix, in half-point units:
-    (model, opp, n2 = 2*battles, w2 = 2*wins + ties). The pair-grain
-    relation every Bradley-Terry iteration re-reads."""
-    pm = pairwise_matrix(battles, a_col, b_col, outcome_col)
-    fwd = pm.select(F.col("m1").alias("model"), F.col("m2").alias("opp"),
-                    (2 * F.col("n_battles")).alias("n2"),
-                    (2 * F.col("m1_wins") + F.col("ties")).alias("w2"))
-    rev = pm.select(F.col("m2").alias("model"), F.col("m1").alias("opp"),
-                    (2 * F.col("n_battles")).alias("n2"),
-                    (2 * F.col("m2_wins") + F.col("ties")).alias("w2"))
-    return fwd.unionByName(rev)
+    """directed_from_matrix over the freshly aggregated battle log."""
+    return directed_from_matrix(
+        pairwise_matrix(battles, a_col, b_col, outcome_col))
 
 
 def bradley_terry(battles: DataFrame, iters: int = 3,
@@ -184,7 +217,17 @@ def bradley_terry(battles: DataFrame, iters: int = 3,
     score ratio). Iteration cost: two joins against the score relation
     (size-guarded broadcast) + one sum per model — pair-grain only,
     the battle table is read exactly once."""
-    d = directed_pair_stats(battles, a_col, b_col, outcome_col).cache()
+    return bradley_terry_from_matrix(
+        pairwise_matrix(battles, a_col, b_col, outcome_col), iters=iters)
+
+
+def bradley_terry_from_matrix(matrix: DataFrame,
+                              iters: int = 3) -> DataFrame:
+    """The bradley_terry iteration over an already-aggregated pairwise
+    matrix — the serving path for a streamed matrix
+    (read_battle_matrix): leaderboard refresh cost is pair-grain,
+    independent of the battle log size."""
+    d = directed_from_matrix(matrix).cache()
     w = d.groupBy("model").agg(F.sum("w2").alias("w2")).cache()
     scores = w.select("model",
                       F.lit(BT_FP_SCALE).cast("long").alias("bt_fp"))

@@ -992,6 +992,56 @@ def incremental_source_counts(stream_df: DataFrame, table_dir: str,
             .start())
 
 
+def battle_matrix_batch_write(batch_df: DataFrame, batch_id: int,
+                              table_dir: str, a_col: str = "model_a",
+                              b_col: str = "model_b",
+                              outcome_col: str = "outcome") -> None:
+    """One micro-batch of judge battles -> its pairwise-matrix partial
+    (operators/arena.pairwise_matrix) under its own _batch_id partition
+    (replay overwrites exactly itself). Pair counts are pure additive
+    monoids, so the merge side is a sum — the sixth streamable family
+    beside counts/CMS/KMV/HDR/PSI."""
+    from etl_online_retail_spark.operators.arena import pairwise_matrix
+
+    part = pairwise_matrix(batch_df, a_col, b_col, outcome_col)
+    (part.withColumn("_batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id")
+     .parquet(table_dir))
+
+
+def incremental_battle_matrix(stream_df: DataFrame, table_dir: str,
+                              checkpoint_dir: str,
+                              a_col: str = "model_a",
+                              b_col: str = "model_b",
+                              outcome_col: str = "outcome") -> StreamingQuery:
+    """Maintain the arena's pairwise win/tie matrix over a battle
+    stream. The stored state is the PAIR-grain matrix (dashboard-
+    sized); the battle log itself is never re-read — leaderboard
+    refresh (records_from_matrix, bradley_terry_from_matrix) runs
+    off read_battle_matrix's merge."""
+    return (stream_df.writeStream
+            .foreachBatch(lambda df, bid: battle_matrix_batch_write(
+                df, bid, table_dir, a_col, b_col, outcome_col))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def read_battle_matrix(spark, table_dir: str) -> DataFrame:
+    """(m1, m2, m1_wins, m2_wins, ties, n_battles) merged over every
+    effective batch partial — bit-equal to pairwise_matrix over the
+    full battle log."""
+    return (spark.read.parquet(table_dir)
+            .filter(F.col("_batch_id").isin(_effective_partials(table_dir)))
+            .groupBy("m1", "m2")
+            .agg(F.sum("m1_wins").alias("m1_wins"),
+                 F.sum("m2_wins").alias("m2_wins"),
+                 F.sum("ties").alias("ties"),
+                 F.sum("n_battles").alias("n_battles")))
+
+
 def minhash_index_batch_write(batch_df: DataFrame, batch_id: int,
                               index_dir: str, dups_dir: str,
                               text_col: str = "text",

@@ -1302,3 +1302,75 @@ def test_weighted_write_refuses_non_unit_weights(spark, tmp_path):
     out = spark.read.parquet(t)
     assert "_bad_w" not in out.columns
     assert [(r.k, r._n) for r in out.collect()] == [("a", 0)]
+
+
+def test_incremental_battle_matrix_stream_equals_batch(spark, tmp_path):
+    """The streamed pairwise matrix merges bit-equal to the batch
+    operator over the full battle log; the leaderboard derived from
+    the merged matrix (records + fixed-point Bradley-Terry) equals the
+    battle-log computation; replaying a batch changes nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_online_retail_spark.catalog import load_table
+    from etl_online_retail_spark.operators.arena import (
+        bradley_terry,
+        bradley_terry_from_matrix,
+        model_records,
+        pairwise_matrix,
+        records_from_matrix,
+    )
+    from etl_online_retail_spark.streaming.ingest import (
+        battle_matrix_batch_write,
+        incremental_battle_matrix,
+        read_battle_matrix,
+    )
+
+    orders = load_table(spark, "orders", SF)
+    r = (F.col("o_orderkey").cast("bigint") * 31 + F.col("o_custkey")) % 3
+    battles = (orders
+               .filter((F.col("o_orderkey") % 7)
+                       != (F.col("o_custkey") % 7))
+               .select(
+        F.concat(F.lit("M"), (F.col("o_orderkey") % 7).cast("string"))
+         .alias("model_a"),
+        F.concat(F.lit("M"), (F.col("o_custkey") % 7).cast("string"))
+         .alias("model_b"),
+        F.when(r == 0, F.lit("a")).when(r == 1, F.lit("b"))
+         .otherwise(F.lit("tie")).alias("outcome"),
+        F.col("o_orderkey").alias("battle_id")))
+
+    sdir = str(tmp_path / "stream")
+    os.makedirs(sdir)
+    batched = battles.withColumn(
+        "_b", F.pmod(F.xxhash64("battle_id"), F.lit(4)))
+    for b in range(4):
+        (batched.filter(F.col("_b") == b).drop("_b", "battle_id")
+         .coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b{b}"))
+    schema = battles.drop("battle_id").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(sdir + "/b*"))
+    t, ckpt = str(tmp_path / "matrix"), str(tmp_path / "ckpt")
+    q = incremental_battle_matrix(stream, t, ckpt)
+    q.awaitTermination()
+
+    def mrows(df):
+        return sorted(tuple(x) for x in df.collect())
+
+    merged = read_battle_matrix(spark, t)
+    batch_pm = pairwise_matrix(battles)
+    assert mrows(merged.select("m1", "m2", "m1_wins", "m2_wins",
+                               "ties", "n_battles")) == \
+        mrows(batch_pm)
+    # leaderboard off the matrix == leaderboard off the battle log
+    assert mrows(records_from_matrix(merged)) == \
+        mrows(model_records(battles))
+    assert mrows(bradley_terry_from_matrix(merged, iters=3)) == \
+        mrows(bradley_terry(battles, iters=3))
+    # crash-replay of one batch: the partial overwrites exactly itself
+    replay = spark.read.parquet(f"{sdir}/b2")
+    battle_matrix_batch_write(replay, 2, t)
+    assert mrows(read_battle_matrix(spark, t)
+                 .select("m1", "m2", "m1_wins", "m2_wins",
+                         "ties", "n_battles")) == mrows(batch_pm)
