@@ -246,8 +246,11 @@ HEADLINE = [
     "best_of_n_pairs",
     # round-13 pairwise-judgment analytics + annotator agreement
     "judge_pairwise_matrix",
+    "judge_model_records",
     "judge_bt_scores",
     "annotator_kappa_by_source",
+    "annotator_confusion",
+    "reward_length_bias",
     "annotator_fleiss_by_source",
     "judge_records_wilson",
     "eval_pass_at_k",
