@@ -253,6 +253,8 @@ HEADLINE = [
     "reward_length_bias",
     "annotator_fleiss_by_source",
     "judge_records_wilson",
+    "judge_position_bias",
+    "annotator_alpha_by_source",
     "eval_pass_at_k",
     "revenue_cube",
     "revenue_grouping_sets",

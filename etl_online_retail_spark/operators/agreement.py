@@ -158,3 +158,82 @@ def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
     if group_col:
         return out.withColumnRenamed(_GRP, group_col)
     return out.drop(_GRP)
+
+
+def krippendorff_alpha(ratings: DataFrame, item_col: str = "item_id",
+                       label_col: str = "label",
+                       group_col: str | None = None) -> DataFrame:
+    """Krippendorff's alpha (nominal data) — chance-corrected
+    agreement for RAGGED panels, the metric Fleiss' fixed-n constraint
+    excludes. Items with m >= 2 ratings are "pairable"; single-rating
+    items carry no agreement information and are counted in n_dropped
+    (visible, never lost — the fleiss_kappa review lesson).
+
+        A_o = (1/n) * sum_m S_m / (m - 1),
+              S_m = sum over items with m ratings of sum_c n_ic(n_ic-1)
+        A_e = sum_c n_c(n_c - 1) / (n (n - 1)),  n, n_c over pairable
+        alpha = (A_o - A_e) / (1 - A_e)
+
+    Exactness: S_m, n_c, n are exact BIGINTs; A_o folds the per-m
+    terms in SORTED m order through the SAME sequential fold on both
+    engines (F.aggregate vs list_reduce seeded with 0.0 — the EWMA
+    precedent), so the handful of IEEE divisions/additions is
+    bit-exact cross-engine. The per-m relation has at most
+    max-panel-size rows per group — driver-tiny, never item-scaled.
+    alpha is NULL when pe-side is degenerate (A_e = 1) or no pairable
+    items exist.
+
+    Output: (group?, n_ratings, n_items, n_dropped, ao, ae, alpha)."""
+    g = F.col(group_col) if group_col else F.lit(0)
+    base = ratings.select(g.alias(_GRP), F.col(item_col).alias("_item"),
+                          F.col(label_col).alias("_lab"))
+    il = (base.groupBy(_GRP, "_item", "_lab")
+          .agg(F.count(F.lit(1)).alias("_c")))
+    im = (il.groupBy(_GRP, "_item")
+          .agg(F.sum("_c").alias("_m"),
+               F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_ai")))
+    pair = im.filter(F.col("_m") >= 2)
+    zl = F.lit(0).cast("long")
+    dropped = im.groupBy(_GRP).agg(
+        F.sum(F.when(F.col("_m") < 2, F.lit(1).cast("long"))
+               .otherwise(zl)).alias("n_dropped"))
+    # per-panel-size sums, folded in sorted-m order (sequential fold:
+    # both engines add the SAME doubles in the SAME order)
+    sm = (pair.groupBy(_GRP, "_m")
+          .agg(F.sum("_ai").alias("_s"))
+          .select(_GRP,
+                  F.struct(F.col("_m").alias("m"),
+                           (F.col("_s").cast("double")
+                            / (F.col("_m") - 1)).alias("t")).alias("_e")))
+    ao_num = (sm.groupBy(_GRP)
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list("_e")), F.lit(0.0),
+                  lambda acc, e: acc + e["t"]).alias("_ao_num")))
+    stats = pair.groupBy(_GRP).agg(
+        F.count(F.lit(1)).alias("n_items"))
+    lt = (il.join(pair.select(_GRP, "_item"), [_GRP, "_item"],
+                  "left_semi")
+          .groupBy(_GRP, "_lab").agg(F.sum("_c").alias("_nc")))
+    ne = lt.groupBy(_GRP).agg(
+        F.sum("_nc").alias("n_ratings"),
+        F.sum(F.col("_nc") * (F.col("_nc") - 1)).alias("_e_num"))
+    n = F.col("n_ratings")
+    out = (dropped.join(stats, _GRP, "left")
+           .join(ao_num, _GRP, "left").join(ne, _GRP, "left")
+           .withColumn("n_items", F.coalesce(F.col("n_items"), zl))
+           .withColumn("n_ratings", F.coalesce(n, zl))
+           .withColumn("ao",
+                       F.when(n >= 2, F.col("_ao_num") / n))
+           .withColumn("ae",
+                       F.when(n >= 2,
+                              F.col("_e_num").cast("double")
+                              / n / (n - 1)))
+           .withColumn("alpha",
+                       F.when(F.lit(1.0) - F.col("ae") != 0,
+                              (F.col("ao") - F.col("ae"))
+                              / (F.lit(1.0) - F.col("ae"))))
+           .select(_GRP, "n_ratings", "n_items", "n_dropped",
+                   "ao", "ae", "alpha"))
+    if group_col:
+        return out.withColumnRenamed(_GRP, group_col)
+    return out.drop(_GRP)

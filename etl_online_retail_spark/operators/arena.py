@@ -306,3 +306,41 @@ p{i} AS (SELECT d.model,
             + ",\n".join(steps)
             + f"\nSELECT model, fp AS bt_fp,"
               f" CAST(fp AS DOUBLE) / {s} AS bt_score FROM p{iters}")
+
+
+def position_bias(battles: DataFrame, a_col: str = "model_a",
+                  b_col: str = "model_b",
+                  outcome_col: str = "outcome") -> DataFrame:
+    """First-position advantage audit — the standard judge check next
+    to verbosity bias: over all valid battles, how often does the
+    FIRST-presented side win? One hash aggregation; exact BIGINT
+    counts, rates and gap as single IEEE divisions. A symmetric judge
+    has position_gap ~ 0; a persistent positive gap means the
+    presentation order leaks into the judgment and battle orders must
+    be randomized (or pairs judged both ways).
+
+    Output: one row — n_battles, a_wins, b_wins, ties, a_win_rate,
+    b_win_rate, position_gap = (a_wins - b_wins) / n_battles."""
+    o = F.col(outcome_col)
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    agg = (_valid(battles, a_col, b_col, outcome_col)
+           .agg(F.count(F.lit(1)).alias("n_battles"),
+                F.sum(F.when(o == OUTCOME_A, one).otherwise(zero))
+                 .alias("a_wins"),
+                F.sum(F.when(o == OUTCOME_B, one).otherwise(zero))
+                 .alias("b_wins"),
+                F.sum(F.when(o == OUTCOME_TIE, one).otherwise(zero))
+                 .alias("ties")))
+    n = F.col("n_battles")
+    return (agg
+            .withColumn("a_win_rate",
+                        F.when(n > 0,
+                               F.col("a_wins").cast("double") / n))
+            .withColumn("b_win_rate",
+                        F.when(n > 0,
+                               F.col("b_wins").cast("double") / n))
+            .withColumn("position_gap",
+                        F.when(n > 0,
+                               (F.col("a_wins") - F.col("b_wins"))
+                               .cast("double") / n)))

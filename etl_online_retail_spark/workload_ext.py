@@ -3886,3 +3886,116 @@ def q_reward_length_bias(spark, sf_dir):
         (F.length("text") % 97).cast("bigint").alias("score"),
         F.length("text").cast("bigint").alias("resp_len"))
     return pearson_exact(cands, "score", "resp_len", group_col="src")
+
+
+# position-bias audit (r13, operators/arena.py position_bias): the
+# standard judge check next to verbosity bias — does the FIRST-
+# presented side win more often? Exact counts + single IEEE
+# divisions; the fixture's outcome residue is position-symmetric by
+# construction, so the gap hash-verifies near zero.
+_POSBIAS_ORACLE = f"""
+WITH b AS ({_BATTLES_BODY}),
+a AS (SELECT COUNT(*) AS n_battles,
+             SUM(CASE WHEN outcome = 'a' THEN 1 ELSE 0 END)::BIGINT
+                 AS a_wins,
+             SUM(CASE WHEN outcome = 'b' THEN 1 ELSE 0 END)::BIGINT
+                 AS b_wins,
+             SUM(CASE WHEN outcome = 'tie' THEN 1 ELSE 0 END)::BIGINT
+                 AS ties
+      FROM b)
+SELECT n_battles, a_wins, b_wins, ties,
+       CASE WHEN n_battles > 0
+            THEN CAST(a_wins AS DOUBLE) / n_battles END AS a_win_rate,
+       CASE WHEN n_battles > 0
+            THEN CAST(b_wins AS DOUBLE) / n_battles END AS b_win_rate,
+       CASE WHEN n_battles > 0
+            THEN CAST(a_wins - b_wins AS DOUBLE) / n_battles
+            END AS position_gap
+FROM a
+"""
+
+
+@register("judge_position_bias", _POSBIAS_ORACLE, "M8-judge-arena")
+def q_judge_position_bias(spark, sf_dir):
+    from etl_online_retail_spark.operators.arena import position_bias
+
+    return position_bias(_battles(spark, sf_dir))
+
+
+# Krippendorff's alpha (r13, operators/agreement.py): ragged-panel
+# agreement — the same 3-rater fixture as Fleiss but with rater 3
+# ALSO withheld on doc_id % 7 == 0, so panels of size 1/2/3 coexist
+# (m=1 items dropped-and-counted, m in {2,3} fold through the per-m
+# sequential sum — F.aggregate vs list_reduce, identical sorted-m
+# order, the EWMA precedent).
+_ALPHA_ORACLE = """
+WITH r AS (SELECT source AS src, doc_id,
+                  'L' || CAST((length(text) + u.rater * doc_id) % 4
+                              AS VARCHAR) AS label
+           FROM documents
+           CROSS JOIN (VALUES (1), (2), (3)) AS u(rater)
+           WHERE NOT (u.rater = 2 AND doc_id % 13 = 0)
+             AND NOT (u.rater = 3 AND doc_id % 7 = 0)),
+il AS (SELECT src, doc_id, label, COUNT(*) AS c FROM r GROUP BY 1, 2, 3),
+im AS (SELECT src, doc_id, SUM(c) AS m,
+              SUM(c * (c - 1))::BIGINT AS ai
+       FROM il GROUP BY 1, 2),
+pair AS (SELECT * FROM im WHERE m >= 2),
+dr AS (SELECT src, SUM(CASE WHEN m < 2 THEN 1 ELSE 0 END)::BIGINT
+              AS n_dropped
+       FROM im GROUP BY src),
+sm AS (SELECT src, m, SUM(ai)::BIGINT AS s FROM pair GROUP BY 1, 2),
+ao AS (SELECT src,
+              list_reduce(list_prepend(0.0::DOUBLE,
+                  list(CAST(s AS DOUBLE) / (m - 1) ORDER BY m)),
+                  (acc, x) -> acc + x) AS ao_num
+       FROM sm GROUP BY src),
+st AS (SELECT src, COUNT(*) AS n_items FROM pair GROUP BY src),
+lt AS (SELECT il.src, il.label, SUM(il.c)::BIGINT AS nc
+       FROM il JOIN pair ON il.src = pair.src
+                        AND il.doc_id = pair.doc_id
+       GROUP BY 1, 2),
+ne AS (SELECT src, SUM(nc)::BIGINT AS n_ratings,
+              SUM(nc * (nc - 1))::BIGINT AS e_num
+       FROM lt GROUP BY src),
+j AS (SELECT dr.src, COALESCE(ne.n_ratings, 0)::BIGINT AS n_ratings,
+             COALESCE(st.n_items, 0) AS n_items, dr.n_dropped,
+             ao.ao_num, ne.e_num
+      FROM dr LEFT JOIN st ON dr.src = st.src
+              LEFT JOIN ao ON dr.src = ao.src
+              LEFT JOIN ne ON dr.src = ne.src),
+k AS (SELECT src, n_ratings, n_items, n_dropped,
+             CASE WHEN n_ratings >= 2
+                  THEN ao_num / n_ratings END AS ao,
+             CASE WHEN n_ratings >= 2
+                  THEN CAST(e_num AS DOUBLE) / n_ratings
+                       / (n_ratings - 1) END AS ae
+      FROM j)
+SELECT src, n_ratings, n_items, n_dropped, ao, ae,
+       CASE WHEN 1 - ae <> 0 THEN (ao - ae) / (1 - ae) END AS alpha
+FROM k
+"""
+
+
+@register("annotator_alpha_by_source", _ALPHA_ORACLE,
+          "M8-annotator-agreement")
+def q_annotator_alpha_by_source(spark, sf_dir):
+    from etl_online_retail_spark.operators.agreement import (
+        krippendorff_alpha,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ratings = (d.select("source", "doc_id", "text",
+                        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                        .alias("rater"))
+               .filter(~((F.col("rater") == 2)
+                         & (F.col("doc_id") % 13 == 0)))
+               .filter(~((F.col("rater") == 3)
+                         & (F.col("doc_id") % 7 == 0)))
+               .select(
+        F.col("source").alias("src"), F.col("doc_id").alias("item_id"),
+        F.concat(F.lit("L"),
+                 ((F.length("text") + F.col("rater") * F.col("doc_id"))
+                  % 4).cast("string")).alias("label")))
+    return krippendorff_alpha(ratings, item_col="item_id",
+                              label_col="label", group_col="src")

@@ -130,3 +130,42 @@ def test_fleiss_all_ragged_group_still_reported(spark):
     good = got["good"]
     assert (good.n_items, good.n_dropped) == (2, 0)
     assert good.po == 1.0
+
+
+def test_krippendorff_alpha_hand_values(spark):
+    """u1(a,a) u2(a,b) u3(b,b) u4(b,b,b) + a single-rating item:
+    S_2=4, S_3=6, n=9 -> A_o=7/9; n_a=3, n_b=6 -> A_e=36/72=0.5;
+    alpha = (7/9 - 1/2)/(1/2). The dropped item is counted."""
+    from etl_online_retail_spark.operators.agreement import (
+        krippendorff_alpha,
+    )
+
+    rows = [(1, "a"), (1, "a"), (2, "a"), (2, "b"),
+            (3, "b"), (3, "b"), (4, "b"), (4, "b"), (4, "b"),
+            (5, "a")]
+    df = spark.createDataFrame(rows, "item_id long, label string")
+    r = krippendorff_alpha(df).collect()[0]
+    assert (r.n_ratings, r.n_items, r.n_dropped) == (9, 4, 1)
+    assert r.ao == (4.0 / 1 + 6.0 / 2) / 9
+    assert r.ae == 36.0 / 9 / 8
+    assert r.alpha == (r.ao - r.ae) / (1.0 - r.ae)
+
+
+def test_krippendorff_alpha_all_singletons_group_reported(spark):
+    """A group with ONLY single-rating items keeps its row with NULL
+    alpha (nothing pairable), per the fleiss review lesson."""
+    from etl_online_retail_spark.operators.agreement import (
+        krippendorff_alpha,
+    )
+
+    rows = [("g1", 1, "a"), ("g1", 1, "a"),
+            ("g2", 1, "a"), ("g2", 2, "b")]
+    df = spark.createDataFrame(
+        rows, "src string, item_id long, label string")
+    got = {r.src: r for r in
+           krippendorff_alpha(df, group_col="src").collect()}
+    g2 = got["g2"]
+    assert (g2.n_ratings, g2.n_items, g2.n_dropped) == (0, 0, 2)
+    assert g2.alpha is None
+    g1 = got["g1"]                        # unanimous pair: ao = 1
+    assert g1.ao == 1.0 and g1.alpha is None   # ae = 1 -> undefined

@@ -110,3 +110,26 @@ def test_wilson_interval_matches_reference_formula(spark):
     lo3, _ = wilson(1.0, 3.0)
     assert got["B"].wilson_lo == lo3 and lo3 < 0.5
     assert got["C"].wilson_lo is None and got["C"].wilson_hi is None
+
+
+def test_position_bias_counts_and_gap(spark):
+    from etl_online_retail_spark.operators.arena import position_bias
+
+    rows = [("X", "Y", "a")] * 3 + [("Y", "X", "b")] * 1 \
+        + [("X", "Y", "tie")] * 2 + [("X", "X", "a"), ("X", "Y", "junk")]
+    df = spark.createDataFrame(
+        rows, "model_a string, model_b string, outcome string")
+    r = position_bias(df).collect()[0]
+    assert (r.n_battles, r.a_wins, r.b_wins, r.ties) == (6, 3, 1, 2)
+    assert r.a_win_rate == 3 / 6 and r.b_win_rate == 1 / 6
+    assert r.position_gap == (3 - 1) / 6
+
+
+def test_position_bias_empty_input_null_rates(spark):
+    from etl_online_retail_spark.operators.arena import position_bias
+
+    df = spark.createDataFrame(
+        [], "model_a string, model_b string, outcome string")
+    r = position_bias(df).collect()[0]
+    assert r.n_battles == 0
+    assert r.a_win_rate is None and r.position_gap is None
