@@ -2,9 +2,11 @@
 
     best-of-n synthesis (scored candidates -> chosen/rejected pairs)
       -> DPO prep funnel (validity reasons, rendered branches, margins)
-    judge arena (battles -> records -> Bradley-Terry leaderboard)
-    annotator QA (Cohen's kappa per source + Fleiss' fixed panel)
-    eval scorecard (exact match + token F1 per source)
+    judge arena (battles -> records -> Bradley-Terry leaderboard,
+      position-bias audit)
+    annotator QA (Cohen's kappa per source + Fleiss' fixed panel +
+      Krippendorff's alpha on the ragged panel)
+    eval scorecard (exact match + token F1 per source, pass@k)
 
 Each stage is a first-class operator with an oracle-verified query twin
 (best_of_n_pairs, dpo_pair_prep, preference_pair_stats,
@@ -80,6 +82,8 @@ def run_align(spark, sf_dir: str) -> dict:
     records = {x.model: x for x in model_records(battles).collect()}
     board = (bradley_terry(battles, iters=3)
              .orderBy(F.col("bt_fp").desc()).collect())
+    from etl_online_retail_spark.operators.arena import position_bias
+    posbias = position_bias(battles).collect()[0]
 
     # 4. annotator QA: pairwise kappa per source + Fleiss on a 3-panel
     labels = docs.select(
@@ -101,6 +105,12 @@ def run_align(spark, sf_dir: str) -> dict:
                            + F.col("rater") * F.col("doc_id")) % 4)
                          .cast("string")).alias("label")))
     fleiss = fleiss_kappa(ratings, n_raters=3).collect()[0]
+    from etl_online_retail_spark.operators.agreement import (
+        krippendorff_alpha,
+    )
+    # the same panel is already ragged (rater 2 withheld on %13), so
+    # alpha uses ALL of it where Fleiss had to drop the 2-rater items
+    alpha = krippendorff_alpha(ratings).collect()[0]
 
     # 5. eval scorecard per source (pred/ref fixture: shifted slices,
     # every 9th an exact match)
@@ -115,10 +125,20 @@ def run_align(spark, sf_dir: str) -> dict:
          .otherwise(F.array_join(F.slice(ws, 5, 12), " ")).alias("ref"))
     scorecard = (eval_summary(eval_pairs, "pred", "ref")
                  .orderBy("source").collect())
+    from etl_online_retail_spark.operators.evaluation import pass_at_k
+    pk = (pass_at_k(docs.select(
+        F.concat("source", F.lit("#"),
+                 (F.col("doc_id") % 25).cast("string")).alias("task_id"),
+        (F.length("text") % 97 > 48).alias("passed")), ks=(1, 3, 5))
+        .agg(F.count(F.lit(1)).alias("n_tasks"),
+             F.avg("pass_at_1").alias("p1"),
+             F.avg("pass_at_3").alias("p3"),
+             F.avg("pass_at_5").alias("p5")).collect()[0])
 
     return {"n_prompts": n_prompts, "funnel": funnel, "margins": margins,
-            "records": records, "board": board, "kappa": kap,
-            "fleiss": fleiss, "scorecard": scorecard}
+            "records": records, "board": board, "posbias": posbias,
+            "kappa": kap, "fleiss": fleiss, "alpha": alpha,
+            "scorecard": scorecard, "pass_at_k": pk}
 
 
 def main() -> None:
@@ -143,6 +163,11 @@ def main() -> None:
               f"{rec.wins:6d}W {rec.losses:6d}L {rec.ties:6d}T  "
               f"win_rate={rec.win_rate:.4f}")
 
+    pb = out["posbias"]
+    print(f"  position bias: a_rate={pb.a_win_rate:.4f} "
+          f"b_rate={pb.b_win_rate:.4f} gap={pb.position_gap:+.4f} "
+          f"over {pb.n_battles} battles")
+
     print("== annotator QA ==")
     for k in out["kappa"][:5]:
         print(f"  {k.source:8s} kappa={k.kappa:+.4f} "
@@ -150,6 +175,10 @@ def main() -> None:
     f = out["fleiss"]
     print(f"  fleiss panel: {f.n_items} items ({f.n_dropped} ragged "
           f"dropped) po={f.po:.4f} pe={f.pe:.4f} kappa={f.kappa:+.4f}")
+    a = out["alpha"]
+    print(f"  krippendorff alpha (ragged ok): {a.n_items} items "
+          f"({a.n_dropped} singletons dropped) ao={a.ao:.4f} "
+          f"ae={a.ae:.4f} alpha={a.alpha:+.4f}")
 
     print("== eval scorecard ==")
     for s in out["scorecard"]:
@@ -157,6 +186,9 @@ def main() -> None:
         micro_f1 = 2 * s.overlap_sum / (s.pred_tok_sum + s.ref_tok_sum)
         print(f"  {s.source:8s} em={em_rate:.4f} "
               f"micro_f1={micro_f1:.4f} ({s.n_examples} examples)")
+    pk = out["pass_at_k"]
+    print(f"  pass@k over {pk.n_tasks} tasks (5 candidates each): "
+          f"pass@1={pk.p1:.4f} pass@3={pk.p3:.4f} pass@5={pk.p5:.4f}")
 
 
 if __name__ == "__main__":

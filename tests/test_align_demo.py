@@ -41,3 +41,18 @@ def test_align_demo_loop(spark):
         assert s.overlap_sum <= s.pred_tok_sum
         assert s.overlap_sum <= s.ref_tok_sum
         assert 0 <= s.n_exact <= s.n_examples
+
+
+def test_align_demo_new_audits(spark):
+    from demo_align import run_align
+
+    out = run_align(spark, "/root/testdata/sf0.001")
+    pb = out["posbias"]
+    assert pb.a_wins + pb.b_wins + pb.ties == pb.n_battles
+    assert abs(pb.position_gap) < 0.1      # fixture is symmetric
+    a = out["alpha"]
+    # alpha uses the WHOLE ragged panel Fleiss had to trim
+    assert a.n_items >= out["fleiss"].n_items
+    assert a.n_dropped == 0                # no singletons in fixture
+    pk = out["pass_at_k"]
+    assert 0.0 <= pk.p1 <= pk.p3 <= pk.p5 <= 1.0   # monotone in k
