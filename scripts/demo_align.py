@@ -44,7 +44,6 @@ from etl_online_retail_spark.session import get_spark
 def run_align(spark, sf_dir: str) -> dict:
     """The loop as data: returns each stage's result for assertions."""
     docs = load_table(spark, "documents", sf_dir).cache()
-    orders = load_table(spark, "orders", sf_dir)
 
     # 1. best-of-n: N scored candidates per prompt -> one pair each
     cands = docs.select(
@@ -67,18 +66,10 @@ def run_align(spark, sf_dir: str) -> dict:
     margins = pair_stats(pairs).orderBy("source").collect()
 
     # 3. judge arena: battles -> records -> Bradley-Terry leaderboard
-    r = (F.col("o_orderkey").cast("bigint") * 31 + F.col("o_custkey")) % 3
-    battles = (orders
-               .filter((F.col("o_orderkey") % 7)
-                       != (F.col("o_custkey") % 7))
-               .select(
-        F.concat(F.lit("M"), (F.col("o_orderkey") % 7).cast("string"))
-         .alias("model_a"),
-        F.concat(F.lit("M"), (F.col("o_custkey") % 7).cast("string"))
-         .alias("model_b"),
-        F.when(r == 0, F.lit("a")).when(r == 1, F.lit("b"))
-         .otherwise(F.lit("tie")).alias("outcome"))
-               .cache())
+    # (the oracle-gated fixture — one source of truth, review r13)
+    from etl_online_retail_spark.workload_ext import _battles
+
+    battles = _battles(spark, sf_dir).cache()
     records = {x.model: x for x in model_records(battles).collect()}
     board = (bradley_terry(battles, iters=3)
              .orderBy(F.col("bt_fp").desc()).collect())
@@ -131,6 +122,7 @@ def run_align(spark, sf_dir: str) -> dict:
                  (F.col("doc_id") % 25).cast("string")).alias("task_id"),
         (F.length("text") % 97 > 48).alias("passed")), ks=(1, 3, 5))
         .agg(F.count(F.lit(1)).alias("n_tasks"),
+             F.avg("n").alias("mean_n"),
              F.avg("pass_at_1").alias("p1"),
              F.avg("pass_at_3").alias("p3"),
              F.avg("pass_at_5").alias("p5")).collect()[0])
@@ -187,7 +179,8 @@ def main() -> None:
         print(f"  {s.source:8s} em={em_rate:.4f} "
               f"micro_f1={micro_f1:.4f} ({s.n_examples} examples)")
     pk = out["pass_at_k"]
-    print(f"  pass@k over {pk.n_tasks} tasks (5 candidates each): "
+    print(f"  pass@k over {pk.n_tasks} tasks "
+          f"({pk.mean_n:.1f} candidates each): "
           f"pass@1={pk.p1:.4f} pass@3={pk.p3:.4f} pass@5={pk.p5:.4f}")
 
 

@@ -1327,28 +1327,21 @@ def test_incremental_battle_matrix_stream_equals_batch(spark, tmp_path):
         read_battle_matrix,
     )
 
-    orders = load_table(spark, "orders", SF)
-    r = (F.col("o_orderkey").cast("bigint") * 31 + F.col("o_custkey")) % 3
-    battles = (orders
-               .filter((F.col("o_orderkey") % 7)
-                       != (F.col("o_custkey") % 7))
-               .select(
-        F.concat(F.lit("M"), (F.col("o_orderkey") % 7).cast("string"))
-         .alias("model_a"),
-        F.concat(F.lit("M"), (F.col("o_custkey") % 7).cast("string"))
-         .alias("model_b"),
-        F.when(r == 0, F.lit("a")).when(r == 1, F.lit("b"))
-         .otherwise(F.lit("tie")).alias("outcome"),
-        F.col("o_orderkey").alias("battle_id")))
+    # ONE source of truth for the battles fixture (review r13: a third
+    # inline copy would silently drift from the oracle-gated one)
+    from etl_online_retail_spark.workload_ext import _battles
+
+    battles = _battles(spark, SF)
 
     sdir = str(tmp_path / "stream")
     os.makedirs(sdir)
     batched = battles.withColumn(
-        "_b", F.pmod(F.xxhash64("battle_id"), F.lit(4)))
+        "_b", F.pmod(F.xxhash64("model_a", "model_b", "outcome"),
+                     F.lit(4)))
     for b in range(4):
-        (batched.filter(F.col("_b") == b).drop("_b", "battle_id")
+        (batched.filter(F.col("_b") == b).drop("_b")
          .coalesce(1).write.mode("overwrite").parquet(f"{sdir}/b{b}"))
-    schema = battles.drop("battle_id").schema
+    schema = battles.schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(sdir + "/b*"))
     t, ckpt = str(tmp_path / "matrix"), str(tmp_path / "ckpt")
