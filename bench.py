@@ -254,6 +254,7 @@ HEADLINE = [
     "annotator_fleiss_by_source",
     "judge_records_wilson",
     "judge_position_bias",
+    "judge_human_agreement",
     "annotator_alpha_by_source",
     "eval_pass_at_k",
     "revenue_cube",

@@ -3999,3 +3999,54 @@ def q_annotator_alpha_by_source(spark, sf_dir):
                   % 4).cast("string")).alias("label")))
     return krippendorff_alpha(ratings, item_col="item_id",
                               label_col="label", group_col="src")
+
+
+# judge-vs-human agreement (r13): how well does the LLM judge's
+# outcome track the human's on the SAME battles? Pure composition —
+# cohens_kappa over two outcome labelings (second "judge" from an
+# independent residue). The kappa every judge-distillation pipeline
+# reports before trusting synthetic battles.
+_JH_ORACLE = """
+WITH l AS (SELECT CASE (CAST(o_orderkey AS BIGINT) * 31 + o_custkey) % 3
+                       WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                       ELSE 'tie' END AS label_a,
+                  CASE (CAST(o_orderkey AS BIGINT) * 17 + o_custkey) % 3
+                       WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                       ELSE 'tie' END AS label_b
+           FROM orders
+           WHERE o_orderkey % 7 <> o_custkey % 7),
+t AS (SELECT COUNT(*) AS n,
+             SUM(CASE WHEN label_a = label_b THEN 1 ELSE 0 END)::BIGINT
+                 AS n_agree
+      FROM l),
+ma AS (SELECT label_a AS lab, COUNT(*) AS n_a FROM l GROUP BY 1),
+mb AS (SELECT label_b AS lab, COUNT(*) AS n_b FROM l GROUP BY 1),
+p AS (SELECT SUM(ma.n_a * mb.n_b)::BIGINT AS pe_num
+      FROM ma JOIN mb ON ma.lab = mb.lab),
+q AS (SELECT t.n, t.n_agree, COALESCE(p.pe_num, 0)::BIGINT AS pe_num
+      FROM t LEFT JOIN p ON TRUE)
+SELECT n, n_agree, pe_num,
+       CASE WHEN n * n - pe_num <> 0
+            THEN CAST(n * n_agree - pe_num AS DOUBLE)
+                 / (n * n - pe_num) END AS kappa
+FROM q
+"""
+
+
+@register("judge_human_agreement", _JH_ORACLE,
+          "M8-judge-arena,M8-annotator-agreement")
+def q_judge_human_agreement(spark, sf_dir):
+    from etl_online_retail_spark.operators.agreement import cohens_kappa
+
+    o = _t(spark, sf_dir, "orders")
+    r1 = (F.col("o_orderkey").cast("bigint") * 31 + F.col("o_custkey")) % 3
+    r2 = (F.col("o_orderkey").cast("bigint") * 17 + F.col("o_custkey")) % 3
+
+    def lab(r):
+        return (F.when(r == 0, F.lit("a")).when(r == 1, F.lit("b"))
+                .otherwise(F.lit("tie")))
+
+    labels = (o.filter((F.col("o_orderkey") % 7)
+                       != (F.col("o_custkey") % 7))
+              .select(lab(r1).alias("label_a"), lab(r2).alias("label_b")))
+    return cohens_kappa(labels)
