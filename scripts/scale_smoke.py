@@ -1535,6 +1535,33 @@ def main() -> None:
 
     timed(f"cohens kappa by source @ {factor}x", kappa)
 
+    # Krippendorff's alpha (r13): three grain-stepping hash aggs on a
+    # RAGGED 3-rater panel (rater 2 withheld on %13, rater 3 on %7) +
+    # the per-m sorted sequential fold (m <= 3, driver-tiny).
+    # Expectation: linear in ratings, the fold invisible.
+    def alpha():
+        from etl_online_retail_spark.operators.agreement import (
+            krippendorff_alpha,
+        )
+
+        ratings = (docs.select(
+            "source", "doc_id", "text",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+             .alias("rater"))
+            .filter(~((F.col("rater") == 2) & (F.col("doc_id") % 13 == 0)))
+            .filter(~((F.col("rater") == 3) & (F.col("doc_id") % 7 == 0)))
+            .select(F.col("source").alias("src"),
+                    F.col("doc_id").alias("item_id"),
+                    F.concat(F.lit("L"),
+                             ((F.length("text")
+                               + F.col("rater") * F.col("doc_id")) % 4)
+                             .cast("string")).alias("label")))
+        (krippendorff_alpha(ratings, item_col="item_id",
+                            label_col="label", group_col="src")
+         .write.format("noop").mode("overwrite").save())
+
+    timed(f"krippendorff alpha (ragged panel) @ {factor}x", alpha)
+
 
 if __name__ == "__main__":
     main()
