@@ -115,8 +115,11 @@ def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
     g = F.col(group_col) if group_col else F.lit(0)
     base = ratings.select(g.alias(_GRP), F.col(item_col).alias("_item"),
                           F.col(label_col).alias("_lab"))
+    # il feeds im (-> valid, dropped) AND the lt semi-join back onto
+    # itself — four consumers; cached (rule 7) so the rating log is
+    # scanned ONCE, not once per branch (executed-plan walk r13)
     il = (base.groupBy(_GRP, "_item", "_lab")
-          .agg(F.count(F.lit(1)).alias("_c")))
+          .agg(F.count(F.lit(1)).alias("_c")).cache())
     im = (il.groupBy(_GRP, "_item")
           .agg(F.sum("_c").alias("_m"),
                F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_ai")))
@@ -187,8 +190,9 @@ def krippendorff_alpha(ratings: DataFrame, item_col: str = "item_id",
     g = F.col(group_col) if group_col else F.lit(0)
     base = ratings.select(g.alias(_GRP), F.col(item_col).alias("_item"),
                           F.col(label_col).alias("_lab"))
+    # same rule-7 cache as fleiss_kappa: il fans out to im/sm/lt
     il = (base.groupBy(_GRP, "_item", "_lab")
-          .agg(F.count(F.lit(1)).alias("_c")))
+          .agg(F.count(F.lit(1)).alias("_c")).cache())
     im = (il.groupBy(_GRP, "_item")
           .agg(F.sum("_c").alias("_m"),
                F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_ai")))
