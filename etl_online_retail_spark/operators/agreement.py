@@ -14,16 +14,28 @@ convention). When the denominator is zero (both marginal
 distributions concentrated on one identical label: pe = 1) kappa is
 undefined and returned as NULL.
 
-Scale shape: item count is the big dimension (billions of labeled
-rows); labels per annotator are the small one. Everything is hash
-aggregations at the (group, label) grain co-partitioned on the group
-column, one tiny marginal-marginal join per group, and a final
-group-grain join — items never ride a shuffle wider than their
-group + label columns. NULL is ONE MORE LABEL, consistently on both
-sides of the statistic (NULL-safe equality for observed agreement
-AND for the marginal join): po and pe must range over the same label
-space or kappa's chance correction stops meaning anything. Callers
-who consider missing labels invalid should filter before calling.
+Scale shape (r14): item count is the big dimension (billions of
+labeled rows); labels per annotator are the small one. Each operator
+scans the item-scaled input EXACTLY ONCE, reducing it to its smallest
+sufficient grain — the (group, label_a, label_b) confusion relation
+for Cohen, the (group, item) panel relation (with per-item label
+counts carried as a bounded struct list) for Fleiss/alpha — and
+materializes that reduced relation with an EAGER localCheckpoint.
+Every downstream marginal/total then derives from the materialized
+grain: no repeated scans of the rating log, and (unlike the previous
+`.cache()` with no unpersist path) nothing stays pinned in the cache
+manager once the returned DataFrame is dropped — checkpoint blocks
+are released by the context cleaner with the RDD, closing the
+storage-growth leak flagged in the r13 review.
+
+NULL is ONE MORE LABEL, consistently on both sides of every statistic
+(NULL-safe equality for observed agreement AND for the marginal
+join): po and pe must range over the same label space or the chance
+correction stops meaning anything. The same NULL-safety applies to
+the GROUP key: every group-grain join is eqNullSafe, so a NULL group
+value keeps its marginal products instead of silently reporting
+kappa = po (r13 advice). Callers who consider missing labels or
+groups invalid should filter before calling.
 """
 
 from __future__ import annotations
@@ -32,6 +44,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _GRP = "_kappa_grp"
+
+
+def _join_grp(left: DataFrame, right: DataFrame,
+              how: str = "left") -> DataFrame:
+    """Group-grain join that keeps NULL group values paired
+    (eqNullSafe — plain equality would drop the NULL group's row from
+    one side and silently corrupt the statistic, r13 advice)."""
+    r = right.withColumnRenamed(_GRP, "_grp_r")
+    return (left.join(r, F.col(_GRP).eqNullSafe(F.col("_grp_r")), how)
+            .drop("_grp_r"))
 
 
 def confusion_matrix(labels: DataFrame, a_col: str = "label_a",
@@ -49,28 +71,35 @@ def cohens_kappa(labels: DataFrame, a_col: str = "label_a",
     """(group?, n, n_agree, pe_num, kappa) per group (or one global
     row when group_col is None). n/n_agree/pe_num are the exact
     BIGINTs kappa derives from — emitted so downstream re-weighting
-    (pooled kappa across groups) never re-reads the items."""
+    (pooled kappa across groups) never re-reads the items.
+
+    One scan of the item-scaled input: the (group, a, b) confusion
+    grain is materialized first (bounded by |labels|^2 per group) and
+    totals/marginals derive from it — the previous shape scanned the
+    rating log three times (totals + each marginal)."""
     g = F.col(group_col) if group_col else F.lit(0)
     base = labels.select(g.alias(_GRP),
                          F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
-    one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
-    totals = base.groupBy(_GRP).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("_a").eqNullSafe(F.col("_b")), one)
+    kl = (base.groupBy(_GRP, "_a", "_b")
+          .agg(F.count(F.lit(1)).alias("_c"))
+          .localCheckpoint(eager=True))
+    totals = kl.groupBy(_GRP).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.when(F.col("_a").eqNullSafe(F.col("_b")), F.col("_c"))
                .otherwise(zero)).alias("n_agree"))
-    ma = (base.groupBy(_GRP, "_a").agg(F.count(F.lit(1)).alias("_na"))
+    ma = (kl.groupBy(_GRP, "_a").agg(F.sum("_c").alias("_na"))
           .withColumnRenamed(_GRP, "_ga"))
-    mb = (base.groupBy(_GRP, "_b").agg(F.count(F.lit(1)).alias("_nb"))
+    mb = (kl.groupBy(_GRP, "_b").agg(F.sum("_c").alias("_nb"))
           .withColumnRenamed(_GRP, "_gb"))
-    pe = (ma.join(mb, (F.col("_ga") == F.col("_gb"))
+    pe = (ma.join(mb, F.col("_ga").eqNullSafe(F.col("_gb"))
                   & F.col("_a").eqNullSafe(F.col("_b")))
           .groupBy(F.col("_ga").alias(_GRP))
           .agg(F.sum(F.col("_na") * F.col("_nb")).alias("pe_num")))
     # LEFT join + coalesce: two annotators with fully DISJOINT label
     # sets produce no marginal-product row at all — that group must
     # report pe_num = 0, kappa = po, not silently vanish (review r13)
-    out = (totals.join(pe, _GRP, "left")
+    out = (_join_grp(totals, pe, "left")
            .withColumn("pe_num",
                        F.coalesce(F.col("pe_num"),
                                   F.lit(0).cast("long")))
@@ -83,6 +112,37 @@ def cohens_kappa(labels: DataFrame, a_col: str = "label_a",
     if group_col:
         return out.withColumnRenamed(_GRP, group_col)
     return out.drop(_GRP)
+
+
+def _panel(ratings: DataFrame, item_col: str, label_col: str,
+           group_col: str | None) -> DataFrame:
+    """The shared single-scan reduction for Fleiss/alpha: one pass from
+    the rating log down to the (group, item) panel grain, carrying
+    panel size (_m), the per-item agreement numerator (_ai) and the
+    per-item label counts (_lcs — bounded by panel size), materialized
+    with an eager localCheckpoint so every downstream statistic scans
+    the reduced relation instead of re-reading the log."""
+    g = F.col(group_col) if group_col else F.lit(0)
+    base = ratings.select(g.alias(_GRP), F.col(item_col).alias("_item"),
+                          F.col(label_col).alias("_lab"))
+    il = (base.groupBy(_GRP, "_item", "_lab")
+          .agg(F.count(F.lit(1)).alias("_c")))
+    return (il.groupBy(_GRP, "_item")
+            .agg(F.sum("_c").alias("_m"),
+                 F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_ai"),
+                 F.collect_list(F.struct(F.col("_lab").alias("l"),
+                                         F.col("_c").alias("c")))
+                  .alias("_lcs"))
+            .localCheckpoint(eager=True))
+
+
+def _label_totals(valid: DataFrame) -> DataFrame:
+    """(group, label, total count) over the valid panel rows — the old
+    shape re-joined the rating log (semi-join) to restrict label
+    totals; the carried struct list makes it one explode + agg."""
+    return (valid.select(_GRP, F.explode("_lcs").alias("_e"))
+            .groupBy(_GRP, F.col("_e.l").alias("_lab"))
+            .agg(F.sum("_e.c").alias("_t")))
 
 
 def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
@@ -105,34 +165,21 @@ def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
     NULL is one more label, as in cohens_kappa.
 
     Output: (group?, n_items, n_dropped, a_num, b_num, po, pe, kappa).
-    Scale shape: two hash aggregations stepping down the grain
-    ((group, item, label) -> (group, item)), a group-item semi-join to
-    restrict label totals to valid items, then group-grain joins —
-    rating rows never ride a shuffle wider than group + item + label."""
+    Scale shape: see _panel — ONE scan of the rating log down to the
+    (group, item) grain, then group-grain aggregations over the
+    materialized panel; rating rows never ride a shuffle wider than
+    group + item + label."""
     if n_raters < 2:
         raise ValueError("fleiss_kappa needs n_raters >= 2 "
                          "(agreement is pairwise)")
-    g = F.col(group_col) if group_col else F.lit(0)
-    base = ratings.select(g.alias(_GRP), F.col(item_col).alias("_item"),
-                          F.col(label_col).alias("_lab"))
-    # il feeds im (-> valid, dropped) AND the lt semi-join back onto
-    # itself — four consumers; cached (rule 7) so the rating log is
-    # scanned ONCE, not once per branch (executed-plan walk r13)
-    il = (base.groupBy(_GRP, "_item", "_lab")
-          .agg(F.count(F.lit(1)).alias("_c")).cache())
-    im = (il.groupBy(_GRP, "_item")
-          .agg(F.sum("_c").alias("_m"),
-               F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_ai")))
+    im = _panel(ratings, item_col, label_col, group_col)
     valid = im.filter(F.col("_m") == n_raters)
     gstats = valid.groupBy(_GRP).agg(
         F.count(F.lit(1)).alias("n_items"), F.sum("_ai").alias("a_num"))
     dropped = im.groupBy(_GRP).agg(
         F.sum(F.when(F.col("_m") != n_raters, F.lit(1).cast("long"))
                .otherwise(F.lit(0).cast("long"))).alias("n_dropped"))
-    lt = (il.join(valid.select(_GRP, "_item"), [_GRP, "_item"],
-                  "left_semi")
-          .groupBy(_GRP, "_lab").agg(F.sum("_c").alias("_t")))
-    bstats = lt.groupBy(_GRP).agg(
+    bstats = _label_totals(valid).groupBy(_GRP).agg(
         F.sum(F.col("_t") * F.col("_t")).alias("b_num"))
     nn = F.col("n_items") * n_raters
     zl = F.lit(0).cast("long")
@@ -141,7 +188,7 @@ def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
     # dropped with left joins keeps an all-ragged group visible as
     # (n_items=0, n_dropped=K, kappa NULL) instead of losing it — the
     # docstring's "dropped AND counted" promise (review r13).
-    out = (dropped.join(gstats, _GRP, "left").join(bstats, _GRP, "left")
+    out = (_join_grp(_join_grp(dropped, gstats), bstats)
            .withColumn("n_items", F.coalesce(F.col("n_items"), zl))
            .withColumn("a_num", F.coalesce(F.col("a_num"), zl))
            .withColumn("b_num", F.coalesce(F.col("b_num"), zl))
@@ -186,16 +233,9 @@ def krippendorff_alpha(ratings: DataFrame, item_col: str = "item_id",
     alpha is NULL when pe-side is degenerate (A_e = 1) or no pairable
     items exist.
 
-    Output: (group?, n_ratings, n_items, n_dropped, ao, ae, alpha)."""
-    g = F.col(group_col) if group_col else F.lit(0)
-    base = ratings.select(g.alias(_GRP), F.col(item_col).alias("_item"),
-                          F.col(label_col).alias("_lab"))
-    # same rule-7 cache as fleiss_kappa: il fans out to im/sm/lt
-    il = (base.groupBy(_GRP, "_item", "_lab")
-          .agg(F.count(F.lit(1)).alias("_c")).cache())
-    im = (il.groupBy(_GRP, "_item")
-          .agg(F.sum("_c").alias("_m"),
-               F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_ai")))
+    Output: (group?, n_ratings, n_items, n_dropped, ao, ae, alpha).
+    Scale shape: see _panel (one scan of the rating log)."""
+    im = _panel(ratings, item_col, label_col, group_col)
     pair = im.filter(F.col("_m") >= 2)
     zl = F.lit(0).cast("long")
     dropped = im.groupBy(_GRP).agg(
@@ -215,15 +255,11 @@ def krippendorff_alpha(ratings: DataFrame, item_col: str = "item_id",
                   lambda acc, e: acc + e["t"]).alias("_ao_num")))
     stats = pair.groupBy(_GRP).agg(
         F.count(F.lit(1)).alias("n_items"))
-    lt = (il.join(pair.select(_GRP, "_item"), [_GRP, "_item"],
-                  "left_semi")
-          .groupBy(_GRP, "_lab").agg(F.sum("_c").alias("_nc")))
-    ne = lt.groupBy(_GRP).agg(
-        F.sum("_nc").alias("n_ratings"),
-        F.sum(F.col("_nc") * (F.col("_nc") - 1)).alias("_e_num"))
+    ne = _label_totals(pair).groupBy(_GRP).agg(
+        F.sum("_t").alias("n_ratings"),
+        F.sum(F.col("_t") * (F.col("_t") - 1)).alias("_e_num"))
     n = F.col("n_ratings")
-    out = (dropped.join(stats, _GRP, "left")
-           .join(ao_num, _GRP, "left").join(ne, _GRP, "left")
+    out = (_join_grp(_join_grp(_join_grp(dropped, stats), ao_num), ne)
            .withColumn("n_items", F.coalesce(F.col("n_items"), zl))
            .withColumn("n_ratings", F.coalesce(n, zl))
            .withColumn("ao",

@@ -23,9 +23,14 @@ HALF-POINT units (win=2, tie=1) so every record stays integer.
 Bradley-Terry runs entirely in FIXED-POINT int64 (score * 10^6,
 truncating integer divides — the personalized-pagerank precedent,
 operators/graph.py PR_FP_SCALE) so a fixed iteration count
-hash-verifies against an unrolled SQL oracle. Headroom: per-pair
-term is n2 * 10^12, so half-unit battle counts per pair are safe to
-~4.6e6 (9.2e18 / 1e12 / 2); shrink BT_FP_SCALE for denser arenas.
+hash-verifies against an unrolled SQL oracle. Headroom: the BINDING
+bound is per MODEL, not per pair (r13 advice) — the MM numerator is
+w2_i * S^2 and the denominator sums n2_ij * S^2 terms across
+opponents, so a model's TOTAL half-points (sum of n2 over its pairs,
+which also bounds w2) must stay <= (2^63-1) / 10^12 ~ 9.2e6 or the
+int64 arithmetic silently wraps under non-ANSI Spark.
+bradley_terry_from_matrix asserts this bound in-plan before
+iterating; shrink BT_FP_SCALE for denser arenas.
 """
 
 from __future__ import annotations
@@ -226,9 +231,25 @@ def bradley_terry_from_matrix(matrix: DataFrame,
     """The bradley_terry iteration over an already-aggregated pairwise
     matrix — the serving path for a streamed matrix
     (read_battle_matrix): leaderboard refresh cost is pair-grain,
-    independent of the battle log size."""
+    independent of the battle log size.
+
+    Overflow guard (r13 advice): a model whose TOTAL half-points
+    exceed (2^63-1) / S^2 would silently wrap the int64 MM numerator/
+    denominator; the per-model bound is asserted in-plan (raise_error)
+    when the w relation materializes, before any iteration."""
+    max_n2_per_model = (2 ** 63 - 1) // _S2
     d = directed_from_matrix(matrix).cache()
-    w = d.groupBy("model").agg(F.sum("w2").alias("w2")).cache()
+    w = (d.groupBy("model")
+         .agg(F.sum("w2").alias("_w2"), F.sum("n2").alias("_n2"))
+         .select("model",
+                 F.when(F.col("_n2") <= max_n2_per_model, F.col("_w2"))
+                  .otherwise(F.raise_error(F.concat(
+                      F.lit("bradley_terry: model "), F.col("model"),
+                      F.lit(f" holds more than {max_n2_per_model} "
+                            "half-points — int64 fixed-point would "
+                            "overflow; shrink BT_FP_SCALE"))))
+                  .alias("w2"))
+         .cache())
     scores = w.select("model",
                       F.lit(BT_FP_SCALE).cast("long").alias("bt_fp"))
     prev = None

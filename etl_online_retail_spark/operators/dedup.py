@@ -277,6 +277,8 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     At much larger graphs this becomes the standard large-star/small-star
     formulation - same join shape, fewer rounds.
     """
+    from pyspark.sql import Observation
+
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst"))))
@@ -289,6 +291,11 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         neighbour_min = (edges.join(labels, edges.dst == labels.node)
                          .groupBy("src")
                          .agg(F.min("label").alias("nmin")))
+        # the convergence probe rides the materializing action as an
+        # observed metric (r14): the old shape paid a SECOND job per
+        # round (filter + limit-1 count) just to ask "did any label
+        # move?" — the eager checkpoint already computes every row
+        obs = Observation()
         updated = (labels.join(neighbour_min, labels.node == neighbour_min.src,
                                "left")
                    .select(F.col("node"),
@@ -296,9 +303,11 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                                    F.coalesce(F.col("nmin"), F.col("label")))
                             .alias("label"),
                            F.col("label").alias("_old"))
+                   .observe(obs, F.sum(
+                       F.when(F.col("label") != F.col("_old"), 1)
+                        .otherwise(0)).alias("changed"))
                    .localCheckpoint(eager=True))
-        changed = (updated.filter(F.col("label") != F.col("_old"))
-                   .limit(1).count())
+        changed = obs.get["changed"] or 0
         labels = updated.drop("_old")
         if changed == 0:
             break
@@ -333,6 +342,8 @@ def duplicate_clusters_star(pairs: DataFrame,
     Rounds are driver-coordinated but the per-round work is fully
     distributed (the same trade Spark ML's KMeans makes).
     """
+    from pyspark.sql import Observation
+
     nodes = (pairs.select(F.col("id_a").alias("node"))
              .unionByName(pairs.select(F.col("id_b").alias("node")))
              .distinct()
@@ -341,13 +352,6 @@ def duplicate_clusters_star(pairs: DataFrame,
              .filter(F.col("src") != F.col("dst"))
              .distinct()
              .localCheckpoint(eager=True))
-
-    def _checksum(e: DataFrame) -> tuple:
-        # bit_xor never overflows (ANSI-safe), and is multiset-insensitive
-        # only to duplicate rows — which distinct() already removed
-        row = e.agg(F.count(F.lit(1)).alias("n"),
-                    F.expr("bit_xor(xxhash64(src, dst))").alias("h")).collect()[0]
-        return (row.n, row.h)
 
     prev = None
     for _ in range(max_iterations):
@@ -368,12 +372,20 @@ def duplicate_clusters_star(pairs: DataFrame,
         mins = (oriented.groupBy("src")
                 .agg(F.least(F.min("dst"), F.first("src")).alias("m")))
         joined = oriented.join(mins, "src")
+        # the edge-set checksum rides the materializing checkpoint as an
+        # observed metric (r14) — previously a second agg job per round.
+        # bit_xor never overflows (ANSI-safe), and is multiset-insensitive
+        # only to duplicate rows — which distinct() already removed.
+        obs = Observation()
         edges = (joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
                  .unionByName(joined.select("src", F.col("m").alias("dst")))
                  .filter(F.col("src") != F.col("dst"))
                  .distinct()
+                 .observe(obs, F.count(F.lit(1)).alias("n"),
+                          F.expr("bit_xor(xxhash64(src, dst))").alias("h"))
                  .localCheckpoint(eager=True))
-        cur = _checksum(edges)
+        m = obs.get
+        cur = (m["n"], m["h"])
         if cur == prev:
             break
         prev = cur

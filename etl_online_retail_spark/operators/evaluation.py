@@ -60,10 +60,13 @@ def token_overlap(df: DataFrame, pred_col: str, ref_col: str,
     # re-evaluated the upstream three times): both sides' tokens are
     # tagged inside ONE array (the transform lambdas touch only their
     # own argument — rule-7 safe), explode_outer keeps token-less rows
-    # alive, and the per-row counts ride the explode to be recovered
-    # by max() (constant within the id). Two hash aggregations, no
-    # join. id_col must be unique per example — duplicate ids now
-    # merge into one multiset (previously an inconsistent half-merge).
+    # alive. Two hash aggregations, no join. id_col must be unique per
+    # example — duplicate ids merge into one multiset. r14 (guide §2.3
+    # "shuffle fewer bytes"): the per-side token totals are NOT carried
+    # through the explode any more — n_pred/n_ref are recovered as the
+    # sums of the per-token side counts (Σ_pc = |pred tokens| by
+    # construction), so the exploded relation shuffles only
+    # (id, token, p, r).
     p_toks = _tokens(pred_col)
     r_toks = _tokens(ref_col)
     pairs = F.concat(
@@ -71,19 +74,20 @@ def token_overlap(df: DataFrame, pred_col: str, ref_col: str,
             t.alias("t"), F.lit(1).alias("p"), F.lit(0).alias("r"))),
         F.transform(r_toks, lambda t: F.struct(
             t.alias("t"), F.lit(0).alias("p"), F.lit(1).alias("r"))))
-    ex = df.select(F.col(id_col),
-                   F.size(p_toks).cast("bigint").alias("_np"),
-                   F.size(r_toks).cast("bigint").alias("_nr"),
-                   F.explode_outer(pairs).alias("_e"))
+    ex = df.select(F.col(id_col), F.explode_outer(pairs).alias("_e"))
     per_tok = (ex.groupBy(id_col, F.col("_e.t").alias("_tok"))
-               .agg(F.max("_np").alias("_np"),
-                    F.max("_nr").alias("_nr"),
-                    F.sum("_e.p").alias("_pc"),
+               .agg(F.sum("_e.p").alias("_pc"),
                     F.sum("_e.r").alias("_rc")))
     return (per_tok.groupBy(id_col)
-            .agg(F.max("_np").alias("n_pred"),
-                 F.max("_nr").alias("n_ref"),
+            .agg(F.sum("_pc").alias("n_pred"),
+                 F.sum("_rc").alias("n_ref"),
                  F.sum(F.least("_pc", "_rc")).alias("n_overlap"))
+            .withColumn("n_pred",
+                        F.coalesce(F.col("n_pred"), F.lit(0))
+                        .cast("bigint"))
+            .withColumn("n_ref",
+                        F.coalesce(F.col("n_ref"), F.lit(0))
+                        .cast("bigint"))
             .withColumn("n_overlap",
                         F.coalesce(F.col("n_overlap"), F.lit(0))
                         .cast("bigint"))

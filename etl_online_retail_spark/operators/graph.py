@@ -52,30 +52,27 @@ def khop_distances(edges: DataFrame, seeds: DataFrame,
     # (e.g. the co-purchase self-join + support agg) — measured ~2x on the
     # 4-hop smoke. At 100 TB this is persist(DISK) or a staged edge table.
     e = edges.select(F.col("src"), F.col("dst")).cache()
-    settled = seeds.select(F.col("node")).distinct() \
-                   .withColumn("dist", F.lit(0)).cache()
-    frontier = settled
-    out = [settled]
+    frontier = (seeds.select(F.col("node")).distinct()
+                .withColumn("dist", F.lit(0)).cache())
+    out = [frontier]
+    # settled set = lazy union of the cached per-hop frontiers: the
+    # anti-join consumes in-memory scans, so no cumulative cached union
+    # to materialize/unpersist per hop (r14: the old shape paid TWO
+    # driver actions per hop — a take(1) emptiness probe plus the
+    # settled-union count; one frontier count now does both jobs)
+    settled_nodes = frontier.select("node")
     for i in range(1, max_hops + 1):
-        settled_nodes = settled.select("node")
         reached = (frontier.join(e, frontier["node"] == e["src"])
                    .select(F.col("dst").alias("node"))
                    .distinct())
         frontier = (reached.join(settled_nodes, "node", "left_anti")
                     .withColumn("dist", F.lit(i))
                     .cache())
-        if not frontier.take(1):
+        if frontier.count() == 0:  # materializes the cache AND probes
+            frontier.unpersist()
             break
         out.append(frontier)
-        prev_settled = settled
-        settled = settled.unionByName(frontier).cache()
-        settled.count()          # materialize before releasing the input
-        if i > 1:
-            # only the latest settled union is live; per-hop frontiers
-            # stay cached (they feed the final result union), but the
-            # superseded cumulative unions would otherwise pile up and
-            # LRU-evict the shared edge cache (r7 review)
-            prev_settled.unpersist()
+        settled_nodes = settled_nodes.unionByName(frontier.select("node"))
     result = out[0]
     for f in out[1:]:
         result = result.unionByName(f)
@@ -278,68 +275,85 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
 
     with s uniform over `seeds` (a (node) relation) and 0 elsewhere —
     dangling mass also returns to the seeds, keeping total mass 1.
-    Same iterative discipline as pagerank (cached edges/contrib, rank
-    lineage checkpointed). Default float mode is rows-only for the
-    driver; exact=True runs the whole iteration in FIXED-POINT int64
-    (rank * 10^12, truncating integer divides — see PR_FP_SCALE), so a
-    fixed iteration count hash-verifies against an unrolled SQL oracle;
-    the returned rank is then fp/10^12 as DOUBLE. Invariants (mass
-    conservation, seed locality, teleport floor on seeds)
-    pytest-asserted on the float mode.
+    Same iterative discipline as pagerank (static node/degree/seed
+    relation built once, dangling mass folded in-plan, one eager
+    checkpoint per round — see pagerank's r14 notes). Default float
+    mode is rows-only for the driver; exact=True runs the whole
+    iteration in FIXED-POINT int64 (rank * 10^12, truncating integer
+    divides — see PR_FP_SCALE), so a fixed iteration count
+    hash-verifies against an unrolled SQL oracle; the returned rank is
+    then fp/10^12 as DOUBLE. Invariants (mass conservation, seed
+    locality, teleport floor on seeds) pytest-asserted on the float
+    mode. checkpoint_every is accepted for API compatibility; every
+    round is cut (each round's output feeds two consumers next round).
     """
     e = edges.select("src", "dst").distinct().cache()
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct().cache())
+             .distinct())
     s = (seeds.select(F.col("node")).distinct()
-         .join(nodes, "node", "left_semi").cache())
-    n_seeds = s.count()
+         .join(nodes, "node", "left_semi")
+         .withColumn("_s", F.lit(1)))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # static per-node relation: out-degree AND seed flag folded in ONCE —
+    # the old shape re-joined outdeg against the rank vector every round
+    nd = (nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+          .join(s, "node", "left")
+          .select("node", "_deg", "_s")
+          .localCheckpoint(eager=True))
+    n_seeds = nd.agg(F.count("_s")).collect()[0][0]
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed is in the graph")
     seed_share = 1.0 / n_seeds
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
 
     is_seed = F.col("_s").isNotNull()
-    seeded_nodes = (nodes.join(s.withColumn("_s", F.lit(1)), "node", "left")
-                    .cache())
     if exact:
         d_num = _damping_pct(damping)
         init = F.lit(PR_FP_SCALE // n_seeds).cast("long")
         zero = F.lit(0).cast("long")
     else:
         init, zero = F.lit(seed_share), F.lit(0.0)
-    ranks = seeded_nodes.select(
-        "node", F.when(is_seed, init).otherwise(zero).alias("rank"))
-    for i in range(max_iter):
-        contrib = (ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
-                   .select(ranks["node"], "rank", "_deg")
-                   .cache())
-        dangling = (contrib.filter(F.col("_deg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), zero))
-                    .collect()[0][0])
+    # ranks carries _deg and _s so no per-round dimension join is needed
+    ranks = nd.select(
+        "node", "_deg", "_s",
+        F.when(is_seed, init).otherwise(zero).alias("rank"))
+    for _ in range(max_iter):
+        # dangling mass as a LAZY 1-row broadcast (crossJoin), not a
+        # driver collect: the old shape paid one blocking job per round
+        # just to turn the sum into a literal (r14, guide §5 "the driver
+        # should do almost no data work")
+        dang = (ranks.filter(F.col("_deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), zero).alias("_dang")))
         per_edge = (F.expr("rank div _deg") if exact
                     else F.col("rank") / F.col("_deg"))
-        spread = (contrib.filter(F.col("_deg").isNotNull())
-                  .join(e, contrib["node"] == e["src"])
+        spread = (ranks.filter(F.col("_deg").isNotNull())
+                  .join(e, ranks["node"] == e["src"])
                   .select(F.col("dst").alias("node"), per_edge.alias("_c")))
         incoming = spread.groupBy("node").agg(F.sum("_c").alias("_in"))
         if exact:
-            teleport_fp = (((100 - d_num) * PR_FP_SCALE
-                            + d_num * int(dangling))
-                           // (100 * n_seeds))
-            new_rank = (F.when(is_seed, F.lit(teleport_fp).cast("long"))
-                        .otherwise(zero)
+            # same integer arithmetic as the unrolled oracle: all terms
+            # non-negative, so Spark's truncating div == floor //
+            teleport_fp = F.expr(
+                f"(({100 - d_num} * {PR_FP_SCALE}L) + {d_num} * _dang) "
+                f"div {100 * n_seeds}")
+            new_rank = (F.when(is_seed, teleport_fp).otherwise(zero)
                         + F.expr(f"({d_num} * coalesce(_in, 0L)) div 100"))
         else:
-            teleport = ((1.0 - damping) + damping * dangling) * seed_share
-            new_rank = (F.when(is_seed, F.lit(teleport)).otherwise(zero)
+            teleport = ((F.lit(1.0 - damping)
+                         + F.lit(damping) * F.col("_dang"))
+                        * F.lit(seed_share))
+            new_rank = (F.when(is_seed, teleport).otherwise(zero)
                         + F.lit(damping) * F.coalesce(F.col("_in"),
                                                       F.lit(0.0)))
-        ranks = (seeded_nodes.join(incoming, "node", "left")
-                 .select("node", new_rank.alias("rank")))
-        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+        # one eager checkpoint per round = the round's ONLY action; the
+        # checkpointed output is scanned (cheaply) by both of next
+        # round's consumers, so no per-round cache to leak
+        ranks = (nd.join(incoming, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node", "_deg", "_s", new_rank.alias("rank"))
+                 .localCheckpoint(eager=True))
+    e.unpersist()
+    return ranks.select("node", "rank")
 
 
 def pagerank(edges: DataFrame, max_iter: int = 10,
@@ -352,14 +366,23 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
 
         r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
 
-    The iterative-numeric sibling of khop_distances: each round is one
-    join of the rank vector with the edge relation on src plus one agg on
-    dst — shuffles stay on the node key, the edge relation is cached
-    once, and every `checkpoint_every` rounds the rank lineage is
-    truncated with localCheckpoint (without it the nested plan grows per
-    iteration and analysis time, not execution, becomes the bottleneck —
-    the standard Spark iterative-algorithm discipline, GraphX does the
-    same internally).
+    The iterative-numeric sibling of khop_distances. r14 round shape
+    (guide §2.4/§5 — the old loop paid a blocking dangling-mass collect
+    per round plus a rank-vector/out-degree join per round):
+
+      * the node relation with out-degree folded in is built ONCE
+        (eager localCheckpoint) and the rank vector CARRIES _deg, so a
+        round joins only rank×edges (on src) and node×incoming (on
+        node) — one dimension join per round removed;
+      * dangling mass stays IN-PLAN as a lazy 1-row aggregate attached
+        with a broadcast crossJoin (the copurchase_pmi N pattern) — no
+        driver round-trip, no per-round contrib cache to leak;
+      * each round ends in ONE eager localCheckpoint (its only action),
+        so next round's two consumers (dangling agg + spread join) scan
+        a materialized input instead of replaying lineage — the
+        standard Spark iterative-algorithm discipline, GraphX does the
+        same internally. checkpoint_every is accepted for API
+        compatibility; every round is cut.
 
     Float ranks are order-of-summation sensitive at ulp level, so the
     default mode is rows-only for the driver gate; exact=True runs the
@@ -373,8 +396,12 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
     e = edges.select("src", "dst").distinct().cache()
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct().cache())
-    n = nodes.count()
+             .distinct())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    nd = (nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+          .select("node", "_deg")
+          .localCheckpoint(eager=True))
+    n = nd.count()
     if n == 0:
         # loud, like personalized_pagerank's no-seed guard — a bare
         # ZeroDivisionError names nothing (r7 review); an empty edge
@@ -382,50 +409,43 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
         raise ValueError(
             "pagerank: the edge relation is empty (no nodes); "
             "check the edge-construction thresholds")
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).cache()
 
     if exact:
         d_num = _damping_pct(damping)
-        ranks = nodes.withColumn(
+        ranks = nd.withColumn(
             "rank", F.lit(PR_FP_SCALE // n).cast("long"))
         zero = F.lit(0).cast("long")
     else:
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        ranks = nd.withColumn("rank", F.lit(1.0 / n))
         zero = F.lit(0.0)
-    for i in range(max_iter):
-        # cache: contrib feeds TWO consumers (the dangling-mass collect
-        # and the spread join), and the collect is an action — uncached,
-        # it replays the rank lineage back to the last checkpoint and
-        # the join recomputes it again (rule 7)
-        contrib = (ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
-                   .select(ranks["node"], "rank", "_deg")
-                   .cache())
-        # dangling nodes (no out-edges) spread their mass uniformly
-        dangling = (contrib.filter(F.col("_deg").isNull())
-                    .agg(F.coalesce(F.sum("rank"), zero))
-                    .collect()[0][0])
+    for _ in range(max_iter):
+        # dangling nodes (no out-edges) spread their mass uniformly;
+        # the mass rides as a lazy broadcast 1-row relation
+        dang = (ranks.filter(F.col("_deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), zero).alias("_dang")))
         per_edge = (F.expr("rank div _deg") if exact
                     else F.col("rank") / F.col("_deg"))
-        spread = (contrib.filter(F.col("_deg").isNotNull())
-                  .join(e, contrib["node"] == e["src"])
+        spread = (ranks.filter(F.col("_deg").isNotNull())
+                  .join(e, ranks["node"] == e["src"])
                   .select(F.col("dst").alias("node"), per_edge.alias("_c")))
         incoming = spread.groupBy("node").agg(F.sum("_c").alias("_in"))
         if exact:
-            base_fp = (((100 - d_num) * PR_FP_SCALE
-                        + d_num * int(dangling)) // (100 * n))
-            new_rank = (F.lit(base_fp).cast("long")
+            # identical integer arithmetic to the old driver-side fold
+            # and the unrolled oracle (all terms non-negative: div == //)
+            base_fp = F.expr(
+                f"(({100 - d_num} * {PR_FP_SCALE}L) + {d_num} * _dang) "
+                f"div {100 * n}")
+            new_rank = (base_fp
                         + F.expr(f"({d_num} * coalesce(_in, 0L)) div 100"))
         else:
-            base = (1.0 - damping) / n + damping * dangling / n
-            new_rank = (F.lit(base)
+            base = (F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dang") / F.lit(float(n)))
+            new_rank = (base
                         + F.lit(damping) * F.coalesce(F.col("_in"),
                                                       F.lit(0.0)))
-        ranks = (nodes.join(incoming, "node", "left")
-                 .select("node", new_rank.alias("rank")))
-        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-            # the checkpoint materialized everything downstream of this
-            # round's contrib — release it, or max_iter dead rank-vector
-            # copies accumulate in executor storage (r7 review)
-            contrib.unpersist()
-    return ranks
+        ranks = (nd.join(incoming, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node", "_deg", new_rank.alias("rank"))
+                 .localCheckpoint(eager=True))
+    e.unpersist()
+    return ranks.select("node", "rank")

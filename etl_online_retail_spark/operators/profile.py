@@ -372,7 +372,13 @@ def pearson_exact(df: DataFrame, x_col: str, y_col: str,
 
     Integer-exactness is the caller's contract: pass integer-valued
     columns (counts, lengths, scores, fixed-point encodings). Headroom:
-    n * Sxy and Sx * Sy must fit int64.
+    n * Sxy and Sx * Sy must fit int64 — and that is ENFORCED, not just
+    documented (r13 advice): the aggregation also tracks max|x| and
+    max|y| per group, and when n^2 * max|x| * max|y| (the upper bound
+    on every int64 product the identity forms) could exceed 2^63-1 the
+    group RAISES instead of returning a silently-wrapped r. The guard
+    is evaluated on the already-aggregated group row (one comparison in
+    DOUBLE with margin), so it costs two extra map-combinable maxes.
 
     The audit this was built for: reward-model LENGTH BIAS — correlate
     candidate score with response length over best-of-n pools; r > 0
@@ -389,16 +395,35 @@ def pearson_exact(df: DataFrame, x_col: str, y_col: str,
         F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
         F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
         F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
-        F.sum(F.col("_y") * F.col("_y")).alias("syy"))
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.max(F.abs(F.col("_x"))).alias("_mx"),
+        F.max(F.abs(F.col("_y"))).alias("_my"))
     n = F.col("n")
+    # overflow guard: |Sab| <= n*max|a|*max|b|, so n^2*max|a|*max|b| is
+    # an upper bound on |n*Sxy|, |Sx*Sy|, |n*Sxx|, |Sx^2| (with a<-b as
+    # needed); compared in DOUBLE against 2^63-1 scaled by a 2-ulp margin
+    nd = n.cast("double")
+    mm = F.greatest(F.col("_mx"), F.col("_my")).cast("double")
+    headroom = F.lit(float(2 ** 63 - 1) * (1.0 - 1e-9))
+    ok = (nd * nd * mm * mm) <= headroom
     vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = n * F.col("syy") - F.col("sy") * F.col("sy")
-    out = agg.withColumn(
+    out = (agg.withColumn(
         "r",
-        F.when((n >= 2) & (vx > 0) & (vy > 0),
-               (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-               .cast("double")
-               / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))))
+        F.when(~ok, F.raise_error(F.concat(
+            F.lit("pearson_exact: n^2 * max|x| * max|y| exceeds int64 "
+                  "headroom (n="), n.cast("string"),
+            F.lit(", max|x|="), F.col("_mx").cast("string"),
+            F.lit(", max|y|="), F.col("_my").cast("string"),
+            F.lit(") — the exact-sum identity would silently wrap; "
+                  "rescale the inputs"))).cast("double"))
+         .otherwise(
+            F.when((n >= 2) & (vx > 0) & (vy > 0),
+                   (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                   .cast("double")
+                   / (F.sqrt(vx.cast("double"))
+                      * F.sqrt(vy.cast("double"))))))
+        .drop("_mx", "_my"))
     if group_col:
         return out.withColumnRenamed("_pg", group_col)
     return out.drop("_pg")

@@ -63,24 +63,39 @@ def _viterbi(word: str, logp: dict[str, float],
     NEG = float("-inf")
     # best[i] = (score, -n_pieces, path tuple) for word[:i]
     best: list[tuple] = [(0.0, 0, ())] + [(NEG, 0, ())] * n
+    get = logp.get
     for i in range(1, n + 1):
-        cand = None
+        # r14: identical acceptance rule to the original tuple-building
+        # loop (strictly-better on (score, -pieces, lexicographic path),
+        # candidates visited in the same j order), but the path tuple is
+        # only CONCATENATED for winners and for exact (score, pieces)
+        # ties — the old shape allocated an O(i)-sized tuple per
+        # candidate, which dominated the EM sweep's Python time
+        cand_s = NEG
+        cand_np = 0
+        cand_path = None
         for j in range(max(0, i - max_len), i):
-            if best[j][0] == NEG:
+            prev = best[j]
+            if prev[0] == NEG:
                 continue
-            piece = word[j:i]
-            lp = logp.get(piece)
+            lp = get(word[j:i])
             if lp is None:
                 continue
-            prev = best[j]
-            c = (prev[0] + lp, prev[1] - 1, prev[2] + (piece,))
-            if (cand is None or c[0] > cand[0]
-                    or (c[0] == cand[0]
-                        and (c[1] > cand[1]
-                             or (c[1] == cand[1] and c[2] < cand[2])))):
-                cand = c
-        if cand is not None:
-            best[i] = cand
+            s = prev[0] + lp
+            if cand_path is None or s > cand_s:
+                cand_s, cand_np = s, prev[1] - 1
+                cand_path = prev[2] + (word[j:i],)
+            elif s == cand_s:
+                np_ = prev[1] - 1
+                if np_ > cand_np:
+                    cand_s, cand_np = s, np_
+                    cand_path = prev[2] + (word[j:i],)
+                elif np_ == cand_np:
+                    path = prev[2] + (word[j:i],)
+                    if path < cand_path:
+                        cand_path = path
+        if cand_path is not None:
+            best[i] = (cand_s, cand_np, cand_path)
     return list(best[n][2]) if best[n][0] != NEG else None
 
 
@@ -149,26 +164,31 @@ def seed_candidates(words: DataFrame, n_seed: int = UNIGRAM_N_SEED,
 def _estep_distributed(words: DataFrame, logp: dict[str, float],
                        max_len: int) -> dict[str, int]:
     """One Viterbi sweep over the (word, freq) table: Arrow batches
-    segment each word and pre-sum piece counts locally, so the shuffle
-    carries per-batch piece partials, not per-word rows."""
+    segment each word and pre-sum piece counts per TASK (one partial
+    frame per task, inventory-bounded), and the driver merges the
+    partials — integer adds, order-independent. r14: the merge used to
+    be a groupBy shuffle + collect; the partial relation is
+    n_partitions x |inventory| rows (KB-scale however big the corpus),
+    so collecting partials directly removes one exchange + one stage
+    from EVERY EM round (the bench pays ~13 rounds per train)."""
     lp = dict(logp)  # pinned closure copy
 
     def sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: Counter = Counter()
         for pdf in batches:
-            acc: Counter = Counter()
             for word, freq in zip(pdf["word"], pdf["freq"]):
                 seg = _viterbi(word, lp, max_len)
                 if seg is None:  # unreachable once chars are seeded
                     continue
                 for piece in seg:
                     acc[piece] += int(freq)
-            yield pd.DataFrame({"piece": list(acc.keys()),
-                                "cnt": list(acc.values())})
+        yield pd.DataFrame({"piece": list(acc.keys()),
+                            "cnt": list(acc.values())})
 
-    rows = (words.mapInPandas(sweep, "piece string, cnt long")
-            .groupBy("piece").agg(F.sum("cnt").alias("cnt"))
-            .collect())
-    return {r["piece"]: int(r["cnt"]) for r in rows}
+    acc: Counter = Counter()
+    for r in words.mapInPandas(sweep, "piece string, cnt long").collect():
+        acc[r["piece"]] += int(r["cnt"])
+    return dict(acc)
 
 
 def _train_loop(estep, seed_counts: dict[str, int], chars: set[str],

@@ -169,3 +169,66 @@ def test_krippendorff_alpha_all_singletons_group_reported(spark):
     assert g2.alpha is None
     g1 = got["g1"]                        # unanimous pair: ao = 1
     assert g1.ao == 1.0 and g1.alpha is None   # ae = 1 -> undefined
+
+
+def test_null_group_keeps_chance_correction(spark):
+    """A NULL group value must keep its marginal products: with plain
+    equality on the group key the pe join drops the NULL group and
+    kappa silently becomes po (r13 advice). All group-grain joins are
+    eqNullSafe now — the NULL group's kappa must equal the same data's
+    ungrouped kappa."""
+    rows = [(None, "y", "y")] * 20 + [(None, "n", "n")] * 15 \
+        + [(None, "y", "n")] * 10 + [(None, "n", "y")] * 5
+    r = cohens_kappa(_labels(spark, rows, True),
+                     group_col="src").collect()[0]
+    assert r.src is None
+    assert (r.n, r.n_agree, r.pe_num) == (50, 35, 30 * 25 + 20 * 25)
+    assert r.kappa == 0.4                 # NOT po = 0.7
+
+    from etl_online_retail_spark.operators.agreement import (
+        fleiss_kappa,
+        krippendorff_alpha,
+    )
+
+    frows = [(None, 1, "a")] * 3 + [(None, 2, "b")] * 3
+    fdf = spark.createDataFrame(
+        frows, "src string, item_id long, label string")
+    fr = fleiss_kappa(fdf, n_raters=3, group_col="src").collect()[0]
+    assert fr.src is None
+    assert (fr.n_items, fr.b_num) == (2, 18)   # b_num survives the join
+    assert fr.po == 1.0
+
+    arows = [(None, 1, "a"), (None, 1, "a"), (None, 2, "a"),
+             (None, 2, "b")]
+    adf = spark.createDataFrame(
+        arows, "src string, item_id long, label string")
+    ar = krippendorff_alpha(adf, group_col="src").collect()[0]
+    assert ar.src is None
+    assert (ar.n_ratings, ar.n_items) == (4, 2)  # ne survives the join
+    assert ar.ao == (2.0 / 1) / 4
+
+
+def test_agreement_pins_no_cache_entries(spark):
+    """Repeated fleiss/alpha/kappa calls must not grow the cache
+    manager: the r13 shape cached the first aggregation with no
+    unpersist path, pinning one dead relation per call for the session
+    (r13 verdict item 2). The r14 shape materializes with an eager
+    localCheckpoint instead — blocks are released with the RDD by the
+    context cleaner, and NOTHING registers in the cache manager."""
+    from etl_online_retail_spark.operators.agreement import (
+        fleiss_kappa,
+        krippendorff_alpha,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before_empty = cm.isEmpty()
+    rows = [("g", i % 7, f"L{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "src string, item_id long, label string")
+    for _ in range(3):
+        fleiss_kappa(df, n_raters=3, group_col="src").collect()
+        krippendorff_alpha(df, group_col="src").collect()
+        cohens_kappa(_labels(spark, [("a", "b"), ("a", "a")])).collect()
+    # no NET growth: whatever was cached before (session fixtures) is
+    # unchanged, and if the manager started empty it must stay empty
+    assert cm.isEmpty() == before_empty
