@@ -126,10 +126,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
     tests/test_bpe.py). Pass `stats` to receive {"rounds": N} — the 10x
     smoke asserts batching actually cuts sweep count.
     """
-    wf = word_frequencies(docs, text_col)
+    # cache + count materializes the corpus aggregation ONCE: the venue
+    # probe (count) and whichever venue runs (collect / the syms
+    # checkpoint) then read the cached relation instead of re-running
+    # the corpus explode+agg — previously two full passes (r14)
+    wf = word_frequencies(docs, text_col).cache()
     n_vocab = wf.count()
     if n_vocab <= driver_threshold:
         freqs = {r.word: r.freq for r in wf.collect()}
+        wf.unpersist()
         if stats is not None:
             stats["rounds"] = 0
         return _train_in_memory(freqs, n_merges)
@@ -137,6 +142,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
     words = (wf
              .select(F.split(F.col("word"), "").alias("syms"), "freq")
              .localCheckpoint(eager=True))
+    wf.unpersist()
 
     merges: list[tuple[str, str]] = []
     rounds = 0
