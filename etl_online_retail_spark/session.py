@@ -31,6 +31,15 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE also size the partitioning UNDER cached plans (off by
+    # default for output-partitioning stability): without it every
+    # cached relation built from a shuffle keeps the static
+    # spark.sql.shuffle.partitions count however small its data — the
+    # unigram word cache held 32 near-empty partitions, billing every
+    # EM round 32 tasks + 32 Arrow batches (r14, measured ~25% of the
+    # tokenizer-training queries). Scale-adaptive by construction
+    # (AQE's advisory sizing), correctness-neutral (partitioning only).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Dim tables (customer/part/nation/region/supplier and the date spine)
     # must broadcast, never shuffle, in star joins (SURVEY.md §2.4 J1-J3).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
