@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_online_retail_spark.session import cut_lineage
+
 _GRP = "_kappa_grp"
 
 
@@ -83,7 +85,7 @@ def cohens_kappa(labels: DataFrame, a_col: str = "label_a",
     zero = F.lit(0).cast("long")
     kl = (base.groupBy(_GRP, "_a", "_b")
           .agg(F.count(F.lit(1)).alias("_c"))
-          .localCheckpoint(eager=True))
+          .transform(cut_lineage))
     totals = kl.groupBy(_GRP).agg(
         F.sum("_c").alias("n"),
         F.sum(F.when(F.col("_a").eqNullSafe(F.col("_b")), F.col("_c"))
@@ -133,7 +135,7 @@ def _panel(ratings: DataFrame, item_col: str, label_col: str,
                  F.collect_list(F.struct(F.col("_lab").alias("l"),
                                          F.col("_c").alias("c")))
                   .alias("_lcs"))
-            .localCheckpoint(eager=True))
+            .transform(cut_lineage))
 
 
 def _label_totals(valid: DataFrame) -> DataFrame:

@@ -21,6 +21,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from etl_online_retail_spark.session import cut_lineage
 from pyspark.sql import types as T
 
 from etl_online_retail_spark.functions.text import normalize, tokens
@@ -141,7 +143,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
 
     words = (wf
              .select(F.split(F.col("word"), "").alias("syms"), "freq")
-             .localCheckpoint(eager=True))
+             .transform(cut_lineage))
     wf.unpersist()
 
     merges: list[tuple[str, str]] = []
@@ -184,7 +186,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 50,
             return col.map(merge_word)
 
         words = (words.select(_apply(F.col("syms")).alias("syms"), "freq")
-                 .localCheckpoint(eager=True))
+                 .transform(cut_lineage))
     if stats is not None:
         stats["rounds"] = rounds
     return merges

@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_online_retail_spark.session import cut_lineage
+
 from etl_online_retail_spark.functions.hashing import bit, minhash_signature
 from etl_online_retail_spark.functions.text import (
     fingerprint,
@@ -283,10 +285,10 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst"))))
     # one materialization of the (expensive) pair lineage, reused every round
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(cut_lineage)
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
-              .withColumn("label", F.col("node"))).localCheckpoint(eager=True)
+              .withColumn("label", F.col("node"))).transform(cut_lineage)
     for _ in range(max_iterations):
         neighbour_min = (edges.join(labels, edges.dst == labels.node)
                          .groupBy("src")
@@ -306,7 +308,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                    .observe(obs, F.sum(
                        F.when(F.col("label") != F.col("_old"), 1)
                         .otherwise(0)).alias("changed"))
-                   .localCheckpoint(eager=True))
+                   .transform(cut_lineage))
         changed = obs.get["changed"] or 0
         labels = updated.drop("_old")
         if changed == 0:
@@ -347,11 +349,11 @@ def duplicate_clusters_star(pairs: DataFrame,
     nodes = (pairs.select(F.col("id_a").alias("node"))
              .unionByName(pairs.select(F.col("id_b").alias("node")))
              .distinct()
-             .localCheckpoint(eager=True))
+             .transform(cut_lineage))
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .filter(F.col("src") != F.col("dst"))
              .distinct()
-             .localCheckpoint(eager=True))
+             .transform(cut_lineage))
 
     prev = None
     for _ in range(max_iterations):
@@ -383,7 +385,7 @@ def duplicate_clusters_star(pairs: DataFrame,
                  .distinct()
                  .observe(obs, F.count(F.lit(1)).alias("n"),
                           F.expr("bit_xor(xxhash64(src, dst))").alias("h"))
-                 .localCheckpoint(eager=True))
+                 .transform(cut_lineage))
         m = obs.get
         cur = (m["n"], m["h"])
         if cur == prev:

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_online_retail_spark.session import cut_lineage
+
 
 def khop_distances(edges: DataFrame, seeds: DataFrame,
                    max_hops: int) -> DataFrame:
@@ -76,6 +78,16 @@ def khop_distances(edges: DataFrame, seeds: DataFrame,
     result = out[0]
     for f in out[1:]:
         result = result.unionByName(f)
+    # r15 (verdict item 5): materialize the union once (one cheap scan
+    # of the already-cached frontiers), then release the edge cache and
+    # every per-hop frontier — the old shape left max_hops+2 relations
+    # pinned for the session per call. The returned relation is a
+    # lineage-free scan (also collapses the O(hops^2) cached-union plan
+    # the r14 ADVICE flagged).
+    result = cut_lineage(result)
+    e.unpersist()
+    for f in out:
+        f.unpersist()
     return result
 
 
@@ -299,8 +311,8 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     # the old shape re-joined outdeg against the rank vector every round
     nd = (nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
           .join(s, "node", "left")
-          .select("node", "_deg", "_s")
-          .localCheckpoint(eager=True))
+          .select("node", "_deg", "_s"))
+    nd = cut_lineage(nd)
     n_seeds = nd.agg(F.count("_s")).collect()[0][0]
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed is in the graph")
@@ -348,10 +360,10 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         # one eager checkpoint per round = the round's ONLY action; the
         # checkpointed output is scanned (cheaply) by both of next
         # round's consumers, so no per-round cache to leak
-        ranks = (nd.join(incoming, "node", "left")
-                 .crossJoin(F.broadcast(dang))
-                 .select("node", "_deg", "_s", new_rank.alias("rank"))
-                 .localCheckpoint(eager=True))
+        ranks = cut_lineage(
+            nd.join(incoming, "node", "left")
+              .crossJoin(F.broadcast(dang))
+              .select("node", "_deg", "_s", new_rank.alias("rank")))
     e.unpersist()
     return ranks.select("node", "rank")
 
@@ -398,9 +410,9 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    nd = (nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
-          .select("node", "_deg")
-          .localCheckpoint(eager=True))
+    nd = cut_lineage(
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
+             .select("node", "_deg"))
     n = nd.count()
     if n == 0:
         # loud, like personalized_pagerank's no-seed guard — a bare
@@ -443,9 +455,9 @@ def pagerank(edges: DataFrame, max_iter: int = 10,
             new_rank = (base
                         + F.lit(damping) * F.coalesce(F.col("_in"),
                                                       F.lit(0.0)))
-        ranks = (nd.join(incoming, "node", "left")
-                 .crossJoin(F.broadcast(dang))
-                 .select("node", "_deg", new_rank.alias("rank"))
-                 .localCheckpoint(eager=True))
+        ranks = cut_lineage(
+            nd.join(incoming, "node", "left")
+              .crossJoin(F.broadcast(dang))
+              .select("node", "_deg", new_rank.alias("rank")))
     e.unpersist()
     return ranks.select("node", "rank")

@@ -164,6 +164,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     pure DataFrame ops. No SQL oracle (iterative algorithm) - the driver
     records a rows-only check; tests assert recall against brute force.
     Output: query_id, neighbour_id, cos_sim (6dp), rank.
+
+    r15 search shape (§2.4/§3.1; the fit is untouched — any fit change
+    moves the centroids and with them the pinned rows-only outputs):
+    the centroid table is BOUNDED (n_clusters rows, known on the
+    driver), so probe selection rides as a LITERAL array expression —
+    one array_sort over per-centroid struct(l2, id) per query row, the
+    exact-mode twin's shape — replacing a nested-loop join + a window
+    whose exchange shuffled the full query vectors. The scored join
+    then BROADCASTS the probe side explicitly: the previous plan let
+    size estimates pick the build side and broadcast the CORPUS (an
+    OOM at warehouse scale); the corpus now never shuffles or
+    broadcasts — only the per-query candidate rows move, into the
+    final ranking exchange. Probe ranking arithmetic is the identical
+    zip_with/aggregate fold over the identical centroid doubles, and
+    the (distance, centroid-id) ordering matches the old window's, so
+    the selected lists — and every output row — are unchanged.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -179,28 +195,33 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         F.col("_centroid"))
                 .withColumn("_cn", norm(F.col("_cv"))))
 
-    # centroid table: tiny (n_clusters rows) -> broadcast cross join
+    # centroid table: tiny (n_clusters rows) -> a literal in the plan
     centers = [(i, [float(x) for x in c]) for i, c in
                enumerate(model.clusterCenters())]
-    centroids = corpus.sparkSession.createDataFrame(
-        centers, "_centroid int, _center array<double>")
+    cent_lit = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col("_qv"),
+                           F.array(*[F.lit(v) for v in cv]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("_dist"),
+            F.lit(i).cast("int").alias("_centroid"))
+        for i, cv in centers])
 
     q = (queries.select(F.col(id_col).alias("query_id"),
                         as_double(vec_col).alias("_qv"))
          .withColumn("_qn", norm(F.col("_qv"))))
-    # probe selection: rank centroids per query by euclidean distance
-    qc = (q.join(F.broadcast(centroids))
-          .withColumn("_dist",
-                      F.aggregate(F.zip_with("_qv", "_center",
-                                             lambda a, b: (a - b) * (a - b)),
-                                  F.lit(0.0), lambda acc, x: acc + x)))
-    wq = Window.partitionBy("query_id").orderBy(F.asc("_dist"), F.asc("_centroid"))
-    probes = (qc.withColumn("_pr", F.row_number().over(wq))
-                .filter(F.col("_pr") <= n_probe)
-                .select("query_id", "_qv", "_qn", "_centroid"))
+    # probe selection: the n_probe nearest centroids per query, ties to
+    # the lower centroid id (struct order = distance, then id — the same
+    # total order the old row_number window used)
+    probes = (q.withColumn(
+                  "_p", F.explode(F.slice(F.array_sort(cent_lit),
+                                          1, n_probe)))
+              .select("query_id", "_qv", "_qn",
+                      F.col("_p._centroid").alias("_centroid")))
 
     denom = F.col("_qn") * F.col("_cn")
-    scored = (assigned.join(probes, "_centroid")
+    scored = (assigned.join(F.broadcast(probes), "_centroid")
               .filter(F.col("query_id") != F.col("neighbour_id"))
               .withColumn("cos_sim",
                           F.when(denom == 0.0, F.lit(0.0))
@@ -310,10 +331,27 @@ def semantic_dedup(vectors: DataFrame, n_clusters: int = 16,
     Output (one row per vector): id_col, cluster_id, cos_to_rep (6dp, 1.0
     for the representative itself), is_kept. Deterministic under a fixed
     seed; iterative fit -> rows-only driver check + pytest invariants.
+
+    r15 search shape (§2.3/§2.5; the fit is untouched — see ivf_topk):
+    the representative is elected with ONE map-side-combinable
+    min(struct(dist, id, vec)) aggregation instead of a row_number
+    window — the window's exchange hash-partitioned EVERY vector by
+    cluster id (n_clusters distinct keys = at most n_clusters reduce
+    tasks and a full-corpus shuffle of payloads; the hub shape §2.5
+    warns about), where the partial agg reduces each map task to at
+    most n_clusters candidate rows before anything moves. The struct
+    order (dist, then id) is the identical total order, so the elected
+    representative — and every output value — is unchanged. The
+    assignment relation materializes via cut_lineage instead of an
+    unreleased .cache() (the khop hygiene rule), norms are computed
+    once per side, and cos_to_rep is evaluated once per row instead of
+    the old inlined-twice expression tree (same doubles: identical
+    fold over identical inputs, factored, not reassociated).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
+
+    from etl_online_retail_spark.session import cut_lineage
 
     with_vec = vectors.withColumn("_mlv", array_to_vector(as_double(vec_col)))
     model = (KMeans(k=n_clusters, seed=seed, featuresCol="_mlv",
@@ -324,31 +362,40 @@ def semantic_dedup(vectors: DataFrame, n_clusters: int = 16,
     centroids = vectors.sparkSession.createDataFrame(
         centers, "_cl int, _center array<double>")
 
-    assigned = (model.transform(with_vec)
-                .select(F.col(id_col).alias("_id"),
-                        as_double(vec_col).alias("_v"), "_cl")
-                .join(F.broadcast(centroids), "_cl")
-                .withColumn("_dist",
-                            F.aggregate(F.zip_with("_v", "_center",
-                                                   lambda a, b: (a - b) * (a - b)),
-                                        F.lit(0.0), lambda acc, x: acc + x))
-                .drop("_center")
-                .cache())
+    assigned = cut_lineage(
+        model.transform(with_vec)
+        .select(F.col(id_col).alias("_id"),
+                as_double(vec_col).alias("_v"), "_cl")
+        .join(F.broadcast(centroids), "_cl")
+        .withColumn("_dist",
+                    F.aggregate(F.zip_with("_v", "_center",
+                                           lambda a, b: (a - b) * (a - b)),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        .drop("_center"))
 
-    w = Window.partitionBy("_cl").orderBy(F.asc("_dist"), F.asc("_id"))
-    reps = (assigned.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_cl", F.col("_id").alias("_rep_id"),
-                    F.col("_v").alias("_rep_v")))
+    reps = (assigned.groupBy("_cl")
+            .agg(F.min(F.struct(F.col("_dist"), F.col("_id"),
+                                F.col("_v"))).alias("_r"))
+            .select("_cl", F.col("_r._id").alias("_rep_id"),
+                    F.col("_r._v").alias("_rep_v")))
 
     joined = assigned.join(F.broadcast(reps), "_cl")
-    cos = F.round(cosine(F.col("_v"), F.col("_rep_v")), 6)
+    # one evaluation per row: dot and both norms appear exactly once in
+    # the projected _cos; the old shape inlined the full cosine tree
+    # (2 sqrt-folds + 1 dot-fold) separately into cos_to_rep AND is_kept
+    denom = norm(F.col("_v")) * norm(F.col("_rep_v"))
+    cos = F.round(
+        F.when(denom == F.lit(0.0), F.lit(0.0))
+         .otherwise(dot(F.col("_v"), F.col("_rep_v")) / denom), 6)
     is_rep = F.col("_id") == F.col("_rep_id")
-    return joined.select(
-        F.col("_id").alias(id_col),
-        F.col("_cl").cast("int").alias("cluster_id"),
-        F.when(is_rep, F.lit(1.0)).otherwise(cos).alias("cos_to_rep"),
-        (is_rep | (cos < threshold)).alias("is_kept"))
+    return (joined
+            .select("_id", "_cl", "_rep_id", cos.alias("_cos"))
+            .select(
+                F.col("_id").alias(id_col),
+                F.col("_cl").cast("int").alias("cluster_id"),
+                F.when(is_rep, F.lit(1.0))
+                 .otherwise(F.col("_cos")).alias("cos_to_rep"),
+                (is_rep | (F.col("_cos") < threshold)).alias("is_kept")))
 
 
 # auto plane sizing: choose n_planes so the EXPECTED bucket holds

@@ -50,6 +50,17 @@ UNIGRAM_VOCAB_SIZE = 256
 UNIGRAM_SHRINK = 0.75
 UNIGRAM_EM_ITERS = 2
 
+# Bound on the DRIVER-merged E-step partial relation (r15, VERDICT item
+# 2): the per-task partials are n_tasks x |inventory| rows. At the
+# bench scale that is KB; with thousands of input partitions times a
+# multi-thousand-piece inventory it is a multi-GB collect per EM round
+# — the §5 "driver does data work" shape. Past this row bound the
+# partials are reduced in-plan to |inventory| rows first (one map-side-
+# combined groupBy), so the collect stays inventory-bounded at any
+# partition count. Integer adds are order-independent, so both venues
+# produce identical counts (tested).
+UNIGRAM_DRIVER_MERGE_MAX_ROWS = 262_144
+
 
 def _viterbi(word: str, logp: dict[str, float],
              max_len: int) -> list[str] | None:
@@ -154,23 +165,39 @@ def seed_candidates(words: DataFrame, n_seed: int = UNIGRAM_N_SEED,
                 .select(F.explode(F.split(w, "")).alias("piece"), "freq")
                 .filter(F.col("piece") != "")
                 .groupBy("piece").agg(F.sum("freq").alias("cnt")))
-    counts = {r["piece"]: int(r["cnt"]) for r in chars_df.collect()}
+    # ONE action for both relations (r15): chars (length-1 pieces) and
+    # candidates (length>=2 by construction) are disjoint, so a flagged
+    # union collects in a single job — the old shape paid two driver
+    # collects per train. The orderBy().limit() top-k semantics are
+    # unchanged inside the union branch.
+    rows = (chars_df.withColumn("_char", F.lit(True))
+            .unionByName(cand.withColumn("_char", F.lit(False)))
+            .collect())
+    counts = {r["piece"]: int(r["cnt"]) for r in rows if r["_char"]}
     chars = set(counts)
-    for r in cand.collect():
-        counts.setdefault(r["piece"], int(r["cnt"]))
+    for r in rows:
+        if not r["_char"]:
+            counts.setdefault(r["piece"], int(r["cnt"]))
     return counts, chars
 
 
 def _estep_distributed(words: DataFrame, logp: dict[str, float],
-                       max_len: int) -> dict[str, int]:
+                       max_len: int,
+                       n_tasks: int | None = None) -> dict[str, int]:
     """One Viterbi sweep over the (word, freq) table: Arrow batches
     segment each word and pre-sum piece counts per TASK (one partial
     frame per task, inventory-bounded), and the driver merges the
     partials — integer adds, order-independent. r14: the merge used to
     be a groupBy shuffle + collect; the partial relation is
-    n_partitions x |inventory| rows (KB-scale however big the corpus),
-    so collecting partials directly removes one exchange + one stage
-    from EVERY EM round (the bench pays ~13 rounds per train)."""
+    n_partitions x |inventory| rows (KB-scale at bench partition
+    counts), so collecting partials directly removes one exchange +
+    one stage from EVERY EM round (the bench pays ~13 rounds per
+    train). r15 (VERDICT item 2): the driver merge is BOUNDED — when
+    n_tasks x |inventory| exceeds UNIGRAM_DRIVER_MERGE_MAX_ROWS the
+    partials reduce in-plan to |inventory| rows first, keeping the
+    collect inventory-bounded at any partition count. Callers pass
+    n_tasks (the cached word relation's partition count) so the check
+    costs nothing per round."""
     lp = dict(logp)  # pinned closure copy
 
     def sweep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,8 +212,14 @@ def _estep_distributed(words: DataFrame, logp: dict[str, float],
         yield pd.DataFrame({"piece": list(acc.keys()),
                             "cnt": list(acc.values())})
 
+    partials = words.mapInPandas(sweep, "piece string, cnt long")
+    if n_tasks is None:
+        n_tasks = words.rdd.getNumPartitions()
+    if n_tasks * max(len(lp), 1) > UNIGRAM_DRIVER_MERGE_MAX_ROWS:
+        partials = (partials.groupBy("piece")
+                    .agg(F.sum("cnt").alias("cnt")))
     acc: Counter = Counter()
-    for r in words.mapInPandas(sweep, "piece string, cnt long").collect():
+    for r in partials.collect():
         acc[r["piece"]] += int(r["cnt"])
     return dict(acc)
 
@@ -221,8 +254,11 @@ def unigram_train(docs: DataFrame, vocab_size: int = UNIGRAM_VOCAB_SIZE,
     multi-character pieces plus the character floor."""
     words = word_frequencies(docs, text_col).cache()
     seed_counts, chars = seed_candidates(words, n_seed, max_piece_len)
+    # partition count of the (now materialized) cached word relation,
+    # read once: the E-step's driver-merge bound needs it every round
+    n_tasks = words.rdd.getNumPartitions()
     logp = _train_loop(
-        lambda lp: _estep_distributed(words, lp, max_piece_len),
+        lambda lp: _estep_distributed(words, lp, max_piece_len, n_tasks),
         seed_counts, chars, vocab_size, shrink, em_iters, max_piece_len)
     words.unpersist()
     return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))

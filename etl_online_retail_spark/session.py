@@ -93,6 +93,41 @@ def get_spark(app_name: str = "etl-online-retail-spark",
     return spark
 
 
+def cut_lineage(df):
+    """Materialize a DataFrame and truncate its lineage — the round
+    boundary of every iterative operator (PageRank/PPR rounds, BFS
+    frontiers, connected-components rounds, BPE merge rounds, the
+    agreement operators' reduced grains).
+
+    Default: eager `localCheckpoint()`. Blocks live in EXECUTOR
+    storage and are released with the RDD by the context cleaner —
+    fast (no external write), but NOT fault-tolerant: an executor
+    loss drops its blocks and the job fails instead of recomputing
+    (there is no lineage left to recompute from).
+
+    Production knob (r14 verdict item 7): set
+    $SPARK_GRAFT_CHECKPOINT_DIR to a reliable (HDFS / object-store)
+    path and every cut becomes a reliable `checkpoint()` — each
+    round's state survives executor loss at the cost of one
+    write+read per round. Pair it with
+    spark.cleaner.referenceTracking.cleanCheckpoints=true so the
+    context cleaner also deletes checkpoint files once their RDDs
+    are collected; otherwise files accumulate for the application's
+    lifetime. See PERFORMANCE.md "Iterative loops" for the trade.
+    """
+    ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckdir:
+        sc = df.sparkSession.sparkContext
+        try:
+            has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+        except Exception:
+            has_dir = False
+        if not has_dir:
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def run_concurrently(fn, items) -> None:
     """Run independent per-item Spark actions from a thread pool: each
     action schedules its own jobs, so a pass costs the slowest item

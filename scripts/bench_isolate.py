@@ -25,8 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _n_jobs(spark) -> int:
-    """Total jobs submitted so far (AppStatusStore)."""
-    return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+    """Total jobs submitted so far. Reads the DAGScheduler's job-id
+    counter (monotonic, unbounded) rather than the UI AppStatusStore,
+    which retains at most spark.ui.retainedJobs entries and silently
+    undercounts job-heavy iterative queries (r14 ADVICE). Falls back to
+    the status store if the private accessor moves."""
+    sc = spark.sparkContext._jsc.sc()
+    try:
+        return sc.dagScheduler().nextJobId().get()
+    except Exception:
+        return sc.statusStore().jobsList(None).size()
 
 
 def main() -> None:

@@ -1,7 +1,9 @@
-"""Capture .explain("formatted") for named queries into plans/<tag>/.
+"""Capture .explain("formatted") for named queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py <tag-suffix> q1 q2 ...
-Writes plans/r14/<query>_<tag-suffix>.txt (e.g. tag-suffix = before/after).
+Writes plans/$SPARK_GRAFT_ROUND/<query>_<tag-suffix>.txt (round defaults
+to r15; e.g. tag-suffix = before/after). r14 ADVICE: the directory used
+to be hardcoded to plans/r14, silently mixing rounds.
 
 Runs against the sf0.01 testdata by default ($SPARK_GRAFT_SF_DIR to
 override) — plan SHAPE (Exchange count, join strategy, PushedFilters)
@@ -31,7 +33,8 @@ def main() -> None:
     spark = get_spark("capture-plans")
     qs = entrymod.queries()
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         build = qs.get(name)

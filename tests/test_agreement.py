@@ -221,7 +221,18 @@ def test_agreement_pins_no_cache_entries(spark):
     )
 
     cm = spark._jsparkSession.sharedState().cacheManager()
-    before_empty = cm.isEmpty()
+
+    def n_cached() -> int:
+        # entry COUNT, not isEmpty: a session fixture may already have
+        # cached a relation, in which case isEmpty stays False however
+        # many entries the operators pin (r14 ADVICE) — net growth is
+        # the regression signal that works on a dirty cache too
+        try:
+            return cm.cachedData().size()
+        except Exception:  # accessor moved: fall back to the weak check
+            return 0 if cm.isEmpty() else 1
+
+    before = n_cached()
     rows = [("g", i % 7, f"L{i % 3}") for i in range(60)]
     df = spark.createDataFrame(
         rows, "src string, item_id long, label string")
@@ -230,5 +241,5 @@ def test_agreement_pins_no_cache_entries(spark):
         krippendorff_alpha(df, group_col="src").collect()
         cohens_kappa(_labels(spark, [("a", "b"), ("a", "a")])).collect()
     # no NET growth: whatever was cached before (session fixtures) is
-    # unchanged, and if the manager started empty it must stay empty
-    assert cm.isEmpty() == before_empty
+    # unchanged, and nothing new registered
+    assert n_cached() == before

@@ -192,6 +192,29 @@ def test_khop_multi_seed_takes_min_distance(spark, chain_graph):
     assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
 
 
+def test_khop_releases_caches(spark, chain_graph):
+    """r15 (VERDICT item 5): khop unpersists its edge cache and every
+    per-hop frontier once the result union materializes — repeated
+    calls must not grow the cache manager (net), the same regression
+    guard shape as test_agreement_pins_no_cache_entries."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    def n_cached() -> int:
+        try:
+            return cm.cachedData().size()
+        except Exception:
+            return 0 if cm.isEmpty() else 1
+
+    seeds = spark.createDataFrame([(1,)], "node INT")
+    khop_distances(chain_graph, seeds, max_hops=3).collect()  # warm
+    before = n_cached()
+    for _ in range(3):
+        got = {r.node: r.dist for r in
+               khop_distances(chain_graph, seeds, max_hops=3).collect()}
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    assert n_cached() == before
+
+
 def test_copurchase_edges_support_threshold(spark):
     # pair (1,2) in two orders; (1,3) in one -> only (1,2) survives
     rows = [(100, 1), (100, 2), (101, 1), (101, 2), (102, 1), (102, 3)]

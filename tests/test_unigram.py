@@ -64,6 +64,29 @@ def test_partition_invariance(spark):
     assert a == b
 
 
+def test_estep_inplan_reduce_equals_driver_merge(spark, monkeypatch):
+    """r15 (VERDICT item 2): when n_tasks x |inventory| exceeds the
+    driver-merge bound, the E-step reduces partials in-plan
+    (groupBy) before collecting — at a forced high partition count
+    both venues must produce the identical integer counts."""
+    from etl_online_retail_spark.operators import unigram_lm as ul
+
+    docs = load_table(spark, "documents", SF)
+    words = word_frequencies(docs).repartition(16).cache()
+    try:
+        seed_counts, chars = ul.seed_candidates(words, n_seed=SEED)
+        logp = ul._mstep(seed_counts, chars)
+        driver_merged = ul._estep_distributed(
+            words, logp, ul.UNIGRAM_MAX_PIECE_LEN)
+        monkeypatch.setattr(ul, "UNIGRAM_DRIVER_MERGE_MAX_ROWS", 1)
+        in_plan = ul._estep_distributed(
+            words, logp, ul.UNIGRAM_MAX_PIECE_LEN)
+    finally:
+        words.unpersist()
+    assert driver_merged == in_plan
+    assert sum(driver_merged.values()) > 0
+
+
 def test_vocab_shape_and_coverage(spark):
     docs = load_table(spark, "documents", SF)
     vocab = unigram_train(docs, vocab_size=VOCAB, n_seed=SEED)
