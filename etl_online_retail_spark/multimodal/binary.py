@@ -201,16 +201,30 @@ def _solid_media(docs: DataFrame, id_col: str, max_w: int, max_h: int,
     bit-exactness argument). `encode(pixels, w, h) -> bytes` supplies
     the codec; everything else — the id partitioning, the Arrow batch
     shape, the (media_id, content) schema — is shared, so a change to
-    the contract cannot silently diverge between codecs."""
+    the contract cannot silently diverge between codecs.
+
+    The payload is a pure function of (w, h, v) — a space bounded by
+    the fixture moduli (<= 256 distinct for the defaults, vs 5000 rows
+    at sf0.1) — so each task memoizes encodes on that key and renders
+    every DISTINCT payload exactly once (guide §4.5 amortization; §8
+    problem knowledge the optimizer cannot see). Bit-identical output:
+    the encoders are deterministic functions of (pixels, w, h). The
+    memo is task-local and rebuilt from scratch on every execution —
+    no state survives a run, nothing is keyed on the input path."""
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
             for i in ids:
                 w, h = 1 + int(i) % max_w, 1 + int(i) % max_h
                 v = value(int(i))
-                payloads.append(encode(bytes([v]) * (w * h * 3), w, h))
+                p = memo.get((w, h, v))
+                if p is None:
+                    p = memo[(w, h, v)] = encode(bytes([v]) * (w * h * 3),
+                                                 w, h)
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
@@ -549,6 +563,9 @@ def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     import numpy as np
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # payload = f(n, v): <= 2000 distinct keys (see _solid_media on
+        # why a task-local memo of distinct payloads is bit-identical)
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
@@ -556,8 +573,11 @@ def synthetic_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = int(i)
                 n = 800 + 80 * (i % 10)
                 v = (i % 2000) - 1000
-                payloads.append(
-                    _wav.encode_wav(np.full(n, v, dtype=np.int64), 8000))
+                p = memo.get((n, v))
+                if p is None:
+                    p = memo[(n, v)] = _wav.encode_wav(
+                        np.full(n, v, dtype=np.int64), 8000)
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
@@ -577,6 +597,9 @@ def synthetic_webm_media(docs: DataFrame,
     from etl_online_retail_spark.multimodal import webm as _webm
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # payload = f(i % 256, size): n and width are functions of
+        # i % 256; <= 1792 distinct keys (memo contract: _solid_media)
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
@@ -584,10 +607,14 @@ def synthetic_webm_media(docs: DataFrame,
                 i = int(i)
                 n = 1 + i % 8
                 size = 6 + i % 7
-                frames = [bytes([(i + f) % 256]) * size for f in range(n)]
-                payloads.append(_webm.build_webm(
-                    frames, codec_id="V_VP9",
-                    width=128 + 32 * (i % 4), height=96))
+                p = memo.get((i % 256, size))
+                if p is None:
+                    frames = [bytes([(i + f) % 256]) * size
+                              for f in range(n)]
+                    p = memo[(i % 256, size)] = _webm.build_webm(
+                        frames, codec_id="V_VP9",
+                        width=128 + 32 * (i % 4), height=96)
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
@@ -651,6 +678,9 @@ def synthetic_adpcm_media(docs: DataFrame,
 
     import numpy as np
 
+    # no render memo here (unlike _solid_media): the payload key
+    # (i % 9, i % 2000) has lcm 18000 distinct values — more than the
+    # sf0.1 corpus, so a memo would never hit
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["media_id"]
@@ -686,6 +716,9 @@ def synthetic_flac_media(docs: DataFrame,
     import numpy as np
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # payload = f(m, reps): 40 distinct keys vs 5000 rows at sf0.1
+        # (memo contract: _solid_media)
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
@@ -693,13 +726,17 @@ def synthetic_flac_media(docs: DataFrame,
                 i = int(i)
                 m = 8 * (1 + i % 8)
                 reps = 30 + i % 5
-                wave = np.tile(np.arange(m, dtype=np.int64), reps)
-                # 1024-sample blocks: the longer clips (m >= 32) still
-                # span multiple frames, so the frame walk is exercised,
-                # at 1/4 the per-frame overhead of 256 (r7; every output
-                # feature is block-size independent)
-                payloads.append(_flac.encode_flac(wave, 8000,
-                                                  block_size=1024))
+                p = memo.get((m, reps))
+                if p is None:
+                    wave = np.tile(np.arange(m, dtype=np.int64), reps)
+                    # 1024-sample blocks: the longer clips (m >= 32)
+                    # still span multiple frames, so the frame walk is
+                    # exercised, at 1/4 the per-frame overhead of 256
+                    # (r7; every output feature is block-size
+                    # independent)
+                    p = memo[(m, reps)] = _flac.encode_flac(
+                        wave, 8000, block_size=1024)
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
@@ -723,6 +760,9 @@ def synthetic_ulaw_media(docs: DataFrame,
     import numpy as np
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # payload = f(n, a): 30 distinct keys vs 5000 rows at sf0.1
+        # (memo contract: _solid_media)
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
@@ -730,11 +770,14 @@ def synthetic_ulaw_media(docs: DataFrame,
                 i = int(i)
                 n = 800 + 80 * (i % 10)
                 a = 132 * (2 ** (1 + i % 6) - 1)
-                wave = np.empty(n, dtype=np.int64)
-                wave[0::2] = a
-                wave[1::2] = -a
-                payloads.append(_wav.encode_wav(wave, 8000,
-                                                audio_format=7))
+                p = memo.get((n, a))
+                if p is None:
+                    wave = np.empty(n, dtype=np.int64)
+                    wave[0::2] = a
+                    wave[1::2] = -a
+                    p = memo[(n, a)] = _wav.encode_wav(wave, 8000,
+                                                       audio_format=7)
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
@@ -762,6 +805,9 @@ def synthetic_mp4_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     SQL oracle while the Spark side genuinely walks the box tree."""
     from etl_online_retail_spark.multimodal import mp4 as _mp4
 
+    # no render memo here (unlike _solid_media): the payload key
+    # (i % 256, i % 7, i % 9, i % 8) has lcm 16128 distinct values —
+    # more than the sf0.1 corpus, so a memo would never hit
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["media_id"]
@@ -872,17 +918,24 @@ def synthetic_mjpeg_media(docs: DataFrame, id_col: str = "doc_id",
     from etl_online_retail_spark.multimodal import jpeg as _jpeg
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # clip = f(i % 128, n_frames): w, h and every frame intensity
+        # are functions of i % 128; <= 128 * max_frames distinct keys
+        # (memo contract: _solid_media)
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
             for i in ids:
                 i = int(i)
-                w, h = 1 + i % 16, 1 + i % 8
-                clip = b"".join(
-                    _jpeg.encode_jpeg(
-                        bytes([2 * ((i + 7 * f) % 128)]) * (w * h * 3),
-                        w, h, channels=3)
-                    for f in range(1 + i % max_frames))
+                nf = 1 + i % max_frames
+                clip = memo.get((i % 128, nf))
+                if clip is None:
+                    w, h = 1 + i % 16, 1 + i % 8
+                    clip = memo[(i % 128, nf)] = b"".join(
+                        _jpeg.encode_jpeg(
+                            bytes([2 * ((i + 7 * f) % 128)]) * (w * h * 3),
+                            w, h, channels=3)
+                        for f in range(nf))
                 payloads.append(clip)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
@@ -903,14 +956,20 @@ def synthetic_gif_media(docs: DataFrame, id_col: str = "doc_id",
     from etl_online_retail_spark.multimodal import gif as _gif
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # payload = f(w, h, v): <= 256 distinct keys for the defaults
+        # (memo contract: _solid_media)
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
             for i in ids:
                 i = int(i)
                 w, h, v = 1 + i % max_w, 1 + i % max_h, i % 256
-                payloads.append(_gif.encode_gif([bytes([v]) * (w * h)],
-                                                w, h))
+                p = memo.get((w, h, v))
+                if p is None:
+                    p = memo[(w, h, v)] = _gif.encode_gif(
+                        [bytes([v]) * (w * h)], w, h)
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
@@ -929,15 +988,23 @@ def synthetic_animated_gif_media(docs: DataFrame, id_col: str = "doc_id",
     from etl_online_retail_spark.multimodal import gif as _gif
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # clip = f(i % 256, n_frames): w, h and every frame value are
+        # functions of i % 256; <= 256 * max_frames distinct keys
+        # (memo contract: _solid_media)
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
             for i in ids:
                 i = int(i)
-                w, h = 1 + i % 16, 1 + i % 8
-                frames = [bytes([(i + 85 * f) % 256]) * (w * h)
-                          for f in range(1 + i % max_frames)]
-                payloads.append(_gif.encode_gif(frames, w, h))
+                nf = 1 + i % max_frames
+                p = memo.get((i % 256, nf))
+                if p is None:
+                    w, h = 1 + i % 16, 1 + i % 8
+                    frames = [bytes([(i + 85 * f) % 256]) * (w * h)
+                              for f in range(nf)]
+                    p = memo[(i % 256, nf)] = _gif.encode_gif(frames, w, h)
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
@@ -1056,18 +1123,26 @@ def synthetic_pattern_media(docs: DataFrame, id_col: str = "doc_id",
     w, h = 2 * (grid + 1), grid
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # payload = f(motif): n_motifs (16) distinct keys vs 5000 rows
+        # at sf0.1 — same-motif rows are pixel-identical BY CONTRACT
+        # (the planted near-duplicates), so the memo renders each motif
+        # once per task (memo contract: _solid_media)
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
             for i in ids:
                 m = int(i) % n_motifs
-                buf = bytearray()
-                for y in range(h):
-                    for x in range(w):
-                        v = (m * 37 + x * x + y * 11) % 256
-                        buf += bytes([v, v, v])
-                payloads.append(_png.encode_png(bytes(buf), w, h,
-                                                color_type=2))
+                p = memo.get(m)
+                if p is None:
+                    buf = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            v = (m * 37 + x * x + y * 11) % 256
+                            buf += bytes([v, v, v])
+                    p = memo[m] = _png.encode_png(bytes(buf), w, h,
+                                                  color_type=2)
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
@@ -1181,14 +1256,20 @@ def synthetic_tone_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     t_axis = np.arange(1024, dtype=np.float64) / 8000.0
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # payload = f(tone frequency): 8 distinct keys vs 5000 rows at
+        # sf0.1 (memo contract: _solid_media)
+        memo: dict = {}
         for pdf in batches:
             ids = pdf["media_id"]
             payloads = []
             for i in ids:
                 f = 250 * (1 + int(i) % 8)
-                wave = np.rint(8000 * np.sin(2 * np.pi * f * t_axis))
-                payloads.append(
-                    _wav.encode_wav(wave.astype(np.int64), 8000))
+                p = memo.get(f)
+                if p is None:
+                    wave = np.rint(8000 * np.sin(2 * np.pi * f * t_axis))
+                    p = memo[f] = _wav.encode_wav(
+                        wave.astype(np.int64), 8000)
+                payloads.append(p)
             yield pd.DataFrame({"media_id": ids, "content": payloads})
 
     out_schema = T.StructType([
